@@ -1,0 +1,52 @@
+"""Ordered catalog bootstrap — the engine's analog of S9 + G2/G3.
+
+The reference bootstraps its warehouse with an ordered multi-script DDL
+runner (``sql/apply.py:42-92``: naturally-sorted ``NN_*.sql`` files, each
+multi-statement) building, in dependency order: database/schemas → roles
+→ raw table → curated views → masking. Here the same dependency order is
+an explicit registration sequence of temp views over DataFrames — temp
+views inline into the logical plan, so "view over view" costs nothing at
+execution time (V1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from scholar_stream_spark.operators.masking import apply_masking, is_privileged
+from scholar_stream_spark.operators.views import build_vw_latency, build_vw_works
+
+
+def init_catalog(
+    spark: SparkSession,
+    raw: DataFrame,
+    role: str = "R_ANALYST",
+    now: Column | None = None,
+    window_minutes: int = 5,
+) -> dict[str, DataFrame]:
+    """Register the engine's view set for ``role``, in dependency order.
+
+    1. ``raw_events``  — bronze landing (payload, metadata)
+    2. ``vw_works``    — curated projection (email masked unless the role
+       is privileged — the role-scoped catalog IS the access control)
+    3. ``vw_latency``  — KPI aggregate over ``vw_works``
+
+    Returns the DataFrames keyed by view name; each is also available via
+    ``spark.sql``/``spark.table`` under the same name.
+    """
+    views: dict[str, DataFrame] = {}
+
+    raw.createOrReplaceTempView("raw_events")
+    views["raw_events"] = raw
+
+    works = build_vw_works(raw, now=now)
+    if not is_privileged(role):
+        works = apply_masking(works, role)
+    works.createOrReplaceTempView("vw_works")
+    views["vw_works"] = works
+
+    latency = build_vw_latency(works, now=now, window_minutes=window_minutes)
+    latency.createOrReplaceTempView("vw_latency")
+    views["vw_latency"] = latency
+
+    return views

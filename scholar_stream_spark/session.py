@@ -1,0 +1,76 @@
+"""SparkSession factory.
+
+Session-level decisions (why each config):
+
+- ``spark.sql.session.timeZone=UTC``: the reference pipeline is UTC
+  end-to-end (producer stamps ``datetime.now(timezone.utc)``, the
+  dashboard forces ``ALTER SESSION SET TIMEZONE='UTC'`` —
+  reference ``ingestion/producer.py:87``, ``app/home.py:65``).
+- ``spark.sql.ansi.enabled=false``: the reference's analytical layer is
+  deliberately lenient — ``TRY_TO_TIMESTAMP_TZ`` / ``TRY_TO_NUMBER``
+  return NULL on malformed input (reference
+  ``sql/04_views_curated.sql:18-32``) and array-head extraction of an
+  empty ``authorships`` list yields NULL (``ingestion/schema.py:59-60``).
+  Spark 4 defaults ANSI on; we opt out so ``arr[0]`` / lenient casts are
+  NULL-on-error, and still use explicit ``try_cast``/``try_to_timestamp``
+  everywhere it matters.
+- AQE on (+ coalescePartitions + skewJoin): at 100 TB the right shuffle
+  partitioning is data-dependent; AQE re-plans post-shuffle, coalesces
+  tiny partitions and splits skewed ones at runtime.
+- ``autoBroadcastJoinThreshold`` left at default (10 MB) — dimension
+  tables (region/nation/customer at small SF) broadcast automatically;
+  operators that KNOW a side is small hint ``broadcast()`` explicitly.
+- Arrow enabled: every pandas interchange (``toPandas``, pandas UDFs,
+  ``mapInPandas`` in the multimodal ops) goes through Arrow batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Default shuffle parallelism for local runs. On a real cluster this is
+#: sized to ~2-3x total executor cores (or left to AQE's
+#: ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``).
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "scholar-stream-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract)
+    so bench/test runs use the provisioned cores; on a real cluster the
+    caller passes the cluster master / relies on spark-submit.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Parquet scans: keep row-group pruning + nested-column pruning on
+        # (defaults, pinned here because the curated views rely on them).
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # UI is dead weight in tests/bench containers.
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,83 @@
+"""Bronze landing: payload + delivery metadata, with a dead-letter path.
+
+Spark analog of the reference's managed Firehose → RAW table hop
+(S6/S7): Firehose writes the record to ``RECORD`` and stamps delivery
+metadata (incl. ``IngestionTime``) into ``RECORD_METADATA``
+(``infra/main.tf:146-200``); failed deliveries are dead-lettered under an
+``errors/`` prefix (``infra/main.tf:178-193``).
+
+Here a *landing batch* is: take NDJSON lines, attach a metadata JSON
+column (IngestionTime = commit wall-clock, batch_id = uuid-per-batch),
+append to the raw table path as parquet. Records that are not even
+parseable JSON objects go to the dead-letter path instead of the table —
+landing stays schema-agnostic (any valid JSON lands; typing is the
+curated view's job).
+
+At scale: the landing write is append-only and partitioned by landing
+date (``land_date``), so curated-view scans over recent windows prune
+partitions, and compaction/retention can work per-day.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_delivery_metadata(lines: DataFrame, batch_id: str | None = None) -> DataFrame:
+    """Wrap raw NDJSON lines as (payload, metadata, land_date) rows."""
+    if batch_id is None:
+        batch_id = str(uuid.uuid4())
+    ingestion_time = F.date_format(
+        F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"
+    )
+    metadata = F.to_json(
+        F.struct(
+            ingestion_time.alias("IngestionTime"),
+            F.lit(batch_id).alias("batch_id"),
+        )
+    )
+    return lines.select(
+        F.col(lines.columns[0]).alias("payload"),
+        metadata.alias("metadata"),
+        F.current_date().alias("land_date"),
+    )
+
+
+def split_dead_letters(landing: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Partition a landing batch into (good, dead) by JSON well-formedness.
+
+    A payload is landable iff it parses as JSON — probed with Spark 4's
+    ``try_parse_json`` (NULL on malformed, never an error). Mirrors
+    Firehose's FailedDataOnly dead-letter contract: bad bytes are
+    preserved verbatim for replay, never dropped.
+    """
+    probe = F.expr("try_parse_json(payload)")
+    flagged = landing.withColumn("_ok", probe.isNotNull())
+    good = flagged.filter(F.col("_ok")).drop("_ok")
+    dead = flagged.filter(~F.col("_ok")).drop("_ok")
+    return good, dead
+
+
+def land_batch(
+    lines: DataFrame,
+    raw_path: str,
+    errors_path: str | None = None,
+    batch_id: str | None = None,
+) -> None:
+    """Append one batch of NDJSON lines to the bronze table (parquet,
+    partitioned by land_date); unparseable lines → dead-letter path."""
+    landing = with_delivery_metadata(lines, batch_id=batch_id)
+    good, dead = split_dead_letters(landing)
+    (
+        good.write.mode("append")
+        .partitionBy("land_date")
+        .parquet(raw_path)
+    )
+    if errors_path is not None:
+        # Empty writes still create the path; guard with a cheap check on
+        # the already-computed batch (tiny: one micro-batch of lines).
+        if dead.limit(1).count() > 0:
+            dead.write.mode("append").partitionBy("land_date").parquet(errors_path)
