@@ -1,0 +1,318 @@
+"""Deduplication operators (SURVEY.md §2.8 extended surface).
+
+Five dedup families over the ``documents`` / ``events`` / ``embeddings``
+tables, each designed for 100 TB first and checked for correctness at
+small SF against a DuckDB oracle:
+
+- **exact** — deterministic keep-first via ranking window (never
+  ``dropDuplicates`` in pipelines: its survivor choice is
+  partition-order dependent), plus corpus-level fingerprint stats.
+- **n-gram Jaccard** — candidate pairs share ≥1 distinct n-word
+  shingle (equi-join on shingle, NOT a cross join), then exact Jaccard.
+- **MinHash + LSH** — per-doc signature in ONE aggregation (collect the
+  distinct shingle hashes, then 32 ``array_min(transform(...))``
+  expressions — no per-hash shuffle), banded into LSH keys, candidate
+  pairs from an equi-join on (band, key), then exact-Jaccard verify.
+- **SimHash** — 32-bit signature from per-bit weight sums (one groupBy,
+  32 map-side-combined sums), candidates from 8-bit band equality
+  (pigeonhole: hamming ≤ 3 over 4 bands ⇒ ≥1 band equal, so banding is
+  lossless for the threshold), verified with ``bit_count(xor)``.
+- **embedding cosine** — label-blocked near-dup pairs (blocking key
+  keeps the join quadratic only within blocks; the unblocked scale path
+  is the LSH-bucketed ANN in ``similarity.py``).
+
+Portability: sketch hashes use the md5-derived 48-bit portable hash
+(``functions/hashing.py``) so signatures are bit-identical in the DuckDB
+oracle. Pass ``hash_profile="fast"`` for xxhash64 at production scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from scholar_stream_spark.functions.hashing import (
+    MINHASH_BANDS,
+    MINHASH_PARAMS,
+    MINHASH_PRIME,
+    MINHASH_ROWS_PER_BAND,
+    SIMHASH_BITS,
+    hex48_sql,
+)
+from scholar_stream_spark.functions.text import word_shingles
+
+SHINGLE_N = 5
+JACCARD_THRESHOLD = 0.8
+SIMHASH_HAMMING_MAX = 3
+SIMHASH_BAND_BITS = 8
+EMBED_COS_THRESHOLD = 0.35
+
+
+def first_event_per_key(events: DataFrame) -> DataFrame:
+    """Exact dedup, deterministic survivor: earliest event per
+    (user_id, event_type), ties broken by event_id."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
+
+
+def exact_dedup_stats(documents: DataFrame) -> DataFrame:
+    """Corpus-level exact-dup accounting by content hash (hash-groupBy
+    dedup: the count(DISTINCT md5) plans as a two-stage partial agg)."""
+    return documents.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5("text"))).alias("n_dupes"),
+    )
+
+
+def distinct_shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) with per-doc distinct n-word shingles."""
+    return documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), n))).alias("shingle"),
+    )
+
+
+def _shingle_sizes(sh: DataFrame) -> DataFrame:
+    return sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+
+def _verify_jaccard(
+    cand: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs: |A∩B| via shingle equi-join
+    restricted to the candidates, |A∪B| from per-doc sizes."""
+    sizes = _shingle_sizes(sh)
+    inter = (
+        cand.join(sh.alias("sa"), F.col("d1") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("d2") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2")), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = SHINGLE_N,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard ≥ threshold.
+
+    Candidates come from an equi-join on shingle (docs sharing ≥1
+    shingle) — at scale, add a document-frequency cap on shingles before
+    the join (ultra-hot shingles generate quadratic candidates and carry
+    no signal); the MinHash path below is the sub-quadratic alternative.
+    """
+    sh = distinct_shingles(documents, n)
+    cand = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, threshold)
+
+
+def minhash_signatures(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, sig array<long>) MinHash signatures.
+
+    One shuffle total: group the distinct shingle hashes per doc, then
+    each of the 32 signature slots is ``array_min(transform(hs, ...))``
+    — pure array expressions, map-side combinable, no hash-function
+    explosion. Reference point for the technique: Broder's MinHash +
+    banding as in MMDS ch.3; implementation is Spark array algebra.
+    """
+    sh = distinct_shingles(documents, n)
+    hashed = sh.select(
+        "doc_id", F.expr(hex48_sql("shingle")).cast("long").alias("h")
+    )
+    grouped = hashed.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+
+    def _universal(a: int, b: int):
+        # closure factory: keeps the lambda single-argument (PySpark
+        # infers higher-order-function arity from the signature)
+        return lambda x: (F.lit(a) * (x % MINHASH_PRIME) + F.lit(b)) % MINHASH_PRIME
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("hs"), _universal(a, b))).alias(f"s{j}")
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return grouped.select("doc_id", *sig_cols)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = SHINGLE_N,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
+
+    Banding: 8 bands × 4 rows → P(candidate | J=0.8) ≈ 0.985. Candidate
+    generation is an equi-join on (band, key) — never a cross join — so
+    cost scales with bucket occupancy, not corpus².
+    """
+    sigs = minhash_signatures(documents, n)
+    band_structs = []
+    for band in range(MINHASH_BANDS):
+        lo = band * MINHASH_ROWS_PER_BAND
+        key = F.concat_ws(
+            "-",
+            *[
+                F.col(f"s{j}").cast("string")
+                for j in range(lo, lo + MINHASH_ROWS_PER_BAND)
+            ],
+        )
+        band_structs.append(
+            F.struct(F.lit(band).alias("band"), key.alias("key"))
+        )
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sh = distinct_shingles(documents, n)
+    return _verify_jaccard(cand, sh, threshold)
+
+
+def simhash_signatures(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, simhash long) — 32-bit SimHash over shingle features.
+
+    Per-bit weight sums in ONE groupBy (32 sums, map-side combined);
+    bit b is set when the +1/-1 weight sum is ≥ 0.
+    """
+    sh = distinct_shingles(documents, n)
+    hashed = sh.select(
+        "doc_id",
+        (F.expr(hex48_sql("shingle")).cast("long") % F.lit(2**SIMHASH_BITS)).alias(
+            "h"
+        ),
+    )
+    sums = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_feat"),
+        *[
+            F.sum(F.expr(f"shiftright(h, {b}) & 1")).alias(f"c{b}")
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    simhash = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(
+            (F.lit(2) * F.col(f"c{b}") - F.col("n_feat")) >= 0, F.lit(2**b)
+        ).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return sums.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    n: int = SHINGLE_N,
+    hamming_max: int = SIMHASH_HAMMING_MAX,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance ≤ hamming_max.
+
+    Candidates share ≥1 of four 8-bit bands; by pigeonhole any pair
+    within hamming 3 shares a clean band, so banding loses nothing while
+    avoiding the corpus² comparison.
+    """
+    sigs = simhash_signatures(documents, n)
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.expr(f"shiftright(simhash, {band * SIMHASH_BAND_BITS}) & 255").alias(
+                "key"
+            ),
+        )
+        for band in range(n_bands)
+    ]
+    bands = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= hamming_max)
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = EMBED_COS_THRESHOLD
+) -> DataFrame:
+    """Label-blocked embedding near-dup: cosine ≥ threshold within each
+    label block. Blocking keeps the pair join linear in block sizes; the
+    unblocked path at 100 TB is LSH bucketing (``similarity.py``).
+
+    Cosine is computed with sequential-order double accumulation
+    (``functions/vectors.py``) so it is reproducible and oracle-checkable.
+    """
+    from scholar_stream_spark.functions.vectors import cosine_similarity
+
+    a = embeddings.alias("a")
+    b = embeddings.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.col("a.label").alias("label"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("v1", "v2", "label", F.round("cos_sim", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,250 @@
+"""Consumption queries Q1-Q3 + relational demo operators (SURVEY.md §2.5, §2.8).
+
+Each builder is a pure DataFrame program; the driver-facing bindings (and
+the DuckDB oracle SQL that checks them) live in ``__spark_entry__.py``.
+
+Scale/plan notes, per operator, are in the docstrings — every one of
+these was ``.explain()``-checked: filters reach the parquet scan
+(PushedFilters), small sides broadcast, top-N plans as
+TakeOrderedAndProject, aggregates get map-side partial aggregation.
+
+Cross-engine determinism: money aggregates are summed as DECIMAL(18,2)
+(exact, order-independent) and only then cast to DOUBLE — double
+summation order varies with partitioning, decimal does not. Plain
+``avg`` over bounded doubles is rounded to 4 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Trailing-window width for the events-table KPI stand-in (the reference
+#: uses 5 minutes over a live stream, sql/04_views_curated.sql:54-60; the
+#: synthetic events table spans 30 days, so 24h keeps a real sample).
+KPI_WINDOW_HOURS = 24
+
+TOPN_DEFAULT = 50
+TOP_ORDERS_PER_CUSTOMER = 3
+WINDOWED_AGG_HOURS = 6
+PRICING_CUTOFF = "2000-09-02 00:00:00"
+
+
+def exact_sum_double(expr: str) -> str:
+    """SQL fragment: order-independent money sum → double.
+
+    SUM over doubles is partition-order dependent (≈1 ulp per element —
+    real drift at 100 TB); SUM over DECIMAL(18,2) is exact integer
+    arithmetic, identical on any partitioning and any engine. The final
+    double conversion is exact for |cents| < 2^53.
+    """
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+def latency_kpis(events: DataFrame, window_hours: int = KPI_WINDOW_HOURS) -> DataFrame:
+    """V10-V12 stand-in on the events table: global KPIs over the
+    trailing window, with the clock pinned to ``max(ts)`` (deterministic
+    "now", SURVEY §7.3).
+
+    Plan: the 1-row ``max(ts)`` aggregate is broadcast-cross-joined (no
+    shuffle of the fact side), the window filter then prunes before a
+    partial+final global aggregate — one scan, no wide shuffle.
+    """
+    now_df = events.agg(F.max("ts").alias("_now"))
+    start = F.col("_now") - F.expr(f"INTERVAL {window_hours} HOURS")
+    windowed = (
+        events.crossJoin(F.broadcast(now_df))
+        .filter(F.col("ts") >= start)
+    )
+    return (
+        windowed.groupBy("_now")
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            "avg_value",
+            "min_value",
+            "max_value",
+            "n_samples",
+            start.alias("window_start"),
+            F.col("_now").alias("window_end"),
+        )
+    )
+
+
+def topn_recent(orders: DataFrame, n: int = TOPN_DEFAULT) -> DataFrame:
+    """Q2 — top-N most recent orders (dashboard table).
+
+    ``ORDER BY ... LIMIT n`` plans as TakeOrderedAndProject: a per-
+    partition top-N heap + single merge, never a full sort — the property
+    the reference leans on Snowflake for (``app/home.py:202-208``).
+    Tie-break on o_orderkey for determinism.
+    """
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(n)
+    )
+
+
+def json_props_extract(events: DataFrame) -> DataFrame:
+    """V2+V7+V8 stand-in: JSON path extraction with lenient cast and a
+    conditional flag, filter pushed toward the scan.
+
+    Parse-once discipline: one ``from_json`` into a struct; the k>=50
+    predicate applies to the parsed value (Catalyst prunes the JSON
+    schema to the single leaf).
+    """
+    k = F.from_json(F.col("props"), "k long")["k"]
+    return (
+        events.select(
+            "event_id",
+            k.alias("k"),
+            F.when(F.col("event_type") == "error", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_error"),
+        )
+        .filter(F.col("k").isNotNull() & (F.col("k") >= 50))
+    )
+
+
+def sec_of_day(events: DataFrame) -> DataFrame:
+    """V9 stand-in — boundary-counting timestamp difference in seconds
+    (Snowflake DATEDIFF semantics == unix-second subtraction)."""
+    midnight = F.date_trunc("DAY", F.col("ts"))
+    return events.select(
+        "event_id",
+        (F.unix_timestamp(F.col("ts")) - F.unix_timestamp(midnight)).alias(
+            "sec_of_day"
+        ),
+        F.hour("ts").cast("long").alias("hour_of_day"),
+    )
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = PRICING_CUTOFF) -> DataFrame:
+    """TPC-H-Q1-shaped aggregate: the relational-completeness demo the
+    reference lacks (SURVEY §2.7/§2.8).
+
+    Exact decimal sums (see module header); the shipdate predicate
+    reaches the parquet scan as a pushed filter + row-group prune.
+    """
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit(cutoff)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(exact_sum_double("l_quantity")).alias("sum_qty"),
+            F.expr(exact_sum_double("l_extendedprice")).alias("sum_base_price"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+    )
+
+
+def revenue_by_region(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Star join rolled up to region: fact side never shuffles — all
+    three dimension joins are explicit broadcasts (region 5 rows, nation
+    25, customer small relative to orders; at 100 TB customer may need a
+    shuffle join, which AQE will pick when it outgrows the hint).
+    """
+    dims = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(exact_sum_double("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+def top_orders_per_customer(
+    orders: DataFrame, k: int = TOP_ORDERS_PER_CUSTOMER
+) -> DataFrame:
+    """Ranking window: top-k orders per customer by price.
+
+    One shuffle on o_custkey; rank predicate applied immediately after
+    the window so nothing wide survives. Deterministic tie-break on
+    o_orderkey.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rank_in_customer"),
+        )
+        .filter(F.col("rank_in_customer") <= k)
+    )
+
+
+def user_setops(events: DataFrame) -> DataFrame:
+    """Set operation demo: users who clicked but never errored
+    (EXCEPT = distinct anti semantics)."""
+    clickers = events.filter(F.col("event_type") == "click").select("user_id")
+    errorers = events.filter(F.col("event_type") == "error").select("user_id")
+    return clickers.subtract(errorers)  # EXCEPT (distinct) semantics
+
+
+def rollup_orders(orders: DataFrame) -> DataFrame:
+    """Grouping-sets demo: ROLLUP(status, priority) with exact revenue."""
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(exact_sum_double("o_totalprice")).alias("revenue"),
+    )
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Q3 — SLO percentiles (p50/p95), exact linear-interpolated, per
+    event type. ``percentile`` (exact) rather than ``percentile_approx``
+    so the result is engine-checkable; the approx variant is the 100 TB
+    path and is exercised in bench.
+    """
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_value"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_value"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
+def windowed_event_agg(
+    events: DataFrame, hours: int = WINDOWED_AGG_HOURS
+) -> DataFrame:
+    """§2.6 streaming-window parity in batch: epoch-aligned tumbling
+    windows via ``window()`` — the exact groupBy a streaming query uses
+    with a watermark (streaming/latency.py); batch mode makes it
+    oracle-checkable.
+    """
+    w = F.window(F.col("ts"), f"{hours} hours")
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (SURVEY.md §2.8).
+
+Two paths, same output shape (query_id, neighbor_id, cos_sim, rank):
+
+- ``cosine_topk`` — brute-force exact top-k: the correctness baseline.
+  The (small) query set is broadcast against the corpus, cosine runs as
+  JVM array expressions, and the per-query top-k is a ranking window.
+- ``lsh_ann_topk`` — random-hyperplane LSH buckets: the 100 TB path.
+  Corpus and queries are bucketed by the sign pattern of ``n_planes``
+  fixed projections; candidates come from a bucket equi-join (cost ~
+  bucket occupancy, not corpus²), then exact cosine re-ranks. Recall is
+  tunable via n_planes/multi-probe; this is approximate by construction,
+  so the driver checks it rows-only.
+
+Hyperplanes are deterministic (seeded Python RNG frozen at import) —
+reproducible across runs and engines, no fit/state to persist.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from scholar_stream_spark.functions.vectors import cosine_similarity
+
+ANN_TOPK = 5
+ANN_NUM_QUERIES = 10
+LSH_NUM_PLANES = 8
+EMBED_DIM = 64
+
+
+def _query_set(embeddings: DataFrame, n_queries: int) -> DataFrame:
+    return embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    k: int = ANN_TOPK,
+    n_queries: int = ANN_NUM_QUERIES,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Plan shape: broadcast(query set) ⨯ corpus → narrow projection
+    computing cosine → per-query ranking window. The corpus is scanned
+    once, never shuffled except by query_id for the window (bounded by
+    n_queries × corpus candidates after the rank filter — we pre-prune
+    with the window immediately).
+    """
+    q = _query_set(embeddings, n_queries)
+    joined = embeddings.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    )
+    cos = cosine_similarity(F.col("q_embedding"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim_raw"), F.asc("neighbor_id")
+    )
+    return (
+        joined.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim_raw", 4).alias("cos_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _hyperplanes(n_planes: int = LSH_NUM_PLANES, dim: int = EMBED_DIM):
+    rng = random.Random(1337)
+    return [
+        [rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def _bucket(emb_col, planes) -> "F.Column":
+    """Sign-pattern bucket id: bit p set iff <v, plane_p> >= 0."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                emb_col,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda v, h: v.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    k: int = ANN_TOPK,
+    n_queries: int = ANN_NUM_QUERIES,
+    n_planes: int = LSH_NUM_PLANES,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH + exact re-rank.
+
+    Same output schema as ``cosine_topk``; neighbors are drawn only from
+    the query's LSH bucket, so at scale the candidate join touches
+    ~corpus/2^n_planes rows per query instead of the whole corpus.
+    """
+    planes = _hyperplanes(n_planes)
+    corpus = embeddings.withColumn("bucket", _bucket(F.col("embedding"), planes))
+    q = (
+        _query_set(embeddings, n_queries)
+        .withColumn("q_bucket", _bucket(F.col("q_embedding"), planes))
+    )
+    cand = corpus.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = cosine_similarity(F.col("q_embedding"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim_raw"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim_raw", 4).alias("cos_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
