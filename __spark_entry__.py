@@ -32,7 +32,13 @@ from scholar_stream_spark.functions.hashing import (
     hex48_sql,
 )
 from scholar_stream_spark.functions.text import mask_email, synthetic_email
-from scholar_stream_spark.operators import dedup, relational, similarity, textops
+from scholar_stream_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    textops,
+)
 from scholar_stream_spark.operators import transforms
 from scholar_stream_spark.plans.catalog import init_catalog
 
@@ -215,6 +221,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_lsh_topk": lambda s, d: similarity.lsh_ann_topk(
             _t(s, d, "embeddings")
+        ),
+        # --- multimodal columns (SURVEY §2.8) ---
+        "multimodal_blob_stats": lambda s, d: multimodal.blob_stats(
+            _t(s, d, "documents")
+        ),
+        "multimodal_decode": lambda s, d: multimodal.decode_assets(
+            multimodal.as_assets(_t(s, d, "documents"))
+        ),
+        "multimodal_features": lambda s, d: multimodal.feature_columns(
+            multimodal.extract_features(multimodal.as_assets(_t(s, d, "documents")))
+        ),
+        "multimodal_frames": lambda s, d: multimodal.sample_frames(
+            multimodal.decode_assets(multimodal.as_assets(_t(s, d, "documents")))
+        ),
+        "multimodal_resize": lambda s, d: multimodal.resize_plan(
+            multimodal.decode_assets(multimodal.as_assets(_t(s, d, "documents")))
         ),
     }
 
@@ -401,6 +423,82 @@ FROM documents
 """
 
 
+_MM_MEDIA_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'image' "
+    "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+)
+
+_MM_MS_PER_FRAME = 1000 // multimodal.VIDEO_FPS
+
+
+def _mm_b(i: int) -> str:
+    return multimodal.hexbyte_sql("hx", i)
+
+
+def _mm_decode_sql() -> str:
+    """Oracle replica of the deterministic fake decoder (md5-derived)."""
+    return f"""
+WITH h AS (SELECT doc_id, md5(text) AS hx, doc_id % 3 AS m FROM documents)
+SELECT doc_id AS asset_id,
+       {_MM_MEDIA_SQL} AS media_type,
+       CASE WHEN m <> 1 THEN 64 + {_mm_b(0)} END AS width,
+       CASE WHEN m <> 1 THEN 64 + {_mm_b(1)} END AS height,
+       CASE WHEN m = 0 THEN 3 END AS n_channels,
+       CASE WHEN m = 1 THEN 8000 + 100 * {_mm_b(2)} END AS sample_rate,
+       CASE WHEN m = 1 THEN CAST(1000 + 10 * ({_mm_b(3)} * 256 + {_mm_b(4)}) AS BIGINT)
+            WHEN m = 2 THEN CAST((1 + {_mm_b(5)}) * {_MM_MS_PER_FRAME} AS BIGINT)
+       END AS duration_ms,
+       CASE WHEN m = 2 THEN 1 + {_mm_b(5)} END AS n_frames
+FROM h
+"""
+
+
+def _mm_features_sql() -> str:
+    cols = ",\n       ".join(
+        f"{_mm_b(i)} / 256.0 AS f{i}" for i in range(multimodal.FEATURE_DIM)
+    )
+    return f"""
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+SELECT doc_id AS asset_id, {_MM_MEDIA_SQL} AS media_type,
+       {cols}
+FROM h
+"""
+
+
+def _mm_frames_sql() -> str:
+    k = multimodal.FRAME_SAMPLE_MAX
+    return f"""
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents WHERE doc_id % 3 = 2),
+v AS (SELECT doc_id, 1 + {_mm_b(5)} AS n_frames FROM h),
+s AS (SELECT doc_id, n_frames,
+             greatest(1, CAST(floor(n_frames / {k}.0) AS INT)) AS step
+      FROM v),
+fx AS (SELECT doc_id, unnest(range(0, n_frames, step)) AS frame_idx FROM s)
+SELECT doc_id AS asset_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * {_MM_MS_PER_FRAME} AS BIGINT) AS frame_ts_ms
+FROM fx
+"""
+
+
+def _mm_resize_sql() -> str:
+    side = multimodal.RESIZE_MAX_SIDE
+    return f"""
+WITH h AS (SELECT doc_id, md5(text) AS hx, doc_id % 3 AS m FROM documents
+           WHERE doc_id % 3 <> 1),
+d AS (SELECT doc_id, m, 64 + {_mm_b(0)} AS width, 64 + {_mm_b(1)} AS height FROM h)
+SELECT doc_id AS asset_id,
+       CASE WHEN m = 0 THEN 'image' ELSE 'video' END AS media_type,
+       width, height,
+       CASE WHEN greatest(width, height) > {side}
+            THEN CAST(floor(width * {side}.0 / greatest(width, height)) AS INT)
+            ELSE width END AS target_width,
+       CASE WHEN greatest(width, height) > {side}
+            THEN CAST(floor(height * {side}.0 / greatest(width, height)) AS INT)
+            ELSE height END AS target_height
+FROM d
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
     exact_sum = relational.exact_sum_double
@@ -558,4 +656,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _embedding_neardup_sql(),
         "ann_cosine_topk": _ann_topk_sql(),
+        "multimodal_blob_stats": f"""
+            SELECT doc_id AS asset_id, {_MM_MEDIA_SQL} AS media_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS checksum
+            FROM documents
+        """,
+        "multimodal_decode": _mm_decode_sql(),
+        "multimodal_features": _mm_features_sql(),
+        "multimodal_frames": _mm_frames_sql(),
+        "multimodal_resize": _mm_resize_sql(),
     }
