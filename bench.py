@@ -38,8 +38,21 @@ def main() -> None:
     sf = _sf_from_dir(sf_dir)
     spark = get_spark(app_name="scholar-stream-bench")
 
-    # warm-up: JVM + parquet footer read + codegen paths
+    # warm-up: JVM + parquet footer read + codegen paths, plus Python UDF
+    # workers (first Arrow-UDF stage otherwise pays ~100-300 ms per-core
+    # interpreter spawn — a fixed session cost, not query cost)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    _warm = F.pandas_udf(lambda s: s, "long")
+    (
+        spark.range(0, 256, 1, 64)
+        .select(_warm("id"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}

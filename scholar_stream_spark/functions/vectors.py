@@ -32,3 +32,15 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity; NULL when either vector has zero norm."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom == 0, F.lit(None).cast("double")).otherwise(dot(a, b) / denom)
+
+
+def cosine_from_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with *precomputed* per-vector norms.
+
+    In pairwise joins the norms are per-row invariants — computing them
+    before the join does each one once instead of once per pair (3× fewer
+    array aggregates in the pair loop). IEEE multiply/divide on the same
+    operands gives bit-identical results to ``cosine_similarity``.
+    """
+    denom = norm_a * norm_b
+    return F.when(denom == 0, F.lit(None).cast("double")).otherwise(dot(a, b) / denom)

@@ -40,6 +40,7 @@ from scholar_stream_spark.functions.hashing import (
     hex48_sql,
 )
 from scholar_stream_spark.functions.text import word_shingles
+from scholar_stream_spark.plans.partitioning import scale_out
 
 SHINGLE_N = 5
 JACCARD_THRESHOLD = 0.8
@@ -77,7 +78,12 @@ def exact_dedup_stats(documents: DataFrame) -> DataFrame:
 
 
 def distinct_shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, shingle) with per-doc distinct n-word shingles."""
+    """(doc_id, shingle) with per-doc distinct n-word shingles.
+
+    ``scale_out`` first: shingling + downstream sketch hashing are the
+    expensive narrow stages, and they inherit the scan's parallelism.
+    """
+    documents = scale_out(documents)
     return documents.select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles(F.col("text"), n))).alias("shingle"),
@@ -92,7 +98,12 @@ def _verify_jaccard(
     cand: DataFrame, sh: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs: |A∩B| via shingle equi-join
-    restricted to the candidates, |A∪B| from per-doc sizes."""
+    restricted to the candidates, |A∪B| from per-doc sizes. AQE handles
+    the join strategy: candidate pairs are rare (that is what banding is
+    for), so the post-shuffle size usually converts these to broadcast
+    joins at runtime without forcing the candidate pipeline into a
+    blocking broadcast build.
+    """
     sizes = _shingle_sizes(sh)
     inter = (
         cand.join(sh.alias("sa"), F.col("d1") == F.col("sa.doc_id"))
@@ -127,19 +138,41 @@ def ngram_jaccard_pairs(
     shingle) — at scale, add a document-frequency cap on shingles before
     the join (ultra-hot shingles generate quadratic candidates and carry
     no signal); the MinHash path below is the sub-quadratic alternative.
+
+    The intersection size |A∩B| falls directly out of that same
+    equi-join (count of shared shingles per pair), so no distinct +
+    re-join round trip: one self-join, one groupBy, two size lookups.
     """
     sh = distinct_shingles(documents, n)
-    cand = (
+    sizes = _shingle_sizes(sh)
+    inter = (
         sh.alias("a")
         .join(
             sh.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return _verify_jaccard(cand, sh, threshold)
+    jac = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1")),
+            "d1",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2")),
+            "d2",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
 
 
 def minhash_signatures(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
@@ -295,17 +328,27 @@ def embedding_neardup_pairs(
 
     Cosine is computed with sequential-order double accumulation
     (``functions/vectors.py``) so it is reproducible and oracle-checkable.
+    Per-vector norms are computed once before the pair join (per-row
+    invariants; 3× fewer array aggregates in the pair loop).
     """
-    from scholar_stream_spark.functions.vectors import cosine_similarity
+    from scholar_stream_spark.functions.vectors import cosine_from_norms, l2_norm
 
-    a = embeddings.alias("a")
-    b = embeddings.alias("b")
+    normed = scale_out(embeddings).select(
+        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("norm")
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
-    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    cos = cosine_from_norms(
+        F.col("a.embedding"),
+        F.col("b.embedding"),
+        F.col("a.norm"),
+        F.col("b.norm"),
+    )
     return (
         pairs.select(
             F.col("a.vec_id").alias("v1"),

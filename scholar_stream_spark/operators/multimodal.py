@@ -48,6 +48,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from scholar_stream_spark.plans.partitioning import scale_out
+
 #: Deterministic media-type assignment for the synthesized asset table.
 MEDIA_TYPES = ["image", "audio", "video"]
 
@@ -95,6 +97,9 @@ def as_assets(documents: DataFrame) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
         .otherwise(F.lit("video"))
     )
+    # Decode/feature UDFs downstream inherit this partitioning; spread
+    # small scans across cores here (no-op on wide production scans).
+    documents = scale_out(documents)
     content = F.encode(F.col("text"), "UTF-8")
     return documents.select(
         F.col("doc_id").alias("asset_id"),

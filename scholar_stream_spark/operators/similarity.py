@@ -23,7 +23,8 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from scholar_stream_spark.functions.vectors import cosine_similarity
+from scholar_stream_spark.functions.vectors import cosine_from_norms, l2_norm
+from scholar_stream_spark.plans.partitioning import scale_out
 
 ANN_TOPK = 5
 ANN_NUM_QUERIES = 10
@@ -35,6 +36,7 @@ def _query_set(embeddings: DataFrame, n_queries: int) -> DataFrame:
     return embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_embedding"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
     )
 
 
@@ -49,13 +51,22 @@ def cosine_topk(
     computing cosine → per-query ranking window. The corpus is scanned
     once, never shuffled except by query_id for the window (bounded by
     n_queries × corpus candidates after the rank filter — we pre-prune
-    with the window immediately).
+    with the window immediately). Norms are precomputed per vector on
+    both sides so the pair loop does one dot product, not three.
     """
     q = _query_set(embeddings, n_queries)
-    joined = embeddings.join(
+    corpus = scale_out(embeddings).select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
+    )
+    joined = corpus.join(
         F.broadcast(q), F.col("vec_id") != F.col("query_id")
     )
-    cos = cosine_similarity(F.col("q_embedding"), F.col("embedding"))
+    cos = cosine_from_norms(
+        F.col("q_embedding"),
+        F.col("embedding"),
+        F.col("q_norm"),
+        F.col("norm"),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim_raw"), F.asc("neighbor_id")
     )
@@ -113,7 +124,12 @@ def lsh_ann_topk(
     ~corpus/2^n_planes rows per query instead of the whole corpus.
     """
     planes = _hyperplanes(n_planes)
-    corpus = embeddings.withColumn("bucket", _bucket(F.col("embedding"), planes))
+    corpus = scale_out(embeddings).select(
+        "vec_id",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("norm"),
+        _bucket(F.col("embedding"), planes).alias("bucket"),
+    )
     q = (
         _query_set(embeddings, n_queries)
         .withColumn("q_bucket", _bucket(F.col("q_embedding"), planes))
@@ -123,7 +139,12 @@ def lsh_ann_topk(
         (F.col("bucket") == F.col("q_bucket"))
         & (F.col("vec_id") != F.col("query_id")),
     )
-    cos = cosine_similarity(F.col("q_embedding"), F.col("embedding"))
+    cos = cosine_from_norms(
+        F.col("q_embedding"),
+        F.col("embedding"),
+        F.col("q_norm"),
+        F.col("norm"),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim_raw"), F.asc("neighbor_id")
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from scholar_stream_spark.plans.partitioning import scale_out
 from scholar_stream_spark.functions.text import normalize_text
 
 #: Stopword list used for quality scoring (drawn from the corpus vocab).
@@ -48,6 +49,7 @@ def token_counts(documents: DataFrame) -> DataFrame:
     """Per-document token statistics (BPE-ish regex word count included:
     runs of word characters, the cheap tokenizer-budget estimator)."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
+    documents = scale_out(documents)
     return documents.select(
         "doc_id",
         n_tokens(F.col("text")).alias("n_ws_tokens"),
@@ -72,6 +74,7 @@ def text_quality(documents: DataFrame) -> DataFrame:
             - stop_ratio * F.lit(0.5)
         )
     )
+    documents = scale_out(documents)
     return documents.select(
         "doc_id",
         nt.alias("n_tokens"),
@@ -103,6 +106,7 @@ def lang_profile(documents: DataFrame) -> DataFrame:
             (hit_cols[lang] > 0) & cond, F.lit(lang)
         )
     pred = best.otherwise(F.lit("und"))
+    documents = scale_out(documents)
     return documents.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -114,6 +118,7 @@ def lang_profile(documents: DataFrame) -> DataFrame:
 def doc_fingerprints(documents: DataFrame) -> DataFrame:
     """Deterministic document fingerprint: md5 over the normalized text
     (lowercase, collapsed whitespace) — the exact-dedup / cache key."""
+    documents = scale_out(documents)
     return documents.select(
         "doc_id",
         F.md5(normalize_text(F.col("text"))).alias("fingerprint"),

@@ -1,0 +1,40 @@
+"""Partitioning hygiene for compute-heavy narrow pipelines.
+
+Spark parallelizes a parquet scan by file splits (row groups). When a
+compute-heavy *narrow* pipeline (shingle explode, md5 sketching, Arrow
+decode UDFs) hangs off a small scan — a handful of files, or one fat
+row group — every expression in it runs on that handful of cores, no
+matter how many the cluster has: there is no shuffle before the work to
+spread it.
+
+``scale_out`` fixes exactly that case: if the input's planned
+parallelism is below the session's shuffle parallelism, round-robin
+repartition it first (a shuffle of the *small input*, by construction
+cheap — the condition only fires when the scan is small). At 100 TB the
+scan already yields thousands of splits and this is a structural no-op:
+no Exchange is added, the check costs only plan metadata.
+
+This is deliberately NOT an unconditional ``repartition()`` — that
+would full-shuffle a 100 TB input to "parallelize" work that is already
+parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure ``df`` has at least shuffle-parallelism partitions.
+
+    Returns ``df`` untouched when its planned partitioning is already
+    wide enough (the 100 TB case); otherwise round-robin repartitions to
+    ``min_partitions`` (default: ``spark.sql.shuffle.partitions``).
+    """
+    if min_partitions is None:
+        min_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    if df.rdd.getNumPartitions() >= min_partitions:
+        return df
+    return df.repartition(min_partitions)

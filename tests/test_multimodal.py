@@ -43,7 +43,10 @@ def test_decode_typed_metadata(assets):
 def test_decode_adds_no_exchange(assets):
     decoded = multimodal.decode_assets(assets)
     plan = decoded._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan  # decode inherits scan partitioning
+    in_plan = assets._jdf.queryExecution().executedPlan().toString()
+    # decode inherits the input partitioning: any Exchange comes from the
+    # input's own scale_out, never from mapInPandas itself
+    assert plan.count("Exchange") == in_plan.count("Exchange")
 
 
 def test_features_deterministic_and_bounded(assets):
