@@ -14,6 +14,7 @@ aligned pair-by-pair (aggregates aliased identically on both sides).
 Deliberately WITHOUT oracle entries (rows-only check):
 - ``synthetic_email``  — needs sha1, absent in DuckDB 1.0
 - ``ann_lsh_topk``     — approximate by construction (LSH recall)
+- ``ann_ivf_topk``     — approximate by construction (IVF probe recall)
 """
 
 from __future__ import annotations
@@ -220,6 +221,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings")
         ),
         "ann_lsh_topk": lambda s, d: similarity.lsh_ann_topk(
+            _t(s, d, "embeddings")
+        ),
+        "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
             _t(s, d, "embeddings")
         ),
         # --- multimodal columns (SURVEY §2.8) ---

@@ -14,6 +14,11 @@ driver, so timings measure the engine, not ``collect()`` serialization.
 
 A tiny warm-up query first absorbs one-time JVM/codegen startup so
 per-query numbers are comparable across runs.
+
+The JSON line also carries a ``streaming`` block: end-to-end micro-batch
+latency (NDJSON file drop → metadata-stamped bronze commit) measured on
+the demo trigger preset against the reference's SLOs (BASELINE.md:
+p50 ≤ 20 s, p95 ≤ 60 s).
 """
 
 from __future__ import annotations
@@ -21,8 +26,12 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import sys
+import tempfile
+import threading
 import time
+from datetime import datetime, timezone
 
 import __spark_entry__ as entry_mod
 from scholar_stream_spark.session import get_spark
@@ -31,6 +40,80 @@ from scholar_stream_spark.session import get_spark
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
     return float(m.group(1)) if m else -1.0
+
+
+def measure_streaming_latency(
+    spark, run_seconds: float = 10.0, drop_interval: float = 0.8
+) -> dict:
+    """E2E latency: producer-stamped ``event_ts`` → commit-stamped
+    ``IngestionTime``, through the live ingest stream (demo trigger,
+    2 s micro-batches) — the Spark analog of the reference's
+    ``LANDED_TS - EVENT_TS`` SLO metric."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from scholar_stream_spark.operators.views import build_vw_works  # noqa: PLC0415
+    from scholar_stream_spark.streaming.pipeline import start_ingest  # noqa: PLC0415
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    inbox = os.path.join(tmp, "inbox")
+    os.makedirs(inbox)
+    stop = threading.Event()
+    n_files = 0
+
+    def producer() -> None:
+        nonlocal n_files
+        while not stop.is_set():
+            now = datetime.now(timezone.utc).isoformat()
+            lines = "\n".join(
+                json.dumps(
+                    {"id": f"W{n_files}-{i}", "event_ts": now},
+                    separators=(",", ":"),
+                )
+                for i in range(50)
+            )
+            path = os.path.join(tmp, f"f{n_files}.ndjson")
+            with open(path, "w") as f:  # write outside, move in: atomic
+                f.write(lines + "\n")
+            shutil.move(path, os.path.join(inbox, f"f{n_files}.ndjson"))
+            n_files += 1
+            stop.wait(drop_interval)
+
+    writer = threading.Thread(target=producer, daemon=True)
+    writer.start()
+    q = start_ingest(
+        spark,
+        input_dir=inbox,
+        raw_path=os.path.join(tmp, "raw"),
+        checkpoint_path=os.path.join(tmp, "ckpt"),
+        trigger="demo",
+    )
+    time.sleep(run_seconds)
+    stop.set()
+    writer.join()
+    time.sleep(2.5)  # let the last micro-batch commit
+    q.stop()
+    q.awaitTermination(60)
+
+    landed = spark.read.parquet(os.path.join(tmp, "raw"))
+    vw = build_vw_works(landed.select("payload", "metadata"))
+    pcts = (
+        vw.filter(F.col("latency_seconds").isNotNull())
+        .agg(
+            F.expr(
+                "percentile(latency_seconds, array(0.5, 0.95))"
+            ).alias("p"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "e2e_p50_sec": round(float(pcts["p"][0]), 2),
+        "e2e_p95_sec": round(float(pcts["p"][1]), 2),
+        "n_records": int(pcts["n"]),
+        "trigger": "demo (2s micro-batch)",
+        "slo": {"p50_max_sec": 20, "p95_max_sec": 60},
+    }
 
 
 def main() -> None:
@@ -65,6 +148,9 @@ def main() -> None:
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
     total = round(time.time() - t0, 3)
 
+    streaming = measure_streaming_latency(spark)
+    print(f"  streaming e2e: {streaming}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -73,6 +159,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "streaming": streaming,
             }
         )
     )

@@ -1,19 +1,28 @@
 """Similarity search over embedding columns (SURVEY.md §2.8).
 
-Two paths, same output shape (query_id, neighbor_id, cos_sim, rank):
+Three paths, same output shape (query_id, neighbor_id, cos_sim, rank):
 
 - ``cosine_topk`` — brute-force exact top-k: the correctness baseline.
   The (small) query set is broadcast against the corpus, cosine runs as
   JVM array expressions, and the per-query top-k is a ranking window.
-- ``lsh_ann_topk`` — random-hyperplane LSH buckets: the 100 TB path.
-  Corpus and queries are bucketed by the sign pattern of ``n_planes``
-  fixed projections; candidates come from a bucket equi-join (cost ~
-  bucket occupancy, not corpus²), then exact cosine re-ranks. Recall is
-  tunable via n_planes/multi-probe; this is approximate by construction,
-  so the driver checks it rows-only.
+- ``lsh_ann_topk`` — random-hyperplane LSH buckets: stateless scale
+  path. Corpus and queries are bucketed by the sign pattern of
+  ``n_planes`` fixed projections; candidates come from a bucket
+  equi-join (cost ~ bucket occupancy, not corpus²), then exact cosine
+  re-ranks. Recall is tunable via n_planes/multi-probe; approximate by
+  construction, so the driver checks it rows-only.
+- ``ivf_topk`` — IVF-Flat: a coarse k-means quantizer (deterministic
+  seeds + one Lloyd refinement, pure DataFrame algebra) partitions the
+  corpus into cells; each query probes its ``n_probe`` nearest cells
+  and exact cosine re-ranks the candidates. Search touches
+  ~``n_probe/n_centroids`` of the corpus. The cell assignment is the
+  natural *physical* partitioning key for a vector table at 100 TB —
+  write the corpus bucketed by cell and a probe reads only its cells'
+  files.
 
-Hyperplanes are deterministic (seeded Python RNG frozen at import) —
-reproducible across runs and engines, no fit/state to persist.
+Hyperplanes/seeds are deterministic (seeded RNG / fixed vec_ids frozen
+at import) — reproducible across runs and engines, no fit/state to
+persist.
 """
 
 from __future__ import annotations
@@ -144,6 +153,126 @@ def lsh_ann_topk(
         F.col("embedding"),
         F.col("q_norm"),
         F.col("norm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim_raw"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim_raw", 4).alias("cos_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+IVF_NUM_CENTROIDS = 16
+IVF_NUM_PROBE = 2
+
+
+def _assign_cells(vectors: DataFrame, centroids: DataFrame, n_best: int) -> DataFrame:
+    """Attach the ``n_best`` nearest centroid ids (by cosine) to each
+    vector: broadcast the (tiny) centroid set, rank per vector."""
+    scored = vectors.join(F.broadcast(centroids))
+    sim = cosine_from_norms(
+        F.col("embedding"), F.col("c_embedding"), F.col("norm"), F.col("c_norm")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cell"))
+    return (
+        scored.withColumn("c_sim", sim)
+        .withColumn("c_rank", F.row_number().over(w))
+        .filter(F.col("c_rank") <= n_best)
+        .drop("c_embedding", "c_norm", "c_sim", "c_rank")
+    )
+
+
+def _mean_vectors(assigned: DataFrame) -> DataFrame:
+    """Per-cell mean vector in pure DataFrame algebra: posexplode the
+    dims, average per (cell, pos), reassemble in pos order."""
+    dims = assigned.select(
+        "cell", F.posexplode(F.col("embedding")).alias("pos", "v")
+    )
+    means = dims.groupBy("cell", "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("mv")
+    )
+    return (
+        means.groupBy("cell")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("s")
+        )
+        .select(
+            "cell",
+            F.transform(F.col("s"), lambda x: x["mv"]).alias("c_embedding"),
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = ANN_TOPK,
+    n_queries: int = ANN_NUM_QUERIES,
+    n_centroids: int = IVF_NUM_CENTROIDS,
+    n_probe: int = IVF_NUM_PROBE,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: train a coarse quantizer, bucket the
+    corpus by nearest centroid, probe ``n_probe`` cells per query.
+
+    Index build is two passes over the corpus (seed assignment + one
+    Lloyd refinement — the iterative-algorithm pattern in DataFrame
+    terms); search is a cell equi-join so each query scans only its
+    probed cells. Approximate by construction → rows-only driver check.
+    """
+    corpus = scale_out(embeddings).select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
+    )
+
+    # --- train: deterministic seeds, one Lloyd refinement -------------
+    seeds = corpus.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("c_embedding"),
+        F.col("norm").alias("c_norm"),
+    )
+    assigned0 = _assign_cells(corpus, seeds, n_best=1)
+    centroids = _mean_vectors(assigned0).select(
+        "cell",
+        "c_embedding",
+        l2_norm(F.col("c_embedding")).alias("c_norm"),
+    )
+
+    # --- index: corpus bucketed by (refined) nearest cell -------------
+    indexed = _assign_cells(corpus, centroids, n_best=1)
+
+    # --- search: probe n_probe cells per query, exact re-rank ---------
+    q = _query_set(embeddings, n_queries)
+    q_cells = _assign_cells(
+        q.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("q_embedding").alias("embedding"),
+            F.col("q_norm").alias("norm"),
+        ),
+        centroids,
+        n_best=n_probe,
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm").alias("q_norm"),
+        "cell",
+    )
+    cand = indexed.join(
+        q_cells,
+        (indexed["cell"] == q_cells["cell"])
+        & (indexed["vec_id"] != q_cells["query_id"]),
+    )
+    cos = cosine_from_norms(
+        F.col("q_embedding"), F.col("embedding"), F.col("q_norm"), F.col("norm")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim_raw"), F.asc("neighbor_id")

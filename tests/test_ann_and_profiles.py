@@ -1,0 +1,91 @@
+"""ANN variants (IVF-Flat) + fast hash profile for the sketch dedup ops."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scholar_stream_spark.operators import dedup, similarity
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def _topk_sets(rows):
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return by_q
+
+
+def test_ivf_shape_and_ordering(emb):
+    rows = similarity.ivf_topk(emb).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == similarity.ANN_NUM_QUERIES
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert len(rs) <= similarity.ANN_TOPK
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert q not in {r["neighbor_id"] for r in rs}
+
+
+def test_ivf_recall_vs_exact(emb):
+    exact = _topk_sets(similarity.cosine_topk(emb).collect())
+    approx = _topk_sets(similarity.ivf_topk(emb).collect())
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    # 2-probe IVF over 16 cells: expect decent but not perfect recall
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+
+
+def test_ivf_cells_cover_corpus(emb):
+    # every corpus vector lands in exactly one cell after refinement
+    corpus = similarity.scale_out(emb).select(
+        "vec_id",
+        "embedding",
+        similarity.l2_norm(F.col("embedding")).alias("norm"),
+    )
+    seeds = corpus.filter(
+        F.col("vec_id") < similarity.IVF_NUM_CENTROIDS
+    ).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("c_embedding"),
+        F.col("norm").alias("c_norm"),
+    )
+    assigned = similarity._assign_cells(corpus, seeds, n_best=1)
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+
+
+def test_fast_hash_profile_minhash(docs):
+    fast = dedup.minhash_lsh_pairs(docs, hash_profile="fast").collect()
+    exact = dedup.ngram_jaccard_pairs(docs).collect()
+    exact_pairs = {(r["d1"], r["d2"]) for r in exact}
+    # verify step guarantees precision: every emitted pair is a true pair
+    assert {(r["d1"], r["d2"]) for r in fast} <= exact_pairs
+    # and recall stays high on this corpus
+    assert len(fast) >= 0.8 * len(exact_pairs)
+
+
+def test_fast_hash_profile_simhash(docs):
+    fast = dedup.simhash_pairs(docs, hash_profile="fast")
+    assert fast.filter(
+        F.col("hamming") > dedup.SIMHASH_HAMMING_MAX
+    ).count() == 0
+
+
+def test_unknown_hash_profile_rejected(docs):
+    with pytest.raises(ValueError):
+        dedup.minhash_signatures(docs, hash_profile="md5-but-wrong")
