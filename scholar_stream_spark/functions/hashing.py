@@ -61,9 +61,20 @@ def hex48_sql(expr: str) -> str:
     identical semantics): sum over the first 12 hex chars of md5, base-16
     positional. Shared by the Spark operators (via ``F.expr``) and the
     DuckDB oracle generators.
+
+    Every term is forced to 64-bit with an explicit ``CAST(... AS
+    BIGINT)`` before the positional multiply: Spark's ``instr`` returns
+    INT and the place-value literals up to ``16^11`` fit in INT, so
+    without the cast the product is 32-bit and overflows from ``16^7``
+    up (ARITHMETIC_OVERFLOW under ANSI mode — the default in Spark 4 and
+    the mode the correctness harness runs in; silent negative wraparound
+    with ANSI off). ``CAST AS BIGINT`` is valid verbatim in DuckDB too
+    (where ``instr`` is already BIGINT), so the shared SQL text stays
+    bit-identical across engines.
     """
     terms = [
-        f"(instr('{_HEX}', substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** i}"
+        f"CAST(instr('{_HEX}', substr(md5({expr}), {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** i}"
         for i in range(12)
     ]
     return "(" + " + ".join(terms) + ")"

@@ -1,0 +1,87 @@
+"""ANSI-mode regression: the portable hash must be overflow-free.
+
+The driver's correctness harness runs a Spark 4 session with the default
+``spark.sql.ansi.enabled=true``, while the engine's own session factory
+opts out (lenient casts).  Round 1 shipped a 32-bit positional multiply
+in ``hex48_sql`` that threw ARITHMETIC_OVERFLOW under ANSI — these tests
+pin every portable-hash operator to run clean with ANSI on, and to
+produce results identical to the ANSI-off run (no silent wraparound
+divergence either way).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scholar_stream_spark.functions.hashing import hex48_sql
+from scholar_stream_spark.operators import dedup
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+@pytest.fixture()
+def ansi_on(spark):
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        yield spark
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_hex48_is_64bit_under_ansi(ansi_on):
+    # 16^11 place value: any 32-bit multiply overflows for hex digits >= 2.
+    h = hex48_sql("'x'")
+    row = ansi_on.sql(f"SELECT {h} AS h, md5('x') AS m").first()
+    # little-endian positional: hex char i carries place value 16^i
+    expect = sum(int(c, 16) * 16**i for i, c in enumerate(row["m"][:12]))
+    assert row["h"] == expect
+    assert 0 <= row["h"] < 2**48
+
+
+def test_minhash_lsh_ansi_matches_lenient(spark, docs):
+    lenient = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        strict = {
+            (r["d1"], r["d2"], r["jaccard"])
+            for r in dedup.minhash_lsh_pairs(docs).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert strict == lenient
+    assert len(strict) > 0
+
+
+def test_simhash_ansi_matches_lenient(spark, docs):
+    lenient = {
+        (r["d1"], r["d2"], r["hamming"])
+        for r in dedup.simhash_pairs(docs).collect()
+    }
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        strict = {
+            (r["d1"], r["d2"], r["hamming"])
+            for r in dedup.simhash_pairs(docs).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert strict == lenient
+
+
+def test_minhash_signatures_ansi(ansi_on, docs):
+    # signatures themselves (the stage that overflowed) compute clean
+    sigs = dedup.minhash_signatures(docs)
+    assert sigs.count() == docs.count()
+    first = sigs.select(F.col("s0")).first()
+    assert first["s0"] is not None
