@@ -179,8 +179,45 @@ IVF_NUM_PROBE = 2
 
 
 def _assign_cells(vectors: DataFrame, centroids: DataFrame, n_best: int) -> DataFrame:
-    """Attach the ``n_best`` nearest centroid ids (by cosine) to each
-    vector: broadcast the (tiny) centroid set, rank per vector."""
+    """Attach the ``n_best`` nearest centroid ids (by cosine) to each vector.
+
+    ``n_best=1`` (both corpus passes of the index build) is a **narrow
+    argmax**: the centroid set is collapsed to a single array-of-struct
+    row, broadcast, and each vector picks its best cell with
+    ``array_max`` over a ``transform`` — one projection, zero Exchange
+    on the corpus side. The naive alternative (explode 16 centroids per
+    vector, rank with a ``Window.partitionBy(vec_id)``) shuffles
+    n_centroids× the corpus by vec_id — a scale-killer at 100 TB.
+
+    ``n_best>1`` is only ever the query side (``n_probe`` cells for a
+    handful of query vectors), where the explode+window plan is fine.
+    """
+    if n_best == 1:
+        cents = centroids.agg(
+            F.collect_list(
+                F.struct("cell", "c_embedding", "c_norm")
+            ).alias("cents")
+        )
+        scored = F.transform(
+            F.col("cents"),
+            # struct comparison is lexicographic: max by (c_sim, -cell)
+            # reproduces the window's (desc sim, asc cell) tie-break.
+            lambda c: F.struct(
+                cosine_from_norms(
+                    F.col("embedding"),
+                    c["c_embedding"],
+                    F.col("norm"),
+                    c["c_norm"],
+                ).alias("c_sim"),
+                (-c["cell"]).alias("neg_cell"),
+            ),
+        )
+        return (
+            vectors.join(F.broadcast(cents))
+            .withColumn("cell", (-F.array_max(scored)["neg_cell"]).cast("int"))
+            .drop("cents")
+        )
+
     scored = vectors.join(F.broadcast(centroids))
     sim = cosine_from_norms(
         F.col("embedding"), F.col("c_embedding"), F.col("norm"), F.col("c_norm")

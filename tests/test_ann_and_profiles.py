@@ -69,6 +69,64 @@ def test_ivf_cells_cover_corpus(emb):
     assert assigned.select("vec_id").distinct().count() == emb.count()
 
 
+def test_assign_cells_n_best_1_is_narrow(emb):
+    # the corpus-pass assignment must be a zero-shuffle argmax: no
+    # ranking Window, no Exchange keyed on vec_id anywhere in the plan
+    corpus = similarity.scale_out(emb).select(
+        "vec_id",
+        "embedding",
+        similarity.l2_norm(F.col("embedding")).alias("norm"),
+    )
+    seeds = corpus.filter(
+        F.col("vec_id") < similarity.IVF_NUM_CENTROIDS
+    ).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("c_embedding"),
+        F.col("norm").alias("c_norm"),
+    )
+    assigned = similarity._assign_cells(corpus, seeds, n_best=1)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "hashpartitioning(vec_id" not in plan
+
+
+def test_assign_cells_argmax_matches_window(emb):
+    # the argmax path must pick exactly the cells the window path picked
+    corpus = similarity.scale_out(emb).select(
+        "vec_id",
+        "embedding",
+        similarity.l2_norm(F.col("embedding")).alias("norm"),
+    )
+    seeds = corpus.filter(
+        F.col("vec_id") < similarity.IVF_NUM_CENTROIDS
+    ).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("c_embedding"),
+        F.col("norm").alias("c_norm"),
+    )
+    fast = {
+        r["vec_id"]: r["cell"]
+        for r in similarity._assign_cells(corpus, seeds, 1).collect()
+    }
+    # reference: the (tiny-n only) window implementation
+    from pyspark.sql import Window
+
+    scored = corpus.join(F.broadcast(seeds))
+    sim = similarity.cosine_from_norms(
+        F.col("embedding"), F.col("c_embedding"), F.col("norm"), F.col("c_norm")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cell"))
+    slow = {
+        r["vec_id"]: r["cell"]
+        for r in scored.withColumn("c_sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert fast == slow
+
+
 def test_fast_hash_profile_minhash(docs):
     fast = dedup.minhash_lsh_pairs(docs, hash_profile="fast").collect()
     exact = dedup.ngram_jaccard_pairs(docs).collect()
