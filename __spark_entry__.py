@@ -15,6 +15,9 @@ Deliberately WITHOUT oracle entries (rows-only check):
 - ``synthetic_email``  — needs sha1, absent in DuckDB 1.0
 - ``ann_lsh_topk``     — approximate by construction (LSH recall)
 - ``ann_ivf_topk``     — approximate by construction (IVF probe recall)
+- ``ann_lsh_recall`` / ``ann_ivf_recall`` — the self-checks keeping the
+  two approximate paths honest: recall vs the (oracle-checked) exact
+  cosine baseline, floor-asserted in pytest.
 """
 
 from __future__ import annotations
@@ -225,6 +228,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
             _t(s, d, "embeddings")
+        ),
+        # recall self-checks: approx top-k joined against the exact
+        # baseline — the quality signal for the two rows-only ANN paths
+        "ann_lsh_recall": lambda s, d: similarity.ann_recall(
+            _t(s, d, "embeddings"), method="lsh"
+        ),
+        "ann_ivf_recall": lambda s, d: similarity.ann_recall(
+            _t(s, d, "embeddings"), method="ivf"
         ),
         # --- multimodal columns (SURVEY §2.8) ---
         "multimodal_blob_stats": lambda s, d: multimodal.blob_stats(

@@ -94,19 +94,37 @@ def measure_streaming_latency(
     q.stop()
     q.awaitTermination(60)
 
-    landed = spark.read.parquet(os.path.join(tmp, "raw"))
-    vw = build_vw_works(landed.select("payload", "metadata"))
-    pcts = (
-        vw.filter(F.col("latency_seconds").isNotNull())
-        .agg(
-            F.expr(
-                "percentile(latency_seconds, array(0.5, 0.95))"
-            ).alias("p"),
-            F.count(F.lit(1)).alias("n"),
+    # Guard the harness: a slow machine can commit nothing within
+    # run_seconds (missing raw path) or land only null-latency rows —
+    # either way report n_records=0/nulls instead of killing the bench
+    # after all query timings were collected.
+    empty = {
+        "e2e_p50_sec": None,
+        "e2e_p95_sec": None,
+        "n_records": 0,
+        "trigger": "demo (2s micro-batch)",
+        "slo": {"p50_max_sec": 20, "p95_max_sec": 60},
+    }
+    try:
+        landed = spark.read.parquet(os.path.join(tmp, "raw"))
+        vw = build_vw_works(landed.select("payload", "metadata"))
+        pcts = (
+            vw.filter(F.col("latency_seconds").isNotNull())
+            .agg(
+                F.expr(
+                    "percentile(latency_seconds, array(0.5, 0.95))"
+                ).alias("p"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .first()
         )
-        .first()
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001 — empty stream, not a bug
+        print(f"  streaming block skipped: {exc}", file=sys.stderr)
+        return empty
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if pcts is None or pcts["p"] is None or pcts["n"] == 0:
+        return empty
     return {
         "e2e_p50_sec": round(float(pcts["p"][0]), 2),
         "e2e_p95_sec": round(float(pcts["p"][1]), 2),

@@ -69,6 +69,29 @@ def test_ivf_cells_cover_corpus(emb):
     assert assigned.select("vec_id").distinct().count() == emb.count()
 
 
+def test_lsh_recall_floor(emb):
+    r = similarity.ann_recall(emb, "lsh").first()
+    assert r["recall"] >= 0.8, f"LSH recall {r['recall']}"
+    assert r["n_exact"] == similarity.ANN_NUM_QUERIES * similarity.ANN_TOPK
+
+
+def test_ivf_recall_floor(emb):
+    r = similarity.ann_recall(emb, "ivf").first()
+    assert r["recall"] >= 0.8, f"IVF recall {r['recall']}"
+
+
+def test_lsh_returns_full_topk(emb):
+    # multi-table LSH must surface enough candidates for a full top-k
+    assert similarity.lsh_ann_topk(emb).count() == (
+        similarity.ANN_NUM_QUERIES * similarity.ANN_TOPK
+    )
+
+
+def test_recall_unknown_method_rejected(emb):
+    with pytest.raises(ValueError):
+        similarity.ann_recall(emb, "faiss")
+
+
 def test_assign_cells_n_best_1_is_narrow(emb):
     # the corpus-pass assignment must be a zero-shuffle argmax: no
     # ranking Window, no Exchange keyed on vec_id anywhere in the plan
