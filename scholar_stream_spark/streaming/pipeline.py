@@ -37,6 +37,10 @@ from scholar_stream_spark.sources.raw_landing import (
     split_dead_letters,
     with_delivery_metadata,
 )
+from scholar_stream_spark.streaming.accounting import (
+    IngestAccounting,
+    append_metrics,
+)
 
 TRIGGER_PRESETS = {
     "demo": {"processingTime": "2 seconds"},
@@ -54,36 +58,67 @@ def start_ingest(
     trigger: str = "available_now",
     max_files_per_trigger: int | None = None,
     output_files_per_batch: int = 4,
+    accounting: IngestAccounting | None = None,
+    metrics_path: str | None = None,
 ) -> StreamingQuery:
     """Watch ``input_dir`` for NDJSON files and land them continuously.
 
     Returns the running StreamingQuery; callers stop it or await
     termination. ``max_files_per_trigger`` is the micro-batching knob
     (count-based batching parity with the producer's ``batch_size``).
+
+    Pass an ``IngestAccounting`` to get per-batch input/landed/dead
+    counters + error samples (the reference's FailedPutCount surface,
+    ``ingestion/producer.py:143-158``); ``metrics_path`` additionally
+    appends each batch's metrics row as parquet for SQL monitoring.
     """
     reader = spark.readStream.format("text")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     lines = reader.load(input_dir)
+    track = accounting is not None or metrics_path is not None
+    acct = accounting or IngestAccounting()
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        landing = with_delivery_metadata(
-            batch_df, batch_id=f"{batch_id}-{uuid.uuid4()}"
-        )
-        good, dead = split_dead_letters(landing)
-        (
-            good.coalesce(output_files_per_batch)
-            .write.mode("append")
-            .partitionBy("land_date")
-            .parquet(raw_path)
-        )
-        if errors_path is not None:
-            dead_rows = dead.coalesce(1)
-            # tiny per-batch check; avoids creating empty error files
-            if dead_rows.limit(1).count() > 0:
-                dead_rows.write.mode("append").partitionBy("land_date").parquet(
-                    errors_path
+        # the batch feeds 2-3 actions (good write, dead probe/write,
+        # counters): persist so the source files are read once
+        batch_df.persist()
+        try:
+            landing = with_delivery_metadata(
+                batch_df, batch_id=f"{batch_id}-{uuid.uuid4()}"
+            )
+            good, dead = split_dead_letters(landing)
+            (
+                good.coalesce(output_files_per_batch)
+                .write.mode("append")
+                .partitionBy("land_date")
+                .parquet(raw_path)
+            )
+            n_dead = 0
+            samples: list[str] = []
+            if errors_path is not None or track:
+                dead_sample = dead.limit(
+                    max(acct.max_error_samples, 1)
+                ).collect()
+                if dead_sample:
+                    n_dead = dead.count()
+                    samples = [r["payload"] for r in dead_sample]
+            if errors_path is not None and n_dead:
+                dead.coalesce(1).write.mode("append").partitionBy(
+                    "land_date"
+                ).parquet(errors_path)
+            if track:
+                m = acct.record(
+                    batch_id=f"{batch_id}",
+                    batch_seq=batch_id,
+                    n_input=batch_df.count(),
+                    n_dead=n_dead,
+                    error_samples=samples,
                 )
+                if metrics_path is not None:
+                    append_metrics(spark, metrics_path, m)
+        finally:
+            batch_df.unpersist()
 
     writer = (
         lines.writeStream.foreachBatch(land)

@@ -106,6 +106,80 @@ def test_ingest_checkpoint_resumes_without_reprocessing(spark):
         assert landed.count() == 3  # 2 old + 1 new, no duplicates
 
 
+def test_ingest_failure_accounting(spark):
+    """Per-batch counters mirror the reference's FailedPutCount surface
+    (reference ingestion/producer.py:143-158; its integration test
+    tests/integration/test_producer_flow.py:48-55)."""
+    from scholar_stream_spark.streaming.accounting import (
+        IngestAccounting,
+        read_metrics,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        inbox = os.path.join(tmp, "inbox")
+        os.makedirs(inbox)
+        _write_ndjson(
+            os.path.join(inbox, "b0.ndjson"), GOOD + [BAD_LINE, "also]bad"]
+        )
+        acct = IngestAccounting()
+        metrics_path = os.path.join(tmp, "metrics")
+        q = start_ingest(
+            spark,
+            input_dir=inbox,
+            raw_path=os.path.join(tmp, "raw"),
+            checkpoint_path=os.path.join(tmp, "ckpt"),
+            errors_path=os.path.join(tmp, "errors"),
+            trigger="available_now",
+            accounting=acct,
+            metrics_path=metrics_path,
+        )
+        q.awaitTermination(120)
+
+        t = acct.totals()
+        assert t == {
+            "n_batches": 1,
+            "n_input": 4,
+            "n_landed": 2,
+            "n_dead": 2,
+        }
+        assert acct.had_failures()
+        # error samples carry the bad payloads verbatim (first 3)
+        assert BAD_LINE in acct.batches[0].error_samples
+        summary = acct.summary_lines()
+        assert "had failures" in summary[-1]
+
+        # durable metrics table agrees with the in-memory recorder
+        m = read_metrics(spark, metrics_path).first()
+        assert m["n_input"] == 4 and m["n_dead"] == 2
+        assert m["n_landed"] == 2
+
+        # dead-letter path still receives exactly the bad lines
+        dead = spark.read.parquet(os.path.join(tmp, "errors"))
+        assert dead.count() == 2
+
+
+def test_ingest_accounting_clean_batch(spark):
+    from scholar_stream_spark.streaming.accounting import IngestAccounting
+
+    with tempfile.TemporaryDirectory() as tmp:
+        inbox = os.path.join(tmp, "inbox")
+        os.makedirs(inbox)
+        _write_ndjson(os.path.join(inbox, "b0.ndjson"), GOOD)
+        acct = IngestAccounting()
+        q = start_ingest(
+            spark,
+            input_dir=inbox,
+            raw_path=os.path.join(tmp, "raw"),
+            checkpoint_path=os.path.join(tmp, "ckpt"),
+            trigger="available_now",
+            accounting=acct,
+        )
+        q.awaitTermination(120)
+        assert acct.totals()["n_dead"] == 0
+        assert not acct.had_failures()
+        assert acct.to_df(spark).count() == 1
+
+
 @pytest.fixture()
 def raw_stream(spark, tmp_path):
     """A bounded streaming bronze source (file stream over one parquet
