@@ -145,20 +145,54 @@ def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = SHINGLE_N,
     threshold: float = JACCARD_THRESHOLD,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard ≥ threshold.
 
     Candidates come from an equi-join on shingle (docs sharing ≥1
-    shingle) — at scale, add a document-frequency cap on shingles before
-    the join (ultra-hot shingles generate quadratic candidates and carry
-    no signal); the MinHash path below is the sub-quadratic alternative.
+    shingle) — never a cross join. ``max_doc_freq`` is the scale guard:
+    a shingle appearing in d documents contributes d(d-1)/2 candidate
+    rows, so one stop-phrase shared by 1% of a 100 TB corpus makes the
+    join quadratic. With the cap set, shingles whose document frequency
+    exceeds it are dropped from CANDIDATE GENERATION only — the exact
+    Jaccard verify still runs over every shingle, so emitted pairs keep
+    their true scores; pairs that *only* share ultra-hot shingles are
+    below any useful threshold anyway (a shingle in d docs has
+    idf≈log(N/d)≈0 signal). Default off: the oracle SF corpus has no
+    hot shingles and the oracle SQL mirrors the uncapped pipeline.
 
-    The intersection size |A∩B| falls directly out of that same
-    equi-join (count of shared shingles per pair), so no distinct +
+    Uncapped, the intersection size |A∩B| falls directly out of that
+    same equi-join (count of shared shingles per pair), so no distinct +
     re-join round trip: one self-join, one groupBy, two size lookups.
+    Capped, candidates are distinct pairs from the capped join and the
+    verify re-joins over ALL shingles (hot ones included), so scores
+    stay exact.
     """
     sh = distinct_shingles(documents, n)
     sizes = _shingle_sizes(sh)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        # anti-join drops hot shingles before the quadratic step; AQE
+        # broadcasts the (small) hot set at runtime
+        cand_sh = sh.join(hot, "shingle", "left_anti")
+        cand = (
+            cand_sh.alias("a")
+            .join(
+                cand_sh.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+            )
+            .distinct()
+        )
+        return _verify_jaccard(cand, sh, threshold)
     inter = (
         sh.alias("a")
         .join(
@@ -263,33 +297,56 @@ def minhash_lsh_pairs(
     return _verify_jaccard(cand, sh, threshold)
 
 
+def _simhash_width(hash_profile: str) -> tuple[int, int]:
+    """(signature bits, band bits) per profile.
+
+    ``portable`` stays at 32/8 — the md5-derived hash feeds 32 clean
+    bits and the DuckDB oracle mirrors it bit-for-bit. ``fast`` widens
+    to 64/16: with 8-bit bands a band has only 256 buckets, so candidate
+    generation is (N/256)² per band — quadratic long before 100 TB.
+    16-bit bands give 65 536 buckets (and the full xxhash64 feature
+    hash feeds all 64 signature bits); 4 bands either way keeps the
+    pigeonhole guarantee for hamming ≤ 3.
+    """
+    if hash_profile == "fast":
+        return 64, 16
+    return SIMHASH_BITS, SIMHASH_BAND_BITS
+
+
 def simhash_signatures(
     documents: DataFrame, n: int = SHINGLE_N, hash_profile: str = "portable"
 ) -> DataFrame:
-    """(doc_id, simhash long) — 32-bit SimHash over shingle features.
+    """(doc_id, simhash long) — SimHash over shingle features (32-bit
+    portable / 64-bit fast, see ``_simhash_width``).
 
-    Per-bit weight sums in ONE groupBy (32 sums, map-side combined);
-    bit b is set when the +1/-1 weight sum is ≥ 0.
+    Per-bit weight sums in ONE groupBy (bits sums, map-side combined);
+    bit b is set when the +1/-1 weight sum is ≥ 0. The signature is
+    assembled with shiftleft+OR (pure bitwise — bit 63 would overflow
+    an arithmetic ``+ 2^63`` under ANSI).
     """
+    bits, _ = _simhash_width(hash_profile)
     sh = distinct_shingles(documents, n)
-    hashed = sh.select(
-        "doc_id",
-        (_shingle_hash(hash_profile) % F.lit(2**SIMHASH_BITS)).alias("h"),
-    )
+    if hash_profile == "fast" and bits == 64:
+        feature = F.expr("xxhash64(shingle)")  # all 64 bits are signal
+    else:
+        feature = _shingle_hash(hash_profile) % F.lit(2**bits)
+    hashed = sh.select("doc_id", feature.alias("h"))
     sums = hashed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_feat"),
         *[
             F.sum(F.expr(f"shiftright(h, {b}) & 1")).alias(f"c{b}")
-            for b in range(SIMHASH_BITS)
+            for b in range(bits)
         ],
     )
     simhash = None
-    for b in range(SIMHASH_BITS):
+    for b in range(bits):
         bit = F.when(
-            (F.lit(2) * F.col(f"c{b}") - F.col("n_feat")) >= 0, F.lit(2**b)
-        ).otherwise(F.lit(0))
-        simhash = bit if simhash is None else simhash + bit
-    return sums.select("doc_id", simhash.cast("long").alias("simhash"))
+            (F.lit(2) * F.col(f"c{b}") - F.col("n_feat")) >= 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        placed = F.shiftleft(bit, b)
+        simhash = placed if simhash is None else simhash.bitwiseOR(placed)
+    return sums.select("doc_id", simhash.alias("simhash"))
 
 
 def simhash_pairs(
@@ -300,18 +357,25 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance ≤ hamming_max.
 
-    Candidates share ≥1 of four 8-bit bands; by pigeonhole any pair
-    within hamming 3 shares a clean band, so banding loses nothing while
-    avoiding the corpus² comparison.
+    Candidates share ≥1 of four bands; by pigeonhole any pair within
+    hamming 3 shares a clean band, so banding loses nothing while
+    avoiding the corpus² comparison. Band width is profile-dependent
+    (``_simhash_width``): 8-bit portable for the oracle, 16-bit fast
+    for scale (bucket occupancy N/65 536 per band vs N/256).
     """
     sigs = simhash_signatures(documents, n, hash_profile)
-    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    bits, band_bits = _simhash_width(hash_profile)
+    n_bands = bits // band_bits
+    assert n_bands > hamming_max, (
+        "pigeonhole requires more bands than hamming_max"
+    )
+    band_mask = 2**band_bits - 1
     band_structs = [
         F.struct(
             F.lit(band).alias("band"),
-            F.expr(f"shiftright(simhash, {band * SIMHASH_BAND_BITS}) & 255").alias(
-                "key"
-            ),
+            F.expr(
+                f"shiftright(simhash, {band * band_bits}) & {band_mask}"
+            ).alias("key"),
         )
         for band in range(n_bands)
     ]

@@ -1,0 +1,119 @@
+"""Scale guards for the sketch dedup operators.
+
+These pin the 100-TB design decisions at unit scale: the hot-shingle
+document-frequency cap (quadratic-candidate guard) and the wide SimHash
+profile's banding invariants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scholar_stream_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# every doc shares this 5-word stop-phrase → its shingles are "hot"
+HOT = "the quick brown fox jumps"
+BODY_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+BODY_B = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+
+
+def test_df_cap_drops_hot_shingle_candidates(spark):
+    # 6 unrelated docs share ONLY the hot phrase; docs 100/101 are true
+    # near-dups (9 of 10 body words shared, no hot phrase).
+    rows = [(i, f"{HOT} unique{i} word{i} tail{i} more{i} x{i} y{i}") for i in range(6)]
+    rows += [(100, BODY_A), (101, BODY_B)]
+    docs = _docs(spark, rows)
+
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.05)
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.05, max_doc_freq=3)
+
+    un_pairs = {(r["d1"], r["d2"]) for r in uncapped.collect()}
+    cap_pairs = {(r["d1"], r["d2"]) for r in capped.collect()}
+
+    # hot-phrase-only pairs appear uncapped but are gone with the cap
+    assert (0, 1) in un_pairs
+    assert all(p[0] >= 100 for p in cap_pairs), cap_pairs
+    # the true near-dup pair survives the cap
+    assert (100, 101) in cap_pairs
+
+
+def test_df_cap_scores_stay_exact(spark):
+    # when a surviving pair ALSO shares a hot shingle, its Jaccard must
+    # still count that shingle (verify runs over all shingles)
+    t1 = f"{HOT} alpha beta gamma delta epsilon"
+    t2 = f"{HOT} alpha beta gamma delta zeta"
+    filler = [
+        (i, f"{HOT} filler{i} pad{i} junk{i} noise{i} blah{i}")
+        for i in range(10, 14)
+    ]
+    docs = _docs(spark, [(1, t1), (2, t2)] + filler)
+
+    uncapped = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.05).collect()
+    }
+    capped = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.05, max_doc_freq=5
+        ).collect()
+    }
+    # (1,2) share non-hot shingles too → candidate either way, and the
+    # capped score equals the uncapped (exact) score
+    assert capped[(1, 2)] == uncapped[(1, 2)]
+
+
+def test_simhash_fast_profile_is_64bit(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = dedup.simhash_signatures(docs, hash_profile="fast")
+    # signatures use the full 64-bit space: some must exceed 32 bits
+    # (probability of all 50 sigs fitting 32 bits is ~2^-1600)
+    assert sigs.filter(
+        (F.col("simhash") > F.lit(2**32)) | (F.col("simhash") < 0)
+    ).count() > 0
+
+
+def test_simhash_wide_banding_is_lossless(spark):
+    # banded candidate generation must find EXACTLY the pairs a
+    # brute-force hamming scan finds (pigeonhole: 4 bands, hamming<=3)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    banded = {
+        (r["d1"], r["d2"], r["hamming"])
+        for r in dedup.simhash_pairs(docs, hash_profile="fast").collect()
+    }
+    sigs = dedup.simhash_signatures(docs, hash_profile="fast")
+    brute = {
+        (r["d1"], r["d2"], r["hamming"])
+        for r in (
+            sigs.alias("a")
+            .join(sigs.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("d1"),
+                F.col("b.doc_id").alias("d2"),
+                F.expr(
+                    "CAST(bit_count(a.simhash ^ b.simhash) AS INT)"
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= dedup.SIMHASH_HAMMING_MAX)
+            .collect()
+        )
+    }
+    assert banded == brute
+
+
+def test_df_cap_off_is_identity(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs).collect()
+    }
+    b = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, max_doc_freq=10**6).collect()
+    }
+    assert a == b
