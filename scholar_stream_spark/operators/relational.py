@@ -155,10 +155,16 @@ def revenue_by_region(
     nation: DataFrame,
     region: DataFrame,
 ) -> DataFrame:
-    """Star join rolled up to region: fact side never shuffles — all
-    three dimension joins are explicit broadcasts (region 5 rows, nation
-    25, customer small relative to orders; at 100 TB customer may need a
-    shuffle join, which AQE will pick when it outgrows the hint).
+    """Star join rolled up to region.
+
+    nation (25 rows) and region (5) carry explicit broadcast hints —
+    they are small by schema, always. The customer-derived ``dims`` side
+    deliberately does NOT: Spark honors an explicit broadcast hint
+    regardless of ``autoBroadcastJoinThreshold``, so forcing it on a
+    customer-cardinality table risks driver/executor OOM at scale.
+    Instead AQE picks broadcast at runtime whenever the built dims side
+    is actually small (it sees the real post-shuffle size), and falls
+    back to a shuffle join when it isn't — the safe default either way.
     """
     dims = (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
@@ -166,7 +172,7 @@ def revenue_by_region(
         .select("c_custkey", "r_name")
     )
     return (
-        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        orders.join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -63,13 +63,22 @@ def latency_seconds(event_ts: Column, landed_ts: Column) -> Column:
     ).otherwise(F.lit(None).cast("long"))
 
 
-def build_vw_works(raw: DataFrame, now: Column | None = None) -> DataFrame:
+def build_vw_works(
+    raw: DataFrame,
+    now: Column | None = None,
+    include_load_id: bool = False,
+) -> DataFrame:
     """V1-V9 — curated projection of the bronze landing table.
 
     Input: ``(payload string, metadata string)`` rows (RAW_EVENT_SCHEMA).
     Output columns mirror the reference view (``sql/04_views_curated.sql:28-44``):
     work_id, doi, title, publication_year, venue, primary_author, email,
     event_ts, ingest_ts, landed_ts, latency_seconds.
+
+    ``include_load_id`` appends the wire ``_LOAD_ID`` as ``load_id`` —
+    the per-record uuid the reference carries specifically so downstream
+    dedup can key on it (``ingestion/schema.py:47``); the streaming
+    dedup path needs it, the reference view itself doesn't expose it.
     """
     if now is None:
         now = F.current_timestamp()
@@ -93,7 +102,7 @@ def build_vw_works(raw: DataFrame, now: Column | None = None) -> DataFrame:
         ingest_ts.alias("ingest_ts"),
         landed_ts.alias("landed_ts"),
     )
-    return timed.select(
+    cols = [
         F.col("rec.id").alias("work_id"),
         F.col("rec.doi").alias("doi"),
         F.col("rec.title").alias("title"),
@@ -108,7 +117,10 @@ def build_vw_works(raw: DataFrame, now: Column | None = None) -> DataFrame:
         latency_seconds(F.col("event_ts"), F.col("landed_ts")).alias(
             "latency_seconds"
         ),
-    )
+    ]
+    if include_load_id:
+        cols.append(F.col("rec._LOAD_ID").alias("load_id"))
+    return timed.select(*cols)
 
 
 def build_vw_latency(

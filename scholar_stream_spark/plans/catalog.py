@@ -13,7 +13,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from scholar_stream_spark.operators.masking import apply_masking, is_privileged
+from scholar_stream_spark.operators.masking import (
+    KNOWN_ROLES,
+    apply_masking,
+    is_privileged,
+)
 from scholar_stream_spark.operators.views import build_vw_latency, build_vw_works
 
 
@@ -31,9 +35,17 @@ def init_catalog(
        is privileged — the role-scoped catalog IS the access control)
     3. ``vw_latency``  — KPI aggregate over ``vw_works``
 
+    ``role`` must be on the allowlist (``KNOWN_ROLES``): the reference
+    restricts selectable roles the same way (``app/home.py:33-42``) —
+    an unknown role must fail loudly, not silently get some treatment.
+
     Returns the DataFrames keyed by view name; each is also available via
     ``spark.sql``/``spark.table`` under the same name.
     """
+    if role.upper() not in KNOWN_ROLES:
+        raise ValueError(
+            f"unknown role {role!r}; allowed roles: {', '.join(KNOWN_ROLES)}"
+        )
     views: dict[str, DataFrame] = {}
 
     raw.createOrReplaceTempView("raw_events")

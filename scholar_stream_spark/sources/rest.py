@@ -46,9 +46,21 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StringType, StructField, StructType
 
 DEFAULT_PER_PAGE = 50
+#: Batch-size bounds carried over from the reference producer, which
+#: rejects batches outside 1..500 (``ingestion/producer.py:66-69``).
+MAX_PER_PAGE = 500
 DEFAULT_RETRY_AFTER = 2.0
 MAX_RETRY_SLEEP = 30.0
 START_CURSOR = "*"
+
+
+def _validated_per_page(options: dict) -> int:
+    per_page = int(options.get("per_page", DEFAULT_PER_PAGE))
+    if not 1 <= per_page <= MAX_PER_PAGE:
+        raise ValueError(
+            f"per_page must be in 1..{MAX_PER_PAGE}, got {per_page}"
+        )
+    return per_page
 
 
 class RateLimited(Exception):
@@ -62,7 +74,7 @@ class HttpTransport:
 
     def __init__(self, options: dict):
         self.url = options["url"]
-        self.per_page = int(options.get("per_page", DEFAULT_PER_PAGE))
+        self.per_page = _validated_per_page(options)
         self.updated_since = options.get("updated_since")
 
     def fetch(self, cursor: str) -> dict:
@@ -110,16 +122,34 @@ class FakeTransport:
 
 
 def _transport(options: dict):
+    _validated_per_page(options)  # batch-size cap parity, any transport
     kind = options.get("transport", "http")
     return FakeTransport(options) if kind == "fake" else HttpTransport(options)
 
 
-def _fetch_with_retry(transport, cursor: str) -> dict:
-    while True:
+MAX_RETRIES = 5  # parity with the reference sink's boto3 max_attempts=5
+
+
+def _fetch_with_retry(transport, cursor: str, max_retries: int = MAX_RETRIES) -> dict:
+    """S2: sleep Retry-After and refetch the same page — bounded.
+
+    The retry loop MUST terminate: for the streaming reader it runs
+    during micro-batch offset planning on the driver, so an endpoint
+    that rate-limits persistently would otherwise hang the stream
+    forever (the reference's boto3 sink caps at 5 attempts too).
+    """
+    for attempt in range(max_retries + 1):
         try:
             return transport.fetch(cursor)
-        except RateLimited as rl:  # S2: sleep Retry-After, retry same page
+        except RateLimited as rl:
+            if attempt == max_retries:
+                raise RuntimeError(
+                    f"rate-limited {max_retries + 1} consecutive times at "
+                    f"cursor {cursor!r}; giving up (Retry-After was "
+                    f"{rl.retry_after}s)"
+                ) from rl
             time.sleep(rl.retry_after)
+    raise AssertionError("unreachable")
 
 
 class RestBatchReader(DataSourceReader):

@@ -25,8 +25,9 @@ from scholar_stream_spark.operators.views import build_vw_works
 def streaming_vw_works(raw_stream: DataFrame) -> DataFrame:
     """The curated projection applied to a streaming bronze source —
     identical logical plan as the batch view (same builder), proving the
-    engine's batch/streaming unification."""
-    return build_vw_works(raw_stream)
+    engine's batch/streaming unification. Carries ``load_id`` (the wire
+    ``_LOAD_ID``) so the dedup stage can key on the record identity."""
+    return build_vw_works(raw_stream, include_load_id=True)
 
 
 def streaming_latency_kpis(
@@ -61,10 +62,28 @@ def streaming_latency_kpis(
     )
 
 
-def streaming_dedup(vw_works_stream: DataFrame, watermark_delay: str = "10 minutes") -> DataFrame:
-    """Streaming exact dedup on the record load id (§2.6 'Dedup' row):
-    the reference carries ``_LOAD_ID`` precisely to enable this
-    downstream; ``dropDuplicatesWithinWatermark`` bounds the state."""
+def streaming_dedup(
+    vw_works_stream: DataFrame, watermark_delay: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup on the record load id (§2.6 'Dedup' row).
+
+    The reference carries ``_LOAD_ID`` (a per-record uuid) precisely so
+    redelivered records can be dropped without losing legitimate
+    re-publications of the same work. Key = ``load_id`` when the stream
+    carries it (``streaming_vw_works`` does), falling back to
+    ``work_id`` for payloads without one — a fallback that collapses
+    re-publications, documented trade-off for id-less wires.
+    ``dropDuplicatesWithinWatermark`` bounds the state store.
+    """
+    if "load_id" in vw_works_stream.columns:
+        keyed = vw_works_stream.withColumn(
+            "_dedup_key", F.coalesce(F.col("load_id"), F.col("work_id"))
+        )
+        return (
+            keyed.withWatermark("landed_ts", watermark_delay)
+            .dropDuplicatesWithinWatermark(["_dedup_key"])
+            .drop("_dedup_key")
+        )
     return (
         vw_works_stream.withWatermark("landed_ts", watermark_delay)
         .dropDuplicatesWithinWatermark(["work_id"])

@@ -36,3 +36,15 @@ def test_unprivileged_branches(masked):
 def test_privileged_roles_see_clear(masked):
     for r in masked:
         assert r["clear"] == r["email"]
+
+
+def test_init_catalog_rejects_unknown_role(spark):
+    """G2/G3 allowlist: unknown roles fail loudly (reference restricts
+    selectable roles the same way, app/home.py:33-42)."""
+    from scholar_stream_spark.plans.catalog import init_catalog
+
+    raw = spark.createDataFrame([("{}", "{}")], ["payload", "metadata"])
+    with pytest.raises(ValueError, match="unknown role"):
+        init_catalog(spark, raw, role="R_SUPERUSER")
+    # known roles pass in any case
+    init_catalog(spark, raw, role="r_analyst")

@@ -74,6 +74,37 @@ def test_429_retried_same_page(registered):
         assert os.path.exists(marker)  # the 429 really fired
 
 
+def test_429_retry_is_bounded():
+    """A persistently rate-limiting endpoint must error out, not hang
+    the stream's offset planning forever (cap parity with the reference
+    sink's boto3 max_attempts=5)."""
+
+    class Always429:
+        calls = 0
+
+        def fetch(self, cursor):
+            Always429.calls += 1
+            raise rest.RateLimited(0.001)
+
+    with pytest.raises(RuntimeError, match="rate-limited"):
+        rest._fetch_with_retry(Always429(), "*", max_retries=3)
+    assert Always429.calls == 4  # initial + 3 retries
+
+
+def test_per_page_cap(registered):
+    """Batch-size bounds 1..500 (reference producer.py:66-69)."""
+    for bad in ("0", "501", "-5"):
+        df = (
+            registered.read.format("paginated_rest")
+            .option("transport", "fake")
+            .option("fake_pages", json.dumps(PAGES))
+            .option("per_page", bad)
+            .load()
+        )
+        with pytest.raises(Exception, match="per_page"):
+            df.collect()
+
+
 def test_stream_one_page_per_microbatch(registered):
     """Cursor == checkpointed offset: micro-batches drain page-by-page.
 

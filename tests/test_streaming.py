@@ -239,6 +239,45 @@ def test_streaming_latency_kpis(spark, raw_stream, tmp_path):
     assert w0.min_sec_5m >= 20 and w0.max_sec_5m <= 40
 
 
+def test_streaming_dedup_keys_on_load_id(spark, tmp_path):
+    """Redelivered records (same _LOAD_ID) are dropped; legitimate
+    re-publications of the same work (fresh _LOAD_ID) are kept — the
+    exact reason the reference carries a per-record uuid."""
+    raw = str(tmp_path / "raw_lid")
+    mk = lambda wid, lid, i: (  # noqa: E731
+        json.dumps(
+            {
+                "id": wid,
+                "event_ts": f"2024-06-01T11:5{i}:00+00:00",
+                "ingest_ts": f"2024-06-01T11:5{i}:20+00:00",
+                "_LOAD_ID": lid,
+            }
+        ),
+        json.dumps({"IngestionTime": f"2024-06-01T11:5{i}:30+00:00"}),
+    )
+    rows = [
+        mk("W0", "L1", 0),
+        mk("W0", "L1", 1),  # redelivery: same load id → dropped
+        mk("W0", "L2", 2),  # re-publication: new load id → kept
+    ]
+    spark.createDataFrame(rows, ["payload", "metadata"]).write.parquet(raw)
+    schema = spark.read.parquet(raw).schema
+    stream = spark.readStream.schema(schema).parquet(raw)
+    deduped = streaming_dedup(streaming_vw_works(stream))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_lid")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lid"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT work_id, load_id FROM dedup_lid").collect()
+    assert len(out) == 2
+    assert sorted(r.load_id for r in out) == ["L1", "L2"]
+
+
 def test_streaming_dedup(spark, raw_stream, tmp_path):
     vw = streaming_vw_works(raw_stream)
     deduped = streaming_dedup(vw)
