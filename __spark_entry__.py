@@ -12,7 +12,12 @@ operator modules so they cannot drift. Column names and types are
 aligned pair-by-pair (aggregates aliased identically on both sides).
 
 Deliberately WITHOUT oracle entries (rows-only check):
-- ``synthetic_email``  — needs sha1, absent in DuckDB 1.0
+- ``synthetic_email``  — needs sha1. Probed 2026-08-13 against the local
+  duckdb 1.0.0: ``SELECT sha1('abc')`` → "Scalar Function with name sha1
+  does not exist" (``sha256`` exists, but the reference pins SHA-1 —
+  ``ingestion/utils.py:8-11`` — so switching algorithms would break
+  parity, and the crypto extension can't be loaded offline). Covered
+  instead by a pytest asserting Spark-side equality with hashlib.sha1.
 - ``ann_lsh_topk``     — approximate by construction (LSH recall)
 - ``ann_ivf_topk``     — approximate by construction (IVF probe recall)
 - ``ann_lsh_recall`` / ``ann_ivf_recall`` — the self-checks keeping the

@@ -55,39 +55,48 @@ _HEX = "0123456789abcdef"
 
 
 def hex48_sql(expr: str) -> str:
-    """SQL text for the portable 48-bit hash of string expression ``expr``.
+    """DuckDB-side SQL for the portable 48-bit hash of ``expr``.
 
-    Valid verbatim in BOTH Spark SQL and DuckDB (md5/substr/instr have
-    identical semantics): sum over the first 12 hex chars of md5, base-16
-    positional. Shared by the Spark operators (via ``F.expr``) and the
-    DuckDB oracle generators.
+    Big-endian base-16 positional sum over the first 12 hex chars of the
+    md5 digest — the value ``conv(substr(md5(x),1,12), 16, 10)`` yields,
+    which is what the Spark side computes (``hex48_spark_sql``; DuckDB
+    1.0 has no ``conv``, hence two texts for one function — the oracle
+    parity tests enforce they agree).
 
     Every term is forced to 64-bit with an explicit ``CAST(... AS
-    BIGINT)`` before the positional multiply: Spark's ``instr`` returns
-    INT and the place-value literals up to ``16^11`` fit in INT, so
-    without the cast the product is 32-bit and overflows from ``16^7``
-    up (ARITHMETIC_OVERFLOW under ANSI mode — the default in Spark 4 and
-    the mode the correctness harness runs in; silent negative wraparound
-    with ANSI off). ``CAST AS BIGINT`` is valid verbatim in DuckDB too
-    (where ``instr`` is already BIGINT), so the shared SQL text stays
-    bit-identical across engines.
+    BIGINT)`` before the positional multiply: Spark/DuckDB ``instr``
+    arithmetic in 32-bit would overflow from ``16^7`` up
+    (ARITHMETIC_OVERFLOW under Spark ANSI mode; silent wraparound
+    otherwise). The text stays valid in both engines even though only
+    the oracle uses it.
     """
     terms = [
         f"CAST(instr('{_HEX}', substr(md5({expr}), {i + 1}, 1)) - 1 AS BIGINT)"
-        f" * {16 ** i}"
+        f" * {16 ** (11 - i)}"
         for i in range(12)
     ]
     return "(" + " + ".join(terms) + ")"
 
 
+def hex48_spark_sql(expr: str) -> str:
+    """Spark-side SQL for the same 48-bit hash: ONE ``conv`` call.
+
+    ``conv(hex, 16, 10)`` replaces 12 substr+instr+multiply terms — the
+    per-shingle hashing cost that dominated the minhash/simhash queries.
+    48 bits fits a long exactly; md5 output is lowercase hex, which
+    ``conv`` accepts.
+    """
+    return f"CAST(conv(substr(md5({expr}), 1, 12), 16, 10) AS BIGINT)"
+
+
 def portable_hash48(expr: str) -> Column:
     """48-bit portable hash of a string SQL expression (see module doc).
 
-    Takes SQL text (a column name or any string-valued expression) rather
-    than a Column so the identical text can be handed to the DuckDB
-    oracle; wrap with ``F.expr`` semantics on the Spark side.
+    Takes SQL text (a column name or any string-valued expression); the
+    Spark side evaluates the fast ``conv`` form, the DuckDB oracle the
+    equivalent positional sum (``hex48_sql``).
     """
-    return F.expr(hex48_sql(expr)).cast("long")
+    return F.expr(hex48_spark_sql(expr)).cast("long")
 
 
 def minhash_sql_terms(hash_expr: str) -> list[str]:

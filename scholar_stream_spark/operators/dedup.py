@@ -37,7 +37,7 @@ from scholar_stream_spark.functions.hashing import (
     MINHASH_PRIME,
     MINHASH_ROWS_PER_BAND,
     SIMHASH_BITS,
-    hex48_sql,
+    hex48_spark_sql,
 )
 from scholar_stream_spark.functions.text import word_shingles
 from scholar_stream_spark.plans.partitioning import scale_out
@@ -60,7 +60,7 @@ def _shingle_hash(hash_profile: str) -> F.Column:
         return F.expr(f"pmod(xxhash64(shingle), {MINHASH_PRIME})")
     if hash_profile != "portable":
         raise ValueError(f"unknown hash_profile: {hash_profile!r}")
-    return F.expr(hex48_sql("shingle")).cast("long")
+    return F.expr(hex48_spark_sql("shingle")).cast("long")
 
 
 def first_event_per_key(events: DataFrame) -> DataFrame:

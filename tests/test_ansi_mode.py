@@ -14,7 +14,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from scholar_stream_spark.functions.hashing import hex48_sql
+from scholar_stream_spark.functions.hashing import hex48_spark_sql, hex48_sql
 from scholar_stream_spark.operators import dedup
 from tests.conftest import SF_SMALL
 
@@ -38,10 +38,22 @@ def test_hex48_is_64bit_under_ansi(ansi_on):
     # 16^11 place value: any 32-bit multiply overflows for hex digits >= 2.
     h = hex48_sql("'x'")
     row = ansi_on.sql(f"SELECT {h} AS h, md5('x') AS m").first()
-    # little-endian positional: hex char i carries place value 16^i
-    expect = sum(int(c, 16) * 16**i for i, c in enumerate(row["m"][:12]))
-    assert row["h"] == expect
+    assert row["h"] == int(row["m"][:12], 16)
     assert 0 <= row["h"] < 2**48
+
+
+def test_hex48_spark_conv_equals_duckdb_positional_sum(ansi_on):
+    """The Spark conv() form and the DuckDB positional-sum form are two
+    texts for ONE function — pin their equality (both run fine in Spark)."""
+    import duckdb
+
+    for probe in ("'x'", "'hello world'", "''"):
+        fast = ansi_on.sql(
+            f"SELECT {hex48_spark_sql(probe)} AS h"
+        ).first()["h"]
+        slow_spark = ansi_on.sql(f"SELECT {hex48_sql(probe)} AS h").first()["h"]
+        slow_duck = duckdb.sql(f"SELECT {hex48_sql(probe)} AS h").fetchone()[0]
+        assert fast == slow_spark == slow_duck, probe
 
 
 def test_minhash_lsh_ansi_matches_lenient(spark, docs):
