@@ -46,6 +46,7 @@ from scholar_stream_spark.operators import (
     multimodal,
     relational,
     similarity,
+    temporal,
     textops,
 )
 from scholar_stream_spark.operators import transforms
@@ -200,11 +201,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_agg": lambda s, d: relational.windowed_event_agg(
             _t(s, d, "events")
         ),
+        # --- temporal operators (SURVEY §2.8) ---
+        "asof_join": lambda s, d: temporal.asof_join_events(
+            _t(s, d, "events")
+        ),
+        "sessionize": lambda s, d: temporal.sessionize(_t(s, d, "events")),
         # --- text analysis (SURVEY §2.8) ---
         "token_counts": lambda s, d: textops.token_counts(_t(s, d, "documents")),
         "text_quality": lambda s, d: textops.text_quality(_t(s, d, "documents")),
         "lang_profile": lambda s, d: textops.lang_profile(_t(s, d, "documents")),
         "doc_fingerprint": lambda s, d: textops.doc_fingerprints(
+            _t(s, d, "documents")
+        ),
+        "tfidf_top_terms": lambda s, d: textops.tfidf_top_terms(
             _t(s, d, "documents")
         ),
         # --- dedup (SURVEY §2.8) ---
@@ -654,6 +663,84 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                        AS fingerprint
             FROM documents
+        """,
+        "asof_join": f"""
+            WITH sides AS (
+                SELECT user_id, ts,
+                       CASE WHEN event_type = '{temporal.ASOF_RIGHT_TYPE}'
+                            THEN 0 ELSE 1 END AS side,
+                       event_id, value
+                FROM events
+                WHERE event_type IN ('{temporal.ASOF_RIGHT_TYPE}',
+                                     '{temporal.ASOF_LEFT_TYPE}')
+            ), m AS (
+                SELECT *,
+                    last_value(CASE WHEN side = 0 THEN
+                        {{'ts': ts, 'event_id': event_id, 'value': value}}
+                        END IGNORE NULLS)
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts, side, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS mm
+                FROM sides
+            )
+            SELECT event_id, user_id, ts,
+                   mm.event_id AS matched_event_id,
+                   mm.ts AS matched_ts,
+                   round(mm.value, 4) AS matched_value
+            FROM m WHERE side = 1
+        """,
+        "sessionize": f"""
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ), flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN prev_ts IS NULL
+                              OR date_diff('second', prev_ts, ts)
+                                 > {temporal.SESSION_GAP_SECONDS}
+                            THEN 1 ELSE 0 END AS is_new
+                FROM o
+            ), runs AS (
+                SELECT user_id, ts,
+                       CAST(SUM(is_new) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
+                           AS session_seq
+                FROM flagged
+            )
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   date_diff('second', min(ts), max(ts)) AS duration_seconds
+            FROM runs GROUP BY user_id, session_seq
+        """,
+        "tfidf_top_terms": f"""
+            WITH pairs AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM pairs GROUP BY doc_id, term
+            ), idf AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+                       tf.tf * ln(CAST(n.n_docs AS DOUBLE) / idf.df) AS tfidf
+                FROM tf JOIN idf USING (term), n
+            ), r AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY tfidf DESC, term ASC)
+                           AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, tf, df, round(tfidf, 4) AS tfidf, rank
+            FROM r WHERE rank <= {textops.TFIDF_TOP_K}
         """,
         "dedup_first_event": """
             SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts

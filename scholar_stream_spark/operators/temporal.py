@@ -1,0 +1,122 @@
+"""Temporal operators: as-of join and sessionization (SURVEY.md §2.8
+relational-completeness surface — operators Spark lacks as builtins but
+a telemetry/feature pipeline needs constantly).
+
+Both are built on the single-shuffle union+window pattern rather than
+range joins:
+
+- **as-of join** — "for each left row, the latest right row at or
+  before its timestamp, per key". The naive formulation is an
+  inequality join (``l.ts >= r.ts``) which Spark can only execute as a
+  broadcast-nested-loop — quadratic per key. Instead both sides are
+  union-tagged and merge-ordered by (key, ts, side); one running
+  ``last(right_struct, ignorenulls)`` window pass matches every left
+  row in O(n log n) with exactly ONE shuffle on the key. This is the
+  standard scalable as-of (what pandas ``merge_asof`` does on one core,
+  re-expressed as a distributed sort-merge).
+- **sessionization** — gap-based session ids from ``lag`` + a running
+  sum over the same (key, ts) window; session aggregates fall out of
+  one further groupBy on (key, session). At 100 TB both shuffles key on
+  user_id — co-partitioned, and AQE splits skewed power users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Session gap: a new session starts after this much inactivity.
+SESSION_GAP_SECONDS = 1800
+
+#: As-of demo semantics on the events table: each purchase matched to
+#: the user's most recent click at-or-before it.
+ASOF_LEFT_TYPE = "purchase"
+ASOF_RIGHT_TYPE = "click"
+
+
+def asof_join_events(
+    events: DataFrame,
+    left_type: str = ASOF_LEFT_TYPE,
+    right_type: str = ASOF_RIGHT_TYPE,
+) -> DataFrame:
+    """Per-user as-of join: each ``left_type`` event matched to the most
+    recent ``right_type`` event at or before it (ties on ts resolved to
+    the right row, then by the highest right event_id — deterministic).
+
+    Output: (event_id, user_id, ts, matched_event_id, matched_ts,
+    matched_value) — matched_* NULL when no prior right event exists.
+    """
+    sides = events.filter(
+        F.col("event_type").isin(left_type, right_type)
+    ).select(
+        "user_id",
+        "ts",
+        # right rows sort BEFORE left rows at equal ts → inclusive match
+        F.when(F.col("event_type") == right_type, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("side"),
+        "event_id",
+        "value",
+    )
+    right_struct = F.when(
+        F.col("side") == 0,
+        F.struct("ts", "event_id", "value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("side"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = sides.withColumn(
+        "m", F.last(right_struct, ignorenulls=True).over(w)
+    )
+    return (
+        matched.filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("m.event_id").alias("matched_event_id"),
+            F.col("m.ts").alias("matched_ts"),
+            F.round(F.col("m.value"), 4).alias("matched_value"),
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
+) -> DataFrame:
+    """Gap-based sessionization: per user, a new session starts when the
+    time since the previous event exceeds ``gap_seconds``.
+
+    Output: one row per (user_id, session_seq) with n_events,
+    session_start, session_end, duration_seconds. Two shuffles, both on
+    user_id (the window and the final groupBy co-partition).
+    """
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev_ts = F.lag("ts").over(w)
+    gap = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(prev_ts)
+    new_session = F.when(
+        prev_ts.isNull() | (gap > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = (
+        events.withColumn("is_new", new_session)
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        run.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .withColumn(
+            "duration_seconds",
+            F.unix_timestamp("session_end") - F.unix_timestamp("session_start"),
+        )
+    )

@@ -12,7 +12,7 @@ Constants are shared with the DuckDB oracle generators in
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from scholar_stream_spark.plans.partitioning import scale_out
@@ -112,6 +112,55 @@ def lang_profile(documents: DataFrame) -> DataFrame:
         F.col("lang").alias("labeled_lang"),
         pred.alias("pred_lang"),
         hit_cols["en"].alias("en_hits"),
+    )
+
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Top-k terms per document by tf-idf (idf = ln(N/df)).
+
+    The explode is unavoidable here (term-level output), but the plan is
+    the minimal three-shuffle shape: tf from one (doc, term) groupBy,
+    df from one term groupBy of the DISTINCT (doc, term) pairs already
+    in hand, corpus size N broadcast as a 1-row aggregate, and the
+    per-doc top-k as a ranking window with deterministic tie-break
+    (score desc, term asc). At scale df/tf aggregates are map-side
+    combined; nothing quadratic anywhere.
+    """
+    toks = F.explode(
+        F.split(F.trim(F.col("text")), r"\s+")
+    ).alias("term")
+    pairs = scale_out(documents).select("doc_id", toks)
+    tf = pairs.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf"),
+            F.col("df"),
+            F.round("tfidf", 4).alias("tfidf"),
+            F.col("rank").cast("long").alias("rank"),
+        )
     )
 
 

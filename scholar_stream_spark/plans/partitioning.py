@@ -23,6 +23,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: Memoized planned-parallelism per (session, logical-plan semantic hash).
+#: ``df.rdd.getNumPartitions()`` forces a physical-plan compile — cheap
+#: once, but operators call ``scale_out`` on every invocation and benches
+#: build the same scans repeatedly. The semantic hash is computed from
+#: the logical plan only (no physical planning). A hash collision could
+#: at worst reuse a stale partition count — a performance heuristic
+#: miss, never a correctness issue.
+_PLAN_PARTITIONS_CACHE: dict[tuple[int, int], int] = {}
+_CACHE_MAX = 256
+
 
 def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure ``df`` has at least shuffle-parallelism partitions.
@@ -35,6 +45,13 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         min_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-    if df.rdd.getNumPartitions() >= min_partitions:
+    key = (id(df.sparkSession), df.semanticHash())
+    n = _PLAN_PARTITIONS_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if len(_PLAN_PARTITIONS_CACHE) >= _CACHE_MAX:
+            _PLAN_PARTITIONS_CACHE.clear()
+        _PLAN_PARTITIONS_CACHE[key] = n
+    if n >= min_partitions:
         return df
     return df.repartition(min_partitions)

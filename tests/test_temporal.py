@@ -1,0 +1,81 @@
+"""Temporal operators: as-of join + sessionization semantics and plans."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from scholar_stream_spark.operators import temporal
+
+
+def _events(spark, rows):
+    # (event_id, ts, user_id, event_type, value)
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_matches_latest_at_or_before(spark):
+    rows = [
+        (1, ts("2024-01-01 10:00:00"), 1, "click", 10.0),
+        (2, ts("2024-01-01 10:05:00"), 1, "click", 20.0),
+        (3, ts("2024-01-01 10:07:00"), 1, "purchase", 99.0),  # → click 2
+        (4, ts("2024-01-01 10:05:00"), 2, "purchase", 5.0),   # no prior click
+        (5, ts("2024-01-01 11:00:00"), 2, "click", 30.0),
+        (6, ts("2024-01-01 11:00:00"), 2, "purchase", 7.0),   # same-ts → click 5
+        (7, ts("2024-01-01 09:00:00"), 1, "view", 0.0),       # ignored type
+    ]
+    out = {
+        r["event_id"]: (r["matched_event_id"], r["matched_value"])
+        for r in temporal.asof_join_events(_events(spark, rows)).collect()
+    }
+    assert out[3] == (2, 20.0)
+    assert out[4] == (None, None)
+    assert out[6] == (5, 30.0)  # ts tie is inclusive: right sorts first
+
+
+def test_asof_single_shuffle_on_user_id(spark):
+    df = _events(spark, [(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0)])
+    plan = (
+        temporal.asof_join_events(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the union+window as-of shape: exactly one hash partitioning, on
+    # user_id — never a nested-loop/range join
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_sessionize_splits_on_gap(spark):
+    rows = [
+        (1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+        (2, ts("2024-01-01 10:10:00"), 1, "view", 0.0),   # same session
+        (3, ts("2024-01-01 11:00:00"), 1, "view", 0.0),   # 50 min gap → new
+        (4, ts("2024-01-01 10:00:00"), 2, "view", 0.0),   # other user
+    ]
+    out = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["duration_seconds"])
+        for r in temporal.sessionize(_events(spark, rows)).collect()
+    }
+    assert out[(1, 1)] == (2, 600)
+    assert out[(1, 2)] == (1, 0)
+    assert out[(2, 1)] == (1, 0)
+
+
+def test_sessionize_gap_boundary_is_exclusive(spark):
+    # exactly gap_seconds apart stays in the SAME session (gap > thresh)
+    rows = [
+        (1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+        (2, ts("2024-01-01 10:30:00"), 1, "view", 0.0),
+    ]
+    out = temporal.sessionize(
+        _events(spark, rows), gap_seconds=1800
+    ).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 2
