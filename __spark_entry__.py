@@ -45,6 +45,7 @@ from scholar_stream_spark.operators import (
     dedup,
     multimodal,
     relational,
+    sampling,
     similarity,
     temporal,
     textops,
@@ -206,6 +207,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events")
         ),
         "sessionize": lambda s, d: temporal.sessionize(_t(s, d, "events")),
+        "range_join": lambda s, d: temporal.range_join_events(
+            _t(s, d, "events")
+        ),
+        "value_histogram": lambda s, d: relational.value_histogram(
+            _t(s, d, "events")
+        ),
+        "split_assign": lambda s, d: sampling.assign_splits(
+            _t(s, d, "documents")
+        ),
         # --- text analysis (SURVEY §2.8) ---
         "token_counts": lambda s, d: textops.token_counts(_t(s, d, "documents")),
         "text_quality": lambda s, d: textops.text_quality(_t(s, d, "documents")),
@@ -716,6 +726,51 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end,
                    date_diff('second', min(ts), max(ts)) AS duration_seconds
             FROM runs GROUP BY user_id, session_seq
+        """,
+        "range_join": f"""
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.event_id AS matched_event_id,
+                   r.ts AS matched_ts,
+                   date_diff('second', r.ts, l.ts) AS gap_seconds
+            FROM events l
+            JOIN events r
+              ON l.user_id = r.user_id
+             AND l.event_type = '{temporal.ASOF_LEFT_TYPE}'
+             AND r.event_type = '{temporal.ASOF_RIGHT_TYPE}'
+             AND r.ts <= l.ts
+             AND date_diff('second', r.ts, l.ts)
+                 <= {temporal.RANGE_JOIN_MAX_GAP_SECONDS}
+        """,
+        "value_histogram": f"""
+            WITH b AS (
+                SELECT min(value) AS vmin, max(value) AS vmax FROM events
+            ), binned AS (
+                SELECT CAST(least(
+                           floor((value - vmin)
+                                 / ((vmax - vmin) / {relational.VALUE_HISTOGRAM_BINS})),
+                           {relational.VALUE_HISTOGRAM_BINS - 1}) AS BIGINT)
+                           AS bin,
+                       vmin, vmax
+                FROM events, b
+            )
+            SELECT bin,
+                   round(vmin + bin * ((vmax - vmin)
+                         / {relational.VALUE_HISTOGRAM_BINS}), 4) AS bin_lo,
+                   count(*) AS n
+            FROM binned GROUP BY bin, vmin, vmax
+        """,
+        "split_assign": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       ({hex48_sql("CAST(doc_id AS VARCHAR)")}) % 100 AS bucket
+                FROM documents
+            )
+            SELECT doc_id, bucket,
+                   CASE {' '.join(
+                       f"WHEN bucket >= {lo} AND bucket < {hi} THEN '{name}'"
+                       for name, lo, hi in sampling.SPLIT_BOUNDS
+                   )} END AS split
+            FROM h
         """,
         "tfidf_top_terms": f"""
             WITH pairs AS (

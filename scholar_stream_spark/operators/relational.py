@@ -254,3 +254,44 @@ def windowed_event_agg(
             "avg_value",
         )
     )
+
+
+VALUE_HISTOGRAM_BINS = 20
+
+
+def value_histogram(
+    events: DataFrame, n_bins: int = VALUE_HISTOGRAM_BINS
+) -> DataFrame:
+    """Fixed-bin histogram of ``value`` — the data-profiling primitive.
+
+    Two passes, both cheap: a 1-row global (min, max) aggregate is
+    broadcast back onto the fact side (no shuffle of it), each row then
+    computes its bin in a narrow projection, and bin counts come from
+    one map-side-combined groupBy over ≤ n_bins keys. The bin formula
+    (``least(floor((v-min)/width), n_bins-1)``) is plain IEEE double
+    arithmetic, bit-identical across engines — deliberately not
+    ``width_bucket``, whose edge conventions differ.
+    """
+    bounds = events.agg(
+        F.min("value").alias("_vmin"), F.max("value").alias("_vmax")
+    )
+    width = (F.col("_vmax") - F.col("_vmin")) / n_bins
+    bin_idx = F.least(
+        F.floor((F.col("value") - F.col("_vmin")) / width),
+        F.lit(n_bins - 1),
+    ).cast("long")
+    return (
+        events.crossJoin(F.broadcast(bounds))
+        .select(
+            bin_idx.alias("bin"),
+            F.col("_vmin"),
+            F.col("_vmax"),
+        )
+        .groupBy("bin", "_vmin", "_vmax")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.col("_vmin") + F.col("bin") * ((F.col("_vmax") - F.col("_vmin")) / n_bins), 4).alias("bin_lo"),
+            "n",
+        )
+    )

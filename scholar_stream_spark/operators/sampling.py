@@ -1,0 +1,59 @@
+"""Deterministic sampling / split assignment (SURVEY.md §2.8 pipeline
+surface).
+
+Training pipelines need splits that are REPRODUCIBLE (same doc → same
+split, on any cluster, any partitioning, forever) and ASSIGNED IN THE
+PLAN (no materialized split column to keep in sync). Random sampling
+(``df.sample``/``rand()``) fails both. The standard answer is hash
+bucketing: bucket = hash(stable_key) mod 100, split by bucket ranges.
+
+The hash is the engine's portable md5-derived 48-bit hash
+(``functions/hashing.py``), so the assignment is bit-identical in the
+DuckDB oracle — the split operator itself is correctness-checked, which
+matters more for splits than for most operators (a drifting split
+silently leaks val/test into train).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scholar_stream_spark.functions.hashing import hex48_spark_sql
+
+#: Default split ranges over the 100 hash buckets: [0,90) train,
+#: [90,95) val, [95,100) test.
+SPLIT_BOUNDS = (("train", 0, 90), ("val", 90, 95), ("test", 95, 100))
+
+
+def split_bucket(key_sql: str) -> "F.Column":
+    """Hash bucket in [0, 100) from a stable key's SQL expression."""
+    return F.expr(f"{hex48_spark_sql(key_sql)} % 100")
+
+
+def assign_splits(
+    documents: DataFrame,
+    key_col: str = "doc_id",
+    bounds: tuple = SPLIT_BOUNDS,
+) -> DataFrame:
+    """(key, bucket, split) — deterministic train/val/test assignment.
+
+    A narrow projection: one md5 per row, no shuffle, no state. The
+    same expression evaluated at training time and at eval time always
+    agrees — the property ``rand()``-based splits do not have.
+    """
+    bucket = split_bucket(f"CAST({key_col} AS STRING)")
+    split = None
+    for name, lo, hi in bounds:
+        cond = (F.col("bucket") >= lo) & (F.col("bucket") < hi)
+        split = (
+            F.when(cond, F.lit(name))
+            if split is None
+            else split.when(cond, F.lit(name))
+        )
+    return (
+        documents.select(
+            F.col(key_col), bucket.cast("long").alias("bucket")
+        )
+        .withColumn("split", split)
+    )

@@ -83,6 +83,75 @@ def asof_join_events(
     )
 
 
+RANGE_JOIN_MAX_GAP_SECONDS = 3600
+
+
+def range_join_events(
+    events: DataFrame,
+    left_type: str = ASOF_LEFT_TYPE,
+    right_type: str = ASOF_RIGHT_TYPE,
+    max_gap_seconds: int = RANGE_JOIN_MAX_GAP_SECONDS,
+) -> DataFrame:
+    """Bounded-interval join: every (left, right) pair per user where
+    the right event falls within ``max_gap_seconds`` BEFORE the left
+    event (inclusive both ends).
+
+    A naive ``l.ts BETWEEN r.ts AND r.ts + gap`` predicate has no
+    equi-key, which Spark executes as a broadcast-nested-loop —
+    quadratic. Instead both sides are bucketized into gap-sized time
+    buckets: a qualifying right row is always in the left row's bucket
+    or the one before, so the pair space reduces to an equi-join on
+    (user_id, bucket) ∪ (user_id, bucket-1) — two co-partitioned hash
+    joins — with the exact interval predicate applied as a cheap
+    post-filter. Cost scales with true pair density, not corpus².
+
+    Output: (event_id, user_id, ts, matched_event_id, matched_ts,
+    gap_seconds), one row per qualifying pair.
+    """
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / max_gap_seconds)  # noqa: E731
+    left = events.filter(F.col("event_type") == left_type).select(
+        "event_id",
+        "user_id",
+        "ts",
+        bucket(F.col("ts")).alias("b"),
+    )
+    right = events.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("event_id").alias("matched_event_id"),
+        F.col("ts").alias("matched_ts"),
+        bucket(F.col("ts")).alias("r_b"),
+    )
+    # probe the row's own bucket and its predecessor (explode on the
+    # smaller, already-filtered left side)
+    probes = left.withColumn(
+        "probe_b", F.explode(F.array(F.col("b"), F.col("b") - 1))
+    )
+    gap = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("matched_ts"))
+    return (
+        probes.join(
+            right,
+            (F.col("user_id") == F.col("r_user_id"))
+            & (F.col("probe_b") == F.col("r_b")),
+        )
+        .withColumn("gap_seconds", gap)
+        # order on the REAL timestamps (sub-second precision) — the
+        # floor-second gap alone would admit a right row microseconds
+        # after the left one
+        .filter(
+            (F.col("matched_ts") <= F.col("ts"))
+            & (F.col("gap_seconds") <= max_gap_seconds)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "matched_event_id",
+            "matched_ts",
+            "gap_seconds",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
 ) -> DataFrame:

@@ -61,6 +61,46 @@ def split_dead_letters(landing: DataFrame) -> tuple[DataFrame, DataFrame]:
     return good, dead
 
 
+def compact_raw(spark, raw_path: str) -> int:
+    """Compact the bronze table's small files (S6 maintenance analog).
+
+    Frequent triggers produce many small parquet files — the Spark-side
+    mirror of the Firehose buffer-size trade-off the reference documents
+    (``README.md:295-304``). Rewrites the table so each ``land_date``
+    partition holds ONE file (``repartition`` by the partition column:
+    every date's rows land in a single task, and the partitioned writer
+    emits one file per date per task). Returns the row count (verified
+    equal before the directory swap).
+
+    NOT concurrent-safe: run it while the ingest stream is stopped (or
+    on a quiesced day partition). The durable answer at scale is a table
+    format with transactional compaction (Delta/Iceberg OPTIMIZE); this
+    is the honest file-based analog for the plain-parquet bronze path.
+    """
+    import shutil
+
+    df = spark.read.parquet(raw_path)
+    n_before = df.count()
+    tmp = raw_path.rstrip("/") + "__compacting"
+    (
+        df.repartition("land_date")
+        .write.mode("overwrite")
+        .partitionBy("land_date")
+        .parquet(tmp)
+    )
+    n_after = spark.read.parquet(tmp).count()
+    if n_after != n_before:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row mismatch: {n_before} -> {n_after}; aborted"
+        )
+    backup = raw_path.rstrip("/") + "__precompact"
+    shutil.move(raw_path, backup)
+    shutil.move(tmp, raw_path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return n_after
+
+
 def land_batch(
     lines: DataFrame,
     raw_path: str,

@@ -1,0 +1,59 @@
+"""Deterministic split assignment + bronze compaction."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from scholar_stream_spark.operators import sampling
+from scholar_stream_spark.sources.raw_landing import compact_raw, land_batch
+
+
+def test_split_assignment_deterministic_and_complete(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = {r["doc_id"]: r["split"] for r in sampling.assign_splits(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in sampling.assign_splits(docs).collect()}
+    assert a == b  # rerun-stable, by construction
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert len(a) == docs.count()  # every doc assigned
+    # ~90/5/5 split within loose tolerance at n=500
+    n = len(a)
+    train_frac = sum(1 for s in a.values() if s == "train") / n
+    assert 0.8 < train_frac < 0.97
+
+
+def test_split_survives_repartitioning(spark):
+    # the whole point vs rand(): assignment is partition-invariant
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {r["doc_id"]: r["split"] for r in sampling.assign_splits(docs).collect()}
+    shuffled = {
+        r["doc_id"]: r["split"]
+        for r in sampling.assign_splits(docs.repartition(17)).collect()
+    }
+    assert base == shuffled
+
+
+def test_compact_raw_reduces_files_keeps_rows(spark, tmp_path):
+    raw = str(tmp_path / "raw")
+    # land 5 separate batches → ≥5 files in one land_date partition
+    for i in range(5):
+        lines = spark.createDataFrame(
+            [(json.dumps({"id": f"W{i}-{j}"}),) for j in range(10)], ["value"]
+        )
+        land_batch(lines, raw)
+    files_before = glob.glob(os.path.join(raw, "**", "*.parquet"), recursive=True)
+    assert len(files_before) >= 5
+    n = compact_raw(spark, raw)
+    assert n == 50
+    files_after = glob.glob(os.path.join(raw, "**", "*.parquet"), recursive=True)
+    assert len(files_after) == 1  # single land_date → single file
+    assert spark.read.parquet(raw).count() == 50
+    # payloads intact
+    ids = {
+        json.loads(r["payload"])["id"]
+        for r in spark.read.parquet(raw).collect()
+    }
+    assert len(ids) == 50

@@ -53,6 +53,36 @@ def test_asof_single_shuffle_on_user_id(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
+def test_range_join_window_and_bucket_boundaries(spark):
+    rows = [
+        # clicks at 09:00, 09:59:30, 10:00:30; purchase at 10:30
+        (1, ts("2024-01-01 09:00:00"), 1, "click", 1.0),     # 90 min before → out
+        (2, ts("2024-01-01 09:59:30"), 1, "click", 2.0),     # 30.5 min → in (prev bucket)
+        (3, ts("2024-01-01 10:00:30"), 1, "click", 3.0),     # 29.5 min → in (same bucket)
+        (4, ts("2024-01-01 10:30:00"), 1, "purchase", 9.0),
+        (5, ts("2024-01-01 10:45:00"), 1, "click", 4.0),     # after → out
+        (6, ts("2024-01-01 10:30:00"), 2, "click", 5.0),     # other user → out
+    ]
+    out = temporal.range_join_events(
+        _events(spark, rows), max_gap_seconds=3600
+    ).collect()
+    matched = sorted(r["matched_event_id"] for r in out)
+    assert matched == [2, 3]
+    gaps = {r["matched_event_id"]: r["gap_seconds"] for r in out}
+    assert gaps[2] == 1830 and gaps[3] == 1770
+
+
+def test_range_join_is_equi_join(spark):
+    df = _events(spark, [(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0)])
+    plan = (
+        temporal.range_join_events(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_sessionize_splits_on_gap(spark):
     rows = [
         (1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
