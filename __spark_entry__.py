@@ -247,6 +247,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
             _t(s, d, "embeddings")
         ),
+        # vectorized Arrow/numpy variant — same exact semantics, same
+        # oracle (round-4 values agree; pinned by pytest)
+        "ann_cosine_topk_vec": lambda s, d: similarity.cosine_topk_pandas(
+            _t(s, d, "embeddings")
+        ),
         "ann_lsh_topk": lambda s, d: similarity.lsh_ann_topk(
             _t(s, d, "embeddings")
         ),
@@ -818,6 +823,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _embedding_neardup_sql(),
         "ann_cosine_topk": _ann_topk_sql(),
+        "ann_cosine_topk_vec": _ann_topk_sql(),
         "multimodal_blob_stats": f"""
             SELECT doc_id AS asset_id, {_MM_MEDIA_SQL} AS media_type,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

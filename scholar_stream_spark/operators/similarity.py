@@ -404,6 +404,83 @@ def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
     )
 
 
+def cosine_topk_pandas(
+    embeddings: DataFrame,
+    k: int = ANN_TOPK,
+    n_queries: int = ANN_NUM_QUERIES,
+) -> DataFrame:
+    """Exact cosine top-k via a vectorized Arrow/numpy kernel — the
+    wide-vector/huge-candidate-set variant of ``cosine_topk``
+    (``functions/vectors.py`` module doc).
+
+    The JVM-expression dot product costs one codegen'd loop per pair
+    per dimension; for wide embeddings the winning layout is a matrix
+    multiply. The (tiny, by contract) query set is collected to a
+    normalized numpy matrix ONCE on the driver and closed over by a
+    ``mapInPandas`` kernel: each Arrow batch of the corpus becomes one
+    ``C @ Q.T`` BLAS call, and only each batch's per-query top-k rows
+    are emitted — so the final ranking window shuffles at most
+    (k × n_queries) rows per batch, never the corpus. Same output
+    schema and values as ``cosine_topk`` (numpy's pairwise summation
+    differs from sequential by ~1 ulp; equality after round-4 is
+    asserted in tests).
+    """
+    import numpy as np
+
+    q_rows = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()  # the query set is small by definition (= broadcast)
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(q_ids)):
+                col = sims[:, j]
+                mask = ids != q_ids[j]  # self-match excluded
+                cand = np.flatnonzero(mask)
+                if len(cand) == 0:
+                    continue
+                top = cand[np.argsort(-col[cand], kind="stable")[:k]]
+                out_q.extend([q_ids[j]] * len(top))
+                out_n.extend(ids[top])
+                out_s.extend(col[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "cos_sim_raw": np.array(out_s, dtype=np.float64),
+                }
+            )
+
+    partial = scale_out(embeddings).mapInPandas(
+        kernel, "query_id long, neighbor_id long, cos_sim_raw double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim_raw"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim_raw", 4).alias("cos_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 RECALL_METHODS = {"lsh", "ivf"}
 
 

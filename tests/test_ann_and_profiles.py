@@ -69,6 +69,21 @@ def test_ivf_cells_cover_corpus(emb):
     assert assigned.select("vec_id").distinct().count() == emb.count()
 
 
+def test_pandas_cosine_matches_expression_cosine(emb):
+    # the numpy/BLAS kernel must agree with the JVM-expression baseline
+    expr_rows = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.cosine_topk(emb).collect()
+    }
+    vec_rows = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.cosine_topk_pandas(emb).collect()
+    }
+    assert set(expr_rows) == set(vec_rows)
+    for key, v in expr_rows.items():
+        assert abs(v - vec_rows[key]) < 1e-9, key
+
+
 def test_lsh_recall_floor(emb):
     r = similarity.ann_recall(emb, "lsh").first()
     assert r["recall"] >= 0.8, f"LSH recall {r['recall']}"
