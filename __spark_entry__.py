@@ -196,6 +196,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "user_setops": lambda s, d: relational.user_setops(_t(s, d, "events")),
         "rollup_orders": lambda s, d: relational.rollup_orders(_t(s, d, "orders")),
+        "cube_orders": lambda s, d: relational.cube_orders(_t(s, d, "orders")),
+        "pivot_user_events": lambda s, d: relational.pivot_user_event_counts(
+            _t(s, d, "events")
+        ),
+        "distinct_users_salted": lambda s, d: relational.distinct_users_by_type_salted(
+            _t(s, d, "events")
+        ),
         "value_percentiles": lambda s, d: relational.value_percentiles(
             _t(s, d, "events")
         ),
@@ -629,6 +636,26 @@ def oracle_sql() -> dict[str, str]:
                    {exact_sum('o_totalprice')} AS revenue
             FROM orders
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "cube_orders": f"""
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                   {exact_sum('o_totalprice')} AS revenue
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "pivot_user_events": f"""
+            SELECT user_id,
+                   {', '.join(
+                       f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT)"
+                       f" AS {t}"
+                       for t in relational.EVENT_TYPES
+                   )}
+            FROM events GROUP BY user_id
+        """,
+        "distinct_users_salted": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_distinct_users
+            FROM events GROUP BY event_type
         """,
         "value_percentiles": """
             SELECT event_type,

@@ -295,3 +295,65 @@ def value_histogram(
             "n",
         )
     )
+
+
+SALT_BUCKETS = 16
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def distinct_users_by_type_salted(
+    events: DataFrame, n_salts: int = SALT_BUCKETS
+) -> DataFrame:
+    """COUNT(DISTINCT user_id) per event_type, skew-proof.
+
+    A plain count_distinct shuffles every (type, user) pair to the
+    type's single reducer — a hot event type concentrates on one core
+    (the classic skew collapse). Two-stage salting fixes it: stage 1
+    groups by (type, salt = hash(user) mod n), so each type's distinct
+    work spreads over ``n_salts`` reducers; because the salt is derived
+    from the DISTINCT column, salt groups partition the value space
+    disjointly and stage 2 just SUMs the per-salt distinct counts —
+    exact, not approximate. AQE's skew handling can't do this (it can
+    split partitions, not a single hot GROUP BY key).
+    """
+    salted = events.withColumn(
+        "_salt", F.pmod(F.xxhash64("user_id"), F.lit(n_salts))
+    )
+    stage1 = salted.groupBy("event_type", "_salt").agg(
+        F.count_distinct("user_id").alias("nd")
+    )
+    return (
+        stage1.groupBy("event_type")
+        .agg(F.sum("nd").alias("n_distinct_users"))
+    )
+
+
+def pivot_user_event_counts(events: DataFrame) -> DataFrame:
+    """Per-user event-type counts as columns (pivot).
+
+    ``groupBy().pivot(values=...)`` with the value list pinned compiles
+    to ONE pass of conditional aggregates — identical to the manual
+    CASE-WHEN formulation and map-side combined; leaving ``values``
+    unset would add a driver-side distinct scan first.
+    """
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+def cube_orders(orders: DataFrame) -> DataFrame:
+    """CUBE over (status, priority): every aggregation combination in
+    one pass — the grouping-sets completeness demo next to
+    ``rollup_orders``. Spark expands cube into grouping sets inside a
+    single shuffle; n_orders disambiguates the NULL-key rows.
+    """
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(exact_sum_double("o_totalprice")).alias("revenue"),
+        )
+    )

@@ -109,3 +109,42 @@ def test_sessionize_gap_boundary_is_exclusive(spark):
         _events(spark, rows), gap_seconds=1800
     ).collect()
     assert len(out) == 1 and out[0]["n_events"] == 2
+
+
+def _load_events(spark):
+    # events.parquet carries TIMESTAMP(NANOS) — read via the driver
+    # loader, which floors nanos to micros
+    from __spark_entry__ import _t
+
+    return _t(spark, "/root/testdata/sf0.001", "events")
+
+
+def test_salted_distinct_matches_plain(spark):
+    from scholar_stream_spark.operators import relational
+
+    events = _load_events(spark)
+    salted = {
+        r["event_type"]: r["n_distinct_users"]
+        for r in relational.distinct_users_by_type_salted(events).collect()
+    }
+    plain = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_distinct_spreads_the_key(spark):
+    from scholar_stream_spark.operators import relational
+
+    events = _load_events(spark)
+    plan = (
+        relational.distinct_users_by_type_salted(events)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # stage-1 shuffle must key on (event_type, salt), not event_type alone
+    assert "_salt" in plan
