@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -81,45 +83,31 @@ def _hyperplanes(n_planes: int, dim: int = EMBED_DIM):
     ]
 
 
-def _planes_df(embeddings: DataFrame, planes) -> DataFrame:
-    """The hyperplane matrix as a broadcastable 1-row DataFrame.
+def _bucket_udf(planes, n_tables: int, bits: int):
+    """Vectorized per-table LSH bucketing: one Arrow batch → one BLAS
+    matmul against the hyperplane matrix → sign bits → ``array<int>``
+    of ``n_tables`` bucket ids per vector.
 
-    Keeping the 64×64 doubles in DATA instead of 4096 literal
-    expressions matters: as literals, every invocation pays seconds of
-    Catalyst analysis + codegen on the huge tree (measured ~6× the
-    whole query's runtime at small SF); as a broadcast row it is a
-    cheap nested-loop join with a tiny constant plan.
+    This replaces ``transform(planes, aggregate(zip_with(...)))`` —
+    higher-order functions are *interpreted* per row (no whole-stage
+    codegen), so the old plan paid 64 lambda dot products per vector in
+    the hot path. Bucketing is hash computation, not oracle-checked
+    arithmetic: the only requirement is that corpus and query sides
+    agree on the sign pattern, which holds because BOTH run this exact
+    kernel (same matmul, same operand order).
     """
-    return embeddings.sparkSession.createDataFrame(
-        [(planes,)], "planes: array<array<double>>"
-    )
+    planes_m = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+    weights = (1 << np.arange(bits, dtype=np.int64))[None, None, :]
 
+    @F.pandas_udf("array<int>")
+    def _buckets(emb: pd.Series) -> pd.Series:
+        m = np.array(list(emb), dtype=np.float64)  # (batch, dim)
+        signs = (m @ planes_m.T) >= 0  # (batch, n_planes)
+        table_bits = signs.reshape(len(m), n_tables, bits)
+        bks = (table_bits * weights).sum(axis=2).astype(np.int32)
+        return pd.Series(list(bks))
 
-def _projections(emb_col, planes_col):
-    """array<double> of <v, plane_p> for every plane — ONE expression
-    over the joined planes column, one pass over the vector per plane."""
-    return F.transform(
-        planes_col,
-        lambda p: F.aggregate(
-            F.zip_with(emb_col, p, lambda v, h: v.cast("double") * h),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-
-
-def _table_buckets(proj_col, n_tables: int, bits: int):
-    """array<struct<t,b>> of per-table sign-pattern buckets, derived
-    from a precomputed projection array column (cheap arithmetic)."""
-    entries = []
-    for t in range(n_tables):
-        b = F.lit(0)
-        for i in range(bits):
-            b = b + F.when(
-                proj_col[t * bits + i] >= 0, F.lit(2**i)
-            ).otherwise(F.lit(0))
-        entries.append(F.struct(F.lit(t).alias("t"), b.alias("b")))
-    return F.array(*entries)
+    return _buckets
 
 
 def lsh_ann_topk(
@@ -143,8 +131,9 @@ def lsh_ann_topk(
     tighter, so the same structure gets *better* selectivity there; at
     100 TB you raise ``bits_per_table`` with corpus size.
 
-    Plan shape: the corpus is bucketed in one narrow projection and
-    exploded to (table, bucket) postings — the L× posting duplication is
+    Plan shape: the corpus is bucketed in one narrow Arrow projection
+    (``_bucket_udf`` — a BLAS matmul per batch) and exploded to
+    (table, bucket) postings — the L× posting duplication is
     the classic LSH index cost (ids only at rest; here rows, because the
     re-rank needs the vector anyway). Candidates come from a broadcast
     equi-join on (table, bucket); a pair colliding in several tables is
@@ -155,55 +144,48 @@ def lsh_ann_topk(
     rows on the broadcast side, corpus untouched).
     """
     planes = _hyperplanes(n_tables * bits_per_table)
-    planes_df = _planes_df(embeddings, planes)
+    buckets = _bucket_udf(planes, n_tables, bits_per_table)
     corpus = (
         scale_out(embeddings)
-        .join(F.broadcast(planes_df))
         .select(
             "vec_id",
             "embedding",
             l2_norm(F.col("embedding")).alias("norm"),
-            _projections(F.col("embedding"), F.col("planes")).alias("proj"),
+            buckets(F.col("embedding")).alias("bks"),
         )
         .select(
             "vec_id",
             "embedding",
             "norm",
-            F.explode(
-                _table_buckets(F.col("proj"), n_tables, bits_per_table)
-            ).alias("tb"),
+            F.posexplode(F.col("bks")).alias("t", "b"),
         )
-        .select("vec_id", "embedding", "norm", "tb.t", "tb.b")
     )
     base_q = (
         _query_set(embeddings, n_queries)
-        .join(F.broadcast(planes_df))
         .select(
             "query_id",
             "q_embedding",
             "q_norm",
-            _projections(F.col("q_embedding"), F.col("planes")).alias("proj"),
+            buckets(F.col("q_embedding")).alias("bks"),
         )
         .select(
             "query_id",
             "q_embedding",
             "q_norm",
-            F.explode(
-                _table_buckets(F.col("proj"), n_tables, bits_per_table)
-            ).alias("qtb"),
+            F.posexplode(F.col("bks")).alias("q_t", "qb"),
         )
     )
-    probes = [F.col("qtb.b")]
+    probes = [F.col("qb")]
     if multi_probe_bits >= 1:
         probes += [
-            F.col("qtb.b").bitwiseXOR(F.lit(2**p))
+            F.col("qb").bitwiseXOR(F.lit(2**p))
             for p in range(bits_per_table)
         ]
     q = base_q.select(
         "query_id",
         "q_embedding",
         "q_norm",
-        F.col("qtb.t").alias("q_t"),
+        "q_t",
         F.explode(F.array(*probes)).alias("q_b"),
     )
     joined = corpus.join(
@@ -246,14 +228,45 @@ IVF_NUM_CENTROIDS = 16
 IVF_NUM_PROBE = 2
 
 
+def _centroid_matrix(centroids: DataFrame):
+    """Collect the (tiny, ``n_centroids``-row) centroid table to a
+    driver-side numpy matrix — the FAISS-train analog. Deliberate
+    ``collect()``: the quantizer IS driver state in every real ANN
+    system; what stays distributed is the corpus."""
+    rows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    cells = np.array([r["cell"] for r in rows], dtype=np.int32)
+    mat = np.array([r["c_embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0  # zero-norm centroid → sim 0, never wins
+    return cells, mat / norms[:, None]
+
+
+def _argmax_cell_udf(cells, cmat_normed):
+    """Vectorized nearest-centroid assignment: one BLAS matmul per
+    Arrow batch, ``argmax`` per row (first max = lowest cell id, the
+    same tie-break as the window path's ``desc sim, asc cell``).
+
+    Row norms divide out of ``argmax(dot/|c|/|v|)``, so only the
+    centroid side is pre-normalized — one multiply-free kernel.
+    """
+
+    @F.pandas_udf("int")
+    def _cell(emb: pd.Series) -> pd.Series:
+        m = np.array(list(emb), dtype=np.float64)
+        best = np.argmax(m @ cmat_normed.T, axis=1)
+        return pd.Series(cells[best])
+
+    return _cell
+
+
 def _assign_cells(vectors: DataFrame, centroids: DataFrame, n_best: int) -> DataFrame:
     """Attach the ``n_best`` nearest centroid ids (by cosine) to each vector.
 
     ``n_best=1`` (both corpus passes of the index build) is a **narrow
-    argmax**: the centroid set is collapsed to a single array-of-struct
-    row, broadcast, and each vector picks its best cell with
-    ``array_max`` over a ``transform`` — one projection, zero Exchange
-    on the corpus side. The naive alternative (explode 16 centroids per
+    argmax**: the centroid matrix is collected driver-side (tiny) and
+    each Arrow batch picks its best cell in one numpy matmul
+    (``_argmax_cell_udf``) — one projection, zero Exchange on the
+    corpus side. The naive alternative (explode 16 centroids per
     vector, rank with a ``Window.partitionBy(vec_id)``) shuffles
     n_centroids× the corpus by vec_id — a scale-killer at 100 TB.
 
@@ -261,29 +274,9 @@ def _assign_cells(vectors: DataFrame, centroids: DataFrame, n_best: int) -> Data
     handful of query vectors), where the explode+window plan is fine.
     """
     if n_best == 1:
-        cents = centroids.agg(
-            F.collect_list(
-                F.struct("cell", "c_embedding", "c_norm")
-            ).alias("cents")
-        )
-        scored = F.transform(
-            F.col("cents"),
-            # struct comparison is lexicographic: max by (c_sim, -cell)
-            # reproduces the window's (desc sim, asc cell) tie-break.
-            lambda c: F.struct(
-                cosine_from_norms(
-                    F.col("embedding"),
-                    c["c_embedding"],
-                    F.col("norm"),
-                    c["c_norm"],
-                ).alias("c_sim"),
-                (-c["cell"]).alias("neg_cell"),
-            ),
-        )
-        return (
-            vectors.join(F.broadcast(cents))
-            .withColumn("cell", (-F.array_max(scored)["neg_cell"]).cast("int"))
-            .drop("cents")
+        cells, cmat = _centroid_matrix(centroids)
+        return vectors.withColumn(
+            "cell", _argmax_cell_udf(cells, cmat)(F.col("embedding"))
         )
 
     scored = vectors.join(F.broadcast(centroids))
@@ -299,25 +292,58 @@ def _assign_cells(vectors: DataFrame, centroids: DataFrame, n_best: int) -> Data
     )
 
 
-def _mean_vectors(assigned: DataFrame) -> DataFrame:
-    """Per-cell mean vector in pure DataFrame algebra: posexplode the
-    dims, average per (cell, pos), reassemble in pos order."""
-    dims = assigned.select(
-        "cell", F.posexplode(F.col("embedding")).alias("pos", "v")
+def _refined_centroids(corpus: DataFrame, cells, cmat_normed):
+    """One Lloyd refinement as a single corpus pass with map-side
+    combine: each Arrow batch assigns its vectors to the nearest seed
+    AND emits per-cell partial ``(count, sum-vector)`` — so the shuffle
+    moves ~``n_batches × n_cells`` tiny rows, never the corpus. (The
+    pure-DataFrame alternative — posexplode every vector's 64 dims and
+    groupBy (cell, pos) — shuffles 64× the corpus.) The combined means
+    come back to the driver as the refined quantizer matrix.
+    """
+
+    def partials(batches):
+        for pdf in batches:
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            best = np.argmax(m @ cmat_normed.T, axis=1)
+            out_c, out_n, out_s = [], [], []
+            for j in np.unique(best):
+                sel = m[best == j]
+                out_c.append(int(cells[j]))
+                out_n.append(len(sel))
+                out_s.append(sel.sum(axis=0))
+            yield pd.DataFrame({"cell": out_c, "n": out_n, "s": out_s})
+
+    part = corpus.select("embedding").mapInPandas(
+        partials, "cell int, n long, s array<double>"
     )
-    means = dims.groupBy("cell", "pos").agg(
-        F.avg(F.col("v").cast("double")).alias("mv")
+    # combine: tiny (n_batches × n_cells input), per-dim sums
+    combined = (
+        part.select("cell", "n", F.posexplode("s").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("n").alias("sn"), F.sum("v").alias("sv"))
+        .collect()
     )
-    return (
-        means.groupBy("cell")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("s")
-        )
-        .select(
-            "cell",
-            F.transform(F.col("s"), lambda x: x["mv"]).alias("c_embedding"),
-        )
+    by_cell: dict[int, dict[int, float]] = {}
+    counts: dict[int, int] = {}
+    n_pos = 0
+    for r in combined:
+        by_cell.setdefault(r["cell"], {})[r["pos"]] = r["sv"]
+        counts[r["cell"]] = r["sn"]  # identical across a cell's pos rows
+        n_pos = max(n_pos, r["pos"] + 1)
+    new_cells = np.array(sorted(by_cell), dtype=np.int32)
+    mat = np.array(
+        [
+            [by_cell[c][p] for p in range(n_pos)]
+            for c in new_cells
+        ],
+        dtype=np.float64,
     )
+    cnt = np.array([counts[c] for c in new_cells], dtype=np.float64)
+    mat = mat / cnt[:, None]
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return new_cells, mat / norms[:, None], mat
 
 
 def ivf_topk(
@@ -330,49 +356,65 @@ def ivf_topk(
     """IVF-Flat approximate top-k: train a coarse quantizer, bucket the
     corpus by nearest centroid, probe ``n_probe`` cells per query.
 
-    Index build is two passes over the corpus (seed assignment + one
-    Lloyd refinement — the iterative-algorithm pattern in DataFrame
-    terms); search is a cell equi-join so each query scans only its
-    probed cells. Approximate by construction → rows-only driver check.
+    Train is ONE corpus pass (seed assignment + Lloyd partial sums in a
+    single Arrow kernel, ``_refined_centroids``), after which the
+    quantizer is driver-side numpy state — the FAISS shape. Index is a
+    second pass (argmax kernel, zero Exchange); at 100 TB the cell
+    column is the physical partitioning key you'd bucket the vector
+    table by, so a probe reads only its cells' files. Search computes
+    the (tiny) query→probe-cell mapping driver-side and broadcast-joins
+    it against the indexed corpus on cell; exact cosine re-ranks.
+    Approximate by construction → rows-only driver check; quality is
+    pinned by ``ann_recall``.
     """
     corpus = scale_out(embeddings).select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
     )
 
-    # --- train: deterministic seeds, one Lloyd refinement -------------
-    seeds = corpus.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").cast("int").alias("cell"),
-        F.col("embedding").alias("c_embedding"),
-        F.col("norm").alias("c_norm"),
+    # --- train: deterministic seeds, one Lloyd refinement, one pass ---
+    # one scan serves both driver-side small sets (seeds ∪ queries)
+    small_rows = sorted(
+        embeddings.filter(F.col("vec_id") < max(n_centroids, n_queries))
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
-    assigned0 = _assign_cells(corpus, seeds, n_best=1)
-    centroids = _mean_vectors(assigned0).select(
-        "cell",
-        "c_embedding",
-        l2_norm(F.col("c_embedding")).alias("c_norm"),
+    seed_rows = [r for r in small_rows if r["vec_id"] < n_centroids]
+    seed_cells = np.array([r["vec_id"] for r in seed_rows], dtype=np.int32)
+    seed_mat = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+    seed_norms = np.linalg.norm(seed_mat, axis=1)
+    seed_norms[seed_norms == 0] = 1.0
+    cells, cmat_normed, _ = _refined_centroids(
+        corpus, seed_cells, seed_mat / seed_norms[:, None]
     )
 
     # --- index: corpus bucketed by (refined) nearest cell -------------
-    indexed = _assign_cells(corpus, centroids, n_best=1)
+    indexed = corpus.withColumn(
+        "cell", _argmax_cell_udf(cells, cmat_normed)(F.col("embedding"))
+    )
 
-    # --- search: probe n_probe cells per query, exact re-rank ---------
-    q = _query_set(embeddings, n_queries)
-    q_cells = _assign_cells(
-        q.select(
-            F.col("query_id").alias("vec_id"),
-            F.col("q_embedding").alias("embedding"),
-            F.col("q_norm").alias("norm"),
-        ),
-        centroids,
-        n_best=n_probe,
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_embedding"),
-        F.col("norm").alias("q_norm"),
-        "cell",
+    # --- search: probe cells per query computed driver-side -----------
+    q_rows = [r for r in small_rows if r["vec_id"] < n_queries]
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    sims = q_mat @ cmat_normed.T  # row norm divides out of the ranking
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+    probe_rows = [
+        (
+            int(r["vec_id"]),
+            [float(v) for v in r["embedding"]],
+            float(q_norm[i]),
+            int(cells[c]),
+        )
+        for i, r in enumerate(q_rows)
+        for c in order[i]
+    ]
+    q_cells = embeddings.sparkSession.createDataFrame(
+        probe_rows,
+        "query_id long, q_embedding array<double>, q_norm double, cell int",
     )
     cand = indexed.join(
-        q_cells,
+        F.broadcast(q_cells),
         (indexed["cell"] == q_cells["cell"])
         & (indexed["vec_id"] != q_cells["query_id"]),
     )
