@@ -214,6 +214,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events")
         ),
         "sessionize": lambda s, d: temporal.sessionize(_t(s, d, "events")),
+        "change_filter": lambda s, d: temporal.change_filter(
+            _t(s, d, "events")
+        ),
         "range_join": lambda s, d: temporal.range_join_events(
             _t(s, d, "events")
         ),
@@ -731,6 +734,18 @@ def oracle_sql() -> dict[str, str]:
                    mm.ts AS matched_ts,
                    round(mm.value, 4) AS matched_value
             FROM m WHERE side = 1
+        """,
+        "change_filter": """
+            WITH o AS (
+                SELECT event_id, user_id, ts, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events
+            )
+            SELECT event_id, user_id, ts, event_type, prev_type
+            FROM o
+            WHERE prev_type IS NULL OR prev_type <> event_type
         """,
         "sessionize": f"""
             WITH o AS (

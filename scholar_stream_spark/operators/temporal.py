@@ -152,6 +152,30 @@ def range_join_events(
     )
 
 
+def change_filter(events: DataFrame) -> DataFrame:
+    """Emit-on-change (CDC-style suppress-repeats): per user, keep an
+    event only when its type differs from the user's previous event.
+
+    One ``lag`` window pass — single shuffle on user_id. This is the
+    batch analog of the *stateful streaming* operator
+    (``streaming/stateful.py::stateful_change_filter``); the streaming
+    parity test pins the two to identical output on ordered input.
+
+    Output: (event_id, user_id, ts, event_type, prev_type) where
+    prev_type is NULL for a user's first event.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag("event_type").over(w)
+    return (
+        events.withColumn("prev_type", prev)
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("event_id", "user_id", "ts", "event_type", "prev_type")
+    )
+
+
 def sessionize(
     events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
 ) -> DataFrame:
