@@ -42,6 +42,7 @@ from scholar_stream_spark.functions.hashing import (
 )
 from scholar_stream_spark.functions.text import mask_email, synthetic_email
 from scholar_stream_spark.operators import (
+    curation,
     dedup,
     multimodal,
     relational,
@@ -224,6 +225,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events")
         ),
         "split_assign": lambda s, d: sampling.assign_splits(
+            _t(s, d, "documents")
+        ),
+        "pack_docs": lambda s, d: sampling.pack_documents(
+            _t(s, d, "documents")
+        ),
+        "curate_corpus": lambda s, d: curation.curate_corpus(
             _t(s, d, "documents")
         ),
         # --- text analysis (SURVEY §2.8) ---
@@ -453,7 +460,10 @@ FROM r WHERE rank <= {similarity.ANN_TOPK}
 """
 
 
-def _lang_profile_sql() -> str:
+def _lang_case_sql() -> str:
+    """The pred_lang CASE expression, shared by ``lang_profile`` and
+    ``curate_corpus`` oracle texts (mirrors textops.pred_lang_expr)."""
+
     def hits(lang: str) -> str:
         words = ", ".join(f"'{w}'" for w in textops.LANG_MARKERS[lang])
         return (
@@ -469,10 +479,61 @@ def _lang_profile_sql() -> str:
             if other != lang
         ]
         branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+def _curate_sql() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
+    split_case = "CASE " + " ".join(
+        f"WHEN bucket >= {lo} AND bucket < {hi} THEN '{name}'"
+        for name, lo, hi in sampling.SPLIT_BOUNDS
+    ) + " END"
+    langs = ", ".join(f"'{x}'" for x in curation.CURATE_LANGS)
+    splits = ", ".join(f"'{x}'" for x in curation.CURATE_SPLITS)
     return f"""
-SELECT doc_id, lang AS labeled_lang, {case} AS pred_lang,
-       CAST({hits('en')} AS BIGINT) AS en_hits
+        WITH feat AS (
+            SELECT doc_id,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1
+                        AS BIGINT) AS n_doc_tokens,
+                   length(replace(text, ' ', '')) AS n_nonspace,
+                   len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   t -> t IN ({stop_list}))) AS n_stop,
+                   {_lang_case_sql()} AS pred_lang,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS fingerprint,
+                   ({hex48_sql("CAST(doc_id AS VARCHAR)")}) % 100 AS bucket
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, n_doc_tokens,
+                   round(CASE WHEN n_doc_tokens < 5 THEN 0.0
+                         ELSE 1.0 - abs(n_nonspace / n_doc_tokens - 4.0) / 10.0
+                              - (n_stop / n_doc_tokens) * 0.5 END, 4)
+                       AS quality_score,
+                   pred_lang, fingerprint, {split_case} AS split
+            FROM feat
+        ), passed AS (
+            SELECT * FROM scored
+            WHERE quality_score >= {curation.CURATE_MIN_QUALITY}
+              AND pred_lang IN ({langs})
+        ), dd AS (
+            SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                         ORDER BY doc_id) AS rn
+            FROM passed
+        )
+        SELECT doc_id, n_doc_tokens, quality_score, pred_lang, split
+        FROM dd WHERE rn = 1 AND split IN ({splits})
+    """
+
+
+def _lang_profile_sql() -> str:
+    en_words = ", ".join(f"'{w}'" for w in textops.LANG_MARKERS["en"])
+    en_hits = (
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+        f" t -> t IN ({en_words})))"
+    )
+    return f"""
+SELECT doc_id, lang AS labeled_lang, {_lang_case_sql()} AS pred_lang,
+       CAST({en_hits} AS BIGINT) AS en_hits
 FROM documents
 """
 
@@ -703,6 +764,7 @@ def oracle_sql() -> dict[str, str]:
             FROM feat
         """,
         "lang_profile": _lang_profile_sql(),
+        "curate_corpus": _curate_sql(),
         "doc_fingerprint": """
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
@@ -818,6 +880,28 @@ def oracle_sql() -> dict[str, str]:
                        for name, lo, hi in sampling.SPLIT_BOUNDS
                    )} END AS split
             FROM h
+        """,
+        "pack_docs": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       ({hex48_sql("CAST(doc_id AS VARCHAR)")})
+                           % {sampling.PACK_NUM_SHARDS} AS shard,
+                       CAST(length(text) - length(replace(text, ' ', ''))
+                            + 1 AS BIGINT) AS n_doc_tokens
+                FROM documents
+            ), offs AS (
+                SELECT doc_id, shard, n_doc_tokens,
+                       COALESCE(SUM(n_doc_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS start
+                FROM toks
+            )
+            SELECT doc_id, shard, n_doc_tokens,
+                   CAST(floor(start / {sampling.PACK_BUDGET_TOKENS})
+                        AS BIGINT) AS pack_seq,
+                   start % {sampling.PACK_BUDGET_TOKENS} AS offset_in_pack
+            FROM offs
         """,
         "tfidf_top_terms": f"""
             WITH pairs AS (

@@ -16,7 +16,7 @@ silently leaks val/test into train).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from scholar_stream_spark.functions.hashing import hex48_spark_sql
@@ -56,4 +56,58 @@ def assign_splits(
             F.col(key_col), bucket.cast("long").alias("bucket")
         )
         .withColumn("split", split)
+    )
+
+
+#: Sequence-packing defaults: token budget per training sequence and
+#: the number of independent packing shards.
+PACK_BUDGET_TOKENS = 2048
+PACK_NUM_SHARDS = 32
+
+
+def pack_documents(
+    documents: DataFrame,
+    budget_tokens: int = PACK_BUDGET_TOKENS,
+    n_shards: int = PACK_NUM_SHARDS,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing (the GPT-pretraining layout):
+    documents are laid out as a continuous token stream and cut into
+    ``budget_tokens``-sized packs; each doc is assigned to the pack
+    containing its START offset.
+
+    True bin-packing (next-fit with remainder reset) is a sequential
+    recurrence — not distributable and not what pretraining loaders do
+    anyway. Offset packing IS a prefix sum, which distributes: shard the
+    corpus by a stable hash of doc_id (shards pack independently — the
+    unit of parallelism AND of reproducibility), order by doc_id within
+    the shard, one running-sum window. One shuffle, on the shard key;
+    skew-free by construction (hash sharding). The assignment is fully
+    deterministic: same corpus → same packs on any cluster layout, and
+    the portable hash makes it oracle-checkable.
+
+    Output: (doc_id, shard, n_doc_tokens, pack_seq, offset_in_pack).
+    Global pack id at scale = (shard, pack_seq).
+    """
+    from scholar_stream_spark.operators.textops import n_tokens
+
+    shard = F.expr(
+        f"{hex48_spark_sql('CAST(doc_id AS STRING)')} % {n_shards}"
+    ).cast("long")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = documents.select(
+        "doc_id",
+        shard.alias("shard"),
+        n_tokens(F.col("text")).alias("n_doc_tokens"),
+    )
+    start = F.coalesce(F.sum("n_doc_tokens").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_doc_tokens",
+        F.floor(start / budget_tokens).alias("pack_seq"),
+        (start % budget_tokens).alias("offset_in_pack"),
     )

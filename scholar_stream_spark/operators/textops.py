@@ -58,22 +58,27 @@ def token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_parts(text: Column) -> tuple[Column, Column, Column, Column]:
+    """(n_tokens, mean_token_len, stopword_ratio, composite score) for a
+    text column — shared by ``text_quality`` and the composed
+    ``curation.curate_corpus`` so the two can never drift."""
+    toks = F.split(F.trim(text), r"\s+")
+    nt = n_tokens(text)
+    mean_len = F.length(F.regexp_replace(text, " ", "")) / nt
+    stop_ratio = _hits(toks, STOPWORDS) / nt
+    score = F.when(nt < 5, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.abs(mean_len - F.lit(4.0)) / F.lit(10.0)
+        - stop_ratio * F.lit(0.5)
+    )
+    return nt, mean_len, stop_ratio, score
+
+
 def text_quality(documents: DataFrame) -> DataFrame:
     """Quality-score features: token count, mean token length, stopword
     ratio, and a composite score — the standard cheap pre-filter before
     expensive dedup/training steps."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    nt = n_tokens(F.col("text"))
-    mean_len = (F.length(F.regexp_replace(F.col("text"), " ", "")) / nt)
-    stop_ratio = _hits(toks, STOPWORDS) / nt
-    score = (
-        F.when(nt < 5, F.lit(0.0))
-        .otherwise(
-            F.lit(1.0)
-            - F.abs(mean_len - F.lit(4.0)) / F.lit(10.0)
-            - stop_ratio * F.lit(0.5)
-        )
-    )
+    nt, mean_len, stop_ratio, score = quality_parts(F.col("text"))
     documents = scale_out(documents)
     return documents.select(
         "doc_id",
@@ -84,13 +89,10 @@ def text_quality(documents: DataFrame) -> DataFrame:
     )
 
 
-def lang_profile(documents: DataFrame) -> DataFrame:
-    """Language-ID heuristic: marker-word hit counts per language,
-    argmax with deterministic priority (LANG_ORDER), 'und' when nothing
-    matches. A real deployment swaps the marker lists for char-n-gram
-    models; the operator shape (single narrow projection) is the point.
-    """
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+def pred_lang_expr(text: Column) -> Column:
+    """Predicted language for a text column (see ``lang_profile``) —
+    shared with ``curation.curate_corpus``."""
+    toks = F.split(F.trim(text), r"\s+")
     hit_cols = {lang: _hits(toks, LANG_MARKERS[lang]) for lang in LANG_ORDER}
     best = None
     for lang in LANG_ORDER:
@@ -98,20 +100,27 @@ def lang_profile(documents: DataFrame) -> DataFrame:
         for other in LANG_ORDER:
             if other == lang:
                 continue
-            # strictly greater than later-priority langs, >= earlier ones
-            # is impossible because we take the FIRST maximal in order.
             cond = cond & (hit_cols[lang] >= hit_cols[other])
         this = F.when((hit_cols[lang] > 0) & cond, F.lit(lang))
         best = this if best is None else best.when(
             (hit_cols[lang] > 0) & cond, F.lit(lang)
         )
-    pred = best.otherwise(F.lit("und"))
+    return best.otherwise(F.lit("und"))
+
+
+def lang_profile(documents: DataFrame) -> DataFrame:
+    """Language-ID heuristic: marker-word hit counts per language,
+    argmax with deterministic priority (LANG_ORDER), 'und' when nothing
+    matches. A real deployment swaps the marker lists for char-n-gram
+    models; the operator shape (single narrow projection) is the point.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
     documents = scale_out(documents)
     return documents.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        pred.alias("pred_lang"),
-        hit_cols["en"].alias("en_hits"),
+        pred_lang_expr(F.col("text")).alias("pred_lang"),
+        _hits(toks, LANG_MARKERS["en"]).alias("en_hits"),
     )
 
 

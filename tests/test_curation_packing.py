@@ -1,0 +1,98 @@
+"""Sequence packing + composed corpus curation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scholar_stream_spark.operators import curation, sampling, textops
+from scholar_stream_spark.operators.dedup import exact_dedup_stats
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def test_pack_offsets_are_contiguous_per_shard(spark):
+    rows = sampling.pack_documents(_docs(spark)).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) > 1  # hash sharding actually spreads
+    for _shard, rs in by_shard.items():
+        rs = sorted(rs, key=lambda r: r["doc_id"])
+        stream_pos = 0
+        for r in rs:
+            assert (
+                r["pack_seq"] * sampling.PACK_BUDGET_TOKENS
+                + r["offset_in_pack"]
+                == stream_pos
+            )
+            stream_pos += r["n_doc_tokens"]
+
+
+def test_pack_is_partition_invariant(spark):
+    docs = _docs(spark)
+    a = {
+        r["doc_id"]: (r["shard"], r["pack_seq"], r["offset_in_pack"])
+        for r in sampling.pack_documents(docs).collect()
+    }
+    b = {
+        r["doc_id"]: (r["shard"], r["pack_seq"], r["offset_in_pack"])
+        for r in sampling.pack_documents(docs.repartition(13)).collect()
+    }
+    assert a == b
+
+
+def test_curate_matches_stagewise_composition(spark):
+    """The one-projection composition must equal running the standalone
+    operators stage by stage (the anti-drift guarantee)."""
+    docs = _docs(spark)
+    quality = {
+        r["doc_id"]: r["quality_score"]
+        for r in textops.text_quality(docs).collect()
+    }
+    lang = {
+        r["doc_id"]: r["pred_lang"]
+        for r in textops.lang_profile(docs).collect()
+    }
+    fp = {
+        r["doc_id"]: r["fingerprint"]
+        for r in textops.doc_fingerprints(docs).collect()
+    }
+    split = {
+        r["doc_id"]: r["split"]
+        for r in sampling.assign_splits(docs).collect()
+    }
+    passed = sorted(
+        d
+        for d in quality
+        if quality[d] >= curation.CURATE_MIN_QUALITY
+        and lang[d] in curation.CURATE_LANGS
+    )
+    seen: dict = {}
+    for d in passed:  # lowest doc_id survives per fingerprint
+        seen.setdefault(fp[d], d)
+    expected = {
+        d for d in seen.values() if split[d] in curation.CURATE_SPLITS
+    }
+    got = {r["doc_id"] for r in curation.curate_corpus(docs).collect()}
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_curate_dedups_exact_content(spark):
+    docs = _docs(spark)
+    stats = exact_dedup_stats(docs).first()
+    curated = curation.curate_corpus(
+        docs, min_quality=0.0, langs=("en", "de", "fr", "es", "und"),
+        splits=("train", "val", "test"),
+    )
+    # with all filters open, curation output == unique fingerprints
+    n_unique_norm = docs.select(
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        ).alias("f")
+    ).distinct().count()
+    assert curated.count() == n_unique_norm
+    assert curated.count() <= stats["n_docs"]
