@@ -233,6 +233,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": lambda s, d: curation.curate_corpus(
             _t(s, d, "documents")
         ),
+        "reservoir_sample": lambda s, d: sampling.stratified_reservoir(
+            _t(s, d, "documents")
+        ),
+        "hash_sample": lambda s, d: sampling.hash_sample(
+            _t(s, d, "documents"), 0.1
+        ).select("doc_id", "lang"),
         # --- text analysis (SURVEY §2.8) ---
         "token_counts": lambda s, d: textops.token_counts(_t(s, d, "documents")),
         "text_quality": lambda s, d: textops.text_quality(_t(s, d, "documents")),
@@ -765,6 +771,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_profile": _lang_profile_sql(),
         "curate_corpus": _curate_sql(),
+        "reservoir_sample": f"""
+            WITH ranked AS (
+                SELECT doc_id, lang AS stratum,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY ({hex48_sql("CAST(doc_id AS VARCHAR)")})
+                                    % {sampling.SAMPLE_DENOM},
+                                    doc_id) AS sample_rank
+                FROM documents
+            )
+            SELECT doc_id, stratum, CAST(sample_rank AS BIGINT) AS sample_rank
+            FROM ranked
+            WHERE sample_rank <= {sampling.RESERVOIR_PER_STRATUM}
+        """,
+        "hash_sample": f"""
+            SELECT doc_id, lang
+            FROM documents
+            WHERE ({hex48_sql("CAST(doc_id AS VARCHAR)")})
+                  % {sampling.SAMPLE_DENOM}
+                  < {int(0.1 * sampling.SAMPLE_DENOM)}
+        """,
         "doc_fingerprint": """
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))

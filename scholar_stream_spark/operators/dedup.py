@@ -225,43 +225,86 @@ def ngram_jaccard_pairs(
     return jac.select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _grouped_shingle_hashes(
+    documents: DataFrame, n: int, hash_profile: str
+) -> DataFrame:
+    """(doc_id, hs array<long>) — ONE shuffle: group each doc's distinct
+    shingle hashes."""
+    sh = distinct_shingles(documents, n)
+    hashed = sh.select("doc_id", _shingle_hash(hash_profile).alias("h"))
+    return hashed.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+
+
+def _sig_matrix(hs_list) -> "np.ndarray":
+    """(n_docs, 32) MinHash signature matrix for a batch of hash arrays.
+
+    One vectorized int64 kernel instead of 32 array ``transform``
+    expressions: higher-order functions are interpreted per row (no
+    whole-stage codegen), while numpy computes the whole
+    (a_j * h + b_j) % P min-matrix per batch — exact same values
+    (products < 2^62, no overflow), ~5× cheaper.
+    """
+    a_vec = np.array([a for a, _ in MINHASH_PARAMS], dtype=np.int64)
+    b_vec = np.array([b for _, b in MINHASH_PARAMS], dtype=np.int64)
+    out = np.empty((len(hs_list), len(MINHASH_PARAMS)), dtype=np.int64)
+    for i, arr in enumerate(hs_list):
+        h = np.asarray(arr, dtype=np.int64) % MINHASH_PRIME
+        m = (a_vec[:, None] * h[None, :] + b_vec[:, None]) % MINHASH_PRIME
+        out[i] = m.min(axis=1)
+    return out
+
+
 def minhash_signatures(
     documents: DataFrame, n: int = SHINGLE_N, hash_profile: str = "portable"
 ) -> DataFrame:
-    """(doc_id, sig array<long>) MinHash signatures.
+    """(doc_id, s0..s31) MinHash signatures (see ``_sig_matrix``).
 
-    One shuffle total: group the distinct shingle hashes per doc, then
-    each of the 32 signature slots is ``array_min(transform(hs, ...))``
-    — pure array expressions, map-side combinable, no hash-function
-    explosion. Reference point for the technique: Broder's MinHash +
-    banding as in MMDS ch.3; implementation is Spark array algebra.
+    Reference point for the technique: Broder's MinHash + banding as in
+    MMDS ch.3; implementation is one grouped shuffle + an Arrow kernel.
     """
-    sh = distinct_shingles(documents, n)
-    hashed = sh.select("doc_id", _shingle_hash(hash_profile).alias("h"))
-    grouped = hashed.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
-
-    # The 32 signature slots are one vectorized Arrow kernel, not 32
-    # array `transform`s: higher-order functions are interpreted per
-    # row (no whole-stage codegen), while numpy computes the whole
-    # (a_j * h + b_j) % P min-matrix per batch in int64 — exact same
-    # values (products < 2^62, no overflow), ~5× cheaper.
-    a_vec = np.array([a for a, _ in MINHASH_PARAMS], dtype=np.int64)
-    b_vec = np.array([b for _, b in MINHASH_PARAMS], dtype=np.int64)
+    grouped = _grouped_shingle_hashes(documents, n, hash_profile)
 
     @F.pandas_udf("array<long>")
     def _sig(hs: pd.Series) -> pd.Series:
-        out = []
-        for arr in hs:
-            h = np.asarray(arr, dtype=np.int64) % MINHASH_PRIME
-            # (n_hashes, |hs|) universal-hash matrix, min per row
-            m = (a_vec[:, None] * h[None, :] + b_vec[:, None]) % MINHASH_PRIME
-            out.append(m.min(axis=1))
-        return pd.Series(out)
+        return pd.Series(list(_sig_matrix(list(hs))))
 
     sigs = grouped.select("doc_id", _sig(F.col("hs")).alias("sig"))
     return sigs.select(
         "doc_id",
         *[F.col("sig")[j].alias(f"s{j}") for j in range(len(MINHASH_PARAMS))],
+    )
+
+
+def _band_keys(documents: DataFrame, n: int, hash_profile: str) -> DataFrame:
+    """(doc_id, band, key) LSH postings, band keys built INSIDE the
+    signature kernel — the '-'-joined 4-row band key strings come out of
+    the same Arrow batch that computed the signatures, so the plan has
+    no 32-column unpack + concat_ws tree to analyze/codegen and no extra
+    projection stage. Key strings are identical to joining the
+    ``minhash_signatures`` columns (pinned by the oracle)."""
+
+    @F.pandas_udf("array<string>")
+    def _keys(hs: pd.Series) -> pd.Series:
+        sig = _sig_matrix(list(hs))
+        keys = []
+        for row in sig:
+            keys.append(
+                [
+                    "-".join(
+                        str(v)
+                        for v in row[
+                            b * MINHASH_ROWS_PER_BAND : (b + 1)
+                            * MINHASH_ROWS_PER_BAND
+                        ]
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        return pd.Series(keys)
+
+    grouped = _grouped_shingle_hashes(documents, n, hash_profile)
+    return grouped.select(
+        "doc_id", F.posexplode(_keys(F.col("hs"))).alias("band", "key")
     )
 
 
@@ -279,23 +322,7 @@ def minhash_lsh_pairs(
     hash-free, so ``hash_profile`` only changes which candidates LSH
     surfaces, never the correctness of an emitted pair.
     """
-    sigs = minhash_signatures(documents, n, hash_profile)
-    band_structs = []
-    for band in range(MINHASH_BANDS):
-        lo = band * MINHASH_ROWS_PER_BAND
-        key = F.concat_ws(
-            "-",
-            *[
-                F.col(f"s{j}").cast("string")
-                for j in range(lo, lo + MINHASH_ROWS_PER_BAND)
-            ],
-        )
-        band_structs.append(
-            F.struct(F.lit(band).alias("band"), key.alias("key"))
-        )
-    bands = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = _band_keys(documents, n, hash_profile)
 
     cand = (
         bands.alias("a")

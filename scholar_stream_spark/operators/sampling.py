@@ -59,6 +59,69 @@ def assign_splits(
     )
 
 
+#: Uniform-sample denominator: hash buckets for fraction sampling.
+SAMPLE_DENOM = 1_000_000
+
+#: Per-stratum reservoir size default.
+RESERVOIR_PER_STRATUM = 50
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic uniform sample: keep a row iff its portable hash
+    bucket falls below ``fraction`` of the bucket space.
+
+    Unlike ``df.sample`` the result is identical on any cluster, any
+    partitioning, any Spark version — the property a training pipeline
+    needs so a re-run selects the SAME subset. A narrow filter (no
+    shuffle, pushes past everything except the hash itself).
+    """
+    bucket = F.expr(
+        f"{hex48_spark_sql(f'CAST({key_col} AS STRING)')} % {SAMPLE_DENOM}"
+    )
+    return df.filter(bucket < int(fraction * SAMPLE_DENOM))
+
+
+def stratified_reservoir(
+    df: DataFrame,
+    strata_col: str = "lang",
+    n_per_stratum: int = RESERVOIR_PER_STRATUM,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum reservoir: the ``n_per_stratum`` rows
+    with the smallest portable-hash values in each stratum — a uniform
+    sample per stratum (hash uniformity) that is exactly reproducible,
+    unlike ``sampleBy``.
+
+    One shuffle (the per-stratum ranking window). At 100 TB, don't rank
+    whole strata: pre-filter with ``hash_sample`` at a fraction that
+    overshoots ``n_per_stratum`` (e.g. 3n/|stratum| from table stats)
+    and rank only the survivors — the window then sees thousands of
+    rows per stratum, not billions. The result is identical because the
+    reservoir ranks on the SAME bucket value ``hash_sample`` filters on
+    (the pre-filter is a prefix of the ranking order) — verified by
+    ``test_reservoir_consistent_with_prefilter``.
+
+    Output: (key, stratum, sample_rank).
+    """
+    bucket = F.expr(
+        f"{hex48_spark_sql(f'CAST({key_col} AS STRING)')} % {SAMPLE_DENOM}"
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        bucket.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+        .select(
+            F.col(key_col),
+            F.col(strata_col).alias("stratum"),
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+        )
+    )
+
+
 #: Sequence-packing defaults: token budget per training sequence and
 #: the number of independent packing shards.
 PACK_BUDGET_TOKENS = 2048

@@ -44,6 +44,38 @@ def test_pack_is_partition_invariant(spark):
     assert a == b
 
 
+def test_hash_sample_is_partition_invariant_and_near_fraction(spark):
+    docs = _docs(spark)
+    a = {r["doc_id"] for r in sampling.hash_sample(docs, 0.2).collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.hash_sample(docs.repartition(7), 0.2).collect()
+    }
+    assert a == b
+    n = docs.count()
+    assert 0.1 * n < len(a) < 0.3 * n  # hash-uniformity sanity band
+
+
+def test_reservoir_consistent_with_prefilter(spark):
+    """Pre-filtering with hash_sample at an overshooting fraction must
+    not change the reservoir — the scale path's correctness claim."""
+    docs = _docs(spark)
+    full = {
+        (r["doc_id"], r["stratum"], r["sample_rank"])
+        for r in sampling.stratified_reservoir(docs, n_per_stratum=5).collect()
+    }
+    pre = sampling.hash_sample(docs, 0.5)
+    filtered = {
+        (r["doc_id"], r["stratum"], r["sample_rank"])
+        for r in sampling.stratified_reservoir(pre, n_per_stratum=5).collect()
+    }
+    assert full == filtered
+    per_stratum: dict = {}
+    for _d, s, _r in full:
+        per_stratum[s] = per_stratum.get(s, 0) + 1
+    assert all(v <= 5 for v in per_stratum.values())
+
+
 def test_curate_matches_stagewise_composition(spark):
     """The one-projection composition must equal running the standalone
     operators stage by stage (the anti-drift guarantee)."""
