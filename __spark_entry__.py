@@ -468,7 +468,7 @@ FROM r WHERE rank <= {similarity.ANN_TOPK}
 
 def _lang_case_sql() -> str:
     """The pred_lang CASE expression, shared by ``lang_profile`` and
-    ``curate_corpus`` oracle texts (mirrors textops.pred_lang_expr)."""
+    ``curate_corpus`` oracle texts (mirrors textops.pred_lang_from_hits)."""
 
     def hits(lang: str) -> str:
         words = ", ".join(f"'{w}'" for w in textops.LANG_MARKERS[lang])

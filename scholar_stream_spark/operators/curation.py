@@ -16,7 +16,7 @@ content fingerprint — unavoidable (global property) and minimal (keyed
 on the fingerprint, AQE-splittable).
 
 All expressions are shared with the standalone operators
-(``textops.quality_parts``, ``textops.pred_lang_expr``,
+(``textops.quality_parts``, ``textops.pred_lang_from_hits``,
 ``text.normalize_text``, ``sampling.split_bucket``) so the composed
 output provably matches running the stages separately.
 """
@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 
 from scholar_stream_spark.functions.text import normalize_text
 from scholar_stream_spark.operators.sampling import SPLIT_BOUNDS, split_bucket
-from scholar_stream_spark.operators.textops import pred_lang_expr, quality_parts
+from scholar_stream_spark.operators.textops import (
+    LANG_ORDER,
+    lang_hit_cols,
+    pred_lang_from_hits,
+    quality_parts,
+)
 from scholar_stream_spark.plans.partitioning import scale_out
 
 #: Curation defaults (shared with the DuckDB oracle text).
@@ -63,13 +68,24 @@ def curate_corpus(
             if split is None
             else split.when(cond, F.lit(name))
         )
-    scored = scale_out(documents).select(
+    hits = lang_hit_cols(F.col("text"))
+    staged = scale_out(documents).select(
         "doc_id",
         nt.alias("n_doc_tokens"),
         F.round(score, 4).alias("quality_score"),
-        pred_lang_expr(F.col("text")).alias("pred_lang"),
+        *[hits[lang].alias(f"_h_{lang}") for lang in LANG_ORDER],
         F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
         split.alias("split"),
+    )
+    scored = staged.select(
+        "doc_id",
+        "n_doc_tokens",
+        "quality_score",
+        pred_lang_from_hits(
+            {lang: F.col(f"_h_{lang}") for lang in LANG_ORDER}
+        ).alias("pred_lang"),
+        "fingerprint",
+        "split",
     )
     passed = scored.filter(
         (F.col("quality_score") >= min_quality)

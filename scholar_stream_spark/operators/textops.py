@@ -89,11 +89,23 @@ def text_quality(documents: DataFrame) -> DataFrame:
     )
 
 
-def pred_lang_expr(text: Column) -> Column:
-    """Predicted language for a text column (see ``lang_profile``) —
-    shared with ``curation.curate_corpus``."""
+def lang_hit_cols(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts for a text column.
+
+    Materialize these in a projection BEFORE applying
+    ``pred_lang_from_hits``: array ``filter`` lambdas are interpreted
+    (no codegen), and the priority-argmax CASE references every count
+    O(L) times — inlining the filters multiplies interpreted work ~3×
+    and bloats the expression tree Catalyst must analyze. Two stages
+    bound it at one filter per language per row.
+    """
     toks = F.split(F.trim(text), r"\s+")
-    hit_cols = {lang: _hits(toks, LANG_MARKERS[lang]) for lang in LANG_ORDER}
+    return {lang: _hits(toks, LANG_MARKERS[lang]) for lang in LANG_ORDER}
+
+
+def pred_lang_from_hits(hit_cols: dict[str, Column]) -> Column:
+    """Priority-argmax language from (already materialized) hit counts
+    (see ``lang_profile``) — shared with ``curation.curate_corpus``."""
     best = None
     for lang in LANG_ORDER:
         cond = F.lit(True)
@@ -114,13 +126,18 @@ def lang_profile(documents: DataFrame) -> DataFrame:
     matches. A real deployment swaps the marker lists for char-n-gram
     models; the operator shape (single narrow projection) is the point.
     """
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    documents = scale_out(documents)
-    return documents.select(
+    hits = lang_hit_cols(F.col("text"))
+    staged = scale_out(documents).select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        pred_lang_expr(F.col("text")).alias("pred_lang"),
-        _hits(toks, LANG_MARKERS["en"]).alias("en_hits"),
+        *[hits[lang].alias(f"_h_{lang}") for lang in LANG_ORDER],
+    )
+    staged_hits = {lang: F.col(f"_h_{lang}") for lang in LANG_ORDER}
+    return staged.select(
+        "doc_id",
+        "labeled_lang",
+        pred_lang_from_hits(staged_hits).alias("pred_lang"),
+        F.col("_h_en").alias("en_hits"),
     )
 
 
