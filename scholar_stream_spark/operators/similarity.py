@@ -422,7 +422,15 @@ def ivf_topk(
 
 
 def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
-    """Exact-cosine re-rank of a candidate set to per-query top-k."""
+    """Exact-cosine re-rank of a candidate set to per-query top-k.
+
+    Deliberately JVM-expression cosine, NOT an Arrow kernel: after the
+    candidate join both vectors already sit JVM-side, so a per-pair
+    pandas UDF would serialize 2×64 doubles per candidate to Python —
+    measured ~2× slower than the interpreted ``aggregate`` dot at
+    typical candidate densities. Arrow kernels win only when each row
+    is shipped ONCE and scored against many queries in-kernel
+    (``cosine_topk_pandas``'s batch matmul), not per pair."""
     cos = cosine_from_norms(
         F.col("q_embedding"), F.col("embedding"), F.col("q_norm"), F.col("norm")
     )
