@@ -239,6 +239,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": lambda s, d: sampling.hash_sample(
             _t(s, d, "documents"), 0.1
         ).select("doc_id", "lang"),
+        # PII scrub demo: inject deterministic emails/ids into the text
+        # (the synthetic corpus has none) so the redaction is exercised;
+        # the oracle injects the identical suffix.
+        "scrub_pii": lambda s, d: textops.scrub_pii(
+            _t(s, d, "documents").select(
+                "doc_id",
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com ref "),
+                    (F.col("doc_id") * 1234567 + 10000000).cast("string"),
+                ).alias("text"),
+            )
+        ),
+        "repetition_stats": lambda s, d: textops.repetition_stats(
+            _t(s, d, "documents")
+        ),
         # --- text analysis (SURVEY §2.8) ---
         "token_counts": lambda s, d: textops.token_counts(_t(s, d, "documents")),
         "text_quality": lambda s, d: textops.text_quality(_t(s, d, "documents")),
@@ -771,6 +789,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_profile": _lang_profile_sql(),
         "curate_corpus": _curate_sql(),
+        "scrub_pii": f"""
+            WITH injected AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com ref '
+                            || CAST(doc_id * 1234567 + 10000000 AS VARCHAR)
+                           AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(text, '{textops.PII_EMAIL_RE}',
+                                      '<EMAIL>', 'g'),
+                       '{textops.PII_DIGITS_RE}', '<NUM>', 'g') AS scrubbed,
+                   CAST(len(regexp_extract_all(text, '{textops.PII_EMAIL_RE}'))
+                        AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{textops.PII_DIGITS_RE}'))
+                        AS BIGINT) AS n_digit_runs
+            FROM injected
+        """,
+        "repetition_stats": """
+            WITH tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\\s+'))
+                               AS term
+                    FROM documents
+                )
+                GROUP BY doc_id, term
+            )
+            SELECT doc_id,
+                   SUM(tf) AS n_tokens,
+                   COUNT(*) AS n_distinct,
+                   round(1.0 - COUNT(*) / SUM(tf), 4) AS dup_token_ratio,
+                   round(MAX(tf) / SUM(tf), 4) AS top_token_ratio
+            FROM tf GROUP BY doc_id
+        """,
         "reservoir_sample": f"""
             WITH ranked AS (
                 SELECT doc_id, lang AS stratum,

@@ -190,6 +190,75 @@ def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     )
 
 
+#: PII patterns (C4/CCNet-style scrubbing): emails and long digit runs.
+#: POSIX-safe character classes — the exact same pattern text compiles in
+#: Spark (Java regex) and DuckDB (RE2), which the oracle relies on.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_DIGITS_RE = "[0-9]{7,}"
+
+
+def scrub_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails and long digit runs (ids/phones) from a text
+    column — the standard pre-training PII scrub, as narrow
+    ``regexp_replace``/``regexp_count`` projections (JVM regex, no
+    Python, no shuffle).
+
+    Output: (doc_id, scrubbed, n_emails, n_digit_runs).
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+        PII_DIGITS_RE,
+        "<NUM>",
+    )
+    return scale_out(documents).select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_DIGITS_RE))
+        .cast("long")
+        .alias("n_digit_runs"),
+    )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Per-document repetition features (Gopher-style quality rules):
+    duplicate-token ratio and most-frequent-token share.
+
+    One explode + one (doc, term) groupBy + one doc-level rollup — the
+    same map-side-combined shape as tf-idf; nothing quadratic. High
+    ``dup_token_ratio`` / ``top_token_ratio`` flags boilerplate and
+    generator loops that length/stopword heuristics miss.
+
+    Output: (doc_id, n_tokens, n_distinct, dup_token_ratio,
+    top_token_ratio).
+    """
+    pairs = scale_out(documents).select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    tf = pairs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("tf").alias("max_tf"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"), 4
+            ).alias("dup_token_ratio"),
+            F.round(F.col("max_tf") / F.col("n_tokens"), 4).alias(
+                "top_token_ratio"
+            ),
+        )
+    )
+
+
 def doc_fingerprints(documents: DataFrame) -> DataFrame:
     """Deterministic document fingerprint: md5 over the normalized text
     (lowercase, collapsed whitespace) — the exact-dedup / cache key."""

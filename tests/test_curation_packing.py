@@ -113,6 +113,32 @@ def test_curate_matches_stagewise_composition(spark):
     assert len(got) > 0
 
 
+def test_scrub_pii_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b-c@ex.co or 12345678 soon"),
+            (2, "clean text 123"),  # short digit run untouched
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textops.scrub_pii(df).collect()}
+    assert rows[1]["scrubbed"] == "mail me at <EMAIL> or <NUM> soon"
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_digit_runs"] == 1
+    assert rows[2]["scrubbed"] == "clean text 123"
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_digit_runs"] == 0
+
+
+def test_repetition_stats_flags_loops(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam ham"), (2, "all words here differ now")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textops.repetition_stats(df).collect()}
+    assert rows[1]["n_tokens"] == 5 and rows[1]["n_distinct"] == 2
+    assert rows[1]["top_token_ratio"] == 0.8
+    assert rows[2]["dup_token_ratio"] == 0.0
+
+
 def test_curate_dedups_exact_content(spark):
     docs = _docs(spark)
     stats = exact_dedup_stats(docs).first()
