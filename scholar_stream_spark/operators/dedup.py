@@ -10,9 +10,10 @@ small SF against a DuckDB oracle:
 - **n-gram Jaccard** — candidate pairs share ≥1 distinct n-word
   shingle (equi-join on shingle, NOT a cross join), then exact Jaccard.
 - **MinHash + LSH** — per-doc signature in ONE aggregation (collect the
-  distinct shingle hashes, then 32 ``array_min(transform(...))``
-  expressions — no per-hash shuffle), banded into LSH keys, candidate
-  pairs from an equi-join on (band, key), then exact-Jaccard verify.
+  distinct shingle hashes, then a vectorized numpy min-matrix kernel —
+  no per-hash shuffle; see ``_sig_matrix``), banded into LSH keys built
+  inside the same Arrow batch, candidate pairs from an equi-join on
+  (band, key), then exact-Jaccard verify.
 - **SimHash** — 32-bit signature from per-bit weight sums (one groupBy,
   32 map-side-combined sums), candidates from 8-bit band equality
   (pigeonhole: hamming ≤ 3 over 4 bands ⇒ ≥1 band equal, so banding is
