@@ -57,3 +57,28 @@ def test_compact_raw_reduces_files_keeps_rows(spark, tmp_path):
         for r in spark.read.parquet(raw).collect()
     }
     assert len(ids) == 50
+
+
+def test_write_partitioned_layout_and_roundtrip(spark, tmp_path):
+    from scholar_stream_spark.operators.sampling import assign_splits
+    from scholar_stream_spark.sources.table_sink import write_partitioned
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    tagged = docs.join(assign_splits(docs).select("doc_id", "split"), "doc_id")
+    out = str(tmp_path / "curated")
+    write_partitioned(tagged, out, ["split"], sort_cols=["doc_id"])
+
+    import os
+
+    parts = sorted(
+        d for d in os.listdir(out) if d.startswith("split=")
+    )
+    assert parts == ["split=test", "split=train", "split=val"]
+    # small-file discipline: repartition-by-partition-col bounds files
+    for d in parts:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert 1 <= len(files) <= 4
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(tagged.columns)
