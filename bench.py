@@ -155,6 +155,29 @@ def main() -> None:
         .save()
     )
 
+    # ... and the common physical-plan shapes (broadcast join, ranking
+    # window, explode, hash agg, sort) so the first *real* query isn't
+    # charged for one-time whole-stage-codegen + JIT compilation of
+    # those operators — on a long-lived cluster these are compiled once
+    # per session, not once per query.
+    from pyspark.sql import Window as _W  # noqa: PLC0415
+
+    _a = spark.range(0, 4096, 1, 32).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.sequence(F.lit(0), F.lit(2)).alias("arr")
+    )
+    _b = spark.range(0, 64).select(F.col("id").alias("k2"))
+    (
+        _a.select("id", "k", F.explode("arr").alias("e"))
+        .join(F.broadcast(_b), F.col("k") == F.col("k2"))
+        .groupBy("k")
+        .agg(F.sum("e").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(_W.partitionBy("k").orderBy(F.desc("s"))))
+        .orderBy("k")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     t0 = time.time()

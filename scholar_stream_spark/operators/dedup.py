@@ -277,6 +277,14 @@ def minhash_signatures(
 
 
 def _band_keys(documents: DataFrame, n: int, hash_profile: str) -> DataFrame:
+    """(doc_id, band, key) LSH postings from the raw documents table
+    (convenience wrapper over ``_band_keys_from_grouped``)."""
+    return _band_keys_from_grouped(
+        _grouped_shingle_hashes(documents, n, hash_profile)
+    )
+
+
+def _band_keys_from_grouped(grouped: DataFrame) -> DataFrame:
     """(doc_id, band, key) LSH postings, band keys built INSIDE the
     signature kernel — the '-'-joined 4-row band key strings come out of
     the same Arrow batch that computed the signatures, so the plan has
@@ -303,7 +311,6 @@ def _band_keys(documents: DataFrame, n: int, hash_profile: str) -> DataFrame:
             )
         return pd.Series(keys)
 
-    grouped = _grouped_shingle_hashes(documents, n, hash_profile)
     return grouped.select(
         "doc_id", F.posexplode(_keys(F.col("hs"))).alias("band", "key")
     )
@@ -319,11 +326,21 @@ def minhash_lsh_pairs(
 
     Banding: 8 bands × 4 rows → P(candidate | J=0.8) ≈ 0.985. Candidate
     generation is an equi-join on (band, key) — never a cross join — so
-    cost scales with bucket occupancy, not corpus². The verify step is
-    hash-free, so ``hash_profile`` only changes which candidates LSH
-    surfaces, never the correctness of an emitted pair.
+    cost scales with bucket occupancy, not corpus².
+
+    Every stage feeds off ONE ``(doc_id, hs)`` grouped-hash exchange:
+    band keys come out of the signature kernel over it, and the verify
+    joins the (rare) candidates back against the same arrays, scoring
+    Jaccard with ``array_intersect`` on the per-doc distinct-shingle
+    hash sets. Identical exchange subtree → Spark's ReuseExchange runs
+    the scan→shingle→hash lineage once instead of once per consumer —
+    at 100 TB that is the difference between shingling the corpus one
+    time and three times. Verify-on-hashes is exact up to 48-bit hash
+    collisions (P ≈ |pairs|·|shingles|²/2^49; the oracle crosschecks
+    string-level Jaccard and stays green).
     """
-    bands = _band_keys(documents, n, hash_profile)
+    grouped = _grouped_shingle_hashes(documents, n, hash_profile)
+    bands = _band_keys_from_grouped(grouped)
 
     cand = (
         bands.alias("a")
@@ -336,8 +353,38 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    sh = distinct_shingles(documents, n)
-    return _verify_jaccard(cand, sh, threshold)
+    return _verify_jaccard_hashed(cand, grouped, threshold)
+
+
+def _verify_jaccard_hashed(
+    cand: DataFrame, grouped: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs from per-doc hash arrays.
+
+    The candidate set is rare by construction (that's what banding is
+    for), so both lookups broadcast it against the grouped-hash table;
+    the intersection is a per-row ``array_intersect`` over ~hundreds of
+    int64s — no shingle-level shuffle at all.
+    """
+    g1 = grouped.select(F.col("doc_id").alias("d1"), F.col("hs").alias("hs1"))
+    g2 = grouped.select(F.col("doc_id").alias("d2"), F.col("hs").alias("hs2"))
+    jac = (
+        g1.join(F.broadcast(cand), "d1")
+        .join(g2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("hs1", "hs2")).alias("n_inter"),
+            F.size("hs1").alias("n1"),
+            F.size("hs2").alias("n2"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
 
 
 def _simhash_width(hash_profile: str) -> tuple[int, int]:

@@ -295,11 +295,12 @@ def _assign_cells(vectors: DataFrame, centroids: DataFrame, n_best: int) -> Data
 def _refined_centroids(corpus: DataFrame, cells, cmat_normed):
     """One Lloyd refinement as a single corpus pass with map-side
     combine: each Arrow batch assigns its vectors to the nearest seed
-    AND emits per-cell partial ``(count, sum-vector)`` — so the shuffle
-    moves ~``n_batches × n_cells`` tiny rows, never the corpus. (The
+    AND emits per-cell partial ``(count, sum-vector)`` — so only
+    ~``n_batches × n_cells`` tiny rows ever leave the executors,
+    collected straight to the driver with zero Exchange. (The
     pure-DataFrame alternative — posexplode every vector's 64 dims and
     groupBy (cell, pos) — shuffles 64× the corpus.) The combined means
-    come back to the driver as the refined quantizer matrix.
+    become the refined quantizer matrix.
     """
 
     def partials(batches):
@@ -314,31 +315,28 @@ def _refined_centroids(corpus: DataFrame, cells, cmat_normed):
                 out_s.append(sel.sum(axis=0))
             yield pd.DataFrame({"cell": out_c, "n": out_n, "s": out_s})
 
-    part = corpus.select("embedding").mapInPandas(
-        partials, "cell int, n long, s array<double>"
-    )
-    # combine: tiny (n_batches × n_cells input), per-dim sums
+    # combine driver-side: the partials are ≤ n_batches × n_cells rows
+    # of (cell, count, 64-dim sum) — collecting them directly is one
+    # stage with zero Exchange; a posexplode+groupBy combine would add
+    # a 64×-partials shuffle and a whole extra stage for rows that fit
+    # in a single numpy call anyway.
     combined = (
-        part.select("cell", "n", F.posexplode("s").alias("pos", "v"))
-        .groupBy("cell", "pos")
-        .agg(F.sum("n").alias("sn"), F.sum("v").alias("sv"))
+        corpus.select("embedding")
+        .mapInPandas(partials, "cell int, n long, s array<double>")
         .collect()
     )
-    by_cell: dict[int, dict[int, float]] = {}
+    by_cell: dict[int, np.ndarray] = {}
     counts: dict[int, int] = {}
-    n_pos = 0
     for r in combined:
-        by_cell.setdefault(r["cell"], {})[r["pos"]] = r["sv"]
-        counts[r["cell"]] = r["sn"]  # identical across a cell's pos rows
-        n_pos = max(n_pos, r["pos"] + 1)
+        vec = np.asarray(r["s"], dtype=np.float64)
+        if r["cell"] in by_cell:
+            by_cell[r["cell"]] = by_cell[r["cell"]] + vec
+            counts[r["cell"]] += r["n"]
+        else:
+            by_cell[r["cell"]] = vec
+            counts[r["cell"]] = r["n"]
     new_cells = np.array(sorted(by_cell), dtype=np.int32)
-    mat = np.array(
-        [
-            [by_cell[c][p] for p in range(n_pos)]
-            for c in new_cells
-        ],
-        dtype=np.float64,
-    )
+    mat = np.array([by_cell[c] for c in new_cells], dtype=np.float64)
     cnt = np.array([counts[c] for c in new_cells], dtype=np.float64)
     mat = mat / cnt[:, None]
     norms = np.linalg.norm(mat, axis=1)
