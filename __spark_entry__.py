@@ -42,6 +42,8 @@ from scholar_stream_spark.functions.hashing import (
 )
 from scholar_stream_spark.functions.text import mask_email, synthetic_email
 from scholar_stream_spark.operators import (
+    cdc,
+    chunking,
     curation,
     dedup,
     multimodal,
@@ -92,6 +94,54 @@ _CUSTOMER_EMAIL_SQL = """
          ELSE lower(replace(c_name, '#', '.')) || '@customers.example.com'
     END
 """
+
+
+def _scd2_inputs(customer: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic SCD2 demo inputs from the customer table: the
+    snapshot opens every customer at 2026-01-01; the change batch
+    updates every 10th key's balance, deletes every (10k+5)th, inserts
+    a shifted-key copy of every (10k+3)rd, and replays every (10k+7)th
+    unchanged (the idempotency case)."""
+    cur = customer.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    base = customer.select("c_custkey", "c_acctbal", "c_mktsegment")
+    upd = base.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit(cdc.OP_UPSERT).alias("op"),
+    )
+    dele = base.filter(F.col("c_custkey") % 10 == 5).select(
+        "c_custkey", "c_acctbal", "c_mktsegment", F.lit(cdc.OP_DELETE).alias("op")
+    )
+    ins = base.filter(F.col("c_custkey") % 10 == 3).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit(cdc.OP_UPSERT).alias("op"),
+    )
+    same = base.filter(F.col("c_custkey") % 10 == 7).select(
+        "c_custkey", "c_acctbal", "c_mktsegment", F.lit(cdc.OP_UPSERT).alias("op")
+    )
+    changes = upd.unionByName(dele).unionByName(ins).unionByName(same)
+    return cur, changes
+
+
+def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cur, changes = _scd2_inputs(_t(spark, sf_dir, "customer"))
+    return cdc.scd2_apply(
+        cur,
+        changes,
+        key="c_custkey",
+        tracked=["c_acctbal", "c_mktsegment"],
+        change_ts=F.to_timestamp(F.lit("2026-06-01 00:00:00")),
+    )
 
 
 def _q_mask_email(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,6 +334,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": lambda s, d: dedup.embedding_neardup_pairs(
             _t(s, d, "embeddings")
         ),
+        # connected components over the near-dup pair graph (iterative
+        # min-label propagation; oracle = DuckDB recursive CTE)
+        "dedup_clusters": lambda s, d: dedup.neardup_clusters(
+            _t(s, d, "documents")
+        ),
+        # --- chunking + CDC + quantization (SURVEY §2.8) ---
+        "chunk_docs": lambda s, d: chunking.chunk_documents(
+            _t(s, d, "documents")
+        ),
+        "scd2_apply": _q_scd2,
+        "quantize_embeddings": lambda s, d: similarity.quantize_embeddings(
+            _t(s, d, "embeddings")
+        ),
         # --- similarity search (SURVEY §2.8) ---
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
             _t(s, d, "embeddings")
@@ -391,6 +454,148 @@ cand AS (
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 ),
 {_jaccard_tail(dedup.JACCARD_THRESHOLD)}
+"""
+
+
+def _clusters_sql() -> str:
+    """Connected components of the ngram near-dup graph: min reachable
+    doc_id per node via a recursive CTE (UNION dedups, so the recursion
+    terminates at the transitive closure)."""
+    return f"""
+WITH RECURSIVE {_shingle_ctes()},
+cand AS (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT i.d1, i.d2
+    FROM (
+        SELECT c.d1, c.d2, count(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.d1
+        JOIN sh sb ON sb.doc_id = c.d2 AND sa.shingle = sb.shingle
+        GROUP BY c.d1, c.d2
+    ) i
+    JOIN sizes s1 ON s1.doc_id = i.d1
+    JOIN sizes s2 ON s2.doc_id = i.d2
+    WHERE i.n_inter / (s1.n_sh + s2.n_sh - i.n_inter)
+          >= {dedup.JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT d1 AS s, d2 AS t FROM pairs
+    UNION
+    SELECT d2, d1 FROM pairs
+),
+reach(node, r) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.t, reach.r FROM reach JOIN edges e ON reach.node = e.s
+),
+labeled AS (
+    SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labeled
+"""
+
+
+def _chunk_sql() -> str:
+    size, overlap = chunking.CHUNK_SIZE, chunking.CHUNK_OVERLAP
+    stride = size - overlap
+    return f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+    FROM documents
+)
+SELECT doc_id,
+       CAST(u.start // {stride} AS BIGINT) AS chunk_idx,
+       CAST(u.start AS BIGINT) AS start_token,
+       CAST(least({size}, len(ws) - u.start) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(ws, u.start + 1, u.start + {size}), ' ')
+           AS chunk_text
+FROM toks,
+     unnest(generate_series(0, len(ws) - 1, {stride})) AS u(start)
+"""
+
+
+def _scd2_sql() -> str:
+    return """
+WITH cur AS (
+    SELECT c_custkey, c_acctbal, c_mktsegment,
+           TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           TRUE AS is_current
+    FROM customer
+),
+chg AS (
+    SELECT c_custkey, round(c_acctbal + 100, 2) AS c_acctbal,
+           c_mktsegment, 'U' AS op
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_acctbal, c_mktsegment, 'D'
+    FROM customer WHERE c_custkey % 10 = 5
+    UNION ALL
+    SELECT c_custkey + 1000000, c_acctbal, c_mktsegment, 'U'
+    FROM customer WHERE c_custkey % 10 = 3
+    UNION ALL
+    SELECT c_custkey, c_acctbal, c_mktsegment, 'U'
+    FROM customer WHERE c_custkey % 10 = 7
+),
+j AS (
+    SELECT cur.c_custkey AS ck, cur.c_acctbal AS ca,
+           cur.c_mktsegment AS cm, cur.valid_from, cur.valid_to,
+           chg.c_custkey AS gk, chg.c_acctbal AS ga,
+           chg.c_mktsegment AS gm, chg.op,
+           (cur.c_acctbal IS DISTINCT FROM chg.c_acctbal
+            OR cur.c_mktsegment IS DISTINCT FROM chg.c_mktsegment)
+               AS differs
+    FROM cur FULL OUTER JOIN chg ON cur.c_custkey = chg.c_custkey
+)
+SELECT ck AS c_custkey, ca AS c_acctbal, cm AS c_mktsegment,
+       valid_from, TIMESTAMP '2026-06-01 00:00:00' AS valid_to, FALSE AS is_current
+FROM j
+WHERE ck IS NOT NULL AND gk IS NOT NULL
+  AND (op = 'D' OR (op = 'U' AND differs))
+UNION ALL
+SELECT ck, ca, cm, valid_from, valid_to, TRUE
+FROM j
+WHERE ck IS NOT NULL
+  AND (gk IS NULL OR (op = 'U' AND NOT differs))
+UNION ALL
+SELECT gk, ga, gm, TIMESTAMP '2026-06-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+FROM j
+WHERE op = 'U' AND (ck IS NULL OR differs)
+"""
+
+
+def _quantize_sql() -> str:
+    m = similarity.QUANT_MAX
+    return f"""
+WITH staged AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv,
+           list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) AS mx
+    FROM embeddings
+),
+scaled AS (
+    SELECT vec_id, dv,
+           CASE WHEN mx = 0 THEN 1.0 ELSE mx / {m} END AS scale
+    FROM staged
+),
+q AS (
+    SELECT vec_id, scale,
+           list_transform(dv,
+               x -> least({m}, greatest(-{m},
+                          CAST(floor(x / scale + 0.5) AS BIGINT)))) AS qv
+    FROM scaled
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1,
+       CAST(len(list_filter(qv, v -> abs(v) = {m})) AS BIGINT) AS n_sat
+FROM q
 """
 
 
@@ -1031,6 +1236,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _embedding_neardup_sql(),
+        "dedup_clusters": _clusters_sql(),
+        "chunk_docs": _chunk_sql(),
+        "scd2_apply": _scd2_sql(),
+        "quantize_embeddings": _quantize_sql(),
         "ann_cosine_topk": _ann_topk_sql(),
         "ann_cosine_topk_vec": _ann_topk_sql(),
         "multimodal_blob_stats": f"""

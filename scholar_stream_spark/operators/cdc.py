@@ -1,0 +1,111 @@
+"""CDC merge / slowly-changing-dimension type-2 upsert (SURVEY §2.8
+extended surface).
+
+The warehouse-side half of an ingest pipeline: apply a batch of change
+records (upserts + deletes) to a versioned dimension snapshot, closing
+superseded versions and opening new ones. The reference's warehouse
+keeps append-only bronze + recomputed views; SCD2 is the standard
+generalization when history must be queryable (``AS OF`` semantics).
+
+Scale shape: ONE equi-join on the business key between the *open*
+slice of the dimension and the change batch, then unions of narrow
+projections — no window, no secondary shuffle. History rows pass
+through untouched (at rest they'd live in closed partitions the merge
+never rewrites — partition the stored table by ``is_current`` /
+``valid_to IS NULL`` so the merge reads only the open slice). The
+join side sizes are data-dependent: change batches are usually tiny
+relative to the dimension, and AQE picks broadcast at runtime; no
+explicit hint so a backfill-sized batch degrades to a shuffle join
+instead of OOMing the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Change-record operation codes.
+OP_UPSERT = "U"
+OP_DELETE = "D"
+
+
+def scd2_apply(
+    current: DataFrame,
+    changes: DataFrame,
+    key: str,
+    tracked: Sequence[str],
+    change_ts: Column,
+) -> DataFrame:
+    """Apply one change batch to an SCD2 table.
+
+    ``current`` — the dimension with ``key``, ``tracked`` columns, and
+    SCD2 bookkeeping (``valid_from``, ``valid_to``, ``is_current``).
+    ``changes`` — one row per changed key: ``key``, ``tracked``, and
+    ``op`` (``'U'`` upsert / ``'D'`` delete). ``change_ts`` — the
+    batch's effective timestamp (becomes ``valid_to`` of closed rows
+    and ``valid_from`` of opened ones).
+
+    Semantics per open row / change pair (NULL-safe value compare):
+
+    - upsert with any tracked value changed → close old + open new
+    - upsert with identical values → keep (idempotent replay)
+    - delete → close old, open nothing
+    - upsert for an unknown key → open new (first version)
+    - delete for an unknown key → no-op
+    - history (non-current) rows → untouched pass-through
+    """
+    cur_open = current.filter(F.col("is_current"))
+    history = current.filter(~F.col("is_current"))
+
+    chg = changes.select(
+        F.col(key).alias("_k"),
+        *[F.col(t).alias(f"_c_{t}") for t in tracked],
+        "op",
+    )
+    j = cur_open.join(chg, cur_open[key] == chg["_k"], "full_outer")
+
+    old_vals = F.struct(*[F.col(t) for t in tracked])
+    new_vals = F.struct(*[F.col(f"_c_{t}") for t in tracked])
+    differs = ~old_vals.eqNullSafe(new_vals)
+    has_cur = F.col(key).isNotNull()
+    has_chg = F.col("_k").isNotNull()
+
+    closed = j.filter(
+        has_cur
+        & has_chg
+        & (
+            (F.col("op") == OP_DELETE)
+            | ((F.col("op") == OP_UPSERT) & differs)
+        )
+    ).select(
+        F.col(key),
+        *[F.col(t) for t in tracked],
+        F.col("valid_from"),
+        change_ts.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    kept_open = j.filter(
+        has_cur
+        & (~has_chg | ((F.col("op") == OP_UPSERT) & ~differs))
+    ).select(
+        F.col(key),
+        *[F.col(t) for t in tracked],
+        F.col("valid_from"),
+        F.col("valid_to"),
+        F.col("is_current"),
+    )
+    opened = j.filter(
+        (F.col("op") == OP_UPSERT) & (~has_cur | differs)
+    ).select(
+        F.col("_k").alias(key),
+        *[F.col(f"_c_{t}").alias(t) for t in tracked],
+        change_ts.alias("valid_from"),
+        F.lit(None).cast(cur_open.schema["valid_to"].dataType).alias(
+            "valid_to"
+        ),
+        F.lit(True).alias("is_current"),
+    )
+    return history.select(*closed.columns).unionByName(closed).unionByName(
+        kept_open
+    ).unionByName(opened)

@@ -491,6 +491,76 @@ def simhash_pairs(
     return pairs.filter(F.col("hamming") <= hamming_max)
 
 
+def neardup_clusters(
+    documents: DataFrame,
+    n: int = SHINGLE_N,
+    threshold: float = JACCARD_THRESHOLD,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph → dedup
+    clusters: every document in a component gets ``cluster_id = min
+    doc_id`` of the component, the deterministic survivor key (keep the
+    cluster_id row, drop the rest — or keep the best-quality member,
+    the cluster is the unit either way).
+
+    Spark-first shape: the (rare-by-construction) pair list is
+    materialized ONCE with ``localCheckpoint`` — the iteration must not
+    re-run the shingle pipeline per round — then min-label propagation
+    runs over the symmetric edge list: each round joins labels to
+    edges, takes the per-node min of neighbor labels, and converges
+    when the (monotonically decreasing, integer) label sum stops
+    moving. Rounds = graph diameter; near-dup graphs are
+    short-diameter (cliques + short chains), so 3-5 rounds in
+    practice. For adversarial long-chain graphs at 100 TB you'd switch
+    to alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce"), which converges in O(log²) rounds —
+    same join-per-round plan shape, so the swap is local. Each round's
+    labels are checkpointed: iterative lineage otherwise grows
+    unboundedly and re-executes every prior round per action.
+
+    Output: (doc_id, cluster_id, cluster_size) for every document that
+    appears in ≥1 near-dup pair (singletons are their own cluster
+    trivially and are omitted, matching the pair list).
+    """
+    pairs = ngram_jaccard_pairs(documents, n, threshold).select("d1", "d2")
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).localCheckpoint()  # materialize: iteration must not re-shingle
+    labels = (
+        edges.select(F.col("d1").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["d1"] == labels["node"])
+            .groupBy(F.col("d2").alias("node2"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(prop, labels["node"] == prop["node2"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    w = Window.partitionBy("lbl")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame, threshold: float = EMBED_COS_THRESHOLD
 ) -> DataFrame:

@@ -529,6 +529,61 @@ def cosine_topk_pandas(
     )
 
 
+#: int8 quantization range (symmetric, sign-preserving).
+QUANT_MAX = 127
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 scalar quantization per vector — the storage/IO
+    half of ANN at scale: a float32→int8 corpus is 4× smaller, so a
+    probe reads 4× fewer bytes and the re-rank kernel's matmul runs on
+    int8 with one dequant multiply per vector (FAISS ``SQ8`` shape).
+
+    ``scale = max(|v_i|) / 127`` (1.0 for the all-zero vector so the
+    division is total); ``q_i = clamp(floor(v_i/scale + 0.5), ±127)``
+    — an explicit floor+0.5 round so Spark and the DuckDB oracle
+    compute bit-identical integers (``round()``'s half-tie rule is
+    engine-specific; floor is not). Emits per-vector audit scalars
+    (sum, L1 norm, saturation count) rather than the int array itself
+    so the result is hashable by the driver compare.
+
+    One narrow projection over the embeddings scan — no shuffle. The
+    array lambdas are interpreted (no codegen), the right trade at
+    64-dim; for wide vectors swap the same arithmetic into a numpy
+    ``mapInPandas`` kernel (see ``cosine_topk_pandas``).
+    """
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(dv, F.abs))
+    scale = F.when(mx == 0, F.lit(1.0)).otherwise(mx / F.lit(QUANT_MAX))
+    staged = scale_out(embeddings).select(
+        "vec_id", dv.alias("dv"), scale.alias("scale")
+    )
+    q = F.transform(
+        F.col("dv"),
+        lambda x: F.least(
+            F.lit(QUANT_MAX),
+            F.greatest(
+                F.lit(-QUANT_MAX),
+                F.floor(x / F.col("scale") + F.lit(0.5)),
+            ),
+        ),
+    )
+    qd = staged.select("vec_id", "scale", q.alias("qv"))
+    return qd.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("q_sum"),
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
+        ).alias("q_l1"),
+        F.size(F.filter("qv", lambda v: F.abs(v) == QUANT_MAX))
+        .cast("long")
+        .alias("n_sat"),
+    )
+
+
 RECALL_METHODS = {"lsh", "ivf"}
 
 

@@ -1,0 +1,221 @@
+"""Unit tests for the round-2 extended operators: document chunking,
+SCD2 merge, near-dup clustering, and int8 embedding quantization.
+
+Oracle parity is covered by ``tests/test_oracle.py``; these tests pin
+the *semantic invariants* the oracle can't express (reconstruction,
+idempotent replay, cluster consistency, quantization error bounds).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from scholar_stream_spark.operators import cdc, chunking, dedup
+from scholar_stream_spark.operators.similarity import (
+    QUANT_MAX,
+    quantize_embeddings,
+)
+from tests.conftest import SF_SMALL
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_covers_every_token(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    out = chunking.chunk_documents(docs, chunk_size=4, overlap=1).collect()
+    # stride 3, 10 tokens -> starts 0,3,6,9
+    assert [r["start_token"] for r in out] == [0, 3, 6, 9]
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2, 3]
+    assert [r["n_chunk_tokens"] for r in out] == [4, 4, 4, 1]
+    assert out[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert out[-1]["chunk_text"] == "t9"
+    # overlap: chunk i+1 starts inside chunk i's window
+    covered = set()
+    for r in out:
+        covered |= set(range(r["start_token"], r["start_token"] + r["n_chunk_tokens"]))
+    assert covered == set(range(10))
+
+
+def test_chunk_documents_no_overlap_partitions_exactly(spark):
+    docs = spark.createDataFrame(
+        [(7, " ".join(f"w{i}" for i in range(9)))], "doc_id long, text string"
+    )
+    out = chunking.chunk_documents(docs, chunk_size=3, overlap=0).collect()
+    texts = [r["chunk_text"] for r in sorted(out, key=lambda r: r["chunk_idx"])]
+    assert " ".join(texts) == " ".join(f"w{i}" for i in range(9))
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    docs = spark.createDataFrame([(2, "only four tokens here")], "doc_id long, text string")
+    out = chunking.chunk_documents(docs, chunk_size=128, overlap=32).collect()
+    assert len(out) == 1
+    assert out[0]["n_chunk_tokens"] == 4
+    assert out[0]["chunk_text"] == "only four tokens here"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunking.chunk_documents(docs, chunk_size=4, overlap=4)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 merge
+# ---------------------------------------------------------------------------
+
+
+def _scd2_fixture(spark):
+    cur = spark.createDataFrame(
+        [
+            # closed history row: must pass through untouched
+            (1, 10.0, "A", "2025-01-01 00:00:00", "2025-06-01 00:00:00", False),
+            (1, 11.0, "A", "2025-06-01 00:00:00", None, True),
+            (2, 20.0, "B", "2025-01-01 00:00:00", None, True),
+            (3, 30.0, "C", "2025-01-01 00:00:00", None, True),
+            (4, 40.0, "D", "2025-01-01 00:00:00", None, True),
+        ],
+        "k long, bal double, seg string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k", "bal", "seg",
+        F.to_timestamp("valid_from").alias("valid_from"),
+        F.to_timestamp("valid_to").alias("valid_to"),
+        "is_current",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 12.0, "A", "U"),   # value change -> close + open
+            (2, 20.0, "B", "U"),   # identical -> keep (idempotent replay)
+            (3, 30.0, "C", "D"),   # delete -> close only
+            (9, 90.0, "Z", "U"),   # unknown key -> first version
+            (8, 80.0, "Y", "D"),   # delete unknown -> no-op
+        ],
+        "k long, bal double, seg string, op string",
+    )
+    return cur, changes
+
+
+def test_scd2_apply_semantics(spark):
+    cur, changes = _scd2_fixture(spark)
+    ts = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    out = cdc.scd2_apply(cur, changes, "k", ["bal", "seg"], ts)
+    rows = {(r["k"], r["is_current"], str(r["valid_from"])): r for r in out.collect()}
+
+    # history row untouched
+    assert (1, False, "2025-01-01 00:00:00") in rows
+    # k=1: old version closed at change ts, new version opened
+    closed = rows[(1, False, "2025-06-01 00:00:00")]
+    assert str(closed["valid_to"]) == "2026-01-01 00:00:00" and closed["bal"] == 11.0
+    opened = rows[(1, True, "2026-01-01 00:00:00")]
+    assert opened["bal"] == 12.0 and opened["valid_to"] is None
+    # k=2: identical replay keeps the open row
+    assert rows[(2, True, "2025-01-01 00:00:00")]["bal"] == 20.0
+    # k=3: deleted -> closed, no open row
+    assert str(rows[(3, False, "2025-01-01 00:00:00")]["valid_to"]) == "2026-01-01 00:00:00"
+    assert not any(k == 3 and cur_ for (k, cur_, _) in rows)
+    # k=4: untouched open row
+    assert rows[(4, True, "2025-01-01 00:00:00")]["valid_to"] is None
+    # k=9: fresh insert
+    assert rows[(9, True, "2026-01-01 00:00:00")]["bal"] == 90.0
+    # k=8: delete of unknown key is a no-op
+    assert not any(k == 8 for (k, _, _) in rows)
+    # exactly one current row per live key
+    current = out.filter("is_current").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in current)
+
+
+def test_scd2_apply_is_idempotent_on_replay(spark):
+    cur, changes = _scd2_fixture(spark)
+    ts = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    once = cdc.scd2_apply(cur, changes, "k", ["bal", "seg"], ts)
+    twice = cdc.scd2_apply(once, changes, "k", ["bal", "seg"], ts)
+    # replaying the same batch changes nothing (same multiset of rows)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters
+# ---------------------------------------------------------------------------
+
+
+def test_neardup_clusters_consistent_with_pairs(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs).collect()
+    clusters = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup.neardup_clusters(docs).collect()
+    }
+    assert clusters, "expected near-dup pairs at sf0.001"
+    # every paired doc is labeled, pair members share a cluster
+    for p in pairs:
+        assert clusters[p["d1"]][0] == clusters[p["d2"]][0]
+    # cluster id is the minimum member id; sizes count members
+    from collections import defaultdict
+
+    members = defaultdict(set)
+    for doc, (cl, _) in clusters.items():
+        members[cl].add(doc)
+    for cl, docs_in in members.items():
+        assert cl == min(docs_in)
+        for d in docs_in:
+            assert clusters[d][1] == len(docs_in)
+
+
+def test_neardup_clusters_chain_transitivity(spark):
+    # a-b and b-c near-dup, a-c not: one cluster of 3 (transitive closure)
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (10, base),
+            (11, base + " extra1"),
+            (12, base + " extra1 extra2"),
+            (99, " ".join(f"z{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.neardup_clusters(docs, threshold=0.5).collect()}
+    assert out[10]["cluster_id"] == out[11]["cluster_id"] == out[12]["cluster_id"] == 10
+    assert out[10]["cluster_size"] == 3
+    assert 99 not in out  # singleton: no pairs, no row
+
+
+# ---------------------------------------------------------------------------
+# quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_embeddings_bounds_and_zero_vector(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, -2.0, 0.5, 2.0]),
+            (1, [0.0, 0.0, 0.0, 0.0]),   # zero vector: scale falls back to 1
+            (2, [127.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(vecs).collect()}
+    # scale = max|v|/127; max element quantizes to exactly ±127
+    assert out[0]["scale"] == round(2.0 / QUANT_MAX, 6)  # round-6 output
+    assert out[0]["n_sat"] == 2 and out[0]["q_l1"] <= 4 * QUANT_MAX  # ±2.0 both saturate
+    assert out[1]["scale"] == 1.0 and out[1]["q_sum"] == 0 and out[1]["q_l1"] == 0
+    assert out[2]["n_sat"] == 1 and out[2]["q_sum"] == QUANT_MAX
+
+
+def test_quantize_embeddings_reconstruction_error_bound(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(50)
+    rows = docs.collect()
+    out = {r["vec_id"]: r for r in quantize_embeddings(docs).collect()}
+    for r in rows:
+        q = out[r["vec_id"]]
+        scale = q["scale"]
+        # round-to-nearest: |v - q*scale| <= scale/2 element-wise, so the
+        # quantized L1 differs from the true L1/scale by <= dim/2
+        true_l1 = sum(abs(float(v)) for v in r["embedding"])
+        assert abs(q["q_l1"] - true_l1 / scale) <= len(r["embedding"]) / 2 + 1e-6
