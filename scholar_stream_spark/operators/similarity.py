@@ -350,6 +350,7 @@ def ivf_topk(
     n_queries: int = ANN_NUM_QUERIES,
     n_centroids: int = IVF_NUM_CENTROIDS,
     n_probe: int = IVF_NUM_PROBE,
+    small_rows: list | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: train a coarse quantizer, bucket the
     corpus by nearest centroid, probe ``n_probe`` cells per query.
@@ -370,13 +371,16 @@ def ivf_topk(
     )
 
     # --- train: deterministic seeds, one Lloyd refinement, one pass ---
-    # one scan serves both driver-side small sets (seeds ∪ queries)
-    small_rows = sorted(
-        embeddings.filter(F.col("vec_id") < max(n_centroids, n_queries))
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r["vec_id"],
-    )
+    # one scan serves both driver-side small sets (seeds ∪ queries);
+    # callers that already hold them (ann_recall) pass small_rows in to
+    # skip the job
+    if small_rows is None:
+        small_rows = sorted(
+            embeddings.filter(F.col("vec_id") < max(n_centroids, n_queries))
+            .select("vec_id", "embedding")
+            .collect(),
+            key=lambda r: r["vec_id"],
+        )
     seed_rows = [r for r in small_rows if r["vec_id"] < n_centroids]
     seed_cells = np.array([r["vec_id"] for r in seed_rows], dtype=np.int32)
     seed_mat = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
@@ -456,6 +460,7 @@ def cosine_topk_pandas(
     embeddings: DataFrame,
     k: int = ANN_TOPK,
     n_queries: int = ANN_NUM_QUERIES,
+    q_rows: list | None = None,
 ) -> DataFrame:
     """Exact cosine top-k via a vectorized Arrow/numpy kernel — the
     wide-vector/huge-candidate-set variant of ``cosine_topk``
@@ -475,11 +480,12 @@ def cosine_topk_pandas(
     """
     import numpy as np
 
-    q_rows = (
-        embeddings.filter(F.col("vec_id") < n_queries)
-        .select("vec_id", "embedding")
-        .collect()  # the query set is small by definition (= broadcast)
-    )
+    if q_rows is None:
+        q_rows = (
+            embeddings.filter(F.col("vec_id") < n_queries)
+            .select("vec_id", "embedding")
+            .collect()  # the query set is small by definition (= broadcast)
+        )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -604,15 +610,27 @@ def ann_recall(
     """
     if method not in RECALL_METHODS:
         raise ValueError(f"unknown ANN method: {method!r}")
+    # collect the (tiny) seed∪query rows ONCE and hand them to both
+    # sides — the exact kernel and the IVF train otherwise each run
+    # their own driver-side lookup job over the same vectors
+    small_rows = sorted(
+        embeddings.filter(
+            F.col("vec_id") < max(IVF_NUM_CENTROIDS, n_queries)
+        )
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    q_rows = [r for r in small_rows if r["vec_id"] < n_queries]
     # the vectorized kernel: identical result set (pinned by tests),
     # ~2× cheaper — and this query pays for the exact side twice
-    exact = cosine_topk_pandas(embeddings, k, n_queries).select(
+    exact = cosine_topk_pandas(embeddings, k, n_queries, q_rows=q_rows).select(
         "query_id", "neighbor_id"
     )
     if method == "lsh":
         approx = lsh_ann_topk(embeddings, k, n_queries)
     else:
-        approx = ivf_topk(embeddings, k, n_queries)
+        approx = ivf_topk(embeddings, k, n_queries, small_rows=small_rows)
     hits = approx.select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )

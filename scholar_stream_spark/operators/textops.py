@@ -104,20 +104,29 @@ def lang_hit_cols(text: Column) -> dict[str, Column]:
 
 
 def pred_lang_from_hits(hit_cols: dict[str, Column]) -> Column:
-    """Priority-argmax language from (already materialized) hit counts
-    (see ``lang_profile``) — shared with ``curation.curate_corpus``."""
-    best = None
-    for lang in LANG_ORDER:
-        cond = F.lit(True)
-        for other in LANG_ORDER:
-            if other == lang:
-                continue
-            cond = cond & (hit_cols[lang] >= hit_cols[other])
-        this = F.when((hit_cols[lang] > 0) & cond, F.lit(lang))
-        best = this if best is None else best.when(
-            (hit_cols[lang] > 0) & cond, F.lit(lang)
+    """Priority-argmax language from hit counts (see ``lang_profile``)
+    — shared with ``curation.curate_corpus``.
+
+    Formulated as ``array_max`` over ``(hits, -priority, lang)``
+    structs (lexicographic struct comparison = max hits, earliest
+    ``LANG_ORDER`` on ties) rather than the O(L²) pairwise CASE: the
+    CASE references every hit column ~2(L-1) times, and Catalyst's
+    CollapseProject will inline a staged hit column into each
+    reference — with interpreted array-``filter`` hits that meant ~34
+    tokenize+filter evaluations per row in ``curate_corpus``. Here
+    each hit column is referenced once (twice after the ``und`` guard
+    inlines), so the operator survives projection collapsing.
+    """
+    entries = [
+        F.struct(
+            hit_cols[lang].alias("h"),
+            F.lit(-i).alias("p"),
+            F.lit(lang).alias("lang"),
         )
-    return best.otherwise(F.lit("und"))
+        for i, lang in enumerate(LANG_ORDER)
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def lang_profile(documents: DataFrame) -> DataFrame:
