@@ -144,6 +144,13 @@ def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit(relational.INCR_CUTOFF).cast("timestamp")
+    existing = relational.daily_rollup(ev.filter(F.col("ts") < cutoff))
+    return relational.merge_rollup(existing, ev.filter(F.col("ts") >= cutoff))
+
+
 def _q_mask_email(spark: SparkSession, sf_dir: str) -> DataFrame:
     emails = _customer_emails(_t(spark, sf_dir, "customer"))
     return emails.select(
@@ -259,6 +266,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "windowed_agg": lambda s, d: relational.windowed_event_agg(
             _t(s, d, "events")
+        ),
+        # skew-proof salted join (provably identical to the plain join:
+        # the oracle IS the plain join)
+        "salted_join_revenue": lambda s, d: relational.salted_join_revenue(
+            _t(s, d, "orders"), _t(s, d, "customer")
+        ),
+        # incremental aggregate maintenance: history rollup + delta fold
+        # must exactly equal the one-shot rollup (the oracle)
+        "incr_rollup": _q_incr_rollup,
+        "vocab_coverage": lambda s, d: textops.vocab_coverage(
+            _t(s, d, "documents")
         ),
         # --- temporal operators (SURVEY §2.8) ---
         "asof_join": lambda s, d: temporal.asof_join_events(
@@ -964,6 +982,46 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 4) AS avg_value
             FROM events
             GROUP BY 1
+        """,
+        # the oracle for the salted join is the PLAIN join: salting must
+        # be observationally identical
+        "salted_join_revenue": """
+            SELECT c.c_mktsegment,
+                   count(*) AS n_orders,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        # the oracle for incremental maintenance is the ONE-SHOT rollup:
+        # history + delta fold must be exactly it
+        "incr_rollup": """
+            SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "vocab_coverage": f"""
+            WITH tok AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                FROM documents
+            ),
+            tf AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+            total AS (SELECT SUM(tf) AS total FROM tf),
+            top AS (
+                SELECT token, tf,
+                       row_number() OVER (ORDER BY tf DESC, token ASC) AS rank
+                FROM tf
+                ORDER BY tf DESC, token ASC
+                LIMIT {textops.VOCAB_TOP_N}
+            )
+            SELECT rank, token, tf,
+                   round(SUM(tf) OVER (ORDER BY rank) / total.total, 6)
+                       AS coverage
+            FROM top, total
         """,
         "token_counts": """
             SELECT doc_id,

@@ -357,3 +357,101 @@ def cube_orders(orders: DataFrame) -> DataFrame:
             F.expr(exact_sum_double("o_totalprice")).alias("revenue"),
         )
     )
+
+
+def salted_join_revenue(
+    orders: DataFrame, customer: DataFrame, n_salts: int = 8
+) -> DataFrame:
+    """Revenue by market segment through a skew-proof salted join.
+
+    The salting pattern for when a join key is too hot for AQE's
+    skew-split (which only splits post-shuffle *partitions*, not a
+    single giant key): the big side gets a deterministic per-row salt
+    (hash of its primary key, NEVER ``rand()`` — retries must land in
+    the same bucket), the small side is replicated ``n_salts``×, and
+    the join runs on (key, salt) — a hot custkey's rows now spread
+    over ``n_salts`` reducers instead of one. Replication multiplies
+    the small side's shuffle bytes by ``n_salts``: the knob trades
+    small-side duplication for big-side spread, so size it to the
+    worst key's skew factor, not higher. Result is provably identical
+    to the unsalted join (each big row meets each matching small row
+    exactly once — the oracle checks the plain join).
+    """
+    salted = orders.withColumn(
+        "_salt", F.pmod(F.hash("o_orderkey"), F.lit(n_salts)).cast("int")
+    )
+    replicated = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("_salt"),
+    )
+    joined = salted.join(
+        replicated,
+        (salted["o_custkey"] == replicated["c_custkey"])
+        & (salted["_salt"] == replicated["_salt"]),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(exact_sum_double("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+#: Incremental-rollup cutoff (shared with the DuckDB oracle).
+INCR_CUTOFF = "2024-03-01 00:00:00"
+
+
+def merge_rollup(existing: DataFrame, delta_events: DataFrame) -> DataFrame:
+    """Incremental aggregate maintenance: fold a new micro-batch into a
+    persisted daily rollup WITHOUT recomputing history.
+
+    ``existing`` is the stored rollup (day, event_type, n_events,
+    sum_value); ``delta_events`` is the new raw slice. The delta is
+    rolled up alone (small — one micro-batch/partition of arrivals)
+    and merged by outer-union + re-aggregate: count/sum are
+    decomposable, so ``merged = groupBy(sum)`` over the union of
+    partial states is exact. At 100 TB this is the difference between
+    touching one day's delta and re-scanning the full history on every
+    refresh; the oracle pins the equivalence — incremental result ==
+    one-shot rollup over the whole input.
+    """
+    delta = daily_rollup(delta_events)
+    return (
+        existing.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").cast("double").alias("sum_value"),
+        )
+        # day as midnight-timestamp: engines agree on timestamp compare
+        # semantics in the driver hash; DATE round-trips differ
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def daily_rollup(events: DataFrame) -> DataFrame:
+    """(day, event_type) → count + value sum, the persisted-rollup unit
+    of ``merge_rollup``.
+
+    The value sum is DECIMAL(18,6): double sums are partition-order
+    dependent AND non-associative, so a double-based partial rollup
+    could never exactly equal the one-shot recompute the oracle pins.
+    Decimal partial sums merge exactly (integer arithmetic), which is
+    what makes incremental maintenance *provable* rather than
+    approximately-right."""
+    return (
+        events.groupBy(
+            F.to_date("ts").alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+    )

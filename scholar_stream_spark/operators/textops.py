@@ -276,3 +276,46 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
     )
+
+
+#: Vocabulary size for the coverage curve (shared with the oracle).
+VOCAB_TOP_N = 200
+
+
+def vocab_coverage(documents: DataFrame, top_n: int = VOCAB_TOP_N) -> DataFrame:
+    """Greedy frequency vocabulary + corpus coverage curve: the top-N
+    tokens by corpus frequency and, per rank, the cumulative fraction
+    of all token occurrences a vocabulary cut at that rank covers —
+    the standard budget curve for sizing a tokenizer vocab.
+
+    Scale shape: explode → map-side-combined token counts (one
+    shuffle keyed on token — the vocab, not the corpus), the top-N
+    selected with ``orderBy().limit()`` (TakeOrderedAndProject: each
+    partition forwards only its local top-N, no global sort), and the
+    running sum runs over ≤ top_n rows in a single trivially-small
+    partition. The corpus-total is a broadcast 1-row aggregate. The
+    only corpus-sized cost is the explode+count, which is the job.
+    """
+    toks = scale_out(documents).select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").alias("_total"))
+    top = (
+        tf.orderBy(F.desc("tf"), F.asc("token"))
+        .limit(top_n)
+        .crossJoin(F.broadcast(total))
+    )
+    w = (
+        Window.orderBy(F.desc("tf"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("tf"), F.asc("token")))
+        .cast("long")
+        .alias("rank"),
+        "token",
+        "tf",
+        F.round(F.sum("tf").over(w) / F.col("_total"), 6).alias("coverage"),
+    )
