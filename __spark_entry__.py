@@ -362,6 +362,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "scd2_apply": _q_scd2,
+        # point-in-time read over the merged SCD2 table: after the batch
+        # ts, so updated keys resolve to their new version, deleted keys
+        # to none
+        "scd2_as_of": lambda s, d: cdc.scd2_as_of(
+            _q_scd2(s, d), F.to_timestamp(F.lit("2026-07-01 00:00:00"))
+        ),
         "quantize_embeddings": lambda s, d: similarity.quantize_embeddings(
             _t(s, d, "embeddings")
         ),
@@ -1295,6 +1301,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _embedding_neardup_sql(),
         "dedup_clusters": _clusters_sql(),
+        "scd2_as_of": f"""
+            WITH scd AS ({_scd2_sql()})
+            SELECT * FROM scd
+            WHERE valid_from <= TIMESTAMP '2026-07-01 00:00:00'
+              AND (valid_to IS NULL
+                   OR TIMESTAMP '2026-07-01 00:00:00' < valid_to)
+        """,
         "chunk_docs": _chunk_sql(),
         "scd2_apply": _scd2_sql(),
         "quantize_embeddings": _quantize_sql(),

@@ -109,3 +109,23 @@ def scd2_apply(
     return history.select(*closed.columns).unionByName(closed).unionByName(
         kept_open
     ).unionByName(opened)
+
+
+def scd2_as_of(dim: DataFrame, ts: Column) -> DataFrame:
+    """Point-in-time (``AS OF``) read over an SCD2 table: the version of
+    each key whose validity interval contains ``ts`` —
+    ``valid_from <= ts < valid_to`` with an open ``valid_to`` meaning
+    "still current". Keys deleted before ``ts`` (or first seen after)
+    produce no row.
+
+    One narrow filter over the dimension scan — with the table stored
+    partitioned on ``is_current`` / bucketed on the key, the common
+    "as of now" case prunes to the open slice and a historical read
+    scans only closed partitions. Never a window: SCD2 validity
+    intervals are disjoint per key by construction, so the filter
+    alone picks at most one version per key.
+    """
+    return dim.filter(
+        (F.col("valid_from") <= ts)
+        & (F.col("valid_to").isNull() | (ts < F.col("valid_to")))
+    )

@@ -33,10 +33,16 @@ from scholar_stream_spark.operators.cdc import scd2_apply
 _VERSION_FILE = "_CURRENT_VERSION"
 
 
-def read_dim(spark: SparkSession, dim_path: str) -> DataFrame:
-    """Read the current SCD2 snapshot (follows the version pointer)."""
-    with open(os.path.join(dim_path, _VERSION_FILE)) as fh:
-        version = int(fh.read().strip())
+def read_dim(
+    spark: SparkSession, dim_path: str, version: int | None = None
+) -> DataFrame:
+    """Read an SCD2 snapshot: the current one (follows the version
+    pointer) or, for time travel, any still-retained ``version`` —
+    merged snapshots are immutable once written, so an old version is
+    a consistent table, not a best-effort reconstruction."""
+    if version is None:
+        with open(os.path.join(dim_path, _VERSION_FILE)) as fh:
+            version = int(fh.read().strip())
     return spark.read.parquet(os.path.join(dim_path, f"v{version}"))
 
 

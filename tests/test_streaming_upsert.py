@@ -99,3 +99,17 @@ def test_scd2_upsert_stream(spark, tmp_path):
     _run_once(spark, inbox, dim_path, tmp_path / "ckpt_replay")
     after = sorted(map(tuple, read_dim(spark, str(dim_path)).collect()))
     assert after == before
+
+    # time travel: version 0 is still the untouched initial snapshot,
+    # and as-of reads against the current table reconstruct it
+    from scholar_stream_spark.operators.cdc import scd2_as_of
+
+    v0 = read_dim(spark, str(dim_path), version=0)
+    assert sorted(r["k"] for r in v0.collect()) == [1, 2]
+    assert all(r["is_current"] for r in v0.collect())
+    asof = scd2_as_of(
+        read_dim(spark, str(dim_path)),
+        F.to_timestamp(F.lit("2026-01-15 00:00:00")),
+    )
+    got = {r["k"]: r["bal"] for r in asof.collect()}
+    assert got == {1: 10.0, 2: 20.0}  # the pre-change world
