@@ -186,6 +186,15 @@ def test_neardup_clusters_chain_transitivity(spark):
     assert 99 not in out  # singleton: no pairs, no row
 
 
+def test_neardup_clusters_driver_and_distributed_paths_agree(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    fast = dedup.neardup_clusters(docs)  # driver union-find path
+    slow = dedup.neardup_clusters(docs, max_driver_edges=0)  # forced loop
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )
+
+
 # ---------------------------------------------------------------------------
 # quantization
 # ---------------------------------------------------------------------------
