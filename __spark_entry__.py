@@ -23,6 +23,9 @@ Deliberately WITHOUT oracle entries (rows-only check):
 - ``ann_lsh_recall`` / ``ann_ivf_recall`` — the self-checks keeping the
   two approximate paths honest: recall vs the (oracle-checked) exact
   cosine baseline, floor-asserted in pytest.
+- ``value_percentiles_sketch`` — approx_percentile is a sketch (not
+  SQL-reproducible); the query itself emits exact-vs-sketch error and
+  pytest pins the bound.
 """
 
 from __future__ import annotations
@@ -262,6 +265,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events")
         ),
         "value_percentiles": lambda s, d: relational.value_percentiles(
+            _t(s, d, "events")
+        ),
+        # sketch percentiles vs exact with the error surfaced (the
+        # ann_recall pattern; sketch => rows-only driver check, pytest
+        # pins the error bound)
+        "value_percentiles_sketch": lambda s, d: relational.value_percentiles_accuracy(
             _t(s, d, "events")
         ),
         "windowed_agg": lambda s, d: relational.windowed_event_agg(

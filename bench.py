@@ -180,11 +180,19 @@ def main() -> None:
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     t0 = time.time()
     for name in sorted(queries):
         start = time.time()
-        df = queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        # one broken query must not cost the whole benchmark: record
+        # the failure and keep timing the rest
+        try:
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001
+            failures[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"  {name}: FAILED {failures[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - start, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
     total = round(time.time() - t0, 3)
@@ -192,18 +200,17 @@ def main() -> None:
     streaming = measure_streaming_latency(spark)
     print(f"  streaming e2e: {streaming}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "query_set_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "streaming": streaming,
-            }
-        )
-    )
+    out = {
+        "metric": "query_set_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "streaming": streaming,
+    }
+    if failures:
+        out["failed_queries"] = failures
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -455,3 +455,37 @@ def daily_rollup(events: DataFrame) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
         )
     )
+
+
+#: Relative-rank error budget for the sketch percentiles (the
+#: approx_percentile accuracy contract: rank error <= 1/accuracy).
+PCTL_ACCURACY = 10_000
+
+
+def value_percentiles_accuracy(events: DataFrame) -> DataFrame:
+    """Sketch percentiles vs exact, with the error surfaced — the
+    ``ann_recall`` pattern applied to ``approx_percentile``.
+
+    ``percentile_approx`` (Greenwald-Khanna sketch) is the 100 TB
+    path: mergeable fixed-size state per group instead of the exact
+    percentile's full value buffer. Approximate ⇒ not oracle-checkable,
+    so THIS query carries the quality signal: per event type it emits
+    both estimates and their absolute difference; pytest pins the
+    sketch's rank-error contract (≤ n/accuracy ranks ⇒ bounded value
+    error on the observed distributions). One shuffle total — both
+    aggregates run in the same groupBy pass.
+    """
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_exact"),
+        F.round(
+            F.expr(f"percentile_approx(value, 0.95, {PCTL_ACCURACY})"), 4
+        ).alias("p95_approx"),
+        F.round(
+            F.abs(
+                F.expr("percentile(value, 0.95)")
+                - F.expr(f"percentile_approx(value, 0.95, {PCTL_ACCURACY})")
+            ),
+            4,
+        ).alias("abs_err"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )

@@ -217,6 +217,40 @@ def test_quantize_embeddings_bounds_and_zero_vector(spark):
     assert out[2]["n_sat"] == 1 and out[2]["q_sum"] == QUANT_MAX
 
 
+def test_plan_shapes(spark):
+    """The scale claims, asserted on the physical plans: chunking and
+    quantization are shuffle-free narrow pipelines; the SCD2 merge has
+    exactly one join of open-slice vs changes (plus the change-batch
+    union), no window, no extra Exchange beyond the join's needs."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = (
+        chunking.chunk_documents(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate" in plan  # the posexplode
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    qplan = (
+        quantize_embeddings(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in qplan
+    assert "Window" not in qplan
+
+    cur, changes = _scd2_fixture(spark)
+    ts = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    splan = (
+        cdc.scd2_apply(cur, changes, "k", ["bal", "seg"], ts)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in splan
+    assert splan.count("Join") <= 3  # the one merge join (3 filtered reads)
+
+
 def test_quantize_embeddings_reconstruction_error_bound(spark):
     docs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(50)
     rows = docs.collect()
@@ -228,3 +262,29 @@ def test_quantize_embeddings_reconstruction_error_bound(spark):
         # quantized L1 differs from the true L1/scale by <= dim/2
         true_l1 = sum(abs(float(v)) for v in r["embedding"])
         assert abs(q["q_l1"] - true_l1 / scale) <= len(r["embedding"]) / 2 + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# sketch percentile accuracy
+# ---------------------------------------------------------------------------
+
+
+def test_value_percentiles_sketch_error_bound(spark):
+    from scholar_stream_spark.operators.relational import (
+        value_percentiles_accuracy,
+    )
+
+    # events.parquet carries TIMESTAMP(NANOS); the operator only needs
+    # (event_type, value), so read those columns with nanos-as-long on
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(
+        f"{SF_SMALL}/events.parquet".replace("sf0.001", "sf0.01")
+    ).select("event_type", "value")
+    rows = value_percentiles_accuracy(ev).collect()
+    assert rows
+    for r in rows:
+        # rank error <= n/accuracy; on these distributions that keeps the
+        # p95 estimate within 1% of the exact value
+        assert r["abs_err"] <= max(0.01 * abs(r["p95_exact"]), 0.01), (
+            f"{r['event_type']}: sketch err {r['abs_err']}"
+        )
