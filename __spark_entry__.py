@@ -267,6 +267,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": lambda s, d: relational.value_percentiles(
             _t(s, d, "events")
         ),
+        # statistical aggregates (stddev/corr/OLS trend) in one
+        # map-side-combined pass
+        "stats_by_type": lambda s, d: relational.stats_by_type(
+            _t(s, d, "events")
+        ),
         # sketch percentiles vs exact with the error surfaced (the
         # ann_recall pattern; sketch => rows-only driver check, pytest
         # pins the error bound)
@@ -1007,6 +1012,33 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        # exact-moment statistics: the formulas are the SAME strings the
+        # Spark operator compiles (relational.STATS_*_SQL) — decimal
+        # moments in, identical IEEE double ops out
+        "stats_by_type": f"""
+            WITH q AS (
+                SELECT event_type,
+                       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS yq,
+                       date_diff('second', date_trunc('day', ts), ts) AS xs
+                FROM events
+            ),
+            m AS (
+                SELECT event_type,
+                       count(*) AS n,
+                       SUM(CAST(xs AS DECIMAL(38,0))) AS sx,
+                       SUM(CAST(yq AS DECIMAL(38,0))) AS sy,
+                       SUM(CAST(xs * yq AS DECIMAL(38,0))) AS sxy,
+                       SUM(CAST(xs * xs AS DECIMAL(38,0))) AS sxx,
+                       SUM(CAST(yq * yq AS DECIMAL(38,0))) AS syy
+                FROM q GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   {relational.STATS_SD_SQL} AS sd_value,
+                   {relational.STATS_CORR_SQL} AS corr_value_time,
+                   {relational.STATS_SLOPE_SQL} AS trend_slope,
+                   {relational.STATS_INTERCEPT_SQL} AS trend_intercept
+            FROM m
         """,
         # the oracle for incremental maintenance is the ONE-SHOT rollup:
         # history + delta fold must be exactly it

@@ -489,3 +489,67 @@ def value_percentiles_accuracy(events: DataFrame) -> DataFrame:
         ).alias("abs_err"),
         F.count(F.lit(1)).alias("n_samples"),
     )
+
+
+def stats_by_type(events: DataFrame) -> DataFrame:
+    """Statistical aggregate completeness: per event type, sample
+    stddev of value, Pearson correlation of value vs time-of-day, and
+    the OLS trend (slope/intercept) over the day fraction.
+
+    Computed from EXACT fixed-point moment sums, not the built-in
+    double aggregates: ``stddev``/``corr``/``regr_*`` accumulate
+    doubles, so their last ulps depend on partition order — a value
+    that lands on a round() boundary flips between runs and engines
+    (observed: regr_intercept 45.8087 vs 45.8086). Quantizing value to
+    1e-6 fixed point (engine-portable floor+0.5) and summing moments
+    as DECIMAL(38,0) makes every moment exact and order-independent;
+    slope/corr/stddev derive from the moments in closed form, and the
+    only floating arithmetic is over identical decimal inputs —
+    deterministic on any engine, any partitioning. Same one
+    map-side-combined shuffle as the built-ins (moments are
+    decomposable sums).
+    """
+    q = events.select(
+        "event_type",
+        F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias("yq"),
+        F.expr(
+            "unix_timestamp(ts) - unix_timestamp(date_trunc('DAY', ts))"
+        ).alias("xs"),
+    )
+    m = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("SUM(CAST(xs AS DECIMAL(38,0)))").alias("sx"),
+        F.expr("SUM(CAST(yq AS DECIMAL(38,0)))").alias("sy"),
+        F.expr("SUM(CAST(xs * yq AS DECIMAL(38,0)))").alias("sxy"),
+        F.expr("SUM(CAST(xs * xs AS DECIMAL(38,0)))").alias("sxx"),
+        F.expr("SUM(CAST(yq * yq AS DECIMAL(38,0)))").alias("syy"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.expr(STATS_SD_SQL).alias("sd_value"),
+        F.expr(STATS_CORR_SQL).alias("corr_value_time"),
+        F.expr(STATS_SLOPE_SQL).alias("trend_slope"),
+        F.expr(STATS_INTERCEPT_SQL).alias("trend_intercept"),
+    )
+
+
+#: Closed-form moment formulas, shared verbatim with the DuckDB oracle
+#: (decimal in, double out — identical IEEE ops on identical inputs).
+#: Units: yq is value x 1e6, xs is seconds; slope is per day-fraction.
+STATS_DN = "CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"
+STATS_COVN = "CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)"
+STATS_VARYN = "CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)"
+STATS_SD_SQL = (
+    f"round(sqrt({STATS_VARYN} / (CAST(n AS DOUBLE) * (n - 1))) / 1e6, 4)"
+)
+STATS_CORR_SQL = (
+    f"round({STATS_COVN} / sqrt({STATS_DN} * {STATS_VARYN}), 4)"
+)
+STATS_SLOPE_SQL = (
+    f"round({STATS_COVN} / {STATS_DN} * 86400.0 / 1e6, 4)"
+)
+STATS_INTERCEPT_SQL = (
+    f"round((CAST(sy AS DOUBLE) - {STATS_COVN} / {STATS_DN}"
+    " * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1e6, 4)"
+)

@@ -288,3 +288,31 @@ def test_value_percentiles_sketch_error_bound(spark):
         assert r["abs_err"] <= max(0.01 * abs(r["p95_exact"]), 0.01), (
             f"{r['event_type']}: sketch err {r['abs_err']}"
         )
+
+
+def test_stats_by_type_matches_numpy(spark):
+    import numpy as np
+
+    from scholar_stream_spark.operators.relational import stats_by_type
+
+    rows = [(("a" if i % 2 else "b"), float(i % 7) + 0.125 * i, i * 1000) for i in range(200)]
+    ev = spark.createDataFrame(
+        [(t, v, s) for t, v, s in rows], "event_type string, value double, sec long"
+    ).select(
+        "event_type", "value",
+        F.expr("timestamp_seconds(1700000000 + sec)").alias("ts"),
+    )
+    out = {r["event_type"]: r for r in stats_by_type(ev).collect()}
+    for typ in ("a", "b"):
+        vals = np.array([v for t, v, _ in rows if t == typ])
+        # quantized to 1e-6 fixed point, like the operator
+        yq = np.floor(vals * 1e6 + 0.5) / 1e6
+        xs = np.array(
+            [(1700000000 + s) % 86400 for t, _, s in rows if t == typ],
+            dtype=np.float64,
+        )
+        x = xs  # formulas use seconds; slope scaled to day-fraction
+        slope_sec = np.polyfit(x, yq, 1)[0]
+        assert abs(out[typ]["sd_value"] - np.std(yq, ddof=1)) < 1e-3
+        assert abs(out[typ]["corr_value_time"] - np.corrcoef(yq, x)[0, 1]) < 1e-3
+        assert abs(out[typ]["trend_slope"] - slope_sec * 86400 ) < 1e-2
