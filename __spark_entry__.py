@@ -1028,9 +1028,9 @@ def oracle_sql() -> dict[str, str]:
                        count(*) AS n,
                        SUM(CAST(xs AS DECIMAL(38,0))) AS sx,
                        SUM(CAST(yq AS DECIMAL(38,0))) AS sy,
-                       SUM(CAST(xs * yq AS DECIMAL(38,0))) AS sxy,
-                       SUM(CAST(xs * xs AS DECIMAL(38,0))) AS sxx,
-                       SUM(CAST(yq * yq AS DECIMAL(38,0))) AS syy
+                       SUM(CAST(xs AS DECIMAL(19,0)) * CAST(yq AS DECIMAL(19,0))) AS sxy,
+                       SUM(CAST(xs AS DECIMAL(19,0)) * CAST(xs AS DECIMAL(19,0))) AS sxx,
+                       SUM(CAST(yq AS DECIMAL(19,0)) * CAST(yq AS DECIMAL(19,0))) AS syy
                 FROM q GROUP BY event_type
             )
             SELECT event_type, n,

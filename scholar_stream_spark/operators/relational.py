@@ -520,9 +520,15 @@ def stats_by_type(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.expr("SUM(CAST(xs AS DECIMAL(38,0)))").alias("sx"),
         F.expr("SUM(CAST(yq AS DECIMAL(38,0)))").alias("sy"),
-        F.expr("SUM(CAST(xs * yq AS DECIMAL(38,0)))").alias("sxy"),
-        F.expr("SUM(CAST(xs * xs AS DECIMAL(38,0)))").alias("sxx"),
-        F.expr("SUM(CAST(yq * yq AS DECIMAL(38,0)))").alias("syy"),
+        F.expr(
+            "SUM(CAST(xs AS DECIMAL(19,0)) * CAST(yq AS DECIMAL(19,0)))"
+        ).alias("sxy"),
+        F.expr(
+            "SUM(CAST(xs AS DECIMAL(19,0)) * CAST(xs AS DECIMAL(19,0)))"
+        ).alias("sxx"),
+        F.expr(
+            "SUM(CAST(yq AS DECIMAL(19,0)) * CAST(yq AS DECIMAL(19,0)))"
+        ).alias("syy"),
     )
     return m.select(
         "event_type",

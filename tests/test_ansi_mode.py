@@ -97,3 +97,36 @@ def test_minhash_signatures_ansi(ansi_on, docs):
     assert sigs.count() == docs.count()
     first = sigs.select(F.col("s0")).first()
     assert first["s0"] is not None
+
+
+def test_round2_queries_run_under_ansi(spark):
+    """Every round-2 query family that does integer arithmetic must run
+    clean under the driver's ANSI-on session and produce results
+    identical to the lenient run (no silent wraparound either way)."""
+    import __spark_entry__ as entry_mod
+
+    sf_dir = SF_SMALL
+    names = [
+        "stats_by_type",
+        "quantize_embeddings",
+        "chunk_docs",
+        "scd2_apply",
+        "incr_rollup",
+        "vocab_coverage",
+        "salted_join_revenue",
+        "dedup_clusters",
+    ]
+    queries = entry_mod.queries()
+    lenient = {
+        n: sorted(map(tuple, queries[n](spark, sf_dir).collect()))
+        for n in names
+    }
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        for n in names:
+            strict = sorted(map(tuple, queries[n](spark, sf_dir).collect()))
+            assert strict == lenient[n], f"{n}: ANSI-on result differs"
+            assert len(strict) > 0, f"{n}: empty result"
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
