@@ -151,7 +151,8 @@ def _q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     cutoff = F.lit(relational.INCR_CUTOFF).cast("timestamp")
     existing = relational.daily_rollup(ev.filter(F.col("ts") < cutoff))
-    return relational.merge_rollup(existing, ev.filter(F.col("ts") >= cutoff))
+    merged = relational.merge_rollup(existing, ev.filter(F.col("ts") >= cutoff))
+    return relational.present_rollup(merged)
 
 
 def _q_mask_email(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1022,6 +1023,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS yq,
                        date_diff('second', date_trunc('day', ts), ts) AS xs
                 FROM events
+                WHERE value IS NOT NULL AND ts IS NOT NULL
             ),
             m AS (
                 SELECT event_type,
@@ -1247,13 +1249,14 @@ def oracle_sql() -> dict[str, str]:
             WITH b AS (
                 SELECT min(value) AS vmin, max(value) AS vmax FROM events
             ), binned AS (
-                SELECT CAST(least(
+                SELECT CAST(CASE WHEN vmax = vmin THEN 0 ELSE least(
                            floor((value - vmin)
                                  / ((vmax - vmin) / {relational.VALUE_HISTOGRAM_BINS})),
-                           {relational.VALUE_HISTOGRAM_BINS - 1}) AS BIGINT)
+                           {relational.VALUE_HISTOGRAM_BINS - 1}) END AS BIGINT)
                            AS bin,
                        vmin, vmax
                 FROM events, b
+                WHERE value IS NOT NULL
             )
             SELECT bin,
                    round(vmin + bin * ((vmax - vmin)

@@ -289,14 +289,6 @@ def minhash_signatures(
     )
 
 
-def _band_keys(documents: DataFrame, n: int, hash_profile: str) -> DataFrame:
-    """(doc_id, band, key) LSH postings from the raw documents table
-    (convenience wrapper over ``_band_keys_from_grouped``)."""
-    return _band_keys_from_grouped(
-        _grouped_shingle_hashes(documents, n, hash_profile)
-    )
-
-
 def _band_keys_from_grouped(grouped: DataFrame) -> DataFrame:
     """(doc_id, band, key) LSH postings, band keys built INSIDE the
     signature kernel — the '-'-joined 4-row band key strings come out of

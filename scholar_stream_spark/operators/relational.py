@@ -276,12 +276,18 @@ def value_histogram(
         F.min("value").alias("_vmin"), F.max("value").alias("_vmax")
     )
     width = (F.col("_vmax") - F.col("_vmin")) / n_bins
-    bin_idx = F.least(
-        F.floor((F.col("value") - F.col("_vmin")) / width),
-        F.lit(n_bins - 1),
+    # width=0 (constant/single-value input) → everything in bin 0, not a
+    # DIVIDE_BY_ZERO under ANSI; NULL values are excluded, not silently
+    # floored into the top bin (least() skips NULLs).
+    bin_idx = F.when(width == 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("_vmin")) / width),
+            F.lit(n_bins - 1),
+        )
     ).cast("long")
     return (
-        events.crossJoin(F.broadcast(bounds))
+        events.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(bounds))
         .select(
             bin_idx.alias("bin"),
             F.col("_vmin"),
@@ -416,6 +422,13 @@ def merge_rollup(existing: DataFrame, delta_events: DataFrame) -> DataFrame:
     touching one day's delta and re-scanning the full history on every
     refresh; the oracle pins the equivalence — incremental result ==
     one-shot rollup over the whole input.
+
+    CLOSED under composition: the output schema is exactly
+    ``daily_rollup``'s (DATE day, DECIMAL sum) so a merged rollup can
+    be merged again without ever passing through doubles — the
+    decimal-exactness invariant survives any number of folds (a
+    presentation cast belongs at the read edge, see
+    ``present_rollup``).
     """
     delta = daily_rollup(delta_events)
     return (
@@ -423,16 +436,24 @@ def merge_rollup(existing: DataFrame, delta_events: DataFrame) -> DataFrame:
         .groupBy("day", "event_type")
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.sum("sum_value").cast("double").alias("sum_value"),
+            F.sum("sum_value")
+            .cast(existing.schema["sum_value"].dataType)
+            .alias("sum_value"),
         )
-        # day as midnight-timestamp: engines agree on timestamp compare
-        # semantics in the driver hash; DATE round-trips differ
-        .select(
-            F.col("day").cast("timestamp").alias("day"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
+    )
+
+
+def present_rollup(rollup: DataFrame) -> DataFrame:
+    """Read-edge projection of a (possibly many-times-merged) rollup:
+    day as midnight-timestamp and the exact decimal sum as double —
+    engines agree on timestamp/double hash compare where DATE/DECIMAL
+    round-trips differ. Presentation only; never feed this back into
+    ``merge_rollup``."""
+    return rollup.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
     )
 
 
@@ -509,7 +530,9 @@ def stats_by_type(events: DataFrame) -> DataFrame:
     map-side-combined shuffle as the built-ins (moments are
     decomposable sums).
     """
-    q = events.select(
+    q = events.filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
         "event_type",
         F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias("yq"),
         F.expr(
@@ -547,15 +570,16 @@ STATS_DN = "CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"
 STATS_COVN = "CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)"
 STATS_VARYN = "CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)"
 STATS_SD_SQL = (
-    f"round(sqrt({STATS_VARYN} / (CAST(n AS DOUBLE) * (n - 1))) / 1e6, 4)"
+    f"round(sqrt({STATS_VARYN}"
+    " / nullif(CAST(n AS DOUBLE) * (n - 1), 0.0)) / 1e6, 4)"
 )
 STATS_CORR_SQL = (
-    f"round({STATS_COVN} / sqrt({STATS_DN} * {STATS_VARYN}), 4)"
+    f"round({STATS_COVN} / nullif(sqrt({STATS_DN} * {STATS_VARYN}), 0.0), 4)"
 )
 STATS_SLOPE_SQL = (
-    f"round({STATS_COVN} / {STATS_DN} * 86400.0 / 1e6, 4)"
+    f"round({STATS_COVN} / nullif({STATS_DN}, 0.0) * 86400.0 / 1e6, 4)"
 )
 STATS_INTERCEPT_SQL = (
-    f"round((CAST(sy AS DOUBLE) - {STATS_COVN} / {STATS_DN}"
+    f"round((CAST(sy AS DOUBLE) - {STATS_COVN} / nullif({STATS_DN}, 0.0)"
     " * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1e6, 4)"
 )

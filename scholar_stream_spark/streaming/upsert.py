@@ -33,6 +33,14 @@ from scholar_stream_spark.operators.cdc import scd2_apply
 _VERSION_FILE = "_CURRENT_VERSION"
 
 
+def current_version(dim_path: str) -> int:
+    """Resolve the version pointer (one read — callers that need the
+    snapshot AND its number must not re-read the pointer, or a
+    concurrent advance could make the two disagree)."""
+    with open(os.path.join(dim_path, _VERSION_FILE)) as fh:
+        return int(fh.read().strip())
+
+
 def read_dim(
     spark: SparkSession, dim_path: str, version: int | None = None
 ) -> DataFrame:
@@ -41,8 +49,7 @@ def read_dim(
     merged snapshots are immutable once written, so an old version is
     a consistent table, not a best-effort reconstruction."""
     if version is None:
-        with open(os.path.join(dim_path, _VERSION_FILE)) as fh:
-            version = int(fh.read().strip())
+        version = current_version(dim_path)
     return spark.read.parquet(os.path.join(dim_path, f"v{version}"))
 
 
@@ -84,7 +91,10 @@ def start_scd2_upsert(
         if batch_df.isEmpty():
             return
         batch_ts = batch_df.agg(F.max(ts_col)).first()[0]
-        current = read_dim(spark, dim_path)
+        # resolve the pointer ONCE: the snapshot read and the version we
+        # advance to must come from the same observation
+        version = current_version(dim_path)
+        current = read_dim(spark, dim_path, version=version)
         merged = scd2_apply(
             current,
             batch_df.drop(ts_col),
@@ -92,8 +102,6 @@ def start_scd2_upsert(
             tracked=list(tracked),
             change_ts=F.lit(batch_ts).cast(current.schema["valid_from"].dataType),
         )
-        with open(os.path.join(dim_path, _VERSION_FILE)) as fh:
-            version = int(fh.read().strip())
         merged.write.mode("overwrite").parquet(
             os.path.join(dim_path, f"v{version + 1}")
         )

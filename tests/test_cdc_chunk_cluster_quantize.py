@@ -316,3 +316,84 @@ def test_stats_by_type_matches_numpy(spark):
         assert abs(out[typ]["sd_value"] - np.std(yq, ddof=1)) < 1e-3
         assert abs(out[typ]["corr_value_time"] - np.corrcoef(yq, x)[0, 1]) < 1e-3
         assert abs(out[typ]["trend_slope"] - slope_sec * 86400 ) < 1e-2
+
+
+# ---------------------------------------------------------------------------
+# review regressions: composable rollup, histogram/stats edge cases
+# ---------------------------------------------------------------------------
+
+
+def test_merge_rollup_composes_exactly(spark):
+    """Folding two deltas one at a time must equal the one-shot rollup
+    EXACTLY — the decimal invariant has to survive re-merging the
+    operator's own output (a double in the loop would drift)."""
+    from scholar_stream_spark.operators.relational import (
+        daily_rollup,
+        merge_rollup,
+        present_rollup,
+    )
+
+    ev = spark.createDataFrame(
+        [(f"t{i % 3}", 0.1 + i * 0.37, i) for i in range(300)],
+        "event_type string, value double, sec long",
+    ).select(
+        "event_type", "value",
+        F.expr("timestamp_seconds(1700000000 + sec * 9000)").alias("ts"),
+    )
+    a = ev.filter(F.col("value") < 30)
+    b = ev.filter((F.col("value") >= 30) & (F.col("value") < 70))
+    c = ev.filter(F.col("value") >= 70)
+    twice = merge_rollup(merge_rollup(daily_rollup(a), b), c)
+    # schema closed under composition (decimal sum, date day)
+    assert twice.schema["sum_value"].dataType.typeName().startswith("decimal")
+    one_shot = present_rollup(daily_rollup(ev))
+    assert sorted(map(tuple, present_rollup(twice).collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )
+
+
+def test_value_histogram_nulls_and_constant_input(spark):
+    from scholar_stream_spark.operators.relational import value_histogram
+
+    ev = spark.createDataFrame(
+        [(1.0,), (None,), (1.0,), (None,)], "value double"
+    )
+    rows = value_histogram(ev).collect()
+    # constant input: one bin (0), NULLs excluded rather than floored
+    # into the top bin
+    assert len(rows) == 1
+    assert rows[0]["bin"] == 0 and rows[0]["n"] == 2
+
+
+def test_stats_by_type_single_row_and_nulls(spark):
+    from scholar_stream_spark.operators.relational import stats_by_type
+
+    ev = spark.createDataFrame(
+        [
+            ("solo", 5.0, 1000),
+            ("dueling", 1.0, 2000),
+            ("dueling", 1.0, 2000),   # zero variance AND zero time spread
+            ("nullish", 3.0, 3000),
+            ("nullish", None, 4000),
+            ("nullish", 4.0, 5000),
+        ],
+        "event_type string, value double, sec long",
+    ).select(
+        "event_type", "value",
+        F.expr("timestamp_seconds(1700000000 + sec)").alias("ts"),
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        out = {r["event_type"]: r for r in stats_by_type(ev).collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    # single row: no variance/trend defined -> NULL, never an ANSI error
+    assert out["solo"]["n"] == 1 and out["solo"]["sd_value"] is None
+    assert out["solo"]["trend_slope"] is None
+    # zero variance: sd 0, correlation undefined (NULL)
+    assert out["dueling"]["sd_value"] == 0.0
+    assert out["dueling"]["corr_value_time"] is None
+    # NULL values excluded from n as well as the moments
+    assert out["nullish"]["n"] == 2
+    assert out["nullish"]["sd_value"] is not None
