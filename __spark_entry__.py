@@ -293,6 +293,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": lambda s, d: textops.vocab_coverage(
             _t(s, d, "documents")
         ),
+        # Misra-Gries candidates + exact recount: output is exact (the
+        # sketch only prunes), so it IS oracle-checkable
+        "heavy_hitters": lambda s, d: textops.heavy_hitters(
+            _t(s, d, "documents")
+        ),
         # --- temporal operators (SURVEY §2.8) ---
         "asof_join": lambda s, d: temporal.asof_join_events(
             _t(s, d, "events")
@@ -1071,6 +1076,17 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(tf) OVER (ORDER BY rank) / total.total, 6)
                        AS coverage
             FROM top, total
+        """,
+        "heavy_hitters": f"""
+            WITH tok AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                FROM documents
+            ),
+            tf AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+            total AS (SELECT SUM(tf) AS total FROM tf)
+            SELECT token, tf, round(tf / CAST(total AS DOUBLE), 6) AS freq
+            FROM tf, total
+            WHERE tf > total / {float(textops.HH_K)}
         """,
         "token_counts": """
             SELECT doc_id,

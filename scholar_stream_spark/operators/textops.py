@@ -319,3 +319,63 @@ def vocab_coverage(documents: DataFrame, top_n: int = VOCAB_TOP_N) -> DataFrame:
         "tf",
         F.round(F.sum("tf").over(w) / F.col("_total"), 6).alias("coverage"),
     )
+
+
+#: Heavy-hitter threshold divisor: report tokens with freq > N/k.
+HH_K = 200
+
+
+def heavy_hitters(documents: DataFrame, k: int = HH_K) -> DataFrame:
+    """Corpus heavy hitters (tokens with frequency > N/k) via a
+    Misra-Gries candidate pass + exact recount.
+
+    The scale story is the two-pass shape: pass 1 runs a k-counter
+    Misra-Gries summary PER PARTITION inside one ``mapInPandas``
+    kernel — O(k) memory regardless of vocabulary size, and sound as a
+    candidate filter (if x is in no partition's summary then its local
+    count is ≤ N_p/k everywhere, so its global count is ≤ N/k:
+    non-candidates provably cannot be heavy). Pass 2 broadcast-semi-
+    joins the (≤ k × partitions) candidates and recounts them EXACTLY,
+    so the output is deterministic — independent of partitioning and
+    of the sketch — and oracle-checkable, unlike sketch estimates.
+    A full vocabulary groupBy (the naive plan) shuffles every distinct
+    token; this shuffles only candidate occurrences.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    toks = scale_out(documents).select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k:
+                    counters[tok] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"token": list(counters)})
+
+    cands = toks.mapInPandas(mg, "token string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("tf") > F.col("_total") / F.lit(float(k)))
+        .select(
+            "token",
+            "tf",
+            F.round(F.col("tf") / F.col("_total"), 6).alias("freq"),
+        )
+    )

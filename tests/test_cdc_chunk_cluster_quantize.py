@@ -397,3 +397,24 @@ def test_stats_by_type_single_row_and_nulls(spark):
     # NULL values excluded from n as well as the moments
     assert out["nullish"]["n"] == 2
     assert out["nullish"]["sd_value"] is not None
+
+
+def test_heavy_hitters_finds_spread_heavy_token(spark):
+    """Adversarial layout: the heavy token is diluted across partitions
+    among floods of unique tokens — the per-partition sketches must
+    still surface it (candidate soundness) and the recount is exact."""
+    from scholar_stream_spark.operators.textops import heavy_hitters
+
+    docs = []
+    uid = 0
+    for p in range(8):
+        uniq = " ".join(f"u{uid + i}" for i in range(300))
+        uid += 300
+        docs.append((p, ("hot " * 40) + uniq))
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(8)
+    out = {r["token"]: r for r in heavy_hitters(df, k=10).collect()}
+    # 320 'hot' of 2720 tokens total -> freq ~0.118 > 1/10
+    assert "hot" in out
+    assert out["hot"]["tf"] == 320
+    # no unique token can be heavy
+    assert all(t == "hot" for t in out)
