@@ -7,21 +7,40 @@ What a pretraining data pipeline actually runs before tokenization:
 
 Composition strategy matters more than the individual filters at
 100 TB: every per-document signal (quality score, language, content
-fingerprint, split bucket) is a *narrow expression over the same
-scan* — so the whole chain is ONE projection + ONE filter with zero
-joins (the naive formulation joins four operator outputs back on
-doc_id: four shuffles of the corpus for values that were all derivable
-in the row). The only shuffle is the exact-dedup ranking window on the
-content fingerprint — unavoidable (global property) and minimal (keyed
-on the fingerprint, AQE-splittable).
+fingerprint, split bucket) is derivable in the row, so the whole
+chain needs zero joins — the only shuffle is the exact-dedup ranking
+window on the content fingerprint (a global property, unavoidable,
+keyed on the fingerprint and AQE-splittable).
 
-All expressions are shared with the standalone operators
-(``textops.quality_parts``, ``textops.pred_lang_from_hits``,
-``text.normalize_text``, ``sampling.split_bucket``) so the composed
-output provably matches running the stages separately.
+Two signal engines, same output bit-for-bit (pinned by tests AND by
+the shared DuckDB oracle):
+
+- ``engine="kernel"`` (default): ONE Arrow ``mapInPandas`` pass
+  computes every signal per batch. The expression formulation pays
+  interpreted array-``filter`` lambdas per language plus Catalyst's
+  filter-pushdown duplicating the signal expressions into the
+  predicate — measured ~3× slower end-to-end. One python pass per
+  row, tokenize once, all signals out; embarrassingly parallel at any
+  scale.
+- ``engine="expr"``: pure Column expressions shared with the
+  standalone operators (``textops.quality_parts``,
+  ``textops.pred_lang_from_hits``, ``text.normalize_text``,
+  ``sampling.split_bucket``) — the reference formulation the kernel
+  is checked against.
+
+Kernel parity notes (the subtle bits): Spark ``round()`` is
+BigDecimal ROUND_HALF_UP on the exact binary double — replicated with
+``decimal.Decimal(float).quantize(ROUND_HALF_UP)``, never python's
+half-even ``round()``; Java regex ``\\s`` is ASCII-only — replicated
+as an explicit ASCII class, never python's unicode-aware ``\\s``;
+``trim`` strips ASCII spaces only.
 """
 
 from __future__ import annotations
+
+import hashlib
+import re
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -29,7 +48,9 @@ from pyspark.sql import functions as F
 from scholar_stream_spark.functions.text import normalize_text
 from scholar_stream_spark.operators.sampling import SPLIT_BOUNDS, split_bucket
 from scholar_stream_spark.operators.textops import (
+    LANG_MARKERS,
     LANG_ORDER,
+    STOPWORDS,
     lang_hit_cols,
     pred_lang_from_hits,
     quality_parts,
@@ -41,23 +62,88 @@ CURATE_MIN_QUALITY = 0.5
 CURATE_LANGS = ("en",)
 CURATE_SPLITS = ("train",)
 
+#: Java-regex ``\s`` is ASCII-only; python's is unicode-aware. Match Java.
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+_Q4 = Decimal("0.0001")
 
-def curate_corpus(
-    documents: DataFrame,
-    min_quality: float = CURATE_MIN_QUALITY,
-    langs: tuple[str, ...] = CURATE_LANGS,
-    splits: tuple[str, ...] = CURATE_SPLITS,
-) -> DataFrame:
-    """Quality+language filter → exact dedup → split selection.
 
-    Dedup keeps the LOWEST doc_id among quality/lang-passing documents
-    sharing a normalized-content fingerprint (deterministic survivor —
-    never ``dropDuplicates``). Split filtering happens after dedup so
-    the survivor choice is split-independent (the same doc survives
-    whether you materialize train or val).
+def _round4_half_up(x: float) -> float:
+    """Spark's ``round(x, 4)``: HALF_UP over ``BigDecimal.valueOf``,
+    which parses the SHORTEST round-trip decimal string of the double
+    (Double.toString), not its exact binary expansion — a score of
+    exactly-printed 0.91875 rounds UP even though the underlying
+    double is 0.91874999…96. Python's ``repr`` is the same
+    shortest-round-trip algorithm, so ``Decimal(repr(x))`` matches;
+    ``Decimal(x)`` (exact binary) does not."""
+    return float(Decimal(repr(x)).quantize(_Q4, rounding=ROUND_HALF_UP))
 
-    Output: (doc_id, n_doc_tokens, quality_score, pred_lang, split).
-    """
+
+def _signal_kernel(batches):
+    """Per-batch signal computation — exact python replica of the
+    expression formulation (see module docstring for the parity
+    traps)."""
+    import pandas as pd  # noqa: PLC0415
+
+    for pdf in batches:
+        n_toks, scores, langs, fps, splits = [], [], [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            nospace = text.replace(" ", "")
+            nt = len(text) - len(nospace) + 1
+            toks = _ASCII_WS.split(text.strip(" "))
+            if nt < 5:
+                score = 0.0
+            else:
+                mean_len = len(nospace) / nt
+                sr = sum(1 for t in toks if t in STOPWORDS) / nt
+                score = 1.0 - abs(mean_len - 4.0) / 10.0 - sr * 0.5
+            hits = {
+                lang: sum(1 for t in toks if t in LANG_MARKERS[lang])
+                for lang in LANG_ORDER
+            }
+            lang = "und"
+            for cand in LANG_ORDER:  # priority argmax, earliest wins ties
+                if hits[cand] > 0 and all(
+                    hits[cand] >= hits[o] for o in LANG_ORDER
+                ):
+                    lang = cand
+                    break
+            norm = _ASCII_WS.sub(" ", text.lower()).strip(" ")
+            bucket = (
+                int(
+                    hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16
+                )
+                % 100
+            )
+            split = None
+            for name, lo, hi in SPLIT_BOUNDS:
+                if lo <= bucket < hi:
+                    split = name
+                    break
+            n_toks.append(nt)
+            scores.append(_round4_half_up(score))
+            langs.append(lang)
+            fps.append(hashlib.md5(norm.encode()).hexdigest())
+            splits.append(split)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_doc_tokens": n_toks,
+                "quality_score": scores,
+                "pred_lang": langs,
+                "fingerprint": fps,
+                "split": splits,
+            }
+        )
+
+
+_SIGNAL_SCHEMA = (
+    "doc_id long, n_doc_tokens long, quality_score double, "
+    "pred_lang string, fingerprint string, split string"
+)
+
+
+def _signals_expr(documents: DataFrame) -> DataFrame:
+    """Expression-engine signal projection (the kernel's reference)."""
     nt, _, _, score = quality_parts(F.col("text"))
     bucket = split_bucket("CAST(doc_id AS STRING)")
     split = None
@@ -77,7 +163,7 @@ def curate_corpus(
         F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
         split.alias("split"),
     )
-    scored = staged.select(
+    return staged.select(
         "doc_id",
         "n_doc_tokens",
         "quality_score",
@@ -87,6 +173,33 @@ def curate_corpus(
         "fingerprint",
         "split",
     )
+
+
+def curate_corpus(
+    documents: DataFrame,
+    min_quality: float = CURATE_MIN_QUALITY,
+    langs: tuple[str, ...] = CURATE_LANGS,
+    splits: tuple[str, ...] = CURATE_SPLITS,
+    engine: str = "kernel",
+) -> DataFrame:
+    """Quality+language filter → exact dedup → split selection.
+
+    Dedup keeps the LOWEST doc_id among quality/lang-passing documents
+    sharing a normalized-content fingerprint (deterministic survivor —
+    never ``dropDuplicates``). Split filtering happens after dedup so
+    the survivor choice is split-independent (the same doc survives
+    whether you materialize train or val).
+
+    Output: (doc_id, n_doc_tokens, quality_score, pred_lang, split).
+    """
+    if engine == "kernel":
+        scored = scale_out(documents).select("doc_id", "text").mapInPandas(
+            _signal_kernel, _SIGNAL_SCHEMA
+        )
+    elif engine == "expr":
+        scored = _signals_expr(documents)
+    else:
+        raise ValueError(f"unknown engine: {engine!r}")
     passed = scored.filter(
         (F.col("quality_score") >= min_quality)
         & F.col("pred_lang").isin(*langs)

@@ -418,3 +418,19 @@ def test_heavy_hitters_finds_spread_heavy_token(spark):
     assert out["hot"]["tf"] == 320
     # no unique token can be heavy
     assert all(t == "hot" for t in out)
+
+
+def test_curate_engines_agree_exactly(spark):
+    """The Arrow signal kernel must be bit-identical to the expression
+    formulation — both scale factors, every column (HALF_UP rounding,
+    ASCII whitespace, md5 fingerprints, hash buckets)."""
+    from scholar_stream_spark.operators.curation import curate_corpus
+
+    for sf in ("sf0.001", "sf0.01"):
+        docs = spark.read.parquet(
+            f"{SF_SMALL}".replace("sf0.001", sf) + "/documents.parquet"
+        )
+        kernel = sorted(map(tuple, curate_corpus(docs, engine="kernel").collect()))
+        expr = sorted(map(tuple, curate_corpus(docs, engine="expr").collect()))
+        assert kernel == expr, f"engine divergence at {sf}"
+        assert len(kernel) > 0
