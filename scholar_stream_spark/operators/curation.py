@@ -87,6 +87,26 @@ def _signal_kernel(batches):
     for pdf in batches:
         n_toks, scores, langs, fps, splits = [], [], [], [], []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            bucket = (
+                int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16)
+                % 100
+            )
+            split = None
+            for name, lo, hi in SPLIT_BOUNDS:
+                if lo <= bucket < hi:
+                    split = name
+                    break
+            if text is None:
+                # expr-engine parity for NULL text (never a crash): NULL
+                # length/score/fingerprint, 'und' language (the CASE's
+                # otherwise-branch), split still derived from doc_id.
+                # The quality filter drops the row either way.
+                n_toks.append(None)
+                scores.append(None)
+                langs.append("und")
+                fps.append(None)
+                splits.append(split)
+                continue
             nospace = text.replace(" ", "")
             nt = len(text) - len(nospace) + 1
             toks = _ASCII_WS.split(text.strip(" "))
@@ -108,17 +128,6 @@ def _signal_kernel(batches):
                     lang = cand
                     break
             norm = _ASCII_WS.sub(" ", text.lower()).strip(" ")
-            bucket = (
-                int(
-                    hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16
-                )
-                % 100
-            )
-            split = None
-            for name, lo, hi in SPLIT_BOUNDS:
-                if lo <= bucket < hi:
-                    split = name
-                    break
             n_toks.append(nt)
             scores.append(_round4_half_up(score))
             langs.append(lang)

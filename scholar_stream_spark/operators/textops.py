@@ -327,29 +327,36 @@ HH_K = 200
 
 def heavy_hitters(documents: DataFrame, k: int = HH_K) -> DataFrame:
     """Corpus heavy hitters (tokens with frequency > N/k) via a
-    Misra-Gries candidate pass + exact recount.
+    Misra-Gries candidate pass + exact recount — genuinely TWO corpus
+    passes.
 
-    The scale story is the two-pass shape: pass 1 runs a k-counter
-    Misra-Gries summary PER PARTITION inside one ``mapInPandas``
-    kernel — O(k) memory regardless of vocabulary size, and sound as a
-    candidate filter (if x is in no partition's summary then its local
-    count is ≤ N_p/k everywhere, so its global count is ≤ N/k:
-    non-candidates provably cannot be heavy). Pass 2 broadcast-semi-
-    joins the (≤ k × partitions) candidates and recounts them EXACTLY,
-    so the output is deterministic — independent of partitioning and
-    of the sketch — and oracle-checkable, unlike sketch estimates.
-    A full vocabulary groupBy (the naive plan) shuffles every distinct
-    token; this shuffles only candidate occurrences.
+    Pass 1 runs a k-counter Misra-Gries summary per partition inside
+    one ``mapInPandas`` kernel — O(k) memory regardless of vocabulary
+    size, and sound as a candidate filter (if x is in no partition's
+    summary then its local count is ≤ N_p/k everywhere, so its global
+    count is ≤ N/k: non-candidates provably cannot be heavy). The
+    kernel also emits each partition's token count (as a NULL-token
+    row), and the whole (≤ k+1 rows per partition) output is collected
+    ONCE — so the corpus total and the candidate set cost no extra
+    scan. Pass 2 semi-joins the broadcast candidates and recounts them
+    EXACTLY, so the output is deterministic — independent of
+    partitioning and of the sketch — and oracle-checkable, unlike
+    sketch estimates. A full vocabulary groupBy (the naive plan)
+    shuffles every distinct token; this shuffles only candidate
+    occurrences.
     """
     import pandas as pd  # noqa: PLC0415
 
+    spark = documents.sparkSession
     toks = scale_out(documents).select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
     )
 
     def mg(batches):
         counters: dict[str, int] = {}
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             for tok in pdf["token"]:
                 if tok in counters:
                     counters[tok] += 1
@@ -363,19 +370,29 @@ def heavy_hitters(documents: DataFrame, k: int = HH_K) -> DataFrame:
                             dead.append(key)
                     for key in dead:
                         del counters[key]
-        yield pd.DataFrame({"token": list(counters)})
+        # candidates + one NULL-token row carrying the partition count
+        yield pd.DataFrame(
+            {
+                "token": list(counters) + [None],
+                "n_part": [0] * len(counters) + [n_part],
+            }
+        )
 
-    cands = toks.mapInPandas(mg, "token string").distinct()
-    total = toks.agg(F.count(F.lit(1)).alias("_total"))
+    summary = toks.mapInPandas(mg, "token string, n_part long").collect()
+    total = sum(r["n_part"] for r in summary if r["token"] is None)
+    cand_tokens = sorted({r["token"] for r in summary if r["token"] is not None})
+    if not cand_tokens or total == 0:
+        return spark.createDataFrame([], "token string, tf long, freq double")
+    cands = spark.createDataFrame([(t,) for t in cand_tokens], "token string")
+    threshold = total / float(k)
     return (
         toks.join(F.broadcast(cands), "token")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("tf") > F.col("_total") / F.lit(float(k)))
+        .filter(F.col("tf") > F.lit(threshold))
         .select(
             "token",
             "tf",
-            F.round(F.col("tf") / F.col("_total"), 6).alias("freq"),
+            F.round(F.col("tf") / F.lit(float(total)), 6).alias("freq"),
         )
     )

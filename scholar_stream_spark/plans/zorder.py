@@ -37,19 +37,30 @@ ZORDER_BITS = 16
 
 def _quantize(col: Column, vmin: Column, vmax: Column, bits: int) -> Column:
     """Scale ``col`` into [0, 2^bits) against (vmin, vmax) — constant
-    input (vmax == vmin) maps to 0 instead of dividing by zero."""
+    input (vmax == vmin) maps to 0 instead of dividing by zero; NULL
+    stays NULL (``greatest``/``least`` silently skip NULLs, which
+    would otherwise cluster null-dimension rows onto the origin and
+    inflate those row groups' spans — nulls are routed to their own
+    trailing key range by ``write_zordered`` instead)."""
     top = F.lit((1 << bits) - 1)
     span = vmax.cast("double") - vmin.cast("double")
     scaled = F.when(span == 0, F.lit(0)).otherwise(
         F.floor((col.cast("double") - vmin) / span * top)
     )
-    return F.least(top, F.greatest(F.lit(0), scaled)).cast("long")
+    clamped = F.least(top, F.greatest(F.lit(0), scaled)).cast("long")
+    return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(clamped)
 
 
 def zorder_key(q1: Column, q2: Column, bits: int = ZORDER_BITS) -> Column:
     """Interleave the low ``bits`` of two quantized columns into one
     Morton key (q1 on even bit positions, q2 on odd). Pure shift/and/or
-    expressions — whole-stage codegen, no UDF."""
+    expressions — whole-stage codegen, no UDF. NULL in either input
+    propagates to a NULL key. ``bits`` is capped at 31: at 32 the
+    high odd bit would land on long's sign bit and negative keys
+    would range-sort before the origin, silently destroying the
+    clustering."""
+    if not 1 <= bits <= 31:
+        raise ValueError("zorder bits must be in [1, 31]")
     parts = []
     for b in range(bits):
         parts.append(F.shiftleft(F.shiftright(q1, b).bitwiseAND(F.lit(1)), 2 * b))
@@ -82,8 +93,12 @@ def write_zordered(
     )
     q1 = _quantize(F.col(col1), F.col("_min1"), F.col("_max1"), bits)
     q2 = _quantize(F.col(col2), F.col("_min2"), F.col("_max2"), bits)
+    # rows with a NULL dimension cluster into their own TRAILING key
+    # range (beyond any Morton key) instead of polluting the origin
+    # files' min/max stats
     keyed = df.crossJoin(F.broadcast(bounds)).withColumn(
-        "_zkey", zorder_key(q1, q2, bits)
+        "_zkey",
+        F.coalesce(zorder_key(q1, q2, bits), F.lit(1 << 62)),
     )
     out = (
         keyed.repartitionByRange(n_files, "_zkey")

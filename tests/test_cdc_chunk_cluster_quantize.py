@@ -434,3 +434,24 @@ def test_curate_engines_agree_exactly(spark):
         expr = sorted(map(tuple, curate_corpus(docs, engine="expr").collect()))
         assert kernel == expr, f"engine divergence at {sf}"
         assert len(kernel) > 0
+
+
+def test_curate_kernel_tolerates_null_text(spark):
+    from scholar_stream_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, None),
+         (3, "the a of the a of the a of the a of the a of")],
+        "doc_id long, text string",
+    )
+    for engine in ("kernel", "expr"):
+        out = curate_corpus(docs, engine=engine).collect()
+        assert all(r["doc_id"] != 2 for r in out), engine  # dropped, no crash
+
+
+def test_heavy_hitters_empty_corpus(spark):
+    from scholar_stream_spark.operators.textops import heavy_hitters
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert heavy_hitters(docs).count() == 0

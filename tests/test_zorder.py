@@ -83,3 +83,23 @@ def test_zorder_shrinks_row_group_bounding_boxes(spark, tmp_path):
     # either column prune most row groups
     assert ck_z < 0.6, f"z custkey span {ck_z:.3f}"
     assert tp_z < 0.6, f"z totalprice span {tp_z:.3f} (single {tp_single:.3f})"
+
+
+def test_zorder_bits_bound_and_null_routing(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F2
+
+    from scholar_stream_spark.plans.zorder import zorder_key
+
+    with pytest.raises(ValueError):
+        zorder_key(F2.lit(1), F2.lit(1), bits=32)
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 99.0), (4, None), (5, 50.0)],
+        "k long, v double",
+    )
+    path = str(tmp_path / "z_null")
+    write_zordered(df, path, "k", "v", n_files=2)
+    back = spark.read.parquet(path)
+    assert back.count() == 5
+    assert back.filter("v IS NULL").count() == 2  # nulls preserved
