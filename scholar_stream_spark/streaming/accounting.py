@@ -137,3 +137,58 @@ def append_metrics(
 
 def read_metrics(spark: SparkSession, metrics_path: str) -> DataFrame:
     return spark.read.schema(METRICS_SCHEMA).parquet(metrics_path)
+
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class ProgressListener(StreamingQueryListener):
+    """Engine-level streaming observability via ``StreamingQueryListener``
+    — the second half of failure accounting: ``IngestAccounting`` counts
+    what the foreachBatch hook SAW; the listener reports what the engine
+    DID (batch durations, input/processed rates, state-store sizes),
+    catching degradations the application layer can't observe (e.g. a
+    stalled source that never reaches foreachBatch).
+
+    Attach with ``spark.streams.addListener(ProgressListener())``;
+    ``to_df(spark)`` exposes the captured progress as a queryable
+    metrics DataFrame, mirroring ``IngestAccounting.to_df``.
+    """
+
+    PROGRESS_SCHEMA = (
+        "query_id string, batch_seq long, num_input_rows long, "
+        "input_rows_per_second double, process_rows_per_second double, "
+        "batch_duration_ms long, ts string"
+    )
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.progress: list[tuple] = []
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        self.progress.append(
+            (
+                str(p.id),
+                int(p.batchId),
+                int(p.numInputRows),
+                float(p.inputRowsPerSecond or 0.0),
+                float(p.processedRowsPerSecond or 0.0),
+                int((p.durationMs or {}).get("triggerExecution", 0)),
+                str(p.timestamp),
+            )
+        )
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        if not self.progress:
+            return spark.createDataFrame([], self.PROGRESS_SCHEMA)
+        return spark.createDataFrame(self.progress, self.PROGRESS_SCHEMA)

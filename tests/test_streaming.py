@@ -295,3 +295,42 @@ def test_streaming_dedup(spark, raw_stream, tmp_path):
         for r in spark.sql("SELECT work_id FROM dedup_out").collect()
     ]
     assert sorted(ids) == ["W0", "W1", "W2"]  # duplicate W0 dropped
+
+
+def test_progress_listener_captures_engine_metrics(spark, tmp_path):
+    """StreamingQueryListener half of failure accounting: engine-level
+    batch metrics (input rows, durations) captured independently of
+    the foreachBatch application counters."""
+    import json as _json
+    import time as _time
+
+    from scholar_stream_spark.streaming.accounting import ProgressListener
+
+    listener = ProgressListener()
+    spark.streams.addListener(listener)
+    try:
+        inbox = tmp_path / "plin"
+        inbox.mkdir()
+        (inbox / "a.ndjson").write_text(
+            "\n".join(_json.dumps({"k": i}) for i in range(25)) + "\n"
+        )
+        q = (
+            spark.readStream.schema("k long")
+            .json(str(inbox))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "plck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        for _ in range(20):  # listener delivery is async
+            if listener.progress:
+                break
+            _time.sleep(0.5)
+        df = listener.to_df(spark)
+        rows = df.collect()
+        assert rows, "no progress events captured"
+        assert sum(r["num_input_rows"] for r in rows) == 25
+        assert all(r["batch_duration_ms"] >= 0 for r in rows)
+    finally:
+        spark.streams.removeListener(listener)
