@@ -113,3 +113,30 @@ def start_scd2_upsert(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def vacuum_dim(dim_path: str, keep_last: int = 2) -> list[int]:
+    """Retention for the versioned dimension: delete snapshot
+    directories older than the ``keep_last`` most recent (the current
+    version is always retained). Returns the removed version numbers.
+
+    Safe by construction: the pointer is read once, only versions
+    strictly below ``current - keep_last + 1`` are touched, and
+    readers that resolved the pointer before the vacuum still see a
+    fully-written (immutable) snapshot unless they raced the retention
+    window itself — the same contract as Delta's VACUUM horizon.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    import shutil  # noqa: PLC0415
+
+    cur = current_version(dim_path)
+    removed = []
+    for name in sorted(os.listdir(dim_path)):
+        if not (name.startswith("v") and name[1:].isdigit()):
+            continue
+        version = int(name[1:])
+        if version <= cur - keep_last:
+            shutil.rmtree(os.path.join(dim_path, name))
+            removed.append(version)
+    return removed

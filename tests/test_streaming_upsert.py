@@ -113,3 +113,34 @@ def test_scd2_upsert_stream(spark, tmp_path):
     )
     got = {r["k"]: r["bal"] for r in asof.collect()}
     assert got == {1: 10.0, 2: 20.0}  # the pre-change world
+
+
+def test_vacuum_dim_retention(spark, tmp_path):
+    from scholar_stream_spark.streaming.upsert import vacuum_dim
+
+    dim_path, inbox = tmp_path / "vdim", tmp_path / "vin"
+    cur = spark.createDataFrame(
+        [(1, 1.0, "A")], "k long, bal double, seg string"
+    ).select(
+        "k", "bal", "seg",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    init_dim(cur, str(dim_path))
+    for i, ts in enumerate(["2026-02-01", "2026-03-01"]):
+        _write_changes(
+            inbox,
+            [{"k": 1, "bal": float(i + 2), "seg": "A", "op": "U",
+              "change_ts": f"{ts}T00:00:00Z"}],
+        )
+        _run_once(spark, inbox, dim_path, tmp_path / f"vck{i}")
+    # versions v0, v1, v2 exist; keep last 2
+    removed = vacuum_dim(str(dim_path), keep_last=2)
+    assert removed == [0]
+    assert read_dim(spark, str(dim_path)).filter("is_current").first()["bal"] == 3.0
+    assert read_dim(spark, str(dim_path), version=1) is not None
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_dim(spark, str(dim_path), version=0).collect()
