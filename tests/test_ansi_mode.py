@@ -111,10 +111,14 @@ def test_round2_queries_run_under_ansi(spark):
         "quantize_embeddings",
         "chunk_docs",
         "scd2_apply",
+        "scd2_as_of",
         "incr_rollup",
         "vocab_coverage",
+        "heavy_hitters",
+        "value_percentiles_sketch",
         "salted_join_revenue",
         "dedup_clusters",
+        "value_histogram",
     ]
     queries = entry_mod.queries()
     lenient = {
