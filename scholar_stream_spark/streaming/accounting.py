@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQueryListener
 
 METRICS_SCHEMA = (
     "batch_id string, batch_seq long, n_input long, n_landed long, "
@@ -139,9 +140,6 @@ def read_metrics(spark: SparkSession, metrics_path: str) -> DataFrame:
     return spark.read.schema(METRICS_SCHEMA).parquet(metrics_path)
 
 
-from pyspark.sql.streaming import StreamingQueryListener
-
-
 class ProgressListener(StreamingQueryListener):
     """Engine-level streaming observability via ``StreamingQueryListener``
     — the second half of failure accounting: ``IngestAccounting`` counts
@@ -189,6 +187,4 @@ class ProgressListener(StreamingQueryListener):
         pass
 
     def to_df(self, spark: SparkSession) -> DataFrame:
-        if not self.progress:
-            return spark.createDataFrame([], self.PROGRESS_SCHEMA)
         return spark.createDataFrame(self.progress, self.PROGRESS_SCHEMA)

@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from scholar_stream_spark.operators.cdc import scd2_apply
@@ -81,15 +81,29 @@ def start_scd2_upsert(
     ``changes_stream`` carries ``key``, ``tracked``, ``op`` ('U'/'D')
     and ``ts_col`` (the change's effective timestamp; the batch's MAX
     stamps the merged versions, so replays of the same data produce
-    the same timestamps — never wall clock). The checkpoint makes
-    delivery at-least-once; idempotent ``scd2_apply`` upgrades that to
-    effectively-once for the table state.
+    the same timestamps — never wall clock). A micro-batch holding
+    several changes for one key (slow trigger, redelivery folding
+    logical batches together) is collapsed per key to the max-``ts_col``
+    change before merging — ``scd2_apply`` requires one row per key.
+    The checkpoint makes delivery at-least-once; the idempotent merge
+    upgrades that to effectively-once for the table state.
     """
     spark = changes_stream.sparkSession
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # collapse to ONE change per key (last writer by change_ts wins):
+        # scd2_apply's contract is one row per key, and a redelivery or a
+        # slow trigger can legitimately fold several logical batches into
+        # one micro-batch — without this, a twice-changed key would merge
+        # as two simultaneous opens (two is_current rows: corruption)
+        w = Window.partitionBy(key).orderBy(F.desc(ts_col), F.desc("op"))
+        batch_df = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         batch_ts = batch_df.agg(F.max(ts_col)).first()[0]
         # resolve the pointer ONCE: the snapshot read and the version we
         # advance to must come from the same observation
@@ -131,12 +145,14 @@ def vacuum_dim(dim_path: str, keep_last: int = 2) -> list[int]:
     import shutil  # noqa: PLC0415
 
     cur = current_version(dim_path)
+    versions = sorted(
+        int(name[1:])
+        for name in os.listdir(dim_path)
+        if name.startswith("v") and name[1:].isdigit()
+    )
     removed = []
-    for name in sorted(os.listdir(dim_path)):
-        if not (name.startswith("v") and name[1:].isdigit()):
-            continue
-        version = int(name[1:])
+    for version in versions:  # numeric order (lexicographic puts v10 < v2)
         if version <= cur - keep_last:
-            shutil.rmtree(os.path.join(dim_path, name))
+            shutil.rmtree(os.path.join(dim_path, f"v{version}"))
             removed.append(version)
     return removed

@@ -135,12 +135,47 @@ def test_vacuum_dim_retention(spark, tmp_path):
               "change_ts": f"{ts}T00:00:00Z"}],
         )
         _run_once(spark, inbox, dim_path, tmp_path / f"vck{i}")
-    # versions v0, v1, v2 exist; keep last 2
+    # versions v0, v1, v2 exist; keep last 2. NOTE the second run used a
+    # fresh checkpoint over the shared inbox, so its micro-batch carried
+    # BOTH changes for k=1 — the merge's per-key last-writer-wins
+    # collapse must leave exactly one current row (bal from the max ts).
+    current_rows = read_dim(spark, str(dim_path)).filter("is_current").collect()
+    assert len(current_rows) == 1 and current_rows[0]["bal"] == 3.0
     removed = vacuum_dim(str(dim_path), keep_last=2)
     assert removed == [0]
-    assert read_dim(spark, str(dim_path)).filter("is_current").first()["bal"] == 3.0
     assert read_dim(spark, str(dim_path), version=1) is not None
     import pytest as _pytest
 
     with _pytest.raises(Exception):
         read_dim(spark, str(dim_path), version=0).collect()
+
+
+def test_upsert_collapses_multiple_changes_per_key_in_one_batch(spark, tmp_path):
+    """A slow trigger (or redelivery) can fold several logical changes
+    to one key into a single micro-batch; the merge must apply only the
+    LAST (max change_ts) — never two simultaneous opens."""
+    dim_path, inbox = tmp_path / "mdim", tmp_path / "min"
+    cur = spark.createDataFrame(
+        [(1, 1.0, "A")], "k long, bal double, seg string"
+    ).select(
+        "k", "bal", "seg",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    init_dim(cur, str(dim_path))
+    _write_changes(
+        inbox,
+        [
+            {"k": 1, "bal": 5.0, "seg": "A", "op": "U",
+             "change_ts": "2026-02-01T00:00:00Z"},
+            {"k": 1, "bal": 9.0, "seg": "A", "op": "U",
+             "change_ts": "2026-03-01T00:00:00Z"},
+        ],
+    )
+    _run_once(spark, inbox, dim_path, tmp_path / "mck")
+    rows = read_dim(spark, str(dim_path)).collect()
+    current = [r for r in rows if r["is_current"]]
+    assert len(current) == 1
+    assert current[0]["bal"] == 9.0  # last writer
+    assert str(current[0]["valid_from"]).startswith("2026-03-01")
