@@ -26,6 +26,8 @@ Deliberately WITHOUT oracle entries (rows-only check):
 - ``value_percentiles_sketch`` — approx_percentile is a sketch (not
   SQL-reproducible); the query itself emits exact-vs-sketch error and
   pytest pins the bound.
+- ``distinct_users_sketch`` — approx_count_distinct (HyperLogLog) is a
+  sketch; same self-checked treatment (per-group relative error).
 """
 
 from __future__ import annotations
@@ -271,6 +273,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # statistical aggregates (stddev/corr/OLS trend) in one
         # map-side-combined pass
         "stats_by_type": lambda s, d: relational.stats_by_type(
+            _t(s, d, "events")
+        ),
+        # HLL distinct vs exact with error surfaced (sketch => rows-only
+        # driver check; pytest pins the error against the rsd)
+        "distinct_users_sketch": lambda s, d: relational.distinct_users_sketch_accuracy(
             _t(s, d, "events")
         ),
         # sketch percentiles vs exact with the error surfaced (the

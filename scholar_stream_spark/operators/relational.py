@@ -583,3 +583,36 @@ STATS_INTERCEPT_SQL = (
     f"round((CAST(sy AS DOUBLE) - {STATS_COVN} / nullif({STATS_DN}, 0.0)"
     " * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1e6, 4)"
 )
+
+
+#: approx_count_distinct relative standard deviation (the HLL knob).
+HLL_RSD = 0.02
+
+
+def distinct_users_sketch_accuracy(events: DataFrame) -> DataFrame:
+    """HyperLogLog distinct counts vs exact, error surfaced — the
+    sketch-accuracy harness (``ann_recall`` pattern) applied to
+    ``approx_count_distinct``.
+
+    HLL is the 100 TB cardinality path: fixed-size mergeable registers
+    per group versus the exact count's shuffle of every distinct value
+    (even the salted-exact formulation moves one row per distinct).
+    Sketch ⇒ not SQL-reproducible ⇒ rows-only driver check; THIS query
+    carries the quality signal (per-group exact, estimate, relative
+    error) and pytest pins the error against the configured rsd. Both
+    aggregates run in one map-side-combined groupBy pass.
+    """
+    return events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.expr(f"approx_count_distinct(user_id, {HLL_RSD})").alias(
+            "n_approx"
+        ),
+        F.round(
+            F.abs(
+                F.expr(f"approx_count_distinct(user_id, {HLL_RSD})")
+                - F.count_distinct("user_id")
+            )
+            / F.count_distinct("user_id"),
+            6,
+        ).alias("rel_err"),
+    )

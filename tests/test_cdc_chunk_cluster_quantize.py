@@ -455,3 +455,22 @@ def test_heavy_hitters_empty_corpus(spark):
 
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert heavy_hitters(docs).count() == 0
+
+
+def test_distinct_users_sketch_error_bound(spark):
+    from scholar_stream_spark.operators.relational import (
+        HLL_RSD,
+        distinct_users_sketch_accuracy,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(
+        f"{SF_SMALL}/events.parquet".replace("sf0.001", "sf0.01")
+    ).select("event_type", "user_id")
+    rows = distinct_users_sketch_accuracy(ev).collect()
+    assert rows
+    for r in rows:
+        # HLL rsd=0.02 -> 5 sigma margin on the relative error
+        assert r["rel_err"] <= 5 * HLL_RSD, (
+            f"{r['event_type']}: {r['n_approx']} vs {r['n_exact']}"
+        )
