@@ -379,6 +379,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": lambda s, d: dedup.embedding_neardup_pairs(
             _t(s, d, "embeddings")
         ),
+        # character-level fuzzy dedup: prefix-blocked pair join +
+        # threshold levenshtein verify (catches in-place edits that
+        # shingle Jaccard misses)
+        "dedup_fuzzy": lambda s, d: dedup.fuzzy_neardup_pairs(
+            _t(s, d, "documents")
+        ),
         # connected components over the near-dup pair graph (iterative
         # min-label propagation; oracle = DuckDB recursive CTE)
         "dedup_clusters": lambda s, d: dedup.neardup_clusters(
@@ -714,6 +720,36 @@ WITH pairs AS (
 )
 SELECT v1, v2, label, round(cos_raw, 4) AS cos_sim
 FROM pairs WHERE cos_raw >= {dedup.EMBED_COS_THRESHOLD}
+"""
+
+
+def _fuzzy_neardup_sql() -> str:
+    """Prefix-blocked bounded-edit-distance pairs (dedup_fuzzy).
+
+    Mirrors ``dedup.fuzzy_neardup_pairs``: normalize (lower + collapse
+    whitespace + trim, same text as the doc_fingerprint oracle), cap at
+    FUZZY_VERIFY_CHARS, block on the first FUZZY_BLOCK_CHARS, verify
+    with levenshtein. DuckDB's levenshtein has no threshold argument;
+    filtering the unbounded distance to <= FUZZY_MAX_EDITS keeps
+    exactly the rows Spark's early-exit threshold form returns.
+    """
+    return f"""
+WITH normed AS (
+    SELECT doc_id,
+           substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                  1, {dedup.FUZZY_VERIFY_CHARS}) AS body
+    FROM documents
+),
+blk AS (
+    SELECT doc_id, body,
+           substr(body, 1, {dedup.FUZZY_BLOCK_CHARS}) AS blk
+    FROM normed
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       levenshtein(a.body, b.body) AS edits
+FROM blk a
+JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.body, b.body) <= {dedup.FUZZY_MAX_EDITS}
 """
 
 
@@ -1367,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _embedding_neardup_sql(),
+        "dedup_fuzzy": _fuzzy_neardup_sql(),
         "dedup_clusters": _clusters_sql(),
         "scd2_as_of": f"""
             WITH scd AS ({_scd2_sql()})

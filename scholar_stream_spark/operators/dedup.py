@@ -42,7 +42,7 @@ from scholar_stream_spark.functions.hashing import (
     SIMHASH_BITS,
     hex48_spark_sql,
 )
-from scholar_stream_spark.functions.text import word_shingles
+from scholar_stream_spark.functions.text import normalize_text, word_shingles
 from scholar_stream_spark.plans.partitioning import scale_out
 
 SHINGLE_N = 5
@@ -659,3 +659,59 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("v1", "v2", "label", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+FUZZY_BLOCK_CHARS = 24
+FUZZY_VERIFY_CHARS = 120
+FUZZY_MAX_EDITS = 10
+
+
+def fuzzy_neardup_pairs(
+    documents: DataFrame,
+    block_chars: int = FUZZY_BLOCK_CHARS,
+    verify_chars: int = FUZZY_VERIFY_CHARS,
+    max_edits: int = FUZZY_MAX_EDITS,
+) -> DataFrame:
+    """Character-level fuzzy near-dup pairs: normalized-prefix blocking
+    + bounded edit-distance verify — the dedup family member that
+    catches small in-place edits (typo fixes, punctuation churn) that
+    token-level Jaccard treats as whole-shingle differences.
+
+    Blocking on the first ``block_chars`` of the normalized text keeps
+    the pair join linear in block sizes (docs whose very prefix
+    diverged are by definition > 0 edits apart there; for a
+    shift-tolerant variant, block on MinHash instead — this operator
+    deliberately targets in-place edits). The verify computes
+    levenshtein over ``verify_chars``-capped prefixes: edit distance is
+    O(len²) per pair, so UNCAPPED text in the verify is a per-pair
+    quadratic bomb at corpus scale; the cap bounds per-pair cost at a
+    constant, and passing ``max_edits`` as Spark's ``threshold``
+    argument lets the JVM implementation early-exit at O(len·k) per
+    pair instead of O(len²). Both engines implement classic unit-cost
+    Wagner-Fischer levenshtein, so the pair list is oracle-checked
+    (the oracle filters the unbounded distance to the same threshold;
+    surviving values are identical).
+    """
+    normed = scale_out(documents).select(
+        "doc_id",
+        F.substring(normalize_text(F.col("text")), 1, verify_chars).alias(
+            "body"
+        ),
+    ).withColumn("blk", F.substring("body", 1, block_chars))
+    pairs = (
+        normed.alias("a")
+        .join(
+            normed.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.levenshtein(
+                F.col("a.body"), F.col("b.body"), max_edits
+            ).alias("edits"),
+        )
+    )
+    # threshold form returns -1 when the distance exceeds max_edits
+    return pairs.filter(F.col("edits") >= 0)

@@ -117,3 +117,45 @@ def test_df_cap_off_is_identity(spark):
         for r in dedup.ngram_jaccard_pairs(docs, max_doc_freq=10**6).collect()
     }
     assert a == b
+
+
+def test_fuzzy_neardup_blocks_and_bounds(spark):
+    prefix = "shared identical opening sentence for the block key yes"
+    base = f"{prefix} tail words one two three four five six seven"
+    rows = [
+        (1, base),
+        # one in-place typo (1 edit) — same block, within max_edits
+        (2, base.replace("three", "thre")),
+        # same block, but the tail is rewritten far beyond max_edits
+        (3, f"{prefix} completely different remainder text entirely xx"),
+        # different prefix — never even a candidate pair
+        (4, "unrelated document that opens differently " + base),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["d1"], r["d2"]): r["edits"]
+        for r in dedup.fuzzy_neardup_pairs(docs).collect()
+    }
+    assert set(got) == {(1, 2)}, got
+    assert got[(1, 2)] == 1
+
+
+def test_fuzzy_neardup_normalizes_case_and_whitespace(spark):
+    # case + whitespace-run differences are 0 edits after normalization
+    rows = [
+        (1, "The  Quick   Brown Fox jumps over the lazy dog today ok"),
+        (2, "the quick brown fox JUMPS over the lazy dog today ok"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    [(d1, d2, edits)] = [
+        (r["d1"], r["d2"], r["edits"])
+        for r in dedup.fuzzy_neardup_pairs(docs).collect()
+    ]
+    assert (d1, d2, edits) == (1, 2, 0)
+
+
+def test_fuzzy_neardup_plan_has_no_cartesian(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = dedup.fuzzy_neardup_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
