@@ -385,6 +385,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fuzzy": lambda s, d: dedup.fuzzy_neardup_pairs(
             _t(s, d, "documents")
         ),
+        # pretraining hygiene: train docs sharing word shingles with
+        # the held-out test split (broadcast eval-ngram semi-join)
+        "decontaminate": lambda s, d: dedup.decontaminate(
+            _t(s, d, "documents")
+        ),
         # connected components over the near-dup pair graph (iterative
         # min-label propagation; oracle = DuckDB recursive CTE)
         "dedup_clusters": lambda s, d: dedup.neardup_clusters(
@@ -750,6 +755,37 @@ SELECT a.doc_id AS d1, b.doc_id AS d2,
 FROM blk a
 JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE levenshtein(a.body, b.body) <= {dedup.FUZZY_MAX_EDITS}
+"""
+
+
+def _decontaminate_sql() -> str:
+    """Train-split docs sharing distinct shingles with the test split.
+
+    Reuses the dedup shingle CTEs; the split is the same hash-bucket
+    CASE as the split_assign oracle, so both operators stay pinned to
+    one assignment definition.
+    """
+    bounds = {name: (lo, hi) for name, lo, hi in sampling.SPLIT_BOUNDS}
+    lo_e, hi_e = bounds["test"]
+    lo_c, hi_c = bounds["train"]
+    return f"""
+WITH {_shingle_ctes()},
+spl AS (
+    SELECT doc_id,
+           ({hex48_sql("CAST(doc_id AS VARCHAR)")}) % 100 AS bucket
+    FROM documents
+),
+eval_sh AS (
+    SELECT DISTINCT s.shingle
+    FROM sh s JOIN spl p ON s.doc_id = p.doc_id
+    WHERE p.bucket >= {lo_e} AND p.bucket < {hi_e}
+)
+SELECT s.doc_id, count(*) AS n_hits
+FROM sh s
+JOIN spl p ON s.doc_id = p.doc_id
+JOIN eval_sh e ON s.shingle = e.shingle
+WHERE p.bucket >= {lo_c} AND p.bucket < {hi_c}
+GROUP BY s.doc_id
 """
 
 
@@ -1404,6 +1440,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _embedding_neardup_sql(),
         "dedup_fuzzy": _fuzzy_neardup_sql(),
+        "decontaminate": _decontaminate_sql(),
         "dedup_clusters": _clusters_sql(),
         "scd2_as_of": f"""
             WITH scd AS ({_scd2_sql()})

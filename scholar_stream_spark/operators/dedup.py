@@ -715,3 +715,63 @@ def fuzzy_neardup_pairs(
     )
     # threshold form returns -1 when the distance exceeds max_edits
     return pairs.filter(F.col("edits") >= 0)
+
+
+def decontaminate(
+    documents: DataFrame,
+    eval_split: str = "test",
+    corpus_split: str = "train",
+    shingle_n: int = SHINGLE_N,
+) -> DataFrame:
+    """Benchmark decontamination: per train-split document, the count of
+    distinct word shingles it shares with the held-out eval split —
+    the standard pretraining hygiene pass (an eval n-gram appearing in
+    training data silently inflates benchmark scores).
+
+    The split is recomputed inline from the deterministic hash-bucket
+    expression (``sampling.split_bucket``), NOT joined from a split
+    table — assignment is a narrow projection, so corpus and eval
+    sides are both single scans. Per-doc shingle dedup is
+    ``array_distinct`` before the explode (narrow, no distinct
+    shuffle). The eval side's distinct shingle set is explicitly
+    broadcast: at corpus scale the eval set is benchmarks (MBs)
+    against a 100 TB train side, so the contamination probe is a
+    map-side hash semi-join — the corpus never shuffles on shingle.
+    The corpus side's only Exchange is the final map-side-combined
+    count per doc_id (the eval side's distinct shuffles, but it is
+    the tiny side by construction).
+
+    Returns (doc_id, n_hits) for contaminated train docs only.
+    """
+    from scholar_stream_spark.operators.sampling import (
+        SPLIT_BOUNDS,
+        split_bucket,
+    )
+
+    bounds = dict((name, (lo, hi)) for name, lo, hi in SPLIT_BOUNDS)
+    lo_e, hi_e = bounds[eval_split]
+    lo_c, hi_c = bounds[corpus_split]
+    bucket = split_bucket("CAST(doc_id AS STRING)")
+
+    shingled = scale_out(documents).select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), shingle_n))
+        ).alias("shingle"),
+    )
+    eval_sh = (
+        shingled.filter(
+            (F.col("bucket") >= lo_e) & (F.col("bucket") < hi_e)
+        )
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = shingled.filter(
+        (F.col("bucket") >= lo_c) & (F.col("bucket") < hi_c)
+    )
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )

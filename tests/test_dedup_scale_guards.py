@@ -159,3 +159,37 @@ def test_fuzzy_neardup_plan_has_no_cartesian(spark):
     plan = dedup.fuzzy_neardup_pairs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_decontaminate_flags_eval_ngram_overlap(spark):
+    # bucket(md5) splits: 31 -> test, 0/1/2 -> train, 11 -> val
+    # (precomputed from the portable hash; pinned by split_assign tests)
+    leak = "alpha beta gamma delta epsilon zeta"  # 6 words -> 2 shingles
+    rows = [
+        (31, f"held out benchmark doc says {leak} end"),
+        (0, f"training doc one contains {leak} verbatim here"),
+        (1, "training doc two totally clean text nothing shared at all"),
+        (2, f"{leak} also appears in training doc three"),
+        (11, f"val doc with {leak} must not flag either side"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in dedup.decontaminate(docs).collect()
+    }
+    # only the contaminated TRAIN docs appear; clean train + val absent
+    assert set(got) == {0, 2}, got
+    # each shares exactly the 2 shingles inside the leaked 6-gram
+    assert got[0] == 2 and got[2] == 2, got
+
+
+def test_decontaminate_eval_side_is_broadcast(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        dedup.decontaminate(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
