@@ -390,6 +390,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": lambda s, d: dedup.decontaminate(
             _t(s, d, "documents")
         ),
+        # data mixing: deterministic downsample to the target language
+        # mixture (largest budget reachable without upsampling)
+        "mixture_sample": lambda s, d: sampling.mixture_sample(
+            _t(s, d, "documents")
+        ),
         # connected components over the near-dup pair graph (iterative
         # min-label propagation; oracle = DuckDB recursive CTE)
         "dedup_clusters": lambda s, d: dedup.neardup_clusters(
@@ -786,6 +791,49 @@ JOIN spl p ON s.doc_id = p.doc_id
 JOIN eval_sh e ON s.shingle = e.shingle
 WHERE p.bucket >= {lo_c} AND p.bucket < {hi_c}
 GROUP BY s.doc_id
+"""
+
+
+def _mixture_sample_sql() -> str:
+    """Mixture downsampling oracle (mixture_sample).
+
+    Weight literals are CAST AS DOUBLE (DuckDB parses bare 0.2 as
+    DECIMAL; Spark's F.lit(0.2) is a double — the threshold arithmetic
+    must run in the same type), and the threshold expression keeps the
+    Spark side's exact association ((budget*w)/t)*denom so the IEEE
+    result is bit-identical.
+    """
+    values = ", ".join(
+        f"('{lang}', CAST({w!r} AS DOUBLE))"
+        for lang, w in sorted(sampling.MIXTURE_WEIGHTS.items())
+    )
+    return f"""
+WITH w(lang, w_l) AS (VALUES {values}),
+base AS (
+    SELECT doc_id, lang,
+           CAST(length(text) - length(replace(text, ' ', ''))
+                + 1 AS BIGINT) AS n_tokens,
+           ({hex48_sql("CAST(doc_id AS VARCHAR)")})
+               % {sampling.SAMPLE_DENOM} AS bucket
+    FROM documents
+    WHERE lang IN (SELECT lang FROM w)
+),
+tot AS (
+    SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t_l
+    FROM base GROUP BY lang
+),
+b AS (
+    SELECT min(t_l / w_l) AS budget FROM tot JOIN w USING (lang)
+),
+thr AS (
+    SELECT tot.lang,
+           CAST(floor(budget * w_l / t_l * {sampling.SAMPLE_DENOM})
+                AS BIGINT) AS thr
+    FROM tot JOIN w USING (lang) CROSS JOIN b
+)
+SELECT base.doc_id, base.lang AS stratum, base.n_tokens
+FROM base JOIN thr ON base.lang = thr.lang
+WHERE base.bucket < thr.thr
 """
 
 
@@ -1441,6 +1489,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _embedding_neardup_sql(),
         "dedup_fuzzy": _fuzzy_neardup_sql(),
         "decontaminate": _decontaminate_sql(),
+        "mixture_sample": _mixture_sample_sql(),
         "dedup_clusters": _clusters_sql(),
         "scd2_as_of": f"""
             WITH scd AS ({_scd2_sql()})

@@ -122,6 +122,79 @@ def stratified_reservoir(
     )
 
 
+#: Default target language mixture (uniform over the corpus langs).
+#: Real pipelines read these from a data-mixing config (DoReMi-style
+#: domain weights); frozen literals keep the oracle bit-identical.
+MIXTURE_WEIGHTS: dict[str, float] = {
+    "de": 0.2, "en": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.2,
+}
+
+
+def mixture_sample(
+    documents: DataFrame,
+    weights: dict[str, float] = MIXTURE_WEIGHTS,
+    key_col: str = "doc_id",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Deterministic downsampling to a target language/domain mixture —
+    the data-mixing step that follows dedup + decontamination in a
+    pretraining pipeline (an over-represented language is downsampled
+    so the kept corpus matches the target token shares).
+
+    Math: with per-stratum token totals ``T_l`` and target shares
+    ``w_l``, the largest token budget reachable WITHOUT upsampling is
+    ``B = min_l(T_l / w_l)`` (the scarcest stratum relative to its
+    share binds, keep fraction exactly 1). Every stratum then keeps
+    fraction ``f_l = B * w_l / T_l`` of its documents, selected by the
+    portable hash bucket — the same reproducible-selection machinery
+    as ``hash_sample``, so a re-run (or the DuckDB oracle) picks the
+    SAME documents. Fractions are document-count fractions, so token
+    shares match in expectation (hash uniformity), which is how
+    production mixers work — exact token matching would need a
+    sequential knapsack.
+
+    Plan shape at 100 TB: one map-side-combined ``groupBy(lang)`` over
+    the corpus (reduces to ≤|langs| rows), driver-free derivation of
+    the per-stratum thresholds from those rows (two tiny joins + a
+    1-row budget aggregate, all broadcast), then one filtered corpus
+    scan joined against the broadcast |langs|-row threshold table.
+    The corpus is never shuffled; strata absent from ``weights`` are
+    dropped (weight 0).
+
+    Output: (key, stratum, n_tokens) for kept documents.
+    """
+    from scholar_stream_spark.operators.textops import n_tokens
+
+    w_expr = F.create_map(
+        *[F.lit(x) for kv in sorted(weights.items()) for x in kv]
+    )
+    bucket = F.expr(
+        f"{hex48_spark_sql(f'CAST({key_col} AS STRING)')} % {SAMPLE_DENOM}"
+    )
+    base = documents.select(
+        F.col(key_col),
+        F.col(strata_col).alias("stratum"),
+        n_tokens(F.col("text")).alias("n_tokens"),
+        bucket.alias("bucket"),
+    ).filter(F.col("stratum").isin(*weights))
+    totals = base.groupBy("stratum").agg(F.sum("n_tokens").alias("t_l"))
+    weighted = totals.withColumn("w_l", w_expr[F.col("stratum")])
+    budget = weighted.agg(
+        F.min(F.col("t_l") / F.col("w_l")).alias("budget")
+    )
+    thresholds = weighted.crossJoin(F.broadcast(budget)).select(
+        "stratum",
+        F.floor(
+            F.col("budget") * F.col("w_l") / F.col("t_l") * SAMPLE_DENOM
+        ).alias("thr"),
+    )
+    return (
+        base.join(F.broadcast(thresholds), "stratum")
+        .filter(F.col("bucket") < F.col("thr"))
+        .select(key_col, "stratum", "n_tokens")
+    )
+
+
 #: Sequence-packing defaults: token budget per training sequence and
 #: the number of independent packing shards.
 PACK_BUDGET_TOKENS = 2048

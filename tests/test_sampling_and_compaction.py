@@ -82,3 +82,49 @@ def test_write_partitioned_layout_and_roundtrip(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == docs.count()
     assert set(back.columns) == set(tagged.columns)
+
+
+def test_mixture_sample_binding_stratum_keeps_all(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.groupBy("lang").agg(
+        F.sum(
+            F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+        ).alias("t")
+    )
+    totals = {r["lang"]: r["t"] for r in toks.collect()}
+    w = sampling.MIXTURE_WEIGHTS
+    binding = min(w, key=lambda l: totals[l] / w[l])
+
+    kept = sampling.mixture_sample(docs).groupBy("stratum").count()
+    kept_n = {r["stratum"]: r["count"] for r in kept.collect()}
+    in_n = {
+        r["lang"]: r["count"]
+        for r in docs.groupBy("lang").count().collect()
+    }
+    # the scarcest-relative-to-share stratum is kept in full…
+    assert kept_n[binding] == in_n[binding]
+    # …and no stratum exceeds its input
+    assert all(kept_n[l] <= in_n[l] for l in kept_n)
+    # over-represented strata are actually downsampled
+    over = max(w, key=lambda l: totals[l] / w[l])
+    assert kept_n[over] < in_n[over]
+
+
+def test_mixture_sample_drops_unweighted_strata(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    no_en = {k: 0.25 for k in ("de", "es", "fr", "zh")}
+    kept = sampling.mixture_sample(docs, weights=no_en)
+    assert kept.filter(F.col("stratum") == "en").count() == 0
+    assert kept.count() > 0
+
+
+def test_mixture_sample_corpus_join_is_broadcast(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        sampling.mixture_sample(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
