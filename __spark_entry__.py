@@ -45,7 +45,11 @@ from scholar_stream_spark.functions.hashing import (
     SIMHASH_BITS,
     hex48_sql,
 )
-from scholar_stream_spark.functions.text import mask_email, synthetic_email
+from scholar_stream_spark.functions.text import (
+    mask_email,
+    normalize_text,
+    synthetic_email,
+)
 from scholar_stream_spark.operators import (
     cdc,
     chunking,
@@ -147,6 +151,18 @@ def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         tracked=["c_acctbal", "c_mktsegment"],
         change_ts=F.to_timestamp(F.lit("2026-06-01 00:00:00")),
     )
+
+
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half the docs (hash buckets < 50) stand in for the already-deduped
+    corpus whose fingerprint index exists; the other half is the new
+    ingest batch checked against it."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = sampling.split_bucket("CAST(doc_id AS STRING)")
+    index = docs.filter(bucket < 50).select(
+        F.md5(normalize_text(F.col("text"))).alias("fingerprint")
+    )
+    return dedup.incremental_dedup(docs.filter(bucket >= 50), index)
 
 
 def _q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,6 +411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": lambda s, d: sampling.mixture_sample(
             _t(s, d, "documents")
         ),
+        # new-batch exact dedup against a persisted fingerprint index
+        # (index never shuffled: broadcast batch-fps probe + anti-join)
+        "dedup_incremental": _q_dedup_incremental,
         # connected components over the near-dup pair graph (iterative
         # min-label propagation; oracle = DuckDB recursive CTE)
         "dedup_clusters": lambda s, d: dedup.neardup_clusters(
@@ -1490,6 +1509,30 @@ def oracle_sql() -> dict[str, str]:
         "dedup_fuzzy": _fuzzy_neardup_sql(),
         "decontaminate": _decontaminate_sql(),
         "mixture_sample": _mixture_sample_sql(),
+        "dedup_incremental": f"""
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                               'g'))) AS fingerprint,
+                       ({hex48_sql("CAST(doc_id AS VARCHAR)")})
+                           % 100 AS bucket
+                FROM documents
+            ),
+            idx AS (
+                SELECT DISTINCT fingerprint FROM fp WHERE bucket < 50
+            ),
+            batch AS (
+                SELECT doc_id, fingerprint,
+                       row_number() OVER (PARTITION BY fingerprint
+                                          ORDER BY doc_id) AS rn
+                FROM fp WHERE bucket >= 50
+            )
+            SELECT b.doc_id, b.fingerprint
+            FROM batch b
+            WHERE b.rn = 1
+              AND NOT EXISTS (SELECT 1 FROM idx
+                              WHERE idx.fingerprint = b.fingerprint)
+        """,
         "dedup_clusters": _clusters_sql(),
         "scd2_as_of": f"""
             WITH scd AS ({_scd2_sql()})

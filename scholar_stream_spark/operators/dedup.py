@@ -717,6 +717,47 @@ def fuzzy_neardup_pairs(
     return pairs.filter(F.col("edits") >= 0)
 
 
+def incremental_dedup(
+    new_docs: DataFrame, seen_index: DataFrame
+) -> DataFrame:
+    """Dedup a NEW ingest batch against a persisted fingerprint index —
+    how exact dedup actually runs at corpus scale: the 100 TB corpus is
+    deduped once, its content fingerprints are kept as an index, and
+    each incremental batch checks only itself + the index (never
+    re-scanning corpus text).
+
+    Two-sided dedup, both deterministic: first-in-batch per
+    fingerprint (ranking window ordered by doc_id — never
+    ``dropDuplicates``), then removal of fingerprints already in the
+    index. The index side is NEVER shuffled: the batch's fingerprint
+    set (small by definition — it's one ingest) is broadcast against
+    the index scan to extract the hit set, and the batch anti-joins
+    the broadcast hit set. Both joins are map-side; the only
+    exchanges are batch-sized. The symmetric plan (shuffle anti-join
+    of batch vs index on fingerprint) would shuffle the full index
+    per batch.
+
+    Returns surviving (doc_id, fingerprint) — the rows to append to
+    both the corpus and the index.
+    """
+    fp = F.md5(normalize_text(F.col("text")))
+    batch = scale_out(new_docs).select(
+        "doc_id", fp.alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.asc("doc_id"))
+    firsts = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    hits = (
+        seen_index.select("fingerprint")
+        .join(F.broadcast(firsts.select("fingerprint")), "fingerprint")
+        .distinct()
+    )
+    return firsts.join(F.broadcast(hits), "fingerprint", "left_anti")
+
+
 def decontaminate(
     documents: DataFrame,
     eval_split: str = "test",

@@ -193,3 +193,37 @@ def test_decontaminate_eval_side_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_incremental_dedup_semantics(spark):
+    batch = spark.createDataFrame(
+        [
+            (10, "brand new document text here"),
+            (11, "Seen  Before document text"),   # normalizes to seen fp
+            (13, "repeated inside the batch ok"),
+            (12, "repeated inside the batch ok"), # in-batch dup, later id
+        ],
+        ["doc_id", "text"],
+    )
+    seen = spark.createDataFrame(
+        [("seen before document text",)], ["text"]
+    ).select(F.md5(F.col("text")).alias("fingerprint"))
+    got = {
+        r["doc_id"] for r in dedup.incremental_dedup(batch, seen).collect()
+    }
+    # 10 is new; 11 matches the index after normalization; of the
+    # in-batch dup pair (12, 13) only the smaller doc_id survives
+    assert got == {10, 12}, got
+
+
+def test_incremental_dedup_index_never_shuffled(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seen = docs.limit(100).select(F.md5("text").alias("fingerprint"))
+    plan = (
+        dedup.incremental_dedup(docs, seen)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
