@@ -1,0 +1,113 @@
+"""Streaming dedup ingest: append-only corpus + fingerprint index
+(SURVEY §2.8 dedup surface, streaming half).
+
+The batch operator (``dedup.incremental_dedup``) answers "which of
+these new docs are genuinely new"; this module keeps that check running
+against a live ingest stream. Each micro-batch is deduped against the
+persisted fingerprint index, survivors are appended to the corpus, and
+their fingerprints to the index — so the corpus NEVER holds two docs
+with one fingerprint, across batches, forever.
+
+Effectively-once without a transactional table format, via two
+mechanisms that compose:
+
+- **batch_id-keyed overwrite writes** — each batch writes to
+  ``<path>/batch=<id>`` with overwrite, so a redelivered micro-batch
+  rewrites its own directory instead of appending twice (the standard
+  idempotent-``foreachBatch`` layout; the ``batch=`` naming doubles as
+  a partition column for free pruning on batch provenance).
+- **the index check itself** — a batch replayed AFTER its index write
+  landed finds all its fingerprints indexed and selects nothing new.
+  Dedup ingest is self-healing under at-least-once delivery in a way
+  plain append sinks are not.
+
+Scale: per-batch cost is the incremental_dedup plan (index scanned,
+never shuffled; exchanges batch-sized) plus two batch-sized writes.
+The index directory stays narrow (one string column) — at 100 TB of
+corpus the index is ~2% of it and partition-pruned by ``batch=``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from scholar_stream_spark.operators.dedup import incremental_dedup
+
+_INDEX_SCHEMA = "fingerprint string"
+
+
+def read_index(
+    spark: SparkSession, index_path: str, exclude_batch: int | None = None
+) -> DataFrame:
+    """The fingerprint index as a DataFrame (empty if nothing landed).
+
+    ``exclude_batch`` drops that batch's own partition — REQUIRED when
+    deduping batch N on a replay: its first (possibly partial) attempt
+    already landed ``batch=N`` fingerprints, and reading them back
+    would make the replay select zero survivors and overwrite the
+    corpus directory with nothing. Excluding self makes the replay
+    recompute the identical survivor set, so the overwrite is a
+    byte-level no-op. Partition pruning turns the exclusion into a
+    directory skip, not a filter over index rows."""
+    if not os.path.isdir(index_path) or not any(
+        name.startswith("batch=") for name in os.listdir(index_path)
+    ):
+        return spark.createDataFrame([], _INDEX_SCHEMA)
+    idx = spark.read.option("basePath", index_path).parquet(index_path)
+    if exclude_batch is not None:
+        idx = idx.filter(F.col("batch") != exclude_batch)
+    return idx.select("fingerprint")
+
+
+def ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_path: str,
+    index_path: str,
+) -> None:
+    """Land one micro-batch: dedup vs index, then batch_id-keyed
+    idempotent writes (corpus first — replaying after a partial
+    failure overwrites the same directories, never duplicates)."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    survivors = incremental_dedup(
+        batch_df, read_index(spark, index_path, exclude_batch=batch_id)
+    )
+    # one computation feeding two writes: materialize the batch-sized
+    # survivor set once instead of re-running the dedup plan per sink
+    survivors = survivors.localCheckpoint(eager=True)
+    docs = batch_df.join(F.broadcast(survivors.select("doc_id")), "doc_id")
+    docs.write.mode("overwrite").parquet(
+        os.path.join(corpus_path, f"batch={batch_id}")
+    )
+    survivors.select("fingerprint").write.mode("overwrite").parquet(
+        os.path.join(index_path, f"batch={batch_id}")
+    )
+
+
+def start_dedup_ingest(
+    docs_stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Run the dedup ingest against a document stream (``doc_id``,
+    ``text``, + any payload columns). The checkpoint gives
+    at-least-once micro-batches; the batch_id-keyed writes and the
+    index check upgrade the corpus/index state to effectively-once."""
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch(batch_df, batch_id, corpus_path, index_path)
+
+    writer = docs_stream.writeStream.foreachBatch(land).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,99 @@
+"""Streaming dedup ingest: document stream → append-only deduped
+corpus + fingerprint index.
+
+Drives ``start_dedup_ingest`` with a file-source stream in two
+availableNow passes: cross-batch duplicates are dropped by the index,
+in-batch duplicates collapse to the smallest doc_id, and replaying an
+already-landed batch (the at-least-once failure mode) leaves corpus
+and index unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+
+from scholar_stream_spark.streaming.dedup_ingest import (
+    ingest_batch,
+    read_index,
+    start_dedup_ingest,
+)
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _write_docs(path, rows):
+    path.mkdir(parents=True, exist_ok=True)
+    f = path / f"batch_{len(list(path.iterdir()))}.ndjson"
+    f.write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": t}) for i, t in rows
+        )
+        + "\n"
+    )
+
+
+def _run_once(spark, inbox, corpus, index, ckpt):
+    stream = spark.readStream.schema(DOC_SCHEMA).json(str(inbox))
+    q = start_dedup_ingest(
+        stream,
+        corpus_path=str(corpus),
+        index_path=str(index),
+        checkpoint_path=str(ckpt),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+
+def _corpus_ids(spark, corpus):
+    return sorted(
+        r["doc_id"]
+        for r in spark.read.option("basePath", str(corpus))
+        .parquet(str(corpus))
+        .collect()
+    )
+
+
+def test_dedup_ingest_two_batches(spark, tmp_path):
+    corpus, index = tmp_path / "corpus", tmp_path / "index"
+    ckpt, inbox = tmp_path / "ckpt", tmp_path / "in"
+
+    _write_docs(
+        inbox,
+        [(1, "first unique doc"), (2, "second unique doc"),
+         (3, "first unique doc")],  # in-batch dup of 1
+    )
+    _run_once(spark, inbox, corpus, index, ckpt)
+    assert _corpus_ids(spark, corpus) == [1, 2]
+
+    _write_docs(
+        inbox,
+        [(4, "second  UNIQUE doc"),  # cross-batch dup after normalize
+         (5, "a genuinely new doc")],
+    )
+    _run_once(spark, inbox, corpus, index, ckpt)
+    assert _corpus_ids(spark, corpus) == [1, 2, 5]
+    # index carries exactly the corpus fingerprints, no dups
+    fps = [r["fingerprint"] for r in read_index(spark, str(index)).collect()]
+    assert len(fps) == len(set(fps)) == 3
+
+
+def test_dedup_ingest_replay_is_noop(spark, tmp_path):
+    corpus, index = tmp_path / "corpus", tmp_path / "index"
+    b0 = spark.createDataFrame(
+        [(1, "doc one"), (2, "doc two")], DOC_SCHEMA
+    )
+    b1 = spark.createDataFrame(
+        [(3, "doc one"), (4, "doc three")], DOC_SCHEMA
+    )
+    ingest_batch(b0, 0, str(corpus), str(index))
+    ingest_batch(b1, 1, str(corpus), str(index))
+    before = _corpus_ids(spark, corpus)
+    assert before == [1, 2, 4]
+
+    # redelivery of batch 1 (crash before checkpoint commit): the
+    # replay must not erase batch 1's rows (self-exclusion) nor
+    # duplicate batch 0's
+    ingest_batch(b1, 1, str(corpus), str(index))
+    assert _corpus_ids(spark, corpus) == before
+    fps = [r["fingerprint"] for r in read_index(spark, str(index)).collect()]
+    assert len(fps) == len(set(fps)) == 3
