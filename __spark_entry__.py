@@ -344,6 +344,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": lambda s, d: curation.curate_corpus(
             _t(s, d, "documents")
         ),
+        # flagship composition: curate -> decontaminate -> mixture as
+        # ONE Catalyst plan (no materialization between stages)
+        "pipeline_end_to_end": lambda s, d: curation.pretraining_pipeline(
+            _t(s, d, "documents")
+        ),
         "reservoir_sample": lambda s, d: sampling.stratified_reservoir(
             _t(s, d, "documents")
         ),
@@ -856,6 +861,51 @@ WHERE base.bucket < thr.thr
 """
 
 
+def _pipeline_sql() -> str:
+    """curate → decontaminate → mixture as one nested-CTE chain: the
+    stage subqueries ARE the standalone oracle texts (verbatim nesting
+    — no second definition to drift), with the mixture thresholds
+    computed over the cleaned set."""
+    values = ", ".join(
+        f"('{lang}', CAST({w!r} AS DOUBLE))"
+        for lang, w in sorted(sampling.MIXTURE_WEIGHTS.items())
+    )
+    return f"""
+WITH curated AS (SELECT * FROM ({_curate_sql()})),
+flagged AS (SELECT doc_id FROM ({_decontaminate_sql()})),
+clean AS (
+    SELECT c.doc_id, c.pred_lang AS stratum,
+           c.n_doc_tokens AS n_tokens,
+           ({hex48_sql("CAST(c.doc_id AS VARCHAR)")})
+               % {sampling.SAMPLE_DENOM} AS bucket
+    FROM curated c
+    WHERE NOT EXISTS (SELECT 1 FROM flagged f
+                      WHERE f.doc_id = c.doc_id)
+),
+w(lang, w_l) AS (VALUES {values}),
+base AS (
+    SELECT * FROM clean WHERE stratum IN (SELECT lang FROM w)
+),
+tot AS (
+    SELECT stratum, CAST(sum(n_tokens) AS BIGINT) AS t_l
+    FROM base GROUP BY stratum
+),
+b AS (
+    SELECT min(t_l / w_l) AS budget
+    FROM tot JOIN w ON w.lang = tot.stratum
+),
+thr AS (
+    SELECT tot.stratum,
+           CAST(floor(budget * w_l / t_l * {sampling.SAMPLE_DENOM})
+                AS BIGINT) AS thr
+    FROM tot JOIN w ON w.lang = tot.stratum CROSS JOIN b
+)
+SELECT base.doc_id, base.stratum, base.n_tokens
+FROM base JOIN thr ON base.stratum = thr.stratum
+WHERE base.bucket < thr.thr
+"""
+
+
 def _ann_topk_sql() -> str:
     cos = _cos_sql("q.q_embedding", "e.embedding")
     return f"""
@@ -1263,6 +1313,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_profile": _lang_profile_sql(),
         "curate_corpus": _curate_sql(),
+        "pipeline_end_to_end": _pipeline_sql(),
         "scrub_pii": f"""
             WITH injected AS (
                 SELECT doc_id,

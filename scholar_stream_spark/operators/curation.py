@@ -221,3 +221,43 @@ def curate_corpus(
     return deduped.filter(F.col("split").isin(*splits)).select(
         "doc_id", "n_doc_tokens", "quality_score", "pred_lang", "split"
     )
+
+
+def pretraining_pipeline(documents: DataFrame, weights=None) -> DataFrame:
+    """The whole pretraining data layout as ONE composed plan:
+    curate (quality -> lang -> exact dedup -> train split) ->
+    decontaminate (drop train docs sharing shingles with the test
+    split) -> mixture-sample to target language shares.
+
+    Each stage is the standalone oracle-checked operator; composing
+    them stays a single Catalyst plan with no materialization between
+    stages. The decontamination flag set is contaminated-docs-sized
+    (small), so removal is a broadcast anti-join; the mixture stage
+    reuses the curate stage's token counts and predicted language
+    instead of re-deriving them from text (``mixture_select``).
+
+    Output: (doc_id, stratum, n_tokens) — the docs to pack/ship.
+    """
+    from scholar_stream_spark.functions.hashing import hex48_spark_sql
+    from scholar_stream_spark.operators.dedup import decontaminate
+    from scholar_stream_spark.operators.sampling import (
+        MIXTURE_WEIGHTS,
+        SAMPLE_DENOM,
+        mixture_select,
+    )
+
+    if weights is None:
+        weights = MIXTURE_WEIGHTS
+    curated = curate_corpus(documents)
+    flagged = decontaminate(documents).select("doc_id")
+    clean = curated.join(F.broadcast(flagged), "doc_id", "left_anti")
+    bucket = F.expr(
+        f"{hex48_spark_sql('CAST(doc_id AS STRING)')} % {SAMPLE_DENOM}"
+    )
+    base = clean.select(
+        "doc_id",
+        F.col("pred_lang").alias("stratum"),
+        F.col("n_doc_tokens").alias("n_tokens"),
+        bucket.alias("bucket"),
+    )
+    return mixture_select(base, weights)

@@ -165,9 +165,6 @@ def mixture_sample(
     """
     from scholar_stream_spark.operators.textops import n_tokens
 
-    w_expr = F.create_map(
-        *[F.lit(x) for kv in sorted(weights.items()) for x in kv]
-    )
     bucket = F.expr(
         f"{hex48_spark_sql(f'CAST({key_col} AS STRING)')} % {SAMPLE_DENOM}"
     )
@@ -176,7 +173,23 @@ def mixture_sample(
         F.col(strata_col).alias("stratum"),
         n_tokens(F.col("text")).alias("n_tokens"),
         bucket.alias("bucket"),
-    ).filter(F.col("stratum").isin(*weights))
+    )
+    return mixture_select(base, weights, key_col=key_col)
+
+
+def mixture_select(
+    base: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """The mixture-selection core over a prepared ``(key, stratum,
+    n_tokens, bucket)`` frame — split out so pipeline compositions
+    (e.g. curate → decontaminate → mix) can feed already-computed
+    token counts and strata instead of re-deriving them from text."""
+    w_expr = F.create_map(
+        *[F.lit(x) for kv in sorted(weights.items()) for x in kv]
+    )
+    base = base.filter(F.col("stratum").isin(*weights))
     totals = base.groupBy("stratum").agg(F.sum("n_tokens").alias("t_l"))
     weighted = totals.withColumn("w_l", w_expr[F.col("stratum")])
     budget = weighted.agg(

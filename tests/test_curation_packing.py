@@ -154,3 +154,36 @@ def test_curate_dedups_exact_content(spark):
     ).distinct().count()
     assert curated.count() == n_unique_norm
     assert curated.count() <= stats["n_docs"]
+
+
+def test_pretraining_pipeline_composes_stage_contracts(spark):
+    from scholar_stream_spark.operators import dedup, sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = curation.pretraining_pipeline(docs)
+    rows = out.collect()
+    assert len(rows) > 0
+    picked = {r["doc_id"] for r in rows}
+
+    # subset of the curated train split
+    curated = {
+        r["doc_id"] for r in curation.curate_corpus(docs).collect()
+    }
+    assert picked <= curated
+    # no contaminated doc survives
+    flagged = {r["doc_id"] for r in dedup.decontaminate(docs).collect()}
+    assert not (picked & flagged)
+    # strata limited to the weighted languages
+    strata = {r["stratum"] for r in rows}
+    assert strata <= set(sampling.MIXTURE_WEIGHTS)
+
+
+def test_pretraining_pipeline_flag_join_is_broadcast(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        curation.pretraining_pipeline(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
