@@ -851,8 +851,11 @@ b AS (
 ),
 thr AS (
     SELECT tot.lang,
-           CAST(floor(budget * w_l / t_l * {sampling.SAMPLE_DENOM})
-                AS BIGINT) AS thr
+           CASE WHEN t_l / w_l = budget
+                THEN CAST({sampling.SAMPLE_DENOM} AS BIGINT)
+                ELSE CAST(floor(budget * w_l / t_l
+                                * {sampling.SAMPLE_DENOM}) AS BIGINT)
+           END AS thr
     FROM tot JOIN w USING (lang) CROSS JOIN b
 )
 SELECT base.doc_id, base.lang AS stratum, base.n_tokens
@@ -868,10 +871,13 @@ def _pipeline_sql() -> str:
     computed over the cleaned set."""
     values = ", ".join(
         f"('{lang}', CAST({w!r} AS DOUBLE))"
-        for lang, w in sorted(sampling.MIXTURE_WEIGHTS.items())
+        for lang, w in sorted(curation.PIPELINE_WEIGHTS.items())
+    )
+    curate_nested = _curate_sql(
+        lang_filter=tuple(sorted(curation.PIPELINE_WEIGHTS))
     )
     return f"""
-WITH curated AS (SELECT * FROM ({_curate_sql()})),
+WITH curated AS (SELECT * FROM ({curate_nested})),
 flagged AS (SELECT doc_id FROM ({_decontaminate_sql()})),
 clean AS (
     SELECT c.doc_id, c.pred_lang AS stratum,
@@ -896,8 +902,11 @@ b AS (
 ),
 thr AS (
     SELECT tot.stratum,
-           CAST(floor(budget * w_l / t_l * {sampling.SAMPLE_DENOM})
-                AS BIGINT) AS thr
+           CASE WHEN t_l / w_l = budget
+                THEN CAST({sampling.SAMPLE_DENOM} AS BIGINT)
+                ELSE CAST(floor(budget * w_l / t_l
+                                * {sampling.SAMPLE_DENOM}) AS BIGINT)
+           END AS thr
     FROM tot JOIN w ON w.lang = tot.stratum CROSS JOIN b
 )
 SELECT base.doc_id, base.stratum, base.n_tokens
@@ -951,13 +960,15 @@ def _lang_case_sql() -> str:
     return "CASE " + " ".join(branches) + " ELSE 'und' END"
 
 
-def _curate_sql() -> str:
+def _curate_sql(lang_filter: tuple = None) -> str:
     stop_list = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
     split_case = "CASE " + " ".join(
         f"WHEN bucket >= {lo} AND bucket < {hi} THEN '{name}'"
         for name, lo, hi in sampling.SPLIT_BOUNDS
     ) + " END"
-    langs = ", ".join(f"'{x}'" for x in curation.CURATE_LANGS)
+    langs = ", ".join(
+        f"'{x}'" for x in (lang_filter or curation.CURATE_LANGS)
+    )
     splits = ", ".join(f"'{x}'" for x in curation.CURATE_SPLITS)
     return f"""
         WITH feat AS (

@@ -204,16 +204,20 @@ def main() -> None:
     # the engine, not the host's mood. Both pass walls are reported so
     # the variance is visible, not hidden.
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
-    timings, failures, pass_walls = {}, {}, []
+    timings, all_failures, pass_walls = {}, {}, []
     for i in range(n_passes):
         p_timings, p_failures, p_total = run_pass()
         pass_walls.append(p_total)
         print(f"  pass {i + 1}/{n_passes}: {p_total}s", file=sys.stderr)
         for name, t in p_timings.items():
             timings[name] = min(timings.get(name, t), t)
-        failures = p_failures  # a query failing in the LAST pass is broken
-    # a query that succeeded in any pass isn't a failure
-    failures = {k: v for k, v in failures.items() if k not in timings}
+        for name, msg in p_failures.items():
+            all_failures.setdefault(name, msg)
+    # never succeeded in ANY pass → failed; succeeded in some pass but
+    # failed in another → flaky (reported separately, NOT hidden — a
+    # nondeterministic breakage is a bug signal, not noise)
+    failures = {k: v for k, v in all_failures.items() if k not in timings}
+    flaky = {k: v for k, v in all_failures.items() if k in timings}
     total = min(pass_walls)
 
     streaming = measure_streaming_latency(spark)
@@ -230,6 +234,8 @@ def main() -> None:
     }
     if failures:
         out["failed_queries"] = failures
+    if flaky:
+        out["flaky_queries"] = flaky
     print(json.dumps(out))
     spark.stop()
 

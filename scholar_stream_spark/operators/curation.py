@@ -223,41 +223,57 @@ def curate_corpus(
     )
 
 
-def pretraining_pipeline(documents: DataFrame, weights=None) -> DataFrame:
+def pretraining_pipeline(
+    documents: DataFrame, weights=None, curate_langs=None
+) -> DataFrame:
     """The whole pretraining data layout as ONE composed plan:
-    curate (quality -> lang -> exact dedup -> train split) ->
-    decontaminate (drop train docs sharing shingles with the test
+    curate (quality -> predicted-lang -> exact dedup -> train split)
+    -> decontaminate (drop train docs sharing shingles with the test
     split) -> mixture-sample to target language shares.
 
     Each stage is the standalone oracle-checked operator; composing
     them stays a single Catalyst plan with no materialization between
-    stages. The decontamination flag set is contaminated-docs-sized
-    (small), so removal is a broadcast anti-join; the mixture stage
-    reuses the curate stage's token counts and predicted language
-    instead of re-deriving them from text (``mixture_select``).
+    stages. Two composition decisions matter:
+
+    - curate's predicted-lang filter is widened to every lang the
+      marker lang-ID can emit (its standalone default keeps English
+      only, which would collapse the mixture stage to one stratum —
+      a vacuous no-op rebalance);
+    - the mixture stratifies on the ground-truth ``lang`` TAG, not
+      ``pred_lang`` — data mixing targets the corpus's source/domain
+      metadata (how production mixers weight), while pred_lang is a
+      quality signal. Attaching the tag is one doc_id equi-join
+      against the documents scan (both sides co-partition on doc_id;
+      the only stage-boundary shuffle the composition adds).
+
+    The decontamination flag set is contaminated-docs-sized (small),
+    so removal is a broadcast anti-join; token counts come from the
+    curate stage (``mixture_select``), not re-derived from text.
 
     Output: (doc_id, stratum, n_tokens) — the docs to pack/ship.
     """
-    from scholar_stream_spark.functions.hashing import hex48_spark_sql
     from scholar_stream_spark.operators.dedup import decontaminate
     from scholar_stream_spark.operators.sampling import (
         MIXTURE_WEIGHTS,
-        SAMPLE_DENOM,
         mixture_select,
+        sample_bucket,
     )
+    from scholar_stream_spark.operators.textops import LANG_ORDER
 
     if weights is None:
         weights = MIXTURE_WEIGHTS
-    curated = curate_corpus(documents)
+    if curate_langs is None:
+        curate_langs = LANG_ORDER
+    curated = curate_corpus(documents, langs=tuple(curate_langs))
     flagged = decontaminate(documents).select("doc_id")
     clean = curated.join(F.broadcast(flagged), "doc_id", "left_anti")
-    bucket = F.expr(
-        f"{hex48_spark_sql('CAST(doc_id AS STRING)')} % {SAMPLE_DENOM}"
-    )
-    base = clean.select(
+    base = clean.select("doc_id", "n_doc_tokens").join(
+        documents.select("doc_id", F.col("lang").alias("stratum")),
         "doc_id",
-        F.col("pred_lang").alias("stratum"),
+    ).select(
+        "doc_id",
+        "stratum",
         F.col("n_doc_tokens").alias("n_tokens"),
-        bucket.alias("bucket"),
+        sample_bucket("doc_id").alias("bucket"),
     )
     return mixture_select(base, weights)

@@ -671,6 +671,7 @@ def fuzzy_neardup_pairs(
     block_chars: int = FUZZY_BLOCK_CHARS,
     verify_chars: int = FUZZY_VERIFY_CHARS,
     max_edits: int = FUZZY_MAX_EDITS,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Character-level fuzzy near-dup pairs: normalized-prefix blocking
     + bounded edit-distance verify — the dedup family member that
@@ -691,6 +692,14 @@ def fuzzy_neardup_pairs(
     Wagner-Fischer levenshtein, so the pair list is oracle-checked
     (the oracle filters the unbounded distance to the same threshold;
     surviving values are identical).
+
+    ``max_block_size`` is the quadratic-candidate guard (the analog of
+    ``ngram_jaccard_pairs``' ``max_doc_freq``): a hot prefix — shared
+    license boilerplate, empty/whitespace-only texts all normalizing
+    to the same block key — makes its block's self-join O(n²). Blocks
+    larger than the cap are dropped entirely (their members are
+    boilerplate-identified, not individually near-dup). Default off so
+    the oracle query stays cap-free.
     """
     normed = scale_out(documents).select(
         "doc_id",
@@ -698,6 +707,18 @@ def fuzzy_neardup_pairs(
             "body"
         ),
     ).withColumn("blk", F.substring("body", 1, block_chars))
+    if max_block_size is not None:
+        # one map-side-combined count per block key; HOT blocks (few by
+        # definition — the broadcastable side) are anti-joined away
+        # BEFORE the self-join so the candidate space stays linear in
+        # (bounded) block sizes
+        hot = (
+            normed.groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > max_block_size)
+            .select("blk")
+        )
+        normed = normed.join(F.broadcast(hot), "blk", "left_anti")
     pairs = (
         normed.alias("a")
         .join(

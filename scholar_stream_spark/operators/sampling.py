@@ -66,6 +66,16 @@ SAMPLE_DENOM = 1_000_000
 RESERVOIR_PER_STRATUM = 50
 
 
+def sample_bucket(key_col: str) -> "F.Column":
+    """Portable-hash sample bucket in [0, SAMPLE_DENOM) from a stable
+    key — THE reproducible-selection primitive every sampling operator
+    keys on (one definition; the hash and denominator are
+    oracle-parity-critical, so they must never drift per call site)."""
+    return F.expr(
+        f"{hex48_spark_sql(f'CAST({key_col} AS STRING)')} % {SAMPLE_DENOM}"
+    )
+
+
 def hash_sample(
     df: DataFrame, fraction: float, key_col: str = "doc_id"
 ) -> DataFrame:
@@ -77,10 +87,7 @@ def hash_sample(
     needs so a re-run selects the SAME subset. A narrow filter (no
     shuffle, pushes past everything except the hash itself).
     """
-    bucket = F.expr(
-        f"{hex48_spark_sql(f'CAST({key_col} AS STRING)')} % {SAMPLE_DENOM}"
-    )
-    return df.filter(bucket < int(fraction * SAMPLE_DENOM))
+    return df.filter(sample_bucket(key_col) < int(fraction * SAMPLE_DENOM))
 
 
 def stratified_reservoir(
@@ -105,9 +112,7 @@ def stratified_reservoir(
 
     Output: (key, stratum, sample_rank).
     """
-    bucket = F.expr(
-        f"{hex48_spark_sql(f'CAST({key_col} AS STRING)')} % {SAMPLE_DENOM}"
-    )
+    bucket = sample_bucket(key_col)
     w = Window.partitionBy(strata_col).orderBy(
         bucket.asc(), F.col(key_col).asc()
     )
@@ -165,14 +170,11 @@ def mixture_sample(
     """
     from scholar_stream_spark.operators.textops import n_tokens
 
-    bucket = F.expr(
-        f"{hex48_spark_sql(f'CAST({key_col} AS STRING)')} % {SAMPLE_DENOM}"
-    )
     base = documents.select(
         F.col(key_col),
         F.col(strata_col).alias("stratum"),
         n_tokens(F.col("text")).alias("n_tokens"),
-        bucket.alias("bucket"),
+        sample_bucket(key_col).alias("bucket"),
     )
     return mixture_select(base, weights, key_col=key_col)
 
@@ -195,11 +197,23 @@ def mixture_select(
     budget = weighted.agg(
         F.min(F.col("t_l") / F.col("w_l")).alias("budget")
     )
+    # The binding stratum (t_l/w_l == budget — bit-exact: min returns
+    # one of its inputs) is pinned to the full bucket space: computing
+    # its fraction as (budget*w_l/t_l)*DENOM re-rounds through IEEE and
+    # can floor to DENOM-1, silently dropping ~1-per-DENOM of the very
+    # stratum the math promises to keep whole.
     thresholds = weighted.crossJoin(F.broadcast(budget)).select(
         "stratum",
-        F.floor(
-            F.col("budget") * F.col("w_l") / F.col("t_l") * SAMPLE_DENOM
-        ).alias("thr"),
+        F.when(
+            F.col("t_l") / F.col("w_l") == F.col("budget"),
+            F.lit(SAMPLE_DENOM).cast("long"),
+        )
+        .otherwise(
+            F.floor(
+                F.col("budget") * F.col("w_l") / F.col("t_l") * SAMPLE_DENOM
+            )
+        )
+        .alias("thr"),
     )
     return (
         base.join(F.broadcast(thresholds), "stratum")

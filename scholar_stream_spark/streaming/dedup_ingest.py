@@ -31,7 +31,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -39,11 +40,21 @@ from scholar_stream_spark.operators.dedup import incremental_dedup
 
 _INDEX_SCHEMA = "fingerprint string"
 
+#: Analysis error classes that mean "no index landed yet" — anything
+#: else (corrupt footer, permissions) must RAISE: silently treating a
+#: damaged index as empty would admit every historical duplicate.
+_EMPTY_INDEX_ERRORS = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+
 
 def read_index(
     spark: SparkSession, index_path: str, exclude_batch: int | None = None
 ) -> DataFrame:
     """The fingerprint index as a DataFrame (empty if nothing landed).
+
+    The not-yet-created case is detected from the read's error class,
+    not a driver-local ``os.path`` probe — the index lives wherever
+    the corpus lives (HDFS/object storage at scale), and a local-FS
+    check there would silently report "no index" forever.
 
     ``exclude_batch`` drops that batch's own partition — REQUIRED when
     deduping batch N on a replay: its first (possibly partial) attempt
@@ -53,11 +64,13 @@ def read_index(
     recompute the identical survivor set, so the overwrite is a
     byte-level no-op. Partition pruning turns the exclusion into a
     directory skip, not a filter over index rows."""
-    if not os.path.isdir(index_path) or not any(
-        name.startswith("batch=") for name in os.listdir(index_path)
-    ):
-        return spark.createDataFrame([], _INDEX_SCHEMA)
-    idx = spark.read.option("basePath", index_path).parquet(index_path)
+    try:
+        idx = spark.read.option("basePath", index_path).parquet(index_path)
+    except AnalysisException as exc:
+        cond = getattr(exc, "getCondition", lambda: None)() or ""
+        if any(code in cond or code in str(exc) for code in _EMPTY_INDEX_ERRORS):
+            return spark.createDataFrame([], _INDEX_SCHEMA)
+        raise
     if exclude_batch is not None:
         idx = idx.filter(F.col("batch") != exclude_batch)
     return idx.select("fingerprint")
@@ -75,6 +88,16 @@ def ingest_batch(
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
+    # collapse in-batch doc_id redeliveries FIRST (deterministic keep:
+    # smallest text) — incremental_dedup keys on fingerprint, so a
+    # doc_id delivered twice would otherwise fan out the join below
+    # and land twice in the corpus
+    w = Window.partitionBy("doc_id").orderBy(F.asc_nulls_last("text"))
+    batch_df = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     survivors = incremental_dedup(
         batch_df, read_index(spark, index_path, exclude_batch=batch_id)
     )

@@ -157,7 +157,7 @@ def test_curate_dedups_exact_content(spark):
 
 
 def test_pretraining_pipeline_composes_stage_contracts(spark):
-    from scholar_stream_spark.operators import dedup, sampling
+    from scholar_stream_spark.operators import dedup
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     out = curation.pretraining_pipeline(docs)
@@ -165,17 +165,23 @@ def test_pretraining_pipeline_composes_stage_contracts(spark):
     assert len(rows) > 0
     picked = {r["doc_id"] for r in rows}
 
-    # subset of the curated train split
+    # subset of the curated train split at the pipeline's lang filter
     curated = {
-        r["doc_id"] for r in curation.curate_corpus(docs).collect()
+        r["doc_id"]
+        for r in curation.curate_corpus(
+            docs, langs=tuple(sorted(curation.PIPELINE_WEIGHTS))
+        ).collect()
     }
     assert picked <= curated
     # no contaminated doc survives
     flagged = {r["doc_id"] for r in dedup.decontaminate(docs).collect()}
     assert not (picked & flagged)
-    # strata limited to the weighted languages
+    # strata limited to the weighted languages — and MORE THAN ONE
+    # stratum present, or the mixture stage would be a vacuous no-op
+    # (the bug the curate default langs=("en",) used to cause)
     strata = {r["stratum"] for r in rows}
-    assert strata <= set(sampling.MIXTURE_WEIGHTS)
+    assert strata <= set(curation.PIPELINE_WEIGHTS)
+    assert len(strata) > 1, strata
 
 
 def test_pretraining_pipeline_flag_join_is_broadcast(spark):

@@ -227,3 +227,22 @@ def test_incremental_dedup_index_never_shuffled(spark):
     )
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_fuzzy_block_cap_drops_hot_prefix(spark):
+    boiler = "identical license boilerplate header text for all docs"
+    rows = [(i, f"{boiler} unique tail {i}") for i in range(8)]
+    rows += [(100, "distinct opening first" + " words " * 10),
+             (101, "distinct opening first" + " words " * 10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = dedup.fuzzy_neardup_pairs(docs, max_block_size=4)
+    got = {(r["d1"], r["d2"]) for r in capped.collect()}
+    # the 8-doc boilerplate block is dropped; the true pair survives
+    assert got == {(100, 101)}, got
+    # cap off: boilerplate pairs appear (quadratic, the thing we guard)
+    uncapped = {
+        (r["d1"], r["d2"])
+        for r in dedup.fuzzy_neardup_pairs(docs).collect()
+    }
+    assert (0, 1) in uncapped

@@ -128,3 +128,15 @@ def test_mixture_sample_corpus_join_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_mixture_select_binding_stratum_survives_float_rounding(spark):
+    # T=471064178143, w=0.35: floor((T/w)*w/T*1e6) IEEE-rounds to
+    # 999999, so without the binding-stratum pin the top hash bucket
+    # of the very stratum promised "keep fraction exactly 1" is lost
+    base = spark.createDataFrame(
+        [(1, "x", 471064178143, sampling.SAMPLE_DENOM - 1)],
+        "doc_id long, stratum string, n_tokens long, bucket long",
+    )
+    got = sampling.mixture_select(base, {"x": 0.35}).collect()
+    assert [r["doc_id"] for r in got] == [1]

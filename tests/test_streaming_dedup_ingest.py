@@ -97,3 +97,14 @@ def test_dedup_ingest_replay_is_noop(spark, tmp_path):
     assert _corpus_ids(spark, corpus) == before
     fps = [r["fingerprint"] for r in read_index(spark, str(index)).collect()]
     assert len(fps) == len(set(fps)) == 3
+
+
+def test_dedup_ingest_in_batch_docid_redelivery(spark, tmp_path):
+    corpus, index = tmp_path / "corpus", tmp_path / "index"
+    # doc 7 delivered twice in ONE micro-batch (source redelivery):
+    # must land exactly once in the corpus
+    b0 = spark.createDataFrame(
+        [(7, "same doc"), (7, "same doc"), (8, "other doc")], DOC_SCHEMA
+    )
+    ingest_batch(b0, 0, str(corpus), str(index))
+    assert _corpus_ids(spark, corpus) == [7, 8]
