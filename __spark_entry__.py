@@ -64,6 +64,7 @@ from scholar_stream_spark.operators import (
 )
 from scholar_stream_spark.operators import transforms
 from scholar_stream_spark.plans.catalog import init_catalog
+from scholar_stream_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -71,14 +72,7 @@ from scholar_stream_spark.plans.catalog import init_catalog
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects; read the raw int64 nanos and floor-convert to
-        # microseconds (matches DuckDB's ns→µs truncation on its view).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 def _customer_emails(customer: DataFrame) -> DataFrame:
@@ -868,23 +862,28 @@ def _pipeline_sql() -> str:
     """curate → decontaminate → mixture as one nested-CTE chain: the
     stage subqueries ARE the standalone oracle texts (verbatim nesting
     — no second definition to drift), with the mixture thresholds
-    computed over the cleaned set."""
+    computed over the cleaned set.
+
+    Alignment with ``curation.pretraining_pipeline``: curate widens its
+    pred_lang filter to ``LANG_ORDER`` (everything the marker lang-ID
+    can emit), and the mixture stratifies on the ground-truth ``lang``
+    TAG joined back from ``documents`` — weights come from the shared
+    ``curation.PIPELINE_WEIGHTS`` key-set on both sides."""
     values = ", ".join(
         f"('{lang}', CAST({w!r} AS DOUBLE))"
         for lang, w in sorted(curation.PIPELINE_WEIGHTS.items())
     )
-    curate_nested = _curate_sql(
-        lang_filter=tuple(sorted(curation.PIPELINE_WEIGHTS))
-    )
+    curate_nested = _curate_sql(lang_filter=textops.LANG_ORDER)
     return f"""
 WITH curated AS (SELECT * FROM ({curate_nested})),
 flagged AS (SELECT doc_id FROM ({_decontaminate_sql()})),
 clean AS (
-    SELECT c.doc_id, c.pred_lang AS stratum,
+    SELECT c.doc_id, d.lang AS stratum,
            c.n_doc_tokens AS n_tokens,
            ({hex48_sql("CAST(c.doc_id AS VARCHAR)")})
                % {sampling.SAMPLE_DENOM} AS bucket
     FROM curated c
+    JOIN documents d ON d.doc_id = c.doc_id
     WHERE NOT EXISTS (SELECT 1 FROM flagged f
                       WHERE f.doc_id = c.doc_id)
 ),

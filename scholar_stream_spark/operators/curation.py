@@ -46,7 +46,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from scholar_stream_spark.functions.text import normalize_text
-from scholar_stream_spark.operators.sampling import SPLIT_BOUNDS, split_bucket
+from scholar_stream_spark.operators.sampling import (
+    MIXTURE_WEIGHTS,
+    SPLIT_BOUNDS,
+    split_bucket,
+)
 from scholar_stream_spark.operators.textops import (
     LANG_MARKERS,
     LANG_ORDER,
@@ -61,6 +65,14 @@ from scholar_stream_spark.plans.partitioning import scale_out
 CURATE_MIN_QUALITY = 0.5
 CURATE_LANGS = ("en",)
 CURATE_SPLITS = ("train",)
+
+#: Mixture weights for the composed pretraining pipeline (shared with the
+#: DuckDB oracle so the two sides pin the SAME key-set). The pipeline
+#: stratifies on the ground-truth ``lang`` TAG (see
+#: ``pretraining_pipeline``), so every corpus lang — including ``zh``,
+#: which the en/de/fr/es marker lang-ID can never *predict* — is a
+#: bindable stratum here.
+PIPELINE_WEIGHTS: dict[str, float] = dict(MIXTURE_WEIGHTS)
 
 #: Java-regex ``\s`` is ASCII-only; python's is unicode-aware. Match Java.
 _ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
@@ -254,14 +266,13 @@ def pretraining_pipeline(
     """
     from scholar_stream_spark.operators.dedup import decontaminate
     from scholar_stream_spark.operators.sampling import (
-        MIXTURE_WEIGHTS,
         mixture_select,
         sample_bucket,
     )
     from scholar_stream_spark.operators.textops import LANG_ORDER
 
     if weights is None:
-        weights = MIXTURE_WEIGHTS
+        weights = PIPELINE_WEIGHTS
     if curate_langs is None:
         curate_langs = LANG_ORDER
     curated = curate_corpus(documents, langs=tuple(curate_langs))

@@ -51,6 +51,38 @@ SIMHASH_HAMMING_MAX = 3
 SIMHASH_BAND_BITS = 8
 EMBED_COS_THRESHOLD = 0.35
 
+#: Hot-shingle document-frequency cap applied BY DEFAULT in the scale
+#: profile (``hash_profile="fast"``): a shingle appearing in d documents
+#: contributes d(d-1)/2 candidate pairs, so one boilerplate phrase shared
+#: by 1% of a 100 TB corpus makes candidate generation quadratic. Shingles
+#: above the cap carry ~zero idf signal (idf ≈ log(N/d) ≈ 0), so dropping
+#: them loses no useful near-dup evidence. The portable/oracle profile
+#: keeps the cap OFF so the DuckDB oracle mirrors the uncapped pipeline.
+MAX_SHINGLE_DOC_FREQ = 1024
+
+
+def _resolve_doc_freq_cap(max_doc_freq, scale_profile: bool):
+    """``"auto"`` → the scale default in the fast profile, off in the
+    portable/oracle profile; any explicit int/None wins."""
+    if max_doc_freq == "auto":
+        return MAX_SHINGLE_DOC_FREQ if scale_profile else None
+    return max_doc_freq
+
+
+def _drop_hot_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Anti-join out shingles whose document frequency exceeds the cap.
+
+    The hot set is tiny by construction (only ultra-frequent shingles
+    qualify), so AQE broadcasts it; the shingle table is never shuffled
+    for the filter itself beyond the df aggregation."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("shingle")
+    )
+    return sh.join(hot, "shingle", "left_anti")
+
 
 def _shingle_hash(hash_profile: str) -> F.Column:
     """Integer hash of the ``shingle`` column, in ``[0, MINHASH_PRIME)``.
@@ -187,15 +219,9 @@ def ngram_jaccard_pairs(
     sh = distinct_shingles(documents, n)
     sizes = _shingle_sizes(sh)
     if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("shingle")
-        )
-        # anti-join drops hot shingles before the quadratic step; AQE
-        # broadcasts the (small) hot set at runtime
-        cand_sh = sh.join(hot, "shingle", "left_anti")
+        # drop hot shingles before the quadratic step only; the verify
+        # below still scores over ALL shingles
+        cand_sh = _drop_hot_shingles(sh, max_doc_freq)
         cand = (
             cand_sh.alias("a")
             .join(
@@ -240,11 +266,18 @@ def ngram_jaccard_pairs(
 
 
 def _grouped_shingle_hashes(
-    documents: DataFrame, n: int, hash_profile: str
+    documents: DataFrame,
+    n: int,
+    hash_profile: str,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """(doc_id, hs array<long>) — ONE shuffle: group each doc's distinct
-    shingle hashes."""
+    shingle hashes. With ``max_doc_freq`` set, hot shingles are dropped
+    before hashing, so signatures, band keys, AND the verify arrays all
+    measure the non-boilerplate shingle sets."""
     sh = distinct_shingles(documents, n)
+    if max_doc_freq is not None:
+        sh = _drop_hot_shingles(sh, max_doc_freq)
     hashed = sh.select("doc_id", _shingle_hash(hash_profile).alias("h"))
     return hashed.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
 
@@ -326,6 +359,7 @@ def minhash_lsh_pairs(
     n: int = SHINGLE_N,
     threshold: float = JACCARD_THRESHOLD,
     hash_profile: str = "portable",
+    max_doc_freq: int | None | str = "auto",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified.
 
@@ -343,8 +377,16 @@ def minhash_lsh_pairs(
     time and three times. Verify-on-hashes is exact up to 48-bit hash
     collisions (P ≈ |pairs|·|shingles|²/2^49; the oracle crosschecks
     string-level Jaccard and stays green).
+
+    ``max_doc_freq="auto"`` applies ``MAX_SHINGLE_DOC_FREQ`` in the
+    scale profile (``hash_profile="fast"``) and no cap in the portable
+    profile (oracle parity); pass an int or ``None`` to override. In
+    the capped path signatures AND verification run over the
+    non-boilerplate shingle sets — Jaccard over near-zero-idf
+    boilerplate is noise, not near-dup signal.
     """
-    grouped = _grouped_shingle_hashes(documents, n, hash_profile)
+    cap = _resolve_doc_freq_cap(max_doc_freq, hash_profile == "fast")
+    grouped = _grouped_shingle_hashes(documents, n, hash_profile, cap)
     bands = _band_keys_from_grouped(grouped)
 
     cand = (
@@ -536,6 +578,8 @@ def neardup_clusters(
     threshold: float = JACCARD_THRESHOLD,
     max_iter: int = 20,
     max_driver_edges: int = 1_000_000,
+    profile: str = "oracle",
+    max_doc_freq: int | None | str = "auto",
 ) -> DataFrame:
     """Connected components over the near-dup pair graph → dedup
     clusters: every document in a component gets ``cluster_id = min
@@ -567,8 +611,20 @@ def neardup_clusters(
     labels, a fraction of the scheduling cost) — the pair graph being
     small is the EXPECTED case; the distributed loop is the escape
     hatch for corpora where it isn't.
+
+    ``profile="scale"`` turns the hot-shingle df cap on by default
+    (``max_doc_freq="auto"`` → ``MAX_SHINGLE_DOC_FREQ``) so candidate
+    generation can't go quadratic on boilerplate; ``"oracle"``
+    (default) leaves it off to mirror the uncapped DuckDB oracle. The
+    cap only prunes candidate generation — surviving pairs keep exact
+    Jaccard scores (``ngram_jaccard_pairs`` verify semantics).
     """
-    pairs = ngram_jaccard_pairs(documents, n, threshold).select("d1", "d2")
+    if profile not in ("oracle", "scale"):
+        raise ValueError(f"unknown profile: {profile!r}")
+    cap = _resolve_doc_freq_cap(max_doc_freq, profile == "scale")
+    pairs = ngram_jaccard_pairs(
+        documents, n, threshold, max_doc_freq=cap
+    ).select("d1", "d2")
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).localCheckpoint()  # materialize: iteration must not re-shingle
@@ -776,7 +832,11 @@ def incremental_dedup(
         .join(F.broadcast(firsts.select("fingerprint")), "fingerprint")
         .distinct()
     )
-    return firsts.join(F.broadcast(hits), "fingerprint", "left_anti")
+    # The named-key join hoists the key first; re-order to the
+    # documented (doc_id, fingerprint) contract.
+    return firsts.join(
+        F.broadcast(hits), "fingerprint", "left_anti"
+    ).select("doc_id", "fingerprint")
 
 
 def decontaminate(

@@ -14,6 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from scholar_stream_spark.operators import cdc, chunking, dedup
+from scholar_stream_spark.sources.tables import load_events
 from scholar_stream_spark.operators.similarity import (
     QUANT_MAX,
     quantize_embeddings,
@@ -274,12 +275,9 @@ def test_value_percentiles_sketch_error_bound(spark):
         value_percentiles_accuracy,
     )
 
-    # events.parquet carries TIMESTAMP(NANOS); the operator only needs
-    # (event_type, value), so read those columns with nanos-as-long on
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(
-        f"{SF_SMALL}/events.parquet".replace("sf0.001", "sf0.01")
-    ).select("event_type", "value")
+    ev = load_events(spark, SF_SMALL.replace("sf0.001", "sf0.01")).select(
+        "event_type", "value"
+    )
     rows = value_percentiles_accuracy(ev).collect()
     assert rows
     for r in rows:
@@ -463,10 +461,9 @@ def test_distinct_users_sketch_error_bound(spark):
         distinct_users_sketch_accuracy,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(
-        f"{SF_SMALL}/events.parquet".replace("sf0.001", "sf0.01")
-    ).select("event_type", "user_id")
+    ev = load_events(spark, SF_SMALL.replace("sf0.001", "sf0.01")).select(
+        "event_type", "user_id"
+    )
     rows = distinct_users_sketch_accuracy(ev).collect()
     assert rows
     for r in rows:

@@ -68,6 +68,65 @@ def test_df_cap_scores_stay_exact(spark):
     assert capped[(1, 2)] == uncapped[(1, 2)]
 
 
+def test_doc_freq_cap_profile_defaults():
+    # "auto" wires the cap ON in the scale profile, OFF for the oracle;
+    # an explicit value always wins
+    assert dedup._resolve_doc_freq_cap("auto", True) == dedup.MAX_SHINGLE_DOC_FREQ
+    assert dedup._resolve_doc_freq_cap("auto", False) is None
+    assert dedup._resolve_doc_freq_cap(7, True) == 7
+    assert dedup._resolve_doc_freq_cap(None, True) is None
+
+
+def test_minhash_scale_profile_drops_hot_shingles(spark):
+    # 6 docs are pure shared boilerplate (every shingle hot — the giant-
+    # LSH-bucket case the cap guards against); 100/101 are true near-dups
+    # differing in one trailing word (J ≈ 0.89, certain LSH candidates).
+    boiler = f"{HOT} over the lazy dog while nobody watches at all"
+    common = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [(i, boiler) for i in range(6)]
+    rows += [(100, f"{common} ending"), (101, f"{common} finale")]
+    docs = _docs(spark, rows)
+
+    capped = {
+        (r["d1"], r["d2"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.05, hash_profile="fast", max_doc_freq=3
+        ).collect()
+    }
+    # the boilerplate clique is gone; the true near-dup pair survives
+    assert capped == {(100, 101)}, capped
+    # portable profile default ("auto" → None): boilerplate pairs still
+    # present, preserving oracle parity for dedup_minhash_lsh
+    uncapped = {
+        (r["d1"], r["d2"])
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.05).collect()
+    }
+    assert (0, 1) in uncapped and (100, 101) in uncapped
+
+
+def test_neardup_clusters_scale_profile_caps(spark):
+    rows = [
+        (i, f"{HOT} unique{i} word{i} tail{i} more{i} x{i} y{i}")
+        for i in range(6)
+    ]
+    rows += [(100, BODY_A + " " + BODY_A), (101, BODY_A + " " + BODY_B)]
+    docs = _docs(spark, rows)
+
+    scale = dedup.neardup_clusters(
+        docs, threshold=0.05, profile="scale", max_doc_freq=3
+    )
+    got = {(r["doc_id"], r["cluster_id"]) for r in scale.collect()}
+    # only the true near-dup cluster remains under the scale profile
+    assert got == {(100, 100), (101, 100)}, got
+    # oracle profile keeps the uncapped graph (boilerplate cluster too)
+    oracle = dedup.neardup_clusters(docs, threshold=0.05)
+    nodes = {r["doc_id"] for r in oracle.collect()}
+    assert 0 in nodes and 100 in nodes
+
+
 def test_simhash_fast_profile_is_64bit(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     sigs = dedup.simhash_signatures(docs, hash_profile="fast")

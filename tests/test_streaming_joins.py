@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from scholar_stream_spark.operators import temporal
+from scholar_stream_spark.sources.tables import load_events
 from scholar_stream_spark.streaming import enrich
 from tests.conftest import SF_SMALL
 
@@ -14,10 +15,7 @@ from tests.conftest import SF_SMALL
 @pytest.fixture(scope="module")
 def events_dir(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("events_join") / "events")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    df = load_events(spark, SF_SMALL)
     df.coalesce(1).write.mode("overwrite").parquet(out)
     return out
 
