@@ -220,7 +220,20 @@ def main() -> None:
     flaky = {k: v for k, v in all_failures.items() if k in timings}
     total = min(pass_walls)
 
-    streaming = measure_streaming_latency(spark)
+    # The streaming probe must never cost the query timings already
+    # collected: any failure (stream won't start, host too slow, ...)
+    # degrades to the null-percentile block, not a crash.
+    try:
+        streaming = measure_streaming_latency(spark)
+    except Exception as exc:  # noqa: BLE001
+        streaming = {
+            "e2e_p50_sec": None,
+            "e2e_p95_sec": None,
+            "n_records": 0,
+            "trigger": "demo (2s micro-batch)",
+            "slo": {"p50_max_sec": 20, "p95_max_sec": 60},
+            "error": f"{type(exc).__name__}: {exc}"[:200],
+        }
     print(f"  streaming e2e: {streaming}", file=sys.stderr)
 
     out = {

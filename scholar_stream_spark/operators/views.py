@@ -67,6 +67,7 @@ def build_vw_works(
     raw: DataFrame,
     now: Column | None = None,
     include_load_id: bool = False,
+    json_engine: str = "struct",
 ) -> DataFrame:
     """V1-V9 — curated projection of the bronze landing table.
 
@@ -79,14 +80,60 @@ def build_vw_works(
     the per-record uuid the reference carries specifically so downstream
     dedup can key on it (``ingestion/schema.py:47``); the streaming
     dedup path needs it, the reference view itself doesn't expose it.
+
+    ``json_engine`` picks the shredding strategy (same output either way,
+    pinned by tests):
+
+    - ``"struct"`` (default): ``from_json`` into the explicit envelope
+      schema, then struct field access — nested-schema pruning reads
+      only the needed leaves.
+    - ``"variant"``: Spark 4 ``try_parse_json`` → ``VariantType`` +
+      ``try_variant_get`` paths — the direct analog of the reference's
+      Snowflake VARIANT landing column (``sql/03_tables_raw.sql:5-8``).
+      Schema-free (new wire fields need no schema change) and still
+      parse-once: the optimizer keeps the ``parseJson`` in its own
+      projection (plan-asserted in tests).
     """
     if now is None:
         now = F.current_timestamp()
 
-    # V2-V4: one from_json per VARIANT, then cheap struct field access.
-    rec = F.from_json(F.col("payload"), ENVELOPE_SCHEMA)
-    meta = F.from_json(F.col("metadata"), METADATA_SCHEMA)
-    parsed = raw.select(rec.alias("rec"), meta.alias("meta"))
+    if json_engine == "variant":
+        parsed = raw.select(
+            F.try_parse_json(F.col("payload")).alias("v"),
+            F.try_parse_json(F.col("metadata")).alias("mv"),
+        )
+
+        def rec(path: str) -> Column:
+            return F.try_variant_get("v", f"$.{path}", "string")
+
+        fields = {
+            "id": rec("id"),
+            "doi": rec("doi"),
+            "title": rec("title"),
+            "publication_year": rec("publication_year"),
+            "host_venue": rec("host_venue"),
+            "primary_author": rec("primary_author"),
+            "email": rec("email"),
+            "event_ts": rec("event_ts"),
+            "ingest_ts": rec("ingest_ts"),
+            "_LOAD_ID": rec("_LOAD_ID"),
+        }
+        shredded = parsed.select(
+            F.struct(*[c.alias(k) for k, c in fields.items()]).alias("rec"),
+            F.struct(
+                F.try_variant_get("mv", "$.IngestionTime", "string").alias(
+                    "IngestionTime"
+                )
+            ).alias("meta"),
+        )
+    else:
+        if json_engine != "struct":
+            raise ValueError(f"unknown json_engine: {json_engine!r}")
+        # V2-V4: one from_json per VARIANT, then cheap struct field access.
+        shredded = raw.select(
+            F.from_json(F.col("payload"), ENVELOPE_SCHEMA).alias("rec"),
+            F.from_json(F.col("metadata"), METADATA_SCHEMA).alias("meta"),
+        )
 
     event_ts = try_to_timestamp(F.col("rec.event_ts"))
     ingest_ts = try_to_timestamp(F.col("rec.ingest_ts"))
@@ -96,7 +143,7 @@ def build_vw_works(
         try_to_timestamp(F.col("meta.IngestionTime")), ingest_ts, now
     )
 
-    timed = parsed.select(
+    timed = shredded.select(
         F.col("rec"),
         event_ts.alias("event_ts"),
         ingest_ts.alias("ingest_ts"),
