@@ -369,6 +369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- text analysis (SURVEY §2.8) ---
         "token_counts": lambda s, d: textops.token_counts(_t(s, d, "documents")),
+        "unigram_logprob": lambda s, d: textops.unigram_logprob(
+            _t(s, d, "documents")
+        ),
         "text_quality": lambda s, d: textops.text_quality(_t(s, d, "documents")),
         "lang_profile": lambda s, d: textops.lang_profile(_t(s, d, "documents")),
         "doc_fingerprint": lambda s, d: textops.doc_fingerprints(
@@ -1294,14 +1297,33 @@ def oracle_sql() -> dict[str, str]:
             FROM tf, total
             WHERE tf > total / {float(textops.HH_K)}
         """,
-        "token_counts": """
+        "token_counts": f"""
             SELECT doc_id,
                    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
                        AS n_ws_tokens,
                    CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
                        AS BIGINT) AS n_distinct_tokens,
-                   CAST(length(text) AS BIGINT) AS n_chars_measured
+                   CAST(length(text) AS BIGINT) AS n_chars_measured,
+                   CAST(len(regexp_extract_all(text, '{textops.BPE_UNIT_RE}'))
+                       AS BIGINT) AS n_bpe_tokens
             FROM documents
+        """,
+        "unigram_logprob": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                           ' ')) AS term
+                FROM documents
+            ),
+            freq AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+            total AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM freq)
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lm_tokens,
+                   round(avg(ln(f.c / total.n_total)), 4) AS logprob,
+                   round(exp(-avg(ln(f.c / total.n_total))), 4) AS ppl
+            FROM tok t JOIN freq f USING (term) CROSS JOIN total
+            GROUP BY t.doc_id
         """,
         "text_quality": f"""
             WITH feat AS (

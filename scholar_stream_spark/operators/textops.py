@@ -45,9 +45,18 @@ def _hits(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
 
 
+#: BPE-ish pretokenizer pattern (GPT-2-style unit runs): letter runs,
+#: digit runs, punctuation runs. Counting its matches estimates the
+#: tokenizer budget without a vocabulary — an upper bound on BPE tokens
+#: (BPE only merges within these units, never across). The same pattern
+#: text compiles in Spark (Java regex) and DuckDB (RE2).
+BPE_UNIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
 def token_counts(documents: DataFrame) -> DataFrame:
-    """Per-document token statistics (BPE-ish regex word count included:
-    runs of word characters, the cheap tokenizer-budget estimator)."""
+    """Per-document token statistics: whitespace tokens, distinct tokens,
+    chars, and the BPE-ish regex unit count (``BPE_UNIT_RE`` matches —
+    the cheap tokenizer-budget estimator)."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     documents = scale_out(documents)
     return documents.select(
@@ -55,6 +64,9 @@ def token_counts(documents: DataFrame) -> DataFrame:
         n_tokens(F.col("text")).alias("n_ws_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         F.length("text").cast("long").alias("n_chars_measured"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_UNIT_RE), F.lit(0))
+        ).cast("long").alias("n_bpe_tokens"),
     )
 
 
@@ -195,6 +207,46 @@ def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
             F.col("df"),
             F.round("tfidf", 4).alias("tfidf"),
             F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Perplexity-proxy quality score: each document's mean unigram
+    log-probability under the corpus's OWN unigram LM — the cheap n=1
+    analog of CCNet-style LM-perplexity filtering (docs far from the
+    corpus distribution score low / show high perplexity; boilerplate
+    and wordlist junk surface at both extremes).
+
+    No smoothing needed: the LM is trained on the same corpus it scores,
+    so every token has count ≥ 1 by construction.
+
+    Plan shape (the minimal three-shuffle explode pipeline, same as
+    ``tfidf_top_terms``): normalized tokens explode once; the unigram
+    frequency table comes from one map-side-combined term groupBy; the
+    corpus token total is a broadcast 1-row aggregate; scoring joins the
+    (term-keyed) token table against the frequency table and reduces per
+    doc. Nothing quadratic; the vocabulary never sits on the driver.
+
+    Output: (doc_id, n_lm_tokens, logprob, ppl) — ppl = exp(-logprob).
+    """
+    toks = F.explode(
+        F.split(normalize_text(F.col("text")), " ")
+    ).alias("term")
+    pairs = scale_out(documents).select("doc_id", toks)
+    freq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(
+        F.sum("c").cast("double").alias("n_total")
+    )
+    lp = F.log(F.col("c") / F.col("n_total"))
+    return (
+        pairs.join(freq, "term")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lm_tokens"),
+            F.round(F.avg(lp), 4).alias("logprob"),
+            F.round(F.exp(-F.avg(lp)), 4).alias("ppl"),
         )
     )
 

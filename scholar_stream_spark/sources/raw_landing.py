@@ -101,11 +101,50 @@ def compact_raw(spark, raw_path: str) -> int:
     return n_after
 
 
+def write_dead_letters(
+    dead: DataFrame, errors_path: str, layout: str = "date_partition"
+) -> None:
+    """Persist a dead-letter batch for replay.
+
+    - ``"date_partition"`` (default): parquet partitioned by
+      ``land_date`` — keeps the delivery metadata columns and is directly
+      SQL-queryable alongside the bronze table.
+    - ``"firehose"``: GZIP NDJSON under ``errors/yyyy/MM/dd/`` — byte
+      parity with the reference's Firehose FailedDataOnly backup
+      (``infra/main.tf:178-193``: ``prefix errors/!{timestamp:yyyy/MM/dd}/``,
+      ``compression_format GZIP``): one payload line per record, original
+      bytes preserved verbatim.
+
+    Retry-window note: Firehose retries delivery for a bounded window
+    (300 s) before dead-lettering; here delivery IS the checkpointed
+    micro-batch commit, which Structured Streaming retries until it
+    succeeds — strictly stronger. The dead-letter path therefore carries
+    only *unparseable payloads* (Firehose's data-format failures), never
+    transient delivery failures.
+    """
+    if layout == "firehose":
+        # ≤ a handful of distinct dates per micro-batch (usually one):
+        # a bounded driver loop, each date one gzip text write.
+        for (d,) in dead.select("land_date").distinct().collect():
+            (
+                dead.filter(F.col("land_date") == F.lit(d))
+                .select("payload")
+                .write.mode("append")
+                .option("compression", "gzip")
+                .text(f"{errors_path.rstrip('/')}/{d.strftime('%Y/%m/%d')}")
+            )
+    elif layout == "date_partition":
+        dead.write.mode("append").partitionBy("land_date").parquet(errors_path)
+    else:
+        raise ValueError(f"unknown dead-letter layout: {layout!r}")
+
+
 def land_batch(
     lines: DataFrame,
     raw_path: str,
     errors_path: str | None = None,
     batch_id: str | None = None,
+    errors_layout: str = "date_partition",
 ) -> None:
     """Append one batch of NDJSON lines to the bronze table (parquet,
     partitioned by land_date); unparseable lines → dead-letter path."""
@@ -120,4 +159,4 @@ def land_batch(
         # Empty writes still create the path; guard with a cheap check on
         # the already-computed batch (tiny: one micro-batch of lines).
         if dead.limit(1).count() > 0:
-            dead.write.mode("append").partitionBy("land_date").parquet(errors_path)
+            write_dead_letters(dead, errors_path, layout=errors_layout)

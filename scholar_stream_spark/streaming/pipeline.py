@@ -36,6 +36,7 @@ from pyspark.sql.streaming import StreamingQuery
 from scholar_stream_spark.sources.raw_landing import (
     split_dead_letters,
     with_delivery_metadata,
+    write_dead_letters,
 )
 from scholar_stream_spark.streaming.accounting import (
     IngestAccounting,
@@ -55,6 +56,7 @@ def start_ingest(
     raw_path: str,
     checkpoint_path: str,
     errors_path: str | None = None,
+    errors_layout: str = "date_partition",
     trigger: str = "available_now",
     max_files_per_trigger: int | None = None,
     output_files_per_batch: int = 4,
@@ -104,9 +106,9 @@ def start_ingest(
                     n_dead = dead.count()
                     samples = [r["payload"] for r in dead_sample]
             if errors_path is not None and n_dead:
-                dead.coalesce(1).write.mode("append").partitionBy(
-                    "land_date"
-                ).parquet(errors_path)
+                write_dead_letters(
+                    dead.coalesce(1), errors_path, layout=errors_layout
+                )
             if track:
                 m = acct.record(
                     batch_id=f"{batch_id}",

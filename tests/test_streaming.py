@@ -83,6 +83,54 @@ def test_ingest_lands_good_and_dead_letters_bad(spark):
         assert vw.filter(F.col("work_id") == "W1").count() == 1
 
 
+def test_firehose_dead_letter_layout(spark):
+    """Reference backup parity (infra/main.tf:178-193): dead letters as
+    GZIP NDJSON under errors/yyyy/MM/dd/, original bytes verbatim."""
+    import glob
+    import gzip
+    from datetime import date
+
+    with tempfile.TemporaryDirectory() as tmp:
+        inbox = os.path.join(tmp, "inbox")
+        os.makedirs(inbox)
+        _write_ndjson(os.path.join(inbox, "b0.ndjson"), GOOD + [BAD_LINE])
+        errors = os.path.join(tmp, "errors")
+
+        q = start_ingest(
+            spark,
+            input_dir=inbox,
+            raw_path=os.path.join(tmp, "raw"),
+            checkpoint_path=os.path.join(tmp, "ckpt"),
+            errors_path=errors,
+            errors_layout="firehose",
+            trigger="available_now",
+        )
+        q.awaitTermination(120)
+
+        day_dir = os.path.join(
+            errors, date.today().strftime("%Y/%m/%d")
+        )
+        gz = glob.glob(os.path.join(day_dir, "*.txt.gz"))
+        assert gz, f"no gzip dead letters under {day_dir}"
+        lines = []
+        for f in gz:
+            with gzip.open(f, "rt") as fh:
+                lines += [ln.rstrip("\n") for ln in fh if ln.strip()]
+        assert lines == [BAD_LINE]
+
+
+def test_unknown_dead_letter_layout_rejected(spark):
+    import pytest
+
+    from scholar_stream_spark.sources.raw_landing import write_dead_letters
+
+    dead = spark.createDataFrame(
+        [("x", "{}")], "payload string, metadata string"
+    ).withColumn("land_date", F.current_date())
+    with pytest.raises(ValueError, match="layout"):
+        write_dead_letters(dead, "/tmp/nowhere", layout="s3")
+
+
 def test_ingest_checkpoint_resumes_without_reprocessing(spark):
     """Restarting the stream with the same checkpoint only picks up new
     files — the replay/exactly-once contract of §2.6."""

@@ -1,0 +1,60 @@
+"""Unit semantics for the LM-quality text operators (the oracle pins
+cross-engine parity at sf0.01; these pin the intended meaning)."""
+
+from __future__ import annotations
+
+import math
+
+from scholar_stream_spark.operators import textops
+
+
+def test_bpe_unit_count(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, world 123"),   # Hello | , | world | 123
+            (2, "don't stop"),          # don | ' | t | stop
+            (3, "abc"),                 # abc
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in textops.token_counts(docs).collect()
+    }
+    assert got == {1: 4, 2: 4, 3: 1}, got
+
+
+def test_unigram_logprob_ranks_rare_docs_low(spark):
+    # "common common" dominates the corpus; doc 3 is all rare tokens →
+    # lowest mean log-probability / highest perplexity proxy
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common rare1"),
+            (3, "rare2 rare3"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r for r in textops.unigram_logprob(docs).collect()
+    }
+    assert rows[1]["n_lm_tokens"] == 4
+    assert rows[1]["logprob"] > rows[2]["logprob"] > rows[3]["logprob"]
+    assert rows[3]["ppl"] > rows[2]["ppl"] > rows[1]["ppl"]
+    # doc 1: every token has corpus count 6 of 9 → logprob = ln(6/9)
+    assert abs(rows[1]["logprob"] - round(math.log(6 / 9), 4)) < 1e-9
+    # ppl is the exp(-logprob) consistency contract (both rounded to 4)
+    assert abs(rows[1]["ppl"] - round(math.exp(-math.log(6 / 9)), 4)) < 1e-3
+
+
+def test_unigram_logprob_plan_broadcasts_total(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        textops.unigram_logprob(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    # the 1-row corpus total must come in as a broadcast, never a SMJ
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
