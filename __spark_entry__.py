@@ -23,6 +23,10 @@ Deliberately WITHOUT oracle entries (rows-only check):
 - ``ann_lsh_recall`` / ``ann_ivf_recall`` — the self-checks keeping the
   two approximate paths honest: recall vs the (oracle-checked) exact
   cosine baseline, floor-asserted in pytest.
+- ``cluster_embeddings`` — iterative spherical k-means (Lloyd's); an
+  SQL oracle would need a recursive-CTE re-implementation of the whole
+  float iteration. Determinism + cluster semantics are pytest-pinned
+  (identical output under repartitioning; separated groups recovered).
 - ``value_percentiles_sketch`` — approx_percentile is a sketch (not
   SQL-reproducible); the query itself emits exact-vs-sketch error and
   pytest pins the bound.
@@ -457,6 +461,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_ivf_recall": lambda s, d: similarity.ann_recall(
             _t(s, d, "embeddings"), method="ivf"
+        ),
+        # spherical k-means over the embedding corpus (driver-held k×dim
+        # centroids, one map-side-combined corpus pass per iteration)
+        "cluster_embeddings": lambda s, d: similarity.cluster_embeddings(
+            _t(s, d, "embeddings")
         ),
         # --- multimodal columns (SURVEY §2.8) ---
         "multimodal_blob_stats": lambda s, d: multimodal.blob_stats(

@@ -643,3 +643,80 @@ def ann_recall(
             F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1)), 4
         ).alias("recall"),
     )
+
+
+KMEANS_NUM_CLUSTERS = 8
+KMEANS_NUM_ITERS = 4
+
+
+def cluster_embeddings(
+    embeddings: DataFrame,
+    n_clusters: int = KMEANS_NUM_CLUSTERS,
+    n_iters: int = KMEANS_NUM_ITERS,
+) -> DataFrame:
+    """Spherical k-means (cosine Lloyd's) over the embedding column —
+    the topic/domain clustering step of a training-data pipeline
+    (semantic mixture strata, cluster-balanced sampling, SemDeDup-style
+    per-cluster pruning all key on this assignment).
+
+    Same contract as the IVF quantizer train (the FAISS shape): the
+    centroid matrix is DRIVER state (k × dim, tiny), and every Lloyd
+    iteration is ONE corpus pass with map-side combine — the
+    ``_refined_centroids`` Arrow kernel assigns each batch to its
+    nearest centroid and emits per-cluster partial (count, sum-vector)
+    rows, so only ~``n_batches × k`` tiny rows leave the executors and
+    the corpus is never shuffled. Deterministic end to end: seeds are
+    the ``n_clusters`` lowest vec_ids, iteration count is fixed, and
+    argmax ties break to the lowest cluster id — identical output under
+    any partitioning (pinned by a repartition test).
+
+    Output: (vec_id, cluster_id, cos_to_centroid) — one row per vector;
+    cluster ids are the seed vec_ids (0..k-1; a cluster that empties
+    during refinement simply stops appearing). Iterative and
+    floating-point-seeded → no SQL oracle (rows-only driver check);
+    semantics are pytest-pinned instead.
+    """
+    corpus = scale_out(embeddings).select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
+    )
+    seed_rows = sorted(
+        embeddings.filter(F.col("vec_id") < n_clusters)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cells = np.array([r["vec_id"] for r in seed_rows], dtype=np.int32)
+    cmat = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+    norms = np.linalg.norm(cmat, axis=1)
+    norms[norms == 0] = 1.0
+    cmat_normed = cmat / norms[:, None]
+
+    for _ in range(n_iters):
+        cells, cmat_normed, _raw = _refined_centroids(
+            corpus, cells, cmat_normed
+        )
+
+    assigned = corpus.withColumn(
+        "cluster_id", _argmax_cell_udf(cells, cmat_normed)(F.col("embedding"))
+    )
+    # k-row broadcast join attaches the centroid for an exact JVM-side
+    # cosine (same rationale as _rerank_topk: both vectors already sit
+    # JVM-side after the join, an Arrow hop would cost more than it saves)
+    centroid_df = embeddings.sparkSession.createDataFrame(
+        [
+            (int(c), [float(x) for x in cmat_normed[i]], 1.0)
+            for i, c in enumerate(cells)
+        ],
+        "cluster_id int, c_embedding array<double>, c_norm double",
+    )
+    cos = cosine_from_norms(
+        F.col("embedding"), F.col("c_embedding"), F.col("norm"), F.col("c_norm")
+    )
+    return (
+        assigned.join(F.broadcast(centroid_df), "cluster_id")
+        .select(
+            "vec_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.round(cos, 4).alias("cos_to_centroid"),
+        )
+    )

@@ -58,3 +58,46 @@ def test_unigram_logprob_plan_broadcasts_total(spark):
     assert "CartesianProduct" not in plan, plan
     # the 1-row corpus total must come in as a broadcast, never a SMJ
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cluster_embeddings_recovers_separated_groups(spark):
+    import numpy as np
+
+    from scholar_stream_spark.operators.similarity import cluster_embeddings
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    a = np.array([10.0] + [0.0] * (dim - 1))
+    b = np.array([0.0] * (dim - 1) + [10.0])
+    rows = []
+    # seeds must cover both groups: vec_id 0 near a, vec_id 1 near b
+    for i in range(40):
+        base = a if i % 2 == 0 else b
+        rows.append(
+            (i, [float(x) for x in base + rng.normal(0, 0.05, dim)])
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cluster_embeddings(emb, n_clusters=2, n_iters=3).collect()
+    assert len(got) == 40
+    by_group = {0: set(), 1: set()}
+    for r in got:
+        by_group[r["vec_id"] % 2].add(r["cluster_id"])
+    # each parity group lands in exactly one cluster, and they differ
+    assert len(by_group[0]) == 1 and len(by_group[1]) == 1
+    assert by_group[0] != by_group[1]
+    assert all(r["cos_to_centroid"] > 0.99 for r in got)
+
+
+def test_cluster_embeddings_partition_invariant(spark):
+    from scholar_stream_spark.operators.similarity import cluster_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    one = sorted(
+        (r["vec_id"], r["cluster_id"], r["cos_to_centroid"])
+        for r in cluster_embeddings(emb.coalesce(1)).collect()
+    )
+    many = sorted(
+        (r["vec_id"], r["cluster_id"], r["cos_to_centroid"])
+        for r in cluster_embeddings(emb.repartition(13)).collect()
+    )
+    assert one == many
