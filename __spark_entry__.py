@@ -27,6 +27,9 @@ Deliberately WITHOUT oracle entries (rows-only check):
   SQL oracle would need a recursive-CTE re-implementation of the whole
   float iteration. Determinism + cluster semantics are pytest-pinned
   (identical output under repartitioning; separated groups recovered).
+- ``semantic_prune`` — SemDeDup pruning over the k-means assignment;
+  inherits ``cluster_embeddings``' rows-only status. The keep-lowest
+  pruning rule itself is pytest-pinned on constructed near-dup groups.
 - ``value_percentiles_sketch`` — approx_percentile is a sketch (not
   SQL-reproducible); the query itself emits exact-vs-sketch error and
   pytest pins the bound.
@@ -465,6 +468,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # spherical k-means over the embedding corpus (driver-held k×dim
         # centroids, one map-side-combined corpus pass per iteration)
         "cluster_embeddings": lambda s, d: similarity.cluster_embeddings(
+            _t(s, d, "embeddings")
+        ),
+        # SemDeDup-style pruning: within-cluster cosine near-dups dropped
+        "semantic_prune": lambda s, d: similarity.semantic_prune(
             _t(s, d, "embeddings")
         ),
         # --- multimodal columns (SURVEY §2.8) ---

@@ -720,3 +720,61 @@ def cluster_embeddings(
             F.round(cos, 4).alias("cos_to_centroid"),
         )
     )
+
+
+SEMDEDUP_COS_THRESHOLD = 0.95
+
+
+def semantic_prune(
+    embeddings: DataFrame,
+    n_clusters: int = KMEANS_NUM_CLUSTERS,
+    n_iters: int = KMEANS_NUM_ITERS,
+    threshold: float = SEMDEDUP_COS_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning: cluster the embedding corpus
+    (``cluster_embeddings``), then inside each cluster drop every vector
+    whose cosine to a LOWER-id cluster member is ≥ ``threshold`` — the
+    "semantically redundant copies add nothing to training" pass
+    (Abbas et al., SemDeDup), run after exact/near-text dedup.
+
+    Scale shape is the SemDeDup paper's own trick: the pairwise join is
+    quadratic only WITHIN a cluster (blocking by cluster id), and k
+    bounds the block count — the cross-cluster pair space is never
+    touched. The join keys co-partition both sides on cluster_id; the
+    deterministic keep-lowest-vec_id survivor rule needs no ranking
+    window, just a pair anti-join.
+
+    Output: one row per SURVIVING vector — (vec_id, cluster_id,
+    cos_to_centroid). Rows-only by design (inherits the iterative
+    k-means); the pruning rule itself is pinned by pytest on
+    constructed near-dup groups.
+    """
+    assigned = cluster_embeddings(embeddings, n_clusters, n_iters)
+    # re-attach the vectors for the within-cluster cosine (one co-
+    # partitioned equi-join on vec_id; cluster_embeddings' output is
+    # deliberately narrow so non-pruning callers never carry the array)
+    vec = embeddings.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
+    )
+    members = assigned.join(vec, "vec_id")
+    a = members.alias("a")
+    b = members.alias("b")
+    cos = cosine_from_norms(
+        F.col("a.embedding"),
+        F.col("b.embedding"),
+        F.col("a.norm"),
+        F.col("b.norm"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") > F.col("b.vec_id")),
+        )
+        .filter(cos >= threshold)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(dropped, "vec_id", "left_anti").select(
+        "vec_id", "cluster_id", "cos_to_centroid"
+    )

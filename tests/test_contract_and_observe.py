@@ -25,6 +25,8 @@ DOCUMENTED_ROWS_ONLY = {
     "ann_ivf_recall",
     "value_percentiles_sketch",
     "distinct_users_sketch",
+    "cluster_embeddings",
+    "semantic_prune",
 }
 
 

@@ -101,3 +101,35 @@ def test_cluster_embeddings_partition_invariant(spark):
         for r in cluster_embeddings(emb.repartition(13)).collect()
     )
     assert one == many
+
+
+def test_semantic_prune_drops_within_cluster_neardups(spark):
+    import numpy as np
+
+    from scholar_stream_spark.operators.similarity import semantic_prune
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    a = np.array([10.0] + [0.0] * (dim - 1))
+    b = np.array([0.0] * (dim - 1) + [10.0])
+    rows = []
+    # group A: vec_ids 0,2,4 are ~identical (near-dups); group B: 1,3,5
+    # are mutually distant directions within the same half-space
+    for i in range(6):
+        if i % 2 == 0:
+            v = a + rng.normal(0, 0.01, dim)
+        else:
+            v = b.copy()
+            v[i % dim] += 6.0  # distinct direction per member
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {
+        r["vec_id"]
+        for r in semantic_prune(
+            emb, n_clusters=2, n_iters=2, threshold=0.95
+        ).collect()
+    }
+    # of the identical A-group only the lowest id survives; every
+    # mutually-distant B member survives
+    assert 0 in kept and 2 not in kept and 4 not in kept
+    assert {1, 3, 5} <= kept
