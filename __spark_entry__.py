@@ -166,6 +166,17 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup(docs.filter(bucket >= 50), index)
 
 
+def _q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same split idiom as ``_q_dedup_incremental``: buckets < 50 are the
+    banded corpus index, the rest are the incoming batch near-dup-checked
+    against it."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = sampling.split_bucket("CAST(doc_id AS STRING)")
+    return dedup.incremental_neardup(
+        docs.filter(bucket >= 50), docs.filter(bucket < 50)
+    )
+
+
 def _q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     cutoff = F.lit(relational.INCR_CUTOFF).cast("timestamp")
@@ -423,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new-batch exact dedup against a persisted fingerprint index
         # (index never shuffled: broadcast batch-fps probe + anti-join)
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_incremental_neardup": _q_incremental_neardup,
         # connected components over the near-dup pair graph (iterative
         # min-label propagation; oracle = DuckDB recursive CTE)
         "dedup_clusters": lambda s, d: dedup.neardup_clusters(
@@ -703,7 +715,10 @@ FROM q
 """
 
 
-def _minhash_sql() -> str:
+def _minhash_band_ctes() -> str:
+    """The shared sig/bands CTE text (shingle hashes → 32 MinHash sigs →
+    banded keys) used by both the full-corpus pair oracle and the
+    incremental batch-vs-index oracle."""
     sig_exprs = ",\n           ".join(
         f"list_min(list_transform(hs, x -> ({a} * (x % {MINHASH_PRIME}) + {b})"
         f" % {MINHASH_PRIME})) AS s{j}"
@@ -720,19 +735,61 @@ def _minhash_sql() -> str:
         )
     bands_union = "\n    UNION ALL\n    ".join(band_selects)
     return f"""
-WITH {_shingle_ctes()},
 hsh AS (SELECT doc_id, {hex48_sql("shingle")} AS h FROM sh),
 hs AS (SELECT doc_id, list(h) AS hs FROM hsh GROUP BY doc_id),
 sig AS (SELECT doc_id, {sig_exprs} FROM hs),
 bands AS (
     {bands_union}
-),
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_shingle_ctes()},
+{_minhash_band_ctes()},
 cand AS (
     SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
     FROM bands a
     JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 ),
 {_jaccard_tail(dedup.JACCARD_THRESHOLD)}
+"""
+
+
+def _incremental_neardup_sql() -> str:
+    """Batch (hash buckets ≥ 50) vs corpus index (buckets < 50): the
+    same banded-candidate + exact-verify pipeline, restricted to
+    cross-set pairs — mirrors ``_q_incremental_neardup``."""
+    return f"""
+WITH {_shingle_ctes()},
+{_minhash_band_ctes()},
+spl AS (
+    SELECT doc_id,
+           ({hex48_sql("CAST(doc_id AS VARCHAR)")}) % 100 AS bucket
+    FROM documents
+),
+cand AS (
+    SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS corpus_id
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.key = b.key
+    JOIN spl pa ON pa.doc_id = a.doc_id
+    JOIN spl pb ON pb.doc_id = b.doc_id
+    WHERE pa.bucket < 50 AND pb.bucket >= 50
+),
+inter AS (
+    SELECT c.new_id, c.corpus_id, count(*) AS n_inter
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.new_id
+    JOIN sh sb ON sb.doc_id = c.corpus_id AND sa.shingle = sb.shingle
+    GROUP BY c.new_id, c.corpus_id
+)
+SELECT i.new_id, i.corpus_id,
+       round(i.n_inter / (s1.n_sh + s2.n_sh - i.n_inter), 4) AS jaccard
+FROM inter i
+JOIN sizes s1 ON s1.doc_id = i.new_id
+JOIN sizes s2 ON s2.doc_id = i.corpus_id
+WHERE i.n_inter / (s1.n_sh + s2.n_sh - i.n_inter)
+      >= {dedup.JACCARD_THRESHOLD}
 """
 
 
@@ -1603,6 +1660,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_incremental_neardup": _incremental_neardup_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _embedding_neardup_sql(),
         "dedup_fuzzy": _fuzzy_neardup_sql(),

@@ -434,6 +434,75 @@ def _verify_jaccard_hashed(
     return jac.select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
 
 
+def incremental_neardup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    n: int = SHINGLE_N,
+    threshold: float = JACCARD_THRESHOLD,
+    hash_profile: str = "portable",
+    max_doc_freq: int | None | str = "auto",
+) -> DataFrame:
+    """Near-dup check of a NEW ingest batch against the existing corpus
+    via the MinHash band index — the LSH analog of ``incremental_dedup``
+    (which catches only exact-content matches). How near-dup ingestion
+    actually runs at corpus scale: the 100 TB corpus is banded ONCE and
+    its (band, key) postings + per-doc hash arrays persist as the index;
+    each batch checks only itself against that index, never re-shingling
+    corpus text.
+
+    The corpus side is computed here from the corpus table (so the
+    DuckDB oracle can reproduce it) but is NEVER shuffled on pair keys:
+    the batch's band keys (small — one ingest) broadcast against the
+    corpus band postings to find candidate pairs, and the verify
+    broadcasts the candidate set + batch hash arrays against the corpus
+    arrays. All exchanges are batch-sized or band-build-sized.
+
+    In the scale profile each side drops its own hot shingles
+    (boilerplate hot in the corpus is hot in the batch too); the oracle
+    profile is uncapped.
+
+    Output: (new_id, corpus_id, jaccard) for pairs ≥ threshold — the new
+    docs to reject (or link to their corpus near-duplicate).
+    """
+    cap = _resolve_doc_freq_cap(max_doc_freq, hash_profile == "fast")
+    corpus_grouped = _grouped_shingle_hashes(corpus_docs, n, hash_profile, cap)
+    batch_grouped = _grouped_shingle_hashes(new_docs, n, hash_profile, cap)
+    corpus_bands = _band_keys_from_grouped(corpus_grouped)
+    batch_bands = _band_keys_from_grouped(batch_grouped).select(
+        F.col("doc_id").alias("new_id"), "band", "key"
+    )
+    cand = (
+        corpus_bands.join(F.broadcast(batch_bands), ["band", "key"])
+        .select("new_id", F.col("doc_id").alias("corpus_id"))
+        .distinct()
+    )
+    g_new = batch_grouped.select(
+        F.col("doc_id").alias("new_id"), F.col("hs").alias("hs1")
+    )
+    g_corpus = corpus_grouped.select(
+        F.col("doc_id").alias("corpus_id"), F.col("hs").alias("hs2")
+    )
+    jac = (
+        g_corpus.join(F.broadcast(cand), "corpus_id")
+        .join(F.broadcast(g_new), "new_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.size(F.array_intersect("hs1", "hs2")).alias("n_inter"),
+            F.size("hs1").alias("n1"),
+            F.size("hs2").alias("n2"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select(
+        "new_id", "corpus_id", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 def _simhash_width(hash_profile: str) -> tuple[int, int]:
     """(signature bits, band bits) per profile.
 

@@ -305,3 +305,40 @@ def test_fuzzy_block_cap_drops_hot_prefix(spark):
         for r in dedup.fuzzy_neardup_pairs(docs).collect()
     }
     assert (0, 1) in uncapped
+
+
+def test_incremental_neardup_semantics(spark):
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    corpus = _docs(spark, [(1, base), (2, "totally different corpus text "
+                                         "nothing shared here at all ok")])
+    batch = _docs(spark, [
+        (100, f"{base[:-7]} changed"),   # near-dup of corpus doc 1
+        (101, "brand new unrelated document content words only its own"),
+    ])
+    got = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in dedup.incremental_neardup(
+            batch, corpus, threshold=0.5
+        ).collect()
+    }
+    assert set(got) == {(100, 1)}, got
+    assert got[(100, 1)] >= 0.5
+
+
+def test_incremental_neardup_corpus_never_pair_shuffled(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F2
+    corpus = docs.filter(F2.col("doc_id") % 2 == 0)
+    batch = docs.filter(F2.col("doc_id") % 2 == 1).limit(50)
+    plan = (
+        dedup.incremental_neardup(batch, corpus)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # candidate + verify joins must broadcast the batch side — a
+    # SortMergeJoin would mean the corpus index was shuffled on pair keys
+    assert "SortMergeJoin" not in plan, plan
