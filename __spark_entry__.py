@@ -272,7 +272,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "sec_of_day": lambda s, d: relational.sec_of_day(_t(s, d, "events")),
         "mask_email": _q_mask_email,
-        "synthetic_email": _q_synthetic_email,
         # --- relational completeness (SURVEY §2.8) ---
         "pricing_summary": lambda s, d: relational.pricing_summary(
             _t(s, d, "lineitem")
@@ -301,17 +300,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # statistical aggregates (stddev/corr/OLS trend) in one
         # map-side-combined pass
         "stats_by_type": lambda s, d: relational.stats_by_type(
-            _t(s, d, "events")
-        ),
-        # HLL distinct vs exact with error surfaced (sketch => rows-only
-        # driver check; pytest pins the error against the rsd)
-        "distinct_users_sketch": lambda s, d: relational.distinct_users_sketch_accuracy(
-            _t(s, d, "events")
-        ),
-        # sketch percentiles vs exact with the error surfaced (the
-        # ann_recall pattern; sketch => rows-only driver check, pytest
-        # pins the error bound)
-        "value_percentiles_sketch": lambda s, d: relational.value_percentiles_accuracy(
             _t(s, d, "events")
         ),
         "windowed_agg": lambda s, d: relational.windowed_event_agg(
@@ -463,6 +451,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_vec": lambda s, d: similarity.cosine_topk_pandas(
             _t(s, d, "embeddings")
         ),
+        # --- multimodal columns (SURVEY §2.8) ---
+        "multimodal_blob_stats": lambda s, d: multimodal.blob_stats(
+            _t(s, d, "documents")
+        ),
+        "multimodal_decode": lambda s, d: multimodal.decode_assets(
+            multimodal.as_assets(_t(s, d, "documents"))
+        ),
+        "multimodal_features": lambda s, d: multimodal.feature_columns(
+            multimodal.extract_features(multimodal.as_assets(_t(s, d, "documents")))
+        ),
+        "multimodal_frames": lambda s, d: multimodal.sample_frames(
+            multimodal.decode_assets(multimodal.as_assets(_t(s, d, "documents")))
+        ),
+        "multimodal_resize": lambda s, d: multimodal.resize_plan(
+            multimodal.decode_assets(multimodal.as_assets(_t(s, d, "documents")))
+        ),
+        # -------------------------------------------------------------
+        # rows-only entries (no oracle_sql — see module docstring).
+        # Kept LAST so a row-capped driver run always covers every
+        # oracle-backed entry above first.
+        # -------------------------------------------------------------
+        "synthetic_email": _q_synthetic_email,
+        # HLL distinct vs exact with error surfaced (sketch => rows-only
+        # driver check; pytest pins the error against the rsd)
+        "distinct_users_sketch": lambda s, d: relational.distinct_users_sketch_accuracy(
+            _t(s, d, "events")
+        ),
+        # sketch percentiles vs exact with the error surfaced (the
+        # ann_recall pattern; sketch => rows-only driver check, pytest
+        # pins the error bound)
+        "value_percentiles_sketch": lambda s, d: relational.value_percentiles_accuracy(
+            _t(s, d, "events")
+        ),
         "ann_lsh_topk": lambda s, d: similarity.lsh_ann_topk(
             _t(s, d, "embeddings")
         ),
@@ -485,22 +506,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SemDeDup-style pruning: within-cluster cosine near-dups dropped
         "semantic_prune": lambda s, d: similarity.semantic_prune(
             _t(s, d, "embeddings")
-        ),
-        # --- multimodal columns (SURVEY §2.8) ---
-        "multimodal_blob_stats": lambda s, d: multimodal.blob_stats(
-            _t(s, d, "documents")
-        ),
-        "multimodal_decode": lambda s, d: multimodal.decode_assets(
-            multimodal.as_assets(_t(s, d, "documents"))
-        ),
-        "multimodal_features": lambda s, d: multimodal.feature_columns(
-            multimodal.extract_features(multimodal.as_assets(_t(s, d, "documents")))
-        ),
-        "multimodal_frames": lambda s, d: multimodal.sample_frames(
-            multimodal.decode_assets(multimodal.as_assets(_t(s, d, "documents")))
-        ),
-        "multimodal_resize": lambda s, d: multimodal.resize_plan(
-            multimodal.decode_assets(multimodal.as_assets(_t(s, d, "documents")))
         ),
     }
 
@@ -1451,7 +1456,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY doc_id, term
             )
             SELECT doc_id,
-                   SUM(tf) AS n_tokens,
+                   CAST(SUM(tf) AS BIGINT) AS n_tokens,
                    COUNT(*) AS n_distinct,
                    round(1.0 - COUNT(*) / SUM(tf), 4) AS dup_token_ratio,
                    round(MAX(tf) / SUM(tf), 4) AS top_token_ratio
@@ -1614,7 +1619,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard, n_doc_tokens,
                    CAST(floor(start / {sampling.PACK_BUDGET_TOKENS})
                         AS BIGINT) AS pack_seq,
-                   start % {sampling.PACK_BUDGET_TOKENS} AS offset_in_pack
+                   CAST(start % {sampling.PACK_BUDGET_TOKENS} AS BIGINT)
+                       AS offset_in_pack
             FROM offs
         """,
         "tfidf_top_terms": f"""

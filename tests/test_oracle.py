@@ -105,6 +105,36 @@ def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
 
 
+# DuckDB output types that survive the driver's pandas round-trip with
+# the same value semantics Spark produces. Anything else (HUGEINT from
+# an uncast SUM, DECIMAL from bare numeric literals/aggregates, ...)
+# surfaces as float64/object on the oracle side and hash-mismatches the
+# driver's value comparison even when every value is equal — the bug
+# class that hit stats_by_type (r2) and pack_docs/repetition_stats (r4).
+_SPARK_COMPATIBLE_TYPES = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "FLOAT", "DOUBLE",
+    "VARCHAR", "BOOLEAN", "DATE",
+    "TIMESTAMP", "TIMESTAMP WITH TIME ZONE",
+}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_output_types_spark_compatible(name, duck):
+    rows = duck.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+    bad = [
+        (col, typ)
+        for col, typ, *_ in rows
+        if typ not in _SPARK_COMPATIBLE_TYPES
+        and not typ.endswith("[]")  # array cols are compared element-wise
+    ]
+    assert not bad, (
+        f"{name}: oracle SQL leaks non-Spark-compatible output types {bad}; "
+        "CAST the offending aggregate/expression (e.g. AS BIGINT/DOUBLE) "
+        "so the driver's value hash sees identical dtypes"
+    )
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
