@@ -503,6 +503,12 @@ def incremental_neardup(
     )
 
 
+#: Packed-lane layout for the SimHash per-bit counters: 3 lanes of 20
+#: bits per 64-bit accumulator (see simhash_signatures).
+_SIMHASH_LANE_BITS = 20
+_SIMHASH_LANES_PER_WORD = 3
+
+
 def _simhash_width(hash_profile: str) -> tuple[int, int]:
     """(signature bits, band bits) per profile.
 
@@ -537,22 +543,55 @@ def simhash_signatures(
     else:
         feature = _shingle_hash(hash_profile) % F.lit(2**bits)
     hashed = sh.select("doc_id", feature.alias("h"))
+    # Per-bit counts packed 3-to-a-word in disjoint 20-bit lanes, so the
+    # groupBy carries ceil(bits/3)+1 SUMs instead of bits+1 (~3× less
+    # aggregation codegen — this groupBy was the hottest part of the
+    # signature pass). Lane arithmetic is exact while every doc has
+    # < 2^20 distinct shingles (a ~1M-token document); the max packed
+    # sum is then < 2^20 · (2^40 + 2^20 + 1) < 2^61, inside BIGINT.
+    # Docs at the bound raise loudly rather than corrupt signatures.
+    lane_bits, lanes_per_word = _SIMHASH_LANE_BITS, _SIMHASH_LANES_PER_WORD
+    lane_mask = (1 << lane_bits) - 1
+    n_words = -(-bits // lanes_per_word)
+    word_exprs = []
+    for w in range(n_words):
+        parts = [
+            f"shiftleft(shiftright(h, {b}) & 1, {lane_bits * lane})"
+            for lane, b in (
+                (lane, w * lanes_per_word + lane)
+                for lane in range(lanes_per_word)
+            )
+            if b < bits
+        ]
+        word_exprs.append(" | ".join(parts))
     sums = hashed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_feat"),
-        *[
-            F.sum(F.expr(f"shiftright(h, {b}) & 1")).alias(f"c{b}")
-            for b in range(bits)
-        ],
+        *[F.sum(F.expr(e)).alias(f"w{w}") for w, e in enumerate(word_exprs)],
     )
     simhash = None
     for b in range(bits):
+        w, lane = divmod(b, lanes_per_word)
+        cb = F.expr(f"shiftright(w{w}, {lane_bits * lane}) & {lane_mask}")
         bit = F.when(
-            (F.lit(2) * F.col(f"c{b}") - F.col("n_feat")) >= 0,
+            (F.lit(2) * cb - F.col("n_feat")) >= 0,
             F.lit(1).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
         placed = F.shiftleft(bit, b)
         simhash = placed if simhash is None else simhash.bitwiseOR(placed)
-    return sums.select("doc_id", simhash.alias("simhash"))
+    overflow_guard = (
+        F.when(
+            F.col("n_feat") >= F.lit(1 << lane_bits),
+            F.raise_error(
+                "simhash_signatures: document exceeds 2^20 distinct "
+                "shingles; packed lane counters would overflow"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return sums.select(
+        "doc_id", simhash.bitwiseOR(overflow_guard).alias("simhash")
+    )
 
 
 def simhash_pairs(
@@ -570,6 +609,12 @@ def simhash_pairs(
     for scale (bucket occupancy N/65 536 per band vs N/256).
     """
     sigs = simhash_signatures(documents, n, hash_profile)
+    # the band self-join consumes sigs twice and Catalyst does not plan
+    # a ReusedExchange across the aliased sides (the a/b band shuffles
+    # differ by the doc_id inequality), so without this the WHOLE
+    # shingle→hash→signature pipeline executes twice. The signature
+    # table is N×16-byte rows — cheap to pin even at corpus scale.
+    sigs = sigs.localCheckpoint(eager=False)
     bits, band_bits = _simhash_width(hash_profile)
     n_bands = bits // band_bits
     assert n_bands > hamming_max, (

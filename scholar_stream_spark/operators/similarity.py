@@ -679,12 +679,20 @@ def cluster_embeddings(
     corpus = scale_out(embeddings).select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
     )
-    seed_rows = sorted(
-        embeddings.filter(F.col("vec_id") < n_clusters)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r["vec_id"],
+    # seeds are the n_clusters LOWEST vec_ids present — sort/take, not a
+    # `vec_id < k` filter, so the contract holds for gapped or non-zero-
+    # based id spaces (e.g. a pre-filtered embeddings table)
+    seed_rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n_clusters)
+        .collect()
     )
+    if len(seed_rows) < n_clusters:
+        raise ValueError(
+            f"cluster_embeddings: need >= {n_clusters} rows to seed, "
+            f"got {len(seed_rows)}"
+        )
     cells = np.array([r["vec_id"] for r in seed_rows], dtype=np.int32)
     cmat = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
     norms = np.linalg.norm(cmat, axis=1)
@@ -724,12 +732,34 @@ def cluster_embeddings(
 
 SEMDEDUP_COS_THRESHOLD = 0.95
 
+#: Per-cluster pairing cap applied BY DEFAULT under ``profile="scale"``
+#: (mirrors dedup.MAX_SHINGLE_DOC_FREQ): a cluster of m members
+#: contributes m(m-1)/2 candidate pairs, so one mega-cluster on a skewed
+#: embedding distribution re-creates the all-pairs blowup the k-means
+#: blocking exists to prevent. Clusters above the cap are deterministically
+#: sub-split into ceil(m / cap) hash blocks and pairs are only formed
+#: within a block — cost drops from m² to ~m·cap per cluster (linear in
+#: m), at the price of missing near-dup pairs that straddle blocks (the
+#: same recall trade LSH banding makes). The portable/oracle profile
+#: keeps the cap OFF for exact paper semantics.
+SEMDEDUP_MAX_CLUSTER_PAIRING = 4096
+
+
+def _resolve_cluster_cap(max_cluster_pairing, scale_profile: bool):
+    """``"auto"`` → the scale default in the scale profile, off in the
+    portable/oracle profile; any explicit int/None wins."""
+    if max_cluster_pairing == "auto":
+        return SEMDEDUP_MAX_CLUSTER_PAIRING if scale_profile else None
+    return max_cluster_pairing
+
 
 def semantic_prune(
     embeddings: DataFrame,
     n_clusters: int = KMEANS_NUM_CLUSTERS,
     n_iters: int = KMEANS_NUM_ITERS,
     threshold: float = SEMDEDUP_COS_THRESHOLD,
+    profile: str = "oracle",
+    max_cluster_pairing="auto",
 ) -> DataFrame:
     """SemDeDup-style semantic pruning: cluster the embedding corpus
     (``cluster_embeddings``), then inside each cluster drop every vector
@@ -742,14 +772,26 @@ def semantic_prune(
     bounds the block count — the cross-cluster pair space is never
     touched. The join keys co-partition both sides on cluster_id; the
     deterministic keep-lowest-vec_id survivor rule needs no ranking
-    window, just a pair anti-join.
+    window, just a pair anti-join. ``profile="scale"`` additionally
+    sub-splits clusters larger than ``max_cluster_pairing`` into
+    deterministic hash blocks before pairing, bounding the per-cluster
+    pair space on skewed embedding distributions (one mega-cluster can
+    otherwise re-create the all-pairs blowup).
 
     Output: one row per SURVIVING vector — (vec_id, cluster_id,
     cos_to_centroid). Rows-only by design (inherits the iterative
     k-means); the pruning rule itself is pinned by pytest on
-    constructed near-dup groups.
+    constructed near-dup groups, and capped-vs-uncapped behavior is
+    pinned both ways.
     """
+    if profile not in ("oracle", "scale"):
+        raise ValueError(f"unknown profile: {profile!r}")
+    cap = _resolve_cluster_cap(max_cluster_pairing, profile == "scale")
+    # localCheckpoint: the assignment is reused three times below (a/b
+    # sides of the pair join + the final anti-join) and its corpus-wide
+    # Arrow argmax kernel would otherwise re-execute per consumer
     assigned = cluster_embeddings(embeddings, n_clusters, n_iters)
+    assigned = assigned.localCheckpoint(eager=False)
     # re-attach the vectors for the within-cluster cosine (one co-
     # partitioned equi-join on vec_id; cluster_embeddings' output is
     # deliberately narrow so non-pruning callers never carry the array)
@@ -757,6 +799,19 @@ def semantic_prune(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
     )
     members = assigned.join(vec, "vec_id")
+    pair_keys = [F.col("a.cluster_id") == F.col("b.cluster_id")]
+    if cap is not None:
+        # deterministic sub-block id: ceil(size/cap) blocks per cluster
+        # (1 block — i.e. a no-op — for every cluster within the cap);
+        # sizes is ≤ k rows, so AQE broadcasts the join back
+        sizes = assigned.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("_csize")
+        )
+        n_blocks = F.ceil(F.col("_csize") / F.lit(cap)).cast("long")
+        members = members.join(F.broadcast(sizes), "cluster_id").withColumn(
+            "_block", F.pmod(F.xxhash64("vec_id"), n_blocks)
+        )
+        pair_keys.append(F.col("a._block") == F.col("b._block"))
     a = members.alias("a")
     b = members.alias("b")
     cos = cosine_from_norms(
@@ -768,9 +823,10 @@ def semantic_prune(
     dropped = (
         a.join(
             b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.vec_id") > F.col("b.vec_id")),
+            pair_keys[0] if len(pair_keys) == 1
+            else pair_keys[0] & pair_keys[1],
         )
+        .filter(F.col("a.vec_id") > F.col("b.vec_id"))
         .filter(cos >= threshold)
         .select(F.col("a.vec_id").alias("vec_id"))
         .distinct()

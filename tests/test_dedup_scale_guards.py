@@ -342,3 +342,56 @@ def test_incremental_neardup_corpus_never_pair_shuffled(spark):
     # candidate + verify joins must broadcast the batch side — a
     # SortMergeJoin would mean the corpus index was shuffled on pair keys
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_simhash_packed_lane_overflow_raises(spark, monkeypatch):
+    """Signatures pack per-bit counts in fixed-width lanes; a document
+    with more distinct shingles than a lane can count must fail loudly,
+    never wrap silently. Lane width is monkeypatched tiny (capacity 4)
+    so the bound is reachable without a ~1M-token fixture."""
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    monkeypatch.setattr(dedup, "_SIMHASH_LANE_BITS", 2)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n o p")],  # 12 distinct 5-shingles
+        "doc_id long, text string",
+    )
+    with _pytest.raises(SparkRuntimeException, match="distinct shingles"):
+        dedup.simhash_signatures(docs).collect()
+
+
+def test_simhash_packed_lanes_match_unpacked_counts(spark):
+    """The packed-lane signature must equal a straight per-bit-sum
+    reference on real data (exactness of the lane arithmetic)."""
+    from pyspark.sql import functions as F2
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    packed = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(docs).collect()
+    }
+    sh = dedup.distinct_shingles(docs)
+    from scholar_stream_spark.functions.hashing import (
+        SIMHASH_BITS, hex48_spark_sql,
+    )
+    hashed = sh.select(
+        "doc_id",
+        (F2.expr(hex48_spark_sql("shingle")).cast("long")
+         % F2.lit(2**SIMHASH_BITS)).alias("h"),
+    )
+    sums = hashed.groupBy("doc_id").agg(
+        F2.count(F2.lit(1)).alias("n_feat"),
+        *[
+            F2.sum(F2.expr(f"shiftright(h, {b}) & 1")).alias(f"c{b}")
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    ref = {}
+    for r in sums.collect():
+        sig = 0
+        for b in range(SIMHASH_BITS):
+            if 2 * r[f"c{b}"] - r["n_feat"] >= 0:
+                sig |= 1 << b
+        ref[r["doc_id"]] = sig
+    assert packed == ref

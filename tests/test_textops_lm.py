@@ -133,3 +133,125 @@ def test_semantic_prune_drops_within_cluster_neardups(spark):
     # mutually-distant B member survives
     assert 0 in kept and 2 not in kept and 4 not in kept
     assert {1, 3, 5} <= kept
+
+
+def test_cluster_embeddings_seeds_from_gapped_id_space(spark):
+    """Docstring contract: seeds are the n_clusters LOWEST vec_ids
+    present — not literally vec_id < k — so a filtered / non-zero-based
+    embeddings table still trains the full k clusters."""
+    import numpy as np
+
+    from scholar_stream_spark.operators.similarity import cluster_embeddings
+
+    rng = np.random.default_rng(3)
+    dim = 8
+    a = np.array([10.0] + [0.0] * (dim - 1))
+    b = np.array([0.0] * (dim - 1) + [10.0])
+    rows = [
+        (1000 + 7 * i, [float(x) for x in (a if i % 2 == 0 else b)
+                        + rng.normal(0, 0.05, dim)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cluster_embeddings(emb, n_clusters=2, n_iters=3).collect()
+    assert len(got) == 30
+    assert len({r["cluster_id"] for r in got}) == 2
+
+
+def test_cluster_embeddings_too_few_rows_raises(spark):
+    import pytest
+
+    from scholar_stream_spark.operators.similarity import cluster_embeddings
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="need >= 3 rows"):
+        cluster_embeddings(emb, n_clusters=3, n_iters=1)
+
+
+def _prune_fixture(spark):
+    """20 near-identical A vectors (one mega-cluster of mutual near-dups)
+    + 2 distant B vectors, for pinning the scale-profile pairing cap."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    dim = 8
+    a = np.array([10.0] + [0.0] * (dim - 1))
+    b = np.array([0.0] * (dim - 1) + [10.0])
+    rows = [(i, [float(x) for x in a + rng.normal(0, 0.01, dim)])
+            for i in range(20)]
+    rows += [(100, [float(x) for x in b]),
+             (101, [float(x) for x in b + np.eye(dim)[3] * 8])]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_semantic_prune_scale_profile_noop_when_under_cap(spark):
+    """With every cluster at or under the cap the scale profile is
+    byte-identical to the portable/oracle profile."""
+    from scholar_stream_spark.operators.similarity import semantic_prune
+
+    emb = _prune_fixture(spark)
+    base = sorted(
+        (r["vec_id"], r["cluster_id"])
+        for r in semantic_prune(emb, n_clusters=2, n_iters=2).collect()
+    )
+    capped = sorted(
+        (r["vec_id"], r["cluster_id"])
+        for r in semantic_prune(
+            emb, n_clusters=2, n_iters=2, profile="scale"
+        ).collect()
+    )
+    assert base == capped
+    # the A mega-group collapses to its lowest id either way
+    a_survivors = [v for v, _ in base if v < 100]
+    assert a_survivors == [0]
+
+
+def test_semantic_prune_cluster_cap_bounds_pairing(spark):
+    """An explicit sub-quadratic cap sub-splits the mega-cluster: pairs
+    only form within a hash block, so the capped run keeps a superset of
+    the uncapped survivors (>= one survivor per block) while never
+    resurrecting a cross-block drop that an in-block witness also covers.
+    """
+    from scholar_stream_spark.operators.similarity import semantic_prune
+
+    emb = _prune_fixture(spark)
+    uncapped = {
+        r["vec_id"]
+        for r in semantic_prune(emb, n_clusters=2, n_iters=2).collect()
+    }
+    capped = {
+        r["vec_id"]
+        for r in semantic_prune(
+            emb,
+            n_clusters=2,
+            n_iters=2,
+            profile="scale",
+            max_cluster_pairing=5,
+        ).collect()
+    }
+    assert uncapped <= capped
+    # with 20 A-members and cap 5 there are >= 2 blocks, each keeping at
+    # least its own lowest id -> strictly more survivors than uncapped
+    a_uncapped = {v for v in uncapped if v < 100}
+    a_capped = {v for v in capped if v < 100}
+    assert a_uncapped == {0}
+    assert len(a_capped) > 1
+    # ...but still far fewer than the 20 raw members: each block pruned
+    assert len(a_capped) <= 4  # ceil(20/5) = 4 blocks
+    # distant B members always survive
+    assert {100, 101} <= capped
+
+
+def test_semantic_prune_rejects_unknown_profile(spark):
+    import pytest
+
+    from scholar_stream_spark.operators.similarity import semantic_prune
+
+    emb = _prune_fixture(spark)
+    with pytest.raises(ValueError, match="unknown profile"):
+        semantic_prune(emb, profile="nope")
