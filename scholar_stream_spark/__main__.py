@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import tempfile
 import uuid
@@ -48,6 +49,16 @@ def _build_parser() -> argparse.ArgumentParser:
         description="Paginated REST -> envelope -> NDJSON -> bronze landing",
     )
     p.add_argument("--url", help="REST endpoint (OpenAlex /works shape)")
+    p.add_argument(
+        "--mailto", default=None,
+        help="Contact email for the API politeness pool (required with "
+        "--url; falls back to $OPENALEX_EMAIL like the reference config)",
+    )
+    p.add_argument(
+        "--query-params", default=None,
+        help='JSON object of freeform API filters forwarded verbatim, '
+        'e.g. \'{"filter": "is_oa:true"}\'',
+    )
     p.add_argument(
         "--fake-pages",
         help="JSON file of scripted pages ([[work,...],...]) — offline run",
@@ -114,6 +125,17 @@ def _source_options(args, batch_size: int) -> dict[str, str]:
             opts["fake_pages"] = json.dumps(json.load(f))
     elif args.url:
         opts["url"] = args.url
+        mailto = args.mailto or os.environ.get("OPENALEX_EMAIL")
+        if not mailto:
+            # same hard requirement (and env fallback) as the reference
+            # config: ingestion/openalex_client.py:14-20
+            raise SystemExit(
+                "OpenAlex requires a contact email (mailto). "
+                "Pass --mailto or set OPENALEX_EMAIL."
+            )
+        opts["mailto"] = mailto
+        if args.query_params:
+            opts["query_params"] = args.query_params
     else:
         raise SystemExit("one of --url or --fake-pages is required")
     return opts
@@ -182,8 +204,13 @@ def main(argv: list[str] | None = None) -> int:
             good.write.mode("append").partitionBy("land_date").parquet(
                 args.raw_path
             )
-            dead_sample = dead.limit(acct.max_error_samples).collect()
-            n_dead = dead.count() if dead_sample else 0
+            # count first, sample second: if max_error_samples were 0 a
+            # sample-gated count would silently never see dead letters
+            # (matches start_ingest's ordering in streaming/pipeline.py)
+            n_dead = dead.count()
+            dead_sample = (
+                dead.limit(acct.max_error_samples).collect() if n_dead else []
+            )
             if args.errors_path and n_dead:
                 dead.write.mode("append").partitionBy("land_date").parquet(
                     args.errors_path

@@ -47,10 +47,13 @@ def _hits(toks: Column, words: tuple[str, ...]) -> Column:
 
 #: BPE-ish pretokenizer pattern (GPT-2-style unit runs): letter runs,
 #: digit runs, punctuation runs. Counting its matches estimates the
-#: tokenizer budget without a vocabulary — an upper bound on BPE tokens
-#: (BPE only merges within these units, never across). The same pattern
-#: text compiles in Spark (Java regex) and DuckDB (RE2).
-BPE_UNIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+#: tokenizer budget without a vocabulary — a LOWER bound on BPE tokens
+#: (BPE only merges within these units, never across, so each unit
+#: yields >= 1 token). The whitespace class is spelled explicitly
+#: ([ \t\n\x0b\f\r], the _ASCII_WS idiom from curation.py) because Java
+#: \s includes \x0b while DuckDB's RE2 \s does not — a bare \s would
+#: make the two engines disagree on vertical-tab characters.
+BPE_UNIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]+"
 
 
 def token_counts(documents: DataFrame) -> DataFrame:

@@ -19,6 +19,14 @@ Options (all strings, Spark option contract):
 - ``url``             — endpoint returning ``{"results": [...],
                         "meta": {"next_cursor": ...}}``
 - ``per_page``        — page size (default 50, reference producer.py:33)
+- ``mailto``          — contact email, REQUIRED for the http transport
+                        (OpenAlex politeness pool;
+                        ``ingestion/openalex_client.py:14-20``): sent as
+                        the ``mailto`` query param and in the
+                        ``User-Agent`` header, hard error when absent
+- ``query_params``    — JSON object of freeform filters forwarded
+                        verbatim to the API (merged last, so callers can
+                        override defaults; ``openalex_client.py:28,40-41``)
 - ``updated_since``   — source-side pushdown filter (S3)
 - ``sleep_seconds``   — inter-page throttle (S4; default 0 here — the
                         trigger interval is Spark's native throttle)
@@ -69,6 +77,15 @@ class RateLimited(Exception):
         self.retry_after = retry_after
 
 
+USER_AGENT_TEMPLATE = "ScholarStream/0.1 (+mailto:{mail})"
+
+
+def headers_template(mail: str) -> dict:
+    """Politeness header the reference sends on every request
+    (``ingestion/openalex_client.py:9-10,46``)."""
+    return {"User-Agent": USER_AGENT_TEMPLATE.format(mail=mail)}
+
+
 class HttpTransport:
     """urllib-based page fetcher (executor-side, picklable by config)."""
 
@@ -76,19 +93,45 @@ class HttpTransport:
         self.url = options["url"]
         self.per_page = _validated_per_page(options)
         self.updated_since = options.get("updated_since")
+        self.mailto = options.get("mailto")
+        if not self.mailto:
+            # hard requirement, same message shape as the reference
+            # (``openalex_client.py:14-20``): anonymous OpenAlex traffic
+            # lands in the throttled politeness pool
+            raise ValueError(
+                "OpenAlex requires a contact email (mailto). "
+                "Set the 'mailto' option."
+            )
+        qp = options.get("query_params")
+        self.query_params = json.loads(qp) if qp else {}
 
-    def fetch(self, cursor: str) -> dict:
-        import urllib.error
+    def build_request(self, cursor: str) -> tuple[str, dict]:
+        """(full_url, headers) for a page fetch — split out so the
+        param/header contract is unit-testable without a network."""
         import urllib.parse
-        import urllib.request
 
-        params = {"per-page": str(self.per_page), "cursor": cursor}
+        params = {
+            "per-page": str(self.per_page),
+            "mailto": self.mailto,
+            "cursor": cursor,
+        }
         if self.updated_since:
             # S3: incremental pull predicate pushed to the API
             params["from_updated_date"] = self.updated_since
+        # freeform filters merge LAST, exactly like the reference's
+        # params.update(query_params) — callers may override defaults
+        params.update({k: str(v) for k, v in self.query_params.items()})
         full = f"{self.url}?{urllib.parse.urlencode(params)}"
+        return full, headers_template(self.mailto)
+
+    def fetch(self, cursor: str) -> dict:
+        import urllib.error
+        import urllib.request
+
+        full, headers = self.build_request(cursor)
+        req = urllib.request.Request(full, headers=headers)
         try:
-            with urllib.request.urlopen(full, timeout=30) as resp:
+            with urllib.request.urlopen(req, timeout=30) as resp:
                 return json.loads(resp.read().decode("utf-8"))
         except urllib.error.HTTPError as e:
             if e.code == 429:

@@ -23,9 +23,23 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     or a plain parquet timestamp; the output ``ts`` is always
     ``timestamp`` at microsecond precision.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    dtype = dict(df.dtypes).get("ts")
+    # The legacy conf is a session-global: set it only for this read and
+    # restore the prior value so later TIMESTAMP(NANOS) parquet reads in
+    # the same session keep whatever behavior the caller configured.
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # force schema resolution while the conf is active; the physical
+        # scan re-reads the footer lazily but the resolved schema (and
+        # our dtype branch below) is what the plan locks in
+        dtype = dict(df.dtypes).get("ts")
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
     if dtype == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif dtype == "timestamp_ntz":

@@ -82,3 +82,35 @@ def test_batch_size_bounds_rejected(pages_file):
 def test_raw_path_required_without_dry_run(pages_file):
     with pytest.raises(SystemExit):
         main(["--fake-pages", pages_file])
+
+
+def test_url_without_mailto_is_rejected(monkeypatch):
+    """--url runs hard-require a contact email, mirroring the reference
+    client's constructor (ingestion/openalex_client.py:14-20)."""
+    monkeypatch.delenv("OPENALEX_EMAIL", raising=False)
+    with pytest.raises(SystemExit, match="contact email"):
+        main(["--url", "https://api.example.org/works", "--dry-run"])
+
+
+def test_mailto_env_fallback(monkeypatch):
+    """$OPENALEX_EMAIL satisfies the requirement (reference config env),
+    and --query-params forwards into the source options."""
+    from scholar_stream_spark.__main__ import (
+        _build_parser,
+        _effective_batch_size,
+        _source_options,
+    )
+
+    monkeypatch.setenv("OPENALEX_EMAIL", "env@example.com")
+    args = _build_parser().parse_args(
+        ["--url", "https://api.example.org/works",
+         "--query-params", '{"filter": "is_oa:true"}']
+    )
+    opts = _source_options(args, _effective_batch_size(args))
+    assert opts["mailto"] == "env@example.com"
+    assert json.loads(opts["query_params"]) == {"filter": "is_oa:true"}
+    # explicit flag wins over env
+    args = _build_parser().parse_args(
+        ["--url", "https://api.example.org/works", "--mailto", "cli@ex.com"]
+    )
+    assert _source_options(args, 50)["mailto"] == "cli@ex.com"

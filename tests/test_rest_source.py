@@ -136,3 +136,70 @@ def test_stream_one_page_per_microbatch(registered):
         # one page per micro-batch: at least 3 batches committed
         batches = len(os.listdir(os.path.join(ckpt, "commits")))
         assert batches >= 3
+
+
+def test_headers_template_user_agent():
+    """Mirror of the reference's test_headers_template_user_agent
+    (tests/unit/test_openalex_client.py:6-9)."""
+    from scholar_stream_spark.sources.rest import headers_template
+
+    h = headers_template("me@example.com")
+    assert "User-Agent" in h
+    assert "mailto:me@example.com" in h["User-Agent"]
+
+
+def test_http_transport_requires_mailto():
+    """Hard requirement, same error shape as the reference client
+    (ingestion/openalex_client.py:14-20)."""
+    import pytest
+
+    from scholar_stream_spark.sources.rest import HttpTransport
+
+    with pytest.raises(ValueError, match="contact email \\(mailto\\)"):
+        HttpTransport({"url": "https://api.example.org/works"})
+
+
+def test_http_transport_sends_mailto_param_and_header():
+    from urllib.parse import parse_qs, urlsplit
+
+    from scholar_stream_spark.sources.rest import HttpTransport
+
+    t = HttpTransport(
+        {
+            "url": "https://api.example.org/works",
+            "mailto": "me@example.com",
+            "per_page": "25",
+            "updated_since": "2026-01-01",
+        }
+    )
+    full, headers = t.build_request("*")
+    q = parse_qs(urlsplit(full).query)
+    assert q["mailto"] == ["me@example.com"]
+    assert q["per-page"] == ["25"]
+    assert q["cursor"] == ["*"]
+    assert q["from_updated_date"] == ["2026-01-01"]
+    assert "mailto:me@example.com" in headers["User-Agent"]
+
+
+def test_http_transport_query_params_merge_last():
+    """Freeform filters forward verbatim and OVERRIDE defaults — the
+    reference's params.update(query_params) ordering
+    (ingestion/openalex_client.py:40-41)."""
+    import json as _json
+    from urllib.parse import parse_qs, urlsplit
+
+    from scholar_stream_spark.sources.rest import HttpTransport
+
+    t = HttpTransport(
+        {
+            "url": "https://api.example.org/works",
+            "mailto": "me@example.com",
+            "query_params": _json.dumps(
+                {"filter": "is_oa:true", "per-page": 7}
+            ),
+        }
+    )
+    full, _ = t.build_request("*")
+    q = parse_qs(urlsplit(full).query)
+    assert q["filter"] == ["is_oa:true"]
+    assert q["per-page"] == ["7"]  # override wins over the default 50

@@ -148,3 +148,39 @@ def test_salted_distinct_spreads_the_key(spark):
     )
     # stage-1 shuffle must key on (event_type, salt), not event_type alone
     assert "_salt" in plan
+
+
+def test_load_events_restores_nanos_conf(spark, tmp_path):
+    """load_events must not leave the session-global nanosAsLong legacy
+    conf flipped (it changes how ANY later TIMESTAMP(NANOS) parquet read
+    surfaces), and must still read both physical generations right."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from scholar_stream_spark.sources.tables import load_events
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key, None)
+    ts = pd.to_datetime(
+        ["2026-01-01 00:00:00.123456789", "2026-01-02 12:34:56.987654321"]
+    )
+    for unit, frac in (("ns", 123456), ("us", 123456)):
+        d = tmp_path / unit
+        d.mkdir()
+        vals = ts if unit == "ns" else ts.floor("us")
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([1, 2], pa.int64()),
+                    "ts": pa.array(vals, pa.timestamp(unit)),
+                }
+            ),
+            str(d / "events.parquet"),
+            store_schema=False,
+        )
+        df = load_events(spark, str(d))
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        got = df.orderBy("event_id").collect()
+        assert got[0]["ts"].microsecond == frac
+        assert spark.conf.get(key, None) == prior
