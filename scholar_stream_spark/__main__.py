@@ -152,8 +152,58 @@ def _wire(stream_or_batch_df):
     return to_ndjson(derive_envelope(validate_works(stream_or_batch_df)))
 
 
+def _report_parser() -> argparse.ArgumentParser:
+    from scholar_stream_spark.app.dashboard import DEFAULT_LIMIT
+
+    p = argparse.ArgumentParser(
+        prog="python -m scholar_stream_spark report",
+        description="Poll the curated views and print KPI tiles + "
+        "recent works (the reference dashboard's read path, headless)",
+    )
+    p.add_argument("--raw-path", required=True, help="Bronze table path")
+    p.add_argument(
+        "--role", default="R_ANALYST",
+        help="Catalog role (allowlisted; analysts see masked emails)",
+    )
+    p.add_argument(
+        "--limit", type=int, default=DEFAULT_LIMIT,
+        help="Recent rows to show (clamped to 10..500 like the UI slider)",
+    )
+    p.add_argument(
+        "--watch-seconds", type=float, default=None,
+        help="Re-poll every N seconds (default: print once and exit — "
+        "the reference's manual refresh button)",
+    )
+    p.add_argument("--master", default="local[4]", help="Spark master")
+    return p
+
+
+def _report_main(argv: list[str]) -> int:
+    import time as _time
+
+    from scholar_stream_spark.app.dashboard import render_report
+    from scholar_stream_spark.plans.catalog import init_catalog
+    from scholar_stream_spark.session import get_spark
+
+    args = _report_parser().parse_args(argv)
+    spark = get_spark(master=args.master)
+    raw = spark.read.parquet(args.raw_path)
+    init_catalog(spark, raw, role=args.role)
+    while True:
+        print(render_report(spark, limit=args.limit))
+        if args.watch_seconds is None:
+            return 0
+        _time.sleep(args.watch_seconds)
+        # pick up rows landed since the last poll (temp views are lazy,
+        # but the parquet file listing is cached at read time)
+        raw = spark.read.parquet(args.raw_path)
+        init_catalog(spark, raw, role=args.role)
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "report":
+        return _report_main(argv[1:])
     if argv and argv[0] == "run":  # legacy alias, reference producer.py:161
         argv = argv[1:]
     args = _build_parser().parse_args(argv)
