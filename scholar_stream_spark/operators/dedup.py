@@ -686,6 +686,126 @@ def _clusters_driver_union_find(spark, edge_rows) -> DataFrame:
     )
 
 
+def _label_prop_components(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Min-label propagation over a symmetric (d1, d2) edge list →
+    (node, lbl). Rounds = graph diameter — right for the short-diameter
+    graphs near-dup banding produces (cliques + short chains)."""
+    labels = (
+        edges.select(F.col("d1").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["d1"] == labels["node"])
+            .groupBy(F.col("d2").alias("node2"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(prop, labels["node"] == prop["node2"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node connects its strictly-LARGER
+    neighbors to the minimum of its closed neighborhood."""
+    sym = edges.union(
+        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).distinct()
+    m = (
+        sym.groupBy("d1")
+        .agg(F.min("d2").alias("mn"))
+        .select("d1", F.least(F.col("d1"), F.col("mn")).alias("m"))
+    )
+    return (
+        sym.filter(F.col("d2") > F.col("d1"))
+        .join(m, "d1")
+        .select(F.col("d2").alias("d1"), F.col("m").alias("d2"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient edges large→small, then each node
+    connects its smaller neighbors (and itself) to the minimum."""
+    oriented = edges.select(
+        F.greatest("d1", "d2").alias("d1"), F.least("d1", "d2").alias("d2")
+    ).distinct()
+    m = oriented.groupBy("d1").agg(F.min("d2").alias("mn"))
+    pairs_u = m.select("d1", F.col("mn").alias("d2"))
+    pairs_v = (
+        oriented.join(m, "d1")
+        .filter(F.col("d2") != F.col("mn"))
+        .select(F.col("d2").alias("d1"), F.col("mn").alias("d2"))
+    )
+    return pairs_u.union(pairs_v).distinct()
+
+
+def _star_components(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star → (node, lbl): converges in
+    O(log²) rounds on ANY graph shape, vs diameter rounds for label
+    propagation — the swap-in for adversarial long-chain graphs at
+    100 TB. Same join-per-round plan shape; each round checkpoints so
+    iterative lineage can't grow."""
+    cur = edges.localCheckpoint()
+    prev_stat = None
+    for _ in range(max_iter):
+        cur = _small_star(_large_star(cur)).localCheckpoint()
+        stat = cur.agg(
+            F.count(F.lit(1)), F.sum(F.col("d1") + F.col("d2"))
+        ).first()
+        stat = (stat[0], stat[1])
+        if stat == prev_stat:
+            break
+        prev_stat = stat
+    # converged: a forest of stars (child → component-min root). Roots
+    # appear only on the d2 side and label themselves.
+    child_lbl = cur.groupBy(F.col("d1").alias("node")).agg(
+        F.min("d2").alias("lbl")
+    )
+    roots = (
+        cur.select(F.col("d2").alias("node"))
+        .distinct()
+        .join(child_lbl.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("lbl"))
+    )
+    return child_lbl.union(roots)
+
+
+CC_KERNELS = ("label-prop", "star")
+
+
+def connected_components(
+    edges: DataFrame, kernel: str = "label-prop", max_iter: int = 20
+) -> DataFrame:
+    """Distributed connected components over a symmetric (d1, d2) long
+    edge list → (node, lbl) with ``lbl`` = min member id of the
+    component. Two kernels, identical output (pinned by tests on a
+    1k-node chain): ``label-prop`` (diameter rounds — the default for
+    short-diameter near-dup graphs) and ``star`` (large-star/small-star,
+    O(log²) rounds on any shape — the scale-profile choice)."""
+    if kernel not in CC_KERNELS:
+        raise ValueError(f"unknown cc kernel: {kernel!r}")
+    if kernel == "star":
+        return _star_components(edges, max_iter)
+    return _label_prop_components(edges, max_iter)
+
+
 def neardup_clusters(
     documents: DataFrame,
     n: int = SHINGLE_N,
@@ -709,12 +829,14 @@ def neardup_clusters(
     when the (monotonically decreasing, integer) label sum stops
     moving. Rounds = graph diameter; near-dup graphs are
     short-diameter (cliques + short chains), so 3-5 rounds in
-    practice. For adversarial long-chain graphs at 100 TB you'd switch
+    practice. Under ``profile="scale"`` the distributed path switches
     to alternating large-star/small-star (Kiveris et al., "Connected
-    Components in MapReduce"), which converges in O(log²) rounds —
-    same join-per-round plan shape, so the swap is local. Each round's
-    labels are checkpointed: iterative lineage otherwise grows
-    unboundedly and re-executes every prior round per action.
+    Components in MapReduce"), which converges in O(log²) rounds on
+    ANY graph shape — the guard for adversarial long-chain graphs at
+    100 TB (``connected_components(kernel="star")``; equal labels
+    pinned on a 1k chain). Each round's state is checkpointed:
+    iterative lineage otherwise grows unboundedly and re-executes
+    every prior round per action.
 
     Output: (doc_id, cluster_id, cluster_size) for every document that
     appears in ≥1 near-dup pair (singletons are their own cluster
@@ -754,33 +876,11 @@ def neardup_clusters(
         return _clusters_driver_union_find(
             documents.sparkSession, edges.collect()
         )
-    labels = (
-        edges.select(F.col("d1").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint()
+    labels = connected_components(
+        edges,
+        kernel="star" if profile == "scale" else "label-prop",
+        max_iter=max_iter,
     )
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
-    for _ in range(max_iter):
-        prop = (
-            edges.join(labels, edges["d1"] == labels["node"])
-            .groupBy(F.col("d2").alias("node2"))
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        labels = (
-            labels.join(prop, labels["node"] == prop["node2"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
-                ).alias("lbl"),
-            )
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("lbl")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
     w = Window.partitionBy("lbl")
     return labels.select(
         F.col("node").alias("doc_id"),
