@@ -264,6 +264,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # -------------------------------------------------------------
+        # Oracle-backed entries the round-4 driver run did NOT reach
+        # (it checked exactly 50 of 71): FIRST, so a capped correctness
+        # run covers them this round — the long-green rest follows and
+        # stays on record from prior rounds either way.
+        # -------------------------------------------------------------
+        "scd2_apply": _q_scd2,
+        # point-in-time read over the merged SCD2 table: after the batch
+        # ts, so updated keys resolve to their new version, deleted keys
+        # to none
+        "scd2_as_of": lambda s, d: cdc.scd2_as_of(
+            _q_scd2(s, d), F.to_timestamp(F.lit("2026-07-01 00:00:00"))
+        ),
+        "chunk_docs": lambda s, d: chunking.chunk_documents(
+            _t(s, d, "documents")
+        ),
+        # connected components over the near-dup pair graph (iterative
+        # min-label propagation; oracle = DuckDB recursive CTE)
+        "dedup_clusters": lambda s, d: dedup.neardup_clusters(
+            _t(s, d, "documents")
+        ),
+        # new-batch exact dedup against a persisted fingerprint index
+        # (index never shuffled: broadcast batch-fps probe + anti-join)
+        "dedup_incremental": _q_dedup_incremental,
+        "dedup_incremental_neardup": _q_incremental_neardup,
+        # data mixing: deterministic downsample to the target language
+        # mixture (largest budget reachable without upsampling)
+        "mixture_sample": lambda s, d: sampling.mixture_sample(
+            _t(s, d, "documents")
+        ),
+        "quantize_embeddings": lambda s, d: similarity.quantize_embeddings(
+            _t(s, d, "embeddings")
+        ),
+        "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
+            _t(s, d, "embeddings")
+        ),
+        # vectorized Arrow/numpy variant — same exact semantics, same
+        # oracle (round-4 values agree; pinned by pytest)
+        "ann_cosine_topk_vec": lambda s, d: similarity.cosine_topk_pandas(
+            _t(s, d, "embeddings")
+        ),
+        # --- multimodal columns (SURVEY §2.8) ---
+        "multimodal_blob_stats": lambda s, d: multimodal.blob_stats(
+            _t(s, d, "documents")
+        ),
+        "multimodal_decode": lambda s, d: multimodal.decode_assets(
+            multimodal.as_assets(_t(s, d, "documents"))
+        ),
+        "multimodal_features": lambda s, d: multimodal.feature_columns(
+            multimodal.extract_features(multimodal.as_assets(_t(s, d, "documents")))
+        ),
+        "multimodal_frames": lambda s, d: multimodal.sample_frames(
+            multimodal.decode_assets(multimodal.as_assets(_t(s, d, "documents")))
+        ),
+        "multimodal_resize": lambda s, d: multimodal.resize_plan(
+            multimodal.decode_assets(multimodal.as_assets(_t(s, d, "documents")))
+        ),
         # --- reference parity on testdata stand-ins (SURVEY §2.3/2.5) ---
         "latency_kpis": lambda s, d: relational.latency_kpis(_t(s, d, "events")),
         "topn_recent": lambda s, d: relational.topn_recent(_t(s, d, "orders")),
@@ -413,59 +470,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the held-out test split (broadcast eval-ngram semi-join)
         "decontaminate": lambda s, d: dedup.decontaminate(
             _t(s, d, "documents")
-        ),
-        # data mixing: deterministic downsample to the target language
-        # mixture (largest budget reachable without upsampling)
-        "mixture_sample": lambda s, d: sampling.mixture_sample(
-            _t(s, d, "documents")
-        ),
-        # new-batch exact dedup against a persisted fingerprint index
-        # (index never shuffled: broadcast batch-fps probe + anti-join)
-        "dedup_incremental": _q_dedup_incremental,
-        "dedup_incremental_neardup": _q_incremental_neardup,
-        # connected components over the near-dup pair graph (iterative
-        # min-label propagation; oracle = DuckDB recursive CTE)
-        "dedup_clusters": lambda s, d: dedup.neardup_clusters(
-            _t(s, d, "documents")
-        ),
-        # --- chunking + CDC + quantization (SURVEY §2.8) ---
-        "chunk_docs": lambda s, d: chunking.chunk_documents(
-            _t(s, d, "documents")
-        ),
-        "scd2_apply": _q_scd2,
-        # point-in-time read over the merged SCD2 table: after the batch
-        # ts, so updated keys resolve to their new version, deleted keys
-        # to none
-        "scd2_as_of": lambda s, d: cdc.scd2_as_of(
-            _q_scd2(s, d), F.to_timestamp(F.lit("2026-07-01 00:00:00"))
-        ),
-        "quantize_embeddings": lambda s, d: similarity.quantize_embeddings(
-            _t(s, d, "embeddings")
-        ),
-        # --- similarity search (SURVEY §2.8) ---
-        "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
-            _t(s, d, "embeddings")
-        ),
-        # vectorized Arrow/numpy variant — same exact semantics, same
-        # oracle (round-4 values agree; pinned by pytest)
-        "ann_cosine_topk_vec": lambda s, d: similarity.cosine_topk_pandas(
-            _t(s, d, "embeddings")
-        ),
-        # --- multimodal columns (SURVEY §2.8) ---
-        "multimodal_blob_stats": lambda s, d: multimodal.blob_stats(
-            _t(s, d, "documents")
-        ),
-        "multimodal_decode": lambda s, d: multimodal.decode_assets(
-            multimodal.as_assets(_t(s, d, "documents"))
-        ),
-        "multimodal_features": lambda s, d: multimodal.feature_columns(
-            multimodal.extract_features(multimodal.as_assets(_t(s, d, "documents")))
-        ),
-        "multimodal_frames": lambda s, d: multimodal.sample_frames(
-            multimodal.decode_assets(multimodal.as_assets(_t(s, d, "documents")))
-        ),
-        "multimodal_resize": lambda s, d: multimodal.resize_plan(
-            multimodal.decode_assets(multimodal.as_assets(_t(s, d, "documents")))
         ),
         # -------------------------------------------------------------
         # rows-only entries (no oracle_sql — see module docstring).
