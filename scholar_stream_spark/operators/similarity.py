@@ -676,9 +676,16 @@ def cluster_embeddings(
     floating-point-seeded → no SQL oracle (rows-only driver check);
     semantics are pytest-pinned instead.
     """
+    # localCheckpoint: every Lloyd iteration is one pass over `corpus`,
+    # and without pinning, each pass re-executes the scan AND the
+    # scale_out repartition shuffle (n_iters + 1 times total). Pinning
+    # costs one materialization of (vec_id, embedding, norm) rows in
+    # executor storage; at true corpus scale the standard alternative is
+    # FAISS practice — train the centroids on a hash-sampled subset
+    # (``sampling.hash_sample``) and assign the full corpus once.
     corpus = scale_out(embeddings).select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
-    )
+    ).localCheckpoint(eager=False)
     # seeds are the n_clusters LOWEST vec_ids present — sort/take, not a
     # `vec_id < k` filter, so the contract holds for gapped or non-zero-
     # based id spaces (e.g. a pre-filtered embeddings table)
@@ -704,30 +711,32 @@ def cluster_embeddings(
             corpus, cells, cmat_normed
         )
 
-    assigned = corpus.withColumn(
-        "cluster_id", _argmax_cell_udf(cells, cmat_normed)(F.col("embedding"))
-    )
-    # k-row broadcast join attaches the centroid for an exact JVM-side
-    # cosine (same rationale as _rerank_topk: both vectors already sit
-    # JVM-side after the join, an Arrow hop would cost more than it saves)
-    centroid_df = embeddings.sparkSession.createDataFrame(
-        [
-            (int(c), [float(x) for x in cmat_normed[i]], 1.0)
-            for i, c in enumerate(cells)
-        ],
-        "cluster_id int, c_embedding array<double>, c_norm double",
-    )
-    cos = cosine_from_norms(
-        F.col("embedding"), F.col("c_embedding"), F.col("norm"), F.col("c_norm")
-    )
-    return (
-        assigned.join(F.broadcast(centroid_df), "cluster_id")
-        .select(
-            "vec_id",
-            F.col("cluster_id").cast("long").alias("cluster_id"),
-            F.round(cos, 4).alias("cos_to_centroid"),
+    # the final assignment is already an Arrow pass — fuse the cosine
+    # into it (cos = (v · ĉ_best)/|v|, centroids pre-normalized) instead
+    # of re-attaching centroids with a broadcast join + JVM array
+    # aggregate: the join tail cost ~40% of the whole operator at bench
+    # scale for values the matmul had just computed anyway. Per-row
+    # numpy arithmetic keeps the partition-invariance pin.
+    final_cells, final_cmat = cells, cmat_normed
+
+    @F.pandas_udf("cluster_id long, cos_to_centroid double")
+    def _assign(emb: pd.Series) -> pd.DataFrame:
+        m = np.array(list(emb), dtype=np.float64)
+        sims = m @ final_cmat.T
+        best = np.argmax(sims, axis=1)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        cos = sims[np.arange(len(m)), best] / norms
+        return pd.DataFrame(
+            {
+                "cluster_id": final_cells[best].astype(np.int64),
+                "cos_to_centroid": np.round(cos, 4),
+            }
         )
-    )
+
+    return corpus.select(
+        "vec_id", _assign(F.col("embedding")).alias("a")
+    ).select("vec_id", "a.cluster_id", "a.cos_to_centroid")
 
 
 SEMDEDUP_COS_THRESHOLD = 0.95
@@ -798,6 +807,9 @@ def semantic_prune(
     vec = embeddings.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
     )
+    # NOT checkpointed: the a/b sides do re-run this join, but pinning
+    # embedding-bearing rows costs more than the duplicate (cheap,
+    # broadcast-able) join saves — measured both ways at sf0.1
     members = assigned.join(vec, "vec_id")
     pair_keys = [F.col("a.cluster_id") == F.col("b.cluster_id")]
     if cap is not None:
