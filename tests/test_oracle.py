@@ -53,6 +53,18 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _kind(s: pd.Series) -> str:
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def _compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame):
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count {len(spark_pdf)} vs oracle {len(duck_pdf)}"
@@ -60,6 +72,21 @@ def _compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame):
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{name}: columns {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
     )
+    # dtype KINDS must agree before any value coercion: the driver's
+    # value hash is dtype-sensitive, so a Spark BIGINT vs oracle float64
+    # (the HUGEINT drift class) must fail HERE, not only in the driver.
+    # Exception: an all-NULL object column (e.g. an empty result set)
+    # carries no kind information.
+    for col in spark_pdf.columns:
+        sk, dk = _kind(spark_pdf[col]), _kind(duck_pdf[col])
+        if sk != dk and not (
+            (sk == "object" and spark_pdf[col].isna().all())
+            or (dk == "object" and duck_pdf[col].isna().all())
+        ):
+            raise AssertionError(
+                f"{name}.{col}: dtype kind {sk} (spark) vs {dk} (oracle) — "
+                "the driver hash would mismatch even on equal values"
+            )
     s = _normalize(spark_pdf)
     d = _normalize(duck_pdf)
     for col in s.columns:
