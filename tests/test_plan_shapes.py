@@ -1,0 +1,71 @@
+"""Physical-plan pins for the flagship queries — the 100 TB claims the
+plan audit's blanket no-cartesian gate doesn't cover individually:
+top-K instead of full sort (SURVEY §4), parquet column pruning and
+predicate pushdown, map-side-combined aggregation, and broadcast dims.
+A plan that silently loses one of these still passes the oracle at
+sf0.01 but falls over at scale; pin the shape, not just the values.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_SMALL
+
+QUERIES = entry_mod.queries()
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        QUERIES[name](spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_topn_recent_is_topk_not_full_sort(spark):
+    """ORDER BY ... LIMIT must plan as TakeOrderedAndProject — a global
+    Sort + Limit materializes the whole table order at 100 TB."""
+    plan = _plan(spark, "topn_recent")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_token_counts_prunes_scan_to_used_columns(spark):
+    """The documents scan must read only (doc_id, text) — dragging the
+    unused lang/meta columns through a 100 TB scan is pure waste."""
+    plan = _plan(spark, "token_counts")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    assert schemas, plan
+    cols = {s.split(":")[0] for s in schemas[0].split(",")}
+    assert cols == {"doc_id", "text"}, schemas
+
+
+def test_pricing_summary_pushes_filter_to_parquet(spark):
+    """The shipdate predicate must reach the parquet scan (row-group
+    stats pruning), and the aggregate must be two-phase (map-side
+    partials before the shuffle)."""
+    plan = _plan(spark, "pricing_summary")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "l_shipdate" in pushed[0], pushed
+    assert plan.count("HashAggregate") == 2, plan
+
+
+def test_latency_kpis_aggregates_map_side(spark):
+    """The global KPI aggregate must emit partials before its exchange —
+    HashAggregate pairs, no sort-based fallback."""
+    plan = _plan(spark, "latency_kpis")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "SortAggregate" not in plan, plan
+
+
+def test_revenue_by_region_broadcasts_all_dims(spark):
+    """customer/nation/region are dimension-sized: every join must be a
+    broadcast hash join — a SortMergeJoin here means a fact-table
+    shuffle per dim at 100 TB."""
+    plan = _plan(spark, "revenue_by_region")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
