@@ -861,21 +861,24 @@ def neardup_clusters(
     pairs = ngram_jaccard_pairs(
         documents, n, threshold, max_doc_freq=cap
     ).select("d1", "d2")
-    edges = pairs.union(
+    edge_plan = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).localCheckpoint()  # materialize: iteration must not re-shingle
+    )
 
     # Hybrid, like every production CC implementation: near-dup pair
     # graphs are RARE by construction (banding exists to keep them so),
     # and below the threshold a driver union-find replaces ~2 Spark
     # jobs per propagation round with one collect of the edge list.
-    # Above it, the distributed min-label loop runs — same labels
-    # either way (min member id per component), pinned by a test that
-    # forces both paths.
-    if edges.count() <= max_driver_edges:
-        return _clusters_driver_union_find(
-            documents.sparkSession, edges.collect()
-        )
+    # The size check IS the collect — limit(max+1) bounds driver memory
+    # and runs the pair pipeline exactly once in the common path (a
+    # count-then-collect, or a checkpoint first, would execute it
+    # twice). Above the threshold the distributed loop runs over a
+    # checkpointed edge list — same labels either way (min member id
+    # per component), pinned by a test that forces both paths.
+    probe = edge_plan.limit(max_driver_edges + 1).collect()
+    if len(probe) <= max_driver_edges:
+        return _clusters_driver_union_find(documents.sparkSession, probe)
+    edges = edge_plan.localCheckpoint()  # iteration must not re-shingle
     labels = connected_components(
         edges,
         kernel="star" if profile == "scale" else "label-prop",
