@@ -373,15 +373,23 @@ def ivf_topk(
     # --- train: deterministic seeds, one Lloyd refinement, one pass ---
     # one scan serves both driver-side small sets (seeds ∪ queries);
     # callers that already hold them (ann_recall) pass small_rows in to
-    # skip the job
+    # skip the job. Seeds are the n_centroids LOWEST vec_ids present
+    # (sort/take, not a `< n_centroids` filter) so a gapped or filtered
+    # id space still trains a full quantizer; queries keep the id-based
+    # contract (`vec_id < n_queries`, mirrored by the exact oracle).
     if small_rows is None:
-        small_rows = sorted(
-            embeddings.filter(F.col("vec_id") < max(n_centroids, n_queries))
-            .select("vec_id", "embedding")
-            .collect(),
-            key=lambda r: r["vec_id"],
+        small_rows = (
+            embeddings.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(max(n_centroids, n_queries))
+            .collect()
         )
-    seed_rows = [r for r in small_rows if r["vec_id"] < n_centroids]
+    seed_rows = small_rows[:n_centroids]
+    if len(seed_rows) < n_centroids:
+        raise ValueError(
+            f"ivf_topk: need >= {n_centroids} vectors to train the "
+            f"quantizer, got {len(seed_rows)}"
+        )
     seed_cells = np.array([r["vec_id"] for r in seed_rows], dtype=np.int32)
     seed_mat = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
     seed_norms = np.linalg.norm(seed_mat, axis=1)
@@ -612,14 +620,13 @@ def ann_recall(
         raise ValueError(f"unknown ANN method: {method!r}")
     # collect the (tiny) seed∪query rows ONCE and hand them to both
     # sides — the exact kernel and the IVF train otherwise each run
-    # their own driver-side lookup job over the same vectors
-    small_rows = sorted(
-        embeddings.filter(
-            F.col("vec_id") < max(IVF_NUM_CENTROIDS, n_queries)
-        )
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r["vec_id"],
+    # their own driver-side lookup job over the same vectors (sort/take
+    # like ivf_topk, so gapped id spaces still seed fully)
+    small_rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(max(IVF_NUM_CENTROIDS, n_queries))
+        .collect()
     )
     q_rows = [r for r in small_rows if r["vec_id"] < n_queries]
     # the vectorized kernel: identical result set (pinned by tests),

@@ -185,3 +185,35 @@ def test_fast_hash_profile_simhash(docs):
 def test_unknown_hash_profile_rejected(docs):
     with pytest.raises(ValueError):
         dedup.minhash_signatures(docs, hash_profile="md5-but-wrong")
+
+
+def test_ivf_trains_on_gapped_id_space(spark):
+    """Seeds are the lowest vec_ids PRESENT — a filtered/offset id space
+    still trains a full quantizer and returns per-query top-k for the
+    id-contract queries that exist."""
+    import numpy as np
+
+    from scholar_stream_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(5)
+    # ids 0..9 exist (the query contract), then a gap, then 500+
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 64)]) for i in range(10)]
+    rows += [(500 + i, [float(x) for x in rng.normal(0, 1, 64)])
+             for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = ivf_topk(emb).collect()
+    assert len(got) > 0
+    assert {r["query_id"] for r in got} <= set(range(10))
+
+
+def test_ivf_too_few_vectors_raises(spark):
+    import pytest as _pytest
+
+    from scholar_stream_spark.operators.similarity import ivf_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [0.5] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="train the"):
+        ivf_topk(emb)
