@@ -431,6 +431,111 @@ def ivf_topk(
     return _rerank_topk(cand, k)
 
 
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = IVF_NUM_CENTROIDS,
+) -> None:
+    """Persist an IVF index: the corpus bucketed by nearest cell and
+    written PARTITIONED BY cell (``write_partitioned`` small-file
+    discipline), plus the trained quantizer as a k-row side table.
+
+    This is the serving layout the ``ivf_topk`` docstring promises: at
+    100 TB, cell = the physical partition key, so a probe reads only
+    its cells' files — partition pruning does the candidate filtering
+    before a single vector byte is scanned (plan-pinned in tests).
+    """
+    from scholar_stream_spark.sources.table_sink import write_partitioned
+
+    corpus = scale_out(embeddings).select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
+    )
+    seed_rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    if len(seed_rows) < n_centroids:
+        raise ValueError(
+            f"write_ivf_index: need >= {n_centroids} vectors to train "
+            f"the quantizer, got {len(seed_rows)}"
+        )
+    seed_cells = np.array([r["vec_id"] for r in seed_rows], dtype=np.int32)
+    seed_mat = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+    seed_norms = np.linalg.norm(seed_mat, axis=1)
+    seed_norms[seed_norms == 0] = 1.0
+    cells, cmat_normed, _ = _refined_centroids(
+        corpus, seed_cells, seed_mat / seed_norms[:, None]
+    )
+    indexed = corpus.withColumn(
+        "cell", _argmax_cell_udf(cells, cmat_normed)(F.col("embedding"))
+    )
+    write_partitioned(
+        indexed, f"{path}/vectors", ["cell"], sort_cols=["vec_id"]
+    )
+    quantizer = embeddings.sparkSession.createDataFrame(
+        [
+            (int(c), [float(x) for x in cmat_normed[i]])
+            for i, c in enumerate(cells)
+        ],
+        "cell int, centroid array<double>",
+    )
+    quantizer.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/quantizer"
+    )
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    queries: list,
+    k: int = ANN_TOPK,
+    n_probe: int = IVF_NUM_PROBE,
+) -> DataFrame:
+    """Top-k search over a persisted IVF index (``write_ivf_index``).
+
+    ``queries`` is a list of ``(query_id, embedding)`` rows (driver-side
+    by contract — a query batch, not a corpus). The quantizer (k rows)
+    loads driver-side; probe cells per query are picked by numpy; the
+    vectors table is read WITH a ``cell IN (...)`` filter, so only the
+    probed partitions' files are listed and scanned (PartitionFilters —
+    the whole point of the layout); exact cosine re-ranks.
+    """
+    qrows = spark.read.parquet(f"{path}/quantizer").collect()
+    cells = np.array([r["cell"] for r in qrows], dtype=np.int32)
+    cmat_normed = np.array([r["centroid"] for r in qrows], dtype=np.float64)
+    q_mat = np.array([list(e) for _, e in queries], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = 1.0
+    sims = q_mat @ cmat_normed.T
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+    probe_rows = [
+        (
+            int(qid),
+            [float(v) for v in emb],
+            float(q_norm[i]),
+            int(cells[c]),
+        )
+        for i, (qid, emb) in enumerate(queries)
+        for c in order[i]
+    ]
+    q_cells = spark.createDataFrame(
+        probe_rows,
+        "query_id long, q_embedding array<double>, q_norm double, cell int",
+    )
+    probed_cells = sorted({r[3] for r in probe_rows})
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(probed_cells)  # partition pruning, plan-pinned
+    )
+    cand = vectors.join(
+        F.broadcast(q_cells),
+        (vectors["cell"] == q_cells["cell"])
+        & (vectors["vec_id"] != q_cells["query_id"]),
+    )
+    return _rerank_topk(cand, k)
+
+
 def _rerank_topk(cand: DataFrame, k: int) -> DataFrame:
     """Exact-cosine re-rank of a candidate set to per-query top-k.
 

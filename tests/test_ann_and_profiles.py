@@ -217,3 +217,38 @@ def test_ivf_too_few_vectors_raises(spark):
     )
     with _pytest.raises(ValueError, match="train the"):
         ivf_topk(emb)
+
+
+def test_ivf_index_roundtrip_matches_inline_and_prunes(spark, tmp_path):
+    """write_ivf_index + ivf_probe_index must (a) return the same top-k
+    as the inline ivf_topk (same quantizer, same probes, same re-rank)
+    and (b) plan the probe read with partition pruning — only the probed
+    cells' directories are scanned."""
+    from scholar_stream_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(emb, path)
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter("vec_id < 10").collect()
+    ]
+    probed = similarity.ivf_probe_index(spark, path, queries)
+    inline = similarity.ivf_topk(emb)
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+        for r in probed.collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+        for r in inline.collect()
+    )
+    assert got == want and len(got) > 0
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+    # the cell IN filter must reach partition pruning, not a post-scan
+    # Filter over every file
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cell" in pf.group(1), plan
