@@ -466,8 +466,70 @@ def incremental_neardup(
     """
     cap = _resolve_doc_freq_cap(max_doc_freq, hash_profile == "fast")
     corpus_grouped = _grouped_shingle_hashes(corpus_docs, n, hash_profile, cap)
-    batch_grouped = _grouped_shingle_hashes(new_docs, n, hash_profile, cap)
     corpus_bands = _band_keys_from_grouped(corpus_grouped)
+    return _incremental_neardup_from(
+        new_docs, corpus_grouped, corpus_bands, n, threshold,
+        hash_profile, cap,
+    )
+
+
+def write_neardup_index(
+    corpus_docs: DataFrame,
+    path: str,
+    n: int = SHINGLE_N,
+    hash_profile: str = "portable",
+    max_doc_freq: int | None | str = "auto",
+) -> None:
+    """Persist the corpus side of ``incremental_neardup`` — per-doc
+    shingle hash arrays and (band, key) LSH postings — so batch ingest
+    probes never re-shingle corpus text. The hashes table is written
+    first and the postings derive from its READ-back, so the corpus is
+    shingled exactly once ever; ``incremental_neardup_indexed`` then
+    runs the identical candidate/verify pipeline off the two tables
+    (value-equality pinned against the recompute path)."""
+    cap = _resolve_doc_freq_cap(max_doc_freq, hash_profile == "fast")
+    grouped = _grouped_shingle_hashes(corpus_docs, n, hash_profile, cap)
+    grouped.write.mode("overwrite").parquet(f"{path}/hashes")
+    stored = corpus_docs.sparkSession.read.parquet(f"{path}/hashes")
+    _band_keys_from_grouped(stored).write.mode("overwrite").parquet(
+        f"{path}/bands"
+    )
+
+
+def incremental_neardup_indexed(
+    new_docs: DataFrame,
+    path: str,
+    n: int = SHINGLE_N,
+    threshold: float = JACCARD_THRESHOLD,
+    hash_profile: str = "portable",
+    max_doc_freq: int | None | str = "auto",
+) -> DataFrame:
+    """``incremental_neardup`` against a PERSISTED index
+    (``write_neardup_index``): the corpus side is two parquet reads —
+    no corpus text is scanned, shingled, or hashed on the ingest path.
+    This is the shape the incremental docstring promises at 100 TB;
+    the recompute variant exists for the oracle (DuckDB reproduces the
+    corpus side from the table)."""
+    spark = new_docs.sparkSession
+    cap = _resolve_doc_freq_cap(max_doc_freq, hash_profile == "fast")
+    corpus_grouped = spark.read.parquet(f"{path}/hashes")
+    corpus_bands = spark.read.parquet(f"{path}/bands")
+    return _incremental_neardup_from(
+        new_docs, corpus_grouped, corpus_bands, n, threshold,
+        hash_profile, cap,
+    )
+
+
+def _incremental_neardup_from(
+    new_docs: DataFrame,
+    corpus_grouped: DataFrame,
+    corpus_bands: DataFrame,
+    n: int,
+    threshold: float,
+    hash_profile: str,
+    cap: int | None,
+) -> DataFrame:
+    batch_grouped = _grouped_shingle_hashes(new_docs, n, hash_profile, cap)
     batch_bands = _band_keys_from_grouped(batch_grouped).select(
         F.col("doc_id").alias("new_id"), "band", "key"
     )

@@ -484,3 +484,37 @@ def test_connected_components_rejects_unknown_kernel(spark):
     edges = _chain_edges(spark, 4)
     with _pytest.raises(ValueError, match="unknown cc kernel"):
         dedup.connected_components(edges, kernel="nope")
+
+
+def test_incremental_neardup_indexed_matches_recompute(spark, tmp_path):
+    """The persisted-index probe must return exactly what the recompute
+    variant returns, and its plan must not touch corpus text (the
+    corpus side is two parquet reads of the index)."""
+    from pyspark.sql import functions as F2
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # corpus lives at its OWN path so the plan assertion below can tell
+    # corpus scans from batch scans
+    corpus_path = str(tmp_path / "corpus_docs")
+    docs.filter(F2.col("doc_id") % 2 == 0).write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    batch = docs.filter(F2.col("doc_id") % 2 == 1).limit(80)
+    path = str(tmp_path / "ndidx")
+    dedup.write_neardup_index(corpus, path)
+    indexed = dedup.incremental_neardup_indexed(batch, path)
+    want = sorted(
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in dedup.incremental_neardup(batch, corpus).collect()
+    )
+    got = sorted(
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in indexed.collect()
+    )
+    assert got == want
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    # the probe never touches corpus text: the corpus side is the index
+    # tables. Scan LOCATIONS truncate in the rendered plan (long pytest
+    # tmp paths), so pin the read SCHEMAS: hash-array and band-posting
+    # scans present, and corpus_docs path absent.
+    assert "corpus_docs" not in plan, plan
+    assert "hs" in plan and "band" in plan and "key" in plan, plan
