@@ -530,7 +530,23 @@ def _incremental_neardup_from(
     cap: int | None,
 ) -> DataFrame:
     batch_grouped = _grouped_shingle_hashes(new_docs, n, hash_profile, cap)
-    batch_bands = _band_keys_from_grouped(batch_grouped).select(
+    batch_bands = _band_keys_from_grouped(batch_grouped)
+    return _neardup_probe(
+        batch_grouped, batch_bands, corpus_grouped, corpus_bands, threshold
+    )
+
+
+def _neardup_probe(
+    batch_grouped: DataFrame,
+    batch_bands: DataFrame,
+    corpus_grouped: DataFrame,
+    corpus_bands: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Batch-vs-corpus near-dup pairs from precomputed hash/posting
+    tables — the table-level core shared by the recompute, persisted-
+    index, and streaming-ingest variants."""
+    batch_bands = batch_bands.select(
         F.col("doc_id").alias("new_id"), "band", "key"
     )
     cand = (

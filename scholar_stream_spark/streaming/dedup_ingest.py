@@ -134,3 +134,138 @@ def start_dedup_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Near-dup ingest: the LSH analog of the exact pipeline above
+# ---------------------------------------------------------------------------
+
+_HASHES_SCHEMA = "doc_id long, hs array<bigint>"
+_BANDS_SCHEMA = "doc_id long, band int, key string"
+
+
+def _read_or_empty(
+    spark: SparkSession, path: str, schema: str, exclude_batch: int | None
+) -> DataFrame:
+    try:
+        df = spark.read.option("basePath", path).parquet(path)
+    except AnalysisException as exc:
+        cond = getattr(exc, "getCondition", lambda: None)() or ""
+        if any(code in cond or code in str(exc) for code in _EMPTY_INDEX_ERRORS):
+            return spark.createDataFrame([], schema)
+        raise
+    if exclude_batch is not None:
+        df = df.filter(F.col("batch") != exclude_batch)
+    return df.drop("batch")
+
+
+def read_neardup_index(
+    spark: SparkSession, index_path: str, exclude_batch: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """The persisted near-dup index as (hash arrays, band postings) —
+    both empty before the first batch lands. Same self-exclusion rule as
+    ``read_index``: a replayed batch must not see its own partial
+    postings or it would reject all of itself."""
+    return (
+        _read_or_empty(spark, f"{index_path}/hashes", _HASHES_SCHEMA, exclude_batch),
+        _read_or_empty(spark, f"{index_path}/bands", _BANDS_SCHEMA, exclude_batch),
+    )
+
+
+def neardup_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_path: str,
+    index_path: str,
+    threshold: float | None = None,
+    hash_profile: str = "portable",
+) -> None:
+    """Land one micro-batch with NEAR-dup rejection: drop every batch
+    doc that near-dups the existing corpus (via the persisted LSH
+    index) or a lower-id doc in the same batch (greedy keep-lowest —
+    the deterministic in-batch policy), then append survivors' docs,
+    hash arrays, and band postings under ``batch=<id>`` overwrite
+    directories. Batch text is shingled exactly ONCE (the grouped-hash
+    table is checkpointed and feeds the corpus probe, the in-batch
+    pairing, and both index writes); corpus text is never read at all.
+    Replay-safe like the exact pipeline: self-excluding index read +
+    batch_id-keyed overwrites make redelivery a byte-level no-op.
+    """
+    from scholar_stream_spark.operators import dedup as ddp
+
+    if batch_df.isEmpty():
+        return
+    if threshold is None:
+        threshold = ddp.JACCARD_THRESHOLD
+    spark = batch_df.sparkSession
+    # collapse doc_id redeliveries first (same rule as ingest_batch)
+    w = Window.partitionBy("doc_id").orderBy(F.asc_nulls_last("text"))
+    batch_df = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=True)
+    )
+    cap = ddp._resolve_doc_freq_cap("auto", hash_profile == "fast")
+    bg = ddp._grouped_shingle_hashes(
+        batch_df, ddp.SHINGLE_N, hash_profile, cap
+    ).localCheckpoint(eager=True)  # one shingling, four consumers
+    bb = ddp._band_keys_from_grouped(bg)
+    idx_hashes, idx_bands = read_neardup_index(
+        spark, index_path, exclude_batch=batch_id
+    )
+    corpus_hits = ddp._neardup_probe(bg, bb, idx_hashes, idx_bands, threshold)
+    # in-batch near-dups: keep-lowest doc_id (pairs always have d1 < d2)
+    in_cand = (
+        bb.alias("a")
+        .join(
+            bb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    in_pairs = ddp._verify_jaccard_hashed(in_cand, bg, threshold)
+    rejects = (
+        corpus_hits.select(F.col("new_id").alias("doc_id"))
+        .union(in_pairs.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    survivors = batch_df.join(rejects, "doc_id", "left_anti")
+    survivors.write.mode("overwrite").parquet(
+        os.path.join(corpus_path, f"batch={batch_id}")
+    )
+    keep = survivors.select("doc_id")
+    bg.join(F.broadcast(keep), "doc_id").write.mode("overwrite").parquet(
+        os.path.join(index_path, "hashes", f"batch={batch_id}")
+    )
+    bb.join(F.broadcast(keep), "doc_id").write.mode("overwrite").parquet(
+        os.path.join(index_path, "bands", f"batch={batch_id}")
+    )
+
+
+def start_neardup_ingest(
+    docs_stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    trigger_available_now: bool = False,
+    threshold: float | None = None,
+) -> StreamingQuery:
+    """Near-dup-rejecting corpus construction over a document stream —
+    the streaming face of ``write_neardup_index`` +
+    ``incremental_neardup_indexed``."""
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        neardup_ingest_batch(
+            batch_df, batch_id, corpus_path, index_path, threshold=threshold
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(land).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -108,3 +108,90 @@ def test_dedup_ingest_in_batch_docid_redelivery(spark, tmp_path):
     )
     ingest_batch(b0, 0, str(corpus), str(index))
     assert _corpus_ids(spark, corpus) == [7, 8]
+
+
+# ---------------------------------------------------------------------------
+# near-dup ingest (LSH index): the streaming face of incremental_neardup
+# ---------------------------------------------------------------------------
+
+from scholar_stream_spark.streaming.dedup_ingest import (  # noqa: E402
+    neardup_ingest_batch,
+    start_neardup_ingest,
+)
+
+
+def _text(prefix: str, n: int = 30) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def _near(prefix: str, n: int = 30) -> str:
+    """Same as _text but the last word differs: 5-shingle Jaccard
+    ~25/27 = 0.93 — above the 0.8 threshold, NOT byte-identical."""
+    return " ".join(
+        [f"{prefix}{i}" for i in range(n - 1)] + ["CHANGED"]
+    )
+
+
+def test_neardup_ingest_two_batches(spark, tmp_path):
+    corpus, index = tmp_path / "corpus", tmp_path / "index"
+    ckpt, inbox = tmp_path / "ckpt", tmp_path / "in"
+
+    _write_docs(
+        inbox,
+        [(1, _text("alpha")), (2, _text("beta")),
+         (3, _near("alpha"))],  # in-batch NEAR-dup of 1 (not exact)
+    )
+    stream = spark.readStream.schema(DOC_SCHEMA).json(str(inbox))
+    q = start_neardup_ingest(
+        stream, str(corpus), str(index), str(ckpt),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    assert _corpus_ids(spark, corpus) == [1, 2]
+
+    _write_docs(
+        inbox,
+        [(4, _near("beta")),      # cross-batch near-dup via the index
+         (5, _text("gamma"))],
+    )
+    stream = spark.readStream.schema(DOC_SCHEMA).json(str(inbox))
+    q = start_neardup_ingest(
+        stream, str(corpus), str(index), str(ckpt),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    assert _corpus_ids(spark, corpus) == [1, 2, 5]
+
+
+def test_neardup_ingest_replay_is_noop(spark, tmp_path):
+    corpus, index = tmp_path / "corpus", tmp_path / "index"
+    b0 = spark.createDataFrame(
+        [(1, _text("one")), (2, _text("two"))], DOC_SCHEMA
+    )
+    b1 = spark.createDataFrame(
+        [(3, _near("one")), (4, _text("four"))], DOC_SCHEMA
+    )
+    neardup_ingest_batch(b0, 0, str(corpus), str(index))
+    neardup_ingest_batch(b1, 1, str(corpus), str(index))
+    before = _corpus_ids(spark, corpus)
+    assert before == [1, 2, 4]
+
+    # redelivery of batch 1: self-excluding index read + overwrite
+    # directories leave corpus and index byte-stable
+    neardup_ingest_batch(b1, 1, str(corpus), str(index))
+    assert _corpus_ids(spark, corpus) == before
+    from scholar_stream_spark.streaming.dedup_ingest import read_neardup_index
+
+    hashes, bands = read_neardup_index(spark, str(index))
+    assert sorted(r["doc_id"] for r in hashes.collect()) == [1, 2, 4]
+    assert {r["doc_id"] for r in bands.collect()} == {1, 2, 4}
+
+
+def test_neardup_ingest_in_batch_docid_redelivery(spark, tmp_path):
+    corpus, index = tmp_path / "corpus", tmp_path / "index"
+    b0 = spark.createDataFrame(
+        [(7, _text("seven")), (7, _text("seven")), (8, _text("eight"))],
+        DOC_SCHEMA,
+    )
+    neardup_ingest_batch(b0, 0, str(corpus), str(index))
+    assert _corpus_ids(spark, corpus) == [7, 8]
