@@ -174,6 +174,10 @@ def _report_parser() -> argparse.ArgumentParser:
         help="Re-poll every N seconds (default: print once and exit — "
         "the reference's manual refresh button)",
     )
+    p.add_argument(
+        "--max-polls", type=int, default=None,
+        help="With --watch-seconds: stop after N polls (default: forever)",
+    )
     p.add_argument("--master", default="local[4]", help="Spark master")
     return p
 
@@ -187,17 +191,19 @@ def _report_main(argv: list[str]) -> int:
 
     args = _report_parser().parse_args(argv)
     spark = get_spark(master=args.master)
-    raw = spark.read.parquet(args.raw_path)
-    init_catalog(spark, raw, role=args.role)
+    polls = 0
     while True:
-        print(render_report(spark, limit=args.limit))
-        if args.watch_seconds is None:
-            return 0
-        _time.sleep(args.watch_seconds)
-        # pick up rows landed since the last poll (temp views are lazy,
-        # but the parquet file listing is cached at read time)
+        # re-read per poll: the parquet file listing is cached at read
+        # time, so a fresh read is what picks up newly landed batches
         raw = spark.read.parquet(args.raw_path)
         init_catalog(spark, raw, role=args.role)
+        print(render_report(spark, limit=args.limit))
+        polls += 1
+        if args.watch_seconds is None or (
+            args.max_polls is not None and polls >= args.max_polls
+        ):
+            return 0
+        _time.sleep(args.watch_seconds)
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -136,3 +136,37 @@ def test_report_cli_rejects_unknown_role(spark, landed_raw, tmp_path):
     with pytest.raises(ValueError, match="unknown role"):
         main(["report", "--raw-path", str(tmp_path / "raw"),
               "--role", "R_NOPE"])
+
+
+def test_report_watch_picks_up_new_batches(spark, landed_raw, tmp_path, capsys):
+    """The poll loop re-reads the bronze path each cycle, so rows landed
+    between polls appear in the next report (the reference's refresh
+    rerun). Bounded via --max-polls for the test."""
+    import threading
+    import time
+
+    from pyspark.sql import functions as F2
+
+    from scholar_stream_spark.__main__ import main
+
+    raw_path = str(tmp_path / "raw")
+
+    def land_more():
+        time.sleep(1.0)
+        lines = spark.createDataFrame(
+            [(_work_line(99, "2026-08-13 01:00:00"),)], "value string"
+        )
+        land_batch(lines, raw_path, batch_id="late-batch")
+
+    t = threading.Thread(target=land_more)
+    t.start()
+    rc = main(
+        ["report", "--raw-path", raw_path, "--limit", "10",
+         "--watch-seconds", "1.5", "--max-polls", "3"]
+    )
+    t.join()
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("ScholarStream — Live Metrics") == 3
+    # W99 landed after the first poll and must appear by the last one
+    assert "W99" in out
