@@ -195,3 +195,30 @@ def test_neardup_ingest_in_batch_docid_redelivery(spark, tmp_path):
     )
     neardup_ingest_batch(b0, 0, str(corpus), str(index))
     assert _corpus_ids(spark, corpus) == [7, 8]
+
+
+def test_streaming_index_probeable_by_batch_api(spark, tmp_path):
+    """The index the streaming ingest builds (batch=N partitioned) is
+    the same layout incremental_neardup_indexed probes — a later batch
+    job can near-dup-check candidate docs against a streamed corpus."""
+    from scholar_stream_spark.operators.dedup import (
+        incremental_neardup_indexed,
+    )
+
+    corpus, index = tmp_path / "corpus", tmp_path / "index"
+    neardup_ingest_batch(
+        spark.createDataFrame(
+            [(1, _text("one")), (2, _text("two"))], DOC_SCHEMA
+        ),
+        0, str(corpus), str(index),
+    )
+    neardup_ingest_batch(
+        spark.createDataFrame([(3, _text("three"))], DOC_SCHEMA),
+        1, str(corpus), str(index),
+    )
+    probe = spark.createDataFrame(
+        [(10, _near("two")), (11, _text("eleven"))], DOC_SCHEMA
+    )
+    hits = incremental_neardup_indexed(probe, str(index)).collect()
+    assert {(r["new_id"], r["corpus_id"]) for r in hits} == {(10, 2)}
+    assert all(r["jaccard"] >= 0.8 for r in hits)
