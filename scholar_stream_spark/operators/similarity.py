@@ -765,6 +765,7 @@ def cluster_embeddings(
     embeddings: DataFrame,
     n_clusters: int = KMEANS_NUM_CLUSTERS,
     n_iters: int = KMEANS_NUM_ITERS,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """Spherical k-means (cosine Lloyd's) over the embedding column —
     the topic/domain clustering step of a training-data pipeline
@@ -787,7 +788,18 @@ def cluster_embeddings(
     during refinement simply stops appearing). Iterative and
     floating-point-seeded → no SQL oracle (rows-only driver check);
     semantics are pytest-pinned instead.
+
+    ``train_fraction`` is the 100 TB path (FAISS practice): Lloyd
+    iterations run over a deterministic hash sample of the corpus
+    (portable hash of vec_id — reproducible, partition-invariant) and
+    only the single final assignment pass touches every vector. None
+    (default) trains on the full corpus — the small-scale/bench
+    behavior, unchanged.
     """
+    if train_fraction is not None and not 0.0 < train_fraction <= 1.0:
+        raise ValueError(
+            f"train_fraction must be in (0, 1], got {train_fraction}"
+        )
     # localCheckpoint: every Lloyd iteration is one pass over `corpus`,
     # and without pinning, each pass re-executes the scan AND the
     # scale_out repartition shuffle (n_iters + 1 times total). Pinning
@@ -818,9 +830,17 @@ def cluster_embeddings(
     norms[norms == 0] = 1.0
     cmat_normed = cmat / norms[:, None]
 
+    train = corpus
+    if train_fraction is not None and train_fraction < 1.0:
+        from scholar_stream_spark.operators.sampling import split_bucket
+
+        train = corpus.filter(
+            split_bucket("CAST(vec_id AS STRING)")
+            < int(round(train_fraction * 100))
+        )
     for _ in range(n_iters):
         cells, cmat_normed, _raw = _refined_centroids(
-            corpus, cells, cmat_normed
+            train, cells, cmat_normed
         )
 
     # the final assignment is already an Arrow pass — fuse the cosine

@@ -255,3 +255,42 @@ def test_semantic_prune_rejects_unknown_profile(spark):
     emb = _prune_fixture(spark)
     with pytest.raises(ValueError, match="unknown profile"):
         semantic_prune(emb, profile="nope")
+
+
+def test_cluster_embeddings_sampled_training(spark):
+    """train_fraction trains the centroids on a deterministic hash
+    sample but still assigns EVERY vector — groups recovered, output
+    partition-invariant, bad fractions rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from scholar_stream_spark.operators.similarity import cluster_embeddings
+
+    rng = np.random.default_rng(13)
+    dim = 8
+    a = np.array([10.0] + [0.0] * (dim - 1))
+    b = np.array([0.0] * (dim - 1) + [10.0])
+    rows = [
+        (i, [float(x) for x in (a if i % 2 == 0 else b)
+             + rng.normal(0, 0.05, dim)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cluster_embeddings(
+        emb, n_clusters=2, n_iters=3, train_fraction=0.5
+    ).collect()
+    assert len(got) == 60  # every vector assigned, not just the sample
+    by_group = {0: set(), 1: set()}
+    for r in got:
+        by_group[r["vec_id"] % 2].add(r["cluster_id"])
+    assert len(by_group[0]) == 1 and len(by_group[1]) == 1
+    assert by_group[0] != by_group[1]
+    # deterministic under repartitioning (hash sample is hash-based)
+    again = cluster_embeddings(
+        emb.repartition(7), n_clusters=2, n_iters=3, train_fraction=0.5
+    ).collect()
+    assert sorted((r["vec_id"], r["cluster_id"]) for r in got) == sorted(
+        (r["vec_id"], r["cluster_id"]) for r in again
+    )
+    with _pytest.raises(ValueError, match="train_fraction"):
+        cluster_embeddings(emb, n_clusters=2, train_fraction=1.5)
