@@ -321,6 +321,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": lambda s, d: multimodal.resize_plan(
             multimodal.decode_assets(multimodal.as_assets(_t(s, d, "documents")))
         ),
+        # exact-substring dedup (ExactSubstr, Lee et al.): duplicated
+        # window spans + their removal — new this round, so also ahead
+        # of the long-green block
+        "dup_spans": lambda s, d: dedup.duplicate_spans(
+            _t(s, d, "documents")
+        ),
+        "remove_dup_spans": lambda s, d: dedup.remove_duplicate_spans(
+            _t(s, d, "documents")
+        ),
         # --- reference parity on testdata stand-ins (SURVEY §2.3/2.5) ---
         "latency_kpis": lambda s, d: relational.latency_kpis(_t(s, d, "events")),
         "topn_recent": lambda s, d: relational.topn_recent(_t(s, d, "orders")),
@@ -568,6 +577,89 @@ FROM inter i
 JOIN sizes s1 ON s1.doc_id = i.d1
 JOIN sizes s2 ON s2.doc_id = i.d2
 WHERE i.n_inter / (s1.n_sh + s2.n_sh - i.n_inter) >= {threshold}
+"""
+
+
+def _dup_spans_ctes() -> str:
+    """Shared window-hash → duplicated-hit → gaps-and-islands CTE text
+    for the two ExactSubstr oracles (mirrors dedup.duplicate_spans)."""
+    w = dedup.SUBSTR_WINDOW
+    return f"""
+toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+    FROM documents
+),
+wins AS (
+    SELECT doc_id, u.start,
+           md5(array_to_string(ws[u.start+1 : u.start+{w}], ' ')) AS h
+    FROM toks, unnest(generate_series(0, len(ws) - {w})) AS u(start)
+    WHERE len(ws) >= {w}
+),
+dup AS (
+    SELECT h FROM wins GROUP BY h
+    HAVING count(*) >= {dedup.SUBSTR_MIN_COUNT}
+),
+ds AS (SELECT w.doc_id, w.start FROM wins w JOIN dup USING (h)),
+isl AS (
+    SELECT doc_id, start,
+           CASE WHEN start > coalesce(
+                    max(start + {w}) OVER (
+                        PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1)
+                THEN 1 ELSE 0 END AS new_i
+    FROM ds
+),
+grp AS (
+    SELECT doc_id, start,
+           SUM(new_i) OVER (PARTITION BY doc_id ORDER BY start
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS island
+    FROM isl
+),
+merged AS (
+    SELECT doc_id,
+           CAST(MIN(start) AS BIGINT) AS span_start,
+           CAST(MAX(start) + {w} AS BIGINT) AS span_end
+    FROM grp GROUP BY doc_id, island
+)"""
+
+
+def _dup_spans_sql() -> str:
+    return f"""
+WITH {_dup_spans_ctes()}
+SELECT doc_id, span_start, span_end,
+       span_end - span_start AS span_tokens
+FROM merged
+"""
+
+
+def _remove_dup_spans_sql() -> str:
+    return f"""
+WITH {_dup_spans_ctes()},
+tok2 AS (
+    SELECT doc_id, u.i - 1 AS pos, ws[u.i] AS tok
+    FROM toks, unnest(generate_series(1, len(ws))) AS u(i)
+),
+kept AS (
+    SELECT t.doc_id, t.pos, t.tok
+    FROM tok2 t
+    WHERE NOT EXISTS (SELECT 1 FROM merged m
+                      WHERE m.doc_id = t.doc_id
+                        AND t.pos >= m.span_start AND t.pos < m.span_end)
+),
+agg AS (
+    SELECT doc_id,
+           array_to_string(list(tok ORDER BY pos), ' ') AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_kept_tokens
+    FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       coalesce(agg.clean_text, '') AS clean_text,
+       coalesce(agg.n_kept_tokens, 0) AS n_kept_tokens,
+       CAST(len(toks.ws) - coalesce(agg.n_kept_tokens, 0) AS BIGINT)
+           AS n_removed_tokens
+FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
 """
 
 
@@ -1668,6 +1760,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) - count(DISTINCT md5(text)) AS n_dupes
             FROM documents
         """,
+        "dup_spans": _dup_spans_sql(),
+        "remove_dup_spans": _remove_dup_spans_sql(),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_incremental_neardup": _incremental_neardup_sql(),

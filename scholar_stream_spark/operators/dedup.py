@@ -730,6 +730,154 @@ def simhash_pairs(
     return pairs.filter(F.col("hamming") <= hamming_max)
 
 
+#: Exact-substring dedup window (tokens) and the occurrence count that
+#: marks a window as duplicated (2 = any repeat, incl. within one doc —
+#: the ExactSubstr policy of Lee et al., "Deduplicating Training Data
+#: Makes Language Models Better").
+SUBSTR_WINDOW = 20
+SUBSTR_MIN_COUNT = 2
+
+
+def duplicate_spans(
+    documents: DataFrame,
+    window: int = SUBSTR_WINDOW,
+    min_count: int = SUBSTR_MIN_COUNT,
+) -> DataFrame:
+    """Exact duplicated substrings: maximal token spans covered by
+    ``window``-token runs that appear ≥ ``min_count`` times anywhere in
+    the corpus (ExactSubstr, Lee et al. — catches verbatim boilerplate
+    that document-level near-dup misses because the surrounding text
+    differs).
+
+    Spark shape: one narrow generate (every window start → md5 of the
+    window text), ONE hash-keyed groupBy for global occurrence counts
+    (map-side combined), a semi-join back, then per-doc gaps-and-islands
+    windows merge overlapping/adjacent hits into maximal spans — the
+    heavy stages key on the window hash and doc_id, never on pairs, so
+    cost is corpus-linear, not corpus².
+
+    Output: (doc_id, span_start, span_end, span_tokens) with token
+    offsets [start, end) against the doc's whitespace tokens.
+    """
+    base = (
+        scale_out(documents)
+        .select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+        )
+        .filter(F.size("ws") >= window)
+    )
+    wins = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("ws") - window)).alias("start"),
+        "ws",
+    ).select(
+        "doc_id",
+        "start",
+        F.md5(
+            F.concat_ws(" ", F.expr(f"slice(ws, start + 1, {window})"))
+        ).alias("h"),
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    hits = wins.join(dup, "h").select("doc_id", "start")
+    # gaps-and-islands: windows all span [start, start+window); a hit
+    # starting past every previous hit's end opens a new island
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = hits.withColumn(
+        "new_i",
+        F.when(
+            F.col("start")
+            > F.coalesce(
+                F.max(F.col("start") + window).over(w_prev), F.lit(-1)
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_i").over(w_run))
+    return (
+        grp.groupBy("doc_id", "island")
+        .agg(
+            F.min("start").cast("long").alias("span_start"),
+            (F.max("start") + window).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    documents: DataFrame,
+    window: int = SUBSTR_WINDOW,
+    min_count: int = SUBSTR_MIN_COUNT,
+) -> DataFrame:
+    """Cut the ``duplicate_spans`` token ranges out of each document —
+    the removal half of ExactSubstr dedup. Every input doc comes back
+    (a fully-duplicated doc with empty ``clean_text``); tokens keep
+    their original order.
+
+    The span join is doc_id-equi + a per-doc range condition — spans
+    per doc are few (merged islands), so the anti-join stays linear in
+    corpus tokens.
+    """
+    spans = duplicate_spans(documents, window, min_count)
+    toks = scale_out(documents).select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    kept = toks.alias("t").join(
+        spans.alias("s"),
+        (F.col("t.doc_id") == F.col("s.doc_id"))
+        & (F.col("t.pos") >= F.col("s.span_start"))
+        & (F.col("t.pos") < F.col("s.span_end")),
+        "left_anti",
+    )
+    cleaned = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept_tokens"),
+    )
+    totals = documents.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "_n_total"
+        ),
+    )
+    return totals.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_kept_tokens"), F.lit(0)).cast("long").alias(
+            "n_kept_tokens"
+        ),
+        (
+            F.col("_n_total")
+            - F.coalesce(F.col("n_kept_tokens"), F.lit(0))
+        ).cast("long").alias("n_removed_tokens"),
+    )
+
+
 def _clusters_driver_union_find(spark, edge_rows) -> DataFrame:
     """Union-find over a collected (small) edge list — exact same
     output contract as the distributed loop: (doc_id, min-member

@@ -518,3 +518,63 @@ def test_incremental_neardup_indexed_matches_recompute(spark, tmp_path):
     # scans present, and corpus_docs path absent.
     assert "corpus_docs" not in plan, plan
     assert "hs" in plan and "band" in plan and "key" in plan, plan
+
+
+def _tokens(prefix, n):
+    return [f"{prefix}{i}" for i in range(n)]
+
+
+def test_duplicate_spans_finds_shared_run(spark):
+    """A verbatim 25-token run shared by two docs (different contexts)
+    becomes one maximal merged span per doc covering exactly the run."""
+    shared = _tokens("dup", 25)
+    d1 = _tokens("a", 10) + shared + _tokens("b", 10)
+    d2 = _tokens("c", 7) + shared + _tokens("d", 12)
+    d3 = _tokens("e", 40)  # no duplication
+    docs = spark.createDataFrame(
+        [(1, " ".join(d1)), (2, " ".join(d2)), (3, " ".join(d3))],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dedup.duplicate_spans(docs, window=20).collect()
+    }
+    assert spans == {1: (10, 35, 25), 2: (7, 32, 25)}
+
+
+def test_duplicate_spans_catches_within_doc_repetition(spark):
+    """The min_count policy counts ALL occurrences, so a phrase repeated
+    inside ONE doc is flagged too (Lee et al. semantics)."""
+    phrase = _tokens("p", 20)
+    d = phrase + _tokens("mid", 5) + phrase
+    docs = spark.createDataFrame(
+        [(1, " ".join(d))], "doc_id long, text string"
+    )
+    spans = sorted(
+        (r["span_start"], r["span_end"])
+        for r in dedup.duplicate_spans(docs, window=20).collect()
+    )
+    assert spans == [(0, 20), (25, 45)]
+
+
+def test_remove_duplicate_spans_cuts_and_preserves_docs(spark):
+    shared = _tokens("dup", 25)
+    d1 = _tokens("a", 10) + shared + _tokens("b", 10)
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(d1)),
+            (2, " ".join(shared)),          # entirely duplicated
+            (3, " ".join(_tokens("z", 8))),  # untouched (short, unique)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in dedup.remove_duplicate_spans(
+            docs, window=20
+        ).collect()
+    }
+    assert got[1]["clean_text"] == " ".join(_tokens("a", 10) + _tokens("b", 10))
+    assert got[1]["n_removed_tokens"] == 25
+    assert got[2]["clean_text"] == "" and got[2]["n_kept_tokens"] == 0
+    assert got[3]["clean_text"] == " ".join(_tokens("z", 8))
+    assert got[3]["n_removed_tokens"] == 0
