@@ -119,6 +119,10 @@ def test_round2_queries_run_under_ansi(spark):
         "salted_join_revenue",
         "dedup_clusters",
         "value_histogram",
+        # round-5 additions with integer span/lane arithmetic
+        "dup_spans",
+        "remove_dup_spans",
+        "dedup_simhash",
     ]
     queries = entry_mod.queries()
     lenient = {
