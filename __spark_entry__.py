@@ -330,6 +330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_dup_spans": lambda s, d: dedup.remove_duplicate_spans(
             _t(s, d, "documents")
         ),
+        # bigram LM scoring — one order deeper than unigram_logprob
+        "bigram_logprob": lambda s, d: textops.bigram_logprob(
+            _t(s, d, "documents")
+        ),
         # --- reference parity on testdata stand-ins (SURVEY §2.3/2.5) ---
         "latency_kpis": lambda s, d: relational.latency_kpis(_t(s, d, "events")),
         "topn_recent": lambda s, d: relational.topn_recent(_t(s, d, "orders")),
@@ -1481,6 +1485,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '{textops.BPE_UNIT_RE}'))
                        AS BIGINT) AS n_bpe_tokens
             FROM documents
+        """,
+        "bigram_logprob": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split(
+                           trim(regexp_replace(lower(text), '\\s+', ' ',
+                                               'g')), ' ') AS ws
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, ws[u.i] AS w1, ws[u.i + 1] AS w2
+                FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+                WHERE len(ws) >= 2
+            ),
+            cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+            ctx AS (
+                SELECT w1, CAST(SUM(c) AS DOUBLE) AS cc FROM cnt GROUP BY w1
+            )
+            SELECT bg.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(ln(cnt.c / ctx.cc)), 4) AS logprob,
+                   round(exp(-avg(ln(cnt.c / ctx.cc))), 4) AS ppl
+            FROM bg
+            JOIN cnt USING (w1, w2)
+            JOIN ctx USING (w1)
+            GROUP BY bg.doc_id
         """,
         "unigram_logprob": """
             WITH tok AS (

@@ -254,6 +254,58 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Per-document mean conditional bigram log-probability
+    ``ln P(w_i | w_{i-1})`` under the corpus's OWN bigram LM — one order
+    deeper than ``unigram_logprob``, and much sharper at surfacing
+    shuffled/concatenated junk: token SEQUENCES that never co-occur
+    elsewhere score low even when every individual token is common.
+
+    Conditionals use context counts (``c(w1,·)``), so probabilities
+    normalize per context and — the LM being trained on the corpus it
+    scores — every observed bigram has count ≥ 1: no smoothing needed.
+    Documents with fewer than two tokens have no bigrams and are
+    omitted (same contract as the window operators).
+
+    Plan shape mirrors ``unigram_logprob``: one bigram explode, one
+    map-side-combined (w1, w2) count, a context roll-up of that count
+    table (vocabulary-sized, never on the driver), then the scoring
+    join + per-doc reduce.
+
+    Output: (doc_id, n_bigrams, logprob, ppl) — ppl = exp(-logprob).
+    """
+    base = (
+        scale_out(documents)
+        .select(
+            "doc_id",
+            F.split(normalize_text(F.col("text")), " ").alias("ws"),
+        )
+        .filter(F.size("ws") >= 2)
+    )
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = cnt.groupBy("w1").agg(F.sum("c").cast("double").alias("cc"))
+    lp = F.log(F.col("c") / F.col("cc"))
+    return (
+        bg.join(cnt, ["w1", "w2"])
+        .join(ctx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(lp), 4).alias("logprob"),
+            F.round(F.exp(-F.avg(lp)), 4).alias("ppl"),
+        )
+    )
+
+
 #: PII patterns (C4/CCNet-style scrubbing): emails and long digit runs.
 #: POSIX-safe character classes — the exact same pattern text compiles in
 #: Spark (Java regex) and DuckDB (RE2), which the oracle relies on.

@@ -294,3 +294,27 @@ def test_cluster_embeddings_sampled_training(spark):
     )
     with _pytest.raises(ValueError, match="train_fraction"):
         cluster_embeddings(emb, n_clusters=2, train_fraction=1.5)
+
+
+def test_bigram_logprob_ranks_unseen_sequences_low(spark):
+    """Bigram scoring catches what unigram can't: doc 3 reuses only
+    common TOKENS but in sequences seen nowhere else, so it scores
+    below the docs whose bigrams dominate the corpus."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat the cat sat the cat sat"),
+            (2, "the cat sat quietly"),
+            (3, "sat the cat the"),  # common words, novel bigrams
+            (4, "x"),                # single token: no bigrams, omitted
+        ],
+        ["doc_id", "text"],
+    )
+    from scholar_stream_spark.operators.textops import bigram_logprob
+
+    rows = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_bigrams"] == 8
+    assert rows[1]["logprob"] > rows[3]["logprob"]
+    assert rows[3]["ppl"] > rows[1]["ppl"]
+    # every conditional is well-defined (trained on what it scores)
+    assert all(r["logprob"] <= 0 for r in rows.values())
