@@ -334,6 +334,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": lambda s, d: textops.bigram_logprob(
             _t(s, d, "documents")
         ),
+        # C4 line-level cleaning over deterministically injected
+        # multi-line text (the synthetic corpus is single-line; the
+        # oracle injects the identical lines — the scrub_pii pattern)
+        "clean_lines": lambda s, d: textops.clean_lines(
+            _t(s, d, "documents").select(
+                "doc_id",
+                F.concat_ws(
+                    "\n",
+                    F.concat(F.substring("text", 1, 40), F.lit(".")),
+                    F.lit("tiny"),
+                    F.lit("please enable javascript to continue."),
+                    F.lit("config = { debug: false }"),
+                    F.substring("text", 41, 60),
+                ).alias("text"),
+            )
+        ),
         # --- reference parity on testdata stand-ins (SURVEY §2.3/2.5) ---
         "latency_kpis": lambda s, d: relational.latency_kpis(_t(s, d, "events")),
         "topn_recent": lambda s, d: relational.topn_recent(_t(s, d, "orders")),
@@ -1485,6 +1501,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '{textops.BPE_UNIT_RE}'))
                        AS BIGINT) AS n_bpe_tokens
             FROM documents
+        """,
+        "clean_lines": f"""
+            WITH injected AS (
+                SELECT doc_id,
+                       substr(text, 1, 40) || '.' || chr(10) ||
+                       'tiny' || chr(10) ||
+                       'please enable javascript to continue.' || chr(10) ||
+                       'config = {{ debug: false }}' || chr(10) ||
+                       substr(text, 41, 60) AS text
+                FROM documents
+            ),
+            split_lines AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ls FROM injected
+            ),
+            kept AS (
+                SELECT doc_id, ls,
+                       list_filter(ls, l ->
+                           length(trim(l)) > 0
+                           AND right(trim(l), 1) IN
+                               ({", ".join(f"'{t}'" for t in textops.C4_TERMINALS)})
+                           AND length(trim(l))
+                               - length(replace(trim(l), ' ', '')) + 1
+                               >= {textops.C4_MIN_LINE_WORDS}
+                           AND {" AND ".join(
+                               f"NOT contains(lower(l), '{m}')"
+                               for m in textops.C4_BAD_MARKERS)}
+                       ) AS kl
+                FROM split_lines
+            )
+            SELECT doc_id,
+                   array_to_string(kl, chr(10)) AS clean_text,
+                   CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(len(kl) AS BIGINT) AS n_kept_lines
+            FROM kept
         """,
         "bigram_logprob": """
             WITH t AS (

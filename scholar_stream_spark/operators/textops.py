@@ -254,6 +254,51 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+#: C4-style line-filter rules (Raffel et al., C4 appendix): a line
+#: survives only if it ends in terminal punctuation, has at least
+#: MIN_LINE_WORDS words, and carries no code/boilerplate marker.
+C4_MIN_LINE_WORDS = 3
+C4_TERMINALS = (".", "!", "?", '"')
+C4_BAD_MARKERS = ("{", "javascript")
+
+
+def clean_lines(documents: DataFrame) -> DataFrame:
+    """C4-style line-level cleaning: drop boilerplate LINES inside
+    otherwise-good documents (cookie banners, enable-javascript notices,
+    code fragments, nav stubs) — the pass that runs before any
+    document-level quality scoring in the C4 pipeline.
+
+    Keep rule per line (all engine-portable string ops, shared with the
+    oracle): non-empty after trim, ends in terminal punctuation
+    (``C4_TERMINALS``), ≥ ``C4_MIN_LINE_WORDS`` words (the same
+    space-count formula as ``n_tokens``), and contains no
+    ``C4_BAD_MARKERS`` substring (case-insensitive).
+
+    A narrow per-row projection — split on newline, higher-order
+    ``filter``, re-join — no shuffle at all; partition-inherited from
+    the scan. Output: (doc_id, clean_text, n_lines, n_kept_lines).
+    """
+    terminals = ", ".join(f"'{t}'" for t in C4_TERMINALS)
+    markers = " AND ".join(
+        f"NOT contains(lower(l), '{m}')" for m in C4_BAD_MARKERS
+    )
+    keep = (
+        f"l -> length(trim(l)) > 0 "
+        f"AND right(trim(l), 1) IN ({terminals}) "
+        f"AND length(trim(l)) - length(replace(trim(l), ' ', '')) + 1 "
+        f">= {C4_MIN_LINE_WORDS} "
+        f"AND {markers}"
+    )
+    lines = F.split(F.col("text"), "\n")
+    kept = F.expr(f"filter(split(text, '\\n'), {keep})")
+    return scale_out(documents).select(
+        "doc_id",
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+    )
+
+
 def bigram_logprob(documents: DataFrame) -> DataFrame:
     """Per-document mean conditional bigram log-probability
     ``ln P(w_i | w_{i-1})`` under the corpus's OWN bigram LM — one order

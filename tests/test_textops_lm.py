@@ -318,3 +318,26 @@ def test_bigram_logprob_ranks_unseen_sequences_low(spark):
     assert rows[3]["ppl"] > rows[1]["ppl"]
     # every conditional is well-defined (trained on what it scores)
     assert all(r["logprob"] <= 0 for r in rows.values())
+
+
+def test_clean_lines_c4_rules(spark):
+    from scholar_stream_spark.operators.textops import clean_lines
+
+    text = "\n".join(
+        [
+            "A perfectly good sentence stays here.",   # kept
+            "short.",                                  # <3 words
+            "no terminal punctuation on this line",    # no terminal
+            "Please enable JavaScript to continue.",   # marker (ci)
+            "var config = { debug: true };",           # brace + no term.
+            'He said "stop".',                         # kept (. terminal)
+            "",                                        # empty
+        ]
+    )
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = clean_lines(docs).collect()[0]
+    assert r["n_lines"] == 7
+    assert r["n_kept_lines"] == 2
+    assert r["clean_text"] == (
+        'A perfectly good sentence stays here.\nHe said "stop".'
+    )
