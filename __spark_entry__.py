@@ -334,6 +334,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": lambda s, d: textops.bigram_logprob(
             _t(s, d, "documents")
         ),
+        # temperature mixture: shares derived as sqrt(T_l) instead of a
+        # hand-written weight table (multilingual temperature sampling)
+        "temperature_mixture": lambda s, d: sampling.temperature_mixture(
+            _t(s, d, "documents")
+        ),
         # C4 line-level cleaning over deterministically injected
         # multi-line text (the synthetic corpus is single-line; the
         # oracle injects the identical lines — the scrub_pii pattern)
@@ -1850,6 +1855,38 @@ def oracle_sql() -> dict[str, str]:
         "dedup_fuzzy": _fuzzy_neardup_sql(),
         "decontaminate": _decontaminate_sql(),
         "mixture_sample": _mixture_sample_sql(),
+        "temperature_mixture": f"""
+            WITH base AS (
+                SELECT doc_id, lang AS stratum,
+                       CAST(length(text) - length(replace(text, ' ', ''))
+                            + 1 AS BIGINT) AS n_tokens,
+                       ({hex48_sql("CAST(doc_id AS VARCHAR)")})
+                           % {sampling.SAMPLE_DENOM} AS bucket
+                FROM documents
+            ),
+            tot AS (
+                SELECT stratum, CAST(sum(n_tokens) AS BIGINT) AS t_l
+                FROM base GROUP BY stratum
+            ),
+            wt AS (
+                SELECT stratum, t_l, sqrt(CAST(t_l AS DOUBLE)) AS w_l
+                FROM tot
+            ),
+            b AS (SELECT min(t_l / w_l) AS budget FROM wt),
+            thr AS (
+                SELECT wt.stratum,
+                       CASE WHEN t_l / w_l = budget
+                            THEN CAST({sampling.SAMPLE_DENOM} AS BIGINT)
+                            ELSE CAST(floor(budget * w_l / t_l
+                                            * {sampling.SAMPLE_DENOM})
+                                      AS BIGINT)
+                       END AS thr
+                FROM wt CROSS JOIN b
+            )
+            SELECT base.doc_id, base.stratum, base.n_tokens
+            FROM base JOIN thr ON base.stratum = thr.stratum
+            WHERE base.bucket < thr.thr
+        """,
         "dedup_incremental": f"""
             WITH fp AS (
                 SELECT doc_id,

@@ -222,6 +222,73 @@ def mixture_select(
     )
 
 
+#: Temperature exponent for temperature_mixture. Pinned to 0.5 (the
+#: middle of the usual 0.3–0.7 multilingual range) because
+#: ``T_l^0.5 = sqrt(T_l)`` and IEEE-754 sqrt is CORRECTLY ROUNDED —
+#: bit-identical across Spark and DuckDB, where a general pow() carries
+#: no such guarantee and a 1-ulp divergence could flip a floor()ed
+#: keep-threshold and desynchronize document selection.
+TEMP_MIXTURE_ALPHA = 0.5
+
+
+def temperature_mixture(
+    documents: DataFrame,
+    key_col: str = "doc_id",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Temperature-weighted mixture sampling: target shares are DERIVED
+    from the corpus as ``w_l ∝ T_l^α`` (α = ``TEMP_MIXTURE_ALPHA``) —
+    the multilingual temperature-sampling rule (e.g. mBERT/XLM-R
+    exponent-smoothed sampling) that upweights small languages without
+    hand-written share tables. Normalization cancels algebraically in
+    the budget math (``B = min(T_l/w_l)``, ``f_l = B·w_l/T_l``), so the
+    unnormalized ``sqrt(T_l)`` feeds the same no-upsampling machinery
+    as ``mixture_sample``: the stratum minimizing ``T_l^(1-α)`` — the
+    smallest — is kept whole, larger strata downsample toward its
+    temperature share.
+
+    Same 100 TB shape as ``mixture_sample``: one map-side-combined
+    ``groupBy(lang)``, broadcast-only threshold derivation, corpus
+    never shuffled, portable-hash selection (reproducible, oracle-
+    checked). Output: (key, stratum, n_tokens) for kept documents.
+    """
+    from scholar_stream_spark.operators.textops import n_tokens
+
+    base = documents.select(
+        F.col(key_col),
+        F.col(strata_col).alias("stratum"),
+        n_tokens(F.col("text")).alias("n_tokens"),
+        sample_bucket(key_col).alias("bucket"),
+    )
+    totals = base.groupBy("stratum").agg(F.sum("n_tokens").alias("t_l"))
+    weighted = totals.withColumn(
+        "w_l", F.sqrt(F.col("t_l").cast("double"))
+    )
+    budget = weighted.agg(
+        F.min(F.col("t_l") / F.col("w_l")).alias("budget")
+    )
+    # binding-stratum pin + floor()ed fractions: identical discipline
+    # (and expression association) as mixture_select
+    thresholds = weighted.crossJoin(F.broadcast(budget)).select(
+        "stratum",
+        F.when(
+            F.col("t_l") / F.col("w_l") == F.col("budget"),
+            F.lit(SAMPLE_DENOM).cast("long"),
+        )
+        .otherwise(
+            F.floor(
+                F.col("budget") * F.col("w_l") / F.col("t_l") * SAMPLE_DENOM
+            )
+        )
+        .alias("thr"),
+    )
+    return (
+        base.join(F.broadcast(thresholds), "stratum")
+        .filter(F.col("bucket") < F.col("thr"))
+        .select(key_col, "stratum", "n_tokens")
+    )
+
+
 #: Sequence-packing defaults: token budget per training sequence and
 #: the number of independent packing shards.
 PACK_BUDGET_TOKENS = 2048

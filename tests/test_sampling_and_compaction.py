@@ -140,3 +140,35 @@ def test_mixture_select_binding_stratum_survives_float_rounding(spark):
     )
     got = sampling.mixture_select(base, {"x": 0.35}).collect()
     assert [r["doc_id"] for r in got] == [1]
+
+
+def test_temperature_mixture_smallest_stratum_kept_whole(spark):
+    """w_l ∝ sqrt(T_l) makes the smallest stratum the binding one: it
+    keeps fraction 1 while larger strata downsample toward its
+    temperature share — and selection is deterministic."""
+    from scholar_stream_spark.operators.sampling import temperature_mixture
+
+    rows = []
+    did = 0
+    for lang, n_docs, words in (("en", 400, 20), ("de", 100, 20), ("fr", 25, 20)):
+        for _ in range(n_docs):
+            rows.append((did, lang, " ".join(f"w{did}x{j}" for j in range(words))))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = temperature_mixture(docs).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["stratum"], 0)
+        by_lang[r["stratum"]] += 1
+    # fr (smallest) binds: all 25 kept
+    assert by_lang["fr"] == 25
+    # larger strata downsample by ~sqrt ratio: f_en = sqrt(T_fr*T_en)/T_en
+    # = sqrt(25/400) relative share shift → en keeps ~ sqrt(400*25)/400
+    # = 100/400 of docs (hash-uniform, allow slack)
+    assert 60 <= by_lang["en"] <= 140, by_lang
+    assert 30 <= by_lang["de"] <= 70, by_lang
+    # deterministic under re-run/repartition
+    again = temperature_mixture(docs.repartition(7)).collect()
+    assert sorted((r["doc_id"], r["stratum"]) for r in kept) == sorted(
+        (r["doc_id"], r["stratum"]) for r in again
+    )
