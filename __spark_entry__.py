@@ -334,6 +334,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": lambda s, d: textops.bigram_logprob(
             _t(s, d, "documents")
         ),
+        # corpus data card: per-lang + TOTAL rollup summary table
+        "corpus_data_card": lambda s, d: textops.corpus_data_card(
+            _t(s, d, "documents")
+        ),
         # temperature mixture: shares derived as sqrt(T_l) instead of a
         # hand-written weight table (multilingual temperature sampling)
         "temperature_mixture": lambda s, d: sampling.temperature_mixture(
@@ -1855,6 +1859,34 @@ def oracle_sql() -> dict[str, str]:
         "dedup_fuzzy": _fuzzy_neardup_sql(),
         "decontaminate": _decontaminate_sql(),
         "mixture_sample": _mixture_sample_sql(),
+        "corpus_data_card": f"""
+            WITH feat AS (
+                SELECT lang,
+                       CAST(length(text) - length(replace(text, ' ', ''))
+                            + 1 AS BIGINT) AS nt,
+                       length(replace(text, ' ', '')) AS n_nonspace,
+                       len(list_filter(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t IN ({", ".join(f"'{w}'" for w in textops.STOPWORDS)})
+                       )) AS n_stop
+                FROM documents
+            ),
+            scored AS (
+                SELECT lang, nt,
+                       CASE WHEN nt < 5 THEN 0.0
+                            ELSE 1.0 - abs(n_nonspace / nt - 4.0) / 10.0
+                                 - (n_stop / nt) * 0.5 END AS q
+                FROM feat
+            )
+            SELECT coalesce(lang, 'TOTAL') AS lang,
+                   count(*) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                   round(avg(nt), 4) AS avg_doc_tokens,
+                   round(quantile_cont(nt, 0.5), 4) AS p50_doc_tokens,
+                   round(avg(q), 4) AS mean_quality
+            FROM scored
+            GROUP BY ROLLUP(lang)
+        """,
         "temperature_mixture": f"""
             WITH base AS (
                 SELECT doc_id, lang AS stratum,

@@ -254,6 +254,48 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+def corpus_data_card(documents: DataFrame) -> DataFrame:
+    """Corpus data card: the per-language summary table (plus a TOTAL
+    rollup row) a curation pipeline publishes alongside the corpus —
+    doc/token counts, average and exact-median document length, and
+    mean quality score.
+
+    One ``rollup(lang)`` aggregation: every row and the grand total come
+    out of a single map-side-combined pass (exact ``percentile`` keeps
+    it engine-checkable; at 100 TB you'd swap ``percentile_approx`` — the
+    same trade documented on ``value_percentiles``).
+
+    Output: (lang, n_docs, n_tokens, avg_doc_tokens, p50_doc_tokens,
+    mean_quality) with ``lang = 'TOTAL'`` for the rollup row.
+    """
+    _, _, _, score = quality_parts(F.col("text"))
+    base = scale_out(documents).select(
+        "lang",
+        n_tokens(F.col("text")).alias("nt"),
+        score.alias("q"),
+    )
+    return (
+        base.rollup("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.round(F.avg("nt"), 4).alias("avg_doc_tokens"),
+            F.round(F.expr("percentile(nt, 0.5)"), 4).alias(
+                "p50_doc_tokens"
+            ),
+            F.round(F.avg("q"), 4).alias("mean_quality"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("TOTAL")).alias("lang"),
+            "n_docs",
+            "n_tokens",
+            "avg_doc_tokens",
+            "p50_doc_tokens",
+            "mean_quality",
+        )
+    )
+
+
 #: C4-style line-filter rules (Raffel et al., C4 appendix): a line
 #: survives only if it ends in terminal punctuation, has at least
 #: MIN_LINE_WORDS words, and carries no code/boilerplate marker.

@@ -341,3 +341,24 @@ def test_clean_lines_c4_rules(spark):
     assert r["clean_text"] == (
         'A perfectly good sentence stays here.\nHe said "stop".'
     )
+
+
+def test_corpus_data_card_rollup(spark):
+    from scholar_stream_spark.operators.textops import corpus_data_card
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "one two three four five six"),
+            (2, "en", "a b c d e f g h"),
+            (3, "de", "der die das und aber"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["lang"]: r for r in corpus_data_card(docs).collect()}
+    assert set(rows) == {"en", "de", "TOTAL"}
+    assert rows["en"]["n_docs"] == 2 and rows["de"]["n_docs"] == 1
+    assert rows["TOTAL"]["n_docs"] == 3
+    assert rows["TOTAL"]["n_tokens"] == (
+        rows["en"]["n_tokens"] + rows["de"]["n_tokens"]
+    )
+    assert rows["en"]["p50_doc_tokens"] == 7.0  # median of 6 and 8
