@@ -1878,7 +1878,8 @@ def oracle_sql() -> dict[str, str]:
                                  - (n_stop / nt) * 0.5 END AS q
                 FROM feat
             )
-            SELECT coalesce(lang, 'TOTAL') AS lang,
+            SELECT CASE WHEN GROUPING(lang) = 1 THEN 'TOTAL'
+                        ELSE coalesce(lang, '(null)') END AS lang,
                    count(*) AS n_docs,
                    CAST(SUM(nt) AS BIGINT) AS n_tokens,
                    round(avg(nt), 4) AS avg_doc_tokens,

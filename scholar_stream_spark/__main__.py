@@ -182,6 +182,27 @@ def _report_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _read_raw_or_empty(spark, path: str):
+    """The bronze path may not exist yet — exactly the state the
+    dashboard's 'Start the producer to see metrics' message targets, so
+    it must render the empty state, never traceback (and a watch loop
+    must survive the producer starting later)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        cond = getattr(exc, "getCondition", lambda: None)() or ""
+        if any(
+            code in cond or code in str(exc)
+            for code in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+        ):
+            return spark.createDataFrame(
+                [], "payload string, metadata string"
+            )
+        raise
+
+
 def _report_main(argv: list[str]) -> int:
     import time as _time
 
@@ -195,7 +216,7 @@ def _report_main(argv: list[str]) -> int:
     while True:
         # re-read per poll: the parquet file listing is cached at read
         # time, so a fresh read is what picks up newly landed batches
-        raw = spark.read.parquet(args.raw_path)
+        raw = _read_raw_or_empty(spark, args.raw_path)
         init_catalog(spark, raw, role=args.role)
         print(render_report(spark, limit=args.limit))
         polls += 1

@@ -494,6 +494,39 @@ def write_neardup_index(
     _band_keys_from_grouped(stored).write.mode("overwrite").parquet(
         f"{path}/bands"
     )
+    write_neardup_index_params(
+        corpus_docs.sparkSession, path, n, hash_profile, cap
+    )
+
+
+def write_neardup_index_params(
+    spark, path: str, n: int, hash_profile: str, cap: int | None
+) -> None:
+    """Persist the hash-space parameters the index was built with, so a
+    probe in a DIFFERENT space (e.g. xxhash64 vs md5) fails loudly
+    instead of silently matching nothing and admitting every dup."""
+    spark.createDataFrame(
+        [(int(n), hash_profile, -1 if cap is None else int(cap))],
+        "n int, hash_profile string, max_doc_freq long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def check_neardup_index_params(
+    spark, path: str, n: int, hash_profile: str, cap: int | None
+) -> None:
+    """Raise when the probe's parameters disagree with the persisted
+    index's — band keys and hash arrays from different (n,
+    hash_profile, cap) spaces never match, which would silently return
+    zero near-dup hits."""
+    stored = spark.read.parquet(f"{path}/params").collect()[0]
+    want = (int(n), hash_profile, -1 if cap is None else int(cap))
+    got = (stored["n"], stored["hash_profile"], stored["max_doc_freq"])
+    if want != got:
+        raise ValueError(
+            f"near-dup index at {path!r} was built with (n, hash_profile,"
+            f" max_doc_freq)={got}; probe requested {want} — rebuild the"
+            " index or match its parameters"
+        )
 
 
 def incremental_neardup_indexed(
@@ -512,6 +545,7 @@ def incremental_neardup_indexed(
     corpus side from the table)."""
     spark = new_docs.sparkSession
     cap = _resolve_doc_freq_cap(max_doc_freq, hash_profile == "fast")
+    check_neardup_index_params(spark, path, n, hash_profile, cap)
     corpus_grouped = spark.read.parquet(f"{path}/hashes")
     corpus_bands = spark.read.parquet(f"{path}/bands")
     return _incremental_neardup_from(
@@ -737,6 +771,11 @@ def simhash_pairs(
 SUBSTR_WINDOW = 20
 SUBSTR_MIN_COUNT = 2
 
+#: Tokenizer pattern for the ExactSubstr ops, whitespace spelled
+#: explicitly (the _ASCII_WS idiom): Java \s includes \x0b, RE2's does
+#: not, and span OFFSETS must agree token-for-token with the oracle.
+SUBSTR_WS_RE = r"[ \t\n\x0b\f\r]+"
+
 
 def duplicate_spans(
     documents: DataFrame,
@@ -762,7 +801,7 @@ def duplicate_spans(
     base = (
         scale_out(documents)
         .select(
-            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+            "doc_id", F.split(F.trim(F.col("text")), SUBSTR_WS_RE).alias("ws")
         )
         .filter(F.size("ws") >= window)
     )
@@ -838,7 +877,7 @@ def remove_duplicate_spans(
     spans = duplicate_spans(documents, window, min_count)
     toks = scale_out(documents).select(
         "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+        F.posexplode(F.split(F.trim(F.col("text")), SUBSTR_WS_RE)).alias(
             "pos", "tok"
         ),
     )
@@ -861,7 +900,7 @@ def remove_duplicate_spans(
     )
     totals = documents.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+        F.size(F.split(F.trim(F.col("text")), SUBSTR_WS_RE)).cast("long").alias(
             "_n_total"
         ),
     )

@@ -234,7 +234,7 @@ def _centroid_matrix(centroids: DataFrame):
     ``collect()``: the quantizer IS driver state in every real ANN
     system; what stays distributed is the corpus."""
     rows = sorted(centroids.collect(), key=lambda r: r["cell"])
-    cells = np.array([r["cell"] for r in rows], dtype=np.int32)
+    cells = np.array([r["cell"] for r in rows], dtype=np.int64)
     mat = np.array([r["c_embedding"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0  # zero-norm centroid → sim 0, never wins
@@ -250,7 +250,7 @@ def _argmax_cell_udf(cells, cmat_normed):
     centroid side is pre-normalized — one multiply-free kernel.
     """
 
-    @F.pandas_udf("int")
+    @F.pandas_udf("bigint")
     def _cell(emb: pd.Series) -> pd.Series:
         m = np.array(list(emb), dtype=np.float64)
         best = np.argmax(m @ cmat_normed.T, axis=1)
@@ -322,7 +322,7 @@ def _refined_centroids(corpus: DataFrame, cells, cmat_normed):
     # in a single numpy call anyway.
     combined = (
         corpus.select("embedding")
-        .mapInPandas(partials, "cell int, n long, s array<double>")
+        .mapInPandas(partials, "cell long, n long, s array<double>")
         .collect()
     )
     by_cell: dict[int, np.ndarray] = {}
@@ -335,7 +335,7 @@ def _refined_centroids(corpus: DataFrame, cells, cmat_normed):
         else:
             by_cell[r["cell"]] = vec
             counts[r["cell"]] = r["n"]
-    new_cells = np.array(sorted(by_cell), dtype=np.int32)
+    new_cells = np.array(sorted(by_cell), dtype=np.int64)
     mat = np.array([by_cell[c] for c in new_cells], dtype=np.float64)
     cnt = np.array([counts[c] for c in new_cells], dtype=np.float64)
     mat = mat / cnt[:, None]
@@ -390,7 +390,7 @@ def ivf_topk(
             f"ivf_topk: need >= {n_centroids} vectors to train the "
             f"quantizer, got {len(seed_rows)}"
         )
-    seed_cells = np.array([r["vec_id"] for r in seed_rows], dtype=np.int32)
+    seed_cells = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)
     seed_mat = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
     seed_norms = np.linalg.norm(seed_mat, axis=1)
     seed_norms[seed_norms == 0] = 1.0
@@ -421,7 +421,7 @@ def ivf_topk(
     ]
     q_cells = embeddings.sparkSession.createDataFrame(
         probe_rows,
-        "query_id long, q_embedding array<double>, q_norm double, cell int",
+        "query_id long, q_embedding array<double>, q_norm double, cell long",
     )
     cand = indexed.join(
         F.broadcast(q_cells),
@@ -461,7 +461,7 @@ def write_ivf_index(
             f"write_ivf_index: need >= {n_centroids} vectors to train "
             f"the quantizer, got {len(seed_rows)}"
         )
-    seed_cells = np.array([r["vec_id"] for r in seed_rows], dtype=np.int32)
+    seed_cells = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)
     seed_mat = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
     seed_norms = np.linalg.norm(seed_mat, axis=1)
     seed_norms[seed_norms == 0] = 1.0
@@ -479,7 +479,7 @@ def write_ivf_index(
             (int(c), [float(x) for x in cmat_normed[i]])
             for i, c in enumerate(cells)
         ],
-        "cell int, centroid array<double>",
+        "cell long, centroid array<double>",
     )
     quantizer.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/quantizer"
@@ -503,7 +503,7 @@ def ivf_probe_index(
     the whole point of the layout); exact cosine re-ranks.
     """
     qrows = spark.read.parquet(f"{path}/quantizer").collect()
-    cells = np.array([r["cell"] for r in qrows], dtype=np.int32)
+    cells = np.array([r["cell"] for r in qrows], dtype=np.int64)
     cmat_normed = np.array([r["centroid"] for r in qrows], dtype=np.float64)
     q_mat = np.array([list(e) for _, e in queries], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -522,7 +522,7 @@ def ivf_probe_index(
     ]
     q_cells = spark.createDataFrame(
         probe_rows,
-        "query_id long, q_embedding array<double>, q_norm double, cell int",
+        "query_id long, q_embedding array<double>, q_norm double, cell long",
     )
     probed_cells = sorted({r[3] for r in probe_rows})
     vectors = spark.read.parquet(f"{path}/vectors").filter(
@@ -824,7 +824,7 @@ def cluster_embeddings(
             f"cluster_embeddings: need >= {n_clusters} rows to seed, "
             f"got {len(seed_rows)}"
         )
-    cells = np.array([r["vec_id"] for r in seed_rows], dtype=np.int32)
+    cells = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)
     cmat = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
     norms = np.linalg.norm(cmat, axis=1)
     norms[norms == 0] = 1.0
@@ -832,12 +832,21 @@ def cluster_embeddings(
 
     train = corpus
     if train_fraction is not None and train_fraction < 1.0:
-        from scholar_stream_spark.operators.sampling import split_bucket
-
-        train = corpus.filter(
-            split_bucket("CAST(vec_id AS STRING)")
-            < int(round(train_fraction * 100))
+        from scholar_stream_spark.operators.sampling import (
+            SAMPLE_DENOM,
+            sample_bucket,
         )
+
+        # full sample_bucket granularity (1e-6), not a percent grid: a
+        # validated-in-range fraction must never quantize to an EMPTY
+        # training set (tf <= 0.005 would, on a 1% grid)
+        thr = int(round(train_fraction * SAMPLE_DENOM))
+        if thr < 1:
+            raise ValueError(
+                f"train_fraction={train_fraction} is below the sampling "
+                f"granularity 1/{SAMPLE_DENOM}"
+            )
+        train = corpus.filter(sample_bucket("vec_id") < thr)
     for _ in range(n_iters):
         cells, cmat_normed, _raw = _refined_centroids(
             train, cells, cmat_normed

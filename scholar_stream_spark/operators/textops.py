@@ -277,6 +277,7 @@ def corpus_data_card(documents: DataFrame) -> DataFrame:
     return (
         base.rollup("lang")
         .agg(
+            F.grouping("lang").alias("_g"),
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("nt").alias("n_tokens"),
             F.round(F.avg("nt"), 4).alias("avg_doc_tokens"),
@@ -286,7 +287,11 @@ def corpus_data_card(documents: DataFrame) -> DataFrame:
             F.round(F.avg("q"), 4).alias("mean_quality"),
         )
         .select(
-            F.coalesce(F.col("lang"), F.lit("TOTAL")).alias("lang"),
+            # GROUPING, not coalesce: a NULL-lang detail group must not
+            # collide with the rollup grand-total row
+            F.when(F.col("_g") == 1, F.lit("TOTAL"))
+            .otherwise(F.coalesce(F.col("lang"), F.lit("(null)")))
+            .alias("lang"),
             "n_docs",
             "n_tokens",
             "avg_doc_tokens",

@@ -207,6 +207,22 @@ def neardup_ingest_batch(
         .localCheckpoint(eager=True)
     )
     cap = ddp._resolve_doc_freq_cap("auto", hash_profile == "fast")
+    # first batch stamps the index's hash-space params; later batches
+    # (and any out-of-band incremental_neardup_indexed probe) must match
+    # them or fail loudly — mixed hash spaces silently match nothing
+    try:
+        ddp.check_neardup_index_params(
+            spark, index_path, ddp.SHINGLE_N, hash_profile, cap
+        )
+    except AnalysisException as exc:
+        cond = getattr(exc, "getCondition", lambda: None)() or ""
+        if not any(
+            code in cond or code in str(exc) for code in _EMPTY_INDEX_ERRORS
+        ):
+            raise
+        ddp.write_neardup_index_params(
+            spark, index_path, ddp.SHINGLE_N, hash_profile, cap
+        )
     bg = ddp._grouped_shingle_hashes(
         batch_df, ddp.SHINGLE_N, hash_profile, cap
     ).localCheckpoint(eager=True)  # one shingling, four consumers
@@ -233,7 +249,12 @@ def neardup_ingest_batch(
         .union(in_pairs.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
-    survivors = batch_df.join(rejects, "doc_id", "left_anti")
+    # one computation feeding three writes (same discipline as
+    # ingest_batch): without this, the corpus-probe pipeline — index
+    # scans + candidate/verify joins — would re-execute per sink
+    survivors = batch_df.join(rejects, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
     survivors.write.mode("overwrite").parquet(
         os.path.join(corpus_path, f"batch={batch_id}")
     )

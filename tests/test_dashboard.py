@@ -170,3 +170,17 @@ def test_report_watch_picks_up_new_batches(spark, landed_raw, tmp_path, capsys):
     assert out.count("ScholarStream — Live Metrics") == 3
     # W99 landed after the first poll and must appear by the last one
     assert "W99" in out
+
+
+def test_report_cli_degrades_on_missing_bronze_path(spark, tmp_path, capsys):
+    """Running report before the producer ever landed a batch is the
+    exact state the 'Start the producer' message targets — it must
+    render the empty state, not traceback."""
+    from scholar_stream_spark.__main__ import main
+
+    rc = main(
+        ["report", "--raw-path", str(tmp_path / "never_landed")]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "No recent data" in out and "(no rows)" in out

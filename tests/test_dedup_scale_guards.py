@@ -578,3 +578,22 @@ def test_remove_duplicate_spans_cuts_and_preserves_docs(spark):
     assert got[2]["clean_text"] == "" and got[2]["n_kept_tokens"] == 0
     assert got[3]["clean_text"] == " ".join(_tokens("z", 8))
     assert got[3]["n_removed_tokens"] == 0
+
+
+def test_neardup_index_params_mismatch_raises(spark, tmp_path):
+    """Probing a persisted index in a different hash space must fail
+    loudly — mismatched band keys would otherwise silently match
+    nothing and admit every duplicate."""
+    import pytest as _pytest
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(50)
+    path = str(tmp_path / "ndidx")
+    dedup.write_neardup_index(docs, path)  # portable hashes
+    with _pytest.raises(ValueError, match="was built with"):
+        dedup.incremental_neardup_indexed(
+            docs.limit(5), path, hash_profile="fast"
+        )
+    # matching params probe fine
+    assert dedup.incremental_neardup_indexed(docs.limit(5), path).count() >= 0
