@@ -69,3 +69,44 @@ def test_revenue_by_region_broadcasts_all_dims(spark):
     plan = _plan(spark, "revenue_by_region")
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    """The as-of formulation must stay union+window: exactly ONE
+    exchange and NO join operator — a range/nested-loop join here is
+    the corpus-pair trap the design exists to avoid."""
+    plan = _plan(spark, "asof_join")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_sessionize_shares_one_copartitioned_shuffle(spark):
+    """lag-flag, running-sum session ids, and the per-session agg must
+    all ride ONE user_id exchange."""
+    plan = _plan(spark, "sessionize")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_pack_docs_is_single_shuffle(spark):
+    """Hash-sharded prefix-sum packing: one shard exchange, no join."""
+    plan = _plan(spark, "pack_docs")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_chunk_docs_has_no_join_and_at_most_scaleout_shuffle(spark):
+    """Chunking is one narrow generate over the scan; the only
+    permissible exchange is scale_out's round-robin repartition."""
+    plan = _plan(spark, "chunk_docs")
+    assert plan.count("Exchange") <= 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_decontaminate_and_incremental_never_sortmerge(spark):
+    """The corpus side must never shuffle on pair keys: every join in
+    these plans is a broadcast hash join."""
+    for name in ("decontaminate", "dedup_incremental"):
+        plan = _plan(spark, name)
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert plan.count("BroadcastHashJoin") >= 1, (name, plan)
