@@ -334,6 +334,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": lambda s, d: textops.bigram_logprob(
             _t(s, d, "documents")
         ),
+        # MinHash estimator accuracy: estimated vs exact Jaccard with
+        # the error column itself oracle-checked (deterministic hashes)
+        "minhash_estimate": lambda s, d: dedup.minhash_estimate_pairs(
+            _t(s, d, "documents")
+        ),
         # corpus data card: per-lang + TOTAL rollup summary table
         "corpus_data_card": lambda s, d: textops.corpus_data_card(
             _t(s, d, "documents")
@@ -883,6 +888,45 @@ cand AS (
     JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 ),
 {_jaccard_tail(dedup.JACCARD_THRESHOLD)}
+"""
+
+
+def _minhash_estimate_sql() -> str:
+    n_sig = len(MINHASH_PARAMS)
+    sig_eq = " + ".join(
+        f"CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END"
+        for j in range(n_sig)
+    )
+    return f"""
+WITH {_shingle_ctes()},
+{_minhash_band_ctes()},
+cand AS (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.d1, c.d2, count(*) AS n_inter
+    FROM cand c
+    JOIN sh s1 ON s1.doc_id = c.d1
+    JOIN sh s2 ON s2.doc_id = c.d2 AND s1.shingle = s2.shingle
+    GROUP BY c.d1, c.d2
+),
+jac AS (
+    SELECT i.d1, i.d2,
+           round(i.n_inter / (z1.n_sh + z2.n_sh - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sizes z1 ON z1.doc_id = i.d1
+    JOIN sizes z2 ON z2.doc_id = i.d2
+    WHERE i.n_inter / (z1.n_sh + z2.n_sh - i.n_inter)
+          >= {dedup.JACCARD_THRESHOLD}
+)
+SELECT jac.d1, jac.d2, jac.jaccard,
+       round(({sig_eq}) / {float(n_sig)}, 4) AS est_jaccard,
+       round(abs(({sig_eq}) / {float(n_sig)} - jac.jaccard), 4) AS abs_err
+FROM jac
+JOIN sig sa ON sa.doc_id = jac.d1
+JOIN sig sb ON sb.doc_id = jac.d2
 """
 
 
@@ -1853,6 +1897,7 @@ def oracle_sql() -> dict[str, str]:
         "remove_dup_spans": _remove_dup_spans_sql(),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
+        "minhash_estimate": _minhash_estimate_sql(),
         "dedup_incremental_neardup": _incremental_neardup_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _embedding_neardup_sql(),

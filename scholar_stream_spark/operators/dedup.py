@@ -322,6 +322,79 @@ def minhash_signatures(
     )
 
 
+def _sig_arrays_from_grouped(grouped: DataFrame) -> DataFrame:
+    """(doc_id, sig array<long>) — the 32 MinHash components as ONE
+    array column, out of the same Arrow kernel as ``_sig_matrix``."""
+
+    @F.pandas_udf("array<long>")
+    def _sig(hs: pd.Series) -> pd.Series:
+        return pd.Series(list(_sig_matrix(list(hs))))
+
+    return grouped.select("doc_id", _sig(F.col("hs")).alias("sig"))
+
+
+def minhash_estimate_pairs(
+    documents: DataFrame,
+    n: int = SHINGLE_N,
+    threshold: float = JACCARD_THRESHOLD,
+    hash_profile: str = "portable",
+    max_doc_freq: int | None | str = "auto",
+) -> DataFrame:
+    """Sketch-accuracy surfacing for MinHash: for every banded candidate
+    pair at exact Jaccard ≥ threshold, emit the SIGNATURE-estimated
+    Jaccard (fraction of the 32 components that agree — the unbiased
+    MinHash estimator, ±1/√32 ≈ 0.18 std) beside the exact score and
+    the absolute error. Unlike the HLL/GK sketches this estimator is
+    pure deterministic hash arithmetic, so the whole row — estimate
+    included — is DuckDB-oracle hash-checkable, making it the one
+    sketch whose error column itself has a green correctness row.
+
+    Plan shape: identical to ``minhash_lsh_pairs`` (one grouped-hash
+    exchange feeding bands, signatures, and the verify) plus a
+    zip_with/filter array expression per surviving pair.
+    """
+    cap = _resolve_doc_freq_cap(max_doc_freq, hash_profile == "fast")
+    grouped = _grouped_shingle_hashes(documents, n, hash_profile, cap)
+    bands = _band_keys_from_grouped(grouped)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    exact = _verify_jaccard_hashed(cand, grouped, threshold)
+    sigs = _sig_arrays_from_grouped(grouped)
+    n_sig = len(MINHASH_PARAMS)
+    # CAST: a bare 32.0 literal parses as DECIMAL in Spark SQL and the
+    # whole estimate would surface as Decimal objects, not doubles
+    est = F.expr(
+        f"size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))"
+        f" / CAST({float(n_sig)} AS DOUBLE)"
+    )
+    return (
+        exact.join(
+            sigs.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sa")),
+            "d1",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sb")),
+            "d2",
+        )
+        .select(
+            "d1",
+            "d2",
+            "jaccard",
+            F.round(est, 4).alias("est_jaccard"),
+            F.round(F.abs(est - F.col("jaccard")), 4).alias("abs_err"),
+        )
+    )
+
+
 def _band_keys_from_grouped(grouped: DataFrame) -> DataFrame:
     """(doc_id, band, key) LSH postings, band keys built INSIDE the
     signature kernel — the '-'-joined 4-row band key strings come out of
