@@ -1104,8 +1104,18 @@ def _star_components(edges: DataFrame, max_iter: int) -> DataFrame:
     prev_stat = None
     for _ in range(max_iter):
         cur = _small_star(_large_star(cur)).localCheckpoint()
+        # Convergence is detected from (count, sum of xxhash64(d1, d2)):
+        # an order-independent 64-bit content checksum, NOT the additive
+        # sum(d1 + d2) — two DIFFERENT edge sets can collide on count +
+        # additive sum (e.g. {(1,4)} vs {(2,3)}), and a false-positive
+        # stop here would emit wrong component labels because the
+        # star-forest extraction below assumes a true fixpoint. A
+        # count+checksum collision between consecutive rounds would need
+        # an xxhash64 multiset collision (~2^-64) — and the check stays
+        # one tiny aggregate per round, vs an exceptAll join per round
+        # for an exact set-difference test.
         stat = cur.agg(
-            F.count(F.lit(1)), F.sum(F.col("d1") + F.col("d2"))
+            F.count(F.lit(1)), F.sum(F.xxhash64("d1", "d2"))
         ).first()
         stat = (stat[0], stat[1])
         if stat == prev_stat:

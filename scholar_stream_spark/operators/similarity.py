@@ -847,9 +847,30 @@ def cluster_embeddings(
                 f"granularity 1/{SAMPLE_DENOM}"
             )
         train = corpus.filter(sample_bucket("vec_id") < thr)
+        # the range check above can't guarantee the HASH-sampled set is
+        # non-empty on a small/skewed id space — and an empty training
+        # set would silently erode every centroid in _refined_centroids,
+        # then crash the final _assign kernel with an opaque numpy
+        # argmax-on-empty-axis error. Probe once (limit(1) → early-exit
+        # scan) and fail with an actionable message instead.
+        if not train.limit(1).count():
+            raise ValueError(
+                f"cluster_embeddings: train_fraction={train_fraction} "
+                "hash-sampled an EMPTY training set on this corpus — "
+                "raise train_fraction (or pass None for full-corpus "
+                "training)"
+            )
     for _ in range(n_iters):
         cells, cmat_normed, _raw = _refined_centroids(
             train, cells, cmat_normed
+        )
+    if len(cells) == 0:
+        # every seed cell emptied during refinement (possible only on a
+        # degenerate training set, e.g. all-zero vectors): fail loudly —
+        # the final assignment has nothing to argmax against
+        raise ValueError(
+            "cluster_embeddings: refinement lost every centroid "
+            "(degenerate training set); train on more/cleaner data"
         )
 
     # the final assignment is already an Arrow pass — fuse the cosine

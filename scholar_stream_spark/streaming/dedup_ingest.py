@@ -182,8 +182,12 @@ def neardup_ingest_batch(
 ) -> None:
     """Land one micro-batch with NEAR-dup rejection: drop every batch
     doc that near-dups the existing corpus (via the persisted LSH
-    index) or a lower-id doc in the same batch (greedy keep-lowest —
-    the deterministic in-batch policy), then append survivors' docs,
+    index) or an already-KEPT lower-id doc in the same batch (exact
+    sequential greedy keep-lowest: scanning ids ascending, a doc is
+    rejected iff it near-dups a doc that itself survived — so in a
+    chain A~B, B~C with A≁C, A and C are both kept and only B drops,
+    exactly as if the docs had arrived one at a time), then append
+    survivors' docs,
     hash arrays, and band postings under ``batch=<id>`` overwrite
     directories. Batch text is shingled exactly ONCE (the grouped-hash
     table is checkpointed and feeds the corpus probe, the in-batch
@@ -244,10 +248,36 @@ def neardup_ingest_batch(
         .distinct()
     )
     in_pairs = ddp._verify_jaccard_hashed(in_cand, bg, threshold)
-    rejects = (
-        corpus_hits.select(F.col("new_id").alias("doc_id"))
-        .union(in_pairs.select(F.col("d2").alias("doc_id")))
-        .distinct()
+    # Resolve the in-batch pair graph with EXACT sequential greedy, not
+    # "reject every d2": rejecting every doc with ANY lower-id partner
+    # also drops docs whose only near-dup was itself rejected (chain
+    # A~B, B~C would keep only A; sequential arrival keeps A and C).
+    # The verified pair list is micro-batch-bounded by construction
+    # (near-dup pairs within ONE ingest batch), so it is driver-sized
+    # by the same contract as the batch itself; scanning ids ascending,
+    # a doc rejects iff a KEPT neighbor precedes it.
+    # A doc the corpus already rejected was never "kept", so it must not
+    # block its in-batch neighbors either — seed the scan with the
+    # corpus-hit ids (batch-bounded, one probe-plan execution).
+    corpus_rejects: set[int] = {
+        r["new_id"] for r in corpus_hits.select("new_id").distinct().collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for r in in_pairs.select("d1", "d2").collect():
+        adj.setdefault(r["d1"], set()).add(r["d2"])
+        adj.setdefault(r["d2"], set()).add(r["d1"])
+    kept_ids: set[int] = set()
+    in_rejects: list[int] = []
+    for node in sorted(adj):
+        if node in corpus_rejects:
+            continue  # already rejected; can never block a later doc
+        if adj[node] & kept_ids:  # kept_ids holds only lower ids here
+            in_rejects.append(node)
+        else:
+            kept_ids.add(node)
+    all_rejects = sorted(corpus_rejects | set(in_rejects))
+    rejects = spark.createDataFrame(
+        [(int(x),) for x in all_rejects], "doc_id long"
     )
     # one computation feeding three writes (same discipline as
     # ingest_batch): without this, the corpus-probe pipeline — index

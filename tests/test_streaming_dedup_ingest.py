@@ -197,6 +197,59 @@ def test_neardup_ingest_in_batch_docid_redelivery(spark, tmp_path):
     assert _corpus_ids(spark, corpus) == [7, 8]
 
 
+def _chain_docs():
+    """A~B, B~C, A!~C at 5-shingles: 100 tokens (96 shingles), B is the
+    base, A flips the adjacent pair at positions 20-21, C the pair at
+    70-71. One interior pair-flip kills the 6 windows touching it
+    (J = 90/102 ≈ 0.88 ≥ 0.8); A vs C carries both flips, killing 12
+    (J = 84/108 ≈ 0.78 < 0.8)."""
+    base = [f"tok{i}" for i in range(100)]
+    a = list(base)
+    a[20], a[21] = "A20", "A21"
+    c = list(base)
+    c[70], c[71] = "C70", "C71"
+    return " ".join(a), " ".join(base), " ".join(c)
+
+
+def test_neardup_ingest_in_batch_greedy_is_sequential(spark, tmp_path):
+    """Chain A~B, B~C (A!~C) in ONE batch must keep A AND C — exactly
+    what sequential arrival would do (B rejects against kept A; C's only
+    near-dup B was itself rejected, so C survives). The old transitive
+    policy ('reject every doc with any lower-id partner') kept only A."""
+    corpus, index = tmp_path / "corpus", tmp_path / "index"
+    a, b, c = _chain_docs()
+    neardup_ingest_batch(
+        spark.createDataFrame([(1, a), (2, b), (3, c)], DOC_SCHEMA),
+        0, str(corpus), str(index),
+    )
+    assert _corpus_ids(spark, corpus) == [1, 3]
+
+
+def test_neardup_ingest_corpus_reject_does_not_block_batch_peer(
+    spark, tmp_path
+):
+    """A batch doc rejected against the CORPUS was never kept, so it
+    must not reject its in-batch near-dups either. Corpus = {B}; batch
+    = {A, C2} where A near-dups B (one interior pair-flip) and C2
+    near-dups only A (C2 = A plus a SECOND pair-flip → two flips vs B,
+    below threshold). Sequential semantics: A drops on the corpus hit,
+    C2 survives because its only partner was already gone."""
+    corpus, index = tmp_path / "corpus", tmp_path / "index"
+    a, b, _ = _chain_docs()
+    c2_toks = a.split(" ")
+    c2_toks[70], c2_toks[71] = "X70", "X71"
+    c2 = " ".join(c2_toks)
+    neardup_ingest_batch(
+        spark.createDataFrame([(1, b)], DOC_SCHEMA),
+        0, str(corpus), str(index),
+    )
+    neardup_ingest_batch(
+        spark.createDataFrame([(10, a), (11, c2)], DOC_SCHEMA),
+        1, str(corpus), str(index),
+    )
+    assert _corpus_ids(spark, corpus) == [1, 11]
+
+
 def test_streaming_index_probeable_by_batch_api(spark, tmp_path):
     """The index the streaming ingest builds (batch=N partitioned) is
     the same layout incremental_neardup_indexed probes — a later batch

@@ -158,6 +158,29 @@ def test_cluster_embeddings_seeds_from_gapped_id_space(spark):
     assert len({r["cluster_id"] for r in got}) == 2
 
 
+def test_cluster_embeddings_empty_train_sample_raises_clearly(spark):
+    """An in-range train_fraction whose hash sample catches ZERO rows
+    must fail with an actionable ValueError, not a numpy argmax crash
+    in the final assignment kernel (round-5 advice)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from scholar_stream_spark.operators.sampling import sample_bucket
+    from scholar_stream_spark.operators.similarity import cluster_embeddings
+
+    base = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    # keep only ids hashing OUTSIDE bucket 0, so threshold 1 (the
+    # smallest representable fraction) deterministically samples nothing
+    emb = base.filter(sample_bucket("vec_id") >= F.lit(1))
+    assert emb.count() >= 2
+    with pytest.raises(ValueError, match="EMPTY training set"):
+        cluster_embeddings(emb, n_clusters=2, n_iters=2,
+                           train_fraction=0.000001)
+
+
 def test_cluster_embeddings_too_few_rows_raises(spark):
     import pytest
 
