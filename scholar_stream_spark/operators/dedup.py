@@ -871,13 +871,20 @@ def duplicate_spans(
     Output: (doc_id, span_start, span_end, span_tokens) with token
     offsets [start, end) against the doc's whitespace tokens.
     """
-    base = (
-        scale_out(documents)
-        .select(
-            "doc_id", F.split(F.trim(F.col("text")), SUBSTR_WS_RE).alias("ws")
-        )
-        .filter(F.size("ws") >= window)
+    toks = scale_out(documents).select(
+        "doc_id", F.split(F.trim(F.col("text")), SUBSTR_WS_RE).alias("ws")
     )
+    return _spans_from_tokens(toks, window, min_count)
+
+
+def _spans_from_tokens(
+    toks: DataFrame, window: int, min_count: int
+) -> DataFrame:
+    """``duplicate_spans`` body over a pre-tokenized (doc_id, ws)
+    projection — factored out so ``remove_duplicate_spans`` can feed the
+    SAME tokenized scan to the span pipeline, the token explode, and the
+    totals instead of re-deriving it three times."""
+    base = toks.filter(F.size("ws") >= window)
     wins = base.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.size("ws") - window)).alias("start"),
@@ -943,50 +950,47 @@ def remove_duplicate_spans(
     (a fully-duplicated doc with empty ``clean_text``); tokens keep
     their original order.
 
-    The span join is doc_id-equi + a per-doc range condition — spans
-    per doc are few (merged islands), so the anti-join stays linear in
-    corpus tokens.
+    Plan shape (round-6 trim): the corpus is tokenized ONCE and that
+    projection feeds both consumers — the span pipeline and the cut
+    itself. The merged span set is tiny (few islands per doc), so it is
+    localCheckpointed (the wins pipeline runs once per action), folded
+    to ONE array row per doc, and BROADCAST back onto the tokenized
+    docs; the cut is then a pure JVM higher-order ``filter`` over the
+    in-row token array (token index ∉ any span). The token table is
+    never exploded and never shuffled — per-doc cost is tokens ×
+    spans-per-doc, and the only exchanges in the whole operator are the
+    span pipeline's own hash-count + islands window.
     """
-    spans = duplicate_spans(documents, window, min_count)
     toks = scale_out(documents).select(
-        "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), SUBSTR_WS_RE)).alias(
-            "pos", "tok"
-        ),
+        "doc_id", F.split(F.trim(F.col("text")), SUBSTR_WS_RE).alias("ws")
     )
-    kept = toks.alias("t").join(
-        spans.alias("s"),
-        (F.col("t.doc_id") == F.col("s.doc_id"))
-        & (F.col("t.pos") >= F.col("s.span_start"))
-        & (F.col("t.pos") < F.col("s.span_end")),
-        "left_anti",
+    spans = _spans_from_tokens(toks, window, min_count).localCheckpoint(
+        eager=False
     )
-    cleaned = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
+    doc_spans = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sp")
+    )
+    joined = toks.join(F.broadcast(doc_spans), "doc_id", "left")
+    kept_arr = F.when(F.col("sp").isNull(), F.col("ws")).otherwise(
+        F.filter(
+            F.col("ws"),
+            lambda _t, i: ~F.exists(
+                F.col("sp"),
+                lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
             ),
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept_tokens"),
+        )
     )
-    totals = documents.select(
+    # two-step projection: "kept" is referenced three times below, and
+    # CollapseProject keeps multiply-referenced non-trivial expressions
+    # in their own project, so the filter runs once per row, not thrice
+    staged = joined.select("doc_id", "ws", kept_arr.alias("kept"))
+    return staged.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), SUBSTR_WS_RE)).cast("long").alias(
-            "_n_total"
+        F.concat_ws(" ", "kept").alias("clean_text"),
+        F.size("kept").cast("long").alias("n_kept_tokens"),
+        (F.size("ws") - F.size("kept")).cast("long").alias(
+            "n_removed_tokens"
         ),
-    )
-    return totals.join(cleaned, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        F.coalesce(F.col("n_kept_tokens"), F.lit(0)).cast("long").alias(
-            "n_kept_tokens"
-        ),
-        (
-            F.col("_n_total")
-            - F.coalesce(F.col("n_kept_tokens"), F.lit(0))
-        ).cast("long").alias("n_removed_tokens"),
     )
 
 

@@ -103,6 +103,17 @@ def test_chunk_docs_has_no_join_and_at_most_scaleout_shuffle(spark):
     assert "Join" not in plan, plan
 
 
+def test_remove_dup_spans_never_shuffles_token_table(spark):
+    """The ExactSubstr cut must stay an in-row array filter: the merged
+    span set broadcasts back onto the tokenized corpus (ONE broadcast
+    hash join) and the token table is never sort-merge-shuffled — the
+    corpus-token-sized explode+regroup this replaced would be the
+    operator's scale killer."""
+    plan = _plan(spark, "remove_dup_spans")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+
+
 def test_decontaminate_and_incremental_never_sortmerge(spark):
     """The corpus side must never shuffle on pair keys: every join in
     these plans is a broadcast hash join."""
