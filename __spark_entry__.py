@@ -177,6 +177,76 @@ def _q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Persisted-index directories, built once per (kind, sf_dir) and
+#: reused across calls in one process — index BUILD is a one-time
+#: amortized cost in any serving deployment; the queries below measure
+#: and value-check the PROBE path, which is the 100 TB serving shape.
+_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = ("ivf", sf_dir)
+    if key not in _INDEX_CACHE:
+        import tempfile  # noqa: PLC0415
+
+        path = tempfile.mkdtemp(prefix="ssq_ivf_index_")
+        similarity.write_ivf_index(_t(spark, sf_dir, "embeddings"), path)
+        _INDEX_CACHE[key] = path
+    return _INDEX_CACHE[key]
+
+
+def _neardup_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = ("neardup", sf_dir)
+    if key not in _INDEX_CACHE:
+        import tempfile  # noqa: PLC0415
+
+        path = tempfile.mkdtemp(prefix="ssq_neardup_index_")
+        docs = _t(spark, sf_dir, "documents")
+        bucket = sampling.split_bucket("CAST(doc_id AS STRING)")
+        dedup.write_neardup_index(docs.filter(bucket < 50), path)
+        _INDEX_CACHE[key] = path
+    return _INDEX_CACHE[key]
+
+
+def _q_ivf_probe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k served from the PERSISTED IVF layout (``write_ivf_index``:
+    cell-partitioned vector files + quantizer sidecar), probed with
+    ``n_probe = n_centroids``. Exhaustive probing makes the candidate
+    set the whole corpus, so the result is the EXACT cosine top-k —
+    value-checkable against the same oracle as ``ann_cosine_topk``
+    while still exercising the full serving path (quantizer load,
+    partitioned read, broadcast probe join, re-rank). The default
+    2-probe approximate read stays pytest-pinned result-identical to
+    ``ivf_topk`` with its partition pruning plan-asserted."""
+    path = _ivf_index_dir(spark, sf_dir)
+    q_rows = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < similarity.ANN_NUM_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return similarity.ivf_probe_index(
+        spark,
+        path,
+        [(r["vec_id"], r["embedding"]) for r in q_rows],
+        n_probe=similarity.IVF_NUM_CENTROIDS,
+    )
+
+
+def _q_incremental_neardup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_incremental_neardup``'s split idiom served from the
+    PERSISTED band/hash index (``write_neardup_index`` over the
+    bucket<50 corpus half): the batch half probes two parquet tables,
+    never re-shingling corpus text. MinHash banding is deterministic,
+    so the probe is value-identical to the recompute path and shares
+    its oracle SQL verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = sampling.split_bucket("CAST(doc_id AS STRING)")
+    return dedup.incremental_neardup_indexed(
+        docs.filter(bucket >= 50), _neardup_index_dir(spark, sf_dir)
+    )
+
+
 def _q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     cutoff = F.lit(relational.INCR_CUTOFF).cast("timestamp")
@@ -262,14 +332,40 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+#: Driver-cap rotation (round 6): CORRECTNESS runs check at most 50
+#: entries in ``queries()`` order. The 19 oracle-backed entries the
+#: round-5 run could not reach (their last driver rows are r4;
+#: ``repetition_stats`` has never had a driver row since its r5 cast
+#: fix) go FIRST, then the two NEW persisted-index probes; the entries
+#: fresh-green in r5 follow (their rows stand either way), and the
+#: rows-only block stays last as documented in the module docstring.
+_DRIVER_FIRST = (
+    "repetition_stats",
+    "pipeline_end_to_end",
+    "reservoir_sample",
+    "hash_sample",
+    "scrub_pii",
+    "token_counts",
+    "unigram_logprob",
+    "text_quality",
+    "lang_profile",
+    "doc_fingerprint",
+    "tfidf_top_terms",
+    "dedup_first_event",
+    "dedup_exact_stats",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding",
+    "dedup_fuzzy",
+    "decontaminate",
+    "ivf_probe_index",
+    "incremental_neardup_indexed",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # -------------------------------------------------------------
-        # Oracle-backed entries the round-4 driver run did NOT reach
-        # (it checked exactly 50 of 71): FIRST, so a capped correctness
-        # run covers them this round — the long-green rest follows and
-        # stays on record from prior rounds either way.
-        # -------------------------------------------------------------
+    q = {
         "scd2_apply": _q_scd2,
         # point-in-time read over the merged SCD2 table: after the batch
         # ts, so updated keys resolve to their new version, deleted keys
@@ -554,7 +650,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_prune": lambda s, d: similarity.semantic_prune(
             _t(s, d, "embeddings")
         ),
+        # --- persisted-index serving paths (new r6): the 100 TB probe
+        # shapes, value-certified end-to-end against the same oracles
+        # as their recompute twins ---
+        "ivf_probe_index": _q_ivf_probe_index,
+        "incremental_neardup_indexed": _q_incremental_neardup_indexed,
     }
+    # apply the driver-cap rotation: _DRIVER_FIRST, then the remaining
+    # oracle-backed entries in literal order, rows-only entries last
+    oracle_backed = set(oracle_sql())
+    ordered = {name: q.pop(name) for name in _DRIVER_FIRST}
+    for name in [n for n in q if n in oracle_backed]:
+        ordered[name] = q.pop(name)
+    ordered.update(q)
+    return ordered
 
 
 # ---------------------------------------------------------------------------
@@ -616,11 +725,17 @@ WHERE i.n_inter / (s1.n_sh + s2.n_sh - i.n_inter) >= {threshold}
 
 def _dup_spans_ctes() -> str:
     """Shared window-hash → duplicated-hit → gaps-and-islands CTE text
-    for the two ExactSubstr oracles (mirrors dedup.duplicate_spans)."""
+    for the two ExactSubstr oracles (mirrors dedup.duplicate_spans).
+
+    Tokenizes with the SAME explicit class as the Spark side
+    (``dedup.SUBSTR_WS_RE``, which includes ``\\x0b``) rather than
+    RE2's ``\\s`` (which does not): on text containing a vertical tab
+    the two engines would otherwise split differently and the span
+    offsets silently diverge (round-5 advice)."""
     w = dedup.SUBSTR_WINDOW
     return f"""
 toks AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+    SELECT doc_id, regexp_split_to_array(trim(text), '{dedup.SUBSTR_WS_RE}') AS ws
     FROM documents
 ),
 wins AS (
@@ -1899,6 +2014,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "minhash_estimate": _minhash_estimate_sql(),
         "dedup_incremental_neardup": _incremental_neardup_sql(),
+        # the persisted-index probe is value-identical to the recompute
+        # path by construction (deterministic banding), so it shares
+        # the oracle verbatim — as does the exhaustive IVF probe with
+        # the exact-cosine oracle
+        "incremental_neardup_indexed": _incremental_neardup_sql(),
+        "ivf_probe_index": _ann_topk_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _embedding_neardup_sql(),
         "dedup_fuzzy": _fuzzy_neardup_sql(),

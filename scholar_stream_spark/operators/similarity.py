@@ -27,6 +27,7 @@ persist.
 
 from __future__ import annotations
 
+import math
 import random
 
 import numpy as np
@@ -42,6 +43,20 @@ ANN_NUM_QUERIES = 10
 LSH_NUM_TABLES = 16
 LSH_BITS_PER_TABLE = 4
 EMBED_DIM = 64
+
+
+def _seq_l2_norm(vec) -> float:
+    """Driver-side L2 norm with SEQUENTIAL accumulation in element
+    order — bit-identical to the JVM ``l2_norm`` (``aggregate`` over
+    doubles, left-associative) and to the oracle's explicit 0.0 + t1 +
+    t2 + ... sum, unlike numpy's pairwise-summed ``linalg.norm``. Only
+    ever applied to driver-side query batches (tiny by contract), so
+    the Python loop costs nothing; it is what lets a persisted-index
+    probe be value-checked against the exact-cosine SQL oracle."""
+    acc = 0.0
+    for v in vec:
+        acc += float(v) * float(v)
+    return math.sqrt(acc)
 
 
 def _query_set(embeddings: DataFrame, n_queries: int) -> DataFrame:
@@ -406,7 +421,9 @@ def ivf_topk(
     # --- search: probe cells per query computed driver-side -----------
     q_rows = [r for r in small_rows if r["vec_id"] < n_queries]
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
-    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm = np.array(
+        [_seq_l2_norm(r["embedding"]) for r in q_rows], dtype=np.float64
+    )
     sims = q_mat @ cmat_normed.T  # row norm divides out of the ranking
     order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
     probe_rows = [
@@ -506,7 +523,9 @@ def ivf_probe_index(
     cells = np.array([r["cell"] for r in qrows], dtype=np.int64)
     cmat_normed = np.array([r["centroid"] for r in qrows], dtype=np.float64)
     q_mat = np.array([list(e) for _, e in queries], dtype=np.float64)
-    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm = np.array(
+        [_seq_l2_norm(e) for _, e in queries], dtype=np.float64
+    )
     q_norm[q_norm == 0] = 1.0
     sims = q_mat @ cmat_normed.T
     order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
