@@ -60,10 +60,19 @@ def _seq_l2_norm(vec) -> float:
 
 
 def _query_set(embeddings: DataFrame, n_queries: int) -> DataFrame:
-    return embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_embedding"),
-        l2_norm(F.col("embedding")).alias("q_norm"),
+    # limit(n_queries) is a no-op on the data (vec_id is unique, so the
+    # filter already admits ≤ n_queries rows) but makes the bound
+    # STRUCTURAL: the broadcast build side of the pair join carries a
+    # Limit the fleet plan audit recognizes as bounded, independent of
+    # any data contract.
+    return (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .limit(n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+            l2_norm(F.col("embedding")).alias("q_norm"),
+        )
     )
 
 

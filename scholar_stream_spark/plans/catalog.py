@@ -21,13 +21,27 @@ from scholar_stream_spark.operators.masking import (
 from scholar_stream_spark.operators.views import build_vw_latency, build_vw_works
 
 
+#: The ordered registration plan (S9). ``init_catalog`` registers
+#: exactly these names in exactly this order, and its ``dry_run`` mode
+#: returns this structure — one definition, so the validated plan can
+#: never drift from what actually executes (the reference's
+#: ``sql/apply.py:95-172`` ``--dry-run`` gives its CI the same
+#: order-without-execution check).
+CATALOG_PLAN = (
+    {"name": "raw_events", "kind": "table", "depends_on": ()},
+    {"name": "vw_works", "kind": "view", "depends_on": ("raw_events",)},
+    {"name": "vw_latency", "kind": "view", "depends_on": ("vw_works",)},
+)
+
+
 def init_catalog(
     spark: SparkSession,
     raw: DataFrame,
     role: str = "R_ANALYST",
     now: Column | None = None,
     window_minutes: int = 5,
-) -> dict[str, DataFrame]:
+    dry_run: bool = False,
+) -> dict[str, DataFrame] | list[dict]:
     """Register the engine's view set for ``role``, in dependency order.
 
     1. ``raw_events``  — bronze landing (payload, metadata)
@@ -39,6 +53,11 @@ def init_catalog(
     restricts selectable roles the same way (``app/home.py:33-42``) —
     an unknown role must fail loudly, not silently get some treatment.
 
+    ``dry_run=True`` validates the role and returns the ordered
+    registration plan (a copy of ``CATALOG_PLAN``) WITHOUT touching
+    ``spark`` or ``raw`` — the list-only validation mode the reference
+    runs in CI.
+
     Returns the DataFrames keyed by view name; each is also available via
     ``spark.sql``/``spark.table`` under the same name.
     """
@@ -46,6 +65,8 @@ def init_catalog(
         raise ValueError(
             f"unknown role {role!r}; allowed roles: {', '.join(KNOWN_ROLES)}"
         )
+    if dry_run:
+        return [dict(step) for step in CATALOG_PLAN]
     views: dict[str, DataFrame] = {}
 
     raw.createOrReplaceTempView("raw_events")
@@ -61,4 +82,7 @@ def init_catalog(
     latency.createOrReplaceTempView("vw_latency")
     views["vw_latency"] = latency
 
+    assert list(views) == [s["name"] for s in CATALOG_PLAN], (
+        "registration order drifted from CATALOG_PLAN — update both"
+    )
     return views

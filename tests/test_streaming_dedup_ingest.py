@@ -250,6 +250,40 @@ def test_neardup_ingest_corpus_reject_does_not_block_batch_peer(
     assert _corpus_ids(spark, corpus) == [1, 11]
 
 
+def test_neardup_ingest_probe_never_shuffles_index(spark, tmp_path, monkeypatch):
+    """Scale pin for the STREAMING ingest path, mirroring the batch
+    twin's no-SMJ assertion: the per-batch corpus probe must read the
+    persisted index tables and broadcast the (small) batch side against
+    them — a refactor that sort-merge-shuffles the index would pass the
+    correctness tests and fall over at 100 TB. Captured from the real
+    foreachBatch body with a landed index present."""
+    import scholar_stream_spark.operators.dedup as ddp
+
+    corpus, index = tmp_path / "corpus", tmp_path / "index"
+    neardup_ingest_batch(
+        spark.createDataFrame(
+            [(1, _text("one")), (2, _text("two"))], DOC_SCHEMA
+        ),
+        0, str(corpus), str(index),
+    )
+    plans: list[str] = []
+    orig_probe = ddp._neardup_probe
+
+    def capturing(*args, **kwargs):
+        df = orig_probe(*args, **kwargs)
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+        return df
+
+    monkeypatch.setattr(ddp, "_neardup_probe", capturing)
+    neardup_ingest_batch(
+        spark.createDataFrame([(3, _text("three"))], DOC_SCHEMA),
+        1, str(corpus), str(index),
+    )
+    assert len(plans) == 1, "probe ran an unexpected number of times"
+    assert "SortMergeJoin" not in plans[0], plans[0]
+    assert plans[0].count("BroadcastHashJoin") >= 1, plans[0]
+
+
 def test_streaming_index_probeable_by_batch_api(spark, tmp_path):
     """The index the streaming ingest builds (batch=N partitioned) is
     the same layout incremental_neardup_indexed probes — a later batch

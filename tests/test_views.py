@@ -89,6 +89,29 @@ def test_init_catalog_registers_views_in_order(spark, raw_events):
     assert emails["W1"] == "ada@ex.com"
 
 
+def test_init_catalog_dry_run_lists_plan_without_executing():
+    """S9 parity with the reference's DDL --dry-run (sql/apply.py:95-172):
+    the ordered registration plan comes back WITHOUT a SparkSession or
+    input DataFrame being touched — proven by passing None for both —
+    and the role allowlist still gates it."""
+    import pytest
+
+    from scholar_stream_spark.plans.catalog import CATALOG_PLAN, init_catalog
+
+    plan = init_catalog(None, None, role="R_ANALYST", dry_run=True)
+    assert [s["name"] for s in plan] == ["raw_events", "vw_works", "vw_latency"]
+    # every dependency is registered before its dependent
+    seen: set = set()
+    for step in plan:
+        assert set(step["depends_on"]) <= seen, plan
+        seen.add(step["name"])
+    # returned plan is a copy — mutating it cannot corrupt the source
+    plan[0]["name"] = "tampered"
+    assert CATALOG_PLAN[0]["name"] == "raw_events"
+    with pytest.raises(ValueError, match="unknown role"):
+        init_catalog(None, None, role="R_NOPE", dry_run=True)
+
+
 def test_analyst_catalog_masks_email(spark, raw_events):
     init_catalog(spark, raw_events, role="R_ANALYST", now=_now_col())
     emails = {
