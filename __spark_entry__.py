@@ -666,6 +666,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
+def profile_pairs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFrame]]]:
+    """The operators that carry BOTH a portable/oracle profile (exact
+    paper semantics, mirrored by the SQL oracle — what ``queries()``
+    runs) and a ``scale`` profile (hot-shingle df cap, xxhash64 fast
+    hashes, SemDeDup cluster-pairing sub-split, star-kernel CC). The
+    scale paths are correctness-pinned in pytest; ``bench.py`` times
+    each pair both ways so the profile deltas are measured, not
+    asserted."""
+    docs = lambda s, d: _t(s, d, "documents")  # noqa: E731
+    return {
+        "dedup_minhash_lsh": {
+            "oracle": lambda s, d: dedup.minhash_lsh_pairs(docs(s, d)),
+            "scale": lambda s, d: dedup.minhash_lsh_pairs(
+                docs(s, d), hash_profile="fast"
+            ),
+        },
+        "dedup_simhash": {
+            "oracle": lambda s, d: dedup.simhash_pairs(docs(s, d)),
+            "scale": lambda s, d: dedup.simhash_pairs(
+                docs(s, d), hash_profile="fast"
+            ),
+        },
+        "dedup_ngram_jaccard": {
+            "oracle": lambda s, d: dedup.ngram_jaccard_pairs(docs(s, d)),
+            "scale": lambda s, d: dedup.ngram_jaccard_pairs(
+                docs(s, d), max_doc_freq=dedup.MAX_SHINGLE_DOC_FREQ
+            ),
+        },
+        "dedup_incremental_neardup": {
+            "oracle": _q_incremental_neardup,
+            "scale": lambda s, d: dedup.incremental_neardup(
+                docs(s, d).filter(
+                    sampling.split_bucket("CAST(doc_id AS STRING)") >= 50
+                ),
+                docs(s, d).filter(
+                    sampling.split_bucket("CAST(doc_id AS STRING)") < 50
+                ),
+                hash_profile="fast",
+            ),
+        },
+        "dedup_clusters": {
+            "oracle": lambda s, d: dedup.neardup_clusters(docs(s, d)),
+            "scale": lambda s, d: dedup.neardup_clusters(
+                docs(s, d), profile="scale"
+            ),
+        },
+        "semantic_prune": {
+            "oracle": lambda s, d: similarity.semantic_prune(
+                _t(s, d, "embeddings")
+            ),
+            "scale": lambda s, d: similarity.semantic_prune(
+                _t(s, d, "embeddings"), profile="scale"
+            ),
+        },
+    }
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (same constants as the Spark operators)
 # ---------------------------------------------------------------------------

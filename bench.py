@@ -201,9 +201,10 @@ def main() -> None:
 
     # Best-of-N: the host's clock-speed ramp and background load swing
     # identical code by 1.5-3x between runs; per-query minima measure
-    # the engine, not the host's mood. Both pass walls are reported so
-    # the variance is visible, not hidden.
-    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    # the engine, not the host's mood. All pass walls are reported so
+    # the variance is visible, not hidden — the spread between passes
+    # IS the run's noise bound.
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     timings, all_failures, pass_walls = {}, {}, []
     for i in range(n_passes):
         p_timings, p_failures, p_total = run_pass()
@@ -219,6 +220,35 @@ def main() -> None:
     failures = {k: v for k, v in all_failures.items() if k not in timings}
     flaky = {k: v for k, v in all_failures.items() if k in timings}
     total = min(pass_walls)
+
+    # Scale-profile lane: the dedup/similarity operators whose `scale`
+    # paths (hot-shingle cap, fast hashes, SemDeDup sub-split, star CC)
+    # are correctness-pinned but otherwise never timed. Best-of-2 per
+    # profile; failures degrade to an error entry, never kill the run.
+    scale_profile: dict[str, dict] = {}
+    try:
+        pairs = entry_mod.profile_pairs()
+    except AttributeError:
+        pairs = {}
+    for name, variants in sorted(pairs.items()):
+        scale_profile[name] = {}
+        for prof, fn in sorted(variants.items()):
+            best = None
+            try:
+                for _ in range(2):
+                    start = time.time()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dt = round(time.time() - start, 3)
+                    best = dt if best is None else min(best, dt)
+                scale_profile[name][prof] = best
+            except Exception as exc:  # noqa: BLE001
+                scale_profile[name][prof] = None
+                scale_profile[name][f"{prof}_error"] = (
+                    f"{type(exc).__name__}: {exc}"[:200]
+                )
+        print(f"  profile {name}: {scale_profile[name]}", file=sys.stderr)
 
     # The streaming probe must never cost the query timings already
     # collected: any failure (stream won't start, host too slow, ...)
@@ -243,6 +273,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "passes": pass_walls,
+        "scale_profile": scale_profile,
         "streaming": streaming,
     }
     if failures:
