@@ -361,6 +361,7 @@ _DRIVER_FIRST = (
     "decontaminate",
     "ivf_probe_index",
     "incremental_neardup_indexed",
+    "remove_dup_paragraphs",
 )
 
 
@@ -655,6 +656,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # as their recompute twins ---
         "ivf_probe_index": _q_ivf_probe_index,
         "incremental_neardup_indexed": _q_incremental_neardup_indexed,
+        # paragraph-level exact dedup (Dolma/C4/CCNet unit) over
+        # deterministically injected paragraphs: the synthetic corpus is
+        # single-line, so the entry splices in a corpus-wide boilerplate
+        # paragraph and an every-other-doc one (mixed case — exercises
+        # the normalization) around the real text; the oracle injects
+        # the identical strings (the clean_lines/scrub_pii idiom)
+        "remove_dup_paragraphs": lambda s, d: dedup.remove_dup_paragraphs(
+            _t(s, d, "documents").select(
+                "doc_id",
+                F.concat(
+                    F.substring("text", 1, 60),
+                    F.lit("\n\nSubscribe to our newsletter for updates."),
+                    F.when(
+                        (F.col("doc_id") % 2) == 0,
+                        F.lit("\n\nFollow Us On Social Media."),
+                    ).otherwise(F.lit("")),
+                    F.lit("\n\n"),
+                    F.expr("substring(text, 61)"),
+                ).alias("text"),
+            )
+        ),
     }
     # apply the driver-cap rotation: _DRIVER_FIRST, then the remaining
     # oracle-backed entries in literal order, rows-only entries last
@@ -2067,6 +2089,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dup_spans": _dup_spans_sql(),
         "remove_dup_spans": _remove_dup_spans_sql(),
+        "remove_dup_paragraphs": f"""
+            WITH injected AS (
+                SELECT doc_id,
+                       substr(text, 1, 60)
+                       || chr(10) || chr(10)
+                       || 'Subscribe to our newsletter for updates.'
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN chr(10) || chr(10)
+                                    || 'Follow Us On Social Media.'
+                               ELSE '' END
+                       || chr(10) || chr(10) || substr(text, 61) AS text
+                FROM documents
+            ),
+            sp AS (
+                SELECT doc_id,
+                       string_split(text, chr(10) || chr(10)) AS ps
+                FROM injected
+            ),
+            pk AS (
+                SELECT doc_id, u.i - 1 AS pos, ps[u.i] AS para,
+                       md5(trim(regexp_replace(lower(ps[u.i]), '\\s+', ' ',
+                                               'g'))) AS pkey
+                FROM sp, unnest(generate_series(1, len(ps))) AS u(i)
+                WHERE trim(ps[u.i]) <> ''
+            ),
+            dup AS (
+                SELECT pkey FROM pk GROUP BY pkey
+                HAVING count(*) >= {dedup.PARA_MIN_COUNT}
+            ),
+            kept AS (
+                SELECT doc_id,
+                       array_to_string(list(para ORDER BY pos),
+                                       chr(10) || chr(10)) AS clean_text,
+                       count(*) AS n_kept
+                FROM pk
+                WHERE NOT EXISTS (SELECT 1 FROM dup
+                                  WHERE dup.pkey = pk.pkey)
+                GROUP BY doc_id
+            ),
+            tot AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paragraphs
+                FROM pk GROUP BY doc_id
+            )
+            SELECT tot.doc_id,
+                   coalesce(kept.clean_text, '') AS clean_text,
+                   tot.n_paragraphs,
+                   CAST(tot.n_paragraphs - coalesce(kept.n_kept, 0)
+                        AS BIGINT) AS n_removed_paragraphs
+            FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
+        """,
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
         "minhash_estimate": _minhash_estimate_sql(),

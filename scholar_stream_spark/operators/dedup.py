@@ -994,6 +994,94 @@ def remove_duplicate_spans(
     )
 
 
+#: Paragraph-level exact dedup: the separator documents are split on and
+#: the global occurrence count that marks a paragraph as boilerplate
+#: (2 = any repeat anywhere in the corpus — the Dolma/C4 paragraph
+#: policy; CCNet dedups on the same unit).
+PARA_SEP = "\n\n"
+PARA_MIN_COUNT = 2
+
+
+def remove_dup_paragraphs(
+    documents: DataFrame, min_count: int = PARA_MIN_COUNT
+) -> DataFrame:
+    """Drop every paragraph whose NORMALIZED form (lowercase, collapsed
+    whitespace) occurs ≥ ``min_count`` times anywhere in the corpus —
+    paragraph-granularity exact dedup, the Dolma-style middle ground
+    between document fingerprints (miss embedded boilerplate) and
+    ExactSubstr token windows (heavier): cookie banners, nav footers,
+    and license blocks repeat verbatim as whole paragraphs.
+
+    Spark shape, corpus-linear throughout: split + posexplode to
+    paragraph rows (few per doc — unlike token explode this is cheap),
+    ONE hash-keyed groupBy for global occurrence counts (map-side
+    combined), an anti-join back on the paragraph hash (equi, never
+    pairwise), and a per-doc regroup whose payload is the handful of
+    surviving paragraphs. Blank paragraphs are ignored for counting and
+    never emitted. Totals come straight off the document row (narrow
+    ``size(filter(...))``) — no second explode.
+
+    Output: (doc_id, clean_text, n_paragraphs, n_removed_paragraphs),
+    one row per input document (empty ``clean_text`` when everything
+    was boilerplate).
+    """
+    paras = (
+        scale_out(documents)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), PARA_SEP)).alias(
+                "pos", "para"
+            ),
+        )
+        .filter(F.trim(F.col("para")) != "")
+        .withColumn("pkey", F.md5(normalize_text(F.col("para"))))
+    )
+    dup = (
+        paras.groupBy("pkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("pkey")
+    )
+    cleaned = (
+        paras.join(dup, "pkey", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                PARA_SEP,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos").alias("pos"),
+                                F.col("para").alias("para"),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    totals = documents.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.col("text"), PARA_SEP),
+                lambda p: F.trim(p) != "",
+            )
+        ).cast("long").alias("n_paragraphs"),
+    )
+    return totals.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "n_paragraphs",
+        (
+            F.col("n_paragraphs") - F.coalesce(F.col("n_kept"), F.lit(0))
+        ).cast("long").alias("n_removed_paragraphs"),
+    )
+
+
 def _clusters_driver_union_find(spark, edge_rows) -> DataFrame:
     """Union-find over a collected (small) edge list — exact same
     output contract as the distributed loop: (doc_id, min-member

@@ -597,3 +597,29 @@ def test_neardup_index_params_mismatch_raises(spark, tmp_path):
         )
     # matching params probe fine
     assert dedup.incremental_neardup_indexed(docs.limit(5), path).count() >= 0
+
+
+def test_remove_dup_paragraphs_semantics(spark):
+    """Paragraph dedup: corpus-repeated paragraphs drop (normalization
+    catches case/whitespace variants), blank paragraphs are ignored,
+    unique paragraphs survive in order, an all-boilerplate doc comes
+    back with empty clean_text."""
+    sep = dedup.PARA_SEP
+    docs = spark.createDataFrame(
+        [
+            (1, sep.join(["alpha body one", "Subscribe To Our  Newsletter", "tail one"])),
+            # same boilerplate, different case/spacing + a blank para
+            (2, sep.join(["beta body two", "", "subscribe to our newsletter", "tail two"])),
+            # all-boilerplate doc
+            (3, "subscribe   to our newsletter"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup.remove_dup_paragraphs(docs).collect()}
+    assert len(got) == 3
+    assert got[1]["clean_text"] == sep.join(["alpha body one", "tail one"])
+    assert got[1]["n_paragraphs"] == 3 and got[1]["n_removed_paragraphs"] == 1
+    # blank paragraph neither counted nor emitted
+    assert got[2]["n_paragraphs"] == 3
+    assert got[2]["clean_text"] == sep.join(["beta body two", "tail two"])
+    assert got[3]["clean_text"] == "" and got[3]["n_removed_paragraphs"] == 1
