@@ -362,6 +362,7 @@ _DRIVER_FIRST = (
     "ivf_probe_index",
     "incremental_neardup_indexed",
     "remove_dup_paragraphs",
+    "perplexity_buckets",
 )
 
 
@@ -573,6 +574,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- text analysis (SURVEY §2.8) ---
         "token_counts": lambda s, d: textops.token_counts(_t(s, d, "documents")),
         "unigram_logprob": lambda s, d: textops.unigram_logprob(
+            _t(s, d, "documents")
+        ),
+        # CCNet head/middle/tail perplexity strata per language —
+        # threshold-broadcast design, no per-language corpus sort
+        "perplexity_buckets": lambda s, d: textops.perplexity_buckets(
             _t(s, d, "documents")
         ),
         "text_quality": lambda s, d: textops.text_quality(_t(s, d, "documents")),
@@ -1448,6 +1454,29 @@ def _curate_sql(lang_filter: tuple = None) -> str:
     """
 
 
+def _unigram_sql() -> str:
+    """Unigram-LM scoring oracle, factored out because the CCNet-style
+    ``perplexity_buckets`` oracle nests it verbatim as its first CTE —
+    one definition, no drift."""
+    return """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                           ' ')) AS term
+                FROM documents
+            ),
+            freq AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+            total AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM freq)
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lm_tokens,
+                   round(avg(ln(f.c / total.n_total)), 4) AS logprob,
+                   round(exp(-avg(ln(f.c / total.n_total))), 4) AS ppl
+            FROM tok t JOIN freq f USING (term) CROSS JOIN total
+            GROUP BY t.doc_id
+        """
+
+
 def _lang_profile_sql() -> str:
     en_words = ", ".join(f"'{w}'" for w in textops.LANG_MARKERS["en"])
     en_hits = (
@@ -1809,22 +1838,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN ctx USING (w1)
             GROUP BY bg.doc_id
         """,
-        "unigram_logprob": """
-            WITH tok AS (
-                SELECT doc_id,
-                       unnest(string_split(
-                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
-                           ' ')) AS term
-                FROM documents
+        "unigram_logprob": _unigram_sql(),
+        "perplexity_buckets": f"""
+            WITH lm AS ({_unigram_sql()}),
+            scored AS (
+                SELECT lm.doc_id, d.lang, lm.ppl
+                FROM lm JOIN documents d ON d.doc_id = lm.doc_id
             ),
-            freq AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
-            total AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM freq)
-            SELECT t.doc_id,
-                   CAST(count(*) AS BIGINT) AS n_lm_tokens,
-                   round(avg(ln(f.c / total.n_total)), 4) AS logprob,
-                   round(exp(-avg(ln(f.c / total.n_total))), 4) AS ppl
-            FROM tok t JOIN freq f USING (term) CROSS JOIN total
-            GROUP BY t.doc_id
+            thr AS (
+                SELECT lang,
+                       round(quantile_cont(ppl, {textops.PPL_BUCKET_LO}),
+                             4) AS t_lo,
+                       round(quantile_cont(ppl, {textops.PPL_BUCKET_HI}),
+                             4) AS t_hi
+                FROM scored GROUP BY lang
+            )
+            SELECT s.doc_id, s.lang, s.ppl,
+                   CASE WHEN s.ppl <= t.t_lo THEN 'head'
+                        WHEN s.ppl <= t.t_hi THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored s JOIN thr t ON s.lang = t.lang
         """,
         "text_quality": f"""
             WITH feat AS (

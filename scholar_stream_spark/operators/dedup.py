@@ -602,6 +602,41 @@ def check_neardup_index_params(
         )
 
 
+def compact_neardup_index(
+    spark, index_path: str, out_path: str, n_files: int = 8
+) -> None:
+    """Rewrite a streaming-built near-dup index (``start_neardup_ingest``
+    lands one ``batch=<id>`` directory pair per micro-batch) into a
+    compacted serving layout. At scale the streaming layout accretes
+    thousands of tiny part files — the classic small-file problem: every
+    probe pays file-listing + footer reads proportional to BATCH COUNT,
+    not data size. Compaction folds all batches into ``n_files`` files
+    per table, sorted within partitions (hashes by doc_id, bands by
+    (band, key)) for run-length-friendly compression, and copies the
+    hash-space params sidecar so probes stay parameter-checked. The
+    output is probe-identical to the input by construction (same rows,
+    same tables) and is also what ``write_neardup_index`` produces —
+    periodic compaction keeps a long-lived streaming index serving like
+    a batch-built one. Compact to a NEW path and swap atomically;
+    writing over a live index a probe is reading is the caller's race.
+    """
+    for sub, sort_cols in (("hashes", ["doc_id"]), ("bands", ["band", "key"])):
+        df = spark.read.option("basePath", f"{index_path}/{sub}").parquet(
+            f"{index_path}/{sub}"
+        )
+        if "batch" in df.columns:
+            df = df.drop("batch")
+        (
+            df.repartition(n_files)
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/{sub}")
+        )
+    spark.read.parquet(f"{index_path}/params").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out_path}/params")
+
+
 def incremental_neardup_indexed(
     new_docs: DataFrame,
     path: str,

@@ -254,6 +254,51 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+#: CCNet-style perplexity strata: per-language thresholds at these
+#: quantiles split the corpus into head (lowest-perplexity third),
+#: middle, tail. Literal decimals (not 1/3) so the Spark and DuckDB
+#: sides evaluate the SAME double constants.
+PPL_BUCKET_LO = 0.33
+PPL_BUCKET_HI = 0.67
+
+
+def perplexity_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet-style quality strata: bucket every document into
+    head/middle/tail by LM perplexity WITHIN its language (Wenzek et
+    al., "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data" — the head/middle/tail split that downstream pipelines
+    sample from by quality).
+
+    Scale shape — thresholds, not ranking: a per-language ``ntile``
+    would rangepartition-sort the whole corpus per language; instead
+    ONE tiny per-language aggregate computes the two exact perplexity
+    quantiles (languages × 2 rows) and broadcasts back, so bucketing is
+    a stateless comparison on the scoring pass. Thresholds and ppl are
+    both rounded to 4 decimals before comparison, which makes the
+    bucket boundary decision identical in Spark and the oracle.
+
+    Output: (doc_id, lang, ppl, bucket) — bucket ∈ head|middle|tail.
+    """
+    scored = unigram_logprob(documents).join(
+        documents.select("doc_id", "lang"), "doc_id"
+    )
+    pcts = F.expr(
+        f"percentile(ppl, array({PPL_BUCKET_LO}, {PPL_BUCKET_HI}))"
+    )
+    thr = scored.groupBy("lang").agg(
+        F.round(pcts[0], 4).alias("t_lo"),
+        F.round(pcts[1], 4).alias("t_hi"),
+    )
+    bucket = (
+        F.when(F.col("ppl") <= F.col("t_lo"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("t_hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.join(F.broadcast(thr), "lang").select(
+        "doc_id", "lang", "ppl", bucket.alias("bucket")
+    )
+
+
 def corpus_data_card(documents: DataFrame) -> DataFrame:
     """Corpus data card: the per-language summary table (plus a TOTAL
     rollup row) a curation pipeline publishes alongside the corpus —

@@ -250,6 +250,57 @@ def test_neardup_ingest_corpus_reject_does_not_block_batch_peer(
     assert _corpus_ids(spark, corpus) == [1, 11]
 
 
+def test_compact_neardup_index_is_probe_identical(spark, tmp_path):
+    """Compacting a streaming-built (batch=N-partitioned) index must
+    leave probe results byte-identical, cut the file count, and keep
+    the params sidecar enforcing the hash space."""
+    import pytest as _pytest
+
+    from scholar_stream_spark.operators.dedup import (
+        compact_neardup_index,
+        incremental_neardup_indexed,
+    )
+
+    corpus, index = tmp_path / "corpus", tmp_path / "index"
+    for bid, rows in enumerate(
+        [[(1, _text("one")), (2, _text("two"))],
+         [(3, _text("three"))],
+         [(4, _text("four"))]]
+    ):
+        neardup_ingest_batch(
+            spark.createDataFrame(rows, DOC_SCHEMA),
+            bid, str(corpus), str(index),
+        )
+    probe = spark.createDataFrame(
+        [(10, _near("two")), (11, _near("four")), (12, _text("twelve"))],
+        DOC_SCHEMA,
+    )
+    before = sorted(
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in incremental_neardup_indexed(probe, str(index)).collect()
+    )
+    assert {(n, c) for n, c, _ in before} == {(10, 2), (11, 4)}
+
+    compacted = tmp_path / "index_compact"
+    compact_neardup_index(spark, str(index), str(compacted), n_files=1)
+    after = sorted(
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in incremental_neardup_indexed(probe, str(compacted)).collect()
+    )
+    assert after == before
+
+    def n_parts(p):
+        return sum(1 for f in p.rglob("part-*.parquet"))
+
+    assert n_parts(compacted / "bands") < n_parts(index / "bands")
+    assert n_parts(compacted / "bands") == 1
+    # params sidecar survived: wrong-hash-space probes still fail loudly
+    with _pytest.raises(ValueError, match="was built with"):
+        incremental_neardup_indexed(
+            probe, str(compacted), hash_profile="fast"
+        )
+
+
 def test_neardup_ingest_probe_never_shuffles_index(spark, tmp_path, monkeypatch):
     """Scale pin for the STREAMING ingest path, mirroring the batch
     twin's no-SMJ assertion: the per-batch corpus probe must read the
