@@ -363,6 +363,7 @@ _DRIVER_FIRST = (
     "incremental_neardup_indexed",
     "remove_dup_paragraphs",
     "perplexity_buckets",
+    "shipping_priority",
 )
 
 
@@ -473,6 +474,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- relational completeness (SURVEY §2.8) ---
         "pricing_summary": lambda s, d: relational.pricing_summary(
             _t(s, d, "lineitem")
+        ),
+        # TPC-H Q3 shape: selective dim broadcast -> fact⋈fact on the
+        # order key -> decimal-exact revenue -> TakeOrdered top-K
+        "shipping_priority": lambda s, d: relational.shipping_priority(
+            _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "customer")
         ),
         "revenue_by_region": lambda s, d: relational.revenue_by_region(
             _t(s, d, "orders"),
@@ -1621,6 +1627,21 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '{relational.PRICING_CUTOFF}'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "shipping_priority": f"""
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                       AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = '{relational.SHIPPING_SEGMENT}'
+              AND o_orderdate < TIMESTAMP '{relational.SHIPPING_CUTOFF}'
+              AND l_shipdate > TIMESTAMP '{relational.SHIPPING_CUTOFF}'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
+            LIMIT {relational.SHIPPING_TOPN}
         """,
         "revenue_by_region": f"""
             SELECT r_name, count(*) AS n_orders,

@@ -149,6 +149,61 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = PRICING_CUTOFF) -> DataFr
     )
 
 
+#: Shipping-priority (TPC-H Q3 shape) parameters: the market segment,
+#: the cutoff splitting "ordered before / shipped after", and the top-K.
+SHIPPING_SEGMENT = "BUILDING"
+SHIPPING_CUTOFF = "1998-04-15 00:00:00"
+SHIPPING_TOPN = 10
+
+
+def shipping_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    cutoff: str = SHIPPING_CUTOFF,
+    segment: str = SHIPPING_SEGMENT,
+    k: int = SHIPPING_TOPN,
+) -> DataFrame:
+    """TPC-H-Q3-shaped query: top-K unshipped orders by revenue for one
+    market segment — the classic selective-dimension → fact → fact
+    chain (SURVEY §2.8 relational completeness).
+
+    Scale shape: both date predicates reach their parquet scans
+    (row-group pruning on the two fact tables); the segment-filtered
+    customer KEY LIST broadcasts into the orders join (semi-join-sized
+    build: one bigint column, no customer payload ever moves); the only
+    big exchange is orders⋈lineitem on the order key; revenue is the
+    exact decimal sum; and the final top-K is TakeOrderedAndProject
+    with a full tie-break (revenue desc, orderdate, orderkey) — never a
+    global sort.
+    """
+    cut = F.to_timestamp(F.lit(cutoff))
+    cust = customer.filter(F.col("c_mktsegment") == segment).select(
+        "c_custkey"
+    )
+    ords = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.filter(F.col("l_shipdate") > cut).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+            ).alias("revenue")
+        )
+        .orderBy(
+            F.desc("revenue"), F.asc("o_orderdate"), F.asc("o_orderkey")
+        )
+        .limit(k)
+    )
+
+
 def revenue_by_region(
     orders: DataFrame,
     customer: DataFrame,

@@ -103,6 +103,19 @@ def test_chunk_docs_has_no_join_and_at_most_scaleout_shuffle(spark):
     assert "Join" not in plan, plan
 
 
+def test_shipping_priority_plan_shape(spark):
+    """Q3 shape: both date predicates pushed to their fact scans, the
+    segment key list broadcast (no customer shuffle), and the final
+    top-K as TakeOrderedAndProject — a global Sort here materializes
+    the whole aggregate order at 100 TB."""
+    plan = _plan(spark, "shipping_priority")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    flat = " ".join(pushed)
+    assert "o_orderdate" in flat and "l_shipdate" in flat, pushed
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_remove_dup_spans_never_shuffles_token_table(spark):
     """The ExactSubstr cut must stay an in-row array filter: the merged
     span set broadcasts back onto the tokenized corpus (ONE broadcast
