@@ -23,6 +23,9 @@ Deliberately WITHOUT oracle entries (rows-only check):
 - ``ann_lsh_recall`` / ``ann_ivf_recall`` — the self-checks keeping the
   two approximate paths honest: recall vs the (oracle-checked) exact
   cosine baseline, floor-asserted in pytest.
+- ``ann_int8_topk`` / ``ann_int8_recall`` — int8-quantized search
+  (approximate via quantization error: near-tie neighbors can flip);
+  same recall-harness treatment, floor pytest-pinned.
 - ``cluster_embeddings`` — iterative spherical k-means (Lloyd's); an
   SQL oracle would need a recursive-CTE re-implementation of the whole
   float iteration. Determinism + cluster semantics are pytest-pinned
@@ -653,6 +656,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_ivf_recall": lambda s, d: similarity.ann_recall(
             _t(s, d, "embeddings"), method="ivf"
+        ),
+        # int8-quantized search (FAISS SQ8 shape): approximate only via
+        # quantization error; recall floor pytest-pinned
+        "ann_int8_topk": lambda s, d: similarity.cosine_topk_int8(
+            _t(s, d, "embeddings")
+        ),
+        "ann_int8_recall": lambda s, d: similarity.ann_recall(
+            _t(s, d, "embeddings"), method="int8"
         ),
         # spherical k-means over the embedding corpus (driver-held k×dim
         # centroids, one map-side-combined corpus pass per iteration)

@@ -731,7 +731,98 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     )
 
 
-RECALL_METHODS = {"lsh", "ivf"}
+def cosine_topk_int8(
+    embeddings: DataFrame,
+    k: int = ANN_TOPK,
+    n_queries: int = ANN_NUM_QUERIES,
+    q_rows: list | None = None,
+) -> DataFrame:
+    """Cosine top-k over the int8-QUANTIZED corpus — the memory/IO-bound
+    serving path (FAISS ``SQ8``): at 100 TB the quantized corpus is what
+    you persist and scan (4× fewer bytes than float32, 8× vs float64),
+    and search runs on dequantized int8 with one scale multiply per
+    vector. Approximate only through quantization error (sub-1% on unit
+    -scale data), so top-k can flip on near-ties → rows-only driver
+    check; ``ann_recall(method="int8")`` carries the quality signal
+    with a pytest floor.
+
+    Same kernel layout as ``cosine_topk_pandas`` (per-batch BLAS matmul
+    + per-batch top-k pre-prune; only k × n_queries rows per batch ever
+    reach the ranking window). Quantization happens in-kernel with the
+    SAME floor+0.5 symmetric scheme as ``quantize_embeddings``, so this
+    operator measures exactly the persisted-SQ8 layout's fidelity while
+    staying self-contained over the float input.
+    """
+    import numpy as np
+
+    if q_rows is None:
+        q_rows = (
+            embeddings.filter(F.col("vec_id") < n_queries)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = 1.0
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            # symmetric int8: scale = max|v|/127 (1.0 for zero vectors),
+            # q = clamp(floor(v/scale + 0.5)) — quantize_embeddings' rule
+            mx = np.abs(c_mat).max(axis=1)
+            mx[mx == 0] = float(QUANT_MAX)  # scale 1.0 below
+            scale = mx / QUANT_MAX
+            qv = np.clip(
+                np.floor(c_mat / scale[:, None] + 0.5),
+                -QUANT_MAX,
+                QUANT_MAX,
+            ).astype(np.int8)
+            deq = qv.astype(np.float64) * scale[:, None]
+            d_norm = np.linalg.norm(deq, axis=1)
+            d_norm[d_norm == 0] = 1.0
+            sims = (deq @ q_mat.T) / np.outer(d_norm, q_norm)
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(q_ids)):
+                col = sims[:, j]
+                cand = np.flatnonzero(ids != q_ids[j])
+                if len(cand) == 0:
+                    continue
+                top = cand[np.argsort(-col[cand], kind="stable")[:k]]
+                out_q.extend([q_ids[j]] * len(top))
+                out_n.extend(ids[top])
+                out_s.extend(col[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "cos_sim_raw": np.array(out_s, dtype=np.float64),
+                }
+            )
+
+    partial = scale_out(embeddings).mapInPandas(
+        kernel, "query_id long, neighbor_id long, cos_sim_raw double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim_raw"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim_raw", 4).alias("cos_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+RECALL_METHODS = {"lsh", "ivf", "int8"}
 
 
 def ann_recall(
@@ -769,6 +860,8 @@ def ann_recall(
     )
     if method == "lsh":
         approx = lsh_ann_topk(embeddings, k, n_queries)
+    elif method == "int8":
+        approx = cosine_topk_int8(embeddings, k, n_queries, q_rows=q_rows)
     else:
         approx = ivf_topk(embeddings, k, n_queries, small_rows=small_rows)
     hits = approx.select(

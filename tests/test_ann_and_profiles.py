@@ -95,6 +95,26 @@ def test_ivf_recall_floor(emb):
     assert r["recall"] >= 0.8, f"IVF recall {r['recall']}"
 
 
+def test_int8_recall_floor(emb):
+    """int8 quantization perturbs cosine by sub-1%, so its top-k should
+    be near-perfect — a much tighter floor than the bucketing paths."""
+    r = similarity.ann_recall(emb, "int8").first()
+    assert r["recall"] >= 0.9, f"int8 recall {r['recall']}"
+    assert r["n_exact"] == similarity.ANN_NUM_QUERIES * similarity.ANN_TOPK
+
+
+def test_int8_returns_full_topk_per_query(emb):
+    got = similarity.cosine_topk_int8(emb).collect()
+    assert len(got) == similarity.ANN_NUM_QUERIES * similarity.ANN_TOPK
+    by_q = {}
+    for row in got:
+        by_q.setdefault(row["query_id"], []).append(row["rank"])
+    assert all(
+        sorted(v) == list(range(1, similarity.ANN_TOPK + 1))
+        for v in by_q.values()
+    )
+
+
 def test_lsh_returns_full_topk(emb):
     # multi-table LSH must surface enough candidates for a full top-k
     assert similarity.lsh_ann_topk(emb).count() == (
