@@ -512,6 +512,42 @@ def write_ivf_index(
     )
 
 
+def ivf_append_index(embeddings: DataFrame, path: str) -> None:
+    """Append a NEW embedding batch to a persisted IVF index using the
+    STORED quantizer — no retrain, no rewrite of existing files: the
+    incremental half of the serving story (``write_ivf_index`` builds,
+    this lands the nightly/streaming embedding batches). The quantizer
+    loads driver-side (k rows), assignment is the same zero-Exchange
+    argmax kernel as the build, and the write APPENDS cell-partitioned
+    files, so existing partitions only gain files. Probes see the new
+    vectors immediately (partition listing picks up the files).
+
+    Operational notes, the FAISS pattern: retrain + rebuild periodically
+    when the data distribution drifts (appends only ever use the frozen
+    quantizer, so cells degrade gracefully, never silently re-map), and
+    re-run compaction if micro-batch appends accrete small files.
+    Idempotence is the CALLER's job (e.g. dedup the batch or key appends
+    by batch id) — appending the same batch twice lands its vectors
+    twice.
+    """
+    from scholar_stream_spark.sources.table_sink import write_partitioned
+
+    spark = embeddings.sparkSession
+    qrows = spark.read.parquet(f"{path}/quantizer").collect()
+    cells = np.array([r["cell"] for r in qrows], dtype=np.int64)
+    cmat_normed = np.array([r["centroid"] for r in qrows], dtype=np.float64)
+    corpus = scale_out(embeddings).select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
+    )
+    indexed = corpus.withColumn(
+        "cell", _argmax_cell_udf(cells, cmat_normed)(F.col("embedding"))
+    )
+    write_partitioned(
+        indexed, f"{path}/vectors", ["cell"], sort_cols=["vec_id"],
+        mode="append",
+    )
+
+
 def ivf_probe_index(
     spark,
     path: str,

@@ -239,6 +239,38 @@ def test_ivf_too_few_vectors_raises(spark):
         ivf_topk(emb)
 
 
+def test_ivf_append_index_serves_new_vectors_exactly(spark, tmp_path):
+    """Build the index on half the corpus, append the other half with
+    the FROZEN quantizer, then probe EXHAUSTIVELY: results must equal
+    brute-force exact top-k over the FULL corpus — appended vectors are
+    first-class index citizens regardless of which quantizer trained."""
+    from scholar_stream_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cut = 25
+    path = str(tmp_path / "ivf_app")
+    similarity.write_ivf_index(emb.filter(F.col("vec_id") < cut), path)
+    similarity.ivf_append_index(emb.filter(F.col("vec_id") >= cut), path)
+
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(
+            F.col("vec_id") < similarity.ANN_NUM_QUERIES
+        ).select("vec_id", "embedding").collect()
+    ]
+    probed = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+        for r in similarity.ivf_probe_index(
+            spark, path, queries, n_probe=similarity.IVF_NUM_CENTROIDS
+        ).collect()
+    )
+    exact = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+        for r in similarity.cosine_topk(emb).collect()
+    )
+    assert probed == exact
+
+
 def test_ivf_index_roundtrip_matches_inline_and_prunes(spark, tmp_path):
     """write_ivf_index + ivf_probe_index must (a) return the same top-k
     as the inline ivf_topk (same quantizer, same probes, same re-rank)
