@@ -184,7 +184,22 @@ def _q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: reused across calls in one process — index BUILD is a one-time
 #: amortized cost in any serving deployment; the queries below measure
 #: and value-check the PROBE path, which is the 100 TB serving shape.
+#: Removed at interpreter exit so repeated bench/driver runs don't
+#: accrete corpus-sized copies in /tmp.
 _INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _cleanup_index_cache() -> None:
+    import shutil  # noqa: PLC0415
+
+    for path in _INDEX_CACHE.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _INDEX_CACHE.clear()
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_index_cache)
 
 
 def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -1877,13 +1892,28 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lm.doc_id, d.lang, lm.ppl
                 FROM lm JOIN documents d ON d.doc_id = lm.doc_id
             ),
+            hist AS (
+                SELECT lang, ppl, count(*) AS c
+                FROM scored GROUP BY lang, ppl
+            ),
+            cum AS (
+                SELECT lang, ppl,
+                       SUM(c) OVER (PARTITION BY lang ORDER BY ppl
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS cum,
+                       SUM(c) OVER (PARTITION BY lang) AS n
+                FROM hist
+            ),
             thr AS (
+                -- DISCRETE quantiles off the distinct-ppl histogram:
+                -- actual data values, no interpolation formula to
+                -- disagree with Spark on (see perplexity_buckets doc)
                 SELECT lang,
-                       round(quantile_cont(ppl, {textops.PPL_BUCKET_LO}),
-                             4) AS t_lo,
-                       round(quantile_cont(ppl, {textops.PPL_BUCKET_HI}),
-                             4) AS t_hi
-                FROM scored GROUP BY lang
+                       min(CASE WHEN cum >= ceil({textops.PPL_BUCKET_LO} * n)
+                                THEN ppl END) AS t_lo,
+                       min(CASE WHEN cum >= ceil({textops.PPL_BUCKET_HI} * n)
+                                THEN ppl END) AS t_hi
+                FROM cum GROUP BY lang
             )
             SELECT s.doc_id, s.lang, s.ppl,
                    CASE WHEN s.ppl <= t.t_lo THEN 'head'
@@ -2173,8 +2203,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM injected
             ),
             pk AS (
+                -- normalize with the explicit whitespace class (incl.
+                -- \\x0b) so the paragraph key matches Spark's Java-\\s
+                -- normalize_text byte-for-byte (the dup_spans fix)
                 SELECT doc_id, u.i - 1 AS pos, ps[u.i] AS para,
-                       md5(trim(regexp_replace(lower(ps[u.i]), '\\s+', ' ',
+                       md5(trim(regexp_replace(lower(ps[u.i]),
+                                               '{dedup.SUBSTR_WS_RE}', ' ',
                                                'g'))) AS pkey
                 FROM sp, unnest(generate_series(1, len(ps))) AS u(i)
                 WHERE trim(ps[u.i]) <> ''

@@ -242,12 +242,13 @@ def main() -> None:
                     ).save()
                     dt = round(time.time() - start, 3)
                     best = dt if best is None else min(best, dt)
-                scale_profile[name][prof] = best
             except Exception as exc:  # noqa: BLE001
-                scale_profile[name][prof] = None
+                # keep any timing a successful pass already produced —
+                # a flaky second pass must not erase a real measurement
                 scale_profile[name][f"{prof}_error"] = (
                     f"{type(exc).__name__}: {exc}"[:200]
                 )
+            scale_profile[name][prof] = best
         print(f"  profile {name}: {scale_profile[name]}", file=sys.stderr)
 
     # The streaming probe must never cost the query timings already

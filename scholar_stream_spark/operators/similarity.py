@@ -655,6 +655,26 @@ def cosine_topk_pandas(
     differs from sequential by ~1 ulp; equality after round-4 is
     asserted in tests).
     """
+    return _batch_topk_search(embeddings, k, n_queries, q_rows=q_rows)
+
+
+def _batch_topk_search(
+    embeddings: DataFrame,
+    k: int,
+    n_queries: int,
+    q_rows: list | None = None,
+    corpus_transform=None,
+) -> DataFrame:
+    """Shared brute-force search kernel behind ``cosine_topk_pandas``
+    (``corpus_transform=None``, exact) and ``cosine_topk_int8``
+    (transform = quantize+dequantize) — one kernel to maintain, so
+    tie-break/guard fixes cannot drift between the twins.
+
+    Per-batch prune is STABLE under partitioning: candidates sort by
+    (cosine desc, neighbor_id asc) — the same total order as the final
+    ranking window — so a cosine tie straddling a batch's k-th slot
+    always keeps the lower id, no matter how rows land in Arrow
+    batches. Zero-norm rows divide by 1 (sim 0, never ranked)."""
     import numpy as np
 
     if q_rows is None:
@@ -666,6 +686,7 @@ def cosine_topk_pandas(
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = 1.0
 
     def kernel(batches):
         import pandas as pd
@@ -673,16 +694,20 @@ def cosine_topk_pandas(
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if corpus_transform is not None:
+                c_mat = corpus_transform(c_mat)
             c_norm = np.linalg.norm(c_mat, axis=1)
+            c_norm[c_norm == 0] = 1.0
             sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
             out_q, out_n, out_s = [], [], []
             for j in range(len(q_ids)):
                 col = sims[:, j]
-                mask = ids != q_ids[j]  # self-match excluded
-                cand = np.flatnonzero(mask)
+                cand = np.flatnonzero(ids != q_ids[j])  # self excluded
                 if len(cand) == 0:
                     continue
-                top = cand[np.argsort(-col[cand], kind="stable")[:k]]
+                # lexsort: primary -cos (desc), secondary id (asc)
+                order = np.lexsort((ids[cand], -col[cand]))[:k]
+                top = cand[order]
                 out_q.extend([q_ids[j]] * len(top))
                 out_n.extend(ids[top])
                 out_s.extend(col[top])
@@ -782,79 +807,29 @@ def cosine_topk_int8(
     check; ``ann_recall(method="int8")`` carries the quality signal
     with a pytest floor.
 
-    Same kernel layout as ``cosine_topk_pandas`` (per-batch BLAS matmul
-    + per-batch top-k pre-prune; only k × n_queries rows per batch ever
-    reach the ranking window). Quantization happens in-kernel with the
-    SAME floor+0.5 symmetric scheme as ``quantize_embeddings``, so this
-    operator measures exactly the persisted-SQ8 layout's fidelity while
-    staying self-contained over the float input.
+    Shares ``_batch_topk_search`` with the exact vectorized path (one
+    kernel to maintain); the only difference is the in-kernel corpus
+    transform: quantize with the SAME floor+0.5 symmetric scheme as
+    ``quantize_embeddings`` then dequantize, so this operator measures
+    exactly the persisted-SQ8 layout's fidelity while staying
+    self-contained over the float input.
     """
     import numpy as np
 
-    if q_rows is None:
-        q_rows = (
-            embeddings.filter(F.col("vec_id") < n_queries)
-            .select("vec_id", "embedding")
-            .collect()
-        )
-    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
-    q_norm = np.linalg.norm(q_mat, axis=1)
-    q_norm[q_norm == 0] = 1.0
+    def sq8_roundtrip(c_mat):
+        # symmetric int8: scale = max|v|/127 (1.0 for zero vectors),
+        # q = clamp(floor(v/scale + 0.5)) — quantize_embeddings' rule
+        mx = np.abs(c_mat).max(axis=1)
+        mx[mx == 0] = float(QUANT_MAX)  # scale 1.0 below
+        scale = mx / QUANT_MAX
+        qv = np.clip(
+            np.floor(c_mat / scale[:, None] + 0.5), -QUANT_MAX, QUANT_MAX
+        ).astype(np.int8)
+        return qv.astype(np.float64) * scale[:, None]
 
-    def kernel(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            # symmetric int8: scale = max|v|/127 (1.0 for zero vectors),
-            # q = clamp(floor(v/scale + 0.5)) — quantize_embeddings' rule
-            mx = np.abs(c_mat).max(axis=1)
-            mx[mx == 0] = float(QUANT_MAX)  # scale 1.0 below
-            scale = mx / QUANT_MAX
-            qv = np.clip(
-                np.floor(c_mat / scale[:, None] + 0.5),
-                -QUANT_MAX,
-                QUANT_MAX,
-            ).astype(np.int8)
-            deq = qv.astype(np.float64) * scale[:, None]
-            d_norm = np.linalg.norm(deq, axis=1)
-            d_norm[d_norm == 0] = 1.0
-            sims = (deq @ q_mat.T) / np.outer(d_norm, q_norm)
-            out_q, out_n, out_s = [], [], []
-            for j in range(len(q_ids)):
-                col = sims[:, j]
-                cand = np.flatnonzero(ids != q_ids[j])
-                if len(cand) == 0:
-                    continue
-                top = cand[np.argsort(-col[cand], kind="stable")[:k]]
-                out_q.extend([q_ids[j]] * len(top))
-                out_n.extend(ids[top])
-                out_s.extend(col[top])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.array(out_q, dtype=np.int64),
-                    "neighbor_id": np.array(out_n, dtype=np.int64),
-                    "cos_sim_raw": np.array(out_s, dtype=np.float64),
-                }
-            )
-
-    partial = scale_out(embeddings).mapInPandas(
-        kernel, "query_id long, neighbor_id long, cos_sim_raw double"
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim_raw"), F.asc("neighbor_id")
-    )
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cos_sim_raw", 4).alias("cos_sim"),
-            F.col("rank").cast("long").alias("rank"),
-        )
+    return _batch_topk_search(
+        embeddings, k, n_queries, q_rows=q_rows,
+        corpus_transform=sq8_roundtrip,
     )
 
 

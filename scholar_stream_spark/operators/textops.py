@@ -271,23 +271,43 @@ def perplexity_buckets(documents: DataFrame) -> DataFrame:
 
     Scale shape — thresholds, not ranking: a per-language ``ntile``
     would rangepartition-sort the whole corpus per language; instead
-    ONE tiny per-language aggregate computes the two exact perplexity
-    quantiles (languages × 2 rows) and broadcasts back, so bucketing is
-    a stateless comparison on the scoring pass. Thresholds and ppl are
-    both rounded to 4 decimals before comparison, which makes the
-    bucket boundary decision identical in Spark and the oracle.
+    thresholds come off a per-language DISTINCT-ppl histogram (ppl is
+    4-decimal, so the histogram is small regardless of corpus size —
+    one map-side-combined groupBy), whose cumulative counts pick the
+    DISCRETE q-quantile: the smallest actual ppl value with
+    ``cum >= ceil(q*n)``. Discrete beats interpolated here for
+    engine-exactness, not just cost: Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` interpolate with different formula
+    associativity ((1-d)*lo + d*hi vs lo + d*(hi-lo)), and a 1-ulp
+    difference landing on a round() boundary would flip every
+    threshold-tied doc's bucket. Order statistics are exact data
+    values; ``ceil(q*n)`` is the same IEEE product on both engines.
+    The thresholds (languages × 2 rows) broadcast back, so bucketing
+    is a stateless comparison on the scoring pass.
 
     Output: (doc_id, lang, ppl, bucket) — bucket ∈ head|middle|tail.
     """
     scored = unigram_logprob(documents).join(
         documents.select("doc_id", "lang"), "doc_id"
     )
-    pcts = F.expr(
-        f"percentile(ppl, array({PPL_BUCKET_LO}, {PPL_BUCKET_HI}))"
+    hist = scored.groupBy("lang", "ppl").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy("lang").orderBy("ppl").rowsBetween(
+        Window.unboundedPreceding, 0
     )
-    thr = scored.groupBy("lang").agg(
-        F.round(pcts[0], 4).alias("t_lo"),
-        F.round(pcts[1], 4).alias("t_hi"),
+    w_all = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "ppl",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    thr = cum.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("cum") >= F.ceil(PPL_BUCKET_LO * F.col("n")), F.col("ppl"))
+        ).alias("t_lo"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(PPL_BUCKET_HI * F.col("n")), F.col("ppl"))
+        ).alias("t_hi"),
     )
     bucket = (
         F.when(F.col("ppl") <= F.col("t_lo"), F.lit("head"))
