@@ -116,6 +116,16 @@ def test_shipping_priority_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_perplexity_buckets_never_sorts_corpus(spark):
+    """The CCNet bucket thresholds must come off the tiny distinct-ppl
+    histogram and broadcast back — a rangepartition sort (ntile over
+    the corpus) or a shuffled threshold join is the shape this design
+    exists to avoid."""
+    plan = _plan(spark, "perplexity_buckets")
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_remove_dup_spans_never_shuffles_token_table(spark):
     """The ExactSubstr cut must stay an in-row array filter: the merged
     span set broadcasts back onto the tokenized corpus (ONE broadcast
