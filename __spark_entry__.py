@@ -382,6 +382,7 @@ _DRIVER_FIRST = (
     "remove_dup_paragraphs",
     "perplexity_buckets",
     "shipping_priority",
+    "mixture_upsample",
 )
 
 
@@ -409,6 +410,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data mixing: deterministic downsample to the target language
         # mixture (largest budget reachable without upsampling)
         "mixture_sample": lambda s, d: sampling.mixture_sample(
+            _t(s, d, "documents")
+        ),
+        # epoch-repeat upsampling to the same target mixture (scarce
+        # strata repeat; the most abundant runs exactly once)
+        "mixture_upsample": lambda s, d: sampling.mixture_upsample(
             _t(s, d, "documents")
         ),
         "quantize_embeddings": lambda s, d: similarity.quantize_embeddings(
@@ -1340,6 +1346,53 @@ WHERE base.bucket < thr.thr
 """
 
 
+def _mixture_upsample_sql() -> str:
+    """Epoch-repeat upsampling oracle (mixture_upsample): same fixed
+    -point scaled-epochs trick as the Spark side — integer DIV/%% of
+    ``floor(B*w_l/T_l*DENOM)`` (pinned to DENOM for the binding
+    stratum) so repeat counts are engine-identical."""
+    values = ", ".join(
+        f"('{lang}', CAST({w!r} AS DOUBLE))"
+        for lang, w in sorted(sampling.MIXTURE_WEIGHTS.items())
+    )
+    denom = sampling.SAMPLE_DENOM
+    return f"""
+WITH w(lang, w_l) AS (VALUES {values}),
+base AS (
+    SELECT doc_id, lang,
+           CAST(length(text) - length(replace(text, ' ', ''))
+                + 1 AS BIGINT) AS n_tokens,
+           ({hex48_sql("CAST(doc_id AS VARCHAR)")})
+               % {denom} AS bucket
+    FROM documents
+    WHERE lang IN (SELECT lang FROM w)
+),
+tot AS (
+    SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t_l
+    FROM base GROUP BY lang
+),
+b AS (
+    SELECT max(t_l / w_l) AS budget FROM tot JOIN w USING (lang)
+),
+e AS (
+    SELECT tot.lang,
+           CASE WHEN t_l / w_l = budget
+                THEN CAST({denom} AS BIGINT)
+                ELSE CAST(floor(budget * w_l / t_l * {denom}) AS BIGINT)
+           END AS esc
+    FROM tot JOIN w USING (lang) CROSS JOIN b
+),
+reps AS (
+    SELECT base.doc_id, base.lang AS stratum, base.n_tokens,
+           (esc // {denom})
+           + CASE WHEN base.bucket < esc % {denom} THEN 1 ELSE 0 END AS rep
+    FROM base JOIN e ON base.lang = e.lang
+)
+SELECT doc_id, stratum, n_tokens, CAST(u.i AS BIGINT) AS epoch
+FROM reps, unnest(generate_series(0, rep - 1)) AS u(i)
+"""
+
+
 def _pipeline_sql() -> str:
     """curate → decontaminate → mixture as one nested-CTE chain: the
     stage subqueries ARE the standalone oracle texts (verbatim nesting
@@ -2253,6 +2306,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_fuzzy": _fuzzy_neardup_sql(),
         "decontaminate": _decontaminate_sql(),
         "mixture_sample": _mixture_sample_sql(),
+        "mixture_upsample": _mixture_upsample_sql(),
         "corpus_data_card": f"""
             WITH feat AS (
                 SELECT lang,

@@ -222,6 +222,87 @@ def mixture_select(
     )
 
 
+def mixture_upsample(
+    documents: DataFrame,
+    weights: dict[str, float] = MIXTURE_WEIGHTS,
+    key_col: str = "doc_id",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Deterministic UPSAMPLING to a target mixture — the epoch-repeat
+    complement of ``mixture_sample``: instead of cutting abundant
+    strata down to the scarcest, scarce strata repeat (the Llama/GPT
+    data-recipe pattern: run high-value domains for multiple epochs
+    while the largest domain runs once).
+
+    Math: with token totals ``T_l`` and target shares ``w_l``, the
+    budget is ``B = max_l(T_l / w_l)`` (the most ABUNDANT stratum
+    relative to its share runs exactly one epoch); every stratum then
+    repeats ``e_l = B * w_l / T_l ≥ 1`` times — each doc appears
+    ``floor(e_l)`` times plus once more when its hash bucket falls
+    below the fractional remainder, so the repeated token share matches
+    the target in expectation and a re-run (or the oracle) repeats the
+    SAME documents. The fixed-point trick from ``mixture_select``
+    applies: ``e_l`` is computed once as an integer
+    ``floor(B*w_l/T_l * DENOM)`` (pinned to exactly DENOM for the
+    binding stratum — IEEE re-rounding must not drop it to DENOM-1),
+    then split into whole epochs and remainder by integer div/mod, so
+    both engines derive identical repeat counts.
+
+    Plan shape: one map-side-combined groupBy to ≤|strata| rows, tiny
+    broadcast threshold table, then the corpus scan explodes a
+    per-row ``sequence(0, rep-1)`` — no shuffle of the corpus, output
+    size = sum of repeats (the point of the operator).
+
+    Output: (key, stratum, n_tokens, epoch) with epoch ∈ [0, rep_doc).
+    """
+    from scholar_stream_spark.operators.textops import n_tokens
+
+    base = documents.select(
+        F.col(key_col),
+        F.col(strata_col).alias("stratum"),
+        n_tokens(F.col("text")).alias("n_tokens"),
+        sample_bucket(key_col).alias("bucket"),
+    ).filter(F.col("stratum").isin(*weights))
+    w_expr = F.create_map(
+        *[F.lit(x) for kv in sorted(weights.items()) for x in kv]
+    )
+    totals = base.groupBy("stratum").agg(F.sum("n_tokens").alias("t_l"))
+    weighted = totals.withColumn("w_l", w_expr[F.col("stratum")])
+    budget = weighted.agg(
+        F.max(F.col("t_l") / F.col("w_l")).alias("budget")
+    )
+    esc = (
+        F.when(
+            F.col("t_l") / F.col("w_l") == F.col("budget"),
+            F.lit(SAMPLE_DENOM).cast("long"),
+        )
+        .otherwise(
+            F.floor(
+                F.col("budget") * F.col("w_l") / F.col("t_l") * SAMPLE_DENOM
+            )
+        )
+    )
+    reps_tbl = weighted.crossJoin(F.broadcast(budget)).select(
+        "stratum", esc.alias("esc")
+    )
+    # integer DIV/% — no float round-trip between the two engines
+    rep = F.expr(f"esc DIV {SAMPLE_DENOM}") + F.when(
+        F.col("bucket") < F.col("esc") % SAMPLE_DENOM, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        base.join(F.broadcast(reps_tbl), "stratum")
+        .withColumn("rep", rep)
+        .select(
+            key_col,
+            "stratum",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("rep") - 1)
+            ).alias("epoch"),
+        )
+    )
+
+
 #: Temperature exponent for temperature_mixture. Pinned to 0.5 (the
 #: middle of the usual 0.3–0.7 multilingual range) because
 #: ``T_l^0.5 = sqrt(T_l)`` and IEEE-754 sqrt is CORRECTLY ROUNDED —

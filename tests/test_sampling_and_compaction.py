@@ -172,3 +172,24 @@ def test_temperature_mixture_smallest_stratum_kept_whole(spark):
     assert sorted((r["doc_id"], r["stratum"]) for r in kept) == sorted(
         (r["doc_id"], r["stratum"]) for r in again
     )
+
+
+def test_mixture_upsample_epoch_counts(spark):
+    """Binding stratum (most abundant vs its share) runs exactly one
+    epoch; a stratum with exactly a third of the binding ratio repeats
+    every doc exactly 3 times; every doc appears at least once."""
+    from pyspark.sql import functions as F
+
+    from scholar_stream_spark.operators.sampling import mixture_upsample
+
+    rows = [(i, "en", " ".join(["w"] * 10)) for i in range(30)]
+    rows += [(100 + i, "de", " ".join(["w"] * 10)) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = mixture_upsample(docs, weights={"en": 0.5, "de": 0.5}).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # en: T/w = 600 (binding) -> exactly 1 epoch each
+    assert all(per_doc[i] == [0] for i in range(30))
+    # de: T/w = 200 -> e = 3.0 exactly -> epochs {0,1,2} each
+    assert all(sorted(per_doc[100 + i]) == [0, 1, 2] for i in range(10))
