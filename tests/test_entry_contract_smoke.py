@@ -35,3 +35,20 @@ def test_rows_only_set_is_documented():
     doc = entry.__doc__ or ""
     undocumented = {n for n in rows_only if n not in doc}
     assert not undocumented, f"rows-only without docstring note: {undocumented}"
+
+
+def test_driver_cap_rotation_invariants():
+    """The driver's CORRECTNESS run checks the FIRST 50 queries() in
+    dict order. Guard the rotation's two invariants: every capped slot
+    is oracle-backed (a rows-only entry inside the cap would waste a
+    value-checked slot), and the rows-only block sits contiguously at
+    the tail. Also pin that _DRIVER_FIRST names exist and lead."""
+    entry = importlib.import_module("__spark_entry__")
+    order = list(entry.queries())
+    oracle_backed = set(entry.oracle_sql())
+    assert all(n in oracle_backed for n in order[:50]), [
+        n for n in order[:50] if n not in oracle_backed
+    ]
+    rows_only = [n for n in order if n not in oracle_backed]
+    assert order[-len(rows_only):] == rows_only
+    assert order[: len(entry._DRIVER_FIRST)] == list(entry._DRIVER_FIRST)
