@@ -383,6 +383,7 @@ _DRIVER_FIRST = (
     "perplexity_buckets",
     "shipping_priority",
     "mixture_upsample",
+    "dedup_keep_best",
 )
 
 
@@ -401,6 +402,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # connected components over the near-dup pair graph (iterative
         # min-label propagation; oracle = DuckDB recursive CTE)
         "dedup_clusters": lambda s, d: dedup.neardup_clusters(
+            _t(s, d, "documents")
+        ),
+        # cluster-aware survivor selection: best-quality member per
+        # near-dup cluster (ties -> lowest doc_id)
+        "dedup_keep_best": lambda s, d: dedup.keep_best_per_cluster(
             _t(s, d, "documents")
         ),
         # new-batch exact dedup against a persisted fingerprint index
@@ -1539,6 +1545,30 @@ def _curate_sql(lang_filter: tuple = None) -> str:
     """
 
 
+def _text_quality_sql() -> str:
+    """Quality-score oracle, factored out because ``dedup_keep_best``
+    nests it verbatim as its quality CTE — one definition, no drift."""
+    stop_list = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
+    return f"""
+            WITH feat AS (
+                SELECT doc_id,
+                       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+                           AS nt,
+                       length(replace(text, ' ', '')) AS n_nonspace,
+                       len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                       t -> t IN ({stop_list}))) AS n_stop
+                FROM documents
+            )
+            SELECT doc_id, nt AS n_tokens,
+                   round(n_nonspace / nt, 4) AS mean_token_len,
+                   round(n_stop / nt, 4) AS stopword_ratio,
+                   round(CASE WHEN nt < 5 THEN 0.0
+                         ELSE 1.0 - abs(n_nonspace / nt - 4.0) / 10.0
+                              - (n_stop / nt) * 0.5 END, 4) AS quality_score
+            FROM feat
+        """
+
+
 def _unigram_sql() -> str:
     """Unigram-LM scoring oracle, factored out because the CCNet-style
     ``perplexity_buckets`` oracle nests it verbatim as its first CTE —
@@ -1974,23 +2004,23 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS bucket
             FROM scored s JOIN thr t ON s.lang = t.lang
         """,
-        "text_quality": f"""
-            WITH feat AS (
-                SELECT doc_id,
-                       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
-                           AS nt,
-                       length(replace(text, ' ', '')) AS n_nonspace,
-                       len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                                       t -> t IN ({stop_list}))) AS n_stop
-                FROM documents
+        "text_quality": _text_quality_sql(),
+        "dedup_keep_best": f"""
+            WITH cl AS (SELECT * FROM ({_clusters_sql()})),
+            tq AS (SELECT doc_id, quality_score
+                   FROM ({_text_quality_sql()})),
+            r AS (
+                SELECT cl.cluster_id, cl.doc_id, tq.quality_score,
+                       cl.cluster_size,
+                       row_number() OVER (
+                           PARTITION BY cl.cluster_id
+                           ORDER BY tq.quality_score DESC, cl.doc_id ASC
+                       ) AS rn
+                FROM cl JOIN tq ON cl.doc_id = tq.doc_id
             )
-            SELECT doc_id, nt AS n_tokens,
-                   round(n_nonspace / nt, 4) AS mean_token_len,
-                   round(n_stop / nt, 4) AS stopword_ratio,
-                   round(CASE WHEN nt < 5 THEN 0.0
-                         ELSE 1.0 - abs(n_nonspace / nt - 4.0) / 10.0
-                              - (n_stop / nt) * 0.5 END, 4) AS quality_score
-            FROM feat
+            SELECT cluster_id, doc_id AS survivor_id, quality_score,
+                   cluster_size
+            FROM r WHERE rn = 1
         """,
         "lang_profile": _lang_profile_sql(),
         "curate_corpus": _curate_sql(),

@@ -1367,6 +1367,43 @@ def neardup_clusters(
     )
 
 
+def keep_best_per_cluster(documents: DataFrame) -> DataFrame:
+    """Cluster-aware survivor selection: for every near-dup cluster
+    (``neardup_clusters``), keep the member with the HIGHEST quality
+    score (ties → lowest doc_id) — the curation policy that beats
+    keep-lowest-id when near-duplicate copies differ in quality (the
+    canonical copy of boilerplate-wrapped text is usually not the one
+    with the smallest id).
+
+    Composition, no new machinery: the cluster labels (rare-by-
+    construction pair graph → components) join the per-doc quality
+    scores on doc_id, and a per-cluster ranking window picks the
+    survivor. The window partitions on cluster_id over CLUSTER MEMBERS
+    ONLY (docs with no near-dup never enter), so the sort input is the
+    duplicate population, not the corpus.
+
+    Output: (cluster_id, survivor_id, quality_score, cluster_size).
+    """
+    from scholar_stream_spark.operators.textops import text_quality
+
+    clusters = neardup_clusters(documents)
+    quality = text_quality(documents).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_id"),
+            "quality_score",
+            "cluster_size",
+        )
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame, threshold: float = EMBED_COS_THRESHOLD
 ) -> DataFrame:
