@@ -350,40 +350,43 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-#: Driver-cap rotation (round 6): CORRECTNESS runs check at most 50
-#: entries in ``queries()`` order. The 19 oracle-backed entries the
-#: round-5 run could not reach (their last driver rows are r4;
-#: ``repetition_stats`` has never had a driver row since its r5 cast
-#: fix) go FIRST, then the two NEW persisted-index probes; the entries
-#: fresh-green in r5 follow (their rows stand either way), and the
-#: rows-only block stays last as documented in the module docstring.
+#: Driver-cap rotation (round 7): CORRECTNESS runs check at most 50
+#: entries in ``queries()`` order. The 26 oracle-backed entries whose
+#: only driver-green rows are r5 (everything else is r6-green) go
+#: FIRST, then this round's NEW oracle-backed entries; the r6-green
+#: entries follow in literal order (their rows stand either way), and
+#: the rows-only block stays last as documented in the module
+#: docstring. Result: every oracle-backed entry driver-green within
+#: the r6∪r7 window.
 _DRIVER_FIRST = (
-    "repetition_stats",
-    "pipeline_end_to_end",
-    "reservoir_sample",
-    "hash_sample",
-    "scrub_pii",
-    "token_counts",
-    "unigram_logprob",
-    "text_quality",
-    "lang_profile",
-    "doc_fingerprint",
-    "tfidf_top_terms",
-    "dedup_first_event",
-    "dedup_exact_stats",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding",
-    "dedup_fuzzy",
-    "decontaminate",
-    "ivf_probe_index",
-    "incremental_neardup_indexed",
-    "remove_dup_paragraphs",
-    "perplexity_buckets",
-    "shipping_priority",
-    "mixture_upsample",
-    "dedup_keep_best",
+    "asof_join",
+    "change_filter",
+    "cube_orders",
+    "curate_corpus",
+    "distinct_users_salted",
+    "heavy_hitters",
+    "incr_rollup",
+    "json_extract",
+    "mask_email",
+    "pack_docs",
+    "pivot_user_events",
+    "pricing_summary",
+    "range_join",
+    "revenue_by_region",
+    "rollup_orders",
+    "salted_join_revenue",
+    "sec_of_day",
+    "sessionize",
+    "split_assign",
+    "stats_by_type",
+    "top_orders_per_customer",
+    "user_setops",
+    "value_histogram",
+    "value_percentiles",
+    "vocab_coverage",
+    "windowed_agg",
+    # round-7 additions (new oracle-backed entries) go next
+    "blocklist_filter",
 )
 
 
@@ -490,6 +493,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.lit("please enable javascript to continue."),
                     F.lit("config = { debug: false }"),
                     F.substring("text", 41, 60),
+                ).alias("text"),
+            )
+        ),
+        # C4 document-level blocklist over deterministically injected
+        # markers: every 3rd doc gets a mixed-case block word, every
+        # 4th-mod-1 a shortener URL, every 5th-mod-2 a word-boundary
+        # NON-match ("gamblingly") — keep, drop, and boundary paths all
+        # exercised; the oracle injects the identical strings
+        "blocklist_filter": lambda s, d: textops.blocklist_filter(
+            _t(s, d, "documents").select(
+                "doc_id",
+                F.concat(
+                    F.col("text"),
+                    F.when(
+                        (F.col("doc_id") % 3) == 0,
+                        F.lit(" hot Gambling offer"),
+                    ).otherwise(F.lit("")),
+                    F.when(
+                        (F.col("doc_id") % 4) == 1,
+                        F.lit(" via bit.ly/deal today"),
+                    ).otherwise(F.lit("")),
+                    F.when(
+                        (F.col("doc_id") % 5) == 2,
+                        F.lit(" gamblingly speaking"),
+                    ).otherwise(F.lit("")),
                 ).alias("text"),
             )
         ),
@@ -790,6 +818,15 @@ def profile_pairs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFra
             ),
             "scale": lambda s, d: similarity.semantic_prune(
                 _t(s, d, "embeddings"), profile="scale"
+            ),
+        },
+        # round-7 split: the ExactSubstr cut's span table broadcast is
+        # bench-profile only; the scale profile equi-joins on doc_id so
+        # AQE sizes it (span count is corpus-proportional at 100 TB)
+        "remove_dup_spans": {
+            "oracle": lambda s, d: dedup.remove_duplicate_spans(docs(s, d)),
+            "scale": lambda s, d: dedup.remove_duplicate_spans(
+                docs(s, d), span_join="shuffle"
             ),
         },
     }
@@ -1942,6 +1979,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(kl) AS BIGINT) AS n_kept_lines
             FROM kept
         """,
+        "blocklist_filter": f"""
+            WITH injected AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' hot Gambling offer' ELSE '' END
+                       || CASE WHEN doc_id % 4 = 1
+                               THEN ' via bit.ly/deal today' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 2
+                               THEN ' gamblingly speaking' ELSE '' END
+                           AS text
+                FROM documents
+            ),
+            flags AS (
+                SELECT doc_id,
+                       regexp_matches(lower(text),
+                           '\\b({"|".join(textops.C4_BLOCK_WORDS)})\\b')
+                           AS has_block_word,
+                       regexp_matches(lower(text),
+                           '{textops.C4_BLOCK_URL_RE}') AS has_block_url
+                FROM injected
+            )
+            SELECT doc_id, has_block_word, has_block_url,
+                   (has_block_word OR has_block_url) AS blocked
+            FROM flags
+        """,
         "bigram_logprob": """
             WITH t AS (
                 SELECT doc_id,
@@ -2311,8 +2374,14 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY doc_id
             ),
             tot AS (
-                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paragraphs
-                FROM pk GROUP BY doc_id
+                -- totals straight off the (injected) document rows, NOT
+                -- off pk: a doc with zero non-blank paragraphs must
+                -- still emit a (doc_id, '', 0, 0) row, matching the
+                -- operator's totals-from-documents shape
+                SELECT doc_id,
+                       CAST(len(list_filter(ps, p -> trim(p) <> ''))
+                            AS BIGINT) AS n_paragraphs
+                FROM sp
             )
             SELECT tot.doc_id,
                    coalesce(kept.clean_text, '') AS clean_text,

@@ -660,3 +660,56 @@ def heavy_hitters(documents: DataFrame, k: int = HH_K) -> DataFrame:
             F.round(F.col("tf") / F.lit(float(total)), 6).alias("freq"),
         )
     )
+
+
+#: C4-style document-level blocklist (Raffel et al. 2020, §2.2: pages
+#: containing any word from a "bad words" list are dropped WHOLE — the
+#: doc-level companion to ``clean_lines``' line rules). Production runs
+#: feed the multi-language LDNOOBW list here; the pinned stand-ins keep
+#: the demo corpus family-friendly while exercising the same machinery.
+#: Words must be regex-literal (no metacharacters) — matching is
+#: token-bounded (``\b``) and case-insensitive via lowercasing, the
+#: exact same semantics in Java regex and DuckDB's RE2.
+C4_BLOCK_WORDS = ("clickbait", "spamword", "gambling")
+#: URL shorteners / obfuscated-host patterns whose presence anywhere in
+#: the document triggers the drop (link-spam marker).
+C4_BLOCK_URL_RE = r"(bit\.ly/|tinyurl\.com/|\.onion\b)"
+
+
+def blocklist_filter(
+    documents: DataFrame,
+    words: tuple[str, ...] = C4_BLOCK_WORDS,
+    url_pattern: str = C4_BLOCK_URL_RE,
+    text_col: str = "text",
+) -> DataFrame:
+    """C4 document-level blocklist verdicts: flag every document that
+    contains a blocklisted word (token-bounded, case-insensitive) or a
+    blocklisted URL pattern. Emits ALL rows with the verdict columns so
+    the decision is auditable; the drop itself is the caller's
+    ``.filter(~F.col("blocked"))`` (``curate_corpus`` composes passes
+    the same way).
+
+    Scale shape: a narrow per-row projection — two JVM regex predicates
+    inside WholeStageCodegen over (doc_id, text) only; zero joins, zero
+    shuffles, partition-inherited from the scan. The whole word list
+    compiles into ONE alternation regex (a single DFA pass per row), so
+    cost is corpus-linear regardless of list length; for blocklists too
+    large for one pattern (100k+ entries), the alternative shape is
+    token-explode + broadcast semi-join against the list, at the price
+    of the explode — not needed for LDNOOBW-scale lists.
+
+    Output: (doc_id, has_block_word, has_block_url, blocked).
+    """
+    for w in words:
+        if not w.isalnum():
+            raise ValueError(f"blocklist word must be regex-literal: {w!r}")
+    word_re = r"\b(" + "|".join(words) + r")\b"
+    lowered = F.lower(F.col(text_col))
+    has_word = lowered.rlike(word_re)
+    has_url = lowered.rlike(url_pattern)
+    return scale_out(documents).select(
+        "doc_id",
+        has_word.alias("has_block_word"),
+        has_url.alias("has_block_url"),
+        (has_word | has_url).alias("blocked"),
+    )

@@ -82,7 +82,10 @@ def init_catalog(
     latency.createOrReplaceTempView("vw_latency")
     views["vw_latency"] = latency
 
-    assert list(views) == [s["name"] for s in CATALOG_PLAN], (
-        "registration order drifted from CATALOG_PLAN — update both"
-    )
+    # explicit raise, not assert: python -O strips asserts and this
+    # drift guard must survive optimized deployments
+    if list(views) != [s["name"] for s in CATALOG_PLAN]:
+        raise RuntimeError(
+            "registration order drifted from CATALOG_PLAN — update both"
+        )
     return views

@@ -15,19 +15,22 @@ from pyspark.sql import functions as F
 
 from scholar_stream_spark.plans.observe import with_quality_observation
 
-#: Queries deliberately without an oracle — must match the module
-#: docstring's documented list (see __spark_entry__.py header).
-DOCUMENTED_ROWS_ONLY = {
-    "synthetic_email",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_lsh_recall",
-    "ann_ivf_recall",
-    "value_percentiles_sketch",
-    "distinct_users_sketch",
-    "cluster_embeddings",
-    "semantic_prune",
-}
+def documented_rows_only() -> set[str]:
+    """The rows-only allowlist, parsed from the ``__spark_entry__``
+    module docstring's "Deliberately WITHOUT oracle entries" section —
+    the single source of truth. Each section bullet names the excepted
+    queries in double backticks before its em-dash rationale, so adding
+    a rows-only query without documenting it (or vice versa) fails the
+    contract test with no second constant to hand-sync (the round-6 red
+    test was exactly that drift)."""
+    section = entry_mod.__doc__.split("Deliberately WITHOUT oracle entries")[1]
+    names: set[str] = set()
+    for line in section.splitlines():
+        if not line.startswith("- "):
+            continue
+        head = line.split("—")[0]
+        names.update(re.findall(r"``([a-z0-9_]+)``", head))
+    return names
 
 
 def test_contract_consistency():
@@ -37,13 +40,12 @@ def test_contract_consistency():
     assert set(oracles) <= set(queries), set(oracles) - set(queries)
     # every oracle-less query is a documented exception
     rows_only = set(queries) - set(oracles)
-    assert rows_only == DOCUMENTED_ROWS_ONLY, (
-        f"undocumented rows-only queries: {rows_only ^ DOCUMENTED_ROWS_ONLY}"
+    documented = documented_rows_only()
+    assert documented, "docstring rows-only section parsed to nothing"
+    assert rows_only == documented, (
+        f"rows-only queries out of sync with the docstring rationale: "
+        f"{rows_only ^ documented}"
     )
-    # documented exceptions appear in the module docstring
-    doc = entry_mod.__doc__
-    for name in DOCUMENTED_ROWS_ONLY:
-        assert name in doc, f"{name} missing from the docstring rationale"
     # no duplicate-ish aliases: every oracle is non-empty SQL
     for name, sql in oracles.items():
         assert re.search(r"SELECT", sql, re.IGNORECASE), name

@@ -127,14 +127,38 @@ def test_perplexity_buckets_never_sorts_corpus(spark):
 
 
 def test_remove_dup_spans_never_shuffles_token_table(spark):
-    """The ExactSubstr cut must stay an in-row array filter: the merged
-    span set broadcasts back onto the tokenized corpus (ONE broadcast
-    hash join) and the token table is never sort-merge-shuffled — the
-    corpus-token-sized explode+regroup this replaced would be the
-    operator's scale killer."""
+    """The ExactSubstr cut must stay an in-row array filter: in the
+    default (bench/oracle) profile the merged span set broadcasts back
+    onto the tokenized corpus (ONE broadcast hash join) and the token
+    table is never sort-merge-shuffled — the corpus-token-sized
+    explode+regroup this replaced would be the operator's scale
+    killer."""
     plan = _plan(spark, "remove_dup_spans")
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") == 1, plan
+
+
+def test_remove_dup_spans_scale_profile_never_forces_broadcast(spark):
+    """Under ``span_join="shuffle"`` the span table must NOT carry a
+    broadcast hint: span count is corpus-proportional on templated web
+    corpora, and a forced broadcast (which bypasses
+    autoBroadcastJoinThreshold) OOMs at 100 TB. The cut join must plan
+    as a plain equi-join AQE is free to size — i.e. the optimized plan
+    carries no ResolvedHint/broadcast on the span side. AQE may still
+    CHOOSE broadcast at sf0.001 (the table really is tiny there); what
+    we pin is that nothing forces it."""
+    from scholar_stream_spark.operators import dedup
+    from scholar_stream_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    df = dedup.remove_duplicate_spans(docs, span_join="shuffle")
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in optimized.lower(), optimized
+    # values identical to the broadcast profile (join strategy only)
+    base = dedup.remove_duplicate_spans(docs, span_join="broadcast")
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, base.collect())
+    )
 
 
 def test_decontaminate_and_incremental_never_sortmerge(spark):

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from scholar_stream_spark.operators import textops
 
 
@@ -385,3 +387,56 @@ def test_corpus_data_card_rollup(spark):
         rows["en"]["n_tokens"] + rows["de"]["n_tokens"]
     )
     assert rows["en"]["p50_doc_tokens"] == 7.0  # median of 6 and 8
+
+
+def test_blocklist_filter_word_boundary_and_case(spark):
+    """Doc-level C4 blocklist semantics: token-bounded match (the word
+    inside a longer token must NOT trigger), case-insensitive, URL
+    pattern anywhere, and the verdict disjunction."""
+    docs = spark.createDataFrame(
+        [
+            (1, "an honest essay about sparrows"),
+            (2, "try this GAMBLING site today"),       # word, mixed case
+            (3, "gamblingly speaking, all is well"),   # boundary non-match
+            (4, "click http://bit.ly/xy now"),         # URL pattern
+            (5, "spamword. and tinyurl.com/z too"),    # both
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in textops.blocklist_filter(docs).collect()
+    }
+    assert len(rows) == 5
+    assert not rows[1]["blocked"] and not rows[3]["blocked"]
+    assert rows[2]["has_block_word"] and not rows[2]["has_block_url"]
+    assert rows[4]["has_block_url"] and not rows[4]["has_block_word"]
+    assert rows[5]["has_block_word"] and rows[5]["has_block_url"]
+    assert all(
+        rows[i]["blocked"] == (rows[i]["has_block_word"] or rows[i]["has_block_url"])
+        for i in rows
+    )
+
+
+def test_blocklist_filter_rejects_regex_metacharacters(spark):
+    """The word list compiles into a regex alternation, so a word with
+    metacharacters would silently change semantics — must raise."""
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="regex-literal"):
+        textops.blocklist_filter(docs, words=("a.b",))
+
+
+def test_blocklist_filter_plan_is_narrow(spark):
+    """Zero joins and zero exchanges beyond scale_out's round-robin:
+    the verdict is a per-row codegen projection — the only acceptable
+    shape for a predicate that runs over every document at 100 TB."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    plan = (
+        textops.blocklist_filter(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
