@@ -548,6 +548,35 @@ def ivf_append_index(embeddings: DataFrame, path: str) -> None:
     )
 
 
+def compact_ivf_index(spark, index_path: str, out_path: str) -> None:
+    """Rewrite an IVF index whose cell partitions have accreted small
+    append files (``ivf_append_index`` once per micro-batch/night) back
+    into the serving layout ``write_ivf_index`` produces — the IVF twin
+    of ``compact_neardup_index``, closing the compaction promise in the
+    append docstring. Every probe pays file-listing + parquet-footer
+    reads per file in each probed cell, so after B appends a probe costs
+    O(B) metadata per cell regardless of data size; compaction folds
+    each cell back to few vec_id-sorted files (ONE task per cell via
+    the hash-repartition in ``write_partitioned``, split only by the
+    1M-row file cap) and copies the quantizer sidecar unchanged, so the
+    compacted index is probe-identical by construction — same rows,
+    same frozen quantizer, same cell assignment. Compact to a NEW path
+    and swap atomically; writing over a live index a probe is reading
+    is the caller's race (same contract as the near-dup compactor).
+    """
+    from scholar_stream_spark.sources.table_sink import write_partitioned
+
+    vectors = spark.read.option(
+        "basePath", f"{index_path}/vectors"
+    ).parquet(f"{index_path}/vectors")
+    write_partitioned(
+        vectors, f"{out_path}/vectors", ["cell"], sort_cols=["vec_id"]
+    )
+    spark.read.parquet(f"{index_path}/quantizer").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out_path}/quantizer")
+
+
 def ivf_probe_index(
     spark,
     path: str,

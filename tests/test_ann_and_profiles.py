@@ -304,3 +304,86 @@ def test_ivf_index_roundtrip_matches_inline_and_prunes(spark, tmp_path):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "cell" in pf.group(1), plan
+
+
+def test_compact_ivf_index_probe_identical_fewer_files(spark, tmp_path):
+    """Build on half the corpus, append the rest in three micro-batches
+    (accreting small files per cell), compact, then check the three
+    compaction promises: (a) exhaustive probe over the compacted index
+    equals brute-force exact top-k, (b) the vectors table folds back to
+    ~one file per cell (strictly fewer files than the appended layout),
+    (c) the frozen quantizer is copied bit-identically."""
+    import glob
+    import os
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    cut = 25
+    path = str(tmp_path / "ivf_acc")
+    similarity.write_ivf_index(emb.filter(F.col("vec_id") < cut), path)
+    for lo, hi in ((cut, cut + 10), (cut + 10, cut + 20), (cut + 20, 1 << 40)):
+        similarity.ivf_append_index(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            path,
+        )
+    files = lambda p: glob.glob(  # noqa: E731
+        os.path.join(p, "vectors", "**", "*.parquet"), recursive=True
+    )
+    out = str(tmp_path / "ivf_compact")
+    similarity.compact_ivf_index(spark, path, out)
+    assert len(files(out)) < len(files(path))
+    assert len(files(out)) <= similarity.IVF_NUM_CENTROIDS
+
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < similarity.ANN_NUM_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    probed = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+        for r in similarity.ivf_probe_index(
+            spark, out, queries, n_probe=similarity.IVF_NUM_CENTROIDS
+        ).collect()
+    )
+    exact = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+        for r in similarity.cosine_topk(emb).collect()
+    )
+    assert probed == exact
+    q_in = sorted(
+        map(tuple, spark.read.parquet(f"{path}/quantizer").collect())
+    )
+    q_out = sorted(
+        map(tuple, spark.read.parquet(f"{out}/quantizer").collect())
+    )
+    assert q_in == q_out
+
+
+def test_ivf_append_default_probe_recall_floor(spark, tmp_path):
+    """The serving question after appends: exhaustive-probe exactness
+    (pinned above) says nothing about DEFAULT n_probe quality once the
+    frozen quantizer has drifted from the appended distribution. Pin a
+    recall floor for the default-probe path over a half-built,
+    half-appended index vs brute-force exact (deterministic: fixed
+    seeds, fixed testdata — measured 0.82 at sf0.001)."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    cut = 25
+    path = str(tmp_path / "ivf_recall")
+    similarity.write_ivf_index(emb.filter(F.col("vec_id") < cut), path)
+    similarity.ivf_append_index(emb.filter(F.col("vec_id") >= cut), path)
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < similarity.ANN_NUM_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_probe_index(spark, path, queries).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.75, f"post-append default-probe recall {recall:.2f}"
