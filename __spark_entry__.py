@@ -387,6 +387,8 @@ _DRIVER_FIRST = (
     "windowed_agg",
     # round-7 additions (new oracle-backed entries) go next
     "blocklist_filter",
+    "gopher_quality",
+    "gopher_repetition",
 )
 
 
@@ -517,6 +519,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.when(
                         (F.col("doc_id") % 5) == 2,
                         F.lit(" gamblingly speaking"),
+                    ).otherwise(F.lit("")),
+                ).alias("text"),
+            )
+        ),
+        # Gopher A1.1 quality rules over deterministically injected
+        # variety: every other doc gains three list-stopwords (rule
+        # pass), every 7th a bullet line, every 5th-mod-1 an ellipsis
+        # line, every 11th a symbol run — each rule fires on a known
+        # subset; the oracle injects the identical strings
+        "gopher_quality": lambda s, d: textops.gopher_quality(
+            _t(s, d, "documents").select(
+                "doc_id",
+                F.concat(
+                    F.when(
+                        (F.col("doc_id") % 7) == 0,
+                        F.lit("• bullet item\n"),
+                    ).otherwise(F.lit("")),
+                    F.col("text"),
+                    F.when(
+                        (F.col("doc_id") % 2) == 0,
+                        F.lit(" that have with"),
+                    ).otherwise(F.lit("")),
+                    F.when(
+                        (F.col("doc_id") % 11) == 0,
+                        F.lit(" ### ##"),
+                    ).otherwise(F.lit("")),
+                    F.when(
+                        (F.col("doc_id") % 5) == 1,
+                        F.lit("\nwait for it..."),
+                    ).otherwise(F.lit("")),
+                ).alias("text"),
+            )
+        ),
+        # Gopher within-doc repetition fractions over injected repeats:
+        # every 4th-mod-1 doc gains a doubled 5-token phrase (duplicate
+        # 5-gram coverage), every 3rd a line appearing twice (dup-line
+        # rules); the small-vocabulary corpus supplies natural top-2/3-
+        # gram variety on its own; the oracle injects identically
+        "gopher_repetition": lambda s, d: textops.gopher_repetition(
+            _t(s, d, "documents").select(
+                "doc_id",
+                F.concat(
+                    F.col("text"),
+                    F.when(
+                        (F.col("doc_id") % 4) == 1,
+                        F.lit(
+                            " spark loves big fast data"
+                            " spark loves big fast data"
+                        ),
+                    ).otherwise(F.lit("")),
+                    F.when(
+                        (F.col("doc_id") % 3) == 0,
+                        F.concat(
+                            F.lit("\n"),
+                            F.substring("text", 1, 30),
+                            F.lit("\n"),
+                            F.substring("text", 1, 30),
+                        ),
                     ).otherwise(F.lit("")),
                 ).alias("text"),
             )
@@ -1978,6 +2038,174 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(ls) AS BIGINT) AS n_lines,
                    CAST(len(kl) AS BIGINT) AS n_kept_lines
             FROM kept
+        """,
+        "gopher_quality": f"""
+            WITH injected AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN '• bullet item' || chr(10) ELSE '' END
+                       || text
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN ' that have with' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN ' ### ##' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 1
+                               THEN chr(10) || 'wait for it...' ELSE '' END
+                           AS text
+                FROM documents
+            ),
+            feats AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS ws,
+                       string_split(text, chr(10)) AS ls,
+                       length(text) - length(replace(text, '#', ''))
+                           AS n_hash,
+                       len(string_split(text, '...')) - 1 AS n_ell
+                FROM injected
+            ),
+            m AS (
+                SELECT doc_id,
+                       len(ws) AS n_words,
+                       list_sum(list_transform(ws, w -> length(w)))
+                           / len(ws) AS mean_word_len,
+                       (n_hash + n_ell) / len(ws) AS symbol_ratio,
+                       len(list_filter(ls, l ->
+                           regexp_matches(trim(l), '^[•*-]')))
+                           / len(ls) AS bullet_frac,
+                       len(list_filter(ls, l ->
+                           regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+                           / len(ls) AS ellipsis_frac,
+                       len(list_filter(ws, w ->
+                           regexp_matches(w, '[A-Za-z]')))
+                           / len(ws) AS alpha_frac,
+                       len(list_filter(
+                           [{", ".join(f"'{s}'" for s in textops.GOPHER_STOPWORDS)}],
+                           s -> list_contains(ws, s))) AS n_stop
+                FROM feats
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   round(mean_word_len, 4) AS mean_word_len,
+                   round(symbol_ratio, 4) AS symbol_word_ratio,
+                   round(bullet_frac, 4) AS bullet_line_frac,
+                   round(ellipsis_frac, 4) AS ellipsis_line_frac,
+                   round(alpha_frac, 4) AS alpha_word_frac,
+                   CAST(n_stop AS BIGINT) AS n_stopwords_present,
+                   (n_words >= {textops.GOPHER_MIN_WORDS}
+                    AND n_words <= {textops.GOPHER_MAX_WORDS}
+                    AND mean_word_len >= {textops.GOPHER_MIN_MEAN_WORD_LEN}
+                    AND mean_word_len <= {textops.GOPHER_MAX_MEAN_WORD_LEN}
+                    AND symbol_ratio <= {textops.GOPHER_MAX_SYMBOL_WORD_RATIO}
+                    AND bullet_frac <= {textops.GOPHER_MAX_BULLET_LINE_FRAC}
+                    AND ellipsis_frac <= {textops.GOPHER_MAX_ELLIPSIS_LINE_FRAC}
+                    AND alpha_frac >= {textops.GOPHER_MIN_ALPHA_WORD_FRAC}
+                    AND n_stop >= {textops.GOPHER_MIN_STOPWORDS}) AS passes
+            FROM m
+        """,
+        "gopher_repetition": """
+            WITH injected AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 4 = 1
+                               THEN ' spark loves big fast data'
+                                    || ' spark loves big fast data'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN chr(10) || substr(text, 1, 30)
+                                    || chr(10) || substr(text, 1, 30)
+                               ELSE '' END AS text
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id, string_split(text, chr(10)) AS lines,
+                       regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM injected
+            ),
+            lc AS (
+                SELECT doc_id, g, count(*) AS c
+                FROM (SELECT doc_id, unnest(lines) AS g FROM base) u
+                GROUP BY doc_id, g
+            ),
+            line_m AS (
+                SELECT doc_id,
+                       sum(c) FILTER (WHERE c >= 2) AS dup_lines,
+                       sum(c * length(g)) FILTER (WHERE c >= 2)
+                           AS dup_line_chars
+                FROM lc GROUP BY doc_id
+            ),
+            g2 AS (
+                SELECT doc_id, max(c * length(g)) AS top2_chars FROM (
+                    SELECT doc_id, g, count(*) AS c FROM (
+                        SELECT doc_id,
+                               array_to_string(ws[i:i+1], ' ') AS g
+                        FROM base, unnest(range(1, len(ws))) AS t(i)
+                        WHERE len(ws) >= 2
+                    ) gg GROUP BY doc_id, g
+                ) gc GROUP BY doc_id
+            ),
+            g3 AS (
+                SELECT doc_id, max(c * length(g)) AS top3_chars FROM (
+                    SELECT doc_id, g, count(*) AS c FROM (
+                        SELECT doc_id,
+                               array_to_string(ws[i:i+2], ' ') AS g
+                        FROM base, unnest(range(1, len(ws) - 1)) AS t(i)
+                        WHERE len(ws) >= 3
+                    ) gg GROUP BY doc_id, g
+                ) gc GROUP BY doc_id
+            ),
+            g5 AS (
+                SELECT doc_id, g, count(*) AS c, list(i) AS starts FROM (
+                    SELECT doc_id, i,
+                           array_to_string(ws[i:i+4], ' ') AS g
+                    FROM base, unnest(range(1, len(ws) - 3)) AS t(i)
+                    WHERE len(ws) >= 5
+                ) gg GROUP BY doc_id, g
+            ),
+            dup5cov AS (
+                SELECT DISTINCT doc_id, p FROM (
+                    SELECT doc_id, unnest(starts) AS s
+                    FROM g5 WHERE c >= 2
+                ) ds, unnest(generate_series(s, s + 4)) AS q(p)
+            ),
+            dup5 AS (
+                SELECT d.doc_id, sum(length(b.ws[d.p])) AS dup5_chars
+                FROM dup5cov d JOIN base b USING (doc_id)
+                GROUP BY d.doc_id
+            ),
+            den AS (
+                SELECT doc_id, len(lines) AS n_lines,
+                       coalesce(list_sum(
+                           list_transform(lines, l -> length(l))), 0)
+                           AS line_chars,
+                       coalesce(list_sum(
+                           list_transform(ws, w -> length(w))), 0)
+                           AS char_sum,
+                       len(ws) AS n_words
+                FROM base
+            )
+            SELECT den.doc_id,
+                   round(CASE WHEN n_lines > 0 THEN least(1.0,
+                       coalesce(dup_lines, 0) / n_lines)
+                       ELSE 0.0 END, 4) AS dup_line_frac,
+                   round(CASE WHEN line_chars > 0 THEN least(1.0,
+                       coalesce(dup_line_chars, 0) / line_chars)
+                       ELSE 0.0 END, 4) AS dup_line_char_frac,
+                   round(CASE WHEN char_sum + n_words - 1 > 0
+                       THEN least(1.0, coalesce(top2_chars, 0)
+                                       / (char_sum + n_words - 1))
+                       ELSE 0.0 END, 4) AS top_2gram_char_frac,
+                   round(CASE WHEN char_sum + n_words - 1 > 0
+                       THEN least(1.0, coalesce(top3_chars, 0)
+                                       / (char_sum + n_words - 1))
+                       ELSE 0.0 END, 4) AS top_3gram_char_frac,
+                   round(CASE WHEN char_sum > 0 THEN least(1.0,
+                       coalesce(dup5_chars, 0) / char_sum)
+                       ELSE 0.0 END, 4) AS dup_5gram_char_frac
+            FROM den
+            LEFT JOIN line_m USING (doc_id)
+            LEFT JOIN g2 USING (doc_id)
+            LEFT JOIN g3 USING (doc_id)
+            LEFT JOIN dup5 USING (doc_id)
         """,
         "blocklist_filter": f"""
             WITH injected AS (

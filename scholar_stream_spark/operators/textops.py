@@ -713,3 +713,226 @@ def blocklist_filter(
         has_url.alias("has_block_url"),
         (has_word | has_url).alias("blocked"),
     )
+
+
+#: Gopher document-quality rule constants (Rae et al. 2021, "Scaling
+#: Language Models: ... Gopher", Appendix A1.1): the canonical
+#: pre-training quality gate between C4's heuristics and model-based
+#: filters. Ratios are integer-derived (int sums / int counts) so the
+#: rule comparisons are the same IEEE doubles in Spark and DuckDB.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_WORD_RATIO = 0.1
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality(documents: DataFrame) -> DataFrame:
+    """Gopher quality-rule verdicts, one row per document: the word
+    count / mean-word-length / symbol-ratio / bullet & ellipsis line /
+    alphabetic-word / stop-word rules from Gopher A1.1, each emitted as
+    its metric plus the rule verdict, and the conjunction as ``passes``
+    (the doc survives the Gopher gate). Like ``blocklist_filter`` the
+    drop itself is the caller's ``.filter("passes")`` — verdict
+    columns keep the decision auditable and each rule's firing rate
+    measurable (the data-card question "what did this gate remove?").
+
+    Scale shape: entirely in-row — token/line arrays via ``split``,
+    rule metrics via higher-order ``aggregate``/``filter``/``exists``;
+    zero joins, zero shuffles, one WholeStageCodegen projection over
+    (doc_id, text). The same shape as ``clean_lines``; nothing here
+    grows with corpus size.
+
+    Output: (doc_id, n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    n_stopwords_present, passes).
+    """
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(ws)
+    # integer char sum over tokens -> double division (engine-exact)
+    char_sum = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = char_sum / n_words
+    n_hash = F.length(F.col("text")) - F.length(
+        F.regexp_replace("text", "#", "")
+    )
+    n_ellipsis = F.size(F.split(F.col("text"), r"\.\.\.", -1)) - 1
+    symbol_ratio = (n_hash + n_ellipsis) / n_words
+    n_bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike("^[•*-]"))
+    )
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike("(\\.\\.\\.|…)$"))
+    )
+    bullet_frac = n_bullet_lines / F.size(lines)
+    ellipsis_frac = n_ellipsis_lines / F.size(lines)
+    alpha_frac = F.size(
+        F.filter(ws, lambda w: w.rlike("[A-Za-z]"))
+    ) / n_words
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(ws, s))
+    )
+    passes = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_WORD_RATIO)
+        & (bullet_frac <= GOPHER_MAX_BULLET_LINE_FRAC)
+        & (ellipsis_frac <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+    return scale_out(documents).select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stopwords_present"),
+        passes.alias("passes"),
+    )
+
+
+def _ngram_units_sql(n: int) -> str:
+    """SQL expression: the word ``n``-grams of ``ws`` as
+    struct(n, g, start) rows (0-based start), empty when the doc is
+    shorter than ``n`` tokens. Shared shape between the 2/3/5-gram
+    branches of ``gopher_repetition``."""
+    return (
+        f"CASE WHEN size(ws) >= {n} THEN "
+        f"transform(sequence(0, size(ws) - {n}), "
+        f"i -> struct({n} AS n, array_join(slice(ws, i + 1, {n}), ' ') AS g,"
+        f" i AS start)) "
+        f"ELSE CAST(array() AS array<struct<n:int,g:string,start:int>>) END"
+    )
+
+
+def gopher_repetition(documents: DataFrame) -> DataFrame:
+    """Gopher/Dolma WITHIN-document repetition fractions (Rae et al.
+    2021 A1.1 "repetition" rules — the filter family that catches
+    generator loops, scraped boilerplate stutter, and chat transcripts
+    that token-level ``repetition_stats`` misses because the repeats
+    are phrases, not single tokens):
+
+    - ``dup_line_frac`` / ``dup_line_char_frac`` — fraction of lines
+      (resp. line characters) occurring more than once in the doc.
+    - ``top_2gram_char_frac`` / ``top_3gram_char_frac`` — characters
+      covered by the highest-coverage word n-gram (count × gram chars,
+      spaces included) over the single-space-normalized text length.
+      Pinned as max over count×len rather than "chars of the most
+      frequent gram" so ties are well-defined identically in both
+      engines.
+    - ``dup_5gram_char_frac`` — fraction of token characters covered
+      by at least one duplicated word 5-gram (position-coverage union,
+      so overlapping duplicate windows never double-count).
+
+    Scale shape: ONE explode of per-doc units (lines tagged n=1, word
+    n-grams for n ∈ {2,3,5}) → one map-side-combined
+    (doc_id, n, gram) count → one per-doc regroup → one doc_id join
+    back to the (narrow) doc row for denominators and the in-row
+    5-gram coverage fold. Everything is keyed by doc_id or
+    (doc_id, gram): corpus-linear, no pairwise anything, and the unit
+    count per doc is ~4× its token count (the same budget the shingle
+    pipeline already pays).
+
+    Output: (doc_id, dup_line_frac, dup_line_char_frac,
+    top_2gram_char_frac, top_3gram_char_frac, dup_5gram_char_frac).
+    """
+    base = scale_out(documents).select(
+        "doc_id",
+        F.split(F.col("text"), "\n").alias("lines"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("ws"),
+    )
+    line_units = F.expr(
+        "transform(sequence(0, size(lines) - 1), "
+        "i -> struct(1 AS n, lines[i] AS g, i AS start))"
+    )
+    units = base.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                line_units,
+                F.expr(_ngram_units_sql(2)),
+                F.expr(_ngram_units_sql(3)),
+                F.expr(_ngram_units_sql(5)),
+            )
+        ).alias("u"),
+    ).select("doc_id", "u.n", "u.g", "u.start")
+    counts = units.groupBy("doc_id", "n", "g").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.collect_list("start").alias("starts"),
+    )
+    is_dup_line = (F.col("n") == 1) & (F.col("cnt") >= 2)
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum(F.when(is_dup_line, F.col("cnt"))).alias("dup_lines"),
+        F.sum(
+            F.when(is_dup_line, F.col("cnt") * F.length("g"))
+        ).alias("dup_line_chars"),
+        F.max(
+            F.when(F.col("n") == 2, F.col("cnt") * F.length("g"))
+        ).alias("top2_chars"),
+        F.max(
+            F.when(F.col("n") == 3, F.col("cnt") * F.length("g"))
+        ).alias("top3_chars"),
+        F.flatten(
+            F.collect_list(
+                F.when((F.col("n") == 5) & (F.col("cnt") >= 2), F.col("starts"))
+            )
+        ).alias("dup5_starts"),
+    )
+    char_sum = F.expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))")
+    joined = base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "lines",
+        "ws",
+        char_sum.alias("char_sum"),
+        F.expr(
+            "aggregate(lines, 0L, (acc, l) -> acc + length(l))"
+        ).alias("line_chars"),
+        F.coalesce("dup_lines", F.lit(0)).alias("dup_lines"),
+        F.coalesce("dup_line_chars", F.lit(0)).alias("dup_line_chars"),
+        F.coalesce("top2_chars", F.lit(0)).alias("top2_chars"),
+        F.coalesce("top3_chars", F.lit(0)).alias("top3_chars"),
+        F.coalesce(
+            "dup5_starts", F.expr("CAST(array() AS array<int>)")
+        ).alias("dup5_starts"),
+    )
+    # in-row position-coverage union for the duplicated 5-grams: token
+    # index -> covered if any duplicated window [s, s+4] contains it
+    dup5_chars = F.expr(
+        "aggregate(array_distinct(flatten(transform(dup5_starts, "
+        "s -> sequence(s, s + 4)))), 0L, "
+        "(acc, p) -> acc + length(element_at(ws, p + 1)))"
+    )
+    norm_chars = F.col("char_sum") + F.size("ws") - 1
+    # least(1.0): count × len over-counts OVERLAPPING occurrences of a
+    # self-overlapping gram ("go go go ..."), which would push a
+    # "fraction" past 1; the threshold-filter semantics only need the
+    # bounded value, and the cap is engine-exact
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, F.least(F.lit(1.0), num / den)).otherwise(
+            F.lit(0.0)
+        ),
+        4,
+    )
+    return joined.select(
+        "doc_id",
+        frac(F.col("dup_lines"), F.size("lines")).alias("dup_line_frac"),
+        frac(F.col("dup_line_chars"), F.col("line_chars")).alias(
+            "dup_line_char_frac"
+        ),
+        frac(F.col("top2_chars"), norm_chars).alias("top_2gram_char_frac"),
+        frac(F.col("top3_chars"), norm_chars).alias("top_3gram_char_frac"),
+        frac(dup5_chars, F.col("char_sum")).alias("dup_5gram_char_frac"),
+    )

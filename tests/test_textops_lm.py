@@ -440,3 +440,124 @@ def test_blocklist_filter_plan_is_narrow(spark):
     )
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_gopher_quality_rule_metrics(spark):
+    """Each Gopher A1.1 rule fires on its constructed document, and a
+    clean document passes the whole gate."""
+    stop_tail = " the words be put to good use and more of that"  # 5 stopwords
+    clean = ("solid sentence with plenty varied words repeated here " * 5
+             + stop_tail)
+    docs = spark.createDataFrame(
+        [
+            (1, clean),                                     # passes all
+            (2, "too short" + stop_tail),                   # word-count fail
+            (3, " ".join(["x"] * 60) + stop_tail),          # mean-word-len fail
+            (4, "\n".join(["• point here"] * 10) + stop_tail),  # bullet fail
+            (5, "\n".join(["trailing off..."] * 10) + stop_tail),  # ellipsis
+            (6, " ".join(["1234"] * 60) + stop_tail),       # alpha-frac fail
+            (7, " ".join(["w#rd#"] * 60) + stop_tail),      # symbol fail
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textops.gopher_quality(docs).collect()}
+    assert rows[1]["passes"] and rows[1]["n_stopwords_present"] >= 2
+    assert rows[2]["n_words"] < textops.GOPHER_MIN_WORDS
+    assert not rows[2]["passes"]
+    assert rows[3]["mean_word_len"] < textops.GOPHER_MIN_MEAN_WORD_LEN
+    assert not rows[3]["passes"]
+    assert rows[4]["bullet_line_frac"] > textops.GOPHER_MAX_BULLET_LINE_FRAC
+    assert not rows[4]["passes"]
+    assert (
+        rows[5]["ellipsis_line_frac"] > textops.GOPHER_MAX_ELLIPSIS_LINE_FRAC
+    )
+    assert not rows[5]["passes"]
+    assert rows[6]["alpha_word_frac"] < textops.GOPHER_MIN_ALPHA_WORD_FRAC
+    assert not rows[6]["passes"]
+    assert (
+        rows[7]["symbol_word_ratio"] > textops.GOPHER_MAX_SYMBOL_WORD_RATIO
+    )
+    assert not rows[7]["passes"]
+
+
+def test_gopher_quality_plan_is_narrow(spark):
+    """Like blocklist_filter: one codegen projection, no joins, no
+    exchanges beyond scale_out — nothing may grow with corpus size."""
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = (
+        textops.gopher_quality(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_gopher_repetition_hand_computed(spark):
+    """Exact fractions on constructed docs: dup lines, top-2/3-gram
+    coverage (incl. the overlap cap), duplicated-5-gram position-
+    coverage union, and the empty-doc guard."""
+    docs = spark.createDataFrame(
+        [
+            (1, "unique words only here today"),
+            (2, "same line\nsame line\nother line"),
+            (3, "go go go go go go"),
+            (4, "a b c d e a b c d e x y z"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in textops.gopher_repetition(docs).collect()
+    }
+    # doc 1: nothing repeats; top grams are single occurrences
+    assert rows[1]["dup_line_frac"] == 0.0
+    assert rows[1]["top_2gram_char_frac"] == round(12 / 28, 4)  # "unique words"
+    assert rows[1]["top_3gram_char_frac"] == round(17 / 28, 4)
+    assert rows[1]["dup_5gram_char_frac"] == 0.0
+    # doc 2: "same line" twice out of 3 lines; chars 18 of 28
+    assert rows[2]["dup_line_frac"] == round(2 / 3, 4)
+    assert rows[2]["dup_line_char_frac"] == round(18 / 28, 4)
+    assert rows[2]["top_2gram_char_frac"] == round(18 / 30, 4)
+    # doc 3: self-overlapping "go go" x5 would give 25/17 -> capped
+    assert rows[3]["top_2gram_char_frac"] == 1.0
+    assert rows[3]["top_3gram_char_frac"] == 1.0
+    assert rows[3]["dup_5gram_char_frac"] == 1.0  # all positions covered
+    # doc 4: "a b c d e" twice covers tokens 0..9 of 13 (10 chars of 13)
+    assert rows[4]["dup_5gram_char_frac"] == round(10 / 13, 4)
+    assert rows[4]["top_2gram_char_frac"] == round(6 / 25, 4)
+    assert rows[4]["top_3gram_char_frac"] == round(10 / 25, 4)
+    # doc 5: empty text -> all zeros, no division error
+    assert all(
+        rows[5][c] == 0.0
+        for c in (
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "top_2gram_char_frac",
+            "top_3gram_char_frac",
+            "dup_5gram_char_frac",
+        )
+    )
+
+
+def test_gopher_repetition_plan_is_corpus_linear(spark):
+    """One unit explode -> one (doc_id, n, gram) count -> one per-doc
+    regroup -> one doc_id join back: every key contains doc_id, so no
+    stage is pairwise and no gram ever crosses documents. Pin: no
+    cartesian/BNLJ, and the joins are doc_id equi-joins only."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i} common tokens here") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = (
+        textops.gopher_repetition(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
