@@ -389,6 +389,8 @@ _DRIVER_FIRST = (
     "blocklist_filter",
     "gopher_quality",
     "gopher_repetition",
+    "order_priority_check",
+    "customer_distribution",
 )
 
 
@@ -597,6 +599,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # order key -> decimal-exact revenue -> TakeOrdered top-K
         "shipping_priority": lambda s, d: relational.shipping_priority(
             _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "customer")
+        ),
+        # TPC-H Q4 shape: EXISTS via left-semi join on the order key
+        "order_priority_check": lambda s, d: relational.order_priority_check(
+            _t(s, d, "lineitem"), _t(s, d, "orders")
+        ),
+        # TPC-H Q13 shape: left-outer count distribution incl. the
+        # zero-order customers
+        "customer_distribution": lambda s, d: relational.customer_distribution(
+            _t(s, d, "orders"), _t(s, d, "customer")
         ),
         "revenue_by_region": lambda s, d: relational.revenue_by_region(
             _t(s, d, "orders"),
@@ -1848,6 +1859,39 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
             LIMIT {relational.SHIPPING_TOPN}
+        """,
+        "order_priority_check": f"""
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >=
+                      TIMESTAMP '{relational.PRIORITY_WINDOW_START}'
+              AND o.o_orderdate < TIMESTAMP '{relational.PRIORITY_WINDOW_END}'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate >= o.o_orderdate
+                        + INTERVAL {relational.PRIORITY_LATE_DAYS} DAY
+              )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "customer_distribution": f"""
+            WITH per_cust AS (
+                SELECT c.c_custkey,
+                       CAST(count(o.o_custkey) AS BIGINT) AS c_count
+                FROM customer c
+                LEFT JOIN (
+                    SELECT o_custkey FROM orders
+                    WHERE o_orderpriority <>
+                          '{relational.CUSTDIST_EXCLUDED_PRIORITY}'
+                ) o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey
+            )
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM per_cust
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
         """,
         "revenue_by_region": f"""
             SELECT r_name, count(*) AS n_orders,

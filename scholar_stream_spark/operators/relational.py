@@ -204,6 +204,98 @@ def shipping_priority(
     )
 
 
+#: Order-priority-check (TPC-H Q4 shape) parameters: the evaluation
+#: quarter and the ship-lag that marks an order "late". (The testdata's
+#: slim lineitem has no commit/receipt dates, so lateness is
+#: ship-vs-order lag instead of Q4's receipt-vs-commit — same EXISTS
+#: shape, same join semantics.)
+PRIORITY_WINDOW_START = "1997-01-01 00:00:00"
+PRIORITY_WINDOW_END = "1997-04-01 00:00:00"
+PRIORITY_LATE_DAYS = 30
+
+
+def order_priority_check(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    start: str = PRIORITY_WINDOW_START,
+    end: str = PRIORITY_WINDOW_END,
+    late_days: int = PRIORITY_LATE_DAYS,
+) -> DataFrame:
+    """TPC-H-Q4-shaped query: per-priority count of one quarter's
+    orders having AT LEAST ONE late line item — the canonical EXISTS
+    decorrelation (SURVEY §2.8 relational completeness; the set-op and
+    outer-join shapes live in ``user_setops``/``customer_distribution``).
+
+    Scale shape: the quarter predicate is pushed to the orders scan
+    (row-group pruning on the narrow side); the EXISTS is a LEFT SEMI
+    join on the order key with the lateness comparison evaluated inside
+    the join, so each order is emitted at most once — never the
+    count-inflating inner-join-then-distinct; the lineitem side carries
+    only (key, shipdate). The single big exchange is the key-partitioned
+    semi join; the final per-priority count is five rows, map-side
+    combined.
+    """
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit(start)))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit(end)))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    late = ords.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        ),
+        "leftsemi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+#: Customer-distribution (TPC-H Q13 shape): the order class excluded
+#: from the count (Q13 excludes a comment pattern; the slim testdata
+#: has no o_comment, so an order-priority class stands in).
+CUSTDIST_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+def customer_distribution(
+    orders: DataFrame,
+    customer: DataFrame,
+    excluded_priority: str = CUSTDIST_EXCLUDED_PRIORITY,
+) -> DataFrame:
+    """TPC-H-Q13-shaped query: how many customers placed 0, 1, 2, ...
+    qualifying orders — the canonical LEFT OUTER join whose whole point
+    is keeping the zero-match rows (an inner join silently drops the
+    zero-order customers, the bucket the business question is usually
+    about).
+
+    Scale shape: the exclusion predicate prunes the orders scan and the
+    projection is one bigint column (o_custkey) — no order payload
+    shuffles; the outer join and the per-customer count share the
+    custkey exchange; the second aggregation's keyspace is order-counts
+    (tiny), map-side combined. Two corpus-linear exchanges total, both
+    AQE-sized.
+    """
+    ords = orders.filter(
+        F.col("o_orderpriority") != excluded_priority
+    ).select("o_custkey")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(ords, customer.c_custkey == ords.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
 def revenue_by_region(
     orders: DataFrame,
     customer: DataFrame,

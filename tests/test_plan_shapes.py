@@ -168,3 +168,28 @@ def test_decontaminate_and_incremental_never_sortmerge(spark):
         plan = _plan(spark, name)
         assert "SortMergeJoin" not in plan, (name, plan)
         assert plan.count("BroadcastHashJoin") >= 1, (name, plan)
+
+
+def test_order_priority_check_semi_join_shape(spark):
+    """Q4 shape: the quarter predicate pushed to the orders scan, the
+    EXISTS planned as a LEFT SEMI join (each order emitted at most
+    once — an inner join would inflate the counts), and the lineitem
+    side pruned to (l_orderkey, l_shipdate) only."""
+    plan = _plan(spark, "order_priority_check")
+    assert "LeftSemi" in plan, plan
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "o_orderdate" in pushed, pushed
+    assert "struct<l_orderkey:bigint,l_shipdate" in plan, plan
+
+
+def test_customer_distribution_outer_join_shape(spark):
+    """Q13 shape: the priority exclusion pushed to the orders scan, the
+    zero-order customers kept via a LEFT OUTER join, and both scans
+    pruned to their single key/filter columns — no order payload may
+    shuffle."""
+    plan = _plan(spark, "customer_distribution")
+    assert "LeftOuter" in plan, plan
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "o_orderpriority" in pushed, pushed
+    assert "struct<c_custkey:bigint>" in plan, plan
+    assert "struct<o_custkey:bigint,o_orderpriority:string>" in plan, plan
