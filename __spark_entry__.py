@@ -391,6 +391,8 @@ _DRIVER_FIRST = (
     "gopher_repetition",
     "order_priority_check",
     "customer_distribution",
+    "retention_cohorts",
+    "quality_weighted_sample",
 )
 
 
@@ -608,6 +610,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # zero-order customers
         "customer_distribution": lambda s, d: relational.customer_distribution(
             _t(s, d, "orders"), _t(s, d, "customer")
+        ),
+        # weekly retention cohorts (first-event week × activity week)
+        "retention_cohorts": lambda s, d: relational.retention_cohorts(
+            _t(s, d, "events")
+        ),
+        # deterministic quality-weighted downsample (FineWeb-Edu idea)
+        "quality_weighted_sample": lambda s, d: (
+            sampling.quality_weighted_sample(_t(s, d, "documents"))
         ),
         "revenue_by_region": lambda s, d: relational.revenue_by_region(
             _t(s, d, "orders"),
@@ -1859,6 +1869,66 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
             LIMIT {relational.SHIPPING_TOPN}
+        """,
+        "retention_cohorts": """
+            WITH firsts AS (
+                SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+                FROM events GROUP BY user_id
+            ),
+            activity AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+                FROM events
+            ),
+            aligned AS (
+                SELECT a.user_id, f.cohort_week,
+                       CAST(date_diff('day', f.cohort_week, a.week) / 7
+                            AS BIGINT) AS week_offset
+                FROM activity a JOIN firsts f USING (user_id)
+            ),
+            active AS (
+                SELECT cohort_week, week_offset,
+                       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+                FROM aligned GROUP BY cohort_week, week_offset
+            ),
+            sizes AS (
+                SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+                FROM firsts GROUP BY cohort_week
+            )
+            SELECT active.cohort_week, week_offset, n_active, n_cohort,
+                   round(n_active / n_cohort, 4) AS retention_rate
+            FROM active JOIN sizes USING (cohort_week)
+        """,
+        "quality_weighted_sample": f"""
+            WITH feat AS (
+                SELECT doc_id,
+                       CAST(length(text) - length(replace(text, ' ', ''))
+                            + 1 AS BIGINT) AS nt,
+                       length(replace(text, ' ', '')) AS n_nonspace,
+                       len(list_filter(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t IN ({", ".join(f"'{w}'" for w in textops.STOPWORDS)})
+                       )) AS n_stop,
+                       ({hex48_sql("CAST(doc_id AS VARCHAR)")})
+                           % {sampling.SAMPLE_DENOM} AS bucket
+                FROM documents
+            ),
+            scored AS (
+                SELECT doc_id, bucket,
+                       CASE WHEN nt < 5 THEN 0.0
+                            ELSE 1.0 - abs(n_nonspace / nt - 4.0) / 10.0
+                                 - (n_stop / nt) * 0.5 END AS q
+                FROM feat
+            ),
+            p AS (
+                SELECT doc_id, bucket, q,
+                       least(1.0, greatest(0.0, q)
+                             * {sampling.QUALITY_SAMPLE_SCALE}) AS p_keep
+                FROM scored
+            )
+            SELECT doc_id, round(q, 4) AS quality_score,
+                   round(p_keep, 4) AS p_keep
+            FROM p
+            WHERE bucket < p_keep * {sampling.SAMPLE_DENOM}
         """,
         "order_priority_check": f"""
             SELECT o_orderpriority,

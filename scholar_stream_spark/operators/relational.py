@@ -763,3 +763,51 @@ def distinct_users_sketch_accuracy(events: DataFrame) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly retention cohorts over the events stream — the canonical
+    product-analytics rollup (cohort = week of a user's FIRST event;
+    for each later week, what fraction of the cohort came back). Both
+    truncations are ``date_trunc('week', ...)`` (Mondays in Spark AND
+    DuckDB), so week offsets are exact day-diff/7 integers with no
+    engine-specific week-numbering involved.
+
+    Scale shape: two user-keyed aggregations (first-event min and the
+    distinct (user, active-week) projection) share their exchange key
+    with the join that aligns them — all corpus-linear, no self-join of
+    raw events; the final (cohort, offset) keyspace is weeks², tiny and
+    map-side combined, and the cohort-size table (weeks rows) comes
+    back via a broadcast-sized join.
+
+    Output: (cohort_week, week_offset, n_active, n_cohort,
+    retention_rate), one row per cohort × offset actually observed.
+    """
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    aligned = activity.join(firsts, "user_id").select(
+        "user_id",
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("long")
+        .alias("week_offset"),
+    )
+    active = aligned.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return active.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort"), 4).alias(
+            "retention_rate"
+        ),
+    )

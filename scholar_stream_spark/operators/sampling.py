@@ -422,3 +422,49 @@ def pack_documents(
         F.floor(start / budget_tokens).alias("pack_seq"),
         (start % budget_tokens).alias("offset_in_pack"),
     )
+
+
+#: Quality-weighted sampling scale: acceptance probability multiplier
+#: on the composite quality score (1.0 = probability equals the
+#: clamped score).
+QUALITY_SAMPLE_SCALE = 1.0
+
+
+def quality_weighted_sample(
+    documents: DataFrame,
+    scale: float = QUALITY_SAMPLE_SCALE,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-weighted downsample (the FineWeb-Edu/CCNet idea: spend
+    the token budget on the good documents): keep each document with
+    probability proportional to its composite quality score —
+    ``p_keep = least(1, greatest(0, score) · scale)`` — decided by the
+    SAME portable hash bucket every sampling operator keys on, so the
+    selection is deterministic across clusters, partitionings, and
+    re-runs (and a kept doc stays kept when ``scale`` only increases:
+    the bucket threshold is monotone in p_keep).
+
+    Scale shape: identical to ``hash_sample`` — a narrow per-row filter
+    (the score and the hash are both row-local), zero shuffles. The
+    score reuses ``textops.quality_parts`` so the weighting can never
+    drift from the published ``text_quality``/data-card numbers.
+
+    Output (kept rows only): (doc_id, quality_score, p_keep).
+    """
+    from scholar_stream_spark.operators.textops import quality_parts
+
+    _, _, _, score = quality_parts(F.col("text"))
+    p_keep = F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), score) * F.lit(scale)
+    )
+    return (
+        documents.select(
+            F.col(key_col),
+            F.round(score, 4).alias("quality_score"),
+            F.round(p_keep, 4).alias("p_keep"),
+            sample_bucket(key_col).alias("_bucket"),
+            p_keep.alias("_p_raw"),
+        )
+        .filter(F.col("_bucket") < F.col("_p_raw") * SAMPLE_DENOM)
+        .drop("_bucket", "_p_raw")
+    )

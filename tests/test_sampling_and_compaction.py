@@ -193,3 +193,81 @@ def test_mixture_upsample_epoch_counts(spark):
     assert all(per_doc[i] == [0] for i in range(30))
     # de: T/w = 200 -> e = 3.0 exactly -> epochs {0,1,2} each
     assert all(sorted(per_doc[100 + i]) == [0, 1, 2] for i in range(10))
+
+
+def test_quality_weighted_sample_monotone_and_deterministic(spark):
+    """Weighted sampling contract: same-seed re-runs and arbitrary
+    repartitionings select the SAME rows; raising the scale only ADDS
+    rows (the bucket threshold is monotone in p_keep); and acceptance
+    tracks quality (a zero-quality doc can never be kept)."""
+    docs = spark.createDataFrame(
+        [
+            (i, "the quick brown fox jumps over the lazy dog again " * 3)
+            for i in range(200)
+        ]
+        + [(1000 + i, "tiny") for i in range(50)],  # nt < 5 -> score 0
+        "doc_id long, text string",
+    )
+    kept1 = {
+        r["doc_id"] for r in sampling.quality_weighted_sample(docs).collect()
+    }
+    kept2 = {
+        r["doc_id"]
+        for r in sampling.quality_weighted_sample(
+            docs.repartition(13)
+        ).collect()
+    }
+    assert kept1 == kept2
+    assert kept1 and all(d < 1000 for d in kept1)  # score-0 docs never kept
+    bigger = {
+        r["doc_id"]
+        for r in sampling.quality_weighted_sample(docs, scale=2.0).collect()
+    }
+    assert kept1 <= bigger
+
+
+def test_quality_weighted_sample_plan_is_narrow(spark):
+    """Like hash_sample: a per-row filter — no joins, no exchanges."""
+    docs = spark.createDataFrame(
+        [(i, f"some words here {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = (
+        sampling.quality_weighted_sample(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_retention_cohorts_hand_computed(spark):
+    """Three users, two cohorts: u1/u2 start week 0 (u2 returns in week
+    1), u3 starts week 1 — rates follow exactly."""
+    rows = [
+        (1, "2024-01-01 10:00:00"),  # u1 cohort wk of Jan 1 (Mon)
+        (1, "2024-01-03 10:00:00"),  # same week, still offset 0
+        (2, "2024-01-02 10:00:00"),  # u2 same cohort
+        (2, "2024-01-09 10:00:00"),  # u2 active offset 1
+        (3, "2024-01-08 10:00:00"),  # u3 cohort wk of Jan 8
+    ]
+    from scholar_stream_spark.operators import relational
+
+    events = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(rows)],
+        "event_id long, user_id long, ts string",
+    ).select("event_id", "user_id", F.to_timestamp("ts").alias("ts"))
+    got = {
+        (r["cohort_week"].isoformat(), r["week_offset"]): (
+            r["n_active"],
+            r["n_cohort"],
+            r["retention_rate"],
+        )
+        for r in relational.retention_cohorts(events).collect()
+    }
+    assert got == {
+        ("2024-01-01T00:00:00", 0): (2, 2, 1.0),
+        ("2024-01-01T00:00:00", 1): (1, 2, 0.5),
+        ("2024-01-08T00:00:00", 0): (1, 1, 1.0),
+    }
