@@ -450,10 +450,14 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     ).select("doc_id", "b.w1", "b.w2")
     cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     ctx = cnt.groupBy("w1").agg(F.sum("c").cast("double").alias("cc"))
+    # fold the context totals into the bigram LM FIRST (both tables are
+    # vocabulary-sized), so the corpus-sized exploded stream joins ONCE
+    # — the round-6 version joined it twice (cnt, then ctx), paying a
+    # second corpus-wide exchange for a lookup the LM side can absorb
+    lm = cnt.join(ctx, "w1")
     lp = F.log(F.col("c") / F.col("cc"))
     return (
-        bg.join(cnt, ["w1", "w2"])
-        .join(ctx, "w1")
+        bg.join(lm, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
