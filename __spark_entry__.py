@@ -393,6 +393,7 @@ _DRIVER_FIRST = (
     "customer_distribution",
     "retention_cohorts",
     "quality_weighted_sample",
+    "large_orders",
 )
 
 
@@ -610,6 +611,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # zero-order customers
         "customer_distribution": lambda s, d: relational.customer_distribution(
             _t(s, d, "orders"), _t(s, d, "customer")
+        ),
+        # TPC-H Q18 shape: aggregate-then-HAVING-then-join
+        "large_orders": lambda s, d: relational.large_orders(
+            _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "customer")
         ),
         # weekly retention cohorts (first-event week × activity week)
         "retention_cohorts": lambda s, d: relational.retention_cohorts(
@@ -1869,6 +1874,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
             LIMIT {relational.SHIPPING_TOPN}
+        """,
+        "large_orders": f"""
+            WITH qual AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                            AS DOUBLE) AS total_qty
+                FROM lineitem
+                GROUP BY l_orderkey
+                HAVING total_qty >= {relational.LARGE_ORDER_MIN_QTY}
+            )
+            SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, total_qty
+            FROM orders
+            JOIN qual ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT {relational.LARGE_ORDER_TOPN}
         """,
         "retention_cohorts": """
             WITH firsts AS (

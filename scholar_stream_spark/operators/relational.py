@@ -811,3 +811,53 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
             "retention_rate"
         ),
     )
+
+
+#: Large-order (TPC-H Q18 shape) parameters: the HAVING threshold on
+#: total per-order quantity (~top 1-2% of orders at the test SFs) and
+#: the report top-K.
+LARGE_ORDER_MIN_QTY = 250
+LARGE_ORDER_TOPN = 100
+
+
+def large_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_qty: int = LARGE_ORDER_MIN_QTY,
+    k: int = LARGE_ORDER_TOPN,
+) -> DataFrame:
+    """TPC-H-Q18-shaped query: the top-K largest orders by value whose
+    TOTAL line quantity clears a threshold — the canonical
+    aggregate-then-HAVING-then-join shape (group the fact table first,
+    filter on the aggregate, and only then join the survivors).
+
+    Scale shape: ONE map-side-combined per-order quantity aggregate
+    with the HAVING applied before any join, so the qualifying key set
+    is top-percentile-sized and AQE broadcasts it into the orders join
+    (the total rides along — no second lineitem pass); customer is
+    dimension-sized and explicitly broadcast; the final top-K is
+    TakeOrderedAndProject with a full tie-break, never a global sort.
+    The quantity sum is exact decimal (order-independent), so the
+    HAVING boundary cannot 1-ulp-flip between engines or partitionings.
+    """
+    qual = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.expr(exact_sum_double("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") >= min_qty)
+    )
+    cust = customer.select("c_custkey", "c_name")
+    return (
+        orders.join(qual, orders.o_orderkey == qual.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(k)
+    )

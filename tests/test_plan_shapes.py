@@ -193,3 +193,19 @@ def test_customer_distribution_outer_join_shape(spark):
     assert "o_orderpriority" in pushed, pushed
     assert "struct<c_custkey:bigint>" in plan, plan
     assert "struct<o_custkey:bigint,o_orderpriority:string>" in plan, plan
+
+
+def test_large_orders_aggregates_before_joining(spark):
+    """Q18 shape: the per-order quantity aggregate (with map-side
+    partials) runs BEFORE any join — the HAVING-filtered key set is
+    what joins, never the raw lineitem — and the report is a top-K,
+    not a global sort."""
+    plan = _plan(spark, "large_orders")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    agg_pos = plan.index("HashAggregate")
+    join_pos = min(
+        p for p in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+        if p >= 0
+    )
+    assert agg_pos > join_pos, "aggregate must sit below the joins"
