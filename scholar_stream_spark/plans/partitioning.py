@@ -41,6 +41,13 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     wide enough (the 100 TB case); otherwise round-robin repartitions to
     ``min_partitions`` (default: ``spark.sql.shuffle.partitions``).
     """
+    # Streaming DataFrames pass through untouched: planned-parallelism
+    # inspection (`.rdd`) is illegal on a stream, and micro-batch
+    # parallelism is the source's concern — this also keeps every
+    # scale_out-wrapped stateless operator directly usable on a
+    # readStream (batch/stream parity, pinned in test_streaming).
+    if df.isStreaming:
+        return df
     if min_partitions is None:
         min_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions")

@@ -382,3 +382,46 @@ def test_progress_listener_captures_engine_metrics(spark, tmp_path):
         assert all(r["batch_duration_ms"] >= 0 for r in rows)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_text_gates_run_in_structured_streaming(spark, tmp_path):
+    """The curation gates are stateless per-row projections, so the
+    SAME operator functions must run unchanged on a readStream and
+    produce byte-identical verdicts to the batch pass — the property
+    that lets the online ingest path share the batch curation code
+    instead of reimplementing it."""
+    from scholar_stream_spark.operators import textops
+
+    src = str(tmp_path / "docs_src")
+    docs = spark.createDataFrame(
+        [
+            (1, "an honest essay about sparrows"),
+            (2, "try this GAMBLING site today"),
+            (3, "click http://bit.ly/xy now"),
+            (4, "the quick brown fox jumps with that and more of it " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    for name, op in (
+        ("blocklist", textops.blocklist_filter),
+        ("gopher", textops.gopher_quality),
+    ):
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(f"gate_{name}")
+            .option(
+                "checkpointLocation", str(tmp_path / f"ckpt_{name}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        streamed = sorted(
+            map(tuple, spark.sql(f"SELECT * FROM gate_{name}").collect())
+        )
+        batch = sorted(map(tuple, op(docs).collect()))
+        assert streamed == batch, name
