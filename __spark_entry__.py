@@ -394,6 +394,7 @@ _DRIVER_FIRST = (
     "retention_cohorts",
     "quality_weighted_sample",
     "large_orders",
+    "contamination_report",
 )
 
 
@@ -611,6 +612,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # zero-order customers
         "customer_distribution": lambda s, d: relational.customer_distribution(
             _t(s, d, "orders"), _t(s, d, "customer")
+        ),
+        # contamination audit: overlap fraction for EVERY train doc
+        "contamination_report": lambda s, d: dedup.contamination_report(
+            _t(s, d, "documents")
         ),
         # TPC-H Q18 shape: aggregate-then-HAVING-then-join
         "large_orders": lambda s, d: relational.large_orders(
@@ -1426,6 +1431,52 @@ JOIN spl p ON s.doc_id = p.doc_id
 JOIN eval_sh e ON s.shingle = e.shingle
 WHERE p.bucket >= {lo_c} AND p.bucket < {hi_c}
 GROUP BY s.doc_id
+"""
+
+
+def _contamination_report_sql() -> str:
+    """Per-train-doc eval-overlap audit (contamination_report).
+
+    Totals come from the split table LEFT-JOINed to the shingle counts
+    (a doc shorter than the shingle width has 0 shingles but must still
+    emit a row — the remove_dup_paragraphs lesson), hits from the same
+    eval-shingle semi-join as the decontaminate oracle."""
+    bounds = {name: (lo, hi) for name, lo, hi in sampling.SPLIT_BOUNDS}
+    lo_e, hi_e = bounds["test"]
+    lo_c, hi_c = bounds["train"]
+    return f"""
+WITH {_shingle_ctes()},
+spl AS (
+    SELECT doc_id,
+           ({hex48_sql("CAST(doc_id AS VARCHAR)")}) % 100 AS bucket
+    FROM documents
+),
+eval_sh AS (
+    SELECT DISTINCT s.shingle
+    FROM sh s JOIN spl p ON s.doc_id = p.doc_id
+    WHERE p.bucket >= {lo_e} AND p.bucket < {hi_e}
+),
+tot AS (
+    SELECT p.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_shingles
+    FROM spl p LEFT JOIN (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ) c ON p.doc_id = c.doc_id
+    WHERE p.bucket >= {lo_c} AND p.bucket < {hi_c}
+),
+hit AS (
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM sh s
+    JOIN spl p ON s.doc_id = p.doc_id
+    JOIN eval_sh e ON s.shingle = e.shingle
+    WHERE p.bucket >= {lo_c} AND p.bucket < {hi_c}
+    GROUP BY s.doc_id
+)
+SELECT t.doc_id, t.n_shingles,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CASE WHEN t.n_shingles > 0
+                  THEN coalesce(h.n_hits, 0) / t.n_shingles
+                  ELSE 0.0 END, 4) AS overlap_frac
+FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
 """
 
 
@@ -2768,6 +2819,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _embedding_neardup_sql(),
         "dedup_fuzzy": _fuzzy_neardup_sql(),
         "decontaminate": _decontaminate_sql(),
+        "contamination_report": _contamination_report_sql(),
         "mixture_sample": _mixture_sample_sql(),
         "mixture_upsample": _mixture_upsample_sql(),
         "corpus_data_card": f"""

@@ -1644,3 +1644,76 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+def contamination_report(
+    documents: DataFrame,
+    eval_split: str = "test",
+    corpus_split: str = "train",
+    shingle_n: int = SHINGLE_N,
+) -> DataFrame:
+    """The audit companion to ``decontaminate``: for EVERY train-split
+    document — zero-overlap docs included — the distinct-shingle count,
+    the number of those shingles shared with the eval split, and the
+    overlap fraction. ``decontaminate`` answers "what do I drop at this
+    threshold"; this answers "what should the threshold BE" (the
+    contamination histogram a pipeline reviews before pinning the
+    cut, per the GPT-3/PaLM contamination appendices).
+
+    Same 100 TB shape as ``decontaminate``: split assignment is the
+    narrow hash-bucket expression (no split-table join), the eval
+    shingle set broadcasts (benchmark-sized vs corpus-sized), the
+    corpus never shuffles on shingle, and the denominator is the
+    in-row ``size(array_distinct(...))`` — no second explode. The only
+    corpus exchanges are the hit count and the doc_id join back, both
+    doc-keyed and corpus-linear.
+
+    Output: (doc_id, n_shingles, n_hits, overlap_frac).
+    """
+    from scholar_stream_spark.operators.sampling import (
+        SPLIT_BOUNDS,
+        split_bucket,
+    )
+
+    bounds = dict((name, (lo, hi)) for name, lo, hi in SPLIT_BOUNDS)
+    lo_e, hi_e = bounds[eval_split]
+    lo_c, hi_c = bounds[corpus_split]
+    bucket = split_bucket("CAST(doc_id AS STRING)")
+
+    shingled = scale_out(documents).select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.array_distinct(
+            word_shingles(F.col("text"), shingle_n)
+        ).alias("sh"),
+    )
+    corpus = shingled.filter(
+        (F.col("bucket") >= lo_c) & (F.col("bucket") < hi_c)
+    ).select("doc_id", "sh", F.size("sh").cast("long").alias("n_shingles"))
+    eval_sh = (
+        shingled.filter(
+            (F.col("bucket") >= lo_e) & (F.col("bucket") < hi_e)
+        )
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    hits = (
+        corpus.select("doc_id", F.explode("sh").alias("shingle"))
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return corpus.select("doc_id", "n_shingles").join(
+        hits, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.when(
+                F.col("n_shingles") > 0,
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_shingles"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("overlap_frac"),
+    )

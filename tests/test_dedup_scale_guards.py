@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from scholar_stream_spark.operators import dedup
+from tests.conftest import SF_SMALL
 
 
 def _docs(spark, rows):
@@ -623,3 +624,34 @@ def test_remove_dup_paragraphs_semantics(spark):
     assert got[2]["n_paragraphs"] == 3
     assert got[2]["clean_text"] == sep.join(["beta body two", "tail two"])
     assert got[3]["clean_text"] == "" and got[3]["n_removed_paragraphs"] == 1
+
+
+def test_contamination_report_consistent_with_decontaminate(spark):
+    """The audit view and the drop view must tell one story: the
+    report's n_hits>0 rows are exactly decontaminate's rows, every
+    train-split doc appears exactly once (zero-shingle docs included),
+    and hits can never exceed the distinct-shingle denominator."""
+    from scholar_stream_spark.operators import dedup
+    from scholar_stream_spark.operators.sampling import (
+        SPLIT_BOUNDS,
+        split_bucket,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    report = dedup.contamination_report(docs).collect()
+    drops = {
+        r["doc_id"]: r["n_hits"]
+        for r in dedup.decontaminate(docs).collect()
+    }
+    got_hits = {r["doc_id"]: r["n_hits"] for r in report if r["n_hits"] > 0}
+    assert got_hits == drops
+    lo, hi = {n: (a, b) for n, a, b in SPLIT_BOUNDS}["train"]
+    n_train = docs.filter(
+        (split_bucket("CAST(doc_id AS STRING)") >= lo)
+        & (split_bucket("CAST(doc_id AS STRING)") < hi)
+    ).count()
+    assert len(report) == n_train
+    assert all(r["n_hits"] <= r["n_shingles"] for r in report)
+    assert all(
+        0.0 <= r["overlap_frac"] <= 1.0 for r in report
+    )
