@@ -395,6 +395,7 @@ _DRIVER_FIRST = (
     "quality_weighted_sample",
     "large_orders",
     "contamination_report",
+    "key_skew_profile",
 )
 
 
@@ -616,6 +617,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contamination audit: overlap fraction for EVERY train doc
         "contamination_report": lambda s, d: dedup.contamination_report(
             _t(s, d, "documents")
+        ),
+        # join/agg-key skew diagnostics over the events user key
+        "key_skew_profile": lambda s, d: relational.key_skew_profile(
+            _t(s, d, "events"), "user_id"
         ),
         # TPC-H Q18 shape: aggregate-then-HAVING-then-join
         "large_orders": lambda s, d: relational.large_orders(
@@ -1925,6 +1930,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
             LIMIT {relational.SHIPPING_TOPN}
+        """,
+        "key_skew_profile": """
+            WITH counts AS (
+                SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+            )
+            SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(c) AS BIGINT) AS max_count,
+                   round(quantile_cont(c, 0.5), 4) AS p50_count,
+                   round(quantile_cont(c, 0.9), 4) AS p90_count,
+                   round(quantile_cont(c, 0.99), 4) AS p99_count,
+                   round(max(c) * count(*) / sum(c), 4) AS skew_ratio
+            FROM counts
         """,
         "large_orders": f"""
             WITH qual AS (

@@ -861,3 +861,41 @@ def large_orders(
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(k)
     )
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, percentiles=(0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Join/agg-key skew diagnostics: the one-row profile a pipeline
+    reads BEFORE deciding whether a key needs salting, AQE skew-join
+    thresholds, or a broadcast rewrite — per-key count percentiles,
+    the hottest key's share, and the max/mean skew ratio. (The
+    salted-join and salted-distinct operators in this module are the
+    treatments; this is the diagnosis.)
+
+    Scale shape: one map-side-combined per-key count (the intermediate
+    is KEYS-sized, not rows-sized) and one global fold of that count
+    table. Exact ``percentile`` keeps it oracle-checkable at test SFs;
+    at extreme key cardinality swap ``percentile_approx`` — the same
+    documented trade as ``value_percentiles``. The skew ratio is
+    integer-derived (max·n_keys/n_rows), so it cannot drift between
+    engines.
+
+    Output: (n_rows, n_keys, max_count, p50_count, p90_count,
+    p99_count, skew_ratio).
+    """
+    p50, p90, p99 = percentiles
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
+    return counts.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_count"),
+        F.round(F.expr(f"percentile(c, {p50})"), 4).alias("p50_count"),
+        F.round(F.expr(f"percentile(c, {p90})"), 4).alias("p90_count"),
+        F.round(F.expr(f"percentile(c, {p99})"), 4).alias("p99_count"),
+    ).select(
+        "*",
+        F.round(
+            F.col("max_count") * F.col("n_keys") / F.col("n_rows"), 4
+        ).alias("skew_ratio"),
+    )

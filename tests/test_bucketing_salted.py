@@ -110,3 +110,22 @@ def test_salted_join_matches_plain_join_on_hot_key(spark):
         ).collect()
     }
     assert salted == plain
+
+
+def test_key_skew_profile_hand_computed(spark):
+    """Known distribution: keys with counts 1, 1, 2, 6 -> exact
+    summary row (percentiles over the per-key count multiset)."""
+    from scholar_stream_spark.operators import relational
+
+    rows = (
+        [(1, "a")] + [(2, "b")] + [(3, "c")] * 2 + [(4, "d")] * 6
+    )
+    df = spark.createDataFrame(
+        [(i, k) for i, (k, _) in enumerate(rows)], "row_id long, k long"
+    )
+    r = relational.key_skew_profile(df, "k").collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_count"]) == (10, 4, 6)
+    # counts multiset {1,1,2,6}: p50 = 1.5 (interpolated), p90 = 4.8
+    assert r["p50_count"] == 1.5
+    assert r["p90_count"] == 4.8
+    assert r["skew_ratio"] == round(6 * 4 / 10, 4)
