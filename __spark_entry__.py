@@ -1963,11 +1963,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "retention_cohorts": """
             WITH firsts AS (
-                SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+                -- CAST to TIMESTAMP: duckdb's date_trunc('week', ts)
+                -- yields DATE; the Spark side emits TIMESTAMP and the
+                -- contract aligns dtypes pair-by-pair
+                SELECT user_id,
+                       CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+                           AS cohort_week
                 FROM events GROUP BY user_id
             ),
             activity AS (
-                SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
                 FROM events
             ),
             aligned AS (

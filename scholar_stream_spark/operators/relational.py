@@ -863,9 +863,7 @@ def large_orders(
     )
 
 
-def key_skew_profile(
-    df: DataFrame, key_col: str, percentiles=(0.5, 0.9, 0.99)
-) -> DataFrame:
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
     """Join/agg-key skew diagnostics: the one-row profile a pipeline
     reads BEFORE deciding whether a key needs salting, AQE skew-join
     thresholds, or a broadcast rewrite — per-key count percentiles,
@@ -884,15 +882,16 @@ def key_skew_profile(
     Output: (n_rows, n_keys, max_count, p50_count, p90_count,
     p99_count, skew_ratio).
     """
-    p50, p90, p99 = percentiles
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
     return counts.agg(
         F.sum("c").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.max("c").cast("long").alias("max_count"),
-        F.round(F.expr(f"percentile(c, {p50})"), 4).alias("p50_count"),
-        F.round(F.expr(f"percentile(c, {p90})"), 4).alias("p90_count"),
-        F.round(F.expr(f"percentile(c, {p99})"), 4).alias("p99_count"),
+        # the three quantiles are pinned (the output column names ARE
+        # the contract); a configurable list would silently mislabel
+        F.round(F.expr("percentile(c, 0.5)"), 4).alias("p50_count"),
+        F.round(F.expr("percentile(c, 0.9)"), 4).alias("p90_count"),
+        F.round(F.expr("percentile(c, 0.99)"), 4).alias("p99_count"),
     ).select(
         "*",
         F.round(

@@ -707,9 +707,14 @@ def blocklist_filter(
     for w in words:
         if not w.isalnum():
             raise ValueError(f"blocklist word must be regex-literal: {w!r}")
-    word_re = r"\b(" + "|".join(words) + r")\b"
     lowered = F.lower(F.col(text_col))
-    has_word = lowered.rlike(word_re)
+    if words:
+        word_re = r"\b(" + "|".join(words) + r")\b"
+        has_word = lowered.rlike(word_re)
+    else:
+        # an empty alternation would be \b()\b — matching EVERY doc
+        # with a word character; no words means no word rule
+        has_word = F.lit(False)
     has_url = lowered.rlike(url_pattern)
     return scale_out(documents).select(
         "doc_id",
@@ -875,7 +880,12 @@ def gopher_repetition(documents: DataFrame) -> DataFrame:
     ).select("doc_id", "u.n", "u.g", "u.start")
     counts = units.groupBy("doc_id", "n", "g").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.collect_list("start").alias("starts"),
+        # positions are only consumed by the 5-gram coverage union;
+        # collect_list skips nulls, so lines and 2/3-grams (~3/4 of
+        # the unit stream) buffer and shuffle NO start values
+        F.collect_list(
+            F.when(F.col("n") == 5, F.col("start"))
+        ).alias("starts"),
     )
     is_dup_line = (F.col("n") == 1) & (F.col("cnt") >= 2)
     per_doc = counts.groupBy("doc_id").agg(

@@ -561,3 +561,18 @@ def test_gopher_repetition_plan_is_corpus_linear(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_blocklist_filter_empty_word_list_means_no_word_rule(spark):
+    """words=() must disable the word rule (an empty alternation would
+    be \\b()\\b and match every document), leaving URL-only filtering."""
+    docs = spark.createDataFrame(
+        [(1, "plain words"), (2, "see bit.ly/x")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textops.blocklist_filter(docs, words=()).collect()
+    }
+    assert not rows[1]["has_block_word"] and not rows[1]["blocked"]
+    assert not rows[2]["has_block_word"] and rows[2]["blocked"]
