@@ -66,6 +66,7 @@ from scholar_stream_spark.operators import (
     curation,
     dedup,
     multimodal,
+    profiling,
     relational,
     sampling,
     similarity,
@@ -350,6 +351,26 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+
+#: Declarative table constraints for the orders table (the
+#: check_constraints demo rule set — shared verbatim with the oracle).
+ORDERS_RULES = (
+    ("totalprice_nonnegative", "o_totalprice >= 0"),
+    ("orderdate_not_null", "o_orderdate IS NOT NULL"),
+    (
+        "priority_known",
+        "o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',"
+        "'4-NOT SPECIFIED','5-LOW')",
+    ),
+    ("orderkey_positive", "o_orderkey > 0"),
+)
+
+#: Columns profiled by the profile_columns demo entry (orders table).
+PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+
 #: Driver-cap rotation (round 7): CORRECTNESS runs check at most 50
 #: entries in ``queries()`` order. The 26 oracle-backed entries whose
 #: only driver-green rows are r5 (everything else is r6-green) go
@@ -396,6 +417,8 @@ _DRIVER_FIRST = (
     "large_orders",
     "contamination_report",
     "key_skew_profile",
+    "profile_columns",
+    "check_constraints",
 )
 
 
@@ -617,6 +640,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contamination audit: overlap fraction for EVERY train doc
         "contamination_report": lambda s, d: dedup.contamination_report(
             _t(s, d, "documents")
+        ),
+        # Deequ-style per-column completeness/cardinality profile
+        "profile_columns": lambda s, d: profiling.profile_columns(
+            _t(s, d, "orders"), PROFILE_COLS
+        ),
+        # declarative constraint checks, one scan for all rules
+        "check_constraints": lambda s, d: profiling.check_constraints(
+            _t(s, d, "orders"), ORDERS_RULES
         ),
         # join/agg-key skew diagnostics over the events user key
         "key_skew_profile": lambda s, d: relational.key_skew_profile(
@@ -1485,6 +1516,54 @@ FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
 """
 
 
+def _profile_columns_sql() -> str:
+    """One-pass wide aggregate + UNION-ALL unpivot mirroring
+    profile_columns over PROFILE_COLS."""
+    metrics = ",\n           ".join(
+        f"count({c}) AS nn{i}, count(DISTINCT {c}) AS nd{i}"
+        for i, c in enumerate(PROFILE_COLS)
+    )
+    branches = "\n            UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST(n AS BIGINT) AS n_rows,"
+        f" CAST(nn{i} AS BIGINT) AS n_nonnull,"
+        f" CAST(n - nn{i} AS BIGINT) AS n_null,"
+        f" CAST(nd{i} AS BIGINT) AS n_distinct FROM m"
+        for i, c in enumerate(PROFILE_COLS)
+    )
+    return f"""
+            WITH m AS (
+                SELECT count(*) AS n,
+           {metrics}
+                FROM orders
+            )
+            {branches}
+        """
+
+
+def _check_constraints_sql() -> str:
+    """One-pass conditional sums + UNION-ALL unpivot mirroring
+    check_constraints over ORDERS_RULES (NULL predicate = violation)."""
+    metrics = ",\n           ".join(
+        f"sum(CASE WHEN NOT coalesce({pred}, FALSE) THEN 1 ELSE 0 END)"
+        f" AS v{i}"
+        for i, (_, pred) in enumerate(ORDERS_RULES)
+    )
+    branches = "\n            UNION ALL ".join(
+        f"SELECT '{name}' AS rule, CAST(n AS BIGINT) AS n_rows,"
+        f" CAST(v{i} AS BIGINT) AS n_violations,"
+        f" (v{i} = 0) AS passed FROM m"
+        for i, (name, _) in enumerate(ORDERS_RULES)
+    )
+    return f"""
+            WITH m AS (
+                SELECT count(*) AS n,
+           {metrics}
+                FROM orders
+            )
+            {branches}
+        """
+
+
 def _mixture_sample_sql() -> str:
     """Mixture downsampling oracle (mixture_sample).
 
@@ -1931,6 +2010,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
             LIMIT {relational.SHIPPING_TOPN}
         """,
+        "profile_columns": _profile_columns_sql(),
+        "check_constraints": _check_constraints_sql(),
         "key_skew_profile": """
             WITH counts AS (
                 SELECT user_id, count(*) AS c FROM events GROUP BY user_id
