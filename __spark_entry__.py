@@ -419,6 +419,7 @@ _DRIVER_FIRST = (
     "key_skew_profile",
     "profile_columns",
     "check_constraints",
+    "table_diff",
 )
 
 
@@ -640,6 +641,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contamination audit: overlap fraction for EVERY train doc
         "contamination_report": lambda s, d: dedup.contamination_report(
             _t(s, d, "documents")
+        ),
+        # snapshot diff: added/removed/changed keys between two
+        # deterministically perturbed views of the orders table
+        "table_diff": lambda s, d: cdc.table_diff(
+            _t(s, d, "orders").filter("o_orderkey % 7 != 0"),
+            _t(s, d, "orders")
+            .filter("o_orderkey % 10 != 0")
+            .withColumn(
+                "o_totalprice",
+                F.when(
+                    F.expr("o_orderkey % 5 = 0"),
+                    F.col("o_totalprice") + 1,
+                ).otherwise(F.col("o_totalprice")),
+            ),
+            "o_orderkey",
         ),
         # Deequ-style per-column completeness/cardinality profile
         "profile_columns": lambda s, d: profiling.profile_columns(
@@ -2009,6 +2025,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
             LIMIT {relational.SHIPPING_TOPN}
+        """,
+        "table_diff": """
+            WITH o AS (
+                SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+            ),
+            n AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 5 = 0
+                            THEN o_totalprice + 1
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 10 <> 0
+            ),
+            d AS (
+                SELECT coalesce(n.o_orderkey, o.o_orderkey) AS key,
+                       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                            WHEN n.o_orderkey IS NULL THEN 'removed'
+                            WHEN NOT (
+                                o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                                AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                                AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                                AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
+                                AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority
+                            ) THEN 'changed' END AS change_type
+                FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT key, change_type FROM d WHERE change_type IS NOT NULL
         """,
         "profile_columns": _profile_columns_sql(),
         "check_constraints": _check_constraints_sql(),

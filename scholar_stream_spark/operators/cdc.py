@@ -129,3 +129,54 @@ def scd2_as_of(dim: DataFrame, ts: Column) -> DataFrame:
         (F.col("valid_from") <= ts)
         & (F.col("valid_to").isNull() | (ts < F.col("valid_to")))
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols=None,
+) -> DataFrame:
+    """Snapshot diff between two versions of a keyed table: which keys
+    were ADDED, REMOVED, or CHANGED (payload differs) — the reviewable
+    changelog behind an SCD2 merge (``scd2_apply`` consumes changes;
+    this PRODUCES them from two full snapshots, the pattern for
+    sources that cannot emit a change stream).
+
+    Scale shape: both sides project to (key, payload-hash) BEFORE the
+    join — one narrow md5 over the concatenated compare columns — so
+    the full-outer join moves two hash columns, never the payloads;
+    the single exchange pair is key-partitioned and AQE-sized.
+    Unchanged keys are filtered out (the overwhelming majority between
+    adjacent snapshots), so the output is changes-sized, not
+    table-sized. The hash interposes a unit-separator (\\x1f) between
+    columns and a NULL sentinel, so ("a", "b") cannot collide with
+    ("ab", "") and (NULL, "x") cannot collide with ("x", NULL).
+
+    Output: (key, change_type), change_type in added|removed|changed.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c != key_col]
+
+    def fp(df: DataFrame) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            for c in compare_cols
+        ]
+        return df.select(
+            F.col(key_col).alias("key"),
+            F.md5(F.concat_ws("\x1f", *parts)).alias("h"),
+        )
+
+    o = fp(old).alias("o")
+    n = fp(new).alias("n")
+    joined = o.join(n, F.col("o.key") == F.col("n.key"), "full_outer")
+    change = (
+        F.when(F.col("o.key").isNull(), F.lit("added"))
+        .when(F.col("n.key").isNull(), F.lit("removed"))
+        .when(F.col("o.h") != F.col("n.h"), F.lit("changed"))
+    )
+    return joined.select(
+        F.coalesce(F.col("n.key"), F.col("o.key")).alias("key"),
+        change.alias("change_type"),
+    ).filter(F.col("change_type").isNotNull())

@@ -471,3 +471,53 @@ def test_distinct_users_sketch_error_bound(spark):
         assert r["rel_err"] <= 5 * HLL_RSD, (
             f"{r['event_type']}: {r['n_approx']} vs {r['n_exact']}"
         )
+
+
+def test_table_diff_classifies_and_hashes_safely(spark):
+    """added/removed/changed classification on constructed snapshots,
+    incl. the collision traps the hash separators exist for: a
+    ("a","b")->("ab","") shift and a NULL column move must both read
+    as CHANGED, and unchanged rows (NULLs included) must not appear."""
+    old = spark.createDataFrame(
+        [
+            (1, "a", "b"),      # unchanged
+            (2, "a", "b"),      # -> ("ab", "") : changed
+            (3, None, "x"),     # -> ("x", NULL): changed
+            (4, "z", "z"),      # removed
+            (6, None, None),    # unchanged with NULLs
+        ],
+        "k long, c1 string, c2 string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", "b"),
+            (2, "ab", ""),
+            (3, "x", None),
+            (5, "new", "row"),  # added
+            (6, None, None),
+        ],
+        "k long, c1 string, c2 string",
+    )
+    got = {
+        r["key"]: r["change_type"]
+        for r in cdc.table_diff(old, new, "k").collect()
+    }
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+
+def test_table_diff_joins_hashes_not_payloads(spark):
+    """The full-outer join must see only (key, hash) on each side: the
+    pre-join projections carry exactly two columns, so snapshots of
+    arbitrary width never shuffle their payloads."""
+    old = spark.createDataFrame(
+        [(i, "x" * 50, float(i)) for i in range(20)],
+        "k long, big string, v double",
+    )
+    new = old
+    plan = (
+        cdc.table_diff(old, new, "k")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "big" not in plan.split("Join")[0], plan
