@@ -1717,3 +1717,42 @@ def contamination_report(
             4,
         ).alias("overlap_frac"),
     )
+
+
+def delete_from_neardup_index(
+    spark, index_path: str, out_path: str, doc_ids, n_files: int = 8
+) -> None:
+    """Right-to-be-forgotten for the persisted near-dup index: rewrite
+    the index WITHOUT the given documents (takedowns, GDPR erasure,
+    licensing pulls). Removing corpus rows alone is not enough — the
+    index still carries the deleted docs\' shingle hashes and band
+    postings, so future ingest batches would keep matching against
+    (and being suppressed by) content that no longer exists.
+
+    Scale shape: the doc_id set is request-sized (thousands, not
+    corpus-sized) so it broadcasts into LEFT ANTI joins over both
+    tables — the index is never shuffled, only scanned and rewritten;
+    output uses the compacted serving layout (``compact_neardup_index``
+    file discipline) and the params sidecar is copied unchanged, so
+    probe parameter checks keep holding. Like compaction: write to a
+    NEW path and swap atomically.
+    """
+    ids = spark.createDataFrame(
+        [(int(i),) for i in doc_ids], "doc_id long"
+    )
+    for sub, sort_cols in (("hashes", ["doc_id"]), ("bands", ["band", "key"])):
+        df = spark.read.option("basePath", f"{index_path}/{sub}").parquet(
+            f"{index_path}/{sub}"
+        )
+        if "batch" in df.columns:
+            df = df.drop("batch")
+        (
+            df.join(F.broadcast(ids), "doc_id", "left_anti")
+            .repartition(n_files)
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/{sub}")
+        )
+    spark.read.parquet(f"{index_path}/params").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out_path}/params")

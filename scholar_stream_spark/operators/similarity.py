@@ -1169,3 +1169,36 @@ def semantic_prune(
     return assigned.join(dropped, "vec_id", "left_anti").select(
         "vec_id", "cluster_id", "cos_to_centroid"
     )
+
+
+def delete_from_ivf_index(
+    spark, index_path: str, out_path: str, vec_ids
+) -> None:
+    """Right-to-be-forgotten for the persisted IVF index: rewrite the
+    vectors table WITHOUT the given vec_ids (the IVF twin of
+    ``delete_from_neardup_index`` — a deleted embedding must stop
+    being servable as a neighbor, not just vanish from the corpus).
+
+    The request-sized id set broadcasts into a LEFT ANTI join; the
+    write restores the compacted cell-partitioned serving layout and
+    the frozen quantizer is copied unchanged (deletions never retrain
+    — the FAISS remove_ids contract), so probes keep partition-pruning
+    identically. Write to a NEW path and swap atomically.
+    """
+    from scholar_stream_spark.sources.table_sink import write_partitioned
+
+    ids = spark.createDataFrame(
+        [(int(i),) for i in vec_ids], "vec_id long"
+    )
+    vectors = spark.read.option(
+        "basePath", f"{index_path}/vectors"
+    ).parquet(f"{index_path}/vectors")
+    write_partitioned(
+        vectors.join(F.broadcast(ids), "vec_id", "left_anti"),
+        f"{out_path}/vectors",
+        ["cell"],
+        sort_cols=["vec_id"],
+    )
+    spark.read.parquet(f"{index_path}/quantizer").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out_path}/quantizer")

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import json
 
+from tests.conftest import SF_SMALL
+
 from scholar_stream_spark.streaming.dedup_ingest import (
     ingest_batch,
     read_index,
@@ -360,3 +362,85 @@ def test_streaming_index_probeable_by_batch_api(spark, tmp_path):
     hits = incremental_neardup_indexed(probe, str(index)).collect()
     assert {(r["new_id"], r["corpus_id"]) for r in hits} == {(10, 2)}
     assert all(r["jaccard"] >= 0.8 for r in hits)
+
+
+def test_delete_from_neardup_index_forgets_documents(spark, tmp_path):
+    """After deleting a doc from the index, a new batch that near-dups
+    ONLY that doc stops being suppressed (the content is forgotten),
+    other matches keep working, and the params sidecar survives so
+    parameter checks still hold."""
+    from scholar_stream_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "nd_idx")
+    dedup.write_neardup_index(corpus, path)
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),
+            (11, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    before = {
+        (r["new_id"], r["corpus_id"])
+        for r in dedup.incremental_neardup_indexed(batch, path).collect()
+    }
+    assert before == {(10, 1), (11, 2)}
+
+    out = str(tmp_path / "nd_idx_v2")
+    dedup.delete_from_neardup_index(spark, path, out, [1])
+    after = {
+        (r["new_id"], r["corpus_id"])
+        for r in dedup.incremental_neardup_indexed(batch, out).collect()
+    }
+    assert after == {(11, 2)}  # doc 1 forgotten; doc 2's match still fires
+    assert (
+        spark.read.parquet(f"{out}/params").collect()
+        == spark.read.parquet(f"{path}/params").collect()
+    )
+
+
+def test_delete_from_ivf_index_removes_neighbors(spark, tmp_path):
+    """Deleted vec_ids must stop being servable: an exhaustive probe
+    over the rewritten index equals brute-force exact top-k over the
+    corpus WITHOUT the deleted vectors, and the quantizer is copied
+    frozen."""
+    from pyspark.sql import functions as F
+
+    from scholar_stream_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(emb, path)
+    gone = [30, 31, 32, 33, 34]
+    out = str(tmp_path / "ivf_v2")
+    similarity.delete_from_ivf_index(spark, path, out, gone)
+
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < similarity.ANN_NUM_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    probed = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+        for r in similarity.ivf_probe_index(
+            spark, out, queries, n_probe=similarity.IVF_NUM_CENTROIDS
+        ).collect()
+    )
+    exact = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+        for r in similarity.cosine_topk(
+            emb.filter(~F.col("vec_id").isin(gone))
+        ).collect()
+    )
+    assert probed == exact
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{out}/quantizer").collect())
+    ) == sorted(map(tuple, spark.read.parquet(f"{path}/quantizer").collect()))
