@@ -1697,22 +1697,27 @@ def contamination_report(
         .select(F.explode("sh").alias("shingle"))
         .distinct()
     )
-    hits = (
-        corpus.select("doc_id", F.explode("sh").alias("shingle"))
-        .join(F.broadcast(eval_sh), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    # ONE corpus pass: explode_outer keeps zero-shingle docs (NULL
+    # shingle never matches the broadcast), the left probe marks hits,
+    # and totals ride the exploded rows — the totals-join-back variant
+    # re-shingled the corpus a second time for nothing
+    exploded = corpus.select(
+        "doc_id", "n_shingles", F.explode_outer("sh").alias("shingle")
     )
-    return corpus.select("doc_id", "n_shingles").join(
-        hits, "doc_id", "left"
+    marked = exploded.join(
+        F.broadcast(eval_sh.withColumn("hit", F.lit(1))), "shingle", "left"
+    )
+    return marked.groupBy("doc_id").agg(
+        F.max("n_shingles").alias("n_shingles"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
     ).select(
         "doc_id",
         "n_shingles",
-        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        "n_hits",
         F.round(
             F.when(
                 F.col("n_shingles") > 0,
-                F.coalesce("n_hits", F.lit(0)) / F.col("n_shingles"),
+                F.col("n_hits") / F.col("n_shingles"),
             ).otherwise(F.lit(0.0)),
             4,
         ).alias("overlap_frac"),
