@@ -1560,8 +1560,8 @@ def _check_constraints_sql() -> str:
     """One-pass conditional sums + UNION-ALL unpivot mirroring
     check_constraints over ORDERS_RULES (NULL predicate = violation)."""
     metrics = ",\n           ".join(
-        f"sum(CASE WHEN NOT coalesce({pred}, FALSE) THEN 1 ELSE 0 END)"
-        f" AS v{i}"
+        f"coalesce(sum(CASE WHEN NOT coalesce({pred}, FALSE)"
+        f" THEN 1 ELSE 0 END), 0) AS v{i}"
         for i, (_, pred) in enumerate(ORDERS_RULES)
     )
     branches = "\n            UNION ALL ".join(

@@ -144,14 +144,20 @@ def table_diff(
     sources that cannot emit a change stream).
 
     Scale shape: both sides project to (key, payload-hash) BEFORE the
-    join — one narrow md5 over the concatenated compare columns — so
-    the full-outer join moves two hash columns, never the payloads;
-    the single exchange pair is key-partitioned and AQE-sized.
-    Unchanged keys are filtered out (the overwhelming majority between
-    adjacent snapshots), so the output is changes-sized, not
-    table-sized. The hash interposes a unit-separator (\\x1f) between
-    columns and a NULL sentinel, so ("a", "b") cannot collide with
-    ("ab", "") and (NULL, "x") cannot collide with ("x", NULL).
+    join — one narrow md5 over the JSON encoding of the compare-column
+    struct — so the full-outer join moves two hash columns, never the
+    payloads; the single exchange pair is key-partitioned and
+    AQE-sized. Unchanged keys are filtered out (the overwhelming
+    majority between adjacent snapshots), so the output is
+    changes-sized, not table-sized. Hashing ``to_json(struct(...))``
+    instead of a delimited concat makes the fingerprint structurally
+    collision-safe: field names separate columns (no ("a","b") vs
+    ("ab","") shift) and a NULL column is OMITTED from the JSON, so no
+    sentinel string a real value could equal exists at all.
+
+    Side presence is tested on the HASH columns (md5 output is never
+    NULL), so rows whose key itself is NULL still classify by
+    presence instead of being misread as added.
 
     Output: (key, change_type), change_type in added|removed|changed.
     """
@@ -159,21 +165,18 @@ def table_diff(
         compare_cols = [c for c in new.columns if c != key_col]
 
     def fp(df: DataFrame) -> DataFrame:
-        parts = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
-            for c in compare_cols
-        ]
+        payload = F.struct(*[F.col(c) for c in compare_cols])
         return df.select(
             F.col(key_col).alias("key"),
-            F.md5(F.concat_ws("\x1f", *parts)).alias("h"),
+            F.md5(F.to_json(payload)).alias("h"),
         )
 
     o = fp(old).alias("o")
     n = fp(new).alias("n")
-    joined = o.join(n, F.col("o.key") == F.col("n.key"), "full_outer")
+    joined = o.join(n, F.col("o.key").eqNullSafe(F.col("n.key")), "full_outer")
     change = (
-        F.when(F.col("o.key").isNull(), F.lit("added"))
-        .when(F.col("n.key").isNull(), F.lit("removed"))
+        F.when(F.col("o.h").isNull(), F.lit("added"))
+        .when(F.col("n.h").isNull(), F.lit("removed"))
         .when(F.col("o.h") != F.col("n.h"), F.lit("changed"))
     )
     return joined.select(

@@ -603,7 +603,11 @@ def check_neardup_index_params(
 
 
 def compact_neardup_index(
-    spark, index_path: str, out_path: str, n_files: int = 8
+    spark,
+    index_path: str,
+    out_path: str,
+    n_files: int = 8,
+    exclude_doc_ids=None,
 ) -> None:
     """Rewrite a streaming-built near-dup index (``start_neardup_ingest``
     lands one ``batch=<id>`` directory pair per micro-batch) into a
@@ -615,17 +619,29 @@ def compact_neardup_index(
     (band, key)) for run-length-friendly compression, and copies the
     hash-space params sidecar so probes stay parameter-checked. The
     output is probe-identical to the input by construction (same rows,
-    same tables) and is also what ``write_neardup_index`` produces —
+    same tables; with ``exclude_doc_ids`` set, minus exactly those
+    documents — the deletion path reuses this rewrite so the serving
+    layout discipline lives in one place) and is also what
+    ``write_neardup_index`` produces —
     periodic compaction keeps a long-lived streaming index serving like
     a batch-built one. Compact to a NEW path and swap atomically;
     writing over a live index a probe is reading is the caller's race.
     """
+    excl = (
+        spark.createDataFrame(
+            [(int(i),) for i in exclude_doc_ids], "doc_id long"
+        )
+        if exclude_doc_ids is not None
+        else None
+    )
     for sub, sort_cols in (("hashes", ["doc_id"]), ("bands", ["band", "key"])):
         df = spark.read.option("basePath", f"{index_path}/{sub}").parquet(
             f"{index_path}/{sub}"
         )
         if "batch" in df.columns:
             df = df.drop("batch")
+        if excl is not None:
+            df = df.join(F.broadcast(excl), "doc_id", "left_anti")
         (
             df.repartition(n_files)
             .sortWithinPartitions(*sort_cols)
@@ -1668,7 +1684,10 @@ def contamination_report(
     corpus exchanges are the hit count and the doc_id join back, both
     doc-keyed and corpus-linear.
 
-    Output: (doc_id, n_shingles, n_hits, overlap_frac).
+    Output: (doc_id, n_shingles, n_hits, overlap_frac) — one row per
+    train document. ``doc_id`` is the table's key by contract (as
+    everywhere in this module); duplicate ids would fold into one row
+    here, so run exact dedup first if the source can repeat ids.
     """
     from scholar_stream_spark.operators.sampling import (
         SPLIT_BOUNDS,
@@ -1730,34 +1749,19 @@ def delete_from_neardup_index(
     """Right-to-be-forgotten for the persisted near-dup index: rewrite
     the index WITHOUT the given documents (takedowns, GDPR erasure,
     licensing pulls). Removing corpus rows alone is not enough — the
-    index still carries the deleted docs\' shingle hashes and band
+    index still carries the deleted docs' shingle hashes and band
     postings, so future ingest batches would keep matching against
     (and being suppressed by) content that no longer exists.
 
-    Scale shape: the doc_id set is request-sized (thousands, not
-    corpus-sized) so it broadcasts into LEFT ANTI joins over both
-    tables — the index is never shuffled, only scanned and rewritten;
-    output uses the compacted serving layout (``compact_neardup_index``
-    file discipline) and the params sidecar is copied unchanged, so
-    probe parameter checks keep holding. Like compaction: write to a
-    NEW path and swap atomically.
+    Implemented AS a compaction with an exclusion set
+    (``compact_neardup_index(exclude_doc_ids=...)``): the request-sized
+    id set broadcasts into LEFT ANTI joins over both tables — the
+    index is never shuffled, only scanned and rewritten into the
+    compacted serving layout, params sidecar copied unchanged. Like
+    compaction: write to a NEW path and swap atomically.
     """
-    ids = spark.createDataFrame(
-        [(int(i),) for i in doc_ids], "doc_id long"
+    compact_neardup_index(
+        spark, index_path, out_path, n_files=n_files,
+        exclude_doc_ids=list(doc_ids),
     )
-    for sub, sort_cols in (("hashes", ["doc_id"]), ("bands", ["band", "key"])):
-        df = spark.read.option("basePath", f"{index_path}/{sub}").parquet(
-            f"{index_path}/{sub}"
-        )
-        if "batch" in df.columns:
-            df = df.drop("batch")
-        (
-            df.join(F.broadcast(ids), "doc_id", "left_anti")
-            .repartition(n_files)
-            .sortWithinPartitions(*sort_cols)
-            .write.mode("overwrite")
-            .parquet(f"{out_path}/{sub}")
-        )
-    spark.read.parquet(f"{index_path}/params").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{out_path}/params")
+

@@ -36,12 +36,16 @@ def profile_columns(
     """
     cols = list(cols) if cols is not None else list(df.columns)
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+    # index-based aliases + escaped name literals: column names are
+    # data here, not identifiers — "unit price" or "o'brien" must not
+    # break the generated stack expression
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{i}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{i}"))
     row = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}" for c in cols
+        "'{}', __nn_{}, __nd_{}".format(c.replace("'", "\\'"), i, i)
+        for i, c in enumerate(cols)
     )
     return row.select(
         F.expr(
@@ -76,17 +80,23 @@ def check_constraints(
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, (_, pred) in enumerate(rules):
         aggs.append(
-            F.sum(
-                F.when(
-                    ~F.coalesce(F.expr(pred), F.lit(False)), F.lit(1)
-                ).otherwise(F.lit(0))
+            # outer coalesce: sum over ZERO rows is NULL, and an empty
+            # table must report 0 violations / passed, not NULL / NULL
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        ~F.coalesce(F.expr(pred), F.lit(False)), F.lit(1)
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias(f"__v_{i}")
         )
     row = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{name}', __v_{i}" for i, (name, _) in enumerate(rules)
+        "'{}', __v_{}".format(name.replace("'", "\\'"), i)
+        for i, (name, _) in enumerate(rules)
     )
     return row.select(
         F.expr(

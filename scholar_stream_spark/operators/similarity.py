@@ -548,7 +548,9 @@ def ivf_append_index(embeddings: DataFrame, path: str) -> None:
     )
 
 
-def compact_ivf_index(spark, index_path: str, out_path: str) -> None:
+def compact_ivf_index(
+    spark, index_path: str, out_path: str, exclude_vec_ids=None
+) -> None:
     """Rewrite an IVF index whose cell partitions have accreted small
     append files (``ivf_append_index`` once per micro-batch/night) back
     into the serving layout ``write_ivf_index`` produces — the IVF twin
@@ -559,8 +561,10 @@ def compact_ivf_index(spark, index_path: str, out_path: str) -> None:
     each cell back to few vec_id-sorted files (ONE task per cell via
     the hash-repartition in ``write_partitioned``, split only by the
     1M-row file cap) and copies the quantizer sidecar unchanged, so the
-    compacted index is probe-identical by construction — same rows,
-    same frozen quantizer, same cell assignment. Compact to a NEW path
+    compacted index is probe-identical by construction — same rows
+    (minus ``exclude_vec_ids`` when given: the deletion path reuses
+    this rewrite so the serving layout lives in one place), same
+    frozen quantizer, same cell assignment. Compact to a NEW path
     and swap atomically; writing over a live index a probe is reading
     is the caller's race (same contract as the near-dup compactor).
     """
@@ -569,6 +573,11 @@ def compact_ivf_index(spark, index_path: str, out_path: str) -> None:
     vectors = spark.read.option(
         "basePath", f"{index_path}/vectors"
     ).parquet(f"{index_path}/vectors")
+    if exclude_vec_ids is not None:
+        ids = spark.createDataFrame(
+            [(int(i),) for i in exclude_vec_ids], "vec_id long"
+        )
+        vectors = vectors.join(F.broadcast(ids), "vec_id", "left_anti")
     write_partitioned(
         vectors, f"{out_path}/vectors", ["cell"], sort_cols=["vec_id"]
     )
@@ -1178,27 +1187,14 @@ def delete_from_ivf_index(
     vectors table WITHOUT the given vec_ids (the IVF twin of
     ``delete_from_neardup_index`` — a deleted embedding must stop
     being servable as a neighbor, not just vanish from the corpus).
+    Deletions never retrain (the FAISS remove_ids contract): the
+    frozen quantizer is copied unchanged, so probes keep
+    partition-pruning identically.
 
-    The request-sized id set broadcasts into a LEFT ANTI join; the
-    write restores the compacted cell-partitioned serving layout and
-    the frozen quantizer is copied unchanged (deletions never retrain
-    — the FAISS remove_ids contract), so probes keep partition-pruning
-    identically. Write to a NEW path and swap atomically.
+    Implemented AS a compaction with an exclusion set
+    (``compact_ivf_index(exclude_vec_ids=...)``). Write to a NEW path
+    and swap atomically.
     """
-    from scholar_stream_spark.sources.table_sink import write_partitioned
-
-    ids = spark.createDataFrame(
-        [(int(i),) for i in vec_ids], "vec_id long"
+    compact_ivf_index(
+        spark, index_path, out_path, exclude_vec_ids=list(vec_ids)
     )
-    vectors = spark.read.option(
-        "basePath", f"{index_path}/vectors"
-    ).parquet(f"{index_path}/vectors")
-    write_partitioned(
-        vectors.join(F.broadcast(ids), "vec_id", "left_anti"),
-        f"{out_path}/vectors",
-        ["cell"],
-        sort_cols=["vec_id"],
-    )
-    spark.read.parquet(f"{index_path}/quantizer").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{out_path}/quantizer")

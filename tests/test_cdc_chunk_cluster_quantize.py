@@ -485,6 +485,8 @@ def test_table_diff_classifies_and_hashes_safely(spark):
             (3, None, "x"),     # -> ("x", NULL): changed
             (4, "z", "z"),      # removed
             (6, None, None),    # unchanged with NULLs
+            (7, None, "q"),     # NULL -> a would-be sentinel string
+            (None, "nk", "v"),  # NULL KEY, removed in new
         ],
         "k long, c1 string, c2 string",
     )
@@ -495,6 +497,7 @@ def test_table_diff_classifies_and_hashes_safely(spark):
             (3, "x", None),
             (5, "new", "row"),  # added
             (6, None, None),
+            (7, "\x00NULL", "q"),
         ],
         "k long, c1 string, c2 string",
     )
@@ -502,7 +505,14 @@ def test_table_diff_classifies_and_hashes_safely(spark):
         r["key"]: r["change_type"]
         for r in cdc.table_diff(old, new, "k").collect()
     }
-    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+    assert got == {
+        2: "changed",
+        3: "changed",
+        4: "removed",
+        5: "added",
+        7: "changed",     # no sentinel exists a real value could equal
+        None: "removed",  # presence judged on hash, not key nullness
+    }
 
 
 def test_table_diff_joins_hashes_not_payloads(spark):

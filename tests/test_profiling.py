@@ -62,3 +62,27 @@ def test_profiling_is_one_pass(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan, plan
         assert plan.count("LocalTableScan") + plan.count("Scan") <= 2, plan
+
+
+def test_profiling_edge_cases(spark):
+    """Empty table -> 0 violations / passed=True (not NULL/NULL), and
+    non-identifier column names (spaces, quotes) must profile fine —
+    names are data, not SQL identifiers."""
+    empty = spark.createDataFrame([], "k long, v double")
+    rows = {
+        r["rule"]: r
+        for r in profiling.check_constraints(
+            empty, [("v_nonneg", "v >= 0")]
+        ).collect()
+    }
+    assert rows["v_nonneg"]["n_violations"] == 0
+    assert rows["v_nonneg"]["passed"] is True
+
+    odd = spark.createDataFrame(
+        [(1, 2.0)], "k long, `unit price` double"
+    ).withColumnRenamed("unit price", "o'brien price")
+    prof = {
+        r["col_name"]: r for r in profiling.profile_columns(odd).collect()
+    }
+    assert set(prof) == {"k", "o'brien price"}
+    assert prof["o'brien price"]["n_distinct"] == 1
