@@ -420,6 +420,7 @@ _DRIVER_FIRST = (
     "profile_columns",
     "check_constraints",
     "table_diff",
+    "funnel_analysis",
 )
 
 
@@ -672,6 +673,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TPC-H Q18 shape: aggregate-then-HAVING-then-join
         "large_orders": lambda s, d: relational.large_orders(
             _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "customer")
+        ),
+        # ordered funnel conversion (view -> click -> purchase)
+        "funnel_analysis": lambda s, d: relational.funnel_analysis(
+            _t(s, d, "events")
         ),
         # weekly retention cohorts (first-event week × activity week)
         "retention_cohorts": lambda s, d: relational.retention_cohorts(
@@ -2084,6 +2089,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT {relational.LARGE_ORDER_TOPN}
+        """,
+        "funnel_analysis": f"""
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = '{relational.FUNNEL_STEPS[0]}'
+                GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = '{relational.FUNNEL_STEPS[1]}'
+                  AND e.ts > s1.t
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = '{relational.FUNNEL_STEPS[2]}'
+                  AND e.ts > s2.t
+                GROUP BY e.user_id
+            ),
+            n AS (
+                SELECT 1 AS step_index, '{relational.FUNNEL_STEPS[0]}' AS step,
+                       (SELECT count(*) FROM s1) AS n_users
+                UNION ALL
+                SELECT 2, '{relational.FUNNEL_STEPS[1]}',
+                       (SELECT count(*) FROM s2)
+                UNION ALL
+                SELECT 3, '{relational.FUNNEL_STEPS[2]}',
+                       (SELECT count(*) FROM s3)
+            )
+            SELECT CAST(step_index AS BIGINT) AS step_index, step,
+                   CAST(n_users AS BIGINT) AS n_users,
+                   round(n_users / first_value(n_users)
+                         OVER (ORDER BY step_index), 4) AS conversion
+            FROM n
         """,
         "retention_cohorts": """
             WITH firsts AS (

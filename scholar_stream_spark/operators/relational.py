@@ -898,3 +898,68 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
             F.col("max_count") * F.col("n_keys") / F.col("n_rows"), 4
         ).alias("skew_ratio"),
     )
+
+
+#: Ordered funnel steps for the events-table funnel demo (each step
+#: must occur strictly AFTER the user's previous step's first time).
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_analysis(events: DataFrame, steps=FUNNEL_STEPS) -> DataFrame:
+    """Ordered-funnel conversion over the events stream: how many users
+    completed step k — where a step only counts if it happens strictly
+    AFTER that user's first occurrence of the previous step (the
+    windowFunnel semantics product analytics expects; an unordered
+    count-distinct-per-type overstates every stage).
+
+    Scale shape: one filtered, pushed-down scan + user-keyed min-
+    aggregate per step, each next stage joining the previous stage's
+    (user, reached_ts) table on user_id — every exchange is user-keyed
+    and stage tables only SHRINK down the funnel. No per-user event
+    collection, no window over raw events, nothing quadratic. The
+    final conversion table is |steps| rows.
+
+    Output: (step_index, step, n_users, conversion) with conversion
+    relative to the first step.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_analysis: need at least two steps")
+    stage_counts = []
+    prev = None
+    for i, step in enumerate(steps):
+        ev = events.filter(F.col("event_type") == step).select(
+            "user_id", "ts"
+        )
+        if prev is None:
+            stage = ev.groupBy("user_id").agg(
+                F.min("ts").alias("reached_ts")
+            )
+        else:
+            stage = (
+                ev.join(prev, "user_id")
+                .filter(F.col("ts") > F.col("reached_ts"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("reached_ts"))
+            )
+        prev = stage
+        stage_counts.append(
+            stage.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).cast("long").alias("step_index"),
+                F.lit(step).alias("step"),
+                F.col("n_users").cast("long"),
+            )
+        )
+    out = stage_counts[0]
+    for df in stage_counts[1:]:
+        out = out.unionByName(df)
+    w = Window.orderBy("step_index").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return out.select(
+        "step_index",
+        "step",
+        "n_users",
+        F.round(
+            F.col("n_users") / F.first("n_users").over(w), 4
+        ).alias("conversion"),
+    )

@@ -184,3 +184,42 @@ def test_load_events_restores_nanos_conf(spark, tmp_path):
         got = df.orderBy("event_id").collect()
         assert got[0]["ts"].microsecond == frac
         assert spark.conf.get(key, None) == prior
+
+
+def test_funnel_analysis_ordered_semantics(spark):
+    """Ordering matters: a user whose purchase precedes their click
+    must not count at the purchase step, and a user with no view
+    never enters the funnel at all."""
+    from scholar_stream_spark.operators import relational
+
+    rows = [
+        # u1 completes the funnel in order
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 11:00:00"),
+        (1, "purchase", "2024-01-01 12:00:00"),
+        # u2: purchase BEFORE click -> stops at click
+        (2, "view", "2024-01-01 10:00:00"),
+        (2, "purchase", "2024-01-01 10:30:00"),
+        (2, "click", "2024-01-01 11:00:00"),
+        # u3: click/purchase but never viewed -> not in funnel
+        (3, "click", "2024-01-01 10:00:00"),
+        (3, "purchase", "2024-01-01 11:00:00"),
+        # u4: view only
+        (4, "view", "2024-01-01 09:00:00"),
+    ]
+    events = spark.createDataFrame(
+        [(i, u, t, ts) for i, (u, t, ts) in enumerate(rows)],
+        "event_id long, user_id long, event_type string, ts string",
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.to_timestamp("ts").alias("ts"),
+    )
+    got = {
+        r["step"]: (r["n_users"], r["conversion"])
+        for r in relational.funnel_analysis(events).collect()
+    }
+    assert got == {
+        "view": (3, 1.0),
+        "click": (2, round(2 / 3, 4)),
+        "purchase": (1, round(1 / 3, 4)),
+    }
