@@ -45,6 +45,30 @@ def test_gate_documents_split_and_scrub(spark):
     assert "someone@example.com" not in kept_rows[4]["text"]
 
 
+def test_gate_documents_admission_failures_are_accountable(spark):
+    """NULL ids and within-batch duplicate ids never vanish: the
+    deterministic keep-first survivor is gated, the extras land in
+    rejected with NULL verdicts, and no doc is double-kept."""
+    good = DOCS[0][1]
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en"),
+            (1, "zzz duplicate copy of id one", "en"),  # dup: text sorts later
+            (None, good, "en"),                         # NULL id
+        ],
+        "doc_id long, text string, lang string",
+    )
+    kept, rejected = gate_documents(docs)
+    kept_rows = kept.collect()
+    assert [r["doc_id"] for r in kept_rows] == [1]
+    assert kept_rows[0]["text"].startswith("solid varied")  # keep-first
+    rej = rejected.collect()
+    assert len(rej) == 2
+    assert all(r["blocked"] is None and r["passes"] is None for r in rej)
+    assert sorted(r["doc_id"] for r in rej if r["doc_id"] is not None) == [1]
+    assert any(r["doc_id"] is None for r in rej)
+
+
 def test_streaming_ingest_matches_batch_gate_and_replays_noop(
     spark, tmp_path
 ):
@@ -66,15 +90,23 @@ def test_streaming_ingest_matches_batch_gate_and_replays_noop(
     run()
     docs = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
     kept, _ = gate_documents(docs)
-    streamed = sorted(map(tuple, spark.read.parquet(corpus)
+
+    def read_corpus():
+        return spark.read.option("basePath", corpus).parquet(corpus)
+
+    streamed = sorted(map(tuple, read_corpus()
                           .select("doc_id", "lang", "text").collect()))
     batch = sorted(map(tuple, kept.collect()))
     assert streamed == batch
-    assert {r["doc_id"] for r in spark.read.parquet(rejected).collect()} == {2, 3}
-    # lang partitioning on disk
-    assert os.path.isdir(os.path.join(corpus, "lang=en"))
-    assert os.path.isdir(os.path.join(corpus, "lang=de"))
-    # replay: nothing new -> no growth
-    n_before = spark.read.parquet(corpus).count()
+    rej = spark.read.option("basePath", rejected).parquet(rejected)
+    assert {r["doc_id"] for r in rej.collect()} == {2, 3}
+    # batch=<id>/lang=<l> overwrite layout on disk
+    batch_dirs = [d for d in os.listdir(corpus) if d.startswith("batch=")]
+    assert batch_dirs
+    assert any(
+        os.path.isdir(os.path.join(corpus, b, "lang=en")) for b in batch_dirs
+    )
+    # replay: the drained checkpoint re-lands nothing -> no growth
+    n_before = read_corpus().count()
     run()
-    assert spark.read.parquet(corpus).count() == n_before
+    assert read_corpus().count() == n_before
