@@ -421,6 +421,7 @@ _DRIVER_FIRST = (
     "check_constraints",
     "table_diff",
     "funnel_analysis",
+    "detect_outliers",
 )
 
 
@@ -673,6 +674,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TPC-H Q18 shape: aggregate-then-HAVING-then-join
         "large_orders": lambda s, d: relational.large_orders(
             _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "customer")
+        ),
+        # per-type z-score outlier screen (exact fixed-point moments)
+        "detect_outliers": lambda s, d: relational.detect_outliers(
+            _t(s, d, "events")
         ),
         # ordered funnel conversion (view -> click -> purchase)
         "funnel_analysis": lambda s, d: relational.funnel_analysis(
@@ -2089,6 +2094,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT {relational.LARGE_ORDER_TOPN}
+        """,
+        "detect_outliers": f"""
+            WITH quant AS (
+                SELECT event_id, event_type, value,
+                       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq
+                FROM events
+            ),
+            m AS (
+                SELECT event_type, count(*) AS n,
+                       CAST(SUM(CAST(vq AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+                       CAST(SUM(CAST(vq AS DECIMAL(19,0))
+                                * CAST(vq AS DECIMAL(19,0))) AS DOUBLE) AS s2
+                FROM quant GROUP BY event_type
+            ),
+            st AS (
+                SELECT event_type, s1 / n AS mu,
+                       sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0))
+                           AS sigma
+                FROM m
+            )
+            SELECT event_id, q.event_type, value,
+                   round((vq - mu) / sigma, 4) AS z_score
+            FROM quant q JOIN st ON q.event_type = st.event_type
+            WHERE sigma > 0
+              AND abs(round((vq - mu) / sigma, 4))
+                  > {relational.OUTLIER_Z_THRESHOLD}
         """,
         "funnel_analysis": f"""
             WITH s1 AS (

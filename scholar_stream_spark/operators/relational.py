@@ -963,3 +963,62 @@ def funnel_analysis(events: DataFrame, steps=FUNNEL_STEPS) -> DataFrame:
             F.col("n_users") / F.first("n_users").over(w), 4
         ).alias("conversion"),
     )
+
+
+#: Outlier threshold in standard deviations for detect_outliers.
+OUTLIER_Z_THRESHOLD = 3.0
+
+
+def detect_outliers(
+    events: DataFrame, z_threshold: float = OUTLIER_Z_THRESHOLD
+) -> DataFrame:
+    """Per-type z-score outlier detection over the events stream: flag
+    events whose ``value`` sits more than ``z_threshold`` standard
+    deviations from their event_type's mean — the cheap statistical
+    screen that runs before alerting/quarantine (the per-type moments
+    are the same exact-decimal machinery as ``stats_by_type``, so the
+    flag boundary cannot drift between engines or partitionings).
+
+    Scale shape: ONE map-side-combined per-type moment aggregate
+    (|event types| rows) broadcast back onto the scan — the fact table
+    is never shuffled; scoring is a stateless projection. Emits ONLY
+    the outliers (alert-sized output, not corpus-sized).
+
+    Output: (event_id, event_type, value, z_score).
+    """
+    # the stats_by_type fixed-point idiom: quantize value to 1e-6
+    # integer units (engine-portable floor+0.5) and sum moments as
+    # exact decimals — z-scores then derive from the same integers on
+    # any engine/partitioning, and z is scale-invariant so the
+    # quantized units cancel
+    q = "CAST(floor(value * 1000000 + 0.5) AS BIGINT)"
+    quant = events.select(
+        "event_id", "event_type", "value", F.expr(q).alias("vq")
+    )
+    moments = quant.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(CAST(vq AS DECIMAL(38,0))) AS DOUBLE)").alias("s1"),
+        F.expr(
+            "CAST(SUM(CAST(vq AS DECIMAL(19,0)) * CAST(vq AS DECIMAL(19,0)))"
+            " AS DOUBLE)"
+        ).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    stats = moments.select(
+        "event_type",
+        mean.alias("mu"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("sigma"),
+    )
+    z = (F.col("vq") - F.col("mu")) / F.col("sigma")
+    return (
+        quant.join(F.broadcast(stats), "event_type")
+        .filter(F.col("sigma") > 0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 4).alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) > z_threshold)
+    )

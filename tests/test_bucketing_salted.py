@@ -129,3 +129,22 @@ def test_key_skew_profile_hand_computed(spark):
     assert r["p50_count"] == 1.5
     assert r["p90_count"] == 4.8
     assert r["skew_ratio"] == round(6 * 4 / 10, 4)
+
+
+def test_detect_outliers_flags_planted_anomaly(spark):
+    """A planted extreme value is flagged with the right sign; the
+    tight cluster around the mean is not; constant-valued types
+    (sigma = 0) produce no division blowup and no rows."""
+    from scholar_stream_spark.operators import relational
+
+    rows = (
+        [(i, "a", 10.0 + (i % 5) * 0.1) for i in range(40)]
+        + [(100, "a", 500.0)]            # planted outlier
+        + [(200 + i, "b", 7.0) for i in range(10)]  # constant type
+    )
+    events = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    got = relational.detect_outliers(events).collect()
+    assert [r["event_id"] for r in got] == [100]
+    assert got[0]["z_score"] > relational.OUTLIER_Z_THRESHOLD
