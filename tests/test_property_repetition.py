@@ -8,11 +8,23 @@ duplicate windows must never double-count."""
 from __future__ import annotations
 
 from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from scholar_stream_spark.operators import textops
+
+
+def _round4(x: float) -> float:
+    """HALF_UP at 4 decimals over the EXACT binary double — what Spark's
+    ``F.round`` (BigDecimal(double) + HALF_UP) and DuckDB's ``round``
+    both do. Python's builtin ``round`` is banker's rounding and
+    disagrees on exact ties like 13/32 = 0.40625 (the hypothesis
+    counterexample that motivated this helper)."""
+    return float(
+        Decimal(x).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    )
 
 token = st.sampled_from(["go", "stop", "aa", "bbb", "x"])
 chunk = st.lists(token, min_size=1, max_size=8).map(" ".join)
@@ -48,7 +60,7 @@ def _reference(text: str) -> dict[str, float]:
     dup5_chars = sum(len(ws[p]) for p in covered)
 
     def frac(num, den):
-        return round(min(1.0, num / den), 4) if den > 0 else 0.0
+        return _round4(min(1.0, num / den)) if den > 0 else 0.0
 
     return {
         "dup_line_frac": frac(dup_lines, len(lines)),
