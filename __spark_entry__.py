@@ -170,6 +170,62 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup(docs.filter(bucket >= 50), index)
 
 
+def _q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_q_dedup_incremental``'s split with the Bloom sidecar gating
+    the index probe: the filter is built over the same index the batch
+    anti-joins, so the result is identical by the zero-false-negative
+    Bloom guarantee — this entry shares ``dedup_incremental``'s oracle
+    SQL verbatim, making that guarantee itself driver-checked. Fixed
+    geometry (2^16 bits, 7 hashes) keeps the entry deterministic at
+    every SF; at real scale ``bloom_params`` sizes it from the index
+    count."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = sampling.split_bucket("CAST(doc_id AS STRING)")
+    index = docs.filter(bucket < 50).select(
+        F.md5(normalize_text(F.col("text"))).alias("fingerprint")
+    )
+    n_bits, n_hashes = 1 << 16, 7
+    bloom = dedup.build_fingerprint_bloom(index, n_bits, n_hashes)
+    return dedup.incremental_dedup_bloom(
+        docs.filter(bucket >= 50), index, bloom, n_bits, n_hashes
+    )
+
+
+def _pii_injected_text() -> "F.Column":
+    """Deterministic PII injection for the ``scrub_pii`` entry: one
+    email, one long digit run, one separator-phone, one IPv4, one
+    md5-derived UUID per doc, plus word-boundary NON-matches for the
+    boundary-guarded patterns (``x1.2.3.4`` must not scrub as an IP,
+    ``9555-123-4567`` must not scrub as a phone). The oracle builds the
+    byte-identical suffix in SQL."""
+    md5s = "md5(CAST(doc_id AS STRING))"
+    uuid = F.expr(
+        f"concat(substr({md5s},1,8),'-',substr({md5s},9,4),'-',"
+        f"substr({md5s},13,4),'-',substr({md5s},17,4),'-',"
+        f"substr({md5s},21,12))"
+    )
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ref "),
+        (F.col("doc_id") * 1234567 + 10000000).cast("string"),
+        F.lit(" call "),
+        F.format_string(
+            "555-%03d-%04d",
+            F.pmod(F.col("doc_id"), F.lit(1000)),
+            F.pmod(F.col("doc_id"), F.lit(10000)),
+        ),
+        F.lit(" ip 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit("."),
+        F.pmod(F.col("doc_id") * 7, F.lit(256)).cast("string"),
+        F.lit(" id "),
+        uuid,
+        F.lit(" not-ip x1.2.3.4 not-phone 9555-123-4567"),
+    ).alias("text")
+
+
 def _q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same split idiom as ``_q_dedup_incremental``: buckets < 50 are the
     banded corpus index, the rest are the incoming batch near-dup-checked
@@ -371,57 +427,69 @@ PROFILE_COLS = (
     "o_totalprice", "o_orderdate", "o_orderpriority",
 )
 
-#: Driver-cap rotation (round 7): CORRECTNESS runs check at most 50
-#: entries in ``queries()`` order. The 26 oracle-backed entries whose
-#: only driver-green rows are r5 (everything else is r6-green) go
-#: FIRST, then this round's NEW oracle-backed entries; the r6-green
-#: entries follow in literal order (their rows stand either way), and
-#: the rows-only block stays last as documented in the module
-#: docstring. Result: every oracle-backed entry driver-green within
-#: the r6∪r7 window.
+#: Driver-cap rotation (round 8): CORRECTNESS runs check at most 50
+#: entries in ``queries()`` order. The 41 oracle-backed entries whose
+#: only driver-green rows are r6 (everything else is r7-green) go
+#: FIRST — including ``scrub_pii``, whose contract EXTENDED this round
+#: (phone/IPv4/UUID patterns) — then this round's new oracle-backed
+#: entries (``dsir_sample``, ``dedup_incremental_bloom``,
+#: ``remove_dup_spans_first``) and the r7-green entries whose code
+#: changed this round (``gopher_quality`` stop-word normalization,
+#: ``large_orders`` broadcast de-hint, ``funnel_analysis`` single-scan
+#: rewrite). The r7-green remainder follows in literal order; the
+#: rows-only block stays last as documented in the module docstring.
+#: Result: every oracle-backed entry driver-green within the r7∪r8
+#: window, and nothing that changed this round rides a stale row.
 _DRIVER_FIRST = (
-    "asof_join",
-    "change_filter",
-    "cube_orders",
-    "curate_corpus",
-    "distinct_users_salted",
-    "heavy_hitters",
-    "incr_rollup",
-    "json_extract",
-    "mask_email",
-    "pack_docs",
-    "pivot_user_events",
-    "pricing_summary",
-    "range_join",
-    "revenue_by_region",
-    "rollup_orders",
-    "salted_join_revenue",
-    "sec_of_day",
-    "sessionize",
-    "split_assign",
-    "stats_by_type",
-    "top_orders_per_customer",
-    "user_setops",
-    "value_histogram",
-    "value_percentiles",
-    "vocab_coverage",
-    "windowed_agg",
-    # round-7 additions (new oracle-backed entries) go next
-    "blocklist_filter",
+    "ann_cosine_topk",
+    "ann_cosine_topk_vec",
+    "bigram_logprob",
+    "clean_lines",
+    "corpus_data_card",
+    "decontaminate",
+    "dedup_embedding",
+    "dedup_exact_stats",
+    "dedup_first_event",
+    "dedup_fuzzy",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "dup_spans",
+    "hash_sample",
+    "incremental_neardup_indexed",
+    "ivf_probe_index",
+    "lang_profile",
+    "latency_kpis",
+    "minhash_estimate",
+    "multimodal_blob_stats",
+    "multimodal_decode",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    "perplexity_buckets",
+    "pipeline_end_to_end",
+    "quantize_embeddings",
+    "remove_dup_paragraphs",
+    "remove_dup_spans",
+    "repetition_stats",
+    "reservoir_sample",
+    "scrub_pii",
+    "shipping_priority",
+    "temperature_mixture",
+    "text_quality",
+    "tfidf_top_terms",
+    "token_counts",
+    "topn_recent",
+    "unigram_logprob",
+    # round-8 additions (new oracle-backed entries) go next
+    "dsir_sample",
+    "dedup_incremental_bloom",
+    "remove_dup_spans_first",
+    # r7-green entries whose code changed this round
     "gopher_quality",
-    "gopher_repetition",
-    "order_priority_check",
-    "customer_distribution",
-    "retention_cohorts",
-    "quality_weighted_sample",
     "large_orders",
-    "contamination_report",
-    "key_skew_profile",
-    "profile_columns",
-    "check_constraints",
-    "table_diff",
     "funnel_analysis",
-    "detect_outliers",
 )
 
 
@@ -450,6 +518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new-batch exact dedup against a persisted fingerprint index
         # (index never shuffled: broadcast batch-fps probe + anti-join)
         "dedup_incremental": _q_dedup_incremental,
+        # Bloom-sidecar-gated variant: result-identical by the filter's
+        # zero-false-negative guarantee (shares the oracle SQL)
+        "dedup_incremental_bloom": _q_dedup_incremental_bloom,
         "dedup_incremental_neardup": _q_incremental_neardup,
         # data mixing: deterministic downsample to the target language
         # mixture (largest budget reachable without upsampling)
@@ -496,6 +567,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "remove_dup_spans": lambda s, d: dedup.remove_duplicate_spans(
             _t(s, d, "documents")
+        ),
+        # keep-one-occurrence removal policy (Lee et al.: deduplicate,
+        # don't delete) — survivor = corpus-lowest (doc_id, start) per
+        # window hash; default mode's contract unchanged
+        "remove_dup_spans_first": lambda s, d: dedup.remove_duplicate_spans(
+            _t(s, d, "documents"), keep="first"
         ),
         # bigram LM scoring — one order deeper than unigram_logprob
         "bigram_logprob": lambda s, d: textops.bigram_logprob(
@@ -770,20 +847,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": lambda s, d: sampling.hash_sample(
             _t(s, d, "documents"), 0.1
         ).select("doc_id", "lang"),
-        # PII scrub demo: inject deterministic emails/ids into the text
-        # (the synthetic corpus has none) so the redaction is exercised;
-        # the oracle injects the identical suffix.
+        # PII scrub demo: inject deterministic emails/ids/phones/IPs/
+        # UUIDs into the text (the synthetic corpus has none) so every
+        # redaction pattern is exercised, plus one word-boundary
+        # NON-match per boundary-guarded pattern (x-prefixed IP,
+        # 9-prefixed phone); the oracle injects the identical suffix.
         "scrub_pii": lambda s, d: textops.scrub_pii(
-            _t(s, d, "documents").select(
-                "doc_id",
-                F.concat(
-                    F.col("text"),
-                    F.lit(" contact user"),
-                    F.col("doc_id").cast("string"),
-                    F.lit("@example.com ref "),
-                    (F.col("doc_id") * 1234567 + 10000000).cast("string"),
-                ).alias("text"),
-            )
+            _t(s, d, "documents").select("doc_id", _pii_injected_text())
+        ),
+        # DSIR importance resampling: held-out English docs (hash
+        # buckets >= 80, lang='en') stand in for the curated target;
+        # the rest of the corpus is scored/resampled toward it
+        "dsir_sample": lambda s, d: sampling.dsir_sample(
+            _t(s, d, "documents").filter(
+                sampling.split_bucket("CAST(doc_id AS STRING)") < 80
+            ),
+            _t(s, d, "documents").filter(
+                (sampling.split_bucket("CAST(doc_id AS STRING)") >= 80)
+                & (F.col("lang") == "en")
+            ),
         ),
         "repetition_stats": lambda s, d: textops.repetition_stats(
             _t(s, d, "documents")
@@ -1042,16 +1124,149 @@ WHERE i.n_inter / (s1.n_sh + s2.n_sh - i.n_inter) >= {threshold}
 """
 
 
-def _dup_spans_ctes() -> str:
+def _scrub_pii_sql() -> str:
+    """``scrub_pii`` oracle: the byte-identical injected suffix (see
+    ``_pii_injected_text``) plus a redaction chain and count list BOTH
+    generated from ``textops.PII_RULES`` — one rule table drives the
+    Spark side and the oracle, so pattern or order drift is
+    impossible."""
+    md5s = "md5(CAST(doc_id AS VARCHAR))"
+    uuid = (
+        f"substr({md5s},1,8) || '-' || substr({md5s},9,4) || '-' || "
+        f"substr({md5s},13,4) || '-' || substr({md5s},17,4) || '-' || "
+        f"substr({md5s},21,12)"
+    )
+    scrub = "text"
+    for _, pat, token in textops.PII_RULES:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    counts = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+        f" AS {name}"
+        for name, pat, _ in textops.PII_RULES
+    )
+    return f"""
+        WITH injected AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com ref '
+                        || CAST(doc_id * 1234567 + 10000000 AS VARCHAR)
+                        || ' call ' || printf('555-%03d-%04d',
+                                              doc_id % 1000,
+                                              doc_id % 10000)
+                        || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                        || ' id ' || {uuid}
+                        || ' not-ip x1.2.3.4 not-phone 9555-123-4567'
+                       AS text
+            FROM documents
+        )
+        SELECT doc_id, {scrub} AS scrubbed,
+               {counts}
+        FROM injected
+    """
+
+
+def _dsir_sample_sql() -> str:
+    """``dsir_sample`` oracle: the same split (corpus = hash buckets
+    < 80, target = buckets >= 80 AND lang='en'), the same hashed
+    unigram+bigram features, the same quantized per-bucket log-weights
+    (floor(lw·1e6+0.5) — exact integer sums thereafter), and the same
+    centered/tempered keep rule."""
+    from scholar_stream_spark.operators import sampling as _s
+
+    b = _s.DSIR_BUCKETS
+    a = _s.DSIR_SMOOTHING
+    rate = _s.DSIR_RATE
+    sharp = _s.DSIR_SHARPNESS
+    denom = _s.SAMPLE_DENOM
+    hb = hex48_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   string_split(trim(regexp_replace(lower(text), '\\s+',
+                                                    ' ', 'g')), ' ') AS ws,
+                   ({hb}) % 100 AS split_b
+            FROM documents
+        ),
+        cg AS (
+            SELECT doc_id, ws[u.i] AS g
+            FROM toks, unnest(generate_series(1, len(ws))) AS u(i)
+            WHERE split_b < 80
+            UNION ALL
+            SELECT doc_id, ws[u.i] || ' ' || ws[u.i + 1] AS g
+            FROM toks, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+            WHERE split_b < 80 AND len(ws) >= 2
+        ),
+        tg AS (
+            SELECT doc_id, ws FROM toks
+            WHERE split_b >= 80 AND lang = 'en'
+        ),
+        tgg AS (
+            SELECT ws[u.i] AS g
+            FROM tg, unnest(generate_series(1, len(ws))) AS u(i)
+            UNION ALL
+            SELECT ws[u.i] || ' ' || ws[u.i + 1] AS g
+            FROM tg, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+            WHERE len(ws) >= 2
+        ),
+        cb AS (SELECT doc_id, ({hex48_sql("g")}) % {b} AS bucket FROM cg),
+        tb AS (SELECT ({hex48_sql("g")}) % {b} AS bucket FROM tgg),
+        tc AS (SELECT bucket, count(*) AS tc FROM tb GROUP BY bucket),
+        cc AS (SELECT bucket, count(*) AS cc FROM cb GROUP BY bucket),
+        lm AS (
+            SELECT coalesce(tc.bucket, cc.bucket) AS bucket,
+                   coalesce(tc.tc, 0) AS tc, coalesce(cc.cc, 0) AS cc
+            FROM tc FULL OUTER JOIN cc ON tc.bucket = cc.bucket
+        ),
+        tot AS (SELECT SUM(tc) AS nt, SUM(cc) AS nc FROM lm),
+        w AS (
+            SELECT bucket,
+                   CAST(floor((ln((tc + {a}) / (nt + {a * b}))
+                               - ln((cc + {a}) / (nc + {a * b})))
+                              * 1000000 + 0.5) AS BIGINT) AS lw_q
+            FROM lm, tot
+        ),
+        scored AS (
+            SELECT cb.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_ngrams,
+                   SUM(w.lw_q) AS lr_q
+            FROM cb JOIN w ON cb.bucket = w.bucket
+            GROUP BY cb.doc_id
+        ),
+        m AS (SELECT SUM(lr_q) / SUM(n_ngrams) / 1000000.0 AS mean_lr
+              FROM scored),
+        keep AS (
+            SELECT s.doc_id, s.n_ngrams,
+                   s.lr_q / s.n_ngrams / 1000000.0 AS lr,
+                   least(1.0, {rate} * exp({sharp} *
+                       (s.lr_q / s.n_ngrams / 1000000.0 - m.mean_lr)))
+                       AS p
+            FROM scored s, m
+        )
+        SELECT doc_id, n_ngrams,
+               round(lr, 4) AS log_ratio,
+               round(p, 4) AS p_keep
+        FROM keep
+        WHERE ({hb}) % {denom} < p * {denom}
+    """
+
+
+def _dup_spans_ctes(keep: str = "all") -> str:
     """Shared window-hash → duplicated-hit → gaps-and-islands CTE text
-    for the two ExactSubstr oracles (mirrors dedup.duplicate_spans).
+    for the ExactSubstr oracles (mirrors dedup.duplicate_spans).
 
     Tokenizes with the SAME explicit class as the Spark side
     (``dedup.SUBSTR_WS_RE``, which includes ``\\x0b``) rather than
     RE2's ``\\s`` (which does not): on text containing a vertical tab
     the two engines would otherwise split differently and the span
-    offsets silently diverge (round-5 advice)."""
+    offsets silently diverge (round-5 advice).
+
+    ``keep="first"`` exempts the survivor occurrence per window hash —
+    the corpus-lowest (doc_id, start), expressed as ``row_number() = 1``
+    under that exact ordering, mirroring the Spark side's
+    ``min(struct(doc_id, start))`` survivor."""
     w = dedup.SUBSTR_WINDOW
+    survivor_filter = " AND rn > 1" if keep == "first" else ""
     return f"""
 toks AS (
     SELECT doc_id, regexp_split_to_array(trim(text), '{dedup.SUBSTR_WS_RE}') AS ws
@@ -1063,11 +1278,15 @@ wins AS (
     FROM toks, unnest(generate_series(0, len(ws) - {w})) AS u(start)
     WHERE len(ws) >= {w}
 ),
-dup AS (
-    SELECT h FROM wins GROUP BY h
-    HAVING count(*) >= {dedup.SUBSTR_MIN_COUNT}
+dupwins AS (
+    SELECT doc_id, start,
+           count(*) OVER (PARTITION BY h) AS c,
+           row_number() OVER (PARTITION BY h
+                              ORDER BY doc_id, start) AS rn
+    FROM wins
 ),
-ds AS (SELECT w.doc_id, w.start FROM wins w JOIN dup USING (h)),
+ds AS (SELECT doc_id, start FROM dupwins
+       WHERE c >= {dedup.SUBSTR_MIN_COUNT}{survivor_filter}),
 isl AS (
     SELECT doc_id, start,
            CASE WHEN start > coalesce(
@@ -1102,9 +1321,9 @@ FROM merged
 """
 
 
-def _remove_dup_spans_sql() -> str:
+def _remove_dup_spans_sql(keep: str = "all") -> str:
     return f"""
-WITH {_dup_spans_ctes()},
+WITH {_dup_spans_ctes(keep)},
 tok2 AS (
     SELECT doc_id, u.i - 1 AS pos, ws[u.i] AS tok
     FROM toks, unnest(generate_series(1, len(ws))) AS u(i)
@@ -1968,6 +2187,15 @@ FROM d
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
     exact_sum = relational.exact_sum_double
+    oracles = _oracle_sql_dict(stop_list, exact_sum)
+    # the Bloom-gated probe is RESULT-IDENTICAL to the plain index probe
+    # (zero-false-negative guarantee) — sharing the SQL text makes the
+    # guarantee itself driver-checked
+    oracles["dedup_incremental_bloom"] = oracles["dedup_incremental"]
+    return oracles
+
+
+def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
     return {
         "latency_kpis": f"""
             WITH now_t AS (SELECT max(ts) AS _now FROM events)
@@ -2487,7 +2715,10 @@ def oracle_sql() -> dict[str, str]:
                            / len(ws) AS alpha_frac,
                        len(list_filter(
                            [{", ".join(f"'{s}'" for s in textops.GOPHER_STOPWORDS)}],
-                           s -> list_contains(ws, s))) AS n_stop
+                           s -> list_contains(
+                               list_transform(ws, w -> regexp_replace(
+                                   lower(w), '[^a-z0-9]', '', 'g')),
+                               s))) AS n_stop
                 FROM feats
             )
             SELECT doc_id,
@@ -2723,26 +2954,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_profile": _lang_profile_sql(),
         "curate_corpus": _curate_sql(),
         "pipeline_end_to_end": _pipeline_sql(),
-        "scrub_pii": f"""
-            WITH injected AS (
-                SELECT doc_id,
-                       text || ' contact user' || CAST(doc_id AS VARCHAR)
-                            || '@example.com ref '
-                            || CAST(doc_id * 1234567 + 10000000 AS VARCHAR)
-                           AS text
-                FROM documents
-            )
-            SELECT doc_id,
-                   regexp_replace(
-                       regexp_replace(text, '{textops.PII_EMAIL_RE}',
-                                      '<EMAIL>', 'g'),
-                       '{textops.PII_DIGITS_RE}', '<NUM>', 'g') AS scrubbed,
-                   CAST(len(regexp_extract_all(text, '{textops.PII_EMAIL_RE}'))
-                        AS BIGINT) AS n_emails,
-                   CAST(len(regexp_extract_all(text, '{textops.PII_DIGITS_RE}'))
-                        AS BIGINT) AS n_digit_runs
-            FROM injected
-        """,
+        "scrub_pii": _scrub_pii_sql(),
         "repetition_stats": """
             WITH tf AS (
                 SELECT doc_id, term, count(*) AS tf
@@ -2965,6 +3177,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dup_spans": _dup_spans_sql(),
         "remove_dup_spans": _remove_dup_spans_sql(),
+        "remove_dup_spans_first": _remove_dup_spans_sql("first"),
+        "dsir_sample": _dsir_sample_sql(),
         "remove_dup_paragraphs": f"""
             WITH injected AS (
                 SELECT doc_id,

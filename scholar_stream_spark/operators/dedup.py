@@ -905,6 +905,7 @@ def duplicate_spans(
     documents: DataFrame,
     window: int = SUBSTR_WINDOW,
     min_count: int = SUBSTR_MIN_COUNT,
+    keep: str = "all",
 ) -> DataFrame:
     """Exact duplicated substrings: maximal token spans covered by
     ``window``-token runs that appear ≥ ``min_count`` times anywhere in
@@ -921,20 +922,34 @@ def duplicate_spans(
 
     Output: (doc_id, span_start, span_end, span_tokens) with token
     offsets [start, end) against the doc's whitespace tokens.
+
+    ``keep="first"`` exempts one survivor occurrence per duplicated
+    window (corpus-lowest (doc_id, start)) — see ``_spans_from_tokens``.
     """
     toks = scale_out(documents).select(
         "doc_id", F.split(F.trim(F.col("text")), SUBSTR_WS_RE).alias("ws")
     )
-    return _spans_from_tokens(toks, window, min_count)
+    return _spans_from_tokens(toks, window, min_count, keep)
 
 
 def _spans_from_tokens(
-    toks: DataFrame, window: int, min_count: int
+    toks: DataFrame, window: int, min_count: int, keep: str = "all"
 ) -> DataFrame:
     """``duplicate_spans`` body over a pre-tokenized (doc_id, ws)
     projection — factored out so ``remove_duplicate_spans`` can feed the
     SAME tokenized scan to the span pipeline, the token explode, and the
-    totals instead of re-deriving it three times."""
+    totals instead of re-deriving it three times.
+
+    ``keep="all"`` marks EVERY occurrence of a duplicated window (the
+    engine's historical contract); ``keep="first"`` exempts one survivor
+    per window hash — the corpus-wide lowest (doc_id, start), a total
+    deterministic order — so exactly one copy of each duplicated run
+    stays in the corpus (the Lee et al. ExactSubstr removal policy).
+    The survivor rides the SAME count aggregate as ``min`` of a
+    (doc_id, start) struct, so ``keep="first"`` adds no extra pass.
+    """
+    if keep not in ("all", "first"):
+        raise ValueError(f"unknown keep: {keep!r}")
     base = toks.filter(F.size("ws") >= window)
     wins = base.select(
         "doc_id",
@@ -949,11 +964,22 @@ def _spans_from_tokens(
     )
     dup = (
         wins.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct("doc_id", "start")).alias("surv"),
+        )
         .filter(F.col("c") >= min_count)
-        .select("h")
+        .select("h", "surv")
     )
-    hits = wins.join(dup, "h").select("doc_id", "start")
+    hits = wins.join(dup, "h")
+    if keep == "first":
+        hits = hits.filter(
+            ~(
+                (F.col("doc_id") == F.col("surv.doc_id"))
+                & (F.col("start") == F.col("surv.start"))
+            )
+        )
+    hits = hits.select("doc_id", "start")
     # gaps-and-islands: windows all span [start, start+window); a hit
     # starting past every previous hit's end opens a new island
     w_prev = (
@@ -996,11 +1022,23 @@ def remove_duplicate_spans(
     window: int = SUBSTR_WINDOW,
     min_count: int = SUBSTR_MIN_COUNT,
     span_join: str = "broadcast",
+    keep: str = "all",
 ) -> DataFrame:
     """Cut the ``duplicate_spans`` token ranges out of each document —
     the removal half of ExactSubstr dedup. Every input doc comes back
     (a fully-duplicated doc with empty ``clean_text``); tokens keep
     their original order.
+
+    ``keep`` picks the removal policy: ``"all"`` (default, the engine's
+    historical oracle-matched contract) cuts EVERY occurrence of a
+    duplicated window; ``"first"`` keeps one survivor occurrence per
+    window hash — the corpus-wide lowest (doc_id, start) — so exactly
+    one copy of each duplicated run remains (Lee et al.'s ExactSubstr
+    policy: deduplicate, don't delete the content outright). Window
+    granularity caveat: a survivor window's tokens can still be cut
+    when an ADJACENT non-survivor window overlaps them — inherent to
+    window-level span marking, matching the paper's own suffix-window
+    behavior.
 
     Plan shape (round-6 trim): the corpus is tokenized ONCE and that
     projection feeds both consumers — the span pipeline and the cut
@@ -1031,9 +1069,9 @@ def remove_duplicate_spans(
     toks = scale_out(documents).select(
         "doc_id", F.split(F.trim(F.col("text")), SUBSTR_WS_RE).alias("ws")
     )
-    spans = _spans_from_tokens(toks, window, min_count).localCheckpoint(
-        eager=False
-    )
+    spans = _spans_from_tokens(
+        toks, window, min_count, keep
+    ).localCheckpoint(eager=False)
     doc_spans = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("sp")
     )
@@ -1580,16 +1618,28 @@ def incremental_dedup(
     Returns surviving (doc_id, fingerprint) — the rows to append to
     both the corpus and the index.
     """
+    return _index_anti(_batch_firsts(new_docs), seen_index)
+
+
+def _batch_firsts(new_docs: DataFrame) -> DataFrame:
+    """First-in-batch (doc_id, fingerprint) per content fingerprint —
+    the within-batch half of ``incremental_dedup``, shared with the
+    Bloom-gated probe so the two paths cannot drift."""
     fp = F.md5(normalize_text(F.col("text")))
-    batch = scale_out(new_docs).select(
-        "doc_id", fp.alias("fingerprint")
-    )
+    batch = scale_out(new_docs).select("doc_id", fp.alias("fingerprint"))
     w = Window.partitionBy("fingerprint").orderBy(F.asc("doc_id"))
-    firsts = (
+    return (
         batch.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def _index_anti(firsts: DataFrame, seen_index: DataFrame) -> DataFrame:
+    """Index half of ``incremental_dedup``: broadcast the batch
+    fingerprint set against the index scan to extract the hit set, then
+    anti-join the batch against the broadcast hits — the index is never
+    shuffled, only scanned."""
     hits = (
         seen_index.select("fingerprint")
         .join(F.broadcast(firsts.select("fingerprint")), "fingerprint")
@@ -1600,6 +1650,173 @@ def incremental_dedup(
     return firsts.join(
         F.broadcast(hits), "fingerprint", "left_anti"
     ).select("doc_id", "fingerprint")
+
+
+#: Bloom sidecar defaults: target false-positive probability for the
+#: fingerprint-index membership filter. FPs only cost a wasted index
+#: probe; false negatives are impossible by construction.
+BLOOM_FPP = 0.01
+
+
+def bloom_params(n_items: int, fpp: float = BLOOM_FPP) -> tuple[int, int]:
+    """Classic Bloom sizing: bits ``m = -n·ln(p)/ln(2)²`` (rounded up
+    to whole 64-bit words) and ``k = (m/n)·ln(2)`` hash functions."""
+    import math  # noqa: PLC0415
+
+    n = max(1, int(n_items))
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, ((m + 63) // 64) * 64)
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _bloom_positions(fp_col: str, n_bits: int, n_hashes: int) -> F.Column:
+    """The ``n_hashes`` bit positions of ``fp_col``'s fingerprint as an
+    array<long> column: ``pmod(xxhash64(fp, i), n_bits)`` for i in
+    [0, k) — xxhash64's variadic form makes the loop index a free
+    per-hash salt, all JVM-side codegen."""
+    return F.expr(
+        f"transform(sequence(0, {n_hashes - 1}),"
+        f" i -> pmod(xxhash64({fp_col}, i), CAST({n_bits} AS BIGINT)))"
+    )
+
+
+def build_fingerprint_bloom(
+    index: DataFrame, n_bits: int, n_hashes: int, fp_col: str = "fingerprint"
+) -> DataFrame:
+    """Aggregate an index's fingerprints into an explicit bit-array
+    Bloom filter, stored SPARSE as (word, bits) rows — word ``w`` holds
+    bits [64w, 64w+64) of the filter; absent words are all-zero. Built
+    with one explode (k rows per fingerprint) and ONE map-side-combined
+    ``bit_or`` groupBy whose result is at most ``n_bits/64`` rows —
+    the filter table is filter-sized, never corpus-sized, so it stays
+    broadcastable no matter how big the index is.
+
+    (Spark's internal BloomFilterAggregate isn't SQL-registered in this
+    build, hence the explicit bitwise aggregation — same math, and the
+    sparse layout is friendlier to a broadcast-join probe anyway.)
+    """
+    slots = index.select(
+        F.explode(_bloom_positions(fp_col, n_bits, n_hashes)).alias("pos")
+    )
+    return (
+        slots.select(
+            F.expr("CAST(pos div 64 AS INT)").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def _bloom_flagged(
+    firsts: DataFrame, bloom: DataFrame, n_bits: int, n_hashes: int
+) -> DataFrame:
+    """``firsts`` + a ``maybe`` boolean: false ⇒ the fingerprint is
+    DEFINITELY not in the index the filter was built over (the Bloom
+    guarantee); true ⇒ probe the index. Batch-sized explode (k rows per
+    fingerprint) joined against the broadcast filter table; a missing
+    word row is an all-zero word, i.e. a miss."""
+    slots = firsts.select(
+        "doc_id",
+        "fingerprint",
+        F.explode(
+            _bloom_positions("fingerprint", n_bits, n_hashes)
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "fingerprint",
+        F.expr("CAST(pos div 64 AS INT)").alias("word"),
+        F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+    )
+    checked = slots.join(F.broadcast(bloom), "word", "left")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(
+            F.col("mask")
+        )
+        == F.col("mask")
+    )
+    return checked.groupBy("doc_id", "fingerprint").agg(
+        F.min(hit).alias("maybe")
+    )
+
+
+def incremental_dedup_bloom(
+    new_docs: DataFrame,
+    seen_index: DataFrame,
+    bloom: DataFrame,
+    n_bits: int,
+    n_hashes: int,
+) -> DataFrame:
+    """``incremental_dedup`` with a Bloom-sidecar fast path: batch
+    fingerprints the filter rules out skip the index probe entirely —
+    only the ``maybe`` subset (true hits + the filter's ~fpp false
+    positives) reaches the index anti-join. Result-identical to
+    ``incremental_dedup`` by the zero-false-negative Bloom guarantee
+    (pinned in tests), provided ``bloom`` was built over ``seen_index``
+    with the same (n_bits, n_hashes).
+
+    At 100 TB this is the difference between scanning the fingerprint
+    index once per ingest batch and scanning it only when a batch
+    actually collides: a mostly-fresh batch produces an EMPTY ``maybe``
+    set, and AQE's empty-relation propagation then eliminates the index
+    scan stage at runtime (the broadcast build side is known empty
+    before the probe side runs). The filter table itself is
+    ``n_bits/64`` rows — megabytes for billions of fingerprints —
+    against a fingerprint index that is hundreds of GB.
+    """
+    flagged = _bloom_flagged(
+        _batch_firsts(new_docs), bloom, n_bits, n_hashes
+    )
+    clean = flagged.filter(~F.col("maybe")).select("doc_id", "fingerprint")
+    suspect = flagged.filter(F.col("maybe")).select("doc_id", "fingerprint")
+    return clean.unionByName(_index_anti(suspect, seen_index))
+
+
+def write_fingerprint_index(
+    corpus_docs: DataFrame, path: str, fpp: float = BLOOM_FPP
+) -> None:
+    """Persist the exact-dedup fingerprint index with its Bloom sidecar:
+    ``{path}/fingerprints`` (the distinct content fingerprints),
+    ``{path}/bloom`` (the sparse (word, bits) filter), and
+    ``{path}/params`` (n_bits, n_hashes — a probe in a different
+    geometry would be silently wrong, so it must be able to check).
+    The sizing count is one column-pruned aggregate over data being
+    written anyway — a one-time build cost, amortized like the
+    near-dup/IVF index builds."""
+    fp = F.md5(normalize_text(F.col("text")))
+    fps = (
+        scale_out(corpus_docs)
+        .select(fp.alias("fingerprint"))
+        .distinct()
+    )
+    fps.write.mode("overwrite").parquet(f"{path}/fingerprints")
+    spark = corpus_docs.sparkSession
+    stored = spark.read.parquet(f"{path}/fingerprints")
+    n_bits, n_hashes = bloom_params(stored.count(), fpp)
+    build_fingerprint_bloom(stored, n_bits, n_hashes).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/bloom")
+    spark.createDataFrame(
+        [(int(n_bits), int(n_hashes))], "n_bits long, n_hashes int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def incremental_dedup_indexed(new_docs: DataFrame, path: str) -> DataFrame:
+    """Probe a ``write_fingerprint_index`` layout: Bloom-gate the batch
+    against the sidecar, anti-join only the ``maybe`` subset against the
+    persisted fingerprint scan. Same contract as ``incremental_dedup``
+    (surviving (doc_id, fingerprint) rows), never re-shingles or
+    re-scans corpus text."""
+    spark = new_docs.sparkSession
+    params = spark.read.parquet(f"{path}/params").collect()[0]
+    return incremental_dedup_bloom(
+        new_docs,
+        spark.read.parquet(f"{path}/fingerprints"),
+        spark.read.parquet(f"{path}/bloom"),
+        int(params["n_bits"]),
+        int(params["n_hashes"]),
+    )
 
 
 def decontaminate(

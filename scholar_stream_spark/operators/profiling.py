@@ -35,6 +35,11 @@ def profile_columns(
     per profiled column, in the requested column order.
     """
     cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        # an empty list would generate malformed `stack(0, )` SQL and
+        # die with an opaque parse error — fail loudly instead (the
+        # check_constraints empty-rules guard, same contract)
+        raise ValueError("profile_columns: need at least one column")
     aggs = [F.count(F.lit(1)).alias("__n")]
     # index-based aliases + escaped name literals: column names are
     # data here, not identifiers — "unit price" or "o'brien" must not

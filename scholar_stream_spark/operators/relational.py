@@ -835,11 +835,16 @@ def large_orders(
     Scale shape: ONE map-side-combined per-order quantity aggregate
     with the HAVING applied before any join, so the qualifying key set
     is top-percentile-sized and AQE broadcasts it into the orders join
-    (the total rides along — no second lineitem pass); customer is
-    dimension-sized and explicitly broadcast; the final top-K is
-    TakeOrderedAndProject with a full tie-break, never a global sort.
-    The quantity sum is exact decimal (order-independent), so the
-    HAVING boundary cannot 1-ulp-flip between engines or partitionings.
+    (the total rides along — no second lineitem pass). The customer
+    join carries NO hint: customer grows linearly with scale factor
+    (it is a base table, not a fixed dimension), so a forced broadcast
+    would bypass ``autoBroadcastJoinThreshold`` and OOM at warehouse
+    scale — instead AQE sizes the join at runtime and broadcasts the
+    already-HAVING-shrunk orders side into customer. The final top-K
+    is TakeOrderedAndProject with a full tie-break, never a global
+    sort. The quantity sum is exact decimal (order-independent), so
+    the HAVING boundary cannot 1-ulp-flip between engines or
+    partitionings.
     """
     qual = (
         lineitem.groupBy("l_orderkey")
@@ -849,7 +854,7 @@ def large_orders(
     cust = customer.select("c_custkey", "c_name")
     return (
         orders.join(qual, orders.o_orderkey == qual.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "o_custkey",
@@ -912,10 +917,16 @@ def funnel_analysis(events: DataFrame, steps=FUNNEL_STEPS) -> DataFrame:
     windowFunnel semantics product analytics expects; an unordered
     count-distinct-per-type overstates every stage).
 
-    Scale shape: one filtered, pushed-down scan + user-keyed min-
-    aggregate per step, each next stage joining the previous stage's
-    (user, reached_ts) table on user_id — every exchange is user-keyed
-    and stage tables only SHRINK down the funnel. No per-user event
+    Scale shape (round-8 rewrite): events is scanned ONCE — a single
+    step-set-filtered, column-pruned scan, repartitioned by user_id and
+    localCheckpointed; every per-step stage derives from that shared
+    co-partitioned input, so the per-step filters, the stage joins, and
+    the min-aggregates all reuse the user_id partitioning with no
+    further exchange of event rows. Each stage's (user, reached_ts)
+    table is itself localCheckpointed before reuse (it feeds BOTH the
+    next stage's join and its own count — without the cut, stage k's
+    lineage re-derives every earlier stage, an O(steps²) recompute).
+    Stage tables only SHRINK down the funnel; no per-user event
     collection, no window over raw events, nothing quadratic. The
     final conversion table is |steps| rows.
 
@@ -924,10 +935,16 @@ def funnel_analysis(events: DataFrame, steps=FUNNEL_STEPS) -> DataFrame:
     """
     if len(steps) < 2:
         raise ValueError("funnel_analysis: need at least two steps")
+    base = (
+        events.filter(F.col("event_type").isin(list(steps)))
+        .select("user_id", "ts", "event_type")
+        .repartition("user_id")
+        .localCheckpoint(eager=False)
+    )
     stage_counts = []
     prev = None
     for i, step in enumerate(steps):
-        ev = events.filter(F.col("event_type") == step).select(
+        ev = base.filter(F.col("event_type") == step).select(
             "user_id", "ts"
         )
         if prev is None:
@@ -941,6 +958,7 @@ def funnel_analysis(events: DataFrame, steps=FUNNEL_STEPS) -> DataFrame:
                 .groupBy("user_id")
                 .agg(F.min("ts").alias("reached_ts"))
             )
+        stage = stage.localCheckpoint(eager=False)
         prev = stage
         stage_counts.append(
             stage.agg(F.count(F.lit(1)).alias("n_users")).select(

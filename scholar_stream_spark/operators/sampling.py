@@ -468,3 +468,155 @@ def quality_weighted_sample(
         .filter(F.col("_bucket") < F.col("_p_raw") * SAMPLE_DENOM)
         .drop("_bucket", "_p_raw")
     )
+
+
+#: DSIR defaults: hashed n-gram feature buckets, add-one smoothing, the
+#: base keep rate the importance ratio scales, and the sharpness applied
+#: to the centered per-gram log-likelihood ratio (raw summed LLRs are
+#: length-dominated — a 300-token doc's sum is ~±50 nats, saturating any
+#: keep probability — so the keep rule uses the length-normalized,
+#: corpus-mean-centered ratio with a temperature, the same shaping idea
+#: as ``temperature_mixture``).
+DSIR_BUCKETS = 4096
+DSIR_SMOOTHING = 1.0
+DSIR_RATE = 0.25
+DSIR_SHARPNESS = 8.0
+
+
+def _dsir_bucket_rows(
+    df: DataFrame, key_col: str | None, n_buckets: int
+) -> DataFrame:
+    """Hashed n-gram feature rows for DSIR: word unigrams + bigrams of
+    the lowercased whitespace tokens, each hashed into ``n_buckets``
+    with the engine's portable 48-bit hash (oracle-parity-critical —
+    the bucket assignment IS the feature space, so Spark and the DuckDB
+    oracle must agree bit-for-bit). Returns (key?, bucket) rows, one
+    per n-gram OCCURRENCE."""
+    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    keys = [F.col(key_col)] if key_col else []
+    toks = df.select(*keys, ws.alias("ws"))
+    grams = F.concat(
+        F.col("ws"),
+        F.when(F.size("ws") < 2, F.array().cast("array<string>")).otherwise(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(ws[i-1], ' ', ws[i]))"
+            )
+        ),
+    )
+    exploded = toks.select(*keys, F.explode(grams).alias("g"))
+    return exploded.select(
+        *keys,
+        F.expr(f"{hex48_spark_sql('g')} % {n_buckets}").alias("bucket"),
+    )
+
+
+def dsir_sample(
+    corpus: DataFrame,
+    target: DataFrame,
+    rate: float = DSIR_RATE,
+    n_buckets: int = DSIR_BUCKETS,
+    smoothing: float = DSIR_SMOOTHING,
+    sharpness: float = DSIR_SHARPNESS,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    each corpus document by how much more likely its hashed-n-gram
+    features are under the TARGET distribution than under the raw
+    corpus, and keep documents with probability proportional to that
+    importance ratio — the distribution-matching sampler that pulls a
+    general crawl toward a curated target domain.
+
+    Model: bag-of-hashed-n-grams (unigrams+bigrams → ``n_buckets``
+    buckets); add-``smoothing`` bucket unigram LMs for target p and
+    corpus q; per-doc ``log_ratio`` = the PER-GRAM average of
+    ``log p(b_g) − log q(b_g)`` (length-normalized — the raw DSIR sum
+    scales with document length and saturates any keep probability).
+    The keep rule centers that ratio on its corpus-wide per-gram mean
+    and tempers it: ``p_keep = min(1, rate · exp(sharpness ·
+    (log_ratio − mean)))`` — target-like docs keep at several times
+    ``rate``, anti-target docs at a fraction of it, and the expected
+    keep fraction stays ~``rate``. Selection is the engine's
+    portable-hash rule shared with ``hash_sample``/
+    ``quality_weighted_sample``: kept iff the doc's sample bucket <
+    p_keep — deterministic across clusters, partitionings, re-runs.
+
+    Scale shape, corpus-linear: one n-gram explode per side feeding
+    map-side-combined bucket counts (the intermediates are
+    |buckets|-sized, NOT corpus-sized); the two count tables and their
+    totals fold into one |buckets|-row weight table that BROADCASTS
+    back onto the corpus n-gram stream; one doc-keyed aggregate sums
+    the weights. Nothing pairwise, no corpus-sized shuffle beyond the
+    doc-keyed score rollup. Per-bucket log-weights are quantized to
+    1e-6 integer units before the per-doc sum (the ``detect_outliers``
+    fixed-point idiom), so the sum is order-independent and cannot
+    1-ulp-drift between engines or partitionings.
+
+    Output (kept rows only): (doc_id, n_ngrams, log_ratio, p_keep).
+    """
+    tgt_counts = (
+        _dsir_bucket_rows(target, None, n_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    crp = _dsir_bucket_rows(corpus, key_col, n_buckets)
+    crp_counts = crp.groupBy("bucket").agg(F.count(F.lit(1)).alias("cc"))
+    lm = (
+        tgt_counts.join(crp_counts, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+    )
+    totals = lm.agg(
+        F.sum("tc").alias("nt"), F.sum("cc").alias("nc")
+    )
+    a, b = float(smoothing), int(n_buckets)
+    lw = F.log(
+        (F.col("tc") + F.lit(a)) / (F.col("nt") + F.lit(a * b))
+    ) - F.log((F.col("cc") + F.lit(a)) / (F.col("nc") + F.lit(a * b)))
+    # totals is ONE row and lm is |buckets| rows — the crossJoin is a
+    # broadcast of a scalar, not a data join
+    weights = lm.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.floor(lw * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("lw_q"),
+    )
+    scored = (
+        crp.join(F.broadcast(weights), "bucket")
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.sum("lw_q").alias("lr_q"),
+        )
+    )
+    # corpus-wide per-gram mean LLR from the SAME scored table — exact
+    # integer sums, so the centering scalar is engine-identical; the
+    # one-row crossJoin is a scalar broadcast
+    mean_row = scored.agg(
+        (F.sum("lr_q") / F.sum("n_ngrams") / F.lit(1000000.0)).alias(
+            "_mean_lr"
+        )
+    )
+    log_ratio = F.col("lr_q") / F.col("n_ngrams") / F.lit(1000000.0)
+    p_keep = F.least(
+        F.lit(1.0),
+        F.lit(float(rate))
+        * F.exp(F.lit(float(sharpness)) * (log_ratio - F.col("_mean_lr"))),
+    )
+    return (
+        scored.crossJoin(F.broadcast(mean_row))
+        .select(
+            F.col(key_col),
+            "n_ngrams",
+            F.round(log_ratio, 4).alias("log_ratio"),
+            F.round(p_keep, 4).alias("p_keep"),
+            sample_bucket(key_col).alias("_bucket"),
+            p_keep.alias("_p_raw"),
+        )
+        .filter(F.col("_bucket") < F.col("_p_raw") * SAMPLE_DENOM)
+        .drop("_bucket", "_p_raw")
+    )

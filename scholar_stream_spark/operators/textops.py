@@ -467,34 +467,64 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
-#: PII patterns (C4/CCNet-style scrubbing): emails and long digit runs.
-#: POSIX-safe character classes — the exact same pattern text compiles in
-#: Spark (Java regex) and DuckDB (RE2), which the oracle relies on.
+#: PII patterns (C4/Dolma-class scrubbing): emails, separator-delimited
+#: phone numbers, IPv4 addresses, UUIDs, and long digit runs. POSIX-safe
+#: classes + ``\b`` word boundaries ONLY — the exact same pattern text
+#: compiles in Spark (Java regex) and DuckDB (RE2), which the oracle
+#: relies on; RE2 has no lookarounds, so the phone pattern anchors its
+#: left edge with a (paren | \b-digit) alternation instead of a
+#: lookbehind. Phones REQUIRE separators — contiguous 7+-digit runs stay
+#: the digit-run pattern's job, so the two counts never double-fire on
+#: the same shape.
 PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = (
+    "(\\([0-9]{3}\\) ?|\\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\\b"
+)
+PII_IPV4_RE = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+PII_UUID_RE = (
+    "\\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\\b"
+)
 PII_DIGITS_RE = "[0-9]{7,}"
+
+#: (pattern, replacement token) in REDACTION ORDER: specific shapes
+#: before general ones — UUIDs before digit runs (a UUID's 12-hex tail
+#: can be all digits), IPs/phones before digit runs for the same
+#: reason. Counts are per-pattern over the ORIGINAL text, so they are
+#: order-independent and auditable individually.
+PII_RULES = (
+    ("n_emails", PII_EMAIL_RE, "<EMAIL>"),
+    ("n_uuids", PII_UUID_RE, "<UUID>"),
+    ("n_ipv4", PII_IPV4_RE, "<IP>"),
+    ("n_phones", PII_PHONE_RE, "<PHONE>"),
+    ("n_digit_runs", PII_DIGITS_RE, "<NUM>"),
+)
 
 
 def scrub_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """Redact emails and long digit runs (ids/phones) from a text
-    column — the standard pre-training PII scrub, as narrow
+    """Redact emails, phone numbers, IPv4 addresses, UUIDs, and long
+    digit runs from a text column — the standard pre-training PII scrub
+    (the C4/Dolma scrubber's pattern family), as narrow
     ``regexp_replace``/``regexp_count`` projections (JVM regex, no
-    Python, no shuffle).
+    Python, no shuffle). Replacements apply in ``PII_RULES`` order
+    (specific → general); each count is that pattern's hits in the RAW
+    text, so the audit columns don't depend on redaction order.
 
-    Output: (doc_id, scrubbed, n_emails, n_digit_runs).
+    Output: (doc_id, scrubbed, n_emails, n_uuids, n_ipv4, n_phones,
+    n_digit_runs).
     """
     t = F.col(text_col)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
-        PII_DIGITS_RE,
-        "<NUM>",
-    )
+    scrubbed = t
+    for _, pat, token in PII_RULES:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(name)
+        for name, pat, _ in PII_RULES
+    ]
     return scale_out(documents).select(
         "doc_id",
         scrubbed.alias("scrubbed"),
-        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_DIGITS_RE))
-        .cast("long")
-        .alias("n_digit_runs"),
+        *counts,
     )
 
 
@@ -785,9 +815,16 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
     alpha_frac = F.size(
         F.filter(ws, lambda w: w.rlike("[A-Za-z]"))
     ) / n_words
+    # stop-word containment tests LOWERCASED, punctuation-stripped
+    # tokens ('The', 'the,' both count) — the Gopher A1.1 convention;
+    # raw-token matching undercounts and false-fails the gate on docs
+    # whose only stop words are capitalized or punctuation-adjacent
+    norm_ws = F.transform(
+        ws, lambda w: F.regexp_replace(F.lower(w), "[^a-z0-9]", "")
+    )
     stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
     n_stop = F.size(
-        F.filter(stop_arr, lambda s: F.array_contains(ws, s))
+        F.filter(stop_arr, lambda s: F.array_contains(norm_ws, s))
     )
     passes = (
         (n_words >= GOPHER_MIN_WORDS)

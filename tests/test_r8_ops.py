@@ -1,0 +1,303 @@
+"""Round-8 operator tests: the Bloom fingerprint sidecar (zero false
+negatives, measured FP rate, probe-identical results, persisted
+roundtrip), the DSIR importance sampler (discrimination on a constructed
+target/corpus split, determinism), ExactSubstr ``keep="first"`` (one
+survivor per duplicated window, subset relation, default unchanged),
+the extended PII scrub's word-boundary non-matches, the Gopher stop-word
+normalization, the profile_columns empty-cols guard, and plan pins for
+the round's two plan changes (large_orders de-hinted broadcast,
+funnel_analysis single-scan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from scholar_stream_spark.operators import dedup, profiling, relational
+from scholar_stream_spark.operators import sampling, textops
+from tests.conftest import SF_SMALL
+
+QUERIES = entry_mod.queries()
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def _fps(spark, rows):
+    return spark.createDataFrame(
+        [(r,) for r in rows], "fingerprint string"
+    )
+
+
+def test_bloom_zero_false_negatives(spark):
+    """Every fingerprint the filter was built over MUST flag maybe=True
+    — a false negative would silently admit a duplicate, which is the
+    one failure mode a Bloom gate may never have."""
+    fps = [f"fp-{i}" for i in range(500)]
+    idx = _fps(spark, fps)
+    n_bits, n_hashes = dedup.bloom_params(500)
+    bloom = dedup.build_fingerprint_bloom(idx, n_bits, n_hashes)
+    flagged = dedup._bloom_flagged(
+        idx.withColumn("doc_id", F.lit(0)), bloom, n_bits, n_hashes
+    )
+    assert flagged.filter(~F.col("maybe")).count() == 0
+
+
+def test_bloom_fp_rate_within_sizing(spark):
+    """Non-members must flag maybe at roughly the sized false-positive
+    probability — pinned loosely (≤ 4× the 1% target over 2000 probes)
+    so hash-quality regressions fail without flaking."""
+    idx = _fps(spark, [f"fp-{i}" for i in range(1000)])
+    n_bits, n_hashes = dedup.bloom_params(1000, fpp=0.01)
+    bloom = dedup.build_fingerprint_bloom(idx, n_bits, n_hashes)
+    probes = _fps(spark, [f"other-{i}" for i in range(2000)]).withColumn(
+        "doc_id", F.lit(0)
+    )
+    fp = (
+        dedup._bloom_flagged(probes, bloom, n_bits, n_hashes)
+        .filter(F.col("maybe"))
+        .count()
+    )
+    assert fp / 2000 <= 0.04, f"FP rate {fp / 2000} vs 0.01 target"
+
+
+def test_bloom_probe_identical_to_plain_incremental_dedup(spark):
+    """The Bloom-gated probe must return EXACTLY incremental_dedup's
+    rows on the same batch/index split — the sidecar is an access-path
+    optimization, never a semantics change."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    bucket = sampling.split_bucket("CAST(doc_id AS STRING)")
+    idx = docs.filter(bucket < 50).select(
+        F.md5(
+            F.expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))")
+        ).alias("fingerprint")
+    )
+    batch = docs.filter(bucket >= 50)
+    plain = sorted(map(tuple, dedup.incremental_dedup(batch, idx).collect()))
+    n_bits, n_hashes = 1 << 14, 5
+    bloom = dedup.build_fingerprint_bloom(idx, n_bits, n_hashes)
+    gated = sorted(
+        map(
+            tuple,
+            dedup.incremental_dedup_bloom(
+                batch, idx, bloom, n_bits, n_hashes
+            ).collect(),
+        )
+    )
+    assert plain == gated and len(plain) > 0
+
+
+def test_fingerprint_index_roundtrip(spark, tmp_path):
+    """write_fingerprint_index → incremental_dedup_indexed must match
+    the in-memory probe, and the persisted layout must carry all three
+    tables (fingerprints, bloom, params)."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    bucket = sampling.split_bucket("CAST(doc_id AS STRING)")
+    corpus, batch = docs.filter(bucket < 50), docs.filter(bucket >= 50)
+    path = str(tmp_path / "fpidx")
+    dedup.write_fingerprint_index(corpus, path)
+    idx = spark.read.parquet(f"{path}/fingerprints")
+    want = sorted(map(tuple, dedup.incremental_dedup(batch, idx).collect()))
+    got = sorted(
+        map(tuple, dedup.incremental_dedup_indexed(batch, path).collect())
+    )
+    assert want == got and len(got) > 0
+    params = spark.read.parquet(f"{path}/params").collect()[0]
+    assert params["n_bits"] % 64 == 0 and params["n_hashes"] >= 1
+
+
+# ----------------------------------------------------------------- dsir
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    """On a corpus with two disjoint vocabularies and a target drawn
+    from one of them, every target-vocabulary doc must score a higher
+    log_ratio than every off-target doc, and the kept set must skew
+    toward the target vocabulary."""
+    on = [(i, "alpha beta gamma delta " * 10) for i in range(0, 40)]
+    off = [(i, "omega psi chi phi " * 10) for i in range(40, 80)]
+    corpus = _mk_docs(spark, on + off)
+    target = _mk_docs(spark, [(100 + i, "alpha beta gamma delta " * 10) for i in range(10)])
+    scored = sampling.dsir_sample(corpus, target, rate=0.5)
+    rows = {r["doc_id"]: r for r in scored.collect()}
+    on_ratios = [rows[i]["log_ratio"] for i in rows if i < 40]
+    off_ratios = [rows[i]["log_ratio"] for i in rows if i >= 40]
+    assert on_ratios and min(on_ratios) > (
+        max(off_ratios) if off_ratios else float("-inf")
+    )
+    n_on = sum(1 for i in rows if i < 40)
+    n_off = sum(1 for i in rows if i >= 40)
+    assert n_on > n_off, (n_on, n_off)
+
+
+def test_dsir_deterministic_across_runs(spark):
+    """Same inputs → byte-identical kept set and scores (portable-hash
+    keep rule + fixed-point quantized weights)."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    bucket = sampling.split_bucket("CAST(doc_id AS STRING)")
+    corpus = docs.filter(bucket < 80)
+    target = docs.filter(bucket >= 80)
+    a = sorted(map(tuple, sampling.dsir_sample(corpus, target).collect()))
+    b = sorted(map(tuple, sampling.dsir_sample(corpus, target).collect()))
+    assert a == b and len(a) > 0
+
+
+# ----------------------------------------------------- keep="first" spans
+
+
+def test_keep_first_leaves_one_survivor_per_window(spark):
+    """With keep='first', the marked hit set per duplicated window hash
+    must be exactly (occurrences - 1): the corpus-lowest (doc_id,
+    start) survives. Checked via the span subset relation plus token
+    accounting on a constructed two-doc duplicate."""
+    dup_run = " ".join(f"w{i}" for i in range(dedup.SUBSTR_WINDOW))
+    docs = _mk_docs(
+        spark,
+        [
+            (1, dup_run + " unique one tail"),
+            (2, dup_run + " other two tail"),
+            (3, "completely different text " * 5),
+        ],
+    )
+    spans_all = dedup.duplicate_spans(docs).collect()
+    spans_first = dedup.duplicate_spans(docs, keep="first").collect()
+    # all-mode marks the run in BOTH docs; first-mode only in doc 2
+    assert sorted(r["doc_id"] for r in spans_all) == [1, 2]
+    assert [r["doc_id"] for r in spans_first] == [2]
+    removed = {
+        r["doc_id"]: r["n_removed_tokens"]
+        for r in dedup.remove_duplicate_spans(docs, keep="first").collect()
+    }
+    assert removed[1] == 0 and removed[2] == dedup.SUBSTR_WINDOW
+    assert removed[3] == 0
+
+
+def test_keep_first_spans_subset_of_all(spark):
+    """Every keep='first' span must lie inside some keep='all' span of
+    the same doc (the survivor exemption can only SHRINK the marked
+    set), on the real corpus."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    allspans = {}
+    for r in dedup.duplicate_spans(docs, window=5).collect():
+        allspans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    first = dedup.duplicate_spans(docs, window=5, keep="first").collect()
+    assert len(first) <= sum(len(v) for v in allspans.values())
+    for r in first:
+        assert any(
+            s <= r["span_start"] and r["span_end"] <= e
+            for s, e in allspans.get(r["doc_id"], [])
+        ), r
+
+
+def test_spans_keep_rejects_unknown_mode(spark):
+    docs = _mk_docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="keep"):
+        dedup.duplicate_spans(docs, keep="last")
+
+
+# ------------------------------------------------------------- scrub_pii
+
+
+def test_scrub_pii_word_boundary_non_matches(spark):
+    """Each boundary-guarded pattern must NOT fire on its adjacent-word
+    decoy, and MUST fire on the clean form."""
+    text = (
+        "ip 1.2.3.4 decoy x1.2.3.4 and 1.2.3.4567 "
+        "phone (555) 123-4567 and 555-123-4567 decoy 9555-123-4567 "
+        "uuid deadbeef-1234-5678-9abc-deadbeef1234 "
+        "decoy xdeadbeef-1234-5678-9abc-deadbeef1234"
+    )
+    row = textops.scrub_pii(_mk_docs(spark, [(1, text)])).collect()[0]
+    assert row["n_ipv4"] == 1
+    assert row["n_phones"] == 2
+    assert row["n_uuids"] == 1
+    assert "x1.2.3.4" in row["scrubbed"]
+    assert "9555-123-4567" in row["scrubbed"]
+    assert "xdeadbeef" in row["scrubbed"]
+    assert "<IP>" in row["scrubbed"]
+    assert "<PHONE>" in row["scrubbed"]
+    assert "<UUID>" in row["scrubbed"]
+
+
+def test_scrub_pii_counts_on_raw_text(spark):
+    """Counts are per-pattern over the ORIGINAL text (order-independent
+    audit): an email whose local part holds a long digit run counts as
+    BOTH an email and a digit run."""
+    row = textops.scrub_pii(
+        _mk_docs(spark, [(1, "mail 12345678@example.com end")])
+    ).collect()[0]
+    assert row["n_emails"] == 1
+    assert row["n_digit_runs"] == 1
+    assert row["scrubbed"] == "mail <EMAIL> end"
+
+
+# ------------------------------------------------------- gopher stopwords
+
+
+def test_gopher_stopwords_case_and_punct_insensitive(spark):
+    """'The' and 'the,' must count toward the stop-word rule (Gopher
+    A1.1 convention) — raw-token matching undercounts."""
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    rows = textops.gopher_quality(
+        _mk_docs(
+            spark,
+            [
+                (1, base + "The quick fox, with that, have it."),
+                (2, base + "no stop words here at all kappa"),
+            ],
+        )
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # The(→the), with, that, have → 4 distinct stop words present
+    assert by_id[1]["n_stopwords_present"] == 4
+    assert by_id[2]["n_stopwords_present"] == 0
+
+
+# ---------------------------------------------------------------- guards
+
+
+def test_profile_columns_rejects_empty_cols(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="at least one column"):
+        profiling.profile_columns(df, [])
+
+
+# ------------------------------------------------------------- plan pins
+
+
+def test_large_orders_no_forced_broadcast_hint(spark):
+    """The customer join must carry NO broadcast hint: customer grows
+    with scale factor, and a forced hint bypasses
+    autoBroadcastJoinThreshold (the r7 weak). AQE may still CHOOSE to
+    broadcast at test SF — the pin is on the hint, not the runtime
+    strategy."""
+    df = QUERIES["large_orders"](spark, SF_SMALL)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in optimized, optimized
+
+
+def test_funnel_single_events_scan(spark):
+    """The funnel's final plan must read ONLY the checkpointed base —
+    zero parquet FileScans in the returned plan means events is scanned
+    exactly once, inside the shared localCheckpoint."""
+    df = QUERIES["funnel_analysis"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan, plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+
+def test_funnel_semantics_unchanged_after_rewrite(spark):
+    """Stage counts must be monotonically non-increasing and match the
+    oracle-checked semantics on the small SF."""
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    rows = relational.funnel_analysis(events).collect()
+    counts = [r["n_users"] for r in sorted(rows, key=lambda r: r["step_index"])]
+    assert counts == sorted(counts, reverse=True)
+    assert rows[0]["conversion"] == 1.0
