@@ -486,6 +486,10 @@ _DRIVER_FIRST = (
     "dsir_sample",
     "dedup_incremental_bloom",
     "remove_dup_spans_first",
+    "promo_revenue",
+    "top_supplier",
+    "brand_revenue_bands",
+    "quality_classifier",
     # r7-green entries whose code changed this round
     "gopher_quality",
     "large_orders",
@@ -751,6 +755,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TPC-H Q18 shape: aggregate-then-HAVING-then-join
         "large_orders": lambda s, d: relational.large_orders(
             _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "customer")
+        ),
+        # TPC-H Q14 shape: promo revenue share (conditional aggregate
+        # over a month-pruned fact ⋈ part join, no broadcast hint)
+        "promo_revenue": lambda s, d: relational.promo_revenue(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
+        # TPC-H Q15 shape: aggregate-then-argmax-then-join on exact
+        # decimal revenue (a 1-ulp flip would change the result SET)
+        "top_supplier": lambda s, d: relational.top_supplier(
+            _t(s, d, "lineitem"), _t(s, d, "supplier")
+        ),
+        # TPC-H Q19 shape: OR'd (brand, size, qty) bands with the
+        # hand-hoisted coarse envelope pushed to both scans
+        "brand_revenue_bands": lambda s, d: relational.brand_revenue_bands(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
+        # hash-feature linear quality classifier (frozen in-plan
+        # weights; the fastText-gate deployment plumbing end to end)
+        "quality_classifier": lambda s, d: textops.quality_classifier(
+            _t(s, d, "documents")
         ),
         # per-type z-score outlier screen (exact fixed-point moments)
         "detect_outliers": lambda s, d: relational.detect_outliers(
@@ -1248,6 +1272,61 @@ def _dsir_sample_sql() -> str:
                round(p, 4) AS p_keep
         FROM keep
         WHERE ({hb}) % {denom} < p * {denom}
+    """
+
+
+def _brand_bands_where() -> str:
+    """The Q19-shaped disjunction, generated from the SAME band table
+    the Spark operator reads (``relational.BRAND_BANDS``)."""
+    return " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+        f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in relational.BRAND_BANDS
+    )
+
+
+def _quality_classifier_sql() -> str:
+    """``quality_classifier`` oracle: same hashed unigram+bigram
+    features as the DSIR oracle, same frozen integer milli-weights
+    (hash(salt‖bucket) mod span − half), exact integer logit sum."""
+    b = textops.QC_BUCKETS
+    span = textops.QC_WEIGHT_SPAN
+    half = (span - 1) // 2
+    salt = textops.QC_WEIGHT_SALT
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+',
+                                                    ' ', 'g')), ' ') AS ws
+            FROM documents
+        ),
+        cg AS (
+            SELECT doc_id, ws[u.i] AS g
+            FROM toks, unnest(generate_series(1, len(ws))) AS u(i)
+            UNION ALL
+            SELECT doc_id, ws[u.i] || ' ' || ws[u.i + 1] AS g
+            FROM toks, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+            WHERE len(ws) >= 2
+        ),
+        wq AS (
+            SELECT doc_id,
+                   ({hex48_sql(f"concat('{salt}', bucket)")}) % {span}
+                       - {half} AS w_q
+            FROM (SELECT doc_id, ({hex48_sql("g")}) % {b} AS bucket
+                  FROM cg)
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_ngrams,
+                   SUM(w_q) AS logit_q
+            FROM wq GROUP BY doc_id
+        )
+        SELECT doc_id, n_ngrams,
+               round(logit_q / n_ngrams / 1000.0, 4) AS logit,
+               round(1.0 / (1.0 + exp(-(logit_q / n_ngrams / 1000.0))),
+                     4) AS score,
+               logit_q >= 0 AS label
+        FROM scored
     """
 
 
@@ -2323,6 +2402,58 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT {relational.LARGE_ORDER_TOPN}
         """,
+        "promo_revenue": f"""
+            WITH s AS (
+                SELECT CAST(SUM(CASE WHEN p_type = '{relational.PROMO_TYPE}'
+                                THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                     * (1 - CAST(l_discount
+                                                 AS DECIMAL(18,2)))
+                                ELSE CAST(0 AS DECIMAL(18,2)) END)
+                            AS DOUBLE) AS promo_revenue,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                            AS DOUBLE) AS total_revenue
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '{relational.PROMO_MONTH_START}'
+                  AND l_shipdate < TIMESTAMP '{relational.PROMO_MONTH_END}'
+            )
+            SELECT round(promo_revenue, 4) AS promo_revenue,
+                   round(total_revenue, 4) AS total_revenue,
+                   round(100.0 * promo_revenue / total_revenue, 4)
+                       AS promo_share_pct
+            FROM s
+        """,
+        "top_supplier": f"""
+            WITH per AS (
+                SELECT l_suppkey,
+                       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                           AS rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '{relational.TOP_SUPPLIER_START}'
+                  AND l_shipdate < TIMESTAMP '{relational.TOP_SUPPLIER_END}'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name,
+                   round(CAST(rev AS DOUBLE), 4) AS total_revenue
+            FROM per
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev = (SELECT MAX(rev) FROM per)
+            ORDER BY s_suppkey
+        """,
+        "brand_revenue_bands": f"""
+            SELECT p_brand,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                              AS DOUBLE), 4) AS revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE {_brand_bands_where()}
+            GROUP BY p_brand
+        """,
+        "quality_classifier": _quality_classifier_sql(),
         "detect_outliers": f"""
             WITH quant AS (
                 SELECT event_id, event_type, value,

@@ -983,6 +983,192 @@ def funnel_analysis(events: DataFrame, steps=FUNNEL_STEPS) -> DataFrame:
     )
 
 
+#: Promo-revenue (TPC-H Q14 shape) parameters: the evaluation ship
+#: month and the part type counted as promotional (the testdata's
+#: ``p_type`` is the bare category, so equality instead of Q14's
+#: ``LIKE 'PROMO%'`` — same conditional-aggregate shape).
+PROMO_MONTH_START = "1997-03-01 00:00:00"
+PROMO_MONTH_END = "1997-04-01 00:00:00"
+PROMO_TYPE = "PROMO"
+
+
+def promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    start: str = PROMO_MONTH_START,
+    end: str = PROMO_MONTH_END,
+    promo_type: str = PROMO_TYPE,
+) -> DataFrame:
+    """TPC-H-Q14-shaped query: the share of one ship-month's revenue
+    that came from promotional parts — the canonical conditional
+    aggregate over a fact⋈dimension join (CASE inside SUM, one pass).
+
+    Scale shape: BOTH month bounds reach the lineitem parquet scan
+    (row-group pruning cuts a 100 TB fact table to one month before any
+    join); part joins on partkey with NO hint — part is a base table
+    that grows with scale factor, so forcing a broadcast would repeat
+    the ``large_orders`` r7 defect; AQE sizes it at runtime (broadcast
+    at test SF, shuffle at warehouse scale). Both revenue terms are
+    exact decimal sums folded in ONE aggregate, so the percentage
+    cannot 1-ulp-drift between engines or partitionings.
+
+    Output: one row (promo_revenue, total_revenue, promo_share_pct).
+    """
+    cut0 = F.to_timestamp(F.lit(start))
+    cut1 = F.to_timestamp(F.lit(end))
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= cut0) & (F.col("l_shipdate") < cut1)
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    j = li.join(
+        part.select("p_partkey", "p_type"),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    rev = (
+        "CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    return j.agg(
+        F.expr(
+            f"CAST(SUM(CASE WHEN p_type = '{promo_type}' THEN {rev}"
+            f" ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)"
+        ).alias("promo_revenue"),
+        F.expr(f"CAST(SUM({rev}) AS DOUBLE)").alias("total_revenue"),
+    ).select(
+        F.round("promo_revenue", 4).alias("promo_revenue"),
+        F.round("total_revenue", 4).alias("total_revenue"),
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"),
+            4,
+        ).alias("promo_share_pct"),
+    )
+
+
+#: Top-supplier (TPC-H Q15 shape) evaluation quarter.
+TOP_SUPPLIER_START = "1997-01-01 00:00:00"
+TOP_SUPPLIER_END = "1997-04-01 00:00:00"
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    start: str = TOP_SUPPLIER_START,
+    end: str = TOP_SUPPLIER_END,
+) -> DataFrame:
+    """TPC-H-Q15-shaped query: the supplier(s) with the maximum revenue
+    over one quarter — the classic aggregate-then-argmax-then-join
+    (Q15's revenue view + ``WHERE total_revenue = (SELECT max ...)``).
+
+    Scale shape: the quarter predicate reaches the lineitem scan; ONE
+    supplier-keyed map-side-combined aggregate reduces the fact table
+    to |suppliers| rows, and that keys-sized table is localCheckpointed
+    because BOTH consumers (the argmax fold and the equality filter)
+    would otherwise re-derive it — i.e. scan the fact table twice; the
+    max is a one-row fold broadcast back (scalar crossJoin, not a
+    self-join); the equality filter compares EXACT DECIMAL revenues —
+    the max boundary cannot 1-ulp-flip, which matters because a flip
+    here changes the result SET, not a digit. The final supplier join
+    carries only the winning key(s), so AQE broadcasts the winners into
+    the supplier scan — never the reverse.
+
+    Output: (s_suppkey, s_name, total_revenue), ties all reported.
+    """
+    cut0 = F.to_timestamp(F.lit(start))
+    cut1 = F.to_timestamp(F.lit(end))
+    rev = (
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(18,2))))"
+    )
+    per = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= cut0) & (F.col("l_shipdate") < cut1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.expr(rev).alias("rev"))
+        .localCheckpoint(eager=False)
+    )
+    mx = per.agg(F.max("rev").alias("mx"))
+    winners = per.crossJoin(F.broadcast(mx)).filter(
+        F.col("rev") == F.col("mx")
+    )
+    return (
+        winners.join(
+            supplier.select("s_suppkey", "s_name"),
+            winners.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev").cast("double"), 4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+#: Brand-band (TPC-H Q19 shape) disjunctive predicate groups:
+#: (brand, min_size, max_size, min_qty, max_qty), all bounds inclusive.
+BRAND_BANDS = (
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#24", 1, 15, 20, 30),
+)
+
+
+def brand_revenue_bands(
+    lineitem: DataFrame, part: DataFrame, bands=BRAND_BANDS
+) -> DataFrame:
+    """TPC-H-Q19-shaped query: revenue per (brand, size-range,
+    quantity-range) predicate group, the groups OR'd together — the
+    canonical disjunctive multi-attribute filter over a fact⋈dimension
+    join.
+
+    Scale shape — the hand-hoisted coarse bound is the point of Q19:
+    the per-band quantity conditions live on the join OUTPUT (they pair
+    brand with qty, so no engine can push them alone), but their GLOBAL
+    envelope (min of the lower bounds ≤ l_quantity ≤ max of the upper
+    bounds) is band-independent and is applied directly to the lineitem
+    scan, where it prunes row groups before the join; the same envelope
+    on p_size prunes the part side. The fine disjunction then runs
+    post-join as one codegen'd predicate. Revenue per band is an exact
+    decimal sum grouped by brand (bands are brand-keyed, so the group
+    key is the brand).
+
+    Output: (p_brand, n_items, revenue), one row per band with matches.
+    """
+    qty_lo = min(b[3] for b in bands)
+    qty_hi = max(b[4] for b in bands)
+    size_lo = min(b[1] for b in bands)
+    size_hi = max(b[2] for b in bands)
+    li = lineitem.filter(
+        (F.col("l_quantity") >= qty_lo) & (F.col("l_quantity") <= qty_hi)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    pt = part.filter(
+        (F.col("p_size") >= size_lo) & (F.col("p_size") <= size_hi)
+    ).select("p_partkey", "p_brand", "p_size")
+    fine = None
+    for brand, slo, shi, qlo, qhi in bands:
+        cond = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= slo)
+            & (F.col("p_size") <= shi)
+            & (F.col("l_quantity") >= qlo)
+            & (F.col("l_quantity") <= qhi)
+        )
+        fine = cond if fine is None else (fine | cond)
+    return (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .filter(fine)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+            ).alias("revenue"),
+        )
+        .select("p_brand", "n_items", F.round("revenue", 4).alias("revenue"))
+    )
+
+
 #: Outlier threshold in standard deviations for detect_outliers.
 OUTLIER_Z_THRESHOLD = 3.0
 

@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from scholar_stream_spark.plans.partitioning import scale_out
+from scholar_stream_spark.functions.hashing import hex48_spark_sql
 from scholar_stream_spark.functions.text import normalize_text
 
 #: Stopword list used for quality scoring (drawn from the corpus vocab).
@@ -525,6 +526,67 @@ def scrub_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         scrubbed.alias("scrubbed"),
         *counts,
+    )
+
+
+#: Hash-feature classifier: bucket count and the integer weight range
+#: (weights live in [-1000, 1000] milli-units — integer by
+#: construction, so the per-doc logit sum is EXACT and engine-portable;
+#: only the final normalization and sigmoid touch doubles).
+QC_BUCKETS = 4096
+QC_WEIGHT_SPAN = 2001
+QC_WEIGHT_SALT = "qw:"
+
+
+def quality_classifier(
+    documents: DataFrame,
+    n_buckets: int = QC_BUCKETS,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality scoring (the FineWeb-Edu / fastText-gate
+    shape): a linear classifier over hashed unigram+bigram features,
+    squashed to a probability — score = sigmoid(mean feature weight) —
+    with the verdict emitted as ``label`` for the caller's
+    ``.filter("label")``.
+
+    The weight table is FROZEN and derived in-plan from the bucket id
+    (``(hash(salt‖bucket) mod 2001) − 1000`` milli-units): a
+    deterministic stand-in for trained weights that exercises the real
+    deployment plumbing — feature hashing, weight lookup,
+    length-normalized logit, sigmoid, threshold — end to end. Swapping
+    in a trained export means replacing ONE derivation with a
+    |buckets|-row literal/broadcast table; nothing else changes.
+
+    Scale shape: zero joins — the weight derives from the bucket hash
+    inside the projection, so there isn't even a weight table to
+    broadcast; one n-gram explode feeds a doc-keyed exact-integer sum
+    (weights are integers, so the logit cannot drift with partitioning
+    or engine); ``label`` thresholds the SIGN of the exact logit, never
+    the post-sigmoid double. Shares the DSIR feature extractor so the
+    two hashed-feature operators can never disagree on tokenization.
+
+    Output: (doc_id, n_ngrams, logit, score, label).
+    """
+    from scholar_stream_spark.operators.sampling import (  # noqa: PLC0415
+        _dsir_bucket_rows,
+    )
+
+    grams = _dsir_bucket_rows(documents, key_col, n_buckets)
+    half = (QC_WEIGHT_SPAN - 1) // 2
+    hash_txt = hex48_spark_sql(f"concat('{QC_WEIGHT_SALT}', bucket)")
+    w_q = F.expr(f"{hash_txt} % {QC_WEIGHT_SPAN} - {half}")
+    scored = grams.select(key_col, w_q.alias("w_q")).groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+        F.sum("w_q").alias("logit_q"),
+    )
+    logit = F.col("logit_q") / F.col("n_ngrams") / F.lit(1000.0)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return scored.select(
+        F.col(key_col),
+        "n_ngrams",
+        F.round(logit, 4).alias("logit"),
+        F.round(score, 4).alias("score"),
+        (F.col("logit_q") >= 0).alias("label"),
     )
 
 

@@ -195,6 +195,59 @@ def test_customer_distribution_outer_join_shape(spark):
     assert "struct<o_custkey:bigint,o_orderpriority:string>" in plan, plan
 
 
+def test_promo_revenue_pushes_month_and_folds_one_agg(spark):
+    """Q14 shape: both month bounds must reach the lineitem parquet
+    scan, the conditional + total sums fold into ONE two-phase
+    aggregate, and no join carries a forced-broadcast hint (part grows
+    with SF — the large_orders defect class)."""
+    plan = _plan(spark, "promo_revenue")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "GreaterThanOrEqual(l_shipdate" in pushed, pushed
+    assert "LessThan(l_shipdate" in pushed, pushed
+    assert plan.count("HashAggregate") == 2, plan
+    opt = (
+        QUERIES["promo_revenue"](spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "strategy=broadcast" not in opt, opt
+
+
+def test_top_supplier_scans_fact_once(spark):
+    """Q15 shape: the supplier-keyed revenue table must be checkpointed
+    before its two consumers (argmax fold + equality filter) — exactly
+    ONE lineitem FileScan in the final plan, not one per consumer."""
+    plan = _plan(spark, "top_supplier")
+    assert plan.count("FileScan parquet") <= 2, plan  # lineitem + supplier
+    li_scans = len(re.findall(r"FileScan parquet[^\n]*l_suppkey", plan))
+    assert li_scans <= 1, plan
+
+
+def test_brand_revenue_bands_pushes_coarse_envelope(spark):
+    """Q19 shape: the hand-hoisted quantity envelope must reach the
+    lineitem scan and the size envelope the part scan — without them
+    the disjunction is unpushable and both scans go unpruned."""
+    plan = _plan(spark, "brand_revenue_bands")
+    # toString() truncates long PushedFilters lists ("IsN..."), so pin
+    # the scan-level push on the lineitem side plus the Filter-node
+    # envelopes on both sides (which prove the bounds sit below the
+    # join, directly on each scan's output)
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, plan
+    assert re.search(r"l_quantity#\d+ <= 30\.0", plan), plan
+    assert re.search(r"p_size#\d+ >= 1\)", plan), plan
+    assert re.search(r"p_size#\d+ <= 15", plan), plan
+
+
+def test_quality_classifier_has_no_joins(spark):
+    """The frozen weights derive in-plan from the bucket hash: the
+    whole classifier must be explode + one doc-keyed aggregate — ZERO
+    joins, no weight table exchange of any kind."""
+    plan = _plan(spark, "quality_classifier")
+    assert "Join" not in plan, plan
+    assert "Exchange" in plan  # the one doc-keyed aggregate shuffle
+
+
 def test_large_orders_aggregates_before_joining(spark):
     """Q18 shape: the per-order quantity aggregate (with map-side
     partials) runs BEFORE any join — the HAVING-filtered key set is
