@@ -36,9 +36,23 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from scholar_stream_spark.operators.dedup import incremental_dedup
+from scholar_stream_spark.operators.dedup import (
+    build_fingerprint_bloom,
+    incremental_dedup,
+    incremental_dedup_bloom,
+)
 
 _INDEX_SCHEMA = "fingerprint string"
+_BLOOM_SCHEMA = "word int, bits long"
+
+#: Fixed Bloom geometry for a streaming ingest deployment: the filter
+#: accretes ADDITIVELY (per-batch (word,bits) deltas OR'd read-side),
+#: so every batch must share one geometry for the life of the index —
+#: 2^20 bits / 5 hashes holds ~10^5 fingerprints at ~1% FP and degrades
+#: gracefully (more false positives = more index probes, never a missed
+#: duplicate). Re-size at compaction time, rebuilding the sidecar.
+STREAM_BLOOM_BITS = 1 << 20
+STREAM_BLOOM_HASHES = 5
 
 #: Analysis error classes that mean "no index landed yet" — anything
 #: else (corrupt footer, permissions) must RAISE: silently treating a
@@ -76,15 +90,49 @@ def read_index(
     return idx.select("fingerprint")
 
 
+def read_bloom(
+    spark: SparkSession, bloom_path: str, exclude_batch: int | None = None
+) -> DataFrame:
+    """The ingest's Bloom sidecar, merged across batch deltas: each
+    landed batch contributes a sparse (word, bits) delta under
+    ``batch=<id>``, and the filter for the WHOLE index is their bitwise
+    OR — one groupBy over a table bounded by n_bits/64 · n_batches rows
+    (compaction folds it back to ≤ n_bits/64). Same self-exclusion rule
+    as ``read_index``; empty (nothing landed) means "no members", which
+    fails safe: every probe comes back maybe=False only when provably
+    absent from an empty set — i.e. everything is clean, matching the
+    empty index."""
+    try:
+        df = spark.read.option("basePath", bloom_path).parquet(bloom_path)
+    except AnalysisException as exc:
+        cond = getattr(exc, "getCondition", lambda: None)() or ""
+        if any(code in cond or code in str(exc) for code in _EMPTY_INDEX_ERRORS):
+            return spark.createDataFrame([], _BLOOM_SCHEMA)
+        raise
+    if exclude_batch is not None:
+        df = df.filter(F.col("batch") != exclude_batch)
+    return df.groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+
+
 def ingest_batch(
     batch_df: DataFrame,
     batch_id: int,
     corpus_path: str,
     index_path: str,
+    bloom_path: str | None = None,
 ) -> None:
     """Land one micro-batch: dedup vs index, then batch_id-keyed
     idempotent writes (corpus first — replaying after a partial
-    failure overwrites the same directories, never duplicates)."""
+    failure overwrites the same directories, never duplicates).
+
+    With ``bloom_path`` set, the index probe is Bloom-gated
+    (``incremental_dedup_bloom``): the merged sidecar rules most of a
+    fresh batch out before the index anti-join, and the batch writes
+    its survivors' (word, bits) DELTA under ``batch=<id>`` — additive,
+    so the merged filter always covers exactly the index's batches;
+    a replayed batch overwrites its own delta like every other write
+    here. At 100 TB this turns the per-batch index scan into an
+    only-on-collision cost; result-identical either way (pinned)."""
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
@@ -98,9 +146,17 @@ def ingest_batch(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    survivors = incremental_dedup(
-        batch_df, read_index(spark, index_path, exclude_batch=batch_id)
-    )
+    index = read_index(spark, index_path, exclude_batch=batch_id)
+    if bloom_path is None:
+        survivors = incremental_dedup(batch_df, index)
+    else:
+        survivors = incremental_dedup_bloom(
+            batch_df,
+            index,
+            read_bloom(spark, bloom_path, exclude_batch=batch_id),
+            STREAM_BLOOM_BITS,
+            STREAM_BLOOM_HASHES,
+        )
     # one computation feeding two writes: materialize the batch-sized
     # survivor set once instead of re-running the dedup plan per sink
     survivors = survivors.localCheckpoint(eager=True)
@@ -111,6 +167,14 @@ def ingest_batch(
     survivors.select("fingerprint").write.mode("overwrite").parquet(
         os.path.join(index_path, f"batch={batch_id}")
     )
+    if bloom_path is not None:
+        build_fingerprint_bloom(
+            survivors.select("fingerprint"),
+            STREAM_BLOOM_BITS,
+            STREAM_BLOOM_HASHES,
+        ).write.mode("overwrite").parquet(
+            os.path.join(bloom_path, f"batch={batch_id}")
+        )
 
 
 def start_dedup_ingest(
@@ -119,14 +183,17 @@ def start_dedup_ingest(
     index_path: str,
     checkpoint_path: str,
     trigger_available_now: bool = False,
+    bloom_path: str | None = None,
 ) -> StreamingQuery:
     """Run the dedup ingest against a document stream (``doc_id``,
     ``text``, + any payload columns). The checkpoint gives
     at-least-once micro-batches; the batch_id-keyed writes and the
-    index check upgrade the corpus/index state to effectively-once."""
+    index check upgrade the corpus/index state to effectively-once.
+    ``bloom_path`` enables the Bloom-gated probe (see
+    ``ingest_batch``)."""
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_batch(batch_df, batch_id, corpus_path, index_path)
+        ingest_batch(batch_df, batch_id, corpus_path, index_path, bloom_path)
 
     writer = docs_stream.writeStream.foreachBatch(land).option(
         "checkpointLocation", checkpoint_path

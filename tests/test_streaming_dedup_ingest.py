@@ -112,6 +112,64 @@ def test_dedup_ingest_in_batch_docid_redelivery(spark, tmp_path):
     assert _corpus_ids(spark, corpus) == [7, 8]
 
 
+def test_dedup_ingest_bloom_gated_matches_plain(spark, tmp_path):
+    """The Bloom-gated ingest must land the IDENTICAL corpus/index as
+    the plain probe over the same batch sequence — the sidecar is an
+    access-path optimization — and the per-batch bloom deltas must
+    accrete one partition per landed batch."""
+    plain_c, plain_i = tmp_path / "pc", tmp_path / "pi"
+    bloom_c, bloom_i = tmp_path / "bc", tmp_path / "bi"
+    bloom_b = tmp_path / "bb"
+    batches = [
+        [(1, "doc one"), (2, "doc two"), (3, "doc one")],
+        [(4, "doc two"), (5, "doc five")],
+        [(6, "doc five"), (7, "doc seven")],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, DOC_SCHEMA)
+        ingest_batch(df, i, str(plain_c), str(plain_i))
+        ingest_batch(df, i, str(bloom_c), str(bloom_i), str(bloom_b))
+    assert _corpus_ids(spark, plain_c) == _corpus_ids(spark, bloom_c)
+    plain_fps = sorted(
+        r["fingerprint"]
+        for r in read_index(spark, str(plain_i)).collect()
+    )
+    bloom_fps = sorted(
+        r["fingerprint"]
+        for r in read_index(spark, str(bloom_i)).collect()
+    )
+    assert plain_fps == bloom_fps
+    deltas = {
+        p.name for p in bloom_b.iterdir() if p.name.startswith("batch=")
+    }
+    assert deltas == {"batch=0", "batch=1", "batch=2"}
+
+
+def test_dedup_ingest_bloom_replay_is_noop(spark, tmp_path):
+    """Replaying a landed batch with the Bloom gate on must leave
+    corpus, index, AND the merged filter unchanged (the delta is
+    batch_id-keyed and self-excluded like every other write)."""
+    from scholar_stream_spark.streaming.dedup_ingest import read_bloom
+
+    corpus, index, bloom = tmp_path / "c", tmp_path / "i", tmp_path / "b"
+    b0 = spark.createDataFrame([(1, "doc one"), (2, "doc two")], DOC_SCHEMA)
+    b1 = spark.createDataFrame([(3, "doc one"), (4, "doc four")], DOC_SCHEMA)
+    ingest_batch(b0, 0, str(corpus), str(index), str(bloom))
+    ingest_batch(b1, 1, str(corpus), str(index), str(bloom))
+    before_ids = _corpus_ids(spark, corpus)
+    before_bloom = sorted(
+        map(tuple, read_bloom(spark, str(bloom)).collect())
+    )
+    assert before_ids == [1, 2, 4]
+
+    ingest_batch(b1, 1, str(corpus), str(index), str(bloom))
+    assert _corpus_ids(spark, corpus) == before_ids
+    after_bloom = sorted(
+        map(tuple, read_bloom(spark, str(bloom)).collect())
+    )
+    assert after_bloom == before_bloom and len(after_bloom) > 0
+
+
 # ---------------------------------------------------------------------------
 # near-dup ingest (LSH index): the streaming face of incremental_neardup
 # ---------------------------------------------------------------------------
