@@ -482,16 +482,25 @@ _DRIVER_FIRST = (
     "token_counts",
     "topn_recent",
     "unigram_logprob",
-    # round-8 additions (new oracle-backed entries) go next
+    # gopher_quality's VALUES changed this round (stop-word
+    # normalization) — its r7 row is stale-wrong, so it must land
+    # inside the 50-entry driver cap
+    "gopher_quality",
+    # round-8 additions (new oracle-backed entries) fill the cap
     "dsir_sample",
-    "dedup_incremental_bloom",
     "remove_dup_spans_first",
     "promo_revenue",
     "top_supplier",
     "brand_revenue_bands",
     "quality_classifier",
-    # r7-green entries whose code changed this round
-    "gopher_quality",
+    "curriculum_phases",
+    "lsh_index_stats",
+    # --- positions 51+ (outside the driver cap; next-round rotation
+    # material). dedup_incremental_bloom is pinned result-identical to
+    # the r7-green dedup_incremental and pytest-oracle-checked at HEAD;
+    # large_orders/funnel_analysis changed PLAN only, values untouched,
+    # so their r7 rows remain valid.
+    "dedup_incremental_bloom",
     "large_orders",
     "funnel_analysis",
 )
@@ -774,6 +783,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-feature linear quality classifier (frozen in-plan
         # weights; the fastText-gate deployment plumbing end to end)
         "quality_classifier": lambda s, d: textops.quality_classifier(
+            _t(s, d, "documents")
+        ),
+        # quality-quantile curriculum assignment (percentile boundaries
+        # broadcast back — no global sort/ntile)
+        "curriculum_phases": lambda s, d: sampling.curriculum_phases(
+            _t(s, d, "documents")
+        ),
+        # LSH band-posting health table (predicts pair-join cost
+        # without materializing any pair)
+        "lsh_index_stats": lambda s, d: dedup.lsh_index_stats(
             _t(s, d, "documents")
         ),
         # per-type z-score outlier screen (exact fixed-point moments)
@@ -1272,6 +1291,68 @@ def _dsir_sample_sql() -> str:
                round(p, 4) AS p_keep
         FROM keep
         WHERE ({hb}) % {denom} < p * {denom}
+    """
+
+
+def _curriculum_sql() -> str:
+    """``curriculum_phases`` oracle: the raw (unrounded) quality score
+    from the ``_text_quality_sql`` feature mapping, quantized to the
+    same 1e-6 integers, with ``quantile_cont`` boundaries at the SAME
+    fractional literals the Spark side generates."""
+    stop_list = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
+    n = sampling.CURRICULUM_PHASES
+    bound_sel = ", ".join(
+        f"quantile_cont(sq, {i / n!r}) AS b{i}" for i in range(1, n)
+    )
+    phase = " + ".join(
+        f"(CASE WHEN sq > b{i} THEN 1 ELSE 0 END)" for i in range(1, n)
+    )
+    return f"""
+        WITH feat AS (
+            SELECT doc_id,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1
+                        AS BIGINT) AS nt,
+                   length(replace(text, ' ', '')) AS n_nonspace,
+                   len(list_filter(regexp_split_to_array(trim(text),
+                                                         '\\s+'),
+                                   t -> t IN ({stop_list}))) AS n_stop
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   CASE WHEN nt < 5 THEN 0.0
+                        ELSE 1.0 - abs(n_nonspace / nt - 4.0) / 10.0
+                             - (n_stop / nt) * 0.5 END AS score
+            FROM feat
+        ),
+        q AS (
+            SELECT doc_id, score,
+                   CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS sq
+            FROM s
+        ),
+        b AS (SELECT {bound_sel} FROM q)
+        SELECT doc_id, round(score, 4) AS quality_score,
+               CAST(1 + {phase} AS INTEGER) AS phase
+        FROM q, b
+    """
+
+
+def _lsh_index_stats_sql() -> str:
+    """``lsh_index_stats`` oracle: the shared shingle/band CTEs with a
+    bucket-count rollup on top."""
+    return f"""
+        WITH {_shingle_ctes()},
+        {_minhash_band_ctes()},
+        buckets AS (
+            SELECT band, key, count(*) AS c FROM bands GROUP BY band, key
+        )
+        SELECT CAST(band AS INTEGER) AS band,
+               CAST(SUM(c) AS BIGINT) AS n_postings,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(MAX(c) AS BIGINT) AS max_bucket,
+               CAST(SUM(c * (c - 1)) / 2 AS BIGINT) AS est_candidate_pairs
+        FROM buckets
+        GROUP BY band
     """
 
 
@@ -3310,6 +3391,8 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "remove_dup_spans": _remove_dup_spans_sql(),
         "remove_dup_spans_first": _remove_dup_spans_sql("first"),
         "dsir_sample": _dsir_sample_sql(),
+        "curriculum_phases": _curriculum_sql(),
+        "lsh_index_stats": _lsh_index_stats_sql(),
         "remove_dup_paragraphs": f"""
             WITH injected AS (
                 SELECT doc_id,

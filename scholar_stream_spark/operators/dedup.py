@@ -653,6 +653,57 @@ def compact_neardup_index(
     ).parquet(f"{out_path}/params")
 
 
+def lsh_index_stats(
+    documents: DataFrame,
+    n: int = SHINGLE_N,
+    hash_profile: str = "portable",
+    max_doc_freq: int | None | str = "auto",
+) -> DataFrame:
+    """LSH band-posting diagnostics: per band, the posting count,
+    distinct key count, hottest bucket size, and the candidate-pair
+    upper bound Σ c·(c−1)/2 — the health table an operator reads
+    BEFORE a banded dedup run to spot degenerate buckets (boilerplate
+    shingle floods that turn one bucket into an O(c²) pair bomb; the
+    ``max_doc_freq`` cap is the treatment, this is the diagnosis —
+    ``key_skew_profile``'s role, for the LSH index).
+
+    Scale shape: the postings stream feeds ONE map-side-combined
+    (band, key) count whose result is bucket-sized, then a |bands|-row
+    rollup — nothing pairwise is ever materialized, which is the point:
+    the stats PREDICT the pair-join cost without paying it.
+
+    Output: (band, n_postings, n_keys, max_bucket,
+    est_candidate_pairs), one row per band, band-ordered.
+    """
+    cap = _resolve_doc_freq_cap(max_doc_freq, hash_profile == "fast")
+    bands = _band_keys_from_grouped(
+        _grouped_shingle_hashes(documents, n, hash_profile, cap)
+    )
+    buckets = bands.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.sum("c").cast("long").alias("n_postings"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_bucket"),
+            # c·(c−1) is always even, so the halved sum is exact
+            F.expr("CAST(SUM(c * (c - 1)) / 2 AS BIGINT)").alias(
+                "est_candidate_pairs"
+            ),
+        )
+        .select(
+            F.col("band").cast("int").alias("band"),
+            "n_postings",
+            "n_keys",
+            "max_bucket",
+            "est_candidate_pairs",
+        )
+        .orderBy("band")
+    )
+
+
 def incremental_neardup_indexed(
     new_docs: DataFrame,
     path: str,

@@ -470,6 +470,68 @@ def quality_weighted_sample(
     )
 
 
+#: Curriculum phases: how many quality-ordered stages the corpus is
+#: split into (phase 1 = lowest-quality quantile, trained first in an
+#: easy-to-hard curriculum — or dropped entirely as a budget knob).
+CURRICULUM_PHASES = 4
+
+
+def curriculum_phases(
+    documents: DataFrame,
+    n_phases: int = CURRICULUM_PHASES,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ordered curriculum assignment: each document gets a
+    phase in [1, n_phases] by quality-score quantile — the corpus
+    ordering step of curriculum training (and a coarse quality-tier
+    label for mixture budgeting) without ever globally sorting the
+    corpus.
+
+    Scale shape: the naive ``ntile`` over a global ORDER BY is a
+    single-partition sort of the whole corpus — the exact anti-pattern
+    the top-K pins in this module exist to prevent. Instead: ONE
+    map-side-combined aggregate computes the n−1 exact percentile
+    boundaries of the 1e-6-QUANTIZED score (integers, so the boundary
+    arithmetic is engine-identical — the ``detect_outliers`` idiom),
+    the one-row boundary table broadcasts back, and assignment is a
+    narrow comparison projection. Score shares
+    ``textops.quality_parts``, so phases can never disagree with the
+    published ``text_quality`` numbers.
+
+    Output: (doc_id, quality_score, phase), every input row.
+    """
+    from scholar_stream_spark.operators.textops import (  # noqa: PLC0415
+        quality_parts,
+    )
+
+    if n_phases < 2:
+        raise ValueError("curriculum_phases: need at least two phases")
+    _, _, _, score = quality_parts(F.col("text"))
+    sq = F.expr(
+        "CAST(floor(_score * 1000000 + 0.5) AS BIGINT)"
+    )
+    scored = documents.select(
+        F.col(key_col), score.alias("_score")
+    ).select(key_col, "_score", sq.alias("sq"))
+    bounds = scored.agg(
+        *[
+            F.expr(f"percentile(sq, {i / n_phases!r})").alias(f"b{i}")
+            for i in range(1, n_phases)
+        ]
+    )
+    phase = F.lit(1)
+    for i in range(1, n_phases):
+        phase = phase + F.when(F.col("sq") > F.col(f"b{i}"), 1).otherwise(0)
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col(key_col),
+            F.round("_score", 4).alias("quality_score"),
+            phase.cast("int").alias("phase"),
+        )
+    )
+
+
 #: DSIR defaults: hashed n-gram feature buckets, add-one smoothing, the
 #: base keep rate the importance ratio scales, and the sharpness applied
 #: to the centered per-gram log-likelihood ratio (raw summed LLRs are

