@@ -496,11 +496,15 @@ _DRIVER_FIRST = (
     "curriculum_phases",
     "lsh_index_stats",
     # --- positions 51+ (outside the driver cap; next-round rotation
-    # material). dedup_incremental_bloom is pinned result-identical to
-    # the r7-green dedup_incremental and pytest-oracle-checked at HEAD;
+    # leads with these). dedup_incremental_bloom is pinned
+    # result-identical to the r7-green dedup_incremental;
+    # dedup_survivor_map is a pure composition of the r-green
+    # dedup_clusters + dedup_keep_best entries; both are
+    # pytest-oracle-checked at HEAD (tests/test_oracle.py).
     # large_orders/funnel_analysis changed PLAN only, values untouched,
     # so their r7 rows remain valid.
     "dedup_incremental_bloom",
+    "dedup_survivor_map",
     "large_orders",
     "funnel_analysis",
 )
@@ -525,6 +529,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # cluster-aware survivor selection: best-quality member per
         # near-dup cluster (ties -> lowest doc_id)
+        # removed-doc → survivor lineage map (clusters ⋈ survivors,
+        # duplicate-population-sized end to end)
+        "dedup_survivor_map": lambda s, d: dedup.dedup_survivor_map(
+            _t(s, d, "documents")
+        ),
         "dedup_keep_best": lambda s, d: dedup.keep_best_per_cluster(
             _t(s, d, "documents")
         ),
@@ -3556,6 +3565,25 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                               WHERE idx.fingerprint = b.fingerprint)
         """,
         "dedup_clusters": _clusters_sql(),
+        "dedup_survivor_map": f"""
+            WITH cl AS (SELECT * FROM ({_clusters_sql()})),
+            tq AS (SELECT doc_id, quality_score
+                   FROM ({_text_quality_sql()})),
+            r AS (
+                SELECT cl.cluster_id, cl.doc_id,
+                       row_number() OVER (
+                           PARTITION BY cl.cluster_id
+                           ORDER BY tq.quality_score DESC, cl.doc_id ASC
+                       ) AS rn
+                FROM cl JOIN tq ON cl.doc_id = tq.doc_id
+            ),
+            kb AS (SELECT cluster_id, doc_id AS survivor_id
+                   FROM r WHERE rn = 1)
+            SELECT cl.doc_id, kb.survivor_id, cl.cluster_id,
+                   cl.cluster_size
+            FROM cl JOIN kb ON cl.cluster_id = kb.cluster_id
+            WHERE cl.doc_id <> kb.survivor_id
+        """,
         "scd2_as_of": f"""
             WITH scd AS ({_scd2_sql()})
             SELECT * FROM scd

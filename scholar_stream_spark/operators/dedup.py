@@ -1527,6 +1527,34 @@ def keep_best_per_cluster(documents: DataFrame) -> DataFrame:
     )
 
 
+def dedup_survivor_map(documents: DataFrame) -> DataFrame:
+    """Removed-doc → survivor replacement map: for every near-dup
+    cluster member that is NOT the quality-selected survivor, one
+    (doc_id, survivor_id, cluster_id, cluster_size) row — the lineage
+    artifact a curation pipeline publishes alongside the deduped corpus
+    so downstream consumers (citation graphs, eval sets, RTBF tooling)
+    can redirect references to removed documents instead of dangling.
+
+    Pure composition: ``neardup_clusters`` labels join
+    ``keep_best_per_cluster`` survivors on cluster_id — both sides are
+    duplicate-population-sized (docs with no near-dup never enter
+    either), so the join and the output are dup-sized, not
+    corpus-sized.
+
+    Output: (doc_id, survivor_id, cluster_id, cluster_size) for
+    removed docs only.
+    """
+    clusters = neardup_clusters(documents)
+    best = keep_best_per_cluster(documents).select(
+        "cluster_id", "survivor_id"
+    )
+    return (
+        clusters.join(best, "cluster_id")
+        .filter(F.col("doc_id") != F.col("survivor_id"))
+        .select("doc_id", "survivor_id", "cluster_id", "cluster_size")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame, threshold: float = EMBED_COS_THRESHOLD
 ) -> DataFrame:
@@ -1824,25 +1852,16 @@ def incremental_dedup_bloom(
     return clean.unionByName(_index_anti(suspect, seen_index))
 
 
-def write_fingerprint_index(
-    corpus_docs: DataFrame, path: str, fpp: float = BLOOM_FPP
+def _write_fingerprint_layout(
+    spark, fps: DataFrame, path: str, fpp: float
 ) -> None:
-    """Persist the exact-dedup fingerprint index with its Bloom sidecar:
-    ``{path}/fingerprints`` (the distinct content fingerprints),
-    ``{path}/bloom`` (the sparse (word, bits) filter), and
+    """Shared serving-layout writer: ``{path}/fingerprints`` (written
+    first, then READ BACK so bloom + count derive from the landed
+    files, never a recompute that could diverge), ``{path}/bloom``
+    (sparse (word, bits) filter sized from the actual count), and
     ``{path}/params`` (n_bits, n_hashes — a probe in a different
-    geometry would be silently wrong, so it must be able to check).
-    The sizing count is one column-pruned aggregate over data being
-    written anyway — a one-time build cost, amortized like the
-    near-dup/IVF index builds."""
-    fp = F.md5(normalize_text(F.col("text")))
-    fps = (
-        scale_out(corpus_docs)
-        .select(fp.alias("fingerprint"))
-        .distinct()
-    )
+    geometry would be silently wrong, so it must be able to check)."""
     fps.write.mode("overwrite").parquet(f"{path}/fingerprints")
-    spark = corpus_docs.sparkSession
     stored = spark.read.parquet(f"{path}/fingerprints")
     n_bits, n_hashes = bloom_params(stored.count(), fpp)
     build_fingerprint_bloom(stored, n_bits, n_hashes).coalesce(
@@ -1851,6 +1870,55 @@ def write_fingerprint_index(
     spark.createDataFrame(
         [(int(n_bits), int(n_hashes))], "n_bits long, n_hashes int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def write_fingerprint_index(
+    corpus_docs: DataFrame, path: str, fpp: float = BLOOM_FPP
+) -> None:
+    """Persist the exact-dedup fingerprint index with its Bloom sidecar
+    (see ``_write_fingerprint_layout``). The sizing count is one
+    column-pruned aggregate over data being written anyway — a one-time
+    build cost, amortized like the near-dup/IVF index builds."""
+    fp = F.md5(normalize_text(F.col("text")))
+    fps = (
+        scale_out(corpus_docs)
+        .select(fp.alias("fingerprint"))
+        .distinct()
+    )
+    _write_fingerprint_layout(corpus_docs.sparkSession, fps, path, fpp)
+
+
+def compact_fingerprint_index(
+    spark,
+    index_path: str,
+    out_path: str,
+    fpp: float = BLOOM_FPP,
+    n_files: int = 8,
+) -> None:
+    """Rewrite a streaming-built fingerprint index (one ``batch=<id>``
+    directory per micro-batch, plus the additive bloom-delta sidecar)
+    into the ``write_fingerprint_index`` serving layout — the same
+    small-file compaction discipline as ``compact_neardup_index``: a
+    long-lived streaming index accretes thousands of tiny part files
+    AND a bloom sidecar whose fixed streaming geometry drifts from
+    optimal as the index grows; compaction folds the fingerprints into
+    ``n_files`` sorted files and REBUILDS the Bloom filter at the size
+    the compacted count actually warrants. Output is probe-compatible
+    with ``incremental_dedup_indexed`` and probe-identical by
+    construction (same fingerprint set; ``distinct`` enforces the
+    index's dup-free invariant even if a damaged writer violated it).
+    Compact to a NEW path and swap atomically; writing over a live
+    index a probe is reading is the caller's race."""
+    df = spark.read.option("basePath", index_path).parquet(index_path)
+    if "batch" in df.columns:
+        df = df.drop("batch")
+    fps = (
+        df.select("fingerprint")
+        .distinct()
+        .repartition(n_files)
+        .sortWithinPartitions("fingerprint")
+    )
+    _write_fingerprint_layout(spark, fps, out_path, fpp)
 
 
 def incremental_dedup_indexed(new_docs: DataFrame, path: str) -> DataFrame:

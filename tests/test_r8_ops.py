@@ -107,6 +107,70 @@ def test_fingerprint_index_roundtrip(spark, tmp_path):
     assert params["n_bits"] % 64 == 0 and params["n_hashes"] >= 1
 
 
+def test_compact_fingerprint_index_probe_identical(spark, tmp_path):
+    """Streaming-built index (batch dirs + fixed-geometry bloom deltas)
+    → compacted serving layout: the probe must return identical rows,
+    the fingerprint table must fold to n_files, and the bloom must be
+    REBUILT at the size the compacted count warrants."""
+    from scholar_stream_spark.streaming.dedup_ingest import ingest_batch
+
+    corpus, index, bloom = tmp_path / "c", tmp_path / "i", tmp_path / "b"
+    batches = [
+        [(1, "doc one"), (2, "doc two")],
+        [(3, "doc three"), (4, "doc one")],
+        [(5, "doc five")],
+    ]
+    for i, rows in enumerate(batches):
+        ingest_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            i, str(corpus), str(index), str(bloom),
+        )
+    out = tmp_path / "compacted"
+    dedup.compact_fingerprint_index(spark, str(index), str(out), n_files=2)
+    probe = spark.createDataFrame(
+        [(10, "doc one"), (11, "doc new")], "doc_id long, text string"
+    )
+    via_compact = sorted(
+        map(tuple, dedup.incremental_dedup_indexed(probe, str(out)).collect())
+    )
+    merged = (
+        spark.read.option("basePath", str(index))
+        .parquet(str(index))
+        .select("fingerprint")
+    )
+    plain = sorted(
+        map(tuple, dedup.incremental_dedup(probe, merged).collect())
+    )
+    assert via_compact == plain
+    assert [t[0] for t in via_compact] == [11]  # "doc one" is indexed
+    data_files = [
+        p for p in (out / "fingerprints").iterdir()
+        if p.name.endswith(".parquet")
+    ]
+    assert len(data_files) == 2
+    params = spark.read.parquet(f"{out}/params").collect()[0]
+    want_bits, want_hashes = dedup.bloom_params(4)  # 4 distinct fps
+    assert (params["n_bits"], params["n_hashes"]) == (want_bits, want_hashes)
+
+
+def test_dedup_survivor_map_redirects_every_removed_doc(spark):
+    """Every cluster member except the survivor must appear exactly
+    once, mapped to its own cluster's survivor; survivors never appear
+    as removed docs."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    m = {r["doc_id"]: r for r in dedup.dedup_survivor_map(docs).collect()}
+    best = {
+        r["cluster_id"]: r["survivor_id"]
+        for r in dedup.keep_best_per_cluster(docs).collect()
+    }
+    clusters = dedup.neardup_clusters(docs).collect()
+    removed = [r for r in clusters if best[r["cluster_id"]] != r["doc_id"]]
+    assert sorted(m) == sorted(r["doc_id"] for r in removed)
+    for r in removed:
+        assert m[r["doc_id"]]["survivor_id"] == best[r["cluster_id"]]
+    assert not (set(m) & set(best.values()))
+
+
 # ----------------------------------------------------------------- dsir
 
 
