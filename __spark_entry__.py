@@ -1116,6 +1116,19 @@ def profile_pairs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFra
                 docs(s, d), span_join="shuffle"
             ),
         },
+        # round-8 split (r7 verdict follow-through): the Q3 key-list
+        # broadcast is defensible but still a hint on a SF-linear
+        # table; the scale profile hands the build-side decision to AQE
+        "shipping_priority": {
+            "oracle": lambda s, d: relational.shipping_priority(
+                _t(s, d, "lineitem"), _t(s, d, "orders"),
+                _t(s, d, "customer"),
+            ),
+            "scale": lambda s, d: relational.shipping_priority(
+                _t(s, d, "lineitem"), _t(s, d, "orders"),
+                _t(s, d, "customer"), cust_join="auto",
+            ),
+        },
     }
 
 

@@ -163,24 +163,39 @@ def shipping_priority(
     cutoff: str = SHIPPING_CUTOFF,
     segment: str = SHIPPING_SEGMENT,
     k: int = SHIPPING_TOPN,
+    cust_join: str = "broadcast",
 ) -> DataFrame:
     """TPC-H-Q3-shaped query: top-K unshipped orders by revenue for one
     market segment — the classic selective-dimension → fact → fact
     chain (SURVEY §2.8 relational completeness).
 
     Scale shape: both date predicates reach their parquet scans
-    (row-group pruning on the two fact tables); the segment-filtered
-    customer KEY LIST broadcasts into the orders join (semi-join-sized
-    build: one bigint column, no customer payload ever moves); the only
-    big exchange is orders⋈lineitem on the order key; revenue is the
-    exact decimal sum; and the final top-K is TakeOrderedAndProject
-    with a full tie-break (revenue desc, orderdate, orderkey) — never a
-    global sort.
+    (row-group pruning on the two fact tables); the only big exchange
+    is orders⋈lineitem on the order key; revenue is the exact decimal
+    sum; and the final top-K is TakeOrderedAndProject with a full
+    tie-break (revenue desc, orderdate, orderkey) — never a global
+    sort.
+
+    ``cust_join`` picks how the segment-filtered customer KEY LIST
+    meets orders (the remove_duplicate_spans ``span_join`` idiom):
+
+    - ``"broadcast"`` (default): force-broadcast the key list —
+      defensible unlike a payload broadcast (one bigint column,
+      semi-join-sized build, ~1/5 of custkeys), but it is still a
+      hint on a table that grows linearly with scale factor.
+    - ``"auto"`` (scale profile): no hint — AQE sizes the build side
+      from runtime stats, falling back to shuffle when the segment's
+      key list outgrows the broadcast threshold. The right default at
+      warehouse scale, where even a key list can be tens of GB.
     """
+    if cust_join not in ("broadcast", "auto"):
+        raise ValueError(f"unknown cust_join: {cust_join!r}")
     cut = F.to_timestamp(F.lit(cutoff))
     cust = customer.filter(F.col("c_mktsegment") == segment).select(
         "c_custkey"
     )
+    if cust_join == "broadcast":
+        cust = F.broadcast(cust)
     ords = orders.filter(F.col("o_orderdate") < cut).select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
     )
@@ -188,7 +203,7 @@ def shipping_priority(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     return (
-        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        ords.join(cust, ords.o_custkey == cust.c_custkey)
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(

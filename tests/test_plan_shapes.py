@@ -116,6 +116,27 @@ def test_shipping_priority_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_shipping_priority_scale_profile_unhints_key_list(spark):
+    """cust_join="auto" must carry NO broadcast hint (AQE owns the
+    build-side decision at scale) while returning the identical top-K."""
+    from scholar_stream_spark.operators import relational
+    from tests.conftest import SF_SMALL as _sf
+
+    def load(spark, name):
+        return spark.read.parquet(f"{_sf}/{name}.parquet")
+
+    li, o, c = load(spark, "lineitem"), load(spark, "orders"), load(
+        spark, "customer"
+    )
+    auto = relational.shipping_priority(li, o, c, cust_join="auto")
+    opt = auto._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt, opt
+    hinted = relational.shipping_priority(li, o, c)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, hinted.collect())
+    )
+
+
 def test_perplexity_buckets_never_sorts_corpus(spark):
     """The CCNet bucket thresholds must come off the tiny distinct-ppl
     histogram and broadcast back — a rangepartition sort (ntile over
