@@ -38,6 +38,10 @@ Deliberately WITHOUT oracle entries (rows-only check):
   pytest pins the bound.
 - ``distinct_users_sketch`` — approx_count_distinct (HyperLogLog) is a
   sketch; same self-checked treatment (per-group relative error).
+- ``ivf_index_stats`` — per-cell counts off the persisted IVF layout,
+  whose cell assignment comes from the k-means quantizer (inherits
+  ``cluster_embeddings``' rows-only rationale); the counts are
+  pytest-pinned against a recount of the same persisted table.
 """
 
 from __future__ import annotations
@@ -494,17 +498,19 @@ _DRIVER_FIRST = (
     "brand_revenue_bands",
     "quality_classifier",
     "curriculum_phases",
-    "lsh_index_stats",
+    "embedding_data_card",
     # --- positions 51+ (outside the driver cap; next-round rotation
-    # leads with these). dedup_incremental_bloom is pinned
-    # result-identical to the r7-green dedup_incremental;
-    # dedup_survivor_map is a pure composition of the r-green
-    # dedup_clusters + dedup_keep_best entries; both are
-    # pytest-oracle-checked at HEAD (tests/test_oracle.py).
-    # large_orders/funnel_analysis changed PLAN only, values untouched,
-    # so their r7 rows remain valid.
+    # leads with these). All are pytest-oracle-checked at HEAD
+    # (tests/test_oracle.py) and are derivative of driver-green
+    # machinery: dedup_incremental_bloom is pinned result-identical to
+    # the r7-green dedup_incremental; dedup_survivor_map composes the
+    # r-green dedup_clusters + dedup_keep_best; lsh_index_stats rolls
+    # up the band table the driver-green dedup_minhash_lsh oracle
+    # already exercises. large_orders/funnel_analysis changed PLAN
+    # only, values untouched, so their r7 rows remain valid.
     "dedup_incremental_bloom",
     "dedup_survivor_map",
+    "lsh_index_stats",
     "large_orders",
     "funnel_analysis",
 )
@@ -556,6 +562,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "quantize_embeddings": lambda s, d: similarity.quantize_embeddings(
             _t(s, d, "embeddings")
+        ),
+        # vector-modality data card: per-label + TOTAL counts, dim
+        # bounds, exact norm quantiles (corpus_data_card's mirror)
+        "embedding_data_card": lambda s, d: similarity.embedding_data_card(
+            _t(s, d, "embeddings")
+        ),
+        # IVF cell-balance health table off the persisted serving
+        # layout (rows-only: cell ids come from the k-means quantizer)
+        "ivf_index_stats": lambda s, d: similarity.ivf_index_stats(
+            s, _ivf_index_dir(s, d)
         ),
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(
             _t(s, d, "embeddings")
@@ -1375,6 +1391,30 @@ def _lsh_index_stats_sql() -> str:
                CAST(SUM(c * (c - 1)) / 2 AS BIGINT) AS est_candidate_pairs
         FROM buckets
         GROUP BY band
+    """
+
+
+def _embedding_card_sql() -> str:
+    """``embedding_data_card`` oracle: the same sequential-fold L2 norm
+    as the ANN oracles (``_dot_sql`` — bit-identical to Spark's
+    ``aggregate`` accumulation), exact quantiles, per-label + TOTAL."""
+    aggs = """CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(MIN(dim) AS BIGINT) AS dim_min,
+               CAST(MAX(dim) AS BIGINT) AS dim_max,
+               round(quantile_cont(nrm, 0.5), 4) AS norm_p50,
+               round(quantile_cont(nrm, 0.99), 4) AS norm_p99,
+               round(MIN(nrm), 4) AS norm_min,
+               round(MAX(nrm), 4) AS norm_max"""
+    return f"""
+        WITH base AS (
+            SELECT CAST(label AS VARCHAR) AS label,
+                   len(embedding) AS dim,
+                   sqrt({_dot_sql("embedding", "embedding")}) AS nrm
+            FROM embeddings
+        )
+        SELECT label, {aggs} FROM base GROUP BY label
+        UNION ALL
+        SELECT 'TOTAL' AS label, {aggs} FROM base
     """
 
 
@@ -3607,6 +3647,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "chunk_docs": _chunk_sql(),
         "scd2_apply": _scd2_sql(),
         "quantize_embeddings": _quantize_sql(),
+        "embedding_data_card": _embedding_card_sql(),
         "ann_cosine_topk": _ann_topk_sql(),
         "ann_cosine_topk_vec": _ann_topk_sql(),
         "multimodal_blob_stats": f"""

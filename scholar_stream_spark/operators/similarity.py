@@ -512,6 +512,80 @@ def write_ivf_index(
     )
 
 
+def embedding_data_card(embeddings: DataFrame) -> DataFrame:
+    """Embedding-table data card: per-label vector counts, dimension
+    bounds (a dim_min ≠ dim_max row IS the data-quality finding — mixed
+    encoder outputs in one table), and exact L2-norm quantiles — plus a
+    TOTAL rollup row, mirroring ``corpus_data_card`` for the vector
+    modality. The norm distribution is the first thing an embedding
+    reviewer asks for: un-normalized rows break cosine-vs-dot
+    assumptions and norm outliers flag encoder failures.
+
+    Scale shape: ONE narrow projection computes size + sequential-fold
+    norm per row (JVM codegen, no Python), then a label-keyed map-side
+    agg (|labels| rows) and a global fold — the vector table is
+    scanned once and never shuffled beyond the keys-sized exchange.
+    Exact ``percentile`` keeps it oracle-checkable; swap
+    ``percentile_approx`` at extreme label cardinality (the documented
+    ``value_percentiles`` trade).
+
+    Output: (label, n_vectors, dim_min, dim_max, norm_p50, norm_p99,
+    norm_min, norm_max), one row per label + label='TOTAL'.
+    """
+    base = scale_out(embeddings).select(
+        F.col("label").cast("string").alias("label"),
+        F.size("embedding").alias("dim"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+
+    def _aggs():
+        return [
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.min("dim").cast("long").alias("dim_min"),
+            F.max("dim").cast("long").alias("dim_max"),
+            F.round(F.expr("percentile(nrm, 0.5)"), 4).alias("norm_p50"),
+            F.round(F.expr("percentile(nrm, 0.99)"), 4).alias("norm_p99"),
+            F.round(F.min("nrm"), 4).alias("norm_min"),
+            F.round(F.max("nrm"), 4).alias("norm_max"),
+        ]
+
+    per_label = base.groupBy("label").agg(*_aggs())
+    total = base.agg(*_aggs()).select(F.lit("TOTAL").alias("label"), "*")
+    return per_label.unionByName(total)
+
+
+def ivf_index_stats(spark, path: str) -> DataFrame:
+    """IVF index health table: per-cell vector counts off the PERSISTED
+    serving layout — the balance diagnostic read before trusting probe
+    latencies (a hot cell serves every query routed to it; imbalance is
+    why IVF probes miss their latency budget long before recall
+    degrades). The ``lsh_index_stats`` role, for the IVF lifecycle.
+
+    Scale shape: the vectors table is partitioned by cell on disk, so
+    the per-cell count is a partition-column-only aggregate — column
+    pruning means NO vector bytes are read at all (the scan schema is
+    the partition key). Output is |cells|-sized.
+
+    Output: (cell, n_vectors, share), cell-ordered, share = fraction
+    of all indexed vectors.
+    """
+    cells = (
+        spark.read.parquet(f"{path}/vectors")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+    total = cells.agg(F.sum("n_vectors").alias("_total"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("_total"), 4).alias("share"),
+        )
+        .orderBy("cell")
+    )
+
+
 def ivf_append_index(embeddings: DataFrame, path: str) -> None:
     """Append a NEW embedding batch to a persisted IVF index using the
     STORED quantizer — no retrain, no rewrite of existing files: the

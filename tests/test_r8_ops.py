@@ -266,6 +266,48 @@ def test_spans_keep_rejects_unknown_mode(spark):
         dedup.duplicate_spans(docs, keep="last")
 
 
+def test_ivf_index_stats_matches_recount_and_reads_no_vectors(spark):
+    """Per-cell counts must equal a recount of the persisted vectors
+    table, shares must sum to ~1, and the scan must read ONLY the
+    partition column (no vector bytes)."""
+    import re
+
+    import __spark_entry__ as em
+
+    df = em.queries()["ivf_index_stats"](spark, SF_SMALL)
+    rows = df.collect()
+    path = em._ivf_index_dir(spark, SF_SMALL)
+    want = {
+        r["cell"]: r["count"]
+        for r in spark.read.parquet(f"{path}/vectors")
+        .groupBy("cell")
+        .count()
+        .collect()
+    }
+    assert {r["cell"]: r["n_vectors"] for r in rows} == want
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 0.01
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    assert schemas and all("embedding" not in s for s in schemas), schemas
+
+
+def test_embedding_data_card_total_row_consistent(spark):
+    """The TOTAL row must equal the sum of the per-label counts, and
+    every dim bound must be the uniform embedding width."""
+    from scholar_stream_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    rows = {r["label"]: r for r in similarity.embedding_data_card(emb).collect()}
+    total = rows.pop("TOTAL")
+    assert total["n_vectors"] == sum(r["n_vectors"] for r in rows.values())
+    assert all(
+        r["dim_min"] == r["dim_max"] == total["dim_min"]
+        for r in rows.values()
+    )
+    assert all(r["norm_min"] <= r["norm_p50"] <= r["norm_p99"] <= r["norm_max"]
+               for r in rows.values())
+
+
 # ------------------------------------------------------------- scrub_pii
 
 
