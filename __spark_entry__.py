@@ -511,6 +511,7 @@ _DRIVER_FIRST = (
     "dedup_incremental_bloom",
     "dedup_survivor_map",
     "lsh_index_stats",
+    "mixture_report",
     "large_orders",
     "funnel_analysis",
 )
@@ -553,6 +554,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data mixing: deterministic downsample to the target language
         # mixture (largest budget reachable without upsampling)
         "mixture_sample": lambda s, d: sampling.mixture_sample(
+            _t(s, d, "documents")
+        ),
+        # mixture audit: actual vs target token shares + deviation (the
+        # DoReMi-loop input; publish before AND after sampling)
+        "mixture_report": lambda s, d: sampling.mixture_report(
             _t(s, d, "documents")
         ),
         # epoch-repeat upsampling to the same target mixture (scarce
@@ -1391,6 +1397,39 @@ def _lsh_index_stats_sql() -> str:
                CAST(SUM(c * (c - 1)) / 2 AS BIGINT) AS est_candidate_pairs
         FROM buckets
         GROUP BY band
+    """
+
+
+def _mixture_report_sql() -> str:
+    """``mixture_report`` oracle: same token formula as the quality
+    features, target weights inlined from the SAME constant dict."""
+    # ::DOUBLE on every weight literal: a bare 0.2 is DECIMAL(2,1) in
+    # DuckDB and the decimal propagates through round/coalesce into the
+    # output dtype, hash-mismatching Spark's double
+    values = ", ".join(
+        f"('{k}', {float(v)!r}::DOUBLE)"
+        for k, v in sorted(sampling.MIXTURE_WEIGHTS.items())
+    )
+    return f"""
+        WITH base AS (
+            SELECT lang AS stratum,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1
+                        AS BIGINT) AS nt
+            FROM documents
+        ),
+        per AS (
+            SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS n_tokens
+            FROM base GROUP BY stratum
+        ),
+        tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tt FROM per),
+        w(stratum, tgt) AS (VALUES {values})
+        SELECT per.stratum, n_docs, n_tokens,
+               round(n_tokens / tt, 4) AS token_share,
+               round(coalesce(tgt, 0.0), 4) AS target_share,
+               round(n_tokens / tt - coalesce(tgt, 0.0), 4) AS deviation
+        FROM per CROSS JOIN tot
+        LEFT JOIN w ON per.stratum = w.stratum
     """
 
 
@@ -3455,6 +3494,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "dsir_sample": _dsir_sample_sql(),
         "curriculum_phases": _curriculum_sql(),
         "lsh_index_stats": _lsh_index_stats_sql(),
+        "mixture_report": _mixture_report_sql(),
         "remove_dup_paragraphs": f"""
             WITH injected AS (
                 SELECT doc_id,

@@ -179,6 +179,59 @@ def mixture_sample(
     return mixture_select(base, weights, key_col=key_col)
 
 
+def mixture_report(
+    documents: DataFrame,
+    weights: dict[str, float] = MIXTURE_WEIGHTS,
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Mixture audit table: actual per-stratum document/token counts
+    and token shares against the target weights — the report a mixing
+    pipeline publishes BEFORE sampling (how far off is the raw corpus)
+    and AFTER (did the sample land on target); the deviation column is
+    the number a DoReMi-style weight-tuning loop consumes. Strata
+    absent from ``weights`` audit against target 0 (they'd be dropped).
+
+    Scale shape: ONE map-side-combined groupBy over the corpus reduces
+    to ≤|strata| rows; the total folds back as a 1-row broadcast
+    crossJoin and the weight table is a literal |weights|-row
+    broadcast — the corpus is scanned once and never shuffled.
+
+    Output: (stratum, n_docs, n_tokens, token_share, target_share,
+    deviation), one row per stratum present in the corpus.
+    """
+    from scholar_stream_spark.operators.textops import (  # noqa: PLC0415
+        n_tokens,
+    )
+
+    base = documents.select(
+        F.col(strata_col).alias("stratum"),
+        n_tokens(F.col("text")).alias("nt"),
+    )
+    per = base.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("_tt"))
+    wdf = documents.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        "stratum string, _tgt double",
+    )
+    share = F.col("n_tokens") / F.col("_tt")
+    tgt = F.coalesce(F.col("_tgt"), F.lit(0.0))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(wdf), "stratum", "left")
+        .select(
+            "stratum",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 4).alias("token_share"),
+            F.round(tgt, 4).alias("target_share"),
+            F.round(share - tgt, 4).alias("deviation"),
+        )
+    )
+
+
 def mixture_select(
     base: DataFrame,
     weights: dict[str, float],
