@@ -1490,7 +1490,9 @@ def neardup_clusters(
     )
 
 
-def keep_best_per_cluster(documents: DataFrame) -> DataFrame:
+def keep_best_per_cluster(
+    documents: DataFrame, clusters: DataFrame | None = None
+) -> DataFrame:
     """Cluster-aware survivor selection: for every near-dup cluster
     (``neardup_clusters``), keep the member with the HIGHEST quality
     score (ties → lowest doc_id) — the curation policy that beats
@@ -1506,10 +1508,15 @@ def keep_best_per_cluster(documents: DataFrame) -> DataFrame:
     duplicate population, not the corpus.
 
     Output: (cluster_id, survivor_id, quality_score, cluster_size).
+
+    ``clusters`` lets a caller that ALSO consumes the cluster labels
+    (``dedup_survivor_map``) pass them in precomputed, so the pair
+    pipeline runs once instead of once per consumer.
     """
     from scholar_stream_spark.operators.textops import text_quality
 
-    clusters = neardup_clusters(documents)
+    if clusters is None:
+        clusters = neardup_clusters(documents)
     quality = text_quality(documents).select("doc_id", "quality_score")
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("quality_score"), F.asc("doc_id")
@@ -1539,13 +1546,17 @@ def dedup_survivor_map(documents: DataFrame) -> DataFrame:
     ``keep_best_per_cluster`` survivors on cluster_id — both sides are
     duplicate-population-sized (docs with no near-dup never enter
     either), so the join and the output are dup-sized, not
-    corpus-sized.
+    corpus-sized. The cluster labels are computed ONCE and
+    localCheckpointed (dup-sized) before feeding both consumers —
+    without the cut, the whole pair pipeline (shingle → band → verify
+    → components) runs twice, once inside the survivor selection and
+    once for the map itself.
 
     Output: (doc_id, survivor_id, cluster_id, cluster_size) for
     removed docs only.
     """
-    clusters = neardup_clusters(documents)
-    best = keep_best_per_cluster(documents).select(
+    clusters = neardup_clusters(documents).localCheckpoint(eager=False)
+    best = keep_best_per_cluster(documents, clusters=clusters).select(
         "cluster_id", "survivor_id"
     )
     return (

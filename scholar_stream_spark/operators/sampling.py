@@ -675,8 +675,18 @@ def dsir_sample(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("tc"))
     )
-    crp = _dsir_bucket_rows(corpus, key_col, n_buckets)
-    crp_counts = crp.groupBy("bucket").agg(F.count(F.lit(1)).alias("cc"))
+    # collapse the corpus n-gram stream to (doc, bucket, tf) FIRST: the
+    # corpus-sized explode then feeds BOTH consumers (the bucket LM and
+    # the per-doc scoring) as one much smaller doc-bucket table instead
+    # of being recomputed per consumer — same trick as tf-idf's tf table
+    crp = (
+        _dsir_bucket_rows(corpus, key_col, n_buckets)
+        .groupBy(key_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    crp_counts = crp.groupBy("bucket").agg(
+        F.sum("tf").cast("long").alias("cc")
+    )
     lm = (
         tgt_counts.join(crp_counts, "bucket", "full_outer")
         .select(
@@ -704,8 +714,8 @@ def dsir_sample(
         crp.join(F.broadcast(weights), "bucket")
         .groupBy(key_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
-            F.sum("lw_q").alias("lr_q"),
+            F.sum("tf").cast("long").alias("n_ngrams"),
+            F.sum(F.col("tf") * F.col("lw_q")).alias("lr_q"),
         )
     )
     # corpus-wide per-gram mean LLR from the SAME scored table — exact
