@@ -512,6 +512,8 @@ _DRIVER_FIRST = (
     "dedup_survivor_map",
     "lsh_index_stats",
     "mixture_report",
+    "winnow_fingerprints",
+    "dup_span_coverage",
     "large_orders",
     "funnel_analysis",
 )
@@ -617,6 +619,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window hash; default mode's contract unchanged
         "remove_dup_spans_first": lambda s, d: dedup.remove_duplicate_spans(
             _t(s, d, "documents"), keep="first"
+        ),
+        # corpus-level ExactSubstr coverage card (is span removal worth
+        # running on this corpus?)
+        "dup_span_coverage": lambda s, d: dedup.dup_span_coverage(
+            _t(s, d, "documents")
+        ),
+        # MOSS winnowing fingerprints (guaranteed shared-run detection
+        # at ~2/(w+1) selection density)
+        "winnow_fingerprints": lambda s, d: dedup.winnow_fingerprints(
+            _t(s, d, "documents")
         ),
         # bigram LM scoring — one order deeper than unigram_logprob
         "bigram_logprob": lambda s, d: textops.bigram_logprob(
@@ -1397,6 +1409,63 @@ def _lsh_index_stats_sql() -> str:
                CAST(SUM(c * (c - 1)) / 2 AS BIGINT) AS est_candidate_pairs
         FROM buckets
         GROUP BY band
+    """
+
+
+def _winnow_sql() -> str:
+    """``winnow_fingerprints`` oracle: same k-gram hash (portable 48-bit
+    over the space-joined slice), same window minima, same distinct."""
+    k, w = dedup.WINNOW_K, dedup.WINNOW_WINDOW
+    kgram_hash = hex48_sql(f"array_to_string(ws[i : i + {k} - 1], ' ')")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text),
+                                         '{dedup.SUBSTR_WS_RE}') AS ws
+            FROM documents
+        ),
+        hs AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(ws) - {k} + 2),
+                                  i -> {kgram_hash}) AS hs
+            FROM toks WHERE len(ws) >= {k}
+        ),
+        sel AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(hs) - {w} + 1, 1) + 1),
+                       j -> list_min(hs[j : j + {w} - 1]))) AS fps
+            FROM hs
+        )
+        SELECT doc_id, unnest(fps) AS fingerprint FROM sel
+    """
+
+
+def _dup_span_coverage_sql() -> str:
+    """``dup_span_coverage`` oracle: one rollup over the shared span
+    CTEs plus token totals from the same tokenization."""
+    return f"""
+        WITH {_dup_spans_ctes()},
+        span_agg AS (
+            SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+                       AS n_docs_with_dups,
+                   CAST(coalesce(SUM(span_end - span_start), 0) AS BIGINT)
+                       AS dup_tokens,
+                   count(*) AS n_spans
+            FROM merged
+        ),
+        tok_agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(ws)) AS BIGINT) AS total_tokens
+            FROM toks
+        )
+        SELECT n_docs, n_docs_with_dups, total_tokens, dup_tokens,
+               round(dup_tokens / CAST(total_tokens AS DOUBLE), 4)
+                   AS coverage,
+               round(CASE WHEN n_spans > 0
+                          THEN dup_tokens / CAST(n_spans AS DOUBLE)
+                          ELSE 0.0 END, 4) AS mean_span_tokens
+        FROM tok_agg, span_agg
     """
 
 
@@ -3495,6 +3564,8 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "curriculum_phases": _curriculum_sql(),
         "lsh_index_stats": _lsh_index_stats_sql(),
         "mixture_report": _mixture_report_sql(),
+        "winnow_fingerprints": _winnow_sql(),
+        "dup_span_coverage": _dup_span_coverage_sql(),
         "remove_dup_paragraphs": f"""
             WITH injected AS (
                 SELECT doc_id,

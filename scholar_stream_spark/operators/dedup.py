@@ -1160,6 +1160,108 @@ PARA_SEP = "\n\n"
 PARA_MIN_COUNT = 2
 
 
+#: Winnowing parameters (Schleimer et al., MOSS): k-gram size shared
+#: with the shingle family, and the window over consecutive k-gram
+#: hashes from which one fingerprint is guaranteed to be selected.
+WINNOW_K = SHINGLE_N
+WINNOW_WINDOW = 4
+
+
+def winnow_fingerprints(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    window: int = WINNOW_WINDOW,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    MOSS): hash every word k-gram, slide a ``window`` over consecutive
+    hashes, keep the MINIMUM of each window, dedup — the
+    guarantee-bearing alternative to plain 0 mod p fingerprint
+    sampling: any shared run of ≥ window+k−1 tokens between two
+    documents is GUARANTEED to share at least one fingerprint, while
+    selection density stays ~2/(window+1).
+
+    Spark shape: entirely in-row — the k-gram hash array and the
+    window minima are higher-order ``transform``/``slice``/
+    ``array_min`` expressions inside one WholeStageCodegen projection;
+    only the final per-doc distinct-fingerprint explode leaves the row,
+    and it is selection-sized (~2n/window), not k-gram-sized. Matching
+    docs then reduces to an equi-join on the fingerprint — never
+    pairwise text comparison.
+
+    Output: (doc_id, fingerprint) — the doc's distinct selected
+    hashes; docs shorter than k+window−1 tokens select their global
+    minimum k-gram (the standard short-doc degenerate case).
+    """
+    toks = scale_out(documents).select(
+        "doc_id", F.split(F.trim(F.col("text")), SUBSTR_WS_RE).alias("ws")
+    ).filter(F.size("ws") >= k)
+    kgram = (
+        f"transform(sequence(1, size(ws) - {k} + 1),"
+        f" i -> {hex48_spark_sql(f'array_join(slice(ws, i, {k}), chr(32))')})"
+    )
+    hs = F.expr(kgram)
+    mins = F.expr(
+        f"transform(sequence(1, greatest(size(hs) - {window} + 1, 1)),"
+        f" j -> array_min(slice(hs, j, {window})))"
+    )
+    return (
+        toks.select("doc_id", hs.alias("hs"))
+        .select("doc_id", F.array_distinct(mins).alias("fps"))
+        .select("doc_id", F.explode("fps").alias("fingerprint"))
+    )
+
+
+def dup_span_coverage(
+    documents: DataFrame,
+    window: int = SUBSTR_WINDOW,
+    min_count: int = SUBSTR_MIN_COUNT,
+) -> DataFrame:
+    """Corpus-level ExactSubstr coverage card: what fraction of the
+    corpus' tokens sit inside duplicated spans — THE number that
+    decides whether running span removal is worth its cost on a new
+    corpus (templated web crawls run double-digit percentages, curated
+    corpora near zero), plus how concentrated the duplication is
+    (docs affected, mean span length).
+
+    One extra rollup on the existing span pipeline: spans reduce
+    map-side to one row; token totals come from the same tokenized
+    projection. Output is ONE row — the data-card summary, not a
+    per-doc table (``duplicate_spans`` is the per-doc view).
+
+    Output: (n_docs, n_docs_with_dups, total_tokens, dup_tokens,
+    coverage, mean_span_tokens).
+    """
+    toks = scale_out(documents).select(
+        "doc_id", F.split(F.trim(F.col("text")), SUBSTR_WS_RE).alias("ws")
+    )
+    spans = _spans_from_tokens(toks, window, min_count)
+    span_agg = spans.agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs_with_dups"),
+        F.coalesce(F.sum("span_tokens"), F.lit(0))
+        .cast("long")
+        .alias("dup_tokens"),
+        F.count(F.lit(1)).cast("long").alias("_n_spans"),
+    )
+    tok_agg = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("ws")).cast("long").alias("total_tokens"),
+    )
+    return tok_agg.crossJoin(F.broadcast(span_agg)).select(
+        "n_docs",
+        "n_docs_with_dups",
+        "total_tokens",
+        "dup_tokens",
+        F.round(F.col("dup_tokens") / F.col("total_tokens"), 4).alias(
+            "coverage"
+        ),
+        F.round(
+            F.when(F.col("_n_spans") > 0,
+                   F.col("dup_tokens") / F.col("_n_spans")).otherwise(0.0),
+            4,
+        ).alias("mean_span_tokens"),
+    )
+
+
 def remove_dup_paragraphs(
     documents: DataFrame, min_count: int = PARA_MIN_COUNT
 ) -> DataFrame:

@@ -211,6 +211,49 @@ def test_dsir_deterministic_across_runs(spark):
     assert a == b and len(a) > 0
 
 
+def test_winnowing_guarantee_and_density(spark):
+    """Winnowing's defining property: two docs sharing a run of ≥
+    window+k−1 tokens MUST share a fingerprint; an unrelated doc must
+    not. Selection density must be well under the k-gram count."""
+    shared = " ".join(f"tok{i}" for i in range(12))
+    docs = _mk_docs(
+        spark,
+        [
+            (1, shared + " alpha beta"),
+            (2, "gamma delta " + shared),
+            (3, "entirely different words " * 4),
+        ],
+    )
+    fps = dedup.winnow_fingerprints(docs, k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # density: distinct selections ≤ windows, and ≥ 1 per doc
+    corpus = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    sel = dedup.winnow_fingerprints(corpus)
+    n_sel = sel.count()
+    n_kgrams = corpus.selectExpr(
+        f"sum(greatest(size(split(trim(text), '{dedup.SUBSTR_WS_RE}'))"
+        f" - {dedup.WINNOW_K} + 1, 0)) AS n"
+    ).collect()[0]["n"]
+    assert 0 < n_sel < n_kgrams
+    # expected density ~2/(w+1); allow generous slack both sides
+    assert n_sel / n_kgrams < 2.5 / (dedup.WINNOW_WINDOW + 1) + 0.2
+
+
+def test_dup_span_coverage_consistent_with_spans(spark):
+    """The one-row card must agree with the per-doc span view."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    card = dedup.dup_span_coverage(docs).collect()[0]
+    spans = dedup.duplicate_spans(docs).collect()
+    assert card["dup_tokens"] == sum(r["span_tokens"] for r in spans)
+    assert card["n_docs_with_dups"] == len({r["doc_id"] for r in spans})
+    assert 0.0 <= card["coverage"] <= 1.0
+    assert card["n_docs"] == docs.count()
+
+
 # ----------------------------------------------------- keep="first" spans
 
 
