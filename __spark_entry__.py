@@ -513,6 +513,7 @@ _DRIVER_FIRST = (
     "lsh_index_stats",
     "mixture_report",
     "winnow_fingerprints",
+    "winnow_neardup_pairs",
     "dup_span_coverage",
     "large_orders",
     "funnel_analysis",
@@ -628,6 +629,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MOSS winnowing fingerprints (guaranteed shared-run detection
         # at ~2/(w+1) selection density)
         "winnow_fingerprints": lambda s, d: dedup.winnow_fingerprints(
+            _t(s, d, "documents")
+        ),
+        # MOSS matching step: pairs sharing >= min_shared fingerprints
+        "winnow_neardup_pairs": lambda s, d: dedup.winnow_neardup_pairs(
             _t(s, d, "documents")
         ),
         # bigram LM scoring — one order deeper than unigram_logprob
@@ -3565,6 +3570,16 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "lsh_index_stats": _lsh_index_stats_sql(),
         "mixture_report": _mixture_report_sql(),
         "winnow_fingerprints": _winnow_sql(),
+        "winnow_neardup_pairs": f"""
+            WITH fps AS ({_winnow_sql()})
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM fps a
+            JOIN fps b ON a.fingerprint = b.fingerprint
+                      AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= {dedup.WINNOW_MIN_SHARED}
+        """,
         "dup_span_coverage": _dup_span_coverage_sql(),
         "remove_dup_paragraphs": f"""
             WITH injected AS (
