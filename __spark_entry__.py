@@ -515,6 +515,8 @@ _DRIVER_FIRST = (
     "winnow_fingerprints",
     "winnow_neardup_pairs",
     "dup_span_coverage",
+    "cluster_safe_splits",
+    "split_leakage_report",
     "large_orders",
     "funnel_analysis",
 )
@@ -919,6 +921,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events")
         ),
         "split_assign": lambda s, d: sampling.assign_splits(
+            _t(s, d, "documents")
+        ),
+        # leakage-safe splits: hash on the near-dup cluster id so every
+        # cluster member shares a split (zero cross-split near-dups)
+        "cluster_safe_splits": lambda s, d: sampling.cluster_safe_splits(
+            _t(s, d, "documents")
+        ),
+        # near-dup leakage audit over the default doc-keyed splits
+        "split_leakage_report": lambda s, d: sampling.split_leakage_report(
             _t(s, d, "documents")
         ),
         "pack_docs": lambda s, d: sampling.pack_documents(
@@ -1414,6 +1425,60 @@ def _lsh_index_stats_sql() -> str:
                CAST(SUM(c * (c - 1)) / 2 AS BIGINT) AS est_candidate_pairs
         FROM buckets
         GROUP BY band
+    """
+
+
+def _split_case_sql() -> str:
+    """The SPLIT_BOUNDS bucket→name CASE, shared by the three
+    split-assignment oracles."""
+    return "CASE " + " ".join(
+        f"WHEN bucket >= {lo} AND bucket < {hi} THEN '{name}'"
+        for name, lo, hi in sampling.SPLIT_BOUNDS
+    ) + " END"
+
+
+def _cluster_safe_splits_sql() -> str:
+    """``cluster_safe_splits`` oracle: clusters CTE LEFT-joined to the
+    corpus, split key = coalesce(cluster_id, doc_id), same hash/bounds
+    as ``split_assign``."""
+    return f"""
+        WITH cl AS (SELECT * FROM ({_clusters_sql()})),
+        keyed AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(cl.cluster_id, d.doc_id) AS BIGINT)
+                       AS split_key
+            FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+        ),
+        b AS (
+            SELECT doc_id, split_key,
+                   CAST(({hex48_sql("CAST(split_key AS VARCHAR)")}) % 100
+                        AS BIGINT) AS bucket
+            FROM keyed
+        )
+        SELECT doc_id, split_key, bucket, {_split_case_sql()} AS split
+        FROM b
+    """
+
+
+def _split_leakage_sql() -> str:
+    """``split_leakage_report`` oracle: the ngram-Jaccard pair table
+    joined twice to the default doc-keyed split assignment."""
+    return f"""
+        WITH p AS (SELECT d1, d2 FROM ({_ngram_jaccard_sql()})),
+        s AS (
+            SELECT doc_id, {_split_case_sql()} AS split
+            FROM (SELECT doc_id,
+                         ({hex48_sql("CAST(doc_id AS VARCHAR)")}) % 100
+                             AS bucket
+                  FROM documents)
+        )
+        SELECT least(s1.split, s2.split) AS split_a,
+               greatest(s1.split, s2.split) AS split_b,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM p
+        JOIN s s1 ON p.d1 = s1.doc_id
+        JOIN s s2 ON p.d2 = s2.doc_id
+        GROUP BY 1, 2
     """
 
 
@@ -3570,6 +3635,8 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "lsh_index_stats": _lsh_index_stats_sql(),
         "mixture_report": _mixture_report_sql(),
         "winnow_fingerprints": _winnow_sql(),
+        "cluster_safe_splits": _cluster_safe_splits_sql(),
+        "split_leakage_report": _split_leakage_sql(),
         "winnow_neardup_pairs": f"""
             WITH fps AS ({_winnow_sql()})
             SELECT a.doc_id AS d1, b.doc_id AS d2,

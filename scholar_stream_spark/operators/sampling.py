@@ -59,6 +59,109 @@ def assign_splits(
     )
 
 
+def cluster_safe_splits(
+    documents: DataFrame, bounds: tuple = SPLIT_BOUNDS
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: hash-split on the
+    near-dup CLUSTER id instead of the document id, so every member of
+    a near-dup cluster lands in the SAME split — the fix for the
+    classic eval-contamination bug where doc-keyed splits put two
+    near-copies on opposite sides of the train/test boundary and the
+    model "generalizes" to text it effectively saw. Docs with no
+    near-dup keep their own id as the split key (identical to
+    ``assign_splits`` for them, so turning this on doesn't reshuffle
+    the non-duplicated corpus).
+
+    Composition: ``neardup_clusters`` labels (duplicate-population-
+    sized) LEFT-join the corpus on doc_id; the split key is
+    ``coalesce(cluster_id, doc_id)`` through the same portable-hash
+    bucket machinery as every split/sample operator. By construction,
+    every near-dup pair above the cluster threshold is intra-cluster,
+    hence intra-split — ``split_leakage_report`` over this assignment
+    is provably empty (pytest-pinned).
+
+    Output: (doc_id, split_key, bucket, split).
+    """
+    from scholar_stream_spark.operators.dedup import (  # noqa: PLC0415
+        neardup_clusters,
+    )
+
+    labels = neardup_clusters(documents).select("doc_id", "cluster_id")
+    keyed = documents.select("doc_id").join(labels, "doc_id", "left")
+    key = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    split = None
+    for name, lo, hi in bounds:
+        cond = (F.col("bucket") >= lo) & (F.col("bucket") < hi)
+        split = (
+            F.when(cond, F.lit(name))
+            if split is None
+            else split.when(cond, F.lit(name))
+        )
+    return (
+        keyed.select(
+            "doc_id",
+            key.cast("long").alias("split_key"),
+        )
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"{hex48_spark_sql('CAST(split_key AS STRING)')} % 100"
+            ).cast("long"),
+        )
+        .withColumn("split", split)
+    )
+
+
+def split_leakage_report(
+    documents: DataFrame, splits: DataFrame | None = None
+) -> DataFrame:
+    """Cross-split near-dup leakage audit: how many near-dup pairs
+    straddle a split boundary — the number that tells you whether the
+    held-out set is actually held out (a doc-keyed hash split leaks
+    every near-dup pair whose members hash apart; each leaked pair is
+    eval data the model trained on). Run it BEFORE trusting any eval
+    on a freshly split corpus; ``cluster_safe_splits`` is the fix and
+    reports zero here by construction.
+
+    Composition: the near-dup pair table (rare-by-construction)
+    joins the (doc_id, split) assignment twice — both joins are
+    pair-table-sized — and rolls up to a |split-pairs|-row report.
+
+    Output: (split_a, split_b, n_pairs), split names ordered within
+    each row, cross-split rows are the leakage.
+    """
+    from scholar_stream_spark.operators.dedup import (  # noqa: PLC0415
+        ngram_jaccard_pairs,
+    )
+
+    if splits is None:
+        splits = assign_splits(documents)
+    s = splits.select("doc_id", "split")
+    pairs = ngram_jaccard_pairs(documents).select("d1", "d2")
+    j = (
+        pairs.join(
+            s.withColumnRenamed("doc_id", "d1").withColumnRenamed(
+                "split", "_s1"
+            ),
+            "d1",
+        )
+        .join(
+            s.withColumnRenamed("doc_id", "d2").withColumnRenamed(
+                "split", "_s2"
+            ),
+            "d2",
+        )
+    )
+    return (
+        j.select(
+            F.least("_s1", "_s2").alias("split_a"),
+            F.greatest("_s1", "_s2").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
 #: Uniform-sample denominator: hash buckets for fraction sampling.
 SAMPLE_DENOM = 1_000_000
 

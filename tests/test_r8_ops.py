@@ -351,6 +351,28 @@ def test_embedding_data_card_total_row_consistent(spark):
                for r in rows.values())
 
 
+def test_cluster_safe_splits_have_zero_neardup_leakage(spark):
+    """The defining property: over cluster-keyed splits, NO near-dup
+    pair crosses a split boundary (every pair is intra-cluster, hence
+    intra-split) — while the default doc-keyed assignment on the same
+    corpus is allowed to leak."""
+    from scholar_stream_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    safe = sampling.cluster_safe_splits(docs)
+    report = sampling.split_leakage_report(docs, splits=safe).collect()
+    cross = [r for r in report if r["split_a"] != r["split_b"]]
+    assert cross == [], cross
+    # non-clustered docs keep their doc-keyed assignment
+    base = {r["doc_id"]: r["split"] for r in sampling.assign_splits(docs).collect()}
+    from scholar_stream_spark.operators import dedup as dd
+
+    clustered = {r["doc_id"] for r in dd.neardup_clusters(docs).collect()}
+    for r in safe.collect():
+        if r["doc_id"] not in clustered:
+            assert r["split"] == base[r["doc_id"]]
+
+
 # ------------------------------------------------------------- scrub_pii
 
 
