@@ -517,6 +517,7 @@ _DRIVER_FIRST = (
     "dup_span_coverage",
     "cluster_safe_splits",
     "split_leakage_report",
+    "event_transitions",
     "large_orders",
     "funnel_analysis",
 )
@@ -851,6 +852,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ordered funnel conversion (view -> click -> purchase)
         "funnel_analysis": lambda s, d: relational.funnel_analysis(
+            _t(s, d, "events")
+        ),
+        # first-order Markov transition matrix over user event streams
+        "event_transitions": lambda s, d: relational.event_transitions(
             _t(s, d, "events")
         ),
         # weekly retention cohorts (first-event week × activity week)
@@ -3637,6 +3642,26 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "winnow_fingerprints": _winnow_sql(),
         "cluster_safe_splits": _cluster_safe_splits_sql(),
         "split_leakage_report": _split_leakage_sql(),
+        "event_transitions": """
+            WITH pairs AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS to_type
+                FROM events
+            ),
+            counts AS (
+                SELECT from_type, to_type,
+                       CAST(count(*) AS BIGINT) AS n_transitions
+                FROM pairs WHERE to_type IS NOT NULL
+                GROUP BY from_type, to_type
+            )
+            SELECT from_type, to_type, n_transitions,
+                   round(n_transitions / CAST(SUM(n_transitions) OVER (
+                       PARTITION BY from_type) AS DOUBLE), 4)
+                       AS p_transition
+            FROM counts
+        """,
         "winnow_neardup_pairs": f"""
             WITH fps AS ({_winnow_sql()})
             SELECT a.doc_id AS d1, b.doc_id AS d2,

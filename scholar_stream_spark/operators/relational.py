@@ -1184,6 +1184,43 @@ def brand_revenue_bands(
     )
 
 
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov view
+    of the event stream): for every consecutive (event, next event)
+    pair within a user's timeline, the transition count and the
+    conditional probability P(to | from) — the table behind "what do
+    users do after X" product questions and behavioral anomaly
+    baselines (an improbable transition spike is a bot signature).
+
+    Scale shape: ONE user-keyed window (``lead`` over the user's
+    time-ordered events — the sessionize exchange, nothing new), then
+    a map-side-combined (from, to) count whose result is
+    |type-pairs|-sized; the conditional denominator is a window over
+    THAT tiny table. Ordering ties on ts break by event_id (a total
+    order), so the matrix is partition- and engine-stable.
+
+    Output: (from_type, to_type, n_transitions, p_transition).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(w_from), 4
+        ).alias("p_transition"),
+    )
+
+
 #: Outlier threshold in standard deviations for detect_outliers.
 OUTLIER_Z_THRESHOLD = 3.0
 
