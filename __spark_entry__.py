@@ -518,6 +518,7 @@ _DRIVER_FIRST = (
     "cluster_safe_splits",
     "split_leakage_report",
     "event_transitions",
+    "bloom_join_revenue",
     "large_orders",
     "funnel_analysis",
 )
@@ -857,6 +858,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first-order Markov transition matrix over user event streams
         "event_transitions": lambda s, d: relational.event_transitions(
             _t(s, d, "events")
+        ),
+        # Bloom semi-join reduction on a fact⋈fact join (oracle = the
+        # plain join: the driver check proves result-transparency)
+        "bloom_join_revenue": lambda s, d: relational.bloom_join_revenue(
+            _t(s, d, "lineitem"), _t(s, d, "orders")
         ),
         # weekly retention cohorts (first-event week × activity week)
         "retention_cohorts": lambda s, d: relational.retention_cohorts(
@@ -3642,6 +3648,18 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "winnow_fingerprints": _winnow_sql(),
         "cluster_safe_splits": _cluster_safe_splits_sql(),
         "split_leakage_report": _split_leakage_sql(),
+        "bloom_join_revenue": f"""
+            SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                              AS DOUBLE), 4) AS revenue
+            FROM orders
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '{relational.BLOOM_JOIN_PRIORITY}'
+              AND o_orderdate >= TIMESTAMP '{relational.BLOOM_JOIN_START}'
+              AND o_orderdate < TIMESTAMP '{relational.BLOOM_JOIN_END}'
+        """,
         "event_transitions": """
             WITH pairs AS (
                 SELECT event_type AS from_type,

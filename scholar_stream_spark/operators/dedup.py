@@ -2030,6 +2030,68 @@ def _write_fingerprint_layout(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
+def bloom_key_filter(
+    keys: DataFrame, key_col: str, n_bits: int, n_hashes: int
+) -> str:
+    """A key set's Bloom filter as ONE comma-joined decimal string of
+    32-bit words (``n_bits/32`` numbers) for plan-literal embedding —
+    the runtime-filter shape: built in one narrow no-shuffle job (the
+    k bit positions per key stream straight to the driver, which ORs
+    them into the word array) and shipped to executors inside the plan
+    as a single string literal, the same way engines ship semi-join
+    reduction filters to scans. The probe splits it into a word array
+    ONCE via constant folding (see ``bloom_prefilter``). The collect
+    is k×|keys| longs — bounded by the SELECTIVE side's size, which is
+    the precondition for semi-join reduction being worth it at all."""
+    words = [0] * (n_bits // 32)
+    for row in keys.select(
+        F.explode(_bloom_positions(key_col, n_bits, n_hashes)).alias("p")
+    ).collect():
+        p = row["p"]
+        words[p // 32] |= 1 << (p % 32)
+    return ",".join(str(w) for w in words)
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    key_col: str,
+    word_filter: str,
+    n_bits: int,
+    n_hashes: int,
+) -> DataFrame:
+    """Row-local Bloom membership pre-filter: keep only rows whose
+    ``key_col`` MIGHT be in the key set ``word_filter`` encodes — the
+    semi-join reduction that cuts a fact table down BEFORE its shuffle
+    join when the other side is selective (Spark's own runtime row
+    filtering covers some of these shapes; this is the explicit,
+    always-available form). No join, no exchange; false positives
+    simply ride through to the real join, which drops them, so the
+    reduction is RESULT-TRANSPARENT (the oracle for any query using it
+    is the plain join).
+
+    Plan mechanics, each alternative MEASURED before settling here:
+    ``split('<w0,w1,...>', ',')`` over the inline literal is
+    deterministic, so Catalyst CONSTANT-FOLDS it to an array ONCE at
+    optimization time; the per-row probe is then k× {xxhash64, O(1)
+    ``element_at``, int cast, bit test}. Rejected: a projected literal
+    column (materializes the multi-KB string into every row's unsafe
+    buffer — GBs of memcpy, minutes instead of sub-second), ``substr``
+    over one long literal (UTF8String substring is O(offset) — ~250 µs
+    per row at 32 KB), and a python-list array literal (seconds of
+    per-element py4j plan construction). 32-bit words keep every
+    number inside a plain BIGINT cast."""
+    words_arr = f"split('{word_filter}', ',')"
+    positions = (
+        f"transform(sequence(0, {n_hashes - 1}),"
+        f" i -> pmod(xxhash64({key_col}, i), CAST({n_bits} AS BIGINT)))"
+    )
+    miss = (
+        f"(CAST(element_at({words_arr}, CAST(p div 32 AS INT) + 1)"
+        f" AS BIGINT) & shiftleft(1L, CAST(p % 32 AS INT))) = 0"
+    )
+    return df.filter(F.expr(f"NOT exists({positions}, p -> {miss})"))
+
+
 def write_fingerprint_index(
     corpus_docs: DataFrame, path: str, fpp: float = BLOOM_FPP
 ) -> None:

@@ -1184,6 +1184,77 @@ def brand_revenue_bands(
     )
 
 
+#: Bloom semi-join-reduction demo parameters: the selective order
+#: predicate and a fixed filter geometry (2^17 bits / 5 hashes — a
+#: 32 KB inline hex literal, inside the codegen string-constant cap
+#: documented on ``bloom_prefilter``; size to the expected key count
+#: at deployment).
+BLOOM_JOIN_PRIORITY = "1-URGENT"
+BLOOM_JOIN_START = "1997-01-01 00:00:00"
+BLOOM_JOIN_END = "1998-01-01 00:00:00"
+BLOOM_JOIN_BITS = 1 << 17
+BLOOM_JOIN_HASHES = 5
+
+
+def bloom_join_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    priority: str = BLOOM_JOIN_PRIORITY,
+    start: str = BLOOM_JOIN_START,
+    end: str = BLOOM_JOIN_END,
+) -> DataFrame:
+    """Fact⋈fact join with Bloom semi-join reduction: revenue of the
+    line items belonging to one selective slice of orders (priority ×
+    year). The selective side's keys fold into a plan-literal Bloom
+    filter that pre-filters the LINEITEM SCAN — so the big fact table
+    sheds ~97% of its rows BEFORE the shuffle join instead of after,
+    which at 100 TB is the difference between shuffling the whole
+    lineitem table and shuffling the slice that can possibly match.
+    False positives ride through to the real equi-join and drop there:
+    the reduction is result-transparent, and the oracle is the PLAIN
+    join — the driver check itself proves transparency.
+
+    (Spark's runtime row-level filtering automates some of this shape;
+    the explicit form works on every join and makes the geometry a
+    deployment knob.)
+
+    Output: one row (n_orders, n_items, revenue).
+    """
+    from scholar_stream_spark.operators.dedup import (  # noqa: PLC0415
+        bloom_key_filter,
+        bloom_prefilter,
+    )
+
+    cut0 = F.to_timestamp(F.lit(start))
+    cut1 = F.to_timestamp(F.lit(end))
+    sel = orders.filter(
+        (F.col("o_orderpriority") == priority)
+        & (F.col("o_orderdate") >= cut0)
+        & (F.col("o_orderdate") < cut1)
+    ).select("o_orderkey")
+    word_filter = bloom_key_filter(
+        sel, "o_orderkey", BLOOM_JOIN_BITS, BLOOM_JOIN_HASHES
+    )
+    li = bloom_prefilter(
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        "l_orderkey",
+        word_filter,
+        BLOOM_JOIN_BITS,
+        BLOOM_JOIN_HASHES,
+    )
+    return li.join(sel, li.l_orderkey == sel.o_orderkey).agg(
+        F.count_distinct("o_orderkey").cast("long").alias("n_orders"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+            ),
+            4,
+        ).alias("revenue"),
+    )
+
+
 def event_transitions(events: DataFrame) -> DataFrame:
     """Per-user event-type transition matrix (first-order Markov view
     of the event stream): for every consecutive (event, next event)

@@ -178,6 +178,39 @@ def _mk_docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def test_bloom_prefilter_reduces_without_losing_matches(spark):
+    """The semi-join reduction must (a) keep EVERY row whose key is in
+    the selective set, (b) shed most non-matching rows, (c) contain no
+    join/exchange in the prefilter itself (pure codegen filter)."""
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    sel = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    keys = {r["o_orderkey"] for r in sel.collect()}
+    n_bits, n_hashes = 1 << 16, 5
+    word_filter = dedup.bloom_key_filter(sel, "o_orderkey", n_bits, n_hashes)
+    assert len(word_filter.split(",")) == n_bits // 32
+    filtered = dedup.bloom_prefilter(
+        li.select("l_orderkey"), "l_orderkey", word_filter, n_bits, n_hashes
+    )
+    kept = [r["l_orderkey"] for r in filtered.collect()]
+    truth = [
+        r["l_orderkey"]
+        for r in li.select("l_orderkey").collect()
+        if r["l_orderkey"] in keys
+    ]
+    # zero false negatives: every true match survives the prefilter
+    assert set(truth) <= set(kept)
+    # real reduction: the kept set is much closer to the truth than to
+    # the full table
+    n_full = li.count()
+    assert len(kept) < n_full * 0.6
+    assert len(kept) >= len(truth)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan
+
+
 def test_dsir_upweights_target_like_docs(spark):
     """On a corpus with two disjoint vocabularies and a target drawn
     from one of them, every target-vocabulary doc must score a higher
