@@ -1180,13 +1180,18 @@ def winnow_fingerprints(
     documents is GUARANTEED to share at least one fingerprint, while
     selection density stays ~2/(window+1).
 
-    Spark shape: entirely in-row — the k-gram hash array and the
-    window minima are higher-order ``transform``/``slice``/
-    ``array_min`` expressions inside one WholeStageCodegen projection;
-    only the final per-doc distinct-fingerprint explode leaves the row,
-    and it is selection-sized (~2n/window), not k-gram-sized. Matching
-    docs then reduces to an equi-join on the fingerprint — never
-    pairwise text comparison.
+    Spark shape: the k-gram hashes posexplode to (doc, pos, h) rows
+    and the window minima come from ONE doc-keyed sliding ``min``
+    window (ROWS frame of ``window``) — each hash is computed exactly
+    once and the only exchange is the doc-keyed window shuffle.
+
+    The obvious "stay in-row" alternative (a ``transform`` of
+    ``array_min(slice(hs, j, w))`` over a projected ``hs`` array) is a
+    measured trap: expressions referenced inside higher-order lambdas
+    get INLINED by CollapseProject and re-evaluated per lambda
+    element, so the whole md5 k-gram array is rebuilt once per window
+    — O(n²) hashing that turned a 2 s corpus pass into 200 s. The
+    window form pays one shuffle to hash each k-gram once.
 
     Output: (doc_id, fingerprint) — the doc's distinct selected
     hashes; docs shorter than k+window−1 tokens select their global
@@ -1199,15 +1204,23 @@ def winnow_fingerprints(
         f"transform(sequence(1, size(ws) - {k} + 1),"
         f" i -> {hex48_spark_sql(f'array_join(slice(ws, i, {k}), chr(32))')})"
     )
-    hs = F.expr(kgram)
-    mins = F.expr(
-        f"transform(sequence(1, greatest(size(hs) - {window} + 1, 1)),"
-        f" j -> array_min(slice(hs, j, {window})))"
+    rows = toks.select(
+        "doc_id", F.posexplode(F.expr(kgram)).alias("pos", "h")
     )
+    w_slide = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    )
+    w_doc = Window.partitionBy("doc_id")
     return (
-        toks.select("doc_id", hs.alias("hs"))
-        .select("doc_id", F.array_distinct(mins).alias("fps"))
-        .select("doc_id", F.explode("fps").alias("fingerprint"))
+        rows.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(w_slide).alias("m"),
+            F.count(F.lit(1)).over(w_doc).alias("n"),
+        )
+        .filter(F.col("pos") <= F.greatest(F.col("n") - window, F.lit(0)))
+        .select("doc_id", F.col("m").alias("fingerprint"))
+        .distinct()
     )
 
 
