@@ -195,6 +195,26 @@ def _q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _para_injected(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-paragraph injection shared by the two
+    paragraph-dedup entries (the synthetic corpus is single-line): a
+    repeated newsletter paragraph everywhere, a second repeated one on
+    even doc_ids. The oracle builds the byte-identical text in SQL."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60),
+            F.lit("\n\nSubscribe to our newsletter for updates."),
+            F.when(
+                (F.col("doc_id") % 2) == 0,
+                F.lit("\n\nFollow Us On Social Media."),
+            ).otherwise(F.lit("")),
+            F.lit("\n\n"),
+            F.expr("substring(text, 61)"),
+        ).alias("text"),
+    )
+
+
 def _pii_injected_text() -> "F.Column":
     """Deterministic PII injection for the ``scrub_pii`` entry: one
     email, one long digit run, one separator-phone, one IPv4, one
@@ -519,6 +539,7 @@ _DRIVER_FIRST = (
     "split_leakage_report",
     "event_transitions",
     "bloom_join_revenue",
+    "remove_dup_paragraphs_first",
     "large_orders",
     "funnel_analysis",
 )
@@ -1089,18 +1110,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the normalization) around the real text; the oracle injects
         # the identical strings (the clean_lines/scrub_pii idiom)
         "remove_dup_paragraphs": lambda s, d: dedup.remove_dup_paragraphs(
-            _t(s, d, "documents").select(
-                "doc_id",
-                F.concat(
-                    F.substring("text", 1, 60),
-                    F.lit("\n\nSubscribe to our newsletter for updates."),
-                    F.when(
-                        (F.col("doc_id") % 2) == 0,
-                        F.lit("\n\nFollow Us On Social Media."),
-                    ).otherwise(F.lit("")),
-                    F.lit("\n\n"),
-                    F.expr("substring(text, 61)"),
-                ).alias("text"),
+            _para_injected(_t(s, d, "documents"))
+        ),
+        # keep-one-occurrence paragraph policy (content-dup mode, vs
+        # the default drop-all boilerplate mode) — survivor = lowest
+        # (doc_id, pos) per paragraph key
+        "remove_dup_paragraphs_first": lambda s, d: (
+            dedup.remove_dup_paragraphs(
+                _para_injected(_t(s, d, "documents")), keep="first"
             )
         ),
     }
@@ -1248,6 +1265,82 @@ JOIN sizes s1 ON s1.doc_id = i.d1
 JOIN sizes s2 ON s2.doc_id = i.d2
 WHERE i.n_inter / (s1.n_sh + s2.n_sh - i.n_inter) >= {threshold}
 """
+
+
+def _remove_dup_paragraphs_sql(keep: str = "none") -> str:
+    """``remove_dup_paragraphs`` oracle (keep="none" drops every
+    occurrence; keep="first" exempts the corpus-lowest (doc_id, pos)
+    survivor per paragraph key via ``row_number()=1`` — mirroring the
+    Spark side's ``min(struct(doc_id, pos))``)."""
+    survivor_filter = " AND rn > 1" if keep == "first" else ""
+    return f"""
+            WITH injected AS (
+                SELECT doc_id,
+                       substr(text, 1, 60)
+                       || chr(10) || chr(10)
+                       || 'Subscribe to our newsletter for updates.'
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN chr(10) || chr(10)
+                                    || 'Follow Us On Social Media.'
+                               ELSE '' END
+                       || chr(10) || chr(10) || substr(text, 61) AS text
+                FROM documents
+            ),
+            sp AS (
+                SELECT doc_id,
+                       string_split(text, chr(10) || chr(10)) AS ps
+                FROM injected
+            ),
+            pk AS (
+                -- normalize with the explicit whitespace class (incl.
+                -- \\x0b) so the paragraph key matches Spark's Java-\\s
+                -- normalize_text byte-for-byte (the dup_spans fix)
+                SELECT doc_id, u.i - 1 AS pos, ps[u.i] AS para,
+                       md5(trim(regexp_replace(lower(ps[u.i]),
+                                               '{dedup.SUBSTR_WS_RE}', ' ',
+                                               'g'))) AS pkey
+                FROM sp, unnest(generate_series(1, len(ps))) AS u(i)
+                WHERE trim(ps[u.i]) <> ''
+            ),
+            dupw AS (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY pkey) AS c,
+                       row_number() OVER (PARTITION BY pkey
+                                          ORDER BY doc_id, pos) AS rn
+                FROM pk
+            ),
+            drops AS (
+                SELECT doc_id, pos FROM dupw
+                WHERE c >= {dedup.PARA_MIN_COUNT}{survivor_filter}
+            ),
+            kept AS (
+                SELECT doc_id,
+                       array_to_string(list(para ORDER BY pos),
+                                       chr(10) || chr(10)) AS clean_text,
+                       count(*) AS n_kept
+                FROM pk
+                WHERE NOT EXISTS (SELECT 1 FROM drops
+                                  WHERE drops.doc_id = pk.doc_id
+                                    AND drops.pos = pk.pos)
+                GROUP BY doc_id
+            ),
+            tot AS (
+                -- totals straight off the (injected) document rows, NOT
+                -- off pk: a doc with zero non-blank paragraphs must
+                -- still emit a (doc_id, '', 0, 0) row, matching the
+                -- operator's totals-from-documents shape
+                SELECT doc_id,
+                       CAST(len(list_filter(ps, p -> trim(p) <> ''))
+                            AS BIGINT) AS n_paragraphs
+                FROM sp
+            )
+            SELECT tot.doc_id,
+                   coalesce(kept.clean_text, '') AS clean_text,
+                   tot.n_paragraphs,
+                   CAST(tot.n_paragraphs - coalesce(kept.n_kept, 0)
+                        AS BIGINT) AS n_removed_paragraphs
+            FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
+    """
 
 
 def _scrub_pii_sql() -> str:
@@ -3691,66 +3784,8 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             HAVING count(*) >= {dedup.WINNOW_MIN_SHARED}
         """,
         "dup_span_coverage": _dup_span_coverage_sql(),
-        "remove_dup_paragraphs": f"""
-            WITH injected AS (
-                SELECT doc_id,
-                       substr(text, 1, 60)
-                       || chr(10) || chr(10)
-                       || 'Subscribe to our newsletter for updates.'
-                       || CASE WHEN doc_id % 2 = 0
-                               THEN chr(10) || chr(10)
-                                    || 'Follow Us On Social Media.'
-                               ELSE '' END
-                       || chr(10) || chr(10) || substr(text, 61) AS text
-                FROM documents
-            ),
-            sp AS (
-                SELECT doc_id,
-                       string_split(text, chr(10) || chr(10)) AS ps
-                FROM injected
-            ),
-            pk AS (
-                -- normalize with the explicit whitespace class (incl.
-                -- \\x0b) so the paragraph key matches Spark's Java-\\s
-                -- normalize_text byte-for-byte (the dup_spans fix)
-                SELECT doc_id, u.i - 1 AS pos, ps[u.i] AS para,
-                       md5(trim(regexp_replace(lower(ps[u.i]),
-                                               '{dedup.SUBSTR_WS_RE}', ' ',
-                                               'g'))) AS pkey
-                FROM sp, unnest(generate_series(1, len(ps))) AS u(i)
-                WHERE trim(ps[u.i]) <> ''
-            ),
-            dup AS (
-                SELECT pkey FROM pk GROUP BY pkey
-                HAVING count(*) >= {dedup.PARA_MIN_COUNT}
-            ),
-            kept AS (
-                SELECT doc_id,
-                       array_to_string(list(para ORDER BY pos),
-                                       chr(10) || chr(10)) AS clean_text,
-                       count(*) AS n_kept
-                FROM pk
-                WHERE NOT EXISTS (SELECT 1 FROM dup
-                                  WHERE dup.pkey = pk.pkey)
-                GROUP BY doc_id
-            ),
-            tot AS (
-                -- totals straight off the (injected) document rows, NOT
-                -- off pk: a doc with zero non-blank paragraphs must
-                -- still emit a (doc_id, '', 0, 0) row, matching the
-                -- operator's totals-from-documents shape
-                SELECT doc_id,
-                       CAST(len(list_filter(ps, p -> trim(p) <> ''))
-                            AS BIGINT) AS n_paragraphs
-                FROM sp
-            )
-            SELECT tot.doc_id,
-                   coalesce(kept.clean_text, '') AS clean_text,
-                   tot.n_paragraphs,
-                   CAST(tot.n_paragraphs - coalesce(kept.n_kept, 0)
-                        AS BIGINT) AS n_removed_paragraphs
-            FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
-        """,
+        "remove_dup_paragraphs": _remove_dup_paragraphs_sql(),
+        "remove_dup_paragraphs_first": _remove_dup_paragraphs_sql("first"),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
         "minhash_estimate": _minhash_estimate_sql(),

@@ -1321,7 +1321,9 @@ def dup_span_coverage(
 
 
 def remove_dup_paragraphs(
-    documents: DataFrame, min_count: int = PARA_MIN_COUNT
+    documents: DataFrame,
+    min_count: int = PARA_MIN_COUNT,
+    keep: str = "none",
 ) -> DataFrame:
     """Drop every paragraph whose NORMALIZED form (lowercase, collapsed
     whitespace) occurs ≥ ``min_count`` times anywhere in the corpus —
@@ -1329,6 +1331,15 @@ def remove_dup_paragraphs(
     between document fingerprints (miss embedded boilerplate) and
     ExactSubstr token windows (heavier): cookie banners, nav footers,
     and license blocks repeat verbatim as whole paragraphs.
+
+    ``keep="none"`` (default, the Dolma/C4 boilerplate policy and the
+    engine's historical contract) drops EVERY occurrence — right for
+    banners that are noise wherever they appear. ``keep="first"``
+    exempts one survivor occurrence per paragraph key (the corpus-wide
+    lowest (doc_id, pos), the spans ``keep="first"`` idiom) — right
+    when repeated paragraphs are CONTENT duplicated across near-copy
+    docs rather than boilerplate. The survivor rides the same count
+    aggregate as a ``min(struct(...))``, no extra pass.
 
     Spark shape, corpus-linear throughout: split + posexplode to
     paragraph rows (few per doc — unlike token explode this is cheap),
@@ -1354,14 +1365,33 @@ def remove_dup_paragraphs(
         .filter(F.trim(F.col("para")) != "")
         .withColumn("pkey", F.md5(normalize_text(F.col("para"))))
     )
+    if keep not in ("none", "first"):
+        raise ValueError(f"unknown keep: {keep!r}")
     dup = (
         paras.groupBy("pkey")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct("doc_id", "pos")).alias("surv"),
+        )
         .filter(F.col("c") >= min_count)
-        .select("pkey")
+        .select("pkey", "surv")
     )
+    if keep == "first":
+        # drop only NON-survivor occurrences: anti-join on the full
+        # (pkey, doc_id, pos) identity instead of the bare pkey
+        hits = paras.join(dup, "pkey").filter(
+            ~(
+                (F.col("doc_id") == F.col("surv.doc_id"))
+                & (F.col("pos") == F.col("surv.pos"))
+            )
+        ).select("pkey", "doc_id", "pos")
+        kept_paras = paras.join(
+            hits, ["pkey", "doc_id", "pos"], "left_anti"
+        )
+    else:
+        kept_paras = paras.join(dup.select("pkey"), "pkey", "left_anti")
     cleaned = (
-        paras.join(dup, "pkey", "left_anti")
+        kept_paras
         .groupBy("doc_id")
         .agg(
             F.concat_ws(

@@ -336,6 +336,37 @@ def test_keep_first_spans_subset_of_all(spark):
         ), r
 
 
+def test_paragraphs_keep_first_retains_one_occurrence(spark):
+    """keep='first' must leave exactly ONE copy of a corpus-repeated
+    paragraph — in the lowest (doc_id, pos) position — while the
+    default mode removes all copies."""
+    boiler = "Subscribe to our newsletter today."
+    docs = _mk_docs(
+        spark,
+        [
+            (1, f"alpha body\n\n{boiler}\n\ntail one"),
+            (2, f"{boiler}\n\nbeta body"),
+            (3, "gamma body only"),
+        ],
+    )
+    drop_all = {
+        r["doc_id"]: r for r in dedup.remove_dup_paragraphs(docs).collect()
+    }
+    keep_first = {
+        r["doc_id"]: r
+        for r in dedup.remove_dup_paragraphs(docs, keep="first").collect()
+    }
+    assert boiler not in drop_all[1]["clean_text"]
+    assert boiler not in drop_all[2]["clean_text"]
+    # survivor = lowest (doc_id, pos): doc 1 holds it at pos 1 vs doc
+    # 2 pos 0 — struct ordering is doc_id-major, so doc 1 wins
+    assert boiler in keep_first[1]["clean_text"]
+    assert boiler not in keep_first[2]["clean_text"]
+    assert keep_first[3]["n_removed_paragraphs"] == 0
+    with pytest.raises(ValueError, match="keep"):
+        dedup.remove_dup_paragraphs(docs, keep="last")
+
+
 def test_spans_keep_rejects_unknown_mode(spark):
     docs = _mk_docs(spark, [(1, "a b c")])
     with pytest.raises(ValueError, match="keep"):
