@@ -540,6 +540,8 @@ _DRIVER_FIRST = (
     "event_transitions",
     "bloom_join_revenue",
     "remove_dup_paragraphs_first",
+    "event_rate_anomalies",
+    "value_equidepth_bins",
     "large_orders",
     "funnel_analysis",
 )
@@ -884,6 +886,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plain join: the driver check proves result-transparency)
         "bloom_join_revenue": lambda s, d: relational.bloom_join_revenue(
             _t(s, d, "lineitem"), _t(s, d, "orders")
+        ),
+        # per-(type, hour) volume-spike screen (integer-exact moments)
+        "event_rate_anomalies": lambda s, d: relational.event_rate_anomalies(
+            _t(s, d, "events")
+        ),
+        # equal-count histogram (quantile bin edges, no global sort)
+        "value_equidepth_bins": lambda s, d: relational.value_equidepth_bins(
+            _t(s, d, "events")
         ),
         # weekly retention cohorts (first-event week × activity week)
         "retention_cohorts": lambda s, d: relational.retention_cohorts(
@@ -1697,6 +1707,33 @@ def _embedding_card_sql() -> str:
         SELECT label, {aggs} FROM base GROUP BY label
         UNION ALL
         SELECT 'TOTAL' AS label, {aggs} FROM base
+    """
+
+
+def _equidepth_sql() -> str:
+    """``value_equidepth_bins`` oracle: quantile_cont boundaries over
+    the 1e-6-quantized value at the SAME fractional literals, same
+    bin-by-comparison assignment."""
+    n = relational.EQUIDEPTH_BINS
+    bound_sel = ", ".join(
+        f"quantile_cont(vq, {i / n!r}) AS b{i}" for i in range(1, n)
+    )
+    bin_expr = "1 + " + " + ".join(
+        f"(CASE WHEN vq > b{i} THEN 1 ELSE 0 END)" for i in range(1, n)
+    )
+    return f"""
+        WITH q AS (
+            SELECT value,
+                   CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq
+            FROM events
+        ),
+        b AS (SELECT {bound_sel} FROM q)
+        SELECT CAST({bin_expr} AS INTEGER) AS bin,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(MIN(value), 4) AS lo,
+               round(MAX(value), 4) AS hi
+        FROM q, b
+        GROUP BY 1
     """
 
 
@@ -3741,6 +3778,34 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "winnow_fingerprints": _winnow_sql(),
         "cluster_safe_splits": _cluster_safe_splits_sql(),
         "split_leakage_report": _split_leakage_sql(),
+        "event_rate_anomalies": f"""
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY event_type, date_trunc('hour', ts)
+            ),
+            m AS (
+                SELECT event_type, count(*) AS n,
+                       SUM(n_events) AS s1,
+                       SUM(n_events * n_events) AS s2
+                FROM hourly GROUP BY event_type
+            ),
+            st AS (
+                SELECT event_type,
+                       s1 / CAST(n AS DOUBLE) AS mu,
+                       sqrt(greatest(s2 / CAST(n AS DOUBLE)
+                            - (s1 / CAST(n AS DOUBLE))
+                              * (s1 / CAST(n AS DOUBLE)), 0.0)) AS sigma
+                FROM m
+            )
+            SELECT h.event_type, h.hour, h.n_events,
+                   round((h.n_events - st.mu) / st.sigma, 4) AS z_score
+            FROM hourly h JOIN st ON h.event_type = st.event_type
+            WHERE st.sigma > 0
+              AND abs(round((h.n_events - st.mu) / st.sigma, 4))
+                  > {relational.RATE_Z_THRESHOLD}
+        """,
+        "value_equidepth_bins": _equidepth_sql(),
         "bloom_join_revenue": f"""
             SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
                    CAST(count(*) AS BIGINT) AS n_items,

@@ -1184,6 +1184,104 @@ def brand_revenue_bands(
     )
 
 
+#: Rate-anomaly screen: z threshold on per-(type, hour) event counts.
+RATE_Z_THRESHOLD = 2.0
+
+
+def event_rate_anomalies(
+    events: DataFrame, z_threshold: float = RATE_Z_THRESHOLD
+) -> DataFrame:
+    """Traffic-spike/drop detection: flag (event_type, hour) buckets
+    whose event COUNT sits more than ``z_threshold`` standard
+    deviations from that type's hourly mean — the ops-side anomaly
+    screen (``detect_outliers`` flags odd VALUES; this flags odd
+    VOLUMES — bot bursts, outages, replay storms).
+
+    Scale shape: one map-side-combined (type, hour) count collapses
+    the stream to a types×hours table; everything after is arithmetic
+    on that tiny table (|types|-row exact-integer moments — counts ARE
+    integers, so the z boundary cannot drift — broadcast back). Emits
+    only the anomalous buckets.
+
+    Output: (event_type, hour, n_events, z_score).
+    """
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    moments = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    stats = moments.select(
+        "event_type",
+        mean.alias("mu"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("sigma"),
+    )
+    z = (F.col("n_events") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.col("sigma") > 0)
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            F.round(z, 4).alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) > z_threshold)
+    )
+
+
+#: Equi-depth histogram bins over the events value column.
+EQUIDEPTH_BINS = 10
+
+
+def value_equidepth_bins(
+    events: DataFrame, n_bins: int = EQUIDEPTH_BINS
+) -> DataFrame:
+    """Equi-depth (equal-count) histogram of the value column — the
+    complement of ``value_histogram``'s equal-WIDTH bins: bin edges at
+    the value quantiles, so every bin holds ~1/n of the rows. The form
+    optimizers and drift monitors actually want (equal-width bins
+    collapse under skew: one bin takes 90% of rows).
+
+    Scale shape: the ``curriculum_phases`` idiom — n−1 exact
+    percentile boundaries over the 1e-6-quantized value (one map-side
+    agg; integers, so the boundary math is engine-identical) broadcast
+    back, then ONE corpus aggregate keyed by the derived bin. No
+    global sort, no ntile.
+
+    Output: (bin, n_events, lo, hi), bin in [1, n_bins].
+    """
+    if n_bins < 2:
+        raise ValueError("value_equidepth_bins: need at least two bins")
+    q = "CAST(floor(value * 1000000 + 0.5) AS BIGINT)"
+    quant = events.select(F.col("value"), F.expr(q).alias("vq"))
+    bounds = quant.agg(
+        *[
+            F.expr(f"percentile(vq, {i / n_bins!r})").alias(f"b{i}")
+            for i in range(1, n_bins)
+        ]
+    )
+    bin_col = F.lit(1)
+    for i in range(1, n_bins):
+        bin_col = bin_col + F.when(
+            F.col("vq") > F.col(f"b{i}"), 1
+        ).otherwise(0)
+    return (
+        quant.crossJoin(F.broadcast(bounds))
+        .select(bin_col.cast("int").alias("bin"), "value")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
 #: Bloom semi-join-reduction demo parameters: the selective order
 #: predicate and a fixed filter geometry (2^17 bits / 5 hashes — a
 #: 32 KB inline hex literal, inside the codegen string-constant cap
