@@ -1208,6 +1208,18 @@ def event_rate_anomalies(
     hourly = events.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return rate_anomalies_from_hourly(hourly, z_threshold)
+
+
+def rate_anomalies_from_hourly(
+    hourly: DataFrame, z_threshold: float = RATE_Z_THRESHOLD
+) -> DataFrame:
+    """The z-screen half of ``event_rate_anomalies`` over a
+    precomputed (event_type, hour, n_events) table — factored out so
+    the STREAMING monitor (``streaming/anomaly_monitor.py``), which
+    maintains the hourly counts incrementally across micro-batches,
+    applies the IDENTICAL screen to its accumulated state (one
+    definition, streamed == batch pinned)."""
     moments = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_events").alias("s1"),
