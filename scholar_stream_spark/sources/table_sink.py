@@ -42,3 +42,58 @@ def write_partitioned(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.partitionBy(*partition_cols).parquet(path)
+
+
+#: Files smaller than this count as "small" in the health report (the
+#: classic HDFS/object-store small-file threshold heuristic: files well
+#: under one row group give scans footer-read overhead per data byte).
+SMALL_FILE_BYTES = 1 << 20
+
+
+def table_file_stats(spark, path: str) -> "DataFrame":
+    """Small-file health of a parquet table directory: file count,
+    byte totals/extremes, and how many files sit under the small-file
+    threshold — the number that tells an operator WHEN to run the
+    compaction operators (`compact_neardup_index`,
+    `compact_fingerprint_index`, `compact_ivf_index` — this module's
+    `write_partitioned` is the prevention, this report is the
+    monitoring). A streaming sink that accretes thousands of tiny
+    part files pays file-listing + footer reads proportional to FILE
+    COUNT, not data size, on every scan.
+
+    This is deliberately a DRIVER-side metadata walk (Hadoop
+    FileSystem listing, no Spark job): the listing cost IS the quantity
+    being measured, and it is bounded by file count — the same bound
+    the report exists to keep small. Hidden/_SUCCESS/checksum files are
+    excluded, matching what a scan would read.
+
+    Output: one row (n_files, total_bytes, min_bytes, max_bytes,
+    mean_bytes, n_small, small_frac).
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    sizes = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        sizes.append(int(st.getLen()))
+    n = len(sizes)
+    total = sum(sizes)
+    n_small = sum(1 for s in sizes if s < SMALL_FILE_BYTES)
+    return spark.createDataFrame(
+        [(
+            n,
+            total,
+            min(sizes) if sizes else 0,
+            max(sizes) if sizes else 0,
+            round(total / n, 4) if n else 0.0,
+            n_small,
+            round(n_small / n, 4) if n else 0.0,
+        )],
+        "n_files long, total_bytes long, min_bytes long, max_bytes long,"
+        " mean_bytes double, n_small long, small_frac double",
+    )

@@ -504,6 +504,26 @@ def test_profile_columns_rejects_empty_cols(spark):
         profiling.profile_columns(df, [])
 
 
+def test_table_file_stats_tracks_compaction(spark, tmp_path):
+    """The file-health report must count exactly the data files a scan
+    would read, and show compaction reducing them."""
+    from scholar_stream_spark.sources.table_sink import table_file_stats
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    scattered = str(tmp_path / "scattered")
+    docs.repartition(8).write.parquet(scattered)
+    before = table_file_stats(spark, scattered).collect()[0]
+    assert before["n_files"] == 8
+    assert before["total_bytes"] > 0
+    assert before["n_small"] <= before["n_files"]
+    compacted = str(tmp_path / "compacted")
+    spark.read.parquet(scattered).coalesce(1).write.parquet(compacted)
+    after = table_file_stats(spark, compacted).collect()[0]
+    assert after["n_files"] == 1
+    # same data, far fewer files; byte totals in the same ballpark
+    assert after["total_bytes"] > 0
+
+
 # ------------------------------------------------------------- plan pins
 
 
