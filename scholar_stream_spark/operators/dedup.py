@@ -1962,15 +1962,21 @@ def _bloom_positions(fp_col: str, n_bits: int, n_hashes: int) -> F.Column:
 
 
 def build_fingerprint_bloom(
-    index: DataFrame, n_bits: int, n_hashes: int, fp_col: str = "fingerprint"
+    index: DataFrame,
+    n_bits: int,
+    n_hashes: int,
+    fp_col: str = "fingerprint",
+    word_bits: int = 64,
 ) -> DataFrame:
     """Aggregate an index's fingerprints into an explicit bit-array
     Bloom filter, stored SPARSE as (word, bits) rows — word ``w`` holds
-    bits [64w, 64w+64) of the filter; absent words are all-zero. Built
-    with one explode (k rows per fingerprint) and ONE map-side-combined
-    ``bit_or`` groupBy whose result is at most ``n_bits/64`` rows —
-    the filter table is filter-sized, never corpus-sized, so it stays
-    broadcastable no matter how big the index is.
+    bits [word_bits·w, word_bits·(w+1)) of the filter; absent words are
+    all-zero. Built with one explode (k rows per fingerprint) and ONE
+    map-side-combined ``bit_or`` groupBy whose result is at most
+    ``n_bits/word_bits`` rows — the filter table is filter-sized, never
+    corpus-sized, so it stays broadcastable no matter how big the index
+    is. ``word_bits=32`` is the layout ``bloom_prefilter``'s plan
+    literal uses; the sidecar layout keeps the denser 64.
 
     (Spark's internal BloomFilterAggregate isn't SQL-registered in this
     build, hence the explicit bitwise aggregation — same math, and the
@@ -1981,8 +1987,10 @@ def build_fingerprint_bloom(
     )
     return (
         slots.select(
-            F.expr("CAST(pos div 64 AS INT)").alias("word"),
-            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+            F.expr(f"CAST(pos div {word_bits} AS INT)").alias("word"),
+            F.expr(
+                f"shiftleft(1L, CAST(pos % {word_bits} AS INT))"
+            ).alias("mask"),
         )
         .groupBy("word")
         .agg(F.expr("bit_or(mask)").alias("bits"))
@@ -2073,26 +2081,67 @@ def _write_fingerprint_layout(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
+#: Plan-literal Bloom cap: the comma-joined word string must stay
+#: inside the JVM's 64 KB string-constant limit for codegen; 2^17 bits
+#: = 4096 decimal 32-bit words ≈ 45 KB worst case. Beyond this many
+#: KEYS the filter saturates instead of growing — see
+#: ``bloom_key_filter``'s saturation bail-out.
+BLOOM_LITERAL_MAX_BITS = 1 << 17
+
+
 def bloom_key_filter(
-    keys: DataFrame, key_col: str, n_bits: int, n_hashes: int
-) -> str:
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int | None = None,
+    n_hashes: int | None = None,
+    fpp: float = BLOOM_FPP,
+    max_bits: int = BLOOM_LITERAL_MAX_BITS,
+) -> tuple[str | None, int, int]:
     """A key set's Bloom filter as ONE comma-joined decimal string of
     32-bit words (``n_bits/32`` numbers) for plan-literal embedding —
-    the runtime-filter shape: built in one narrow no-shuffle job (the
-    k bit positions per key stream straight to the driver, which ORs
-    them into the word array) and shipped to executors inside the plan
-    as a single string literal, the same way engines ship semi-join
+    the runtime-filter shape: shipped to executors inside the plan as
+    a single string literal, the same way engines ship semi-join
     reduction filters to scans. The probe splits it into a word array
-    ONCE via constant folding (see ``bloom_prefilter``). The collect
-    is k×|keys| longs — bounded by the SELECTIVE side's size, which is
-    the precondition for semi-join reduction being worth it at all."""
+    ONCE via constant folding (see ``bloom_prefilter``).
+
+    Geometry: pass (n_bits, n_hashes) explicitly, or leave them None
+    and the filter is SIZED from ``keys.count()`` via ``bloom_params``
+    (target ``fpp``), capped at ``max_bits`` so the literal stays
+    inside the codegen string-constant limit. When the cap bites, the
+    hash count is re-derived for the capped width.
+
+    Build: the k bit positions per key fold EXECUTOR-SIDE into sparse
+    (word, bits) rows — the ``build_fingerprint_bloom`` shape, one
+    map-side-combined ``bit_or`` groupBy — so the driver collect is at
+    most ``n_bits/32`` rows, bounded by the filter's GEOMETRY, never by
+    the key count. (The first cut collected k×|keys| position rows;
+    at 10⁹ selective keys that is a driver OOM in the one operator
+    whose purpose is scale hygiene.)
+
+    Returns ``(word_filter, n_bits, n_hashes)``. ``word_filter`` is
+    None when the built filter is SATURATED (estimated FP rate from
+    the actual popcount > 0.5): a saturated filter passes ~everything,
+    so the caller should skip the prefilter rather than pay k hashes
+    per row for no reduction — the reduction is result-transparent
+    either way, this just keeps it from silently becoming a no-op tax.
+    """
+    import math  # noqa: PLC0415
+
+    if n_bits is None or n_hashes is None:
+        n_keys = max(1, keys.count())
+        n_bits, n_hashes = bloom_params(n_keys, fpp)
+        if n_bits > max_bits:
+            n_bits = max_bits
+            n_hashes = max(1, round(n_bits / n_keys * math.log(2)))
     words = [0] * (n_bits // 32)
-    for row in keys.select(
-        F.explode(_bloom_positions(key_col, n_bits, n_hashes)).alias("p")
+    for row in build_fingerprint_bloom(
+        keys, n_bits, n_hashes, fp_col=key_col, word_bits=32
     ).collect():
-        p = row["p"]
-        words[p // 32] |= 1 << (p % 32)
-    return ",".join(str(w) for w in words)
+        words[row["word"]] = row["bits"]
+    fill = sum(bin(w).count("1") for w in words) / n_bits
+    if fill**n_hashes > 0.5:
+        return None, n_bits, n_hashes
+    return ",".join(str(w) for w in words), n_bits, n_hashes
 
 
 def bloom_prefilter(

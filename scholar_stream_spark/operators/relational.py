@@ -1295,15 +1295,14 @@ def value_equidepth_bins(
 
 
 #: Bloom semi-join-reduction demo parameters: the selective order
-#: predicate and a fixed filter geometry (2^17 bits / 5 hashes — a
-#: 32 KB inline hex literal, inside the codegen string-constant cap
-#: documented on ``bloom_prefilter``; size to the expected key count
-#: at deployment).
+#: predicate. Filter geometry is NOT fixed here — ``bloom_key_filter``
+#: sizes it from the selective key count (capped at the codegen
+#: string-constant limit; a saturated filter makes it return None and
+#: the prefilter is skipped rather than silently degrading to a
+#: no-op tax).
 BLOOM_JOIN_PRIORITY = "1-URGENT"
 BLOOM_JOIN_START = "1997-01-01 00:00:00"
 BLOOM_JOIN_END = "1998-01-01 00:00:00"
-BLOOM_JOIN_BITS = 1 << 17
-BLOOM_JOIN_HASHES = 5
 
 
 def bloom_join_revenue(
@@ -1342,16 +1341,10 @@ def bloom_join_revenue(
         & (F.col("o_orderdate") >= cut0)
         & (F.col("o_orderdate") < cut1)
     ).select("o_orderkey")
-    word_filter = bloom_key_filter(
-        sel, "o_orderkey", BLOOM_JOIN_BITS, BLOOM_JOIN_HASHES
-    )
-    li = bloom_prefilter(
-        lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
-        "l_orderkey",
-        word_filter,
-        BLOOM_JOIN_BITS,
-        BLOOM_JOIN_HASHES,
-    )
+    word_filter, n_bits, n_hashes = bloom_key_filter(sel, "o_orderkey")
+    li = lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+    if word_filter is not None:
+        li = bloom_prefilter(li, "l_orderkey", word_filter, n_bits, n_hashes)
     return li.join(sel, li.l_orderkey == sel.o_orderkey).agg(
         F.count_distinct("o_orderkey").cast("long").alias("n_orders"),
         F.count(F.lit(1)).cast("long").alias("n_items"),

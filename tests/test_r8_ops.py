@@ -189,8 +189,24 @@ def test_bloom_prefilter_reduces_without_losing_matches(spark):
     )
     keys = {r["o_orderkey"] for r in sel.collect()}
     n_bits, n_hashes = 1 << 16, 5
-    word_filter = dedup.bloom_key_filter(sel, "o_orderkey", n_bits, n_hashes)
+    word_filter, _, _ = dedup.bloom_key_filter(
+        sel, "o_orderkey", n_bits, n_hashes
+    )
     assert len(word_filter.split(",")) == n_bits // 32
+    # GEOMETRY-bounded driver collect: what bloom_key_filter collects is
+    # the executor-side bit_or word aggregate — at most n_bits/32 rows
+    # no matter how many keys fold in, never the k x |keys| positions.
+    word_rows = dedup.build_fingerprint_bloom(
+        sel, n_bits, n_hashes, fp_col="o_orderkey", word_bits=32
+    )
+    n_words = word_rows.count()
+    assert n_words <= n_bits // 32
+    # and it is a true fold: one row per DISTINCT touched word, not one
+    # per (key, hash) position
+    n_set = sum(
+        bin(int(w)).count("1") for w in word_filter.split(",")
+    )
+    assert n_words <= n_set <= len(keys) * n_hashes
     filtered = dedup.bloom_prefilter(
         li.select("l_orderkey"), "l_orderkey", word_filter, n_bits, n_hashes
     )
@@ -209,6 +225,41 @@ def test_bloom_prefilter_reduces_without_losing_matches(spark):
     assert len(kept) >= len(truth)
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan, plan
+
+
+def test_bloom_key_filter_sizes_from_key_count(spark):
+    """Auto-sized geometry: leaving (n_bits, n_hashes) to the builder
+    derives them from the key count via bloom_params, capped at the
+    plan-literal limit; the word string matches the returned width."""
+    keys = spark.range(500).select(F.col("id").alias("k"))
+    word_filter, n_bits, n_hashes = dedup.bloom_key_filter(keys, "k")
+    exp_bits, exp_hashes = dedup.bloom_params(500)
+    assert (n_bits, n_hashes) == (exp_bits, exp_hashes)
+    assert n_bits <= dedup.BLOOM_LITERAL_MAX_BITS
+    assert word_filter is not None
+    assert len(word_filter.split(",")) == n_bits // 32
+    # and the sized filter still has zero false negatives
+    probe = dedup.bloom_prefilter(
+        spark.range(1000).select(F.col("id").alias("k")),
+        "k",
+        word_filter,
+        n_bits,
+        n_hashes,
+    )
+    kept = {r["k"] for r in probe.collect()}
+    assert set(range(500)) <= kept
+
+
+def test_bloom_key_filter_saturation_returns_none(spark):
+    """A key set far beyond the capped geometry saturates the filter;
+    the builder must signal 'skip the prefilter' (None) instead of
+    handing back a filter that passes everything at k-hash cost."""
+    keys = spark.range(200_000).select(F.col("id").alias("k"))
+    word_filter, n_bits, n_hashes = dedup.bloom_key_filter(
+        keys, "k", max_bits=1 << 12
+    )
+    assert word_filter is None
+    assert n_bits == 1 << 12
 
 
 def test_dsir_upweights_target_like_docs(spark):
