@@ -1536,7 +1536,7 @@ def _lsh_index_stats_sql() -> str:
                CAST(SUM(c) AS BIGINT) AS n_postings,
                CAST(count(*) AS BIGINT) AS n_keys,
                CAST(MAX(c) AS BIGINT) AS max_bucket,
-               CAST(SUM(c * (c - 1)) / 2 AS BIGINT) AS est_candidate_pairs
+               CAST(SUM(c * (c - 1)) // 2 AS BIGINT) AS est_candidate_pairs
         FROM buckets
         GROUP BY band
     """

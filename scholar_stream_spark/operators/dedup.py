@@ -688,8 +688,12 @@ def lsh_index_stats(
             F.sum("c").cast("long").alias("n_postings"),
             F.count(F.lit(1)).cast("long").alias("n_keys"),
             F.max("c").cast("long").alias("max_bucket"),
-            # c·(c−1) is always even, so the halved sum is exact
-            F.expr("CAST(SUM(c * (c - 1)) / 2 AS BIGINT)").alias(
+            # c·(c−1) is always even, so integer-halving the sum is
+            # exact; `div` keeps it in BIGINT end-to-end — `/` would
+            # round-trip through DOUBLE and drop low bits past 2^53,
+            # exactly the degenerate-hot-bucket regime this diagnostic
+            # exists to detect
+            F.expr("SUM(c * (c - 1)) div 2").alias(
                 "est_candidate_pairs"
             ),
         )
