@@ -17,9 +17,10 @@ accumulated counts table is (types × hours × batches)-sized — bounded
 by TIME, not traffic — and its re-aggregation + screen is arithmetic
 on that tiny table, making full alert refresh per batch cheap and
 deterministic (the alert table is a pure function of the counts state,
-which is what makes replay a no-op). Compaction of old ``batch=``
-partials into consolidated hourly rows follows the
-``compact_fingerprint_index`` pattern when batch counts accrete.
+which is what makes replay a no-op). ``compact_monitor_counts`` folds
+old ``batch=`` partials into consolidated hourly rows — the
+``compact_fingerprint_index`` pattern — keeping the tail batch intact
+for replay self-exclusion.
 """
 
 from __future__ import annotations
@@ -90,6 +91,50 @@ def monitor_batch(
     rate_anomalies_from_hourly(hourly, z_threshold).write.mode(
         "overwrite"
     ).parquet(alerts_path)
+
+
+def compact_monitor_counts(
+    spark: SparkSession,
+    counts_path: str,
+    out_path: str,
+    keep_last: int = 1,
+) -> None:
+    """Fold accreted ``batch=<id>`` partial-count dirs into ONE
+    consolidated partial per folded range — the counts-state analog of
+    ``compact_fingerprint_index``: the monitor's state is bounded by
+    (types × hours × batches), and compaction drops the ×batches
+    factor back to (types × hours) so a long-running monitor's
+    per-batch refresh never pays for its history in file listings.
+
+    The newest ``keep_last`` batch dirs are copied through UNCHANGED
+    under their own ids: the only batch Structured Streaming can
+    legitimately replay is the uncommitted tail, and replay relies on
+    self-exclusion by batch id — so the tail must keep its identity.
+    Folded batches are strictly older (checkpoint-committed, never
+    replayed again); their sum lands under the LARGEST folded id,
+    which keeps the layout a valid input to ``read_hourly_counts``
+    with identical totals (pinned in tests). Like the fingerprint
+    compactor: compact to a NEW path and swap atomically; compacting
+    batches the checkpoint hasn't committed past is the caller's race.
+    """
+    df = spark.read.option("basePath", counts_path).parquet(counts_path)
+    ids = sorted(
+        int(r["batch"]) for r in df.select("batch").distinct().collect()
+    )
+    kept = set(ids[len(ids) - keep_last :]) if keep_last > 0 else set()
+    folded = [b for b in ids if b not in kept]
+    if folded:
+        df.filter(F.col("batch").isin(folded)).groupBy(
+            "event_type", "hour"
+        ).agg(F.sum("n_events").cast("long").alias("n_events")).coalesce(
+            1
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={max(folded)}")
+        )
+    for b in kept:
+        df.filter(F.col("batch") == b).drop("batch").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_path, f"batch={b}"))
 
 
 def start_anomaly_monitor(

@@ -114,6 +114,39 @@ def read_bloom(
     return df.groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
 
 
+def _landed_batches(spark: SparkSession, path: str) -> set[int]:
+    """The ``batch=<id>`` partition ids landed under ``path`` (empty if
+    nothing landed). Read through the same object-store-safe parquet
+    path as ``read_index`` — the distinct is over the partition column
+    only, so it costs a listing + footer reads, never data pages."""
+    try:
+        df = spark.read.option("basePath", path).parquet(path)
+    except AnalysisException as exc:
+        cond = getattr(exc, "getCondition", lambda: None)() or ""
+        if any(code in cond or code in str(exc) for code in _EMPTY_INDEX_ERRORS):
+            return set()
+        raise
+    return {int(r["batch"]) for r in df.select("batch").distinct().collect()}
+
+
+def _backfill_bloom(
+    spark: SparkSession, index_path: str, bloom_path: str, missing: set[int]
+) -> None:
+    """Rebuild the Bloom deltas for index batches that landed WITHOUT a
+    sidecar (bloom_path enabled mid-stream): one delta per missing
+    batch, derived from that batch's own landed fingerprints, so the
+    merged filter covers the whole index again. One-time migration
+    cost — a scan of just the missing partitions."""
+    idx = spark.read.option("basePath", index_path).parquet(index_path)
+    for b in sorted(missing):
+        fps = idx.filter(F.col("batch") == b).select("fingerprint")
+        build_fingerprint_bloom(
+            fps, STREAM_BLOOM_BITS, STREAM_BLOOM_HASHES
+        ).write.mode("overwrite").parquet(
+            os.path.join(bloom_path, f"batch={b}")
+        )
+
+
 def ingest_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -132,7 +165,17 @@ def ingest_batch(
     so the merged filter always covers exactly the index's batches;
     a replayed batch overwrites its own delta like every other write
     here. At 100 TB this turns the per-batch index scan into an
-    only-on-collision cost; result-identical either way (pinned)."""
+    only-on-collision cost; result-identical either way (pinned).
+
+    Coverage gate: the Bloom guarantee (maybe=False ⇒ definitely
+    absent) only holds if EVERY landed index batch contributed a
+    delta. Enabling ``bloom_path`` on an index with pre-sidecar
+    batches would otherwise silently admit their duplicates —
+    maybe=False would skip the probe for fingerprints the filter
+    never saw. So each batch first compares the two ``batch=``
+    partition sets and BACKFILLS any missing deltas from the index's
+    own fingerprints before gating; the sidecar is safe to enable (or
+    re-enable) at any point in the stream's life."""
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
@@ -147,6 +190,14 @@ def ingest_batch(
         .drop("_rn")
     )
     index = read_index(spark, index_path, exclude_batch=batch_id)
+    if bloom_path is not None:
+        missing = (
+            _landed_batches(spark, index_path)
+            - {int(batch_id)}
+            - _landed_batches(spark, bloom_path)
+        )
+        if missing:
+            _backfill_bloom(spark, index_path, bloom_path, missing)
     if bloom_path is None:
         survivors = incremental_dedup(batch_df, index)
     else:

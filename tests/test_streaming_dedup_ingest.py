@@ -170,6 +170,33 @@ def test_dedup_ingest_bloom_replay_is_noop(spark, tmp_path):
     assert after_bloom == before_bloom and len(after_bloom) > 0
 
 
+def test_dedup_ingest_bloom_enabled_midstream_backfills(spark, tmp_path):
+    """Enabling bloom_path on an index that already has pre-sidecar
+    batches must NOT admit their duplicates: the coverage gate detects
+    the missing deltas, backfills them from the index's own landed
+    fingerprints, and the duplicate still drops. (Without the gate,
+    read_bloom would merge only the landed deltas, the pre-bloom
+    fingerprints would probe maybe=False, and the dup would land in
+    corpus AND index permanently.)"""
+    from scholar_stream_spark.streaming.dedup_ingest import read_bloom
+
+    corpus, index, bloom = tmp_path / "c", tmp_path / "i", tmp_path / "b"
+    b0 = spark.createDataFrame([(1, "doc one"), (2, "doc two")], DOC_SCHEMA)
+    # batch 0 lands WITHOUT a sidecar
+    ingest_batch(b0, 0, str(corpus), str(index))
+    # batch 1 turns the sidecar on; doc 3 duplicates batch 0's text
+    b1 = spark.createDataFrame([(3, "doc one"), (4, "doc four")], DOC_SCHEMA)
+    ingest_batch(b1, 1, str(corpus), str(index), str(bloom))
+    assert _corpus_ids(spark, corpus) == [1, 2, 4]
+    fps = [r["fingerprint"] for r in read_index(spark, str(index)).collect()]
+    assert len(fps) == len(set(fps)) == 3
+    # the backfilled delta landed under batch 0's own partition, so the
+    # merged filter now covers the whole index
+    deltas = {p.name for p in bloom.iterdir() if p.name.startswith("batch=")}
+    assert deltas == {"batch=0", "batch=1"}
+    assert read_bloom(spark, str(bloom)).count() > 0
+
+
 # ---------------------------------------------------------------------------
 # near-dup ingest (LSH index): the streaming face of incremental_neardup
 # ---------------------------------------------------------------------------
