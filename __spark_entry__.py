@@ -451,83 +451,20 @@ PROFILE_COLS = (
     "o_totalprice", "o_orderdate", "o_orderpriority",
 )
 
-#: Driver-cap rotation (round 8): CORRECTNESS runs check at most 50
-#: entries in ``queries()`` order. The 41 oracle-backed entries whose
-#: only driver-green rows are r6 (everything else is r7-green) go
-#: FIRST — including ``scrub_pii``, whose contract EXTENDED this round
-#: (phone/IPv4/UUID patterns) — then this round's new oracle-backed
-#: entries (``dsir_sample``, ``dedup_incremental_bloom``,
-#: ``remove_dup_spans_first``) and the r7-green entries whose code
-#: changed this round (``gopher_quality`` stop-word normalization,
-#: ``large_orders`` broadcast de-hint, ``funnel_analysis`` single-scan
-#: rewrite). The r7-green remainder follows in literal order; the
-#: rows-only block stays last as documented in the module docstring.
-#: Result: every oracle-backed entry driver-green within the r7∪r8
-#: window, and nothing that changed this round rides a stale row.
+#: Driver-cap rotation (round 9): CORRECTNESS runs check at most 50
+#: entries in ``queries()`` order. The 14 r8-new entries that have
+#: NEVER carried a driver row lead (they were positions 51+ in r8),
+#: then this round's 4 new oracle-backed entries
+#: (``avg_quantity_gate``, ``waiting_supplier``, ``bpe_merge_pairs``,
+#: ``source_share_cap``) — ``bloom_join_revenue`` also REBUILT this
+#: round (executor-side filter fold + auto-sized geometry), so its
+#: lead position doubles as the re-check. The remaining 32 slots
+#: refresh the OLDEST driver rows: the r7-green entries not re-checked
+#: in r8, in the r8-verdict's priority order then ``queries()`` order.
+#: 17 r7-green entries remain outside the cap this round
+#: (pivot_user_events … curate_corpus) — all pytest-oracle-checked at
+#: HEAD, all value-unchanged since r7; they lead the r10 rotation.
 _DRIVER_FIRST = (
-    "ann_cosine_topk",
-    "ann_cosine_topk_vec",
-    "bigram_logprob",
-    "clean_lines",
-    "corpus_data_card",
-    "decontaminate",
-    "dedup_embedding",
-    "dedup_exact_stats",
-    "dedup_first_event",
-    "dedup_fuzzy",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "dup_spans",
-    "hash_sample",
-    "incremental_neardup_indexed",
-    "ivf_probe_index",
-    "lang_profile",
-    "latency_kpis",
-    "minhash_estimate",
-    "multimodal_blob_stats",
-    "multimodal_decode",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_resize",
-    "perplexity_buckets",
-    "pipeline_end_to_end",
-    "quantize_embeddings",
-    "remove_dup_paragraphs",
-    "remove_dup_spans",
-    "repetition_stats",
-    "reservoir_sample",
-    "scrub_pii",
-    "shipping_priority",
-    "temperature_mixture",
-    "text_quality",
-    "tfidf_top_terms",
-    "token_counts",
-    "topn_recent",
-    "unigram_logprob",
-    # gopher_quality's VALUES changed this round (stop-word
-    # normalization) — its r7 row is stale-wrong, so it must land
-    # inside the 50-entry driver cap
-    "gopher_quality",
-    # round-8 additions (new oracle-backed entries) fill the cap
-    "dsir_sample",
-    "remove_dup_spans_first",
-    "promo_revenue",
-    "top_supplier",
-    "brand_revenue_bands",
-    "quality_classifier",
-    "curriculum_phases",
-    "embedding_data_card",
-    # --- positions 51+ (outside the driver cap; next-round rotation
-    # leads with these). All are pytest-oracle-checked at HEAD
-    # (tests/test_oracle.py) and are derivative of driver-green
-    # machinery: dedup_incremental_bloom is pinned result-identical to
-    # the r7-green dedup_incremental; dedup_survivor_map composes the
-    # r-green dedup_clusters + dedup_keep_best; lsh_index_stats rolls
-    # up the band table the driver-green dedup_minhash_lsh oracle
-    # already exercises. large_orders/funnel_analysis changed PLAN
-    # only, values untouched, so their r7 rows remain valid.
     "dedup_incremental_bloom",
     "dedup_survivor_map",
     "lsh_index_stats",
@@ -542,8 +479,64 @@ _DRIVER_FIRST = (
     "remove_dup_paragraphs_first",
     "event_rate_anomalies",
     "value_equidepth_bins",
+    # round-9 additions (new oracle-backed entries)
+    "avg_quantity_gate",
+    "waiting_supplier",
+    "bpe_merge_pairs",
+    "source_share_cap",
+    # oldest-first refresh of r7-green rows (r8 verdict's named
+    # priority list, then queries() order)
+    "blocklist_filter",
+    "gopher_repetition",
+    "order_priority_check",
+    "customer_distribution",
+    "retention_cohorts",
+    "quality_weighted_sample",
+    "contamination_report",
+    "key_skew_profile",
+    "profile_columns",
+    "check_constraints",
+    "table_diff",
+    "detect_outliers",
+    "json_extract",
+    "mask_email",
     "large_orders",
     "funnel_analysis",
+    "scd2_apply",
+    "scd2_as_of",
+    "chunk_docs",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_incremental",
+    "dedup_incremental_neardup",
+    "mixture_sample",
+    "mixture_upsample",
+    "sec_of_day",
+    "pricing_summary",
+    "revenue_by_region",
+    "top_orders_per_customer",
+    "user_setops",
+    "rollup_orders",
+    "cube_orders",
+    # --- positions 51+ (outside the driver cap; r10 leads with the
+    # 17 r7-green stragglers, then the r8-green block ages next)
+    "pivot_user_events",
+    "distinct_users_salted",
+    "value_percentiles",
+    "stats_by_type",
+    "windowed_agg",
+    "salted_join_revenue",
+    "incr_rollup",
+    "vocab_coverage",
+    "heavy_hitters",
+    "asof_join",
+    "sessionize",
+    "change_filter",
+    "range_join",
+    "value_histogram",
+    "split_assign",
+    "pack_docs",
+    "curate_corpus",
 )
 
 
@@ -854,6 +847,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hand-hoisted coarse envelope pushed to both scans
         "brand_revenue_bands": lambda s, d: relational.brand_revenue_bands(
             _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
+        # TPC-H Q17 shape: correlated avg-quantity scalar subquery
+        # decorrelated to a window over the brand slice's single scan
+        "avg_quantity_gate": lambda s, d: relational.avg_quantity_gate(
+            _t(s, d, "lineitem"), _t(s, d, "part")
+        ),
+        # TPC-H Q21 shape: EXISTS/NOT-EXISTS cascade as left-semi +
+        # left-anti self-joins on the per-(order, supplier) table
+        "waiting_supplier": lambda s, d: relational.waiting_supplier(
+            _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "supplier")
+        ),
+        # BPE merge-pair counting (tokenizer-training step: weighted
+        # adjacent char pairs over the distinct-word table)
+        "bpe_merge_pairs": lambda s, d: textops.bpe_merge_pairs(
+            _t(s, d, "documents")
+        ),
+        # RefinedWeb-style per-source token-share cap (portable-hash
+        # thinning of over-cap sources; monotone in the cap)
+        "source_share_cap": lambda s, d: sampling.source_share_cap(
+            _t(s, d, "documents")
         ),
         # hash-feature linear quality classifier (frozen in-plan
         # weights; the fastText-gate deployment plumbing end to end)
@@ -2914,6 +2927,102 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             JOIN part ON l_partkey = p_partkey
             WHERE {_brand_bands_where()}
             GROUP BY p_brand
+        """,
+        "avg_quantity_gate": f"""
+            WITH sel AS (
+                SELECT p_partkey FROM part
+                WHERE p_brand = '{relational.AVG_QTY_BRAND}'
+            ),
+            li AS (
+                SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+                       l_extendedprice
+                FROM lineitem JOIN sel ON p_partkey = l_partkey
+            ),
+            g AS (
+                SELECT q, l_extendedprice,
+                       SUM(q) OVER (PARTITION BY l_partkey) AS sum_qty,
+                       COUNT(*) OVER (PARTITION BY l_partkey) AS cnt
+                FROM li
+            )
+            SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                              AS DOUBLE) / 7.0, 4) AS avg_yearly
+            FROM g WHERE q * 5 * cnt < sum_qty
+        """,
+        "waiting_supplier": f"""
+            WITH f AS (
+                SELECT l_orderkey, l_suppkey,
+                       MAX(CASE WHEN l_shipdate > o_orderdate
+                                     + INTERVAL {relational.WAITING_LATE_DAYS} DAY
+                                THEN TRUE ELSE FALSE END) AS late
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                WHERE o_orderstatus = 'F'
+                GROUP BY 1, 2
+            )
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM f l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+            WHERE l1.late
+              AND EXISTS (SELECT 1 FROM f l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM f l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.late)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT {relational.WAITING_TOPN}
+        """,
+        "bpe_merge_pairs": f"""
+            WITH words AS (
+                SELECT w AS word
+                FROM documents,
+                     UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+                WHERE w <> ''
+            ),
+            freq AS (SELECT word, count(*) AS f FROM words GROUP BY word),
+            pairs AS (
+                SELECT substring(word, CAST(i AS INT), 1) AS a,
+                       substring(word, CAST(i AS INT) + 1, 1) AS b,
+                       f
+                FROM freq,
+                     UNNEST(range(1, CAST(length(word) AS BIGINT))) AS g(i)
+                WHERE length(word) >= 2
+            )
+            SELECT a, b, CAST(SUM(f) AS BIGINT) AS pair_count
+            FROM pairs GROUP BY a, b
+            ORDER BY pair_count DESC, a, b
+            LIMIT {textops.BPE_TOP_N}
+        """,
+        "source_share_cap": f"""
+            WITH base AS (
+                SELECT doc_id, source,
+                       CAST(length(text) - length(replace(text, ' ', ''))
+                            + 1 AS BIGINT) AS n_tokens,
+                       ({hex48_sql("CAST(doc_id AS VARCHAR)")})
+                           % {sampling.SAMPLE_DENOM} AS bucket
+                FROM documents
+            ),
+            tot AS (
+                SELECT source, CAST(SUM(n_tokens) AS DOUBLE) AS t_s
+                FROM base GROUP BY source
+            ),
+            grand AS (SELECT SUM(t_s) AS t_all FROM tot),
+            thr AS (
+                SELECT source,
+                       CASE WHEN t_s <= CAST({sampling.SOURCE_CAP_FRACTION!r}
+                                            AS DOUBLE) * t_all
+                            THEN CAST({sampling.SAMPLE_DENOM} AS BIGINT)
+                            ELSE CAST(floor(CAST({sampling.SOURCE_CAP_FRACTION!r}
+                                                 AS DOUBLE)
+                                            * t_all / t_s
+                                            * {sampling.SAMPLE_DENOM})
+                                      AS BIGINT)
+                       END AS thr
+                FROM tot CROSS JOIN grand
+            )
+            SELECT base.doc_id, base.source, base.n_tokens
+            FROM base JOIN thr ON base.source = thr.source
+            WHERE base.bucket < thr.thr
         """,
         "quality_classifier": _quality_classifier_sql(),
         "detect_outliers": f"""

@@ -1184,6 +1184,148 @@ def brand_revenue_bands(
     )
 
 
+#: Small-order gate (TPC-H Q17 shape) brand under test.
+AVG_QTY_BRAND = "Brand#12"
+
+
+def avg_quantity_gate(
+    lineitem: DataFrame, part: DataFrame, brand: str = AVG_QTY_BRAND
+) -> DataFrame:
+    """TPC-H-Q17-shaped query: yearly revenue lost to small orders —
+    line items of one brand's parts whose quantity is below 20% of that
+    PART's average quantity (``l_quantity < 0.2 * avg(l_quantity)`` per
+    part), summed and divided by 7. The classic correlated scalar
+    subquery, DECORRELATED: the naive per-row subquery re-scans
+    lineitem once per row (quadratic); here the per-part average comes
+    from the SAME single scan the gated rows do.
+
+    Scale shape: the brand filter cuts part to ~1/|brands| and that key
+    set broadcast-joins into the ONE lineitem scan (partkey-pruned
+    before any shuffle); the per-part average is a window over the
+    brand slice — one partkey-keyed exchange of the already-reduced
+    slice, no second fact scan, no per-key threshold table held on the
+    driver. The gate itself is integer-exact cross-engine:
+    ``q < 0.2·avg`` is evaluated as ``5·q·cnt < sum_qty`` (quantities
+    are integral), so no IEEE average can 1-ulp-flip a boundary row.
+    The revenue sum is exact DECIMAL, cast to double only at the end.
+
+    Output: one row (avg_yearly).
+    """
+    sel = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        "l_extendedprice",
+    ).join(F.broadcast(sel), F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    gated = (
+        li.withColumn("sum_qty", F.sum("q").over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("q") * 5 * F.col("cnt") < F.col("sum_qty"))
+    )
+    return gated.agg(
+        F.round(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))"
+                " AS DOUBLE)"
+            )
+            / 7.0,
+            4,
+        ).alias("avg_yearly")
+    )
+
+
+#: Waiting-supplier (TPC-H Q21 shape) lateness threshold: a line item
+#: is late when it shipped more than this many days after the order
+#: date (the testdata has no commit/receipt dates; ship delay is the
+#: same multi-EXISTS shape on the columns that exist — ~49% of 'F'
+#: lineitems are late at this cut, so neither branch degenerates).
+WAITING_LATE_DAYS = 60
+WAITING_TOPN = 100
+
+
+def waiting_supplier(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    late_days: int = WAITING_LATE_DAYS,
+) -> DataFrame:
+    """TPC-H-Q21-shaped query: suppliers who were the SOLE late
+    supplier on multi-supplier finalized orders — for each supplier,
+    count orders where (a) this supplier shipped late, (b) ANOTHER
+    supplier participated (EXISTS), and (c) NO other supplier was also
+    late (NOT EXISTS). The classic EXISTS/NOT-EXISTS cascade where a
+    naive plan goes quadratic (a subquery re-scan per probe row).
+
+    Scale shape: lineitem joins orders('F') ONCE (orderkey-keyed
+    shuffle, status filter pushed to the orders scan), reduced to a
+    per-(order, supplier) participation table with a had-late flag —
+    one map-side-combined groupBy; that table is localCheckpointed
+    because THREE consumers (the late probes, the EXISTS side, the
+    NOT-EXISTS side) would each re-run the fact join. The cascade is
+    then a LEFT-SEMI and a LEFT-ANTI self-join on the order key with
+    the different-supplier condition INSIDE the join predicate — no
+    count-distinct re-aggregation of lineitem, no correlated re-scan;
+    both joins are participation-table-sized (≪ lineitem, one row per
+    order×supplier). The supplier name join carries only the waiting
+    keys, so AQE broadcasts it.
+
+    Output: (s_name, numwait), numwait desc, name asc, top 100 —
+    deterministic under the total order.
+    """
+    fact = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate")
+                + F.expr(f"INTERVAL {int(late_days)} DAYS")
+            ).alias("is_late"),
+        )
+    )
+    part_tbl = (
+        fact.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("late"))
+        .localCheckpoint(eager=False)
+    )
+    l1 = part_tbl.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    l2 = part_tbl.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = part_tbl.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2"))
+        & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("k3"))
+        & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        waiting.join(
+            supplier.select("s_suppkey", "s_name"),
+            waiting.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(WAITING_TOPN)
+    )
+
+
 #: Rate-anomaly screen: z threshold on per-(type, hour) event counts.
 RATE_Z_THRESHOLD = 2.0
 

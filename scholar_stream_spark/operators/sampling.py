@@ -459,6 +459,77 @@ def mixture_upsample(
     )
 
 
+#: Default per-source token-share cap (RefinedWeb-style "no domain
+#: dominates" rule). The synthetic documents table is uniform at 5%
+#: per source, so 4% makes the cap bite on every source in tests;
+#: production corpora set this from the curation policy (~1-2%).
+SOURCE_CAP_FRACTION = 0.04
+
+
+def source_share_cap(
+    documents: DataFrame,
+    cap: float = SOURCE_CAP_FRACTION,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source share cap — the RefinedWeb-style domain-curation
+    rule: no single source (domain) may contribute more than ``cap``
+    of the corpus's total tokens, so one crawl-heavy domain cannot
+    dominate the training mixture. Sources already under the cap pass
+    whole; over-cap sources are deterministically thinned to the cap
+    by the portable hash bucket — the same reproducible-selection
+    machinery as ``mixture_sample``, so a re-run (or the oracle) keeps
+    the SAME documents. ``cap`` is relative to the PRE-cap corpus
+    total (the well-defined one-pass rule; capping against the kept
+    total is a fixed-point and pipelines iterate the one-pass rule if
+    they need it). Keep-sets are MONOTONE in ``cap``: raising the cap
+    only adds documents (the threshold is non-decreasing in cap and
+    under-cap strata pin to the full bucket space — the
+    ``mixture_select`` fixed-point trick, so IEEE re-rounding can
+    never drop a row from a source the math says to keep whole).
+
+    Scale shape: one map-side-combined ``groupBy(source)`` reduces the
+    corpus to ≤|sources| rows, the grand total folds back as a 1-row
+    broadcast, and the keep decision is a broadcast-joined threshold
+    filter on the single corpus scan — the corpus is never shuffled.
+
+    Output: (key, source, n_tokens) for kept documents.
+    """
+    from scholar_stream_spark.operators.textops import n_tokens
+
+    base = documents.select(
+        F.col(key_col),
+        F.col(source_col).alias("source"),
+        n_tokens(F.col("text")).alias("n_tokens"),
+        sample_bucket(key_col).alias("bucket"),
+    )
+    totals = base.groupBy("source").agg(
+        F.sum("n_tokens").cast("double").alias("t_s")
+    )
+    grand = totals.agg(F.sum("t_s").alias("t_all"))
+    thresholds = totals.crossJoin(F.broadcast(grand)).select(
+        "source",
+        F.when(
+            F.col("t_s") <= F.lit(float(cap)) * F.col("t_all"),
+            F.lit(SAMPLE_DENOM).cast("long"),
+        )
+        .otherwise(
+            F.floor(
+                F.lit(float(cap))
+                * F.col("t_all")
+                / F.col("t_s")
+                * SAMPLE_DENOM
+            )
+        )
+        .alias("thr"),
+    )
+    return (
+        base.join(F.broadcast(thresholds), "source")
+        .filter(F.col("bucket") < F.col("thr"))
+        .select(key_col, "source", "n_tokens")
+    )
+
+
 #: Temperature exponent for temperature_mixture. Pinned to 0.5 (the
 #: middle of the usual 0.3–0.7 multilingual range) because
 #: ``T_l^0.5 = sqrt(T_l)`` and IEEE-754 sqrt is CORRECTLY ROUNDED —

@@ -681,6 +681,63 @@ def vocab_coverage(documents: DataFrame, top_n: int = VOCAB_TOP_N) -> DataFrame:
     )
 
 
+#: BPE merge-candidate report size (top pairs by weighted frequency).
+BPE_TOP_N = 50
+
+
+def bpe_merge_pairs(documents: DataFrame, top_n: int = BPE_TOP_N) -> DataFrame:
+    """BPE tokenizer-training step: adjacent symbol-pair counts over
+    the corpus — the statistic one merge round of byte-pair encoding
+    maximizes (Sennrich et al. 2016). Symbols here are the iteration-0
+    alphabet (single characters within whitespace words); the top pair
+    is the first merge a BPE trainer would make, and the table is the
+    candidate list ``vocab_coverage`` assumes a finished tokenizer for.
+
+    Scale shape — the corpus never carries the pair explosion: words
+    reduce FIRST to a (word, freq) table via one map-side-combined
+    count (vocab-sized, the same shuffle ``vocab_coverage`` pays), and
+    the character-pair explode runs over DISTINCT words only — pair
+    occurrences are weighted by the word's corpus frequency, giving
+    identical counts to exploding the raw corpus at ~corpus/|vocab| of
+    the cost. The pair rollup is again map-side-combined (alphabet²
+    keys), and top-N is ``orderBy().limit()`` — TakeOrderedAndProject,
+    each partition forwards its local top-N, no global sort. The
+    vocabulary and the pair table live in executors end to end; the
+    driver sees only the top-N rows.
+
+    Output: (a, b, pair_count), count desc then (a, b) asc — a total
+    order, so the limit boundary is deterministic.
+    """
+    words = (
+        scale_out(documents)
+        .select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    pairs = (
+        freq.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> struct(substring(word, i, 1) AS a,"
+                    " substring(word, i + 1, 1) AS b))"
+                )
+            ).alias("p"),
+            "f",
+        )
+        .select("p.a", "p.b", "f")
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("f").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+        .limit(top_n)
+    )
+
+
 #: Heavy-hitter threshold divisor: report tokens with freq > N/k.
 HH_K = 200
 
