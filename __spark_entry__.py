@@ -42,6 +42,12 @@ Deliberately WITHOUT oracle entries (rows-only check):
   whose cell assignment comes from the k-means quantizer (inherits
   ``cluster_embeddings``' rows-only rationale); the counts are
   pytest-pinned against a recount of the same persisted table.
+- ``bpe_train`` — iterative BPE merge training (a driver loop of
+  vocab-sized rounds, ``cluster_embeddings``' rationale: an SQL oracle
+  would need a recursive-CTE re-implementation of the whole fixed
+  point). The learned merge table is pytest-pinned against a
+  pure-Python reference trainer; ``bpe_merge_pairs`` (one round's
+  statistic) IS oracle-checked.
 """
 
 from __future__ import annotations
@@ -454,16 +460,18 @@ PROFILE_COLS = (
 #: Driver-cap rotation (round 9): CORRECTNESS runs check at most 50
 #: entries in ``queries()`` order. The 14 r8-new entries that have
 #: NEVER carried a driver row lead (they were positions 51+ in r8),
-#: then this round's 4 new oracle-backed entries
+#: then this round's 8 new oracle-backed entries
 #: (``avg_quantity_gate``, ``waiting_supplier``, ``bpe_merge_pairs``,
-#: ``source_share_cap``) — ``bloom_join_revenue`` also REBUILT this
-#: round (executor-side filter fold + auto-sized geometry), so its
-#: lead position doubles as the re-check. The remaining 32 slots
-#: refresh the OLDEST driver rows: the r7-green entries not re-checked
-#: in r8, in the r8-verdict's priority order then ``queries()`` order.
-#: 17 r7-green entries remain outside the cap this round
-#: (pivot_user_events … curate_corpus) — all pytest-oracle-checked at
-#: HEAD, all value-unchanged since r7; they lead the r10 rotation.
+#: ``source_share_cap``, ``idle_customers``, ``nation_revenue_share``,
+#: ``min_cost_supplier``, ``population_stability``) —
+#: ``bloom_join_revenue`` also REBUILT this round (executor-side
+#: filter fold + auto-sized geometry), so its lead position doubles as
+#: the re-check. The remaining 28 slots refresh the OLDEST driver
+#: rows: the r7-green entries not re-checked in r8, in the r8-
+#: verdict's priority order then ``queries()`` order. 21 r7-green
+#: entries remain outside the cap this round (top_orders_per_customer
+#: … curate_corpus) — all pytest-oracle-checked at HEAD, all
+#: value-unchanged since r7; they lead the r10 rotation.
 _DRIVER_FIRST = (
     "dedup_incremental_bloom",
     "dedup_survivor_map",
@@ -484,6 +492,10 @@ _DRIVER_FIRST = (
     "waiting_supplier",
     "bpe_merge_pairs",
     "source_share_cap",
+    "idle_customers",
+    "nation_revenue_share",
+    "min_cost_supplier",
+    "population_stability",
     # oldest-first refresh of r7-green rows (r8 verdict's named
     # priority list, then queries() order)
     "blocklist_filter",
@@ -514,12 +526,12 @@ _DRIVER_FIRST = (
     "sec_of_day",
     "pricing_summary",
     "revenue_by_region",
+    # --- positions 51+ (outside the driver cap; r10 leads with the
+    # 21 r7-green stragglers, then the r8-green block ages next)
     "top_orders_per_customer",
     "user_setops",
     "rollup_orders",
     "cube_orders",
-    # --- positions 51+ (outside the driver cap; r10 leads with the
-    # 17 r7-green stragglers, then the r8-green block ages next)
     "pivot_user_events",
     "distinct_users_salted",
     "value_percentiles",
@@ -867,6 +879,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # thinning of over-cap sources; monotone in the cap)
         "source_share_cap": lambda s, d: sampling.source_share_cap(
             _t(s, d, "documents")
+        ),
+        # TPC-H Q22 shape: scalar-avg subquery as a 1-row broadcast +
+        # NOT EXISTS as a left-anti join, integer-exact boundary
+        "idle_customers": lambda s, d: relational.idle_customers(
+            _t(s, d, "customer"), _t(s, d, "orders")
+        ),
+        # TPC-H Q11 shape: group HAVING vs grand total — the total
+        # re-aggregates the group table, never re-scans the fact
+        "nation_revenue_share": lambda s, d: relational.nation_revenue_share(
+            _t(s, d, "lineitem"), _t(s, d, "supplier"), _t(s, d, "nation")
+        ),
+        # TPC-H Q2 shape: correlated min subquery as an argmin-payload
+        # struct min (no join-back pass)
+        "min_cost_supplier": lambda s, d: relational.min_cost_supplier(
+            _t(s, d, "lineitem"),
+            _t(s, d, "supplier"),
+            _t(s, d, "nation"),
+            _t(s, d, "region"),
+            _t(s, d, "part"),
+        ),
+        # iterative BPE trainer (rows-only: driver loop of vocab-sized
+        # rounds — see module docstring)
+        "bpe_train": lambda s, d: textops.bpe_train(_t(s, d, "documents")),
+        # PSI drift screen: per-type value-distribution shift across
+        # the mid-series time cut
+        "population_stability": lambda s, d: profiling.population_stability(
+            _t(s, d, "events")
         ),
         # hash-feature linear quality classifier (frozen in-plan
         # weights; the fastText-gate deployment plumbing end to end)
@@ -3023,6 +3062,148 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             SELECT base.doc_id, base.source, base.n_tokens
             FROM base JOIN thr ON base.source = thr.source
             WHERE base.bucket < thr.thr
+        """,
+        "idle_customers": f"""
+            WITH s AS (
+                SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sm,
+                       COUNT(*) AS n
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_custs,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_acctbal
+            FROM customer, s
+            WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > sm
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority
+                        = '{relational.IDLE_EXCLUDED_PRIORITY}'
+              )
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        "nation_revenue_share": f"""
+            WITH by_nation AS (
+                SELECT n_name,
+                       SUM(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(18,2))) AS rev
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                GROUP BY n_name
+            ),
+            tot AS (SELECT SUM(rev) AS total FROM by_nation)
+            SELECT n_name,
+                   CAST(rev AS DOUBLE) AS revenue,
+                   round(CAST(rev AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                       AS share
+            FROM by_nation, tot
+            WHERE rev * {relational.SHARE_DENOM} > total * {relational.SHARE_NUM}
+            ORDER BY revenue DESC, n_name
+        """,
+        "min_cost_supplier": f"""
+            WITH nk AS (
+                SELECT n_nationkey, n_name
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = '{relational.MIN_COST_REGION}'
+            ),
+            sups AS (
+                SELECT s_suppkey, s_name, n_name
+                FROM supplier JOIN nk ON s_nationkey = n_nationkey
+            ),
+            cand AS (
+                SELECT l_partkey,
+                       l_extendedprice / l_quantity AS price,
+                       l_suppkey
+                FROM lineitem JOIN sups ON l_suppkey = s_suppkey
+            ),
+            best AS (
+                SELECT l_partkey, price, l_suppkey,
+                       row_number() OVER (
+                           PARTITION BY l_partkey
+                           ORDER BY price, l_suppkey
+                       ) AS rn
+                FROM cand
+            )
+            SELECT p_partkey, p_name, s_name, n_name,
+                   round(price, 4) AS unit_price
+            FROM best
+            JOIN sups ON best.l_suppkey = sups.s_suppkey
+            JOIN part ON best.l_partkey = p_partkey
+            WHERE rn = 1
+            ORDER BY unit_price DESC, p_partkey
+            LIMIT {relational.MIN_COST_TOPN}
+        """,
+        "population_stability": f"""
+            WITH bounds AS (
+                SELECT event_type AS t, min(value) AS vmin,
+                       max(value) AS vmax
+                FROM events
+                WHERE ts < TIMESTAMP '{profiling.PSI_CUTOFF}'
+                  AND value IS NOT NULL
+                GROUP BY event_type
+            ),
+            counts AS (
+                SELECT e.event_type AS t,
+                       CASE WHEN (vmax - vmin) / {profiling.PSI_BINS} = 0
+                            THEN 0
+                            ELSE CAST(least(greatest(floor(
+                                     (value - vmin)
+                                     / ((vmax - vmin) / {profiling.PSI_BINS})
+                                 ), 0), {profiling.PSI_BINS} - 1) AS BIGINT)
+                       END AS bin,
+                       CAST(SUM(CASE WHEN ts < TIMESTAMP
+                                          '{profiling.PSI_CUTOFF}'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                       CAST(SUM(CASE WHEN ts >= TIMESTAMP
+                                          '{profiling.PSI_CUTOFF}'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+                FROM events e JOIN bounds ON e.event_type = bounds.t
+                WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT t, CAST(i AS BIGINT) AS bin
+                FROM bounds,
+                     UNNEST(range(0, {profiling.PSI_BINS})) AS g(i)
+            ),
+            fgrid AS (
+                SELECT grid.t, grid.bin,
+                       COALESCE(n_ref, 0) AS n_ref,
+                       COALESCE(n_cur, 0) AS n_cur
+                FROM grid LEFT JOIN counts
+                  ON grid.t = counts.t AND grid.bin = counts.bin
+            ),
+            tot AS (
+                SELECT t, n_ref, n_cur,
+                       CAST(SUM(n_ref) OVER (PARTITION BY t) AS BIGINT)
+                           AS tot_ref,
+                       CAST(SUM(n_cur) OVER (PARTITION BY t) AS BIGINT)
+                           AS tot_cur
+                FROM fgrid
+            ),
+            terms AS (
+                SELECT t, tot_ref, tot_cur,
+                       CAST(round(
+                           ((n_ref + 1) / (tot_ref + {profiling.PSI_BINS})
+                            - (n_cur + 1) / (tot_cur + {profiling.PSI_BINS}))
+                           * ln(((n_ref + 1)
+                                 / (tot_ref + {profiling.PSI_BINS}))
+                                / ((n_cur + 1)
+                                   / (tot_cur + {profiling.PSI_BINS})))
+                           * 1e9
+                       ) AS BIGINT) AS tq
+                FROM tot
+            )
+            SELECT t AS event_type,
+                   CAST(MAX(tot_ref) AS BIGINT) AS n_ref,
+                   CAST(MAX(tot_cur) AS BIGINT) AS n_cur,
+                   round(SUM(tq) / 1e9, 6) AS psi
+            FROM terms
+            GROUP BY t
+            ORDER BY psi DESC, event_type
         """,
         "quality_classifier": _quality_classifier_sql(),
         "detect_outliers": f"""

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -113,4 +113,114 @@ def check_constraints(
         "n_rows",
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+#: Population-stability defaults: the reference/current time cut (the
+#: events table spans 2024-01-01..30; mid-month splits it evenly) and
+#: the bin count (10 is the industry PSI convention).
+PSI_CUTOFF = "2024-01-16 00:00:00"
+PSI_BINS = 10
+
+
+def population_stability(
+    events: DataFrame,
+    cutoff: str = PSI_CUTOFF,
+    n_bins: int = PSI_BINS,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Population Stability Index per event type — the train/serving
+    drift screen: how far has the CURRENT value distribution (rows at
+    or after ``cutoff``) moved from the REFERENCE one (rows before)?
+    PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i); <0.1 stable, >0.25 is the
+    conventional retrain/alert line. ``event_rate_anomalies`` flags
+    odd traffic VOLUME; this flags a shifted value DISTRIBUTION even
+    at normal volume.
+
+    Scale shape: two passes, both cheap — a per-type (min, max) over
+    the reference half (filter pushed to the scan, |types|-row result
+    broadcast back), then ONE full scan that tags each row's side and
+    bin and reduces map-side to a (type × bin × side) count table;
+    everything after is arithmetic on that tiny grid. Bin edges are
+    FROZEN on the reference (the PSI convention — current drift must
+    not move the goalposts), equi-width in the ``value_histogram``
+    idiom (plain IEEE bin math, not ``width_bucket``), current values
+    clamped into the edge bins (out-of-range mass IS drift). Empty
+    bins count on both sides via the full type×bin grid (a tiny
+    sequence-explode of the bounds table, never a corpus op) and
+    Laplace smoothing ((n+1)/(N+bins)) keeps ln finite — the standard
+    PSI treatment of zero cells. Types absent from the reference have
+    no baseline to drift from and are excluded by the bounds join.
+
+    Cross-engine exactness: counts are integers; p, q, and each bin's
+    PSI term are IEEE doubles over identical operands; terms are
+    quantized to 1e-9 units and summed as integers (order-independent
+    — a raw double Σ would drift with partition order), then rounded.
+
+    Output: (event_type, n_ref, n_cur, psi), psi desc / type asc.
+    """
+    cut = F.to_timestamp(F.lit(cutoff))
+    is_ref = F.col(ts_col) < cut
+    bounds = (
+        events.filter(is_ref & F.col(value_col).isNotNull())
+        .groupBy(F.col(type_col).alias("_t"))
+        .agg(
+            F.min(value_col).alias("_vmin"), F.max(value_col).alias("_vmax")
+        )
+    )
+    width = (F.col("_vmax") - F.col("_vmin")) / n_bins
+    bin_idx = F.when(width == 0, F.lit(0)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col(value_col) - F.col("_vmin")) / width),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        )
+    ).cast("long")
+    counts = (
+        events.filter(F.col(value_col).isNotNull())
+        .join(
+            F.broadcast(bounds), F.col(type_col) == F.col("_t"), "inner"
+        )
+        .select(
+            F.col(type_col).alias("t"),
+            bin_idx.alias("bin"),
+            is_ref.alias("ref"),
+        )
+        .groupBy("t", "bin")
+        .agg(
+            F.sum(F.when(F.col("ref"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(~F.col("ref"), 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    grid = bounds.select(
+        F.col("_t").alias("t"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+    )
+    full = (
+        grid.join(counts, ["t", "bin"], "left")
+        .fillna(0, subset=["n_ref", "n_cur"])
+        .withColumn("tot_ref", F.sum("n_ref").over(Window.partitionBy("t")))
+        .withColumn("tot_cur", F.sum("n_cur").over(Window.partitionBy("t")))
+    )
+    p = (F.col("n_ref") + 1) / (F.col("tot_ref") + n_bins)
+    q = (F.col("n_cur") + 1) / (F.col("tot_cur") + n_bins)
+    term_q = F.round((p - q) * F.log(p / q) * 1e9).cast("long")
+    return (
+        full.select(
+            "t", "tot_ref", "tot_cur", term_q.alias("_tq")
+        )
+        .groupBy("t")
+        .agg(
+            F.max("tot_ref").cast("long").alias("n_ref"),
+            F.max("tot_cur").cast("long").alias("n_cur"),
+            F.round(F.sum("_tq") / 1e9, 6).alias("psi"),
+        )
+        .select(
+            F.col("t").alias("event_type"), "n_ref", "n_cur", "psi"
+        )
+        .orderBy(F.desc("psi"), F.asc("event_type"))
     )

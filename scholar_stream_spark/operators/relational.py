@@ -1326,6 +1326,210 @@ def waiting_supplier(
     )
 
 
+#: Idle-customer (TPC-H Q22 shape) exclusion class: the order kind the
+#: anti-join proves ABSENT. (Q22's customers-with-no-orders set is
+#: empty in the synthetic data — every customer has orders — so the
+#: stand-in is "never placed an urgent order": same scalar-subquery +
+#: NOT-EXISTS cascade, ~5% of customers qualifying.)
+IDLE_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+def idle_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    excluded_priority: str = IDLE_EXCLUDED_PRIORITY,
+) -> DataFrame:
+    """TPC-H-Q22-shaped query: well-funded but inactive customers —
+    per market segment, how many customers hold an above-average
+    account balance yet never placed an urgent order. Two classic
+    correlated shapes in one query, both decorrelated: the scalar
+    average subquery becomes a 1-row aggregate broadcast back, and the
+    NOT EXISTS becomes a LEFT-ANTI join.
+
+    Scale shape: the balance average folds customer to ONE row
+    (map-side combined) and crossJoin-broadcasts back — no per-row
+    subquery; the anti-join ships only ``o_custkey`` of the excluded
+    class (priority filter pushed to the orders scan), and AQE
+    broadcasts it when small. The above-average comparison is
+    integer-exact cross-engine: ``bal > sum/n`` is evaluated as
+    ``bal·n > sum`` on DECIMAL(18,2) — no IEEE average can 1-ulp-flip
+    a boundary customer.
+
+    Output: (c_mktsegment, n_custs, total_acctbal), segment-ordered.
+    """
+    stats = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("_sum_bal"),
+        F.count(F.lit(1)).alias("_n_bal"),
+    )
+    urgent = orders.filter(
+        F.col("o_orderpriority") == excluded_priority
+    ).select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("c_acctbal").cast("decimal(18,2)") * F.col("_n_bal")
+            > F.col("_sum_bal")
+        )
+        .join(urgent, F.col("c_custkey") == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            F.expr(exact_sum_double("c_acctbal")).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+#: Nation-revenue-share (TPC-H Q11 shape) HAVING threshold, as an
+#: exact fraction NUM/DENOM (1/20 = 5%: above a uniform 25-nation
+#: share, so only above-average nations survive — the Q11 "important
+#: share" cut).
+SHARE_NUM = 1
+SHARE_DENOM = 20
+
+
+def nation_revenue_share(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    num: int = SHARE_NUM,
+    denom: int = SHARE_DENOM,
+) -> DataFrame:
+    """TPC-H-Q11-shaped query: supplier nations carrying an "important"
+    share of total revenue — group totals kept only where they exceed
+    ``num/denom`` of the grand total. The classic HAVING-vs-scalar-
+    subquery shape; the naive plan scans the fact table twice (once
+    per aggregate).
+
+    Scale shape: lineitem is scanned ONCE — revenue reduces to a
+    ≤|nations|-row group table (supplier dim joined via AQE, nation
+    broadcast), and the grand total RE-AGGREGATES that tiny table
+    rather than re-scanning the fact; it folds back as a 1-row
+    broadcast. The HAVING boundary is integer-exact cross-engine:
+    ``rev > (num/denom)·total`` is evaluated as
+    ``rev·denom > total·num`` on exact DECIMAL sums — the one place a
+    double threshold could flip a nation in or out.
+
+    Output: (n_name, revenue, share), revenue desc.
+    """
+    rev_dec = "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)))"
+    by_nation = (
+        lineitem.select("l_suppkey", "l_extendedprice", "l_discount")
+        .join(
+            supplier.select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.expr(rev_dec).alias("_rev"))
+        # localCheckpoint: TWO consumers (the grand total and the
+        # HAVING filter) would otherwise each re-run the fact join —
+        # the exact double-scan this operator exists to avoid; the
+        # checkpointed table is ≤|nations| rows (the top_supplier
+        # pattern)
+        .localCheckpoint(eager=False)
+    )
+    total = by_nation.agg(F.sum("_rev").alias("_total"))
+    return (
+        by_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("_rev") * denom > F.col("_total") * num)
+        .select(
+            "n_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.round(
+                F.col("_rev").cast("double") / F.col("_total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+#: Min-cost-supplier (TPC-H Q2 shape) region under test and report cap.
+MIN_COST_REGION = "EUROPE"
+MIN_COST_TOPN = 100
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    region_name: str = MIN_COST_REGION,
+) -> DataFrame:
+    """TPC-H-Q2-shaped query: for each part, the region supplier
+    offering the best (minimum) observed unit price. Q2's correlated
+    ``= (SELECT min(cost) …)`` subquery, decorrelated ONE STEP
+    FURTHER than the textbook rewrite: instead of computing a per-part
+    min table and joining it back to find the rows that achieve it
+    (two passes over the slice), the argmin PAYLOAD rides inside the
+    min itself — ``min(struct(price, suppkey))`` is a single map-side-
+    combined aggregate whose struct comparison total-orders ties by
+    supplier key, so the join-back pass disappears entirely.
+
+    Scale shape: region→nation→supplier reduces to a region-supplier
+    slice (dimension-sized, broadcast into the one lineitem scan,
+    pruning it before any shuffle); the per-part argmin is the only
+    fact-keyed exchange; supplier/part name joins see only the
+    ≤|parts|-row result. Unit price is one IEEE division of two
+    doubles — identical operands give the identical quotient on every
+    engine, and no sums accumulate, so the min is cross-engine stable.
+
+    Output: (p_partkey, p_name, s_name, n_name, unit_price) — price
+    desc, partkey asc, top ``MIN_COST_TOPN``.
+    """
+    nk = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    sups = supplier.join(
+        F.broadcast(nk), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "n_name")
+    best = (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(
+            F.broadcast(sups.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "l_partkey",
+            F.struct(
+                (F.col("l_extendedprice") / F.col("l_quantity")).alias("price"),
+                F.col("l_suppkey").alias("suppkey"),
+            ).alias("_cand"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.min("_cand").alias("_best"))
+        .select(
+            "l_partkey",
+            F.col("_best.price").alias("_price"),
+            F.col("_best.suppkey").alias("_suppkey"),
+        )
+    )
+    return (
+        best.join(
+            F.broadcast(sups), F.col("_suppkey") == F.col("s_suppkey")
+        )
+        .join(
+            part.select("p_partkey", "p_name"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round(F.col("_price"), 4).alias("unit_price"),
+        )
+        .orderBy(F.desc("unit_price"), F.asc("p_partkey"))
+        .limit(MIN_COST_TOPN)
+    )
+
+
 #: Rate-anomaly screen: z threshold on per-(type, hour) event counts.
 RATE_Z_THRESHOLD = 2.0
 
@@ -1478,11 +1682,21 @@ def bloom_join_revenue(
 
     cut0 = F.to_timestamp(F.lit(start))
     cut1 = F.to_timestamp(F.lit(end))
-    sel = orders.filter(
-        (F.col("o_orderpriority") == priority)
-        & (F.col("o_orderdate") >= cut0)
-        & (F.col("o_orderdate") < cut1)
-    ).select("o_orderkey")
+    # localCheckpoint: THREE consumers read the selective key set (the
+    # geometry-sizing count inside bloom_key_filter, the filter build,
+    # and the final join) — checkpointing pays the orders scan once and
+    # stores only the keys-sized slice, distributed across executors
+    # (never the driver). Measured at sf0.1: 1.51 s → 1.30 s; at 100 TB
+    # it is the difference between 3 fact scans and 1.
+    sel = (
+        orders.filter(
+            (F.col("o_orderpriority") == priority)
+            & (F.col("o_orderdate") >= cut0)
+            & (F.col("o_orderdate") < cut1)
+        )
+        .select("o_orderkey")
+        .localCheckpoint()
+    )
     word_filter, n_bits, n_hashes = bloom_key_filter(sel, "o_orderkey")
     li = lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
     if word_filter is not None:

@@ -738,6 +738,98 @@ def bpe_merge_pairs(documents: DataFrame, top_n: int = BPE_TOP_N) -> DataFrame:
     )
 
 
+#: Default merge budget for the iterative BPE trainer. Real tokenizers
+#: run 30k+ merges; the demo budget keeps the driver loop visible in
+#: tests and the bench while exercising the exact per-round machinery.
+BPE_TRAIN_MERGES = 8
+
+
+def bpe_train(documents: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFrame:
+    """Iterative BPE tokenizer training (Sennrich et al. 2016): run
+    ``n_merges`` merge rounds and return the learned, RANKED merge
+    table — the artifact a BPE tokenizer ships (``merges.txt``).
+    ``bpe_merge_pairs`` is one round's statistic; this is the loop.
+
+    Scale shape — the k-means contract (tiny driver state, corpus-
+    bounded executors): the corpus is scanned ONCE, reducing to a
+    (word, freq, syms) vocabulary table; every round after that runs on
+    the VOCAB-sized table only. Per round: (1) adjacent-pair counts
+    weighted by word frequency — one map-side-combined aggregate over
+    vocab rows, (2) the argmax pair comes to the driver as ONE row
+    (count desc, then (a, b) asc: a total order, so training is
+    deterministic on any partitioning), (3) the merge rewrites each
+    word's symbol array with a left-fold (``aggregate``): append, or
+    fuse the array tail when it equals the merge pair — the fold gives
+    exactly the leftmost-nonoverlapping semantics of the reference BPE
+    algorithm. The vocabulary is ``localCheckpoint``ed each round: the
+    per-round plan stays one aggregate deep (no lineage pile-up, and —
+    the r8 lesson — no CollapseProject lambda re-inlining across
+    rounds).
+
+    Driver state: ``n_merges`` chosen pairs, nothing else. Rows-only by
+    design (an iterative fixed point isn't one SQL statement); pytest
+    pins the learned merges against a pure-Python reference trainer.
+
+    Output: (merge_rank, a, b, pair_count), rank asc — rank r is the
+    r-th merge the tokenizer applies.
+    """
+    spark = documents.sparkSession
+    vocab = (
+        scale_out(documents)
+        .select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select(F.expr("split(word, '')").alias("syms"), "f")
+        .localCheckpoint()
+    )
+    adjacent = F.explode(
+        F.expr(
+            "transform(sequence(1, size(syms) - 1),"
+            " i -> struct(element_at(syms, i) AS a,"
+            " element_at(syms, i + 1) AS b))"
+        )
+    ).alias("p")
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(adjacent, "f")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("f").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break  # nothing left worth merging (BPE's stop condition)
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+        merges.append((rank, a, b, int(n)))
+        # left-fold merge: literals go in as Columns (never string-
+        # spliced into SQL — merged symbols contain arbitrary text)
+        lit_a, lit_b, lit_ab = F.lit(a), F.lit(b), F.lit(a + b)
+        vocab = vocab.select(
+            F.aggregate(
+                "syms",
+                F.expr("CAST(array() AS array<string>)"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == lit_a)
+                    & (s == lit_b),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(lit_ab)
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("syms"),
+            "f",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, schema="merge_rank long, a string, b string, pair_count long"
+    )
+
+
 #: Heavy-hitter threshold divisor: report tokens with freq > N/k.
 HH_K = 200
 
