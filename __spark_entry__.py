@@ -3087,8 +3087,9 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "nation_revenue_share": f"""
             WITH by_nation AS (
                 SELECT n_name,
-                       SUM(CAST(l_extendedprice * (1 - l_discount)
-                                AS DECIMAL(18,2))) AS rev
+                       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                           AS rev
                 FROM lineitem
                 JOIN supplier ON l_suppkey = s_suppkey
                 JOIN nation ON s_nationkey = n_nationkey

@@ -41,6 +41,20 @@ def exact_sum_double(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
 
 
+#: Boundary-safe discounted-revenue product: cast EACH operand to
+#: DECIMAL first, then multiply decimals. NEVER cast a double product
+#: to DECIMAL — Spark rounds ``CAST(double AS DECIMAL(18,2))`` on the
+#: shortest decimal string (HALF_UP) while DuckDB rounds the binary
+#: value, so half-cent-boundary products (e.g. 48887.774999999994)
+#: land a cent apart cross-engine (the r9 ``nation_revenue_share``
+#: hash-FAIL: 610/60k sf0.01 rows off by $0.01). Decimal×decimal is
+#: exact, so downstream rounding is identical on both engines.
+DISCOUNTED_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
 def latency_kpis(events: DataFrame, window_hours: int = KPI_WINDOW_HOURS) -> DataFrame:
     """V10-V12 stand-in on the events table: global KPIs over the
     trailing window, with the clock pinned to ``max(ts)`` (deterministic
@@ -1412,7 +1426,7 @@ def nation_revenue_share(
 
     Output: (n_name, revenue, share), revenue desc.
     """
-    rev_dec = "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)))"
+    rev_dec = f"SUM({DISCOUNTED_PRICE})"
     by_nation = (
         lineitem.select("l_suppkey", "l_extendedprice", "l_discount")
         .join(

@@ -81,19 +81,31 @@ def test_nation_revenue_share_matches_bruteforce(spark):
     rev: dict[str, Decimal] = defaultdict(Decimal)
     cent = Decimal("0.01")
     for r in li.select("l_suppkey", "l_extendedprice", "l_discount").collect():
-        v = r["l_extendedprice"] * (1 - r["l_discount"])
-        # Spark's double→DECIMAL(18,2) cast goes through the double's
-        # SHORTEST decimal string (BigDecimal.valueOf semantics), then
-        # rounds HALF_UP — repr() is Python's shortest-round-trip
-        # equivalent (an f-string would round the binary value
-        # half-even and drift)
-        rev[names[nat[r["l_suppkey"]]]] += Decimal(repr(v)).quantize(
+        # the boundary-safe money idiom: cast EACH operand to
+        # DECIMAL(18,2) first (Spark's double→DECIMAL cast goes through
+        # the double's shortest decimal string — repr() — then rounds
+        # HALF_UP), multiply the exact decimals; never cast the double
+        # product
+        price = Decimal(repr(r["l_extendedprice"])).quantize(
             cent, rounding=ROUND_HALF_UP
         )
+        disc = Decimal(repr(r["l_discount"])).quantize(
+            cent, rounding=ROUND_HALF_UP
+        )
+        rev[names[nat[r["l_suppkey"]]]] += price * (1 - disc)
     total = sum(rev.values())
+    micro = Decimal("0.000001")
     want = sorted(
         (
-            (nm, float(v), round(float(v) / float(total), 6))
+            (
+                nm,
+                float(v),
+                float(
+                    Decimal(repr(float(v) / float(total))).quantize(
+                        micro, rounding=ROUND_HALF_UP
+                    )
+                ),
+            )
             for nm, v in rev.items()
             if v * relational.SHARE_DENOM > total * relational.SHARE_NUM
         ),
@@ -114,7 +126,12 @@ def test_nation_revenue_share_plan_single_fact_scan(spark):
     sp = spark.read.parquet(f"{SF_SMALL}/supplier.parquet")
     na = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
     plan = _plan(relational.nation_revenue_share(li, sp, na))
-    assert plan.count("lineitem.parquet") == 1, plan
+    # the single fact scan lives INSIDE the localCheckpointed by_nation
+    # table, which the executed plan shows as `Scan ExistingRDD`: zero
+    # lineitem.parquet scans remain in the outer plan (the checkpoint
+    # pays the scan once), and both consumers read the checkpointed RDD
+    assert plan.count("lineitem.parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 
@@ -158,8 +175,16 @@ def test_min_cost_supplier_matches_bruteforce(spark):
         if r["l_partkey"] not in best or cand < best[r["l_partkey"]]:
             best[r["l_partkey"]] = cand
     pnames = {r["p_partkey"]: r["p_name"] for r in pt.collect()}
+    # Spark F.round on a double is BigDecimal.valueOf (shortest decimal
+    # string) + setScale(4, HALF_UP) — Python round() is half-even and
+    # diverges on 4-decimal boundaries, so quantize HALF_UP instead
+    def _r4(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+
     rows = [
-        (pk, pnames[pk], *sups[sk], round(price, 4))
+        (pk, pnames[pk], *sups[sk], _r4(price))
         for pk, (price, sk) in best.items()
     ]
     rows.sort(key=lambda t: (-t[4], t[0]))
@@ -322,12 +347,15 @@ def test_population_stability_detects_planted_shift(spark):
     cut = datetime.datetime(2024, 1, 16)
     rows = []
     for i in range(400):
-        ts = base + datetime.timedelta(hours=i % 700)
-        # 'stable': same uniform grid both sides; 'shifted': current
-        # values move up by 50
+        # decouple value from the time index: rows 0..199 land before
+        # the cutoff, 200..399 after, and BOTH sides cover the full
+        # 0..99 value grid twice — so 'stable' is genuinely identical
+        # across the cut; 'shifted' moves its current half up by 50
+        current = i >= 200
+        ts = base + datetime.timedelta(hours=400 if current else 0)
+        assert (ts >= cut) == current
         rows.append((ts, "stable", float(i % 100)))
-        shift = 50.0 if ts >= cut else 0.0
-        rows.append((ts, "shifted", float(i % 100) + shift))
+        rows.append((ts, "shifted", float(i % 100) + (50.0 if current else 0.0)))
     ev = spark.createDataFrame(
         rows, "ts timestamp, event_type string, value double"
     )
