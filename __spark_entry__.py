@@ -457,22 +457,96 @@ PROFILE_COLS = (
     "o_totalprice", "o_orderdate", "o_orderpriority",
 )
 
-#: Driver-cap rotation (round 9): CORRECTNESS runs check at most 50
-#: entries in ``queries()`` order. The 14 r8-new entries that have
-#: NEVER carried a driver row lead (they were positions 51+ in r8),
-#: then this round's 8 new oracle-backed entries
-#: (``avg_quantity_gate``, ``waiting_supplier``, ``bpe_merge_pairs``,
-#: ``source_share_cap``, ``idle_customers``, ``nation_revenue_share``,
-#: ``min_cost_supplier``, ``population_stability``) —
-#: ``bloom_join_revenue`` also REBUILT this round (executor-side
-#: filter fold + auto-sized geometry), so its lead position doubles as
-#: the re-check. The remaining 28 slots refresh the OLDEST driver
-#: rows: the r7-green entries not re-checked in r8, in the r8-
-#: verdict's priority order then ``queries()`` order. 21 r7-green
-#: entries remain outside the cap this round (top_orders_per_customer
-#: … curate_corpus) — all pytest-oracle-checked at HEAD, all
-#: value-unchanged since r7; they lead the r10 rotation.
+#: Driver-cap rotation (round 10): CORRECTNESS runs check at most 50
+#: entries in ``queries()`` order. The r9 FAIL (``nation_revenue_share``,
+#: fixed this round — the money-product decimal idiom) leads, followed
+#: by the other late-r9 ops whose tests were repaired or first run
+#: this round (``bpe_train`` is rows-only, so it sits in the tail
+#: block per the cap invariant) and the two r10-new entries
+#: (``bpe_encode``, ``surplus_suppliers``). Then the 21 entries whose
+#: last driver row is
+#: r7 (the oldest greens anywhere), and the cap fills with the oldest
+#: r8 greens (r8-checked, not re-checked in r9) in ``queries()`` order.
+#: Positions 51+: the remaining r8 greens age next, the r9-green block
+#: last (newest checks at the tail).
 _DRIVER_FIRST = (
+    "nation_revenue_share",
+    "idle_customers",
+    "min_cost_supplier",
+    "population_stability",
+    "bpe_encode",
+    "surplus_suppliers",
+    "top_orders_per_customer",
+    "user_setops",
+    "rollup_orders",
+    "cube_orders",
+    "pivot_user_events",
+    "distinct_users_salted",
+    "value_percentiles",
+    "stats_by_type",
+    "windowed_agg",
+    "salted_join_revenue",
+    "incr_rollup",
+    "vocab_coverage",
+    "heavy_hitters",
+    "asof_join",
+    "sessionize",
+    "change_filter",
+    "range_join",
+    "value_histogram",
+    "split_assign",
+    "pack_docs",
+    "curate_corpus",
+    "quantize_embeddings",
+    "embedding_data_card",
+    "ann_cosine_topk",
+    "ann_cosine_topk_vec",
+    "multimodal_blob_stats",
+    "multimodal_decode",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    "dup_spans",
+    "remove_dup_spans",
+    "remove_dup_spans_first",
+    "bigram_logprob",
+    "minhash_estimate",
+    "corpus_data_card",
+    "temperature_mixture",
+    "clean_lines",
+    "gopher_quality",
+    "latency_kpis",
+    "topn_recent",
+    "shipping_priority",
+    "promo_revenue",
+    "top_supplier",
+    "brand_revenue_bands",
+    "quality_classifier",
+    "curriculum_phases",
+    "pipeline_end_to_end",
+    "reservoir_sample",
+    "hash_sample",
+    "scrub_pii",
+    "dsir_sample",
+    "repetition_stats",
+    "token_counts",
+    "unigram_logprob",
+    "perplexity_buckets",
+    "text_quality",
+    "lang_profile",
+    "doc_fingerprint",
+    "tfidf_top_terms",
+    "dedup_first_event",
+    "dedup_exact_stats",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding",
+    "dedup_fuzzy",
+    "decontaminate",
+    "ivf_probe_index",
+    "incremental_neardup_indexed",
+    "remove_dup_paragraphs",
     "dedup_incremental_bloom",
     "dedup_survivor_map",
     "lsh_index_stats",
@@ -487,17 +561,10 @@ _DRIVER_FIRST = (
     "remove_dup_paragraphs_first",
     "event_rate_anomalies",
     "value_equidepth_bins",
-    # round-9 additions (new oracle-backed entries)
     "avg_quantity_gate",
     "waiting_supplier",
     "bpe_merge_pairs",
     "source_share_cap",
-    "idle_customers",
-    "nation_revenue_share",
-    "min_cost_supplier",
-    "population_stability",
-    # oldest-first refresh of r7-green rows (r8 verdict's named
-    # priority list, then queries() order)
     "blocklist_filter",
     "gopher_repetition",
     "order_priority_check",
@@ -526,29 +593,19 @@ _DRIVER_FIRST = (
     "sec_of_day",
     "pricing_summary",
     "revenue_by_region",
-    # --- positions 51+ (outside the driver cap; r10 leads with the
-    # 21 r7-green stragglers, then the r8-green block ages next)
-    "top_orders_per_customer",
-    "user_setops",
-    "rollup_orders",
-    "cube_orders",
-    "pivot_user_events",
-    "distinct_users_salted",
-    "value_percentiles",
-    "stats_by_type",
-    "windowed_agg",
-    "salted_join_revenue",
-    "incr_rollup",
-    "vocab_coverage",
-    "heavy_hitters",
-    "asof_join",
-    "sessionize",
-    "change_filter",
-    "range_join",
-    "value_histogram",
-    "split_assign",
-    "pack_docs",
-    "curate_corpus",
+    "bpe_train",
+    "ivf_index_stats",
+    "synthetic_email",
+    "distinct_users_sketch",
+    "value_percentiles_sketch",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_lsh_recall",
+    "ann_ivf_recall",
+    "ann_int8_topk",
+    "ann_int8_recall",
+    "cluster_embeddings",
+    "semantic_prune",
 )
 
 
@@ -906,6 +963,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the mid-series time cut
         "population_stability": lambda s, d: profiling.population_stability(
             _t(s, d, "events")
+        ),
+        # BPE ENCODE under the frozen trained merge table (the real
+        # subword tokenize step; fold work is vocab-sized)
+        "bpe_encode": lambda s, d: textops.bpe_encode(_t(s, d, "documents")),
+        # TPC-H Q20 shape: nested IN + correlated scalar agg
+        # decorrelated to one dual-pruned fact scan + semi-joins
+        "surplus_suppliers": lambda s, d: relational.surplus_suppliers(
+            _t(s, d, "lineitem"),
+            _t(s, d, "part"),
+            _t(s, d, "supplier"),
+            _t(s, d, "nation"),
         ),
         # hash-feature linear quality classifier (frozen in-plan
         # weights; the fastText-gate deployment plumbing end to end)
@@ -2777,6 +2845,48 @@ FROM d
 """
 
 
+def _bpe_encode_sql() -> str:
+    """DuckDB replica of the ``bpe_word_tokens`` fold via separator
+    string-rewriting: every symbol is wrapped in DOUBLE ``chr(1)``
+    boundaries and each ranked merge is one ``replace`` whose pattern
+    consumes ONE separator from each side — adjacent merge sites never
+    share consumed characters, so replace-all's leftmost-nonoverlapping
+    scan is exactly the fold's semantics (pinned against the fold on
+    adversarial words in ``tests/test_bpe_encode.py``). Sound because
+    the corpus contains no ``chr(1)`` (asserted in the same test);
+    symbol-boundary alignment is forced because symbols cannot contain
+    the separator, so a pattern's leading separator can only land on
+    the second character of a ``chr(1)chr(1)`` boundary run.
+    """
+    enc = (
+        "chr(1) || chr(1) || "
+        "regexp_replace(word, '(.)', '\\1' || chr(1) || chr(1), 'g')"
+    )
+    for a, b in textops.BPE_FROZEN_MERGES:
+        pat = f"chr(1) || '{a}' || chr(1) || chr(1) || '{b}' || chr(1)"
+        rep = f"chr(1) || '{a}{b}' || chr(1)"
+        enc = f"replace({enc}, {pat}, {rep})"
+    return f"""
+        WITH words AS (
+            SELECT w AS word
+            FROM documents,
+                 UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+            WHERE w <> ''
+        ),
+        freq AS (SELECT word, count(*) AS f FROM words GROUP BY word),
+        enc AS (SELECT {enc} AS s, f FROM freq),
+        toks AS (
+            SELECT tok.token AS token, f
+            FROM enc,
+                 UNNEST(string_split(trim(s, chr(1)), chr(1) || chr(1)))
+                     AS tok(token)
+        )
+        SELECT token, CAST(SUM(f) AS BIGINT) AS tf
+        FROM toks GROUP BY token
+        ORDER BY tf DESC, token ASC
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
     exact_sum = relational.exact_sum_double
@@ -3205,6 +3315,31 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             FROM terms
             GROUP BY t
             ORDER BY psi DESC, event_type
+        """,
+        "bpe_encode": _bpe_encode_sql(),
+        "surplus_suppliers": f"""
+            SELECT s_suppkey, s_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = '{relational.SURPLUS_NATION}'
+              AND s_suppkey IN (
+                  SELECT ps.l_suppkey
+                  FROM (SELECT DISTINCT l_partkey, l_suppkey
+                        FROM lineitem) ps
+                  JOIN part ON ps.l_partkey = p_partkey
+                  WHERE p_name LIKE '%{relational.SURPLUS_PART_TOKEN}%'
+                    AND CAST(p_size % {relational.AVAIL_MOD}
+                             AS DECIMAL(18,2)) * 2 > (
+                        SELECT SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+                        FROM lineitem l
+                        WHERE l.l_partkey = ps.l_partkey
+                          AND l.l_suppkey = ps.l_suppkey
+                          AND l.l_shipdate >= TIMESTAMP
+                              '{relational.SURPLUS_YEAR}-01-01 00:00:00'
+                          AND l.l_shipdate < TIMESTAMP
+                              '{relational.SURPLUS_YEAR + 1}-01-01 00:00:00'
+                    )
+              )
+            ORDER BY s_name, s_suppkey
         """,
         "quality_classifier": _quality_classifier_sql(),
         "detect_outliers": f"""

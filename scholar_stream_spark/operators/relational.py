@@ -1544,6 +1544,90 @@ def min_cost_supplier(
     )
 
 
+#: Surplus-supplier (TPC-H Q20 shape) knobs: part-name token, ship
+#: year window, nation under audit, and the availability emulation
+#: modulus (the testdata has no partsupp table; ``p_size % AVAIL_MOD``
+#: stands in for ``ps_availqty`` — deterministic, integer, and
+#: selective: ~half the sf0.01 suppliers qualify, and in NATION_19
+#: only 2 of 6 do, so the boundary genuinely discriminates).
+SURPLUS_PART_TOKEN = "widget"
+SURPLUS_YEAR = 1996
+SURPLUS_NATION = "NATION_19"
+AVAIL_MOD = 5
+
+
+def surplus_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = SURPLUS_NATION,
+    part_token: str = SURPLUS_PART_TOKEN,
+    year: int = SURPLUS_YEAR,
+) -> DataFrame:
+    """TPC-H-Q20-shaped query: suppliers in one nation holding SURPLUS
+    stock of promo-class parts — ``availqty > 0.5 × that (part,
+    supplier)'s shipped quantity over one year``. The classic nested
+    EXISTS-in-IN with a correlated scalar aggregate, where naive plans
+    re-scan lineitem once per candidate pair. The testdata has no
+    partsupp table, so availability is emulated as ``p_size %
+    AVAIL_MOD`` (deterministic per part; rides the part scan — no
+    extra fact scan). Pairs with no shipments in the window are
+    excluded, exactly as Q20's NULL scalar subquery excludes them.
+
+    Scale shape: ONE lineitem scan, pruned BEFORE its shuffle by both
+    broadcast dimension slices (promo-part keys + the nation's
+    supplier keys — Q20's decorrelation); the correlated aggregate
+    becomes one per-(part, supplier) exact-DECIMAL sum over that
+    pruned slice; the surplus cut is integer-exact (``2·avail >
+    sum_qty`` on decimals — no 0.5× double can 1-ulp-flip a pair);
+    qualifying pairs collapse to supplier keys that LEFT-SEMI the
+    dimension-sized supplier slice. No correlated re-scan anywhere.
+
+    Output: (s_suppkey, s_name), name asc — deterministic.
+    """
+    nk = nation.filter(F.col("n_name") == nation_name).select("n_nationkey")
+    sups = supplier.join(
+        F.broadcast(nk), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    parts = (
+        part.filter(F.col("p_name").like(f"%{part_token}%"))
+        .select(
+            "p_partkey",
+            (F.col("p_size") % AVAIL_MOD)
+            .cast("decimal(18,2)")
+            .alias("_avail"),
+        )
+    )
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(sups.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey", "_avail")
+        .agg(
+            F.expr("SUM(CAST(l_quantity AS DECIMAL(18,2)))").alias("_sum_qty")
+        )
+        .filter(F.col("_avail") * 2 > F.col("_sum_qty"))
+    )
+    return (
+        sups.join(
+            pairs.select("l_suppkey").distinct(),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy(F.asc("s_name"), F.asc("s_suppkey"))
+    )
+
+
 #: Rate-anomaly screen: z threshold on per-(type, hour) event counts.
 RATE_Z_THRESHOLD = 2.0
 

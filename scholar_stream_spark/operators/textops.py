@@ -830,6 +830,151 @@ def bpe_train(documents: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFra
     )
 
 
+#: Frozen ranked merge table for the corpus-scale ENCODE step — the
+#: artifact a trained tokenizer ships (``merges.txt``). Learned by the
+#: exact ``bpe_train`` procedure on the sf0.001 demo corpus (16
+#: merges); production swaps in a real trained table, which changes
+#: only this constant, not the machinery. Deployment shape: training
+#: happens once, offline; encoding is the corpus-scale step.
+BPE_FROZEN_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"),
+    ("s", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an"),
+    ("s", "can"), ("c", "o"), ("co", "lu"), ("colu", "m"),
+)
+
+
+def bpe_word_tokens(
+    word: Column, merges: tuple[tuple[str, str], ...] = BPE_FROZEN_MERGES
+) -> Column:
+    """Apply a ranked BPE merge table to one whitespace word → its
+    token array, as a pure Column expression (a narrow projection — no
+    shuffle, no UDF).
+
+    Each merge is the SAME left-fold ``bpe_train`` uses in its rewrite
+    step (append, or fuse the array tail when it equals the merge
+    pair), applied in rank order. One fold per merge is EXACTLY the
+    classic re-scanning BPE encoder: merging pair (a, b) creates the
+    new symbol ``ab``, and any pair involving ``ab`` can only match a
+    merge learned AFTER ``ab`` existed — i.e. a later rank — so no
+    earlier merge can ever become applicable again. The merge count is
+    a constant, so the folds nest into ONE expression whose input
+    array is evaluated once per row (the r8 CollapseProject lambda
+    trap applies to expressions INSIDE lambdas, not to a fold chain).
+    """
+    arr = F.split(word, "")
+    empty = F.expr("CAST(array() AS array<string>)")
+    # literals go in as Columns (never string-spliced into SQL —
+    # merged symbols contain arbitrary text); a closure factory keeps
+    # the lambda 2-ary (PySpark counts default args as HOF parameters)
+    def make_fold(a: str, b: str):
+        lit_a, lit_b, lit_ab = F.lit(a), F.lit(b), F.lit(a + b)
+
+        def fold(acc, s):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == lit_a)
+                & (s == lit_b),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lit_ab)),
+            ).otherwise(F.concat(acc, F.array(s)))
+
+        return fold
+
+    for a, b in merges:
+        arr = F.aggregate(arr, empty, make_fold(a, b))
+    return arr
+
+
+def bpe_encode(
+    documents: DataFrame,
+    merges: tuple[tuple[str, str], ...] = BPE_FROZEN_MERGES,
+) -> DataFrame:
+    """Corpus token census under a frozen BPE merge table — the encode
+    step ``bpe_train`` learns merges FOR (``pack_docs``/``chunk_docs``
+    count whitespace units; this is the real subword tokenize between
+    them): every document tokenized, per-token corpus frequencies out.
+
+    Scale shape — the fold work is VOCAB-sized, not corpus-sized: the
+    corpus reduces first to a (word, freq) table (one map-side-combined
+    count, the same shuffle ``vocab_coverage`` pays), each DISTINCT
+    word is encoded once by the ``bpe_word_tokens`` fold chain, and
+    token counts are weighted by word frequency. The output is bounded
+    by |alphabet| + |merges| rows — every emitted token is either a
+    single character or a merge product — so the final rollup is a
+    map-side-combined aggregate onto a tiny key space and the result
+    is driver-safe by construction.
+
+    Output: (token, tf), tf desc then token asc — a total order.
+    """
+    freq = (
+        scale_out(documents)
+        .select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return (
+        freq.select(
+            F.explode(bpe_word_tokens(F.col("word"), merges)).alias("token"),
+            "f",
+        )
+        .groupBy("token")
+        .agg(F.sum("f").cast("long").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("token"))
+    )
+
+
+def bpe_encode_docs(
+    documents: DataFrame,
+    merges: tuple[tuple[str, str], ...] = BPE_FROZEN_MERGES,
+) -> DataFrame:
+    """Per-document BPE token sequences — the corpus-scale artifact the
+    packing/chunking stages consume (``bpe_encode`` is the census; this
+    keeps token ORDER per document).
+
+    Scale shape: the expensive fold chain still runs once per DISTINCT
+    word (vocab-sized) — the document→word sequence ``posexplode``s,
+    equi-joins the encoded vocabulary (word-keyed shuffle, AQE-sized),
+    and regroups per document with ``array_sort(collect_list(struct))``
+    so token order is position order regardless of partitioning. Per-
+    document state is one document's token array — the same bound
+    ``pack_docs`` already carries.
+
+    Output: (doc_id, tokens array<string>, n_tokens).
+    """
+    words = scale_out(documents).select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("pos", "word"),
+    )
+    enc = (
+        words.select("word")
+        .distinct()
+        .select("word", bpe_word_tokens(F.col("word"), merges).alias("toks"))
+    )
+    return (
+        words.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                    lambda s: s["toks"],
+                )
+            ).alias("tokens")
+        )
+        .select(
+            "doc_id", "tokens", F.size("tokens").cast("long").alias("n_tokens")
+        )
+    )
+
+
 #: Heavy-hitter threshold divisor: report tokens with freq > N/k.
 HH_K = 200
 
