@@ -476,6 +476,11 @@ _DRIVER_FIRST = (
     "population_stability",
     "bpe_encode",
     "surplus_suppliers",
+    "local_supplier_revenue",
+    "forecast_revenue",
+    "returned_top_customers",
+    "part_supplier_variety",
+    "bpe_fertility",
     "top_orders_per_customer",
     "user_setops",
     "rollup_orders",
@@ -974,6 +979,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "part"),
             _t(s, d, "supplier"),
             _t(s, d, "nation"),
+        ),
+        # TPC-H Q5 shape: join cycle (customer/supplier same-nation)
+        # with region pruning pushed into both dimension slices
+        "local_supplier_revenue": lambda s, d: relational.local_supplier_revenue(
+            _t(s, d, "customer"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "supplier"),
+            _t(s, d, "nation"),
+            _t(s, d, "region"),
+        ),
+        # TPC-H Q6 shape: filter-only global aggregate (pushdown proof)
+        "forecast_revenue": lambda s, d: relational.forecast_revenue(
+            _t(s, d, "lineitem")
+        ),
+        # TPC-H Q10 shape: returned-item customer ranking, both fact
+        # filters pushed, top-20 via TakeOrdered
+        "returned_top_customers": lambda s, d: relational.returned_top_customers(
+            _t(s, d, "customer"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "nation"),
+        ),
+        # TPC-H Q16 shape: supplier-variety count-distinct with pushed
+        # part exclusions + broadcast anti-join on flagged suppliers
+        "part_supplier_variety": lambda s, d: relational.part_supplier_variety(
+            _t(s, d, "lineitem"), _t(s, d, "part"), _t(s, d, "supplier")
+        ),
+        # tokenizer fertility per source under the frozen merge table
+        "bpe_fertility": lambda s, d: textops.bpe_fertility(
+            _t(s, d, "documents")
         ),
         # hash-feature linear quality classifier (frozen in-plan
         # weights; the fastText-gate deployment plumbing end to end)
@@ -2845,6 +2881,20 @@ FROM d
 """
 
 
+def _bpe_sep_expr(col: str = "word") -> str:
+    """The double-separator rewrite chain over ``col`` (see
+    ``_bpe_encode_sql`` for why this equals the Spark fold)."""
+    enc = (
+        "chr(1) || chr(1) || "
+        f"regexp_replace({col}, '(.)', '\\1' || chr(1) || chr(1), 'g')"
+    )
+    for a, b in textops.BPE_FROZEN_MERGES:
+        pat = f"chr(1) || '{a}' || chr(1) || chr(1) || '{b}' || chr(1)"
+        rep = f"chr(1) || '{a}{b}' || chr(1)"
+        enc = f"replace({enc}, {pat}, {rep})"
+    return enc
+
+
 def _bpe_encode_sql() -> str:
     """DuckDB replica of the ``bpe_word_tokens`` fold via separator
     string-rewriting: every symbol is wrapped in DOUBLE ``chr(1)``
@@ -2858,14 +2908,7 @@ def _bpe_encode_sql() -> str:
     the separator, so a pattern's leading separator can only land on
     the second character of a ``chr(1)chr(1)`` boundary run.
     """
-    enc = (
-        "chr(1) || chr(1) || "
-        "regexp_replace(word, '(.)', '\\1' || chr(1) || chr(1), 'g')"
-    )
-    for a, b in textops.BPE_FROZEN_MERGES:
-        pat = f"chr(1) || '{a}' || chr(1) || chr(1) || '{b}' || chr(1)"
-        rep = f"chr(1) || '{a}{b}' || chr(1)"
-        enc = f"replace({enc}, {pat}, {rep})"
+    enc = _bpe_sep_expr()
     return f"""
         WITH words AS (
             SELECT w AS word
@@ -3340,6 +3383,110 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                     )
               )
             ORDER BY s_name, s_suppkey
+        """,
+        "local_supplier_revenue": f"""
+            SELECT n_name,
+                   CAST(SUM({relational.DISCOUNTED_PRICE}) AS DOUBLE)
+                       AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = '{relational.LOCAL_REGION}'
+              AND o_orderdate >= TIMESTAMP
+                  '{relational.LOCAL_YEAR}-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP
+                  '{relational.LOCAL_YEAR + 1}-01-01 00:00:00'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        "forecast_revenue": f"""
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(18,2)))
+                        AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP
+                  '{relational.FORECAST_YEAR}-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP
+                  '{relational.FORECAST_YEAR + 1}-01-01 00:00:00'
+              AND l_quantity < {relational.FORECAST_MAX_QTY}
+              AND CAST(l_discount AS DECIMAL(18,2))
+                  BETWEEN {relational.FORECAST_DISC_LO}
+                      AND {relational.FORECAST_DISC_HI}
+        """,
+        "returned_top_customers": f"""
+            WITH rev AS (
+                SELECT o_custkey,
+                       SUM({relational.DISCOUNTED_PRICE}) AS _rev
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                WHERE o_orderdate >= TIMESTAMP
+                      '{relational.RETURNED_QUARTER} 00:00:00'
+                  AND o_orderdate < TIMESTAMP
+                      '{relational.RETURNED_QUARTER} 00:00:00'
+                      + INTERVAL 3 MONTH
+                  AND l_returnflag = 'R'
+                GROUP BY o_custkey
+            )
+            SELECT c_custkey, c_name,
+                   CAST(_rev AS DOUBLE) AS revenue,
+                   c_acctbal, n_name
+            FROM rev
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY revenue DESC, c_custkey
+            LIMIT {relational.RETURNED_TOPN}
+        """,
+        "part_supplier_variety": f"""
+            SELECT p_brand, p_type, p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON ps.l_partkey = p_partkey
+            WHERE p_brand <> '{relational.VARIETY_EXCL_BRAND}'
+              AND p_type NOT LIKE '{relational.VARIETY_EXCL_TYPE_PREFIX}%'
+              AND p_size IN {relational.VARIETY_SIZES}
+              AND ps.l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier
+                  WHERE s_suppkey % {relational.VARIETY_FLAG_MOD} = 0
+              )
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "bpe_fertility": f"""
+            WITH words AS (
+                SELECT source, w AS word
+                FROM documents,
+                     UNNEST(regexp_split_to_array(trim(text), '\\s+'))
+                         AS t(w)
+                WHERE w <> ''
+            ),
+            freq AS (
+                SELECT source, word, count(*) AS f
+                FROM words GROUP BY source, word
+            ),
+            enc AS (
+                SELECT word,
+                       CAST(len(string_split(
+                           trim({_bpe_sep_expr()}, chr(1)),
+                           chr(1) || chr(1))) AS BIGINT) AS n_toks,
+                       CAST(length(word) AS BIGINT) AS n_ch
+                FROM (SELECT DISTINCT word FROM freq)
+            )
+            SELECT source,
+                   CAST(SUM(f) AS BIGINT) AS n_words,
+                   CAST(SUM(f * n_toks) AS BIGINT) AS n_tokens,
+                   CAST(SUM(f * n_ch) AS BIGINT) AS n_chars,
+                   round(SUM(f * n_toks) / CAST(SUM(f) AS DOUBLE), 6)
+                       AS tokens_per_word,
+                   round(SUM(f * n_ch) / CAST(SUM(f * n_toks) AS DOUBLE), 6)
+                       AS chars_per_token
+            FROM freq JOIN enc USING (word)
+            GROUP BY source
+            ORDER BY source
         """,
         "quality_classifier": _quality_classifier_sql(),
         "detect_outliers": f"""

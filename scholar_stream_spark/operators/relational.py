@@ -1628,6 +1628,257 @@ def surplus_suppliers(
     )
 
 
+#: Local-supplier-volume (TPC-H Q5 shape) region and order-year.
+LOCAL_REGION = "ASIA"
+LOCAL_YEAR = 1996
+
+
+def local_supplier_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = LOCAL_REGION,
+    year: int = LOCAL_YEAR,
+) -> DataFrame:
+    """TPC-H-Q5-shaped query: revenue per nation from orders where the
+    customer and the line's supplier live in the SAME nation of one
+    region — the classic join CYCLE (customer→orders→lineitem→supplier
+    closes back on nationkey), where join order decides whether the
+    same-nation predicate prunes early or arrives after the damage.
+
+    Scale shape: the region's nations broadcast into BOTH dimension
+    slices up front, so customers and suppliers are nation-pruned
+    before any fact is touched; orders carries the pushed year filter
+    and joins its (pruned) customers first — the fact side entering
+    the big lineitem join is already region-local. The same-nation
+    cycle closes INSIDE the supplier join condition (suppkey AND
+    nationkey), not as a post-join filter, so mismatched-nation rows
+    never materialize. Revenue is the exact-decimal money idiom;
+    group keys are ≤|nations| rows.
+
+    Output: (n_name, revenue), revenue desc then n_name asc.
+    """
+    nk = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    custs = customer.join(
+        F.broadcast(nk.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey")
+    sups = supplier.join(
+        F.broadcast(nk.select(F.col("n_nationkey").alias("_snk"))),
+        F.col("s_nationkey") == F.col("_snk"),
+    ).select("s_suppkey", "s_nationkey")
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        ords.join(custs, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            lineitem.select(
+                "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            sups,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nk), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.expr(
+                f"CAST(SUM({DISCOUNTED_PRICE}) AS DOUBLE)"
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+#: Forecast-revenue (TPC-H Q6 shape) knobs: ship-year, discount band
+#: (exact-decimal bounds), and quantity ceiling.
+FORECAST_YEAR = 1996
+FORECAST_DISC_LO = "0.05"
+FORECAST_DISC_HI = "0.07"
+FORECAST_MAX_QTY = 24
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    year: int = FORECAST_YEAR,
+    max_qty: int = FORECAST_MAX_QTY,
+) -> DataFrame:
+    """TPC-H-Q6-shaped query: revenue increase if discounts in a band
+    were eliminated — a pure single-table filter + global aggregate.
+    The shape exists to prove the FILTERS reach the scan: at 100 TB
+    this query is a row-group-pruned columnar scan of four columns and
+    nothing else; any shuffle or join in the plan is a bug.
+
+    The discount band compares on DECIMAL(18,2) — discounts are
+    cent-quantized doubles, and ``0.05 <= double`` boundaries are
+    exactly the rows a binary-vs-decimal disagreement would flip.
+    Revenue multiplies exact decimals (price × discount).
+
+    Output: 1 row (revenue, n_lines).
+    """
+    disc = "CAST(l_discount AS DECIMAL(18,2))"
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            & (F.col("l_quantity") < max_qty)
+        )
+        .filter(
+            F.expr(
+                f"{disc} >= {FORECAST_DISC_LO}"
+                f" AND {disc} <= {FORECAST_DISC_HI}"
+            )
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+                f" * {disc}) AS DOUBLE)"
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+#: Returned-item report (TPC-H Q10 shape): quarter start + report cap.
+RETURNED_QUARTER = "1996-10-01"
+RETURNED_TOPN = 20
+
+
+def returned_top_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    quarter_start: str = RETURNED_QUARTER,
+) -> DataFrame:
+    """TPC-H-Q10-shaped query: customers who returned the most revenue
+    in one quarter — the returned-item ranking report.
+
+    Scale shape: BOTH fact filters are pushed to their scans (the
+    quarter window on orders, ``l_returnflag = 'R'`` on lineitem)
+    before the order-key equi-join — the only fact×fact shuffle; the
+    customer join sees only the quarter's aggregated-down rows
+    (AQE-sized), nation broadcasts, and the top-20 is
+    ``orderBy().limit()`` — TakeOrderedAndProject, each partition
+    forwards its local top rows, no global sort. Revenue is the
+    exact-decimal money idiom; the (revenue desc, custkey asc) order
+    is total, so the report boundary is deterministic.
+
+    Output: (c_custkey, c_name, revenue, c_acctbal, n_name).
+    """
+    q0 = F.lit(quarter_start).cast("timestamp")
+    ords = orders.filter(
+        (F.col("o_orderdate") >= q0)
+        & (F.col("o_orderdate") < F.expr(
+            f"TIMESTAMP '{quarter_start}' + INTERVAL 3 MONTHS"
+        ))
+    ).select("o_orderkey", "o_custkey")
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        ords.join(returned, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.expr(f"SUM({DISCOUNTED_PRICE})").alias("_rev"))
+        .join(
+            customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(RETURNED_TOPN)
+    )
+
+
+#: Supplier-variety report (TPC-H Q16 shape) exclusions: brand, type
+#: prefix, admissible size set, and the audit-flag emulation (the
+#: testdata has no s_comment for Q16's complaints filter; flagging
+#: every 10th supplier key is deterministic and portable).
+VARIETY_EXCL_BRAND = "Brand#15"
+VARIETY_EXCL_TYPE_PREFIX = "PROM"
+VARIETY_SIZES = (1, 4, 7, 11, 15, 20, 25, 30)
+VARIETY_FLAG_MOD = 10
+
+
+def part_supplier_variety(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """TPC-H-Q16-shaped query: how many distinct suppliers can furnish
+    each admissible (brand, type, size) part class, excluding one
+    brand, one type family, and audit-flagged suppliers — the
+    supplier-diversity report. The testdata has no partsupp or
+    s_comment, so supply relationships are the observed distinct
+    (part, supplier) pairs in lineitem and Q16's complaints filter is
+    emulated as ``s_suppkey % VARIETY_FLAG_MOD = 0``.
+
+    Scale shape: the part exclusions (<> brand, NOT LIKE type, size
+    IN set) are pushed to the part scan and the surviving slice
+    broadcasts INTO the one lineitem scan, pruning it before the
+    distinct-pair shuffle (the only fact-keyed exchange); flagged
+    suppliers are a dimension-sized broadcast LEFT-ANTI; the
+    count-distinct re-keys the already-distinct pair table by part
+    class, so no expanded distinct state exists anywhere.
+
+    Output: (p_brand, p_type, p_size, supplier_cnt), cnt desc then
+    keys asc — a total order.
+    """
+    parts = (
+        part.filter(
+            (F.col("p_brand") != VARIETY_EXCL_BRAND)
+            & ~F.col("p_type").like(f"{VARIETY_EXCL_TYPE_PREFIX}%")
+            & F.col("p_size").isin(*VARIETY_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    flagged = supplier.filter(
+        F.col("s_suppkey") % VARIETY_FLAG_MOD == 0
+    ).select("s_suppkey")
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(flagged),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"),
+            F.asc("p_brand"),
+            F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
 #: Rate-anomaly screen: z threshold on per-(type, hour) event counts.
 RATE_Z_THRESHOLD = 2.0
 

@@ -975,6 +975,71 @@ def bpe_encode_docs(
     )
 
 
+def bpe_fertility(
+    documents: DataFrame,
+    merges: tuple[tuple[str, str], ...] = BPE_FROZEN_MERGES,
+) -> DataFrame:
+    """Tokenizer fertility report per source: tokens-per-word and
+    chars-per-token under the frozen merge table — the standard health
+    metric for a tokenizer/corpus pairing (high fertility on one
+    source means the vocabulary was trained on different text, and
+    that source will pay more sequence length per content).
+
+    Scale shape: per-(source, word) frequencies are one map-side-
+    combined count; the fold chain runs once per DISTINCT word
+    (vocab-sized — only its token COUNT survives, the arrays are never
+    rematerialized downstream); the final rollup is ≤|sources| rows of
+    integer sums, and both ratios divide identical integers on every
+    engine before one 6-decimal rounding.
+
+    Output: (source, n_words, n_tokens, n_chars, tokens_per_word,
+    chars_per_token), source asc.
+    """
+    words = (
+        scale_out(documents)
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    enc = (
+        words.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.size(bpe_word_tokens(F.col("word"), merges))
+            .cast("long")
+            .alias("n_toks"),
+            F.length("word").cast("long").alias("n_ch"),
+        )
+    )
+    return (
+        words.join(enc, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("f").cast("long").alias("n_words"),
+            F.sum(F.col("f") * F.col("n_toks")).cast("long").alias("n_tokens"),
+            F.sum(F.col("f") * F.col("n_ch")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.round(F.col("n_tokens") / F.col("n_words"), 6).alias(
+                "tokens_per_word"
+            ),
+            F.round(F.col("n_chars") / F.col("n_tokens"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 #: Heavy-hitter threshold divisor: report tokens with freq > N/k.
 HH_K = 200
 

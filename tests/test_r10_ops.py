@@ -125,6 +125,20 @@ def test_bpe_encode_docs_order_and_census(spark):
         assert by_id[did]["n_tokens"] == len(want)
 
 
+def test_frozen_merges_are_bpe_train_output(spark):
+    """Round-trip pin: the frozen encode table IS what ``bpe_train``
+    learns on the demo corpus — the first 8 frozen merges must equal an
+    8-round training run (the frozen table extends it to 16)."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    learned = [
+        (r["a"], r["b"])
+        for r in textops.bpe_train(docs, n_merges=8)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert learned == list(textops.BPE_FROZEN_MERGES[:8])
+
+
 def test_bpe_encode_plan_no_udf_no_cartesian(spark):
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
     plan = _plan(textops.bpe_encode(docs))
@@ -212,3 +226,220 @@ def test_surplus_suppliers_plan_single_scan_semi_joins(spark):
     assert "BroadcastHashJoin" in plan, plan
     # the part-name filter must be pushed to the part scan
     assert "PushedFilters" in plan
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 / Q6 / Q10 / Q16 shapes + tokenizer fertility
+# ---------------------------------------------------------------------------
+
+from decimal import ROUND_HALF_UP, Decimal  # noqa: E402
+
+_CENT = Decimal("0.01")
+
+
+def _dec2(x: float) -> Decimal:
+    return Decimal(repr(x)).quantize(_CENT, rounding=ROUND_HALF_UP)
+
+
+def _r6(x: float) -> float:
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+
+
+def test_local_supplier_revenue_matches_bruteforce(spark):
+    import datetime
+
+    tbl = {
+        t: spark.read.parquet(f"{SF_SMALL}/{t}.parquet")
+        for t in ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    }
+    got = [
+        (r["n_name"], r["revenue"])
+        for r in relational.local_supplier_revenue(
+            tbl["customer"], tbl["orders"], tbl["lineitem"],
+            tbl["supplier"], tbl["nation"], tbl["region"],
+        ).collect()
+    ]
+    rk = {
+        r["r_regionkey"]
+        for r in tbl["region"].collect()
+        if r["r_name"] == relational.LOCAL_REGION
+    }
+    nk = {
+        r["n_nationkey"]: r["n_name"]
+        for r in tbl["nation"].collect()
+        if r["n_regionkey"] in rk
+    }
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in tbl["customer"].collect()
+        if r["c_nationkey"] in nk
+    }
+    sup = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in tbl["supplier"].collect()
+        if r["s_nationkey"] in nk
+    }
+    lo = datetime.datetime(relational.LOCAL_YEAR, 1, 1)
+    hi = datetime.datetime(relational.LOCAL_YEAR + 1, 1, 1)
+    ords = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in tbl["orders"].collect()
+        if lo <= r["o_orderdate"] < hi and r["o_custkey"] in cust
+    }
+    rev: dict[str, Decimal] = collections.defaultdict(Decimal)
+    for r in tbl["lineitem"].collect():
+        ck = ords.get(r["l_orderkey"])
+        if ck is None or r["l_suppkey"] not in sup:
+            continue
+        if cust[ck] != sup[r["l_suppkey"]]:
+            continue
+        rev[nk[sup[r["l_suppkey"]]]] += _dec2(r["l_extendedprice"]) * (
+            1 - _dec2(r["l_discount"])
+        )
+    want = sorted(
+        ((n, float(v)) for n, v in rev.items()), key=lambda t: (-t[1], t[0])
+    )
+    assert got == want and len(got) > 0
+
+
+def test_local_supplier_revenue_plan(spark):
+    tbl = {
+        t: spark.read.parquet(f"{SF_SMALL}/{t}.parquet")
+        for t in ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    }
+    plan = _plan(
+        relational.local_supplier_revenue(
+            tbl["customer"], tbl["orders"], tbl["lineitem"],
+            tbl["supplier"], tbl["nation"], tbl["region"],
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_forecast_revenue_matches_bruteforce(spark):
+    import datetime
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    row = relational.forecast_revenue(li).first()
+    lo = datetime.datetime(relational.FORECAST_YEAR, 1, 1)
+    hi = datetime.datetime(relational.FORECAST_YEAR + 1, 1, 1)
+    dlo = Decimal(relational.FORECAST_DISC_LO)
+    dhi = Decimal(relational.FORECAST_DISC_HI)
+    tot, n = Decimal(0), 0
+    for r in li.collect():
+        d = _dec2(r["l_discount"])
+        if (
+            lo <= r["l_shipdate"] < hi
+            and r["l_quantity"] < relational.FORECAST_MAX_QTY
+            and dlo <= d <= dhi
+        ):
+            tot += _dec2(r["l_extendedprice"]) * d
+            n += 1
+    assert row["n_lines"] == n and n > 0
+    assert row["revenue"] == float(tot)
+
+
+def test_forecast_revenue_plan_no_join_no_wide_shuffle(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    plan = _plan(relational.forecast_revenue(li))
+    assert "Join" not in plan, plan
+    # partial+final global aggregate over a pruned 4-column scan
+    assert "HashAggregate" in plan
+    assert "PushedFilters" in plan
+
+
+def test_returned_top_customers_matches_bruteforce(spark):
+    import datetime
+
+    cu = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    od = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    na = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    got = [tuple(r) for r in
+           relational.returned_top_customers(cu, od, li, na).collect()]
+    q0 = datetime.datetime.fromisoformat(relational.RETURNED_QUARTER)
+    q1 = datetime.datetime(q0.year + (q0.month + 2) // 12,
+                           (q0.month + 2) % 12 + 1, q0.day)
+    ords = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in od.collect()
+        if q0 <= r["o_orderdate"] < q1
+    }
+    rev: dict[int, Decimal] = collections.defaultdict(Decimal)
+    for r in li.collect():
+        if r["l_returnflag"] == "R" and r["l_orderkey"] in ords:
+            rev[ords[r["l_orderkey"]]] += _dec2(r["l_extendedprice"]) * (
+                1 - _dec2(r["l_discount"])
+            )
+    names = {r["n_nationkey"]: r["n_name"] for r in na.collect()}
+    want = []
+    for r in cu.collect():
+        if r["c_custkey"] in rev:
+            want.append((
+                r["c_custkey"], r["c_name"], float(rev[r["c_custkey"]]),
+                r["c_acctbal"], names[r["c_nationkey"]],
+            ))
+    want.sort(key=lambda t: (-t[2], t[0]))
+    assert got == want[: relational.RETURNED_TOPN] and len(got) > 0
+
+
+def test_returned_top_customers_plan_take_ordered(spark):
+    cu = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    od = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    na = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    plan = _plan(relational.returned_top_customers(cu, od, li, na))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_part_supplier_variety_matches_bruteforce(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    pt = spark.read.parquet(f"{SF_SMALL}/part.parquet")
+    sp = spark.read.parquet(f"{SF_SMALL}/supplier.parquet")
+    got = [tuple(r) for r in
+           relational.part_supplier_variety(li, pt, sp).collect()]
+    cls = {
+        r["p_partkey"]: (r["p_brand"], r["p_type"], r["p_size"])
+        for r in pt.collect()
+        if r["p_brand"] != relational.VARIETY_EXCL_BRAND
+        and not r["p_type"].startswith(relational.VARIETY_EXCL_TYPE_PREFIX)
+        and r["p_size"] in relational.VARIETY_SIZES
+    }
+    flagged = {
+        r["s_suppkey"]
+        for r in sp.collect()
+        if r["s_suppkey"] % relational.VARIETY_FLAG_MOD == 0
+    }
+    sets: dict[tuple, set] = collections.defaultdict(set)
+    for r in li.select("l_partkey", "l_suppkey").collect():
+        if r["l_partkey"] in cls and r["l_suppkey"] not in flagged:
+            sets[cls[r["l_partkey"]]].add(r["l_suppkey"])
+    want = sorted(
+        ((b, t, s, len(v)) for (b, t, s), v in sets.items()),
+        key=lambda r: (-r[3], r[0], r[1], r[2]),
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bpe_fertility_matches_python_reference(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    got = {r["source"]: tuple(r)[1:] for r in
+           textops.bpe_fertility(docs).collect()}
+    agg: dict[str, list[int]] = collections.defaultdict(lambda: [0, 0, 0])
+    for r in docs.select("source", "text").collect():
+        for w in re.split(r"\s+", r["text"].strip()):
+            if w:
+                a = agg[r["source"]]
+                a[0] += 1
+                a[1] += len(_py_encode(w))
+                a[2] += len(w)
+    want = {
+        s: (nw, nt, nc, _r6(nt / nw), _r6(nc / nt))
+        for s, (nw, nt, nc) in agg.items()
+    }
+    assert got == want and len(got) > 0
