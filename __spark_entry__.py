@@ -481,6 +481,17 @@ _DRIVER_FIRST = (
     "returned_top_customers",
     "part_supplier_variety",
     "bpe_fertility",
+    "nation_trade_flows",
+    "market_share",
+    "product_profit",
+    "shipmode_priority_counts",
+    "neardup_source_matrix",
+    "embedding_drift",
+    "curation_funnel",
+    "token_budget_plan",
+    "packing_efficiency",
+    "ngram_diversity",
+    "quality_deciles",
     "top_orders_per_customer",
     "user_setops",
     "rollup_orders",
@@ -669,6 +680,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vector-modality data card: per-label + TOTAL counts, dim
         # bounds, exact norm quantiles (corpus_data_card's mirror)
         "embedding_data_card": lambda s, d: similarity.embedding_data_card(
+            _t(s, d, "embeddings")
+        ),
+        # embedding-centroid drift screen: per-label top shifted
+        # dimensions between snapshot halves (PSI's vector companion)
+        "embedding_drift": lambda s, d: similarity.embedding_drift(
             _t(s, d, "embeddings")
         ),
         # IVF cell-balance health table off the persisted serving
@@ -1011,6 +1027,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": lambda s, d: textops.bpe_fertility(
             _t(s, d, "documents")
         ),
+        # TPC-H Q7 shape: bilateral trade flows, disjunctive pair
+        # predicate collapsed by pre-pruning both dimension slices
+        "nation_trade_flows": lambda s, d: relational.nation_trade_flows(
+            _t(s, d, "customer"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "supplier"),
+            _t(s, d, "nation"),
+        ),
+        # TPC-H Q8 shape: one nation's market share in a region, by
+        # order year (conditional-aggregate ratio, unrounded division)
+        "market_share": lambda s, d: relational.market_share(
+            _t(s, d, "customer"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "supplier"),
+            _t(s, d, "nation"),
+            _t(s, d, "region"),
+            _t(s, d, "part"),
+        ),
+        # TPC-H Q9 shape: product-family profit by (nation, year),
+        # revenue and emulated supply cost as separate exact sums
+        "product_profit": lambda s, d: relational.product_profit(
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "supplier"),
+            _t(s, d, "nation"),
+            _t(s, d, "part"),
+        ),
+        # TPC-H Q12 shape: late-shipment priority split per emulated
+        # ship mode (dual conditional count, one aggregate pass)
+        "shipmode_priority_counts": lambda s, d: (
+            relational.shipmode_priority_counts(
+                _t(s, d, "orders"), _t(s, d, "lineitem")
+            )
+        ),
         # hash-feature linear quality classifier (frozen in-plan
         # weights; the fastText-gate deployment plumbing end to end)
         "quality_classifier": lambda s, d: textops.quality_classifier(
@@ -1136,6 +1188,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": lambda s, d: curation.curate_corpus(
             _t(s, d, "documents")
         ),
+        # per-source curation funnel: cumulative survival counts at
+        # each curate gate (quality -> lang -> dedup -> split)
+        "curation_funnel": lambda s, d: curation.curation_funnel(
+            _t(s, d, "documents")
+        ),
+        # token-budget plan: per-stratum epochs / sampling-rate table
+        # for an externally-fixed training-token budget
+        "token_budget_plan": lambda s, d: sampling.token_budget_plan(
+            _t(s, d, "documents")
+        ),
+        # packing-efficiency report over the pack_documents layout
+        "packing_efficiency": lambda s, d: sampling.packing_efficiency(
+            _t(s, d, "documents")
+        ),
+        # per-source n-gram type/token diversity ratio
+        "ngram_diversity": lambda s, d: textops.ngram_diversity(
+            _t(s, d, "documents")
+        ),
+        # per-source exact rank-based quality-score deciles
+        "quality_deciles": lambda s, d: curation.quality_deciles(
+            _t(s, d, "documents")
+        ),
         # flagship composition: curate -> decontaminate -> mixture as
         # ONE Catalyst plan (no materialization between stages)
         "pipeline_end_to_end": lambda s, d: curation.pretraining_pipeline(
@@ -1199,6 +1273,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(
+            _t(s, d, "documents")
+        ),
+        # cross-source duplication matrix: verified near-dup pairs
+        # rolled up to (source_a, source_b) cells — the mixture-design
+        # signal for per-source dedup budgets
+        "neardup_source_matrix": lambda s, d: dedup.neardup_source_matrix(
             _t(s, d, "documents")
         ),
         "dedup_simhash": lambda s, d: dedup.simhash_pairs(_t(s, d, "documents")),
@@ -1842,6 +1922,164 @@ def _mixture_report_sql() -> str:
     """
 
 
+def _token_budget_sql() -> str:
+    """``token_budget_plan`` oracle: weight VALUES normalized from the
+    SAME constant dict, targets floored on the identical literal-double
+    product, ratio columns single divisions of exact integers."""
+    total = sum(sampling.MIXTURE_WEIGHTS.values())
+    values = ", ".join(
+        f"('{k}', {float(v / total)!r}::DOUBLE)"
+        for k, v in sorted(sampling.MIXTURE_WEIGHTS.items())
+    )
+    budget = float(sampling.PLAN_BUDGET_TOKENS)
+    return f"""
+        WITH per AS (
+            SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(text) - length(replace(text, ' ', ''))
+                            + 1) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang
+        ),
+        w(stratum, wn) AS (VALUES {values}),
+        t AS (
+            SELECT per.stratum, n_docs, n_tokens,
+                   CAST(floor({budget!r} * coalesce(wn, 0.0)) AS BIGINT)
+                       AS target_tokens
+            FROM per LEFT JOIN w ON per.stratum = w.stratum
+        )
+        SELECT stratum, n_docs, n_tokens, target_tokens,
+               round(CAST(target_tokens AS DOUBLE) / n_tokens, 6)
+                   AS epochs,
+               round(least(1.0, CAST(target_tokens AS DOUBLE) / n_tokens),
+                     6) AS sample_rate,
+               (CAST(target_tokens AS DOUBLE) / n_tokens) > 1.0
+                   AS needs_upsample
+        FROM t ORDER BY stratum
+    """
+
+
+def _packing_efficiency_sql() -> str:
+    """``packing_efficiency`` oracle: the pack_docs offset CTEs rolled
+    up per shard; n_packs in integer ceil arithmetic."""
+    b = sampling.PACK_BUDGET_TOKENS
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   ({hex48_sql("CAST(doc_id AS VARCHAR)")})
+                       % {sampling.PACK_NUM_SHARDS} AS shard,
+                   CAST(length(text) - length(replace(text, ' ', ''))
+                        + 1 AS BIGINT) AS n_doc_tokens
+            FROM documents
+        ), offs AS (
+            SELECT shard, n_doc_tokens,
+                   COALESCE(SUM(n_doc_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) % {b}
+                       AS offset_in_pack
+            FROM toks
+        ), per AS (
+            SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_doc_tokens) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN offset_in_pack + n_doc_tokens
+                                      > {b} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_split_docs
+            FROM offs GROUP BY shard
+        )
+        SELECT shard, n_docs,
+               CAST((n_tokens + {b - 1}) // {b} AS BIGINT) AS n_packs,
+               n_tokens,
+               round(CAST(n_tokens AS DOUBLE)
+                     / (((n_tokens + {b - 1}) // {b}) * {b}), 6)
+                   AS fill_rate,
+               n_split_docs,
+               round(CAST(n_split_docs AS DOUBLE) / n_docs, 6)
+                   AS split_frac
+        FROM per ORDER BY shard
+    """
+
+
+def _ngram_diversity_sql() -> str:
+    """``ngram_diversity`` oracle: the gopher_repetition n-gram slice
+    idiom rolled up to per-source distinct/total counts."""
+    n = textops.DIVERSITY_N
+    return f"""
+        WITH base AS (
+            SELECT source,
+                   regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents
+        ),
+        g AS (
+            SELECT source, array_to_string(ws[i:i+{n - 1}], ' ') AS g
+            FROM base, unnest(range(1, len(ws) - {n - 2})) AS t(i)
+            WHERE len(ws) >= {n}
+        ),
+        pg AS (
+            SELECT source, g, count(*) AS c FROM g GROUP BY source, g
+        ),
+        gs AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS n_grams,
+                   CAST(count(*) AS BIGINT) AS n_distinct_grams
+            FROM pg GROUP BY source
+        ),
+        d AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        )
+        SELECT d.source, n_docs,
+               CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(n_distinct_grams, 0) AS BIGINT)
+                   AS n_distinct_grams,
+               CASE WHEN coalesce(n_grams, 0) > 0
+                    THEN round(CAST(n_distinct_grams AS DOUBLE)
+                               / n_grams, 6)
+                    ELSE 0.0 END AS gram_ttr
+        FROM d LEFT JOIN gs ON d.source = gs.source
+        ORDER BY d.source
+    """
+
+
+def _quality_deciles_sql() -> str:
+    """``quality_deciles`` oracle: the _curate_sql score formula +
+    rank-based decile selection in integer arithmetic."""
+    stop_list = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
+    nd = curation.QUALITY_N_DECILES
+    return f"""
+        WITH feat AS (
+            SELECT doc_id, source,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1
+                        AS BIGINT) AS n_doc_tokens,
+                   length(replace(text, ' ', '')) AS n_nonspace,
+                   len(list_filter(regexp_split_to_array(trim(text),
+                                                         '\\s+'),
+                                   t -> t IN ({stop_list}))) AS n_stop
+            FROM documents
+        ),
+        scored AS (
+            SELECT source, doc_id,
+                   round(CASE WHEN n_doc_tokens < 5 THEN 0.0
+                         ELSE 1.0 - abs(n_nonspace / n_doc_tokens - 4.0)
+                              / 10.0
+                              - (n_stop / n_doc_tokens) * 0.5 END, 4)
+                       AS score
+            FROM feat
+        ),
+        ranked AS (
+            SELECT source, score,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY score, doc_id) AS rn
+            FROM scored
+        ),
+        n AS (SELECT source, count(*) AS n FROM scored GROUP BY source),
+        t AS (
+            SELECT source, d AS decile, (d * n + {nd - 1}) // {nd} AS rn
+            FROM n, unnest(range(1, {nd + 1})) AS td(d)
+        )
+        SELECT r.source, CAST(t.decile AS INT) AS decile, r.score
+        FROM ranked r JOIN t ON r.source = t.source AND r.rn = t.rn
+        ORDER BY r.source, decile
+    """
+
+
 def _embedding_card_sql() -> str:
     """``embedding_data_card`` oracle: the same sequential-fold L2 norm
     as the ANN oracles (``_dot_sql`` — bit-identical to Spark's
@@ -2055,6 +2293,46 @@ cand AS (
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 ),
 {_jaccard_tail(dedup.JACCARD_THRESHOLD)}
+"""
+
+
+def _source_matrix_sql() -> str:
+    """Near-dup pairs (the ngram-Jaccard pipeline verbatim) rolled up
+    to unordered (source_a, source_b) cells with an over-the-result
+    share denominator."""
+    return f"""
+WITH {_shingle_ctes()},
+cand AS (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT i.d1, i.d2
+    FROM (
+        SELECT c.d1, c.d2, count(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.d1
+        JOIN sh sb ON sb.doc_id = c.d2 AND sa.shingle = sb.shingle
+        GROUP BY c.d1, c.d2
+    ) i
+    JOIN sizes s1 ON s1.doc_id = i.d1
+    JOIN sizes s2 ON s2.doc_id = i.d2
+    WHERE i.n_inter / (s1.n_sh + s2.n_sh - i.n_inter)
+          >= {dedup.JACCARD_THRESHOLD}
+),
+cells AS (
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    JOIN documents da ON pairs.d1 = da.doc_id
+    JOIN documents db ON pairs.d2 = db.doc_id
+    GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_pairs,
+       n_pairs / CAST(SUM(n_pairs) OVER () AS DOUBLE) AS pair_share
+FROM cells
+ORDER BY source_a, source_b
 """
 
 
@@ -2742,6 +3020,68 @@ def _curate_sql(lang_filter: tuple = None) -> str:
         )
         SELECT doc_id, n_doc_tokens, quality_score, pred_lang, split
         FROM dd WHERE rn = 1 AND split IN ({splits})
+    """
+
+
+def _funnel_sql() -> str:
+    """The curate gates re-expressed as cumulative per-source counts —
+    same feat/scored CTEs as ``_curate_sql`` with ``source`` carried
+    and the dedup survivor as a windowed min over passers."""
+    stop_list = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
+    split_case = "CASE " + " ".join(
+        f"WHEN bucket >= {lo} AND bucket < {hi} THEN '{name}'"
+        for name, lo, hi in sampling.SPLIT_BOUNDS
+    ) + " END"
+    langs = ", ".join(f"'{x}'" for x in curation.CURATE_LANGS)
+    splits = ", ".join(f"'{x}'" for x in curation.CURATE_SPLITS)
+    minq = curation.CURATE_MIN_QUALITY
+    return f"""
+        WITH feat AS (
+            SELECT doc_id, source,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1
+                        AS BIGINT) AS n_doc_tokens,
+                   length(replace(text, ' ', '')) AS n_nonspace,
+                   len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   t -> t IN ({stop_list}))) AS n_stop,
+                   {_lang_case_sql()} AS pred_lang,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS fingerprint,
+                   ({hex48_sql("CAST(doc_id AS VARCHAR)")}) % 100 AS bucket
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, source,
+                   round(CASE WHEN n_doc_tokens < 5 THEN 0.0
+                         ELSE 1.0 - abs(n_nonspace / n_doc_tokens - 4.0) / 10.0
+                              - (n_stop / n_doc_tokens) * 0.5 END, 4)
+                       AS quality_score,
+                   pred_lang, fingerprint, {split_case} AS split
+            FROM feat
+        ), flags AS (
+            SELECT source, split,
+                   quality_score >= {minq} AS pq,
+                   (quality_score >= {minq}
+                    AND pred_lang IN ({langs})) AS pl,
+                   doc_id,
+                   MIN(CASE WHEN quality_score >= {minq}
+                             AND pred_lang IN ({langs})
+                        THEN doc_id END)
+                       OVER (PARTITION BY fingerprint) AS min_id
+            FROM scored
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN pq THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_quality,
+               CAST(SUM(CASE WHEN pl THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_lang,
+               CAST(SUM(CASE WHEN pl AND doc_id = min_id
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+               CAST(SUM(CASE WHEN pl AND doc_id = min_id
+                             AND split IN ({splits})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+        FROM flags
+        GROUP BY source
+        ORDER BY source
     """
 
 
@@ -3488,6 +3828,111 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             GROUP BY source
             ORDER BY source
         """,
+        "nation_trade_flows": f"""
+            SELECT sn.n_name AS supp_nation,
+                   cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   CAST(SUM({relational.DISCOUNTED_PRICE}) AS DOUBLE)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE ((sn.n_name = '{relational.TRADE_NATION_A}'
+                    AND cn.n_name = '{relational.TRADE_NATION_B}')
+                OR (sn.n_name = '{relational.TRADE_NATION_B}'
+                    AND cn.n_name = '{relational.TRADE_NATION_A}'))
+              AND l_shipdate >= TIMESTAMP
+                  '{relational.TRADE_YEAR_LO}-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP
+                  '{relational.TRADE_YEAR_HI + 1}-01-01 00:00:00'
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "market_share": f"""
+            WITH agg AS (
+                SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                       CAST(SUM(CASE WHEN sn.n_name =
+                                '{relational.SHARE_NATION}'
+                            THEN CAST({relational.DISCOUNTED_PRICE}
+                                 AS DECIMAL(28,4))
+                            ELSE CAST(0 AS DECIMAL(28,4)) END)
+                            AS DOUBLE) AS nation_revenue,
+                       CAST(SUM(CAST({relational.DISCOUNTED_PRICE}
+                                AS DECIMAL(28,4))) AS DOUBLE)
+                           AS total_revenue
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation sn ON s_nationkey = sn.n_nationkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+                JOIN region ON cn.n_regionkey = r_regionkey
+                WHERE p_type = '{relational.SHARE_PART_TYPE}'
+                  AND r_name = '{relational.SHARE_REGION}'
+                  AND o_orderdate >= TIMESTAMP
+                      '{relational.SHARE_YEAR_LO}-01-01 00:00:00'
+                  AND o_orderdate < TIMESTAMP
+                      '{relational.SHARE_YEAR_HI + 1}-01-01 00:00:00'
+                GROUP BY 1
+            )
+            SELECT o_year, nation_revenue, total_revenue,
+                   nation_revenue / total_revenue AS mkt_share
+            FROM agg
+            ORDER BY o_year
+        """,
+        "product_profit": f"""
+            SELECT n_name,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(SUM({relational.DISCOUNTED_PRICE}) AS DOUBLE)
+                   - CAST(SUM(CAST(p_retailprice AS DECIMAL(10,2))
+                              * CAST({relational.PROFIT_COST_FACTOR}
+                                     AS DECIMAL(3,2))
+                              * CAST(l_quantity AS DECIMAL(10,2)))
+                          AS DOUBLE) AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%{relational.PROFIT_PART_TOKEN}%'
+            GROUP BY 1, 2
+            ORDER BY n_name ASC, o_year DESC
+        """,
+        "shipmode_priority_counts": f"""
+            WITH lines AS (
+                SELECT l_orderkey, l_shipdate,
+                       CASE l_linenumber % 3
+                           WHEN 0 THEN 'AIR'
+                           WHEN 1 THEN 'MAIL'
+                           ELSE 'SHIP'
+                       END AS ship_mode
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP
+                      '{relational.SHIPMODE_YEAR}-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP
+                      '{relational.SHIPMODE_YEAR + 1}-01-01 00:00:00'
+            )
+            SELECT ship_mode,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                            ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                            ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lines
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE ship_mode IN ('MAIL', 'SHIP')
+              AND l_shipdate > o_orderdate
+                  + INTERVAL {relational.SHIPMODE_LATE_DAYS} DAYS
+            GROUP BY ship_mode
+            ORDER BY ship_mode
+        """,
         "quality_classifier": _quality_classifier_sql(),
         "detect_outliers": f"""
             WITH quant AS (
@@ -4119,6 +4564,11 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         """,
         "lang_profile": _lang_profile_sql(),
         "curate_corpus": _curate_sql(),
+        "curation_funnel": _funnel_sql(),
+        "token_budget_plan": _token_budget_sql(),
+        "packing_efficiency": _packing_efficiency_sql(),
+        "ngram_diversity": _ngram_diversity_sql(),
+        "quality_deciles": _quality_deciles_sql(),
         "pipeline_end_to_end": _pipeline_sql(),
         "scrub_pii": _scrub_pii_sql(),
         "repetition_stats": """
@@ -4426,6 +4876,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "remove_dup_paragraphs_first": _remove_dup_paragraphs_sql("first"),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
+        "neardup_source_matrix": _source_matrix_sql(),
         "minhash_estimate": _minhash_estimate_sql(),
         "dedup_incremental_neardup": _incremental_neardup_sql(),
         # the persisted-index probe is value-identical to the recompute
@@ -4557,6 +5008,50 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "scd2_apply": _scd2_sql(),
         "quantize_embeddings": _quantize_sql(),
         "embedding_data_card": _embedding_card_sql(),
+        "embedding_drift": f"""
+            WITH comp AS (
+                SELECT label,
+                       vec_id % 2 = 0 AS is_ref,
+                       CAST(u.i - 1 AS INT) AS dim,
+                       CAST(floor(CAST(embedding[u.i] AS DOUBLE)
+                                  * {similarity.DRIFT_QUANT} + 0.5)
+                            AS BIGINT) AS qv
+                FROM embeddings,
+                     unnest(generate_series(1, len(embedding))) AS u(i)
+            ),
+            grid AS (
+                SELECT label, dim,
+                       SUM(CASE WHEN is_ref THEN qv END) AS sq_ref,
+                       CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_ref,
+                       SUM(CASE WHEN NOT is_ref THEN qv END) AS sq_cur,
+                       CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_cur
+                FROM comp GROUP BY label, dim
+            ),
+            stats AS (
+                SELECT label, dim,
+                       CAST(sq_ref AS DOUBLE)
+                           / (CAST({similarity.DRIFT_QUANT} AS DOUBLE)
+                              * CAST(n_ref AS DOUBLE)) AS mean_ref,
+                       CAST(sq_cur AS DOUBLE)
+                           / (CAST({similarity.DRIFT_QUANT} AS DOUBLE)
+                              * CAST(n_cur AS DOUBLE)) AS mean_cur
+                FROM grid
+            ),
+            ranked AS (
+                SELECT label, dim, mean_ref, mean_cur,
+                       abs(mean_ref - mean_cur) AS abs_shift,
+                       row_number() OVER (
+                           PARTITION BY label
+                           ORDER BY abs(mean_ref - mean_cur) DESC, dim
+                       ) AS rk
+                FROM stats
+            )
+            SELECT label, dim, mean_ref, mean_cur, abs_shift
+            FROM ranked WHERE rk <= {similarity.DRIFT_TOP_DIMS}
+            ORDER BY label, abs_shift DESC, dim
+        """,
         "ann_cosine_topk": _ann_topk_sql(),
         "ann_cosine_topk_vec": _ann_topk_sql(),
         "multimodal_blob_stats": f"""

@@ -163,8 +163,15 @@ _SIGNAL_SCHEMA = (
 )
 
 
-def _signals_expr(documents: DataFrame) -> DataFrame:
-    """Expression-engine signal projection (the kernel's reference)."""
+def _signals_expr(
+    documents: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Expression-engine signal projection (the kernel's reference).
+
+    ``carry`` projects extra passthrough columns (e.g. ``source`` for
+    the funnel report) without widening the default schema consumers
+    depend on.
+    """
     nt, _, _, score = quality_parts(F.col("text"))
     bucket = split_bucket("CAST(doc_id AS STRING)")
     split = None
@@ -178,6 +185,7 @@ def _signals_expr(documents: DataFrame) -> DataFrame:
     hits = lang_hit_cols(F.col("text"))
     staged = scale_out(documents).select(
         "doc_id",
+        *carry,
         nt.alias("n_doc_tokens"),
         F.round(score, 4).alias("quality_score"),
         *[hits[lang].alias(f"_h_{lang}") for lang in LANG_ORDER],
@@ -186,6 +194,7 @@ def _signals_expr(documents: DataFrame) -> DataFrame:
     )
     return staged.select(
         "doc_id",
+        *carry,
         "n_doc_tokens",
         "quality_score",
         pred_lang_from_hits(
@@ -232,6 +241,68 @@ def curate_corpus(
     )
     return deduped.filter(F.col("split").isin(*splits)).select(
         "doc_id", "n_doc_tokens", "quality_score", "pred_lang", "split"
+    )
+
+
+def curation_funnel(
+    documents: DataFrame,
+    min_quality: float = CURATE_MIN_QUALITY,
+    langs: tuple[str, ...] = CURATE_LANGS,
+    splits: tuple[str, ...] = CURATE_SPLITS,
+) -> DataFrame:
+    """Per-source curation funnel: how many documents each source
+    delivers INTO each gate of the ``curate_corpus`` pipeline — total →
+    quality pass → +language pass → +exact-dedup survivor → +split —
+    the observability report a pipeline owner reads before touching
+    mixture weights (a source losing 90% at the quality gate is a
+    crawler problem, not a sampling problem; counts here are the SAME
+    gates ``curate_corpus`` applies, not a parallel reimplementation).
+
+    Scale shape: ONE signal projection (shared ``_signals_expr``, the
+    oracle-checkable expression engine) with ``source`` carried
+    through; the dedup-survivor flag folds into the SAME pass via
+    ``min(case when passer then doc_id) over (partition by
+    fingerprint)`` — no filtered sub-pipeline, no second scan, one
+    fingerprint exchange; the rollup is a map-side-combined
+    ≤|sources|-row integer aggregate. Every output is an exact count.
+
+    Output: (source, n_total, n_quality, n_lang, n_unique, n_final),
+    source asc.
+    """
+    sig = _signals_expr(documents, carry=("source",))
+    pass_q = F.col("quality_score") >= min_quality
+    pass_l = pass_q & F.col("pred_lang").isin(*langs)
+    w = Window.partitionBy("fingerprint")
+    flags = sig.select(
+        "source",
+        "split",
+        pass_q.alias("_pq"),
+        pass_l.alias("_pl"),
+        (
+            pass_l
+            & (
+                F.col("doc_id")
+                == F.min(F.when(pass_l, F.col("doc_id"))).over(w)
+            )
+        ).alias("_sv"),
+    )
+
+    def _n(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            _n(F.col("_pq"), "n_quality"),
+            _n(F.col("_pl"), "n_lang"),
+            _n(F.col("_sv"), "n_unique"),
+            _n(
+                F.col("_sv") & F.col("split").isin(*splits),
+                "n_final",
+            ),
+        )
+        .orderBy("source")
     )
 
 
@@ -288,3 +359,67 @@ def pretraining_pipeline(
         sample_bucket("doc_id").alias("bucket"),
     )
     return mixture_select(base, weights)
+
+
+#: Quality-calibration decile count (d/10 quantiles, d = 1..10; d=10 is
+#: the per-source max).
+QUALITY_N_DECILES = 10
+
+
+def quality_deciles(documents: DataFrame) -> DataFrame:
+    """Per-source quality-score deciles — the calibration table that
+    shows whether a single global quality threshold transfers across
+    sources (it usually doesn't: the same cut that keeps 90% of one
+    source can keep 40% of another; mixture designers read this table
+    before setting ``curate_corpus``'s ``min_quality`` or switching to
+    per-source cuts).
+
+    Quantile definition is RANK-BASED and exact (value at row
+    ``ceil(d·n/10)`` of the (score, doc_id)-ordered source), computed
+    with integer arithmetic ``(d·n + 9) div 10`` — no interpolation,
+    so both engines pick the SAME document's score and the oracle is
+    bit-exact (percentile interpolation semantics differ per engine;
+    rank selection doesn't).
+
+    Scale shape: one signal scan projected to (source, score, doc_id),
+    one sort exchange keyed by source (the quantile order — skew-free
+    here, sources are near-uniform; a skewed corpus would range-
+    partition within source), target ranks derived from the ≤|sources|
+    count table exploded ×10 and broadcast back into a rank-equality
+    join — the corpus is scanned once and shuffled once.
+
+    Output: (source, decile 1..10, score), source asc, decile asc.
+    """
+    _, _, _, score = quality_parts(F.col("text"))
+    base = scale_out(documents).select(
+        "source",
+        F.col("doc_id"),
+        F.round(score, 4).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    ranked = base.select(
+        "source", "score", F.row_number().over(w).alias("rn")
+    )
+    targets = (
+        base.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, {QUALITY_N_DECILES}), "
+                    f"d -> struct(d AS decile, "
+                    f"(d * n + {QUALITY_N_DECILES - 1}) "
+                    f"DIV {QUALITY_N_DECILES} AS rn))"
+                )
+            ).alias("t"),
+        )
+        .select("source", F.col("t.decile").alias("decile"), "t.rn")
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets), ["source", "rn"]
+        )
+        .select("source", F.col("decile").cast("int").alias("decile"), "score")
+        .orderBy("source", "decile")
+    )

@@ -1760,6 +1760,67 @@ def dedup_survivor_map(documents: DataFrame) -> DataFrame:
     )
 
 
+def neardup_source_matrix(
+    documents: DataFrame,
+    n: int = SHINGLE_N,
+    threshold: float = JACCARD_THRESHOLD,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Cross-source near-duplication matrix: how many verified near-dup
+    pairs connect each (unordered) pair of sources — the mixture-design
+    signal behind per-source dedup budgets (a hot off-diagonal cell
+    means two "independent" sources are substantially the same text and
+    their mixture weights double-count it; a hot diagonal cell means
+    the source needs aggressive self-dedup).
+
+    Scale shape: all the quadratic risk lives in ``ngram_jaccard_pairs``
+    (shared pipeline, same ``max_doc_freq`` hot-shingle guard); this
+    adds two equi-joins of the PAIR table against the (doc_id, source)
+    projection — pair-table-sized, never corpus×corpus — and a rollup
+    to ≤ |sources|² cells. The share denominator re-aggregates the
+    cell table itself (a window over the ≤ |sources|²-row result, not
+    another pass over pairs), and the share is one IEEE division of
+    exact integers.
+
+    Output: (source_a ≤ source_b, n_pairs, pair_share), sources asc.
+    """
+    pairs = ngram_jaccard_pairs(documents, n, threshold, max_doc_freq)
+    src = documents.select("doc_id", "source")
+    cells = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("d1"), F.col("source").alias("_s1")
+            ),
+            "d1",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("d2"), F.col("source").alias("_s2")
+            ),
+            "d2",
+        )
+        .select(
+            F.least("_s1", "_s2").alias("source_a"),
+            F.greatest("_s1", "_s2").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    total = Window.partitionBy()
+    return (
+        cells.select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            (
+                F.col("n_pairs")
+                / F.sum("n_pairs").over(total).cast("double")
+            ).alias("pair_share"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame, threshold: float = EMBED_COS_THRESHOLD
 ) -> DataFrame:

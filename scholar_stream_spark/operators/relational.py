@@ -1879,6 +1879,339 @@ def part_supplier_variety(
     )
 
 
+#: Bilateral-trade (TPC-H Q7 shape) knobs: the two trading nations and
+#: the inclusive ship-year window.
+TRADE_NATION_A = "NATION_3"
+TRADE_NATION_B = "NATION_4"
+TRADE_YEAR_LO = 1996
+TRADE_YEAR_HI = 1997
+
+
+def nation_trade_flows(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = TRADE_NATION_A,
+    nation_b: str = TRADE_NATION_B,
+) -> DataFrame:
+    """TPC-H-Q7-shaped query: revenue shipped between two nations in
+    BOTH directions (supplier nation → customer nation), by ship year
+    — the bilateral-trade report whose textbook form carries a
+    disjunctive pair predicate ``(A,B) OR (B,A)``.
+
+    Scale shape: the disjunction never runs — BOTH dimension slices
+    are pre-pruned to the two nations by a broadcast of the 2-row
+    nation slice, so after the supplier and customer joins only
+    four (supp, cust) nation pairs can exist and the OR collapses to
+    ``supp_nation <> cust_nation``. The ship-year window rides the
+    lineitem scan; the supplier broadcast prunes the fact BEFORE the
+    order-key shuffle (its only wide exchange); revenue is the
+    exact-decimal money idiom over ≤ 2·2·|years| group keys.
+
+    Output: (supp_nation, cust_nation, l_year, revenue), keys asc.
+    """
+    nk = nation.filter(
+        F.col("n_name").isin(nation_a, nation_b)
+    ).select("n_nationkey", "n_name")
+    sups = supplier.join(
+        F.broadcast(nk.select(
+            F.col("n_nationkey").alias("_snk"),
+            F.col("n_name").alias("supp_nation"),
+        )),
+        F.col("s_nationkey") == F.col("_snk"),
+    ).select("s_suppkey", "supp_nation")
+    custs = customer.join(
+        F.broadcast(nk.select(
+            F.col("n_nationkey").alias("_cnk"),
+            F.col("n_name").alias("cust_nation"),
+        )),
+        F.col("c_nationkey") == F.col("_cnk"),
+    ).select("c_custkey", "cust_nation")
+    fact = (
+        lineitem.filter(
+            (F.col("l_shipdate")
+             >= F.lit(f"{TRADE_YEAR_LO}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate")
+               < F.lit(f"{TRADE_YEAR_HI + 1}-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .join(F.broadcast(sups), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        fact.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(custs, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.expr(
+                f"CAST(SUM({DISCOUNTED_PRICE}) AS DOUBLE)"
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+#: Market-share (TPC-H Q8 shape) knobs: the market region, the nation
+#: whose share is measured, the part class, and the order-year window.
+SHARE_REGION = "ASIA"
+SHARE_NATION = "NATION_7"
+SHARE_PART_TYPE = "ECONOMY"
+SHARE_YEAR_LO = 1996
+SHARE_YEAR_HI = 1997
+
+
+def market_share(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = SHARE_NATION,
+) -> DataFrame:
+    """TPC-H-Q8-shaped query: one nation's share of a region's market
+    for one part class, by order year — the conditional-aggregate
+    ratio ``sum(case supp_nation = target) / sum(all)``.
+
+    Scale shape: the part-class slice broadcasts INTO the lineitem
+    scan (the most selective prune, before any shuffle); the region's
+    customers semi-prune the year-windowed orders; the supplier join
+    carries only a boolean ``is_target`` (the nation 25-row broadcast
+    resolves it — no second nation join after the fact). Numerator
+    and denominator are EXACT decimal sums; the share is one IEEE
+    division of exactly-equal operands on any engine — deliberately
+    NOT rounded, because rounding a ratio is the only place this
+    query could diverge cross-engine.
+
+    Output: (o_year, nation_revenue, total_revenue, mkt_share),
+    year asc.
+    """
+    is_target = (F.col("n_name") == target_nation).alias("is_target")
+    sups = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", is_target)
+    custs = customer.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(
+                    region.filter(F.col("r_name") == SHARE_REGION)
+                ),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select(F.col("n_nationkey").alias("_cnk"))
+        ),
+        F.col("c_nationkey") == F.col("_cnk"),
+        "left_semi",
+    ).select("c_custkey")
+    ords = (
+        orders.filter(
+            (F.col("o_orderdate")
+             >= F.lit(f"{SHARE_YEAR_LO}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate")
+               < F.lit(f"{SHARE_YEAR_HI + 1}-01-01").cast("timestamp"))
+        )
+        .join(custs, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+    )
+    fact = (
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount",
+        )
+        .join(
+            F.broadcast(
+                part.filter(F.col("p_type") == SHARE_PART_TYPE)
+                .select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(sups, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    vol = f"CAST({DISCOUNTED_PRICE} AS DECIMAL(28,4))"
+    return (
+        fact.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_year")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN is_target THEN {vol}"
+                " ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)"
+            ).alias("nation_revenue"),
+            F.expr(f"CAST(SUM({vol}) AS DOUBLE)").alias("total_revenue"),
+        )
+        .select(
+            "o_year",
+            "nation_revenue",
+            "total_revenue",
+            (F.col("nation_revenue") / F.col("total_revenue"))
+            .alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+#: Product-profit (TPC-H Q9 shape) knobs: the part-name token and the
+#: supply-cost emulation factor (the testdata has no partsupp, so
+#: supplycost is a deterministic exact-decimal fraction of the part's
+#: retail price — it rides the part scan, no extra fact).
+PROFIT_PART_TOKEN = "widget"
+PROFIT_COST_FACTOR = "0.6"
+
+
+def product_profit(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    part_token: str = PROFIT_PART_TOKEN,
+) -> DataFrame:
+    """TPC-H-Q9-shaped query: profit per (supplier nation, order year)
+    over one part family — revenue minus supply cost, the amount
+    expression whose naive double arithmetic drifts per-partition.
+
+    Scale shape: the part-family slice (name LIKE, with its emulated
+    ``retailprice × 0.6`` supply cost computed IN the slice)
+    broadcasts into the one lineitem scan before any shuffle; the
+    supplier→nation label is a dimension join + 25-row broadcast; the
+    order join only fetches the year. Revenue and cost are SEPARATE
+    exact-decimal sums (``Σ price×(1-disc)`` and ``Σ cost×qty`` —
+    every operand cast to a NARROW decimal first, so neither product
+    nears the 38-digit cap either engine enforces differently);
+    profit subtracts the two exact totals in one IEEE double op,
+    identical on any partitioning and any engine.
+
+    Output: (n_name, o_year, profit), nation asc then year desc.
+    """
+    parts = part.filter(
+        F.col("p_name").like(f"%{part_token}%")
+    ).select(
+        "p_partkey",
+        F.expr(
+            f"CAST(p_retailprice AS DECIMAL(10,2))"
+            f" * CAST({PROFIT_COST_FACTOR} AS DECIMAL(3,2))"
+        ).alias("_cost"),
+    )
+    sups = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    cost_amt = "_cost * CAST(l_quantity AS DECIMAL(10,2))"
+    return (
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount", "l_quantity",
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(sups, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select(
+                "o_orderkey",
+                F.year("o_orderdate").cast("int").alias("o_year"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("n_name", "o_year")
+        .agg(
+            F.expr(
+                f"CAST(SUM({DISCOUNTED_PRICE}) AS DOUBLE)"
+                f" - CAST(SUM({cost_amt}) AS DOUBLE)"
+            ).alias("profit")
+        )
+        .orderBy(F.asc("n_name"), F.desc("o_year"))
+    )
+
+
+#: Ship-mode priority split (TPC-H Q12 shape) knobs: the report year,
+#: the two audited modes, the late-shipment lag, and the mode
+#: emulation (no l_shipmode in the testdata; ``l_linenumber % 3``
+#: assigns a deterministic mode per line).
+SHIPMODE_YEAR = 1996
+SHIPMODE_AUDITED = ("MAIL", "SHIP")
+SHIPMODE_LATE_DAYS = 60
+SHIPMODE_NAMES = ("AIR", "MAIL", "SHIP")
+SHIPMODE_HIGH_PRIO = ("1-URGENT", "2-HIGH")
+
+
+def shipmode_priority_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    year: int = SHIPMODE_YEAR,
+) -> DataFrame:
+    """TPC-H-Q12-shaped query: for each audited ship mode, how many
+    LATE shipments carried high-priority vs low-priority orders — the
+    dual conditional count over a fact×fact join. The testdata has no
+    ``l_shipmode``/``l_commitdate``/``l_receiptdate``, so the mode is
+    emulated (``l_linenumber % 3``, deterministic per line) and Q12's
+    commit<receipt lateness chain becomes one ship-lag predicate
+    (``l_shipdate > o_orderdate + LATE_DAYS``) evaluated AFTER the
+    join (it references both sides, like Q12's receipt-year filter).
+
+    Scale shape: the ship-year window and the audited-mode predicate
+    (on the emulated mode — still a scan-local integer expression)
+    prune lineitem BEFORE its only shuffle; orders arrives with just
+    (key, date, priority); both CASE counts come from ONE aggregate
+    pass, and the result is ≤|modes| rows.
+
+    Output: (ship_mode, high_line_count, low_line_count), mode asc.
+    """
+    mode = F.element_at(
+        F.array(*[F.lit(m) for m in SHIPMODE_NAMES]),
+        (F.col("l_linenumber") % len(SHIPMODE_NAMES) + 1).cast("int"),
+    )
+    lines = (
+        lineitem.filter(
+            (F.col("l_shipdate")
+             >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate")
+               < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_shipdate",
+            mode.alias("ship_mode"),
+        )
+        .filter(F.col("ship_mode").isin(*SHIPMODE_AUDITED))
+    )
+    high = F.col("o_orderpriority").isin(*SHIPMODE_HIGH_PRIO)
+    return (
+        lines.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate")
+            + F.expr(f"INTERVAL {SHIPMODE_LATE_DAYS} DAYS")
+        )
+        .groupBy("ship_mode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
+
+
 #: Rate-anomaly screen: z threshold on per-(type, hour) event counts.
 RATE_Z_THRESHOLD = 2.0
 

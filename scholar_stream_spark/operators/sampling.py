@@ -919,3 +919,142 @@ def dsir_sample(
         .filter(F.col("_bucket") < F.col("_p_raw") * SAMPLE_DENOM)
         .drop("_bucket", "_p_raw")
     )
+
+
+#: Token-budget planning defaults: the total training-token budget the
+#: plan is drawn against. Demo-sized for the synthetic corpora;
+#: production plans pass the real run budget (e.g. 1e12).
+PLAN_BUDGET_TOKENS = 200_000
+
+
+def token_budget_plan(
+    documents: DataFrame,
+    weights: dict[str, float] = MIXTURE_WEIGHTS,
+    budget_tokens: int = PLAN_BUDGET_TOKENS,
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Token-budget plan: the per-stratum epochs / sampling-rate table a
+    data-recipe designer reads BEFORE launching a run (the Llama-paper
+    "Epochs" column) — given target mixture weights and a total token
+    budget, how many tokens each stratum must contribute, how many
+    epochs of it that consumes (>1 = the stratum repeats; the
+    overfitting-risk flag), and the keep-rate when it holds a surplus.
+
+    Relation to the mixers: ``mixture_sample``/``mixture_upsample``
+    EXECUTE a mixture at the largest/smallest no-upsampling budget the
+    corpus supports; this op PLANS an arbitrary externally-fixed
+    budget, which is how real recipes are written (the budget comes
+    from the compute grant, not from the corpus).
+
+    Math: normalized weight ``w_l`` over the strata PRESENT in
+    ``weights``; ``target_tokens_l = floor(budget · w_l)`` (floored on
+    a literal-double product — engine-identical); ``epochs_l =
+    target/T_l`` and ``sample_rate_l = min(1, target/T_l)`` are single
+    IEEE divisions of exact integer operands. Strata in the corpus but
+    not in ``weights`` plan at weight 0 (they'd be dropped); strata in
+    ``weights`` but absent from the corpus are omitted (nothing to
+    scan — the report is corpus-grounded).
+
+    Scale shape: ONE map-side-combined groupBy over the corpus to
+    ≤|strata| rows; the weight table is a literal broadcast map; no
+    second pass, the corpus is never shuffled.
+
+    Output: (stratum, n_docs, n_tokens, target_tokens, epochs,
+    sample_rate, needs_upsample), stratum asc.
+    """
+    from scholar_stream_spark.operators.textops import n_tokens
+
+    total_w = sum(weights.values())
+    w_expr = F.create_map(
+        *[
+            F.lit(x)
+            for k, v in sorted(weights.items())
+            for x in (k, v / total_w)
+        ]
+    )
+    per = (
+        documents.select(
+            F.col(strata_col).alias("stratum"),
+            n_tokens(F.col("text")).alias("nt"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+    target = F.floor(
+        F.lit(float(budget_tokens))
+        * F.coalesce(w_expr[F.col("stratum")], F.lit(0.0))
+    ).cast("long")
+    epochs = F.col("target_tokens").cast("double") / F.col(
+        "n_tokens"
+    ).cast("double")
+    return (
+        per.withColumn("target_tokens", target)
+        .select(
+            "stratum",
+            "n_docs",
+            "n_tokens",
+            "target_tokens",
+            F.round(epochs, 6).alias("epochs"),
+            F.round(F.least(F.lit(1.0), epochs), 6).alias("sample_rate"),
+            (epochs > 1.0).alias("needs_upsample"),
+        )
+        .orderBy("stratum")
+    )
+
+
+def packing_efficiency(
+    documents: DataFrame,
+    budget_tokens: int = PACK_BUDGET_TOKENS,
+    n_shards: int = PACK_NUM_SHARDS,
+) -> DataFrame:
+    """Packing-efficiency report over the ``pack_documents`` layout:
+    per shard, how full the packs are (fill_rate — only the final
+    partial pack wastes budget under offset packing) and how many
+    documents straddle a pack boundary (split_frac — the fraction of
+    docs whose attention span is cut by the sequence boundary, THE
+    quality/efficiency trade the packer owns; sequence-aware loaders
+    read this before choosing budget_tokens).
+
+    Scale shape: the packed layout is the shared ``pack_documents``
+    prefix-sum pipeline (its one shuffle, on the shard key); this adds
+    a map-side-combined groupBy to ≤``n_shards`` rows. Counts are
+    exact integers; ``n_packs = ceil(n_tokens / budget)`` in integer
+    arithmetic; each ratio is one IEEE division of exact operands.
+
+    Output: (shard, n_docs, n_packs, n_tokens, fill_rate,
+    n_split_docs, split_frac), shard asc.
+    """
+    packed = pack_documents(documents, budget_tokens, n_shards)
+    b = int(budget_tokens)
+    per = packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_doc_tokens").cast("long").alias("n_tokens"),
+        F.sum(
+            F.when(
+                F.col("offset_in_pack") + F.col("n_doc_tokens") > b, 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_split_docs"),
+    )
+    n_packs = F.expr(f"(n_tokens + {b - 1}) DIV {b}")
+    return per.select(
+        "shard",
+        "n_docs",
+        n_packs.cast("long").alias("n_packs"),
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double")
+            / (n_packs * b).cast("double"),
+            6,
+        ).alias("fill_rate"),
+        "n_split_docs",
+        F.round(
+            F.col("n_split_docs").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("split_frac"),
+    ).orderBy("shard")

@@ -512,6 +512,89 @@ def write_ivf_index(
     )
 
 
+#: Embedding-drift screen knobs: micro-unit quantum for exact
+#: component sums, and how many top-shifted dimensions to report per
+#: label.
+DRIFT_QUANT = 1_000_000
+DRIFT_TOP_DIMS = 5
+
+
+def embedding_drift(embeddings: DataFrame) -> DataFrame:
+    """Embedding-centroid drift screen: per label, the dimensions whose
+    MEAN moved most between two snapshot halves — the vector-modality
+    companion to the scalar PSI screen (``population_stability`` flags
+    shifted VALUES; this flags a shifted EMBEDDING DISTRIBUTION, the
+    signal that an encoder was retrained or the underlying content
+    changed under a frozen encoder). Halves are emulated
+    ``vec_id % 2`` (deterministic; swap in a real snapshot column
+    unchanged).
+
+    Scale shape: ONE scan posexplodes to (label, dim, side) component
+    rows — a ×dim blowup that map-side combine collapses to
+    |labels|·dims·2 partials per partition BEFORE the only shuffle, so
+    the exchange is grid-sized, not corpus-sized. Components are
+    quantized to integer micro-units and summed EXACTLY (partition-
+    order independent, engine-identical); each mean is one division of
+    exact operands, the shift one subtraction — no accumulating float
+    sums anywhere. Top-dims ranking is a window over the
+    |labels|×dims grid with a (shift desc, dim) total order.
+
+    Output: (label, dim, mean_ref, mean_cur, abs_shift) — top
+    ``DRIFT_TOP_DIMS`` dims per label; label asc, shift desc, dim asc.
+    """
+    comp = scale_out(embeddings).select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("is_ref"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    q = comp.select(
+        "label",
+        "is_ref",
+        "dim",
+        F.floor(F.col("val").cast("double") * DRIFT_QUANT + F.lit(0.5))
+        .cast("long")
+        .alias("qv"),
+    )
+    grid = q.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("is_ref"), F.col("qv"))).alias("sq_ref"),
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), F.col("qv"))).alias("sq_cur"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    denom = float(DRIFT_QUANT)
+    stats = grid.select(
+        "label",
+        "dim",
+        (
+            F.col("sq_ref").cast("double")
+            / (F.lit(denom) * F.col("n_ref").cast("double"))
+        ).alias("mean_ref"),
+        (
+            F.col("sq_cur").cast("double")
+            / (F.lit(denom) * F.col("n_cur").cast("double"))
+        ).alias("mean_cur"),
+    ).select(
+        "label",
+        "dim",
+        "mean_ref",
+        "mean_cur",
+        F.abs(F.col("mean_ref") - F.col("mean_cur")).alias("abs_shift"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("abs_shift"), F.asc("dim")
+    )
+    return (
+        stats.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= DRIFT_TOP_DIMS)
+        .drop("_rk")
+        .orderBy(F.asc("label"), F.desc("abs_shift"), F.asc("dim"))
+    )
+
+
 def embedding_data_card(embeddings: DataFrame) -> DataFrame:
     """Embedding-table data card: per-label vector counts, dimension
     bounds (a dim_min ≠ dim_max row IS the data-quality finding — mixed

@@ -1408,3 +1408,74 @@ def gopher_repetition(documents: DataFrame) -> DataFrame:
         frac(F.col("top3_chars"), norm_chars).alias("top_3gram_char_frac"),
         frac(dup5_chars, F.col("char_sum")).alias("dup_5gram_char_frac"),
     )
+
+
+#: N-gram diversity default n (bigrams — the standard self-repetition
+#: diversity unit; unigram TTR is too vocabulary-bound, higher n too
+#: sparse to compare across sources).
+DIVERSITY_N = 2
+
+
+def ngram_diversity(documents: DataFrame, n: int = DIVERSITY_N) -> DataFrame:
+    """Per-source n-gram diversity: distinct-over-total word-``n``-gram
+    ratio (n-gram type/token ratio) — the corpus-level diversity signal
+    mixture designers read next to the WITHIN-doc ``gopher_repetition``
+    fractions (a source can pass every per-doc repetition gate while
+    being templated ACROSS documents; its low TTR is what shows it, and
+    what upsampling that source would amplify).
+
+    Scale shape: grams explode once per document position and collapse
+    on (source, gram) with map-side combine — the only corpus-keyed
+    exchange; the per-source rollup re-keys the already-distinct gram
+    table (≤ distinct-gram rows, the same two-level distinct discipline
+    as `part_supplier_variety`). Doc totals come from a second scan
+    that reads ONLY the source column (column-pruned — at 100 TB it
+    reads one thin column, not the text). Counts are exact integers;
+    the ratio is one IEEE division of exact operands.
+
+    Output: (source, n_docs, n_grams, n_distinct_grams, gram_ttr),
+    source asc. Docs shorter than ``n`` tokens contribute no grams but
+    count in ``n_docs``.
+    """
+    grams = documents.select(
+        "source",
+        F.expr(
+            f"CASE WHEN size(split(trim(text), '\\\\s+')) >= {n} THEN "
+            f"transform(sequence(0, size(split(trim(text), '\\\\s+')) - {n}),"
+            f" i -> array_join(slice(split(trim(text), '\\\\s+'), i + 1,"
+            f" {n}), ' ')) "
+            f"ELSE CAST(array() AS array<string>) END"
+        ).alias("gs"),
+    ).select("source", F.explode("gs").alias("g"))
+    per_gram = grams.groupBy("source", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    gram_stats = per_gram.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+    )
+    docs = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        docs.join(gram_stats, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_distinct_grams", F.lit(0))
+            .cast("long")
+            .alias("n_distinct_grams"),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.round(
+                    F.col("n_distinct_grams").cast("double")
+                    / F.col("n_grams").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("gram_ttr"),
+        )
+        .orderBy("source")
+    )

@@ -443,3 +443,301 @@ def test_bpe_fertility_matches_python_reference(spark):
         for s, (nw, nt, nc) in agg.items()
     }
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 / Q8 / Q9 / Q12 shapes
+# ---------------------------------------------------------------------------
+
+
+def _tbls(spark, *names):
+    return tuple(
+        spark.read.parquet(f"{SF_SMALL}/{t}.parquet") for t in names
+    )
+
+
+def test_nation_trade_flows_matches_bruteforce(spark):
+    import datetime
+
+    cu, od, li, sp, na = _tbls(
+        spark, "customer", "orders", "lineitem", "supplier", "nation"
+    )
+    got = [tuple(r) for r in
+           relational.nation_trade_flows(cu, od, li, sp, na).collect()]
+    names = {r["n_nationkey"]: r["n_name"] for r in na.collect()}
+    pair = {relational.TRADE_NATION_A, relational.TRADE_NATION_B}
+    sup = {r["s_suppkey"]: names[r["s_nationkey"]] for r in sp.collect()
+           if names[r["s_nationkey"]] in pair}
+    cust = {r["c_custkey"]: names[r["c_nationkey"]] for r in cu.collect()
+            if names[r["c_nationkey"]] in pair}
+    ords = {r["o_orderkey"]: r["o_custkey"] for r in od.collect()
+            if r["o_custkey"] in cust}
+    lo = datetime.datetime(relational.TRADE_YEAR_LO, 1, 1)
+    hi = datetime.datetime(relational.TRADE_YEAR_HI + 1, 1, 1)
+    rev: dict[tuple, Decimal] = collections.defaultdict(Decimal)
+    for r in li.collect():
+        sn = sup.get(r["l_suppkey"])
+        ck = ords.get(r["l_orderkey"])
+        if sn is None or ck is None or not (lo <= r["l_shipdate"] < hi):
+            continue
+        cn = cust[ck]
+        if sn == cn:
+            continue
+        rev[(sn, cn, r["l_shipdate"].year)] += _dec2(
+            r["l_extendedprice"]
+        ) * (1 - _dec2(r["l_discount"]))
+    want = sorted((sn, cn, y, float(v)) for (sn, cn, y), v in rev.items())
+    assert got == want and len(got) > 0
+
+
+def test_nation_trade_flows_plan(spark):
+    cu, od, li, sp, na = _tbls(
+        spark, "customer", "orders", "lineitem", "supplier", "nation"
+    )
+    plan = _plan(relational.nation_trade_flows(cu, od, li, sp, na))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 1
+    # the ship-year window must reach the fact scan
+    assert "PushedFilters" in plan
+
+
+def test_market_share_matches_bruteforce(spark):
+    import datetime
+
+    cu, od, li, sp, na, rg, pt = _tbls(
+        spark, "customer", "orders", "lineitem", "supplier",
+        "nation", "region", "part",
+    )
+    got = [tuple(r) for r in
+           relational.market_share(cu, od, li, sp, na, rg, pt).collect()]
+    rk = {r["r_regionkey"] for r in rg.collect()
+          if r["r_name"] == relational.SHARE_REGION}
+    region_nk = {r["n_nationkey"] for r in na.collect()
+                 if r["n_regionkey"] in rk}
+    names = {r["n_nationkey"]: r["n_name"] for r in na.collect()}
+    parts = {r["p_partkey"] for r in pt.collect()
+             if r["p_type"] == relational.SHARE_PART_TYPE}
+    sup = {r["s_suppkey"]: names[r["s_nationkey"]] for r in sp.collect()}
+    cust = {r["c_custkey"] for r in cu.collect()
+            if r["c_nationkey"] in region_nk}
+    lo = datetime.datetime(relational.SHARE_YEAR_LO, 1, 1)
+    hi = datetime.datetime(relational.SHARE_YEAR_HI + 1, 1, 1)
+    ords = {r["o_orderkey"]: r["o_orderdate"].year for r in od.collect()
+            if lo <= r["o_orderdate"] < hi and r["o_custkey"] in cust}
+    num: dict[int, Decimal] = collections.defaultdict(Decimal)
+    den: dict[int, Decimal] = collections.defaultdict(Decimal)
+    for r in li.collect():
+        y = ords.get(r["l_orderkey"])
+        if y is None or r["l_partkey"] not in parts:
+            continue
+        vol = _dec2(r["l_extendedprice"]) * (1 - _dec2(r["l_discount"]))
+        den[y] += vol
+        if sup[r["l_suppkey"]] == relational.SHARE_NATION:
+            num[y] += vol
+    want = [
+        (y, float(num[y]), float(den[y]), float(num[y]) / float(den[y]))
+        for y in sorted(den)
+    ]
+    assert got == want and len(got) > 0
+    for _, n, d, s in got:
+        assert 0.0 <= s <= 1.0 and n <= d
+
+
+def test_product_profit_matches_bruteforce(spark):
+    od, li, sp, na, pt = _tbls(
+        spark, "orders", "lineitem", "supplier", "nation", "part"
+    )
+    got = [tuple(r) for r in
+           relational.product_profit(od, li, sp, na, pt).collect()]
+    cost = {
+        r["p_partkey"]: _dec2(r["p_retailprice"])
+        * Decimal(relational.PROFIT_COST_FACTOR)
+        for r in pt.collect()
+        if relational.PROFIT_PART_TOKEN in r["p_name"]
+    }
+    names = {r["n_nationkey"]: r["n_name"] for r in na.collect()}
+    sup = {r["s_suppkey"]: names[r["s_nationkey"]] for r in sp.collect()}
+    years = {r["o_orderkey"]: r["o_orderdate"].year for r in od.collect()}
+    rev: dict[tuple, Decimal] = collections.defaultdict(Decimal)
+    cst: dict[tuple, Decimal] = collections.defaultdict(Decimal)
+    for r in li.collect():
+        c = cost.get(r["l_partkey"])
+        if c is None:
+            continue
+        key = (sup[r["l_suppkey"]], years[r["l_orderkey"]])
+        rev[key] += _dec2(r["l_extendedprice"]) * (1 - _dec2(r["l_discount"]))
+        cst[key] += c * _dec2(r["l_quantity"])
+    want = sorted(
+        ((n, y, float(rev[(n, y)]) - float(cst[(n, y)]))
+         for (n, y) in rev),
+        key=lambda t: (t[0], -t[1]),
+    )
+    assert got == want and len(got) > 0
+
+
+def test_product_profit_plan_broadcast_part_slice(spark):
+    od, li, sp, na, pt = _tbls(
+        spark, "orders", "lineitem", "supplier", "nation", "part"
+    )
+    plan = _plan(relational.product_profit(od, li, sp, na, pt))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_shipmode_priority_counts_matches_bruteforce(spark):
+    import datetime
+
+    od, li = _tbls(spark, "orders", "lineitem")
+    got = [tuple(r) for r in
+           relational.shipmode_priority_counts(od, li).collect()]
+    ords = {r["o_orderkey"]: (r["o_orderdate"], r["o_orderpriority"])
+            for r in od.collect()}
+    lo = datetime.datetime(relational.SHIPMODE_YEAR, 1, 1)
+    hi = datetime.datetime(relational.SHIPMODE_YEAR + 1, 1, 1)
+    lag = datetime.timedelta(days=relational.SHIPMODE_LATE_DAYS)
+    counts: dict[str, list[int]] = collections.defaultdict(lambda: [0, 0])
+    for r in li.collect():
+        mode = relational.SHIPMODE_NAMES[
+            r["l_linenumber"] % len(relational.SHIPMODE_NAMES)
+        ]
+        if mode not in relational.SHIPMODE_AUDITED:
+            continue
+        if not (lo <= r["l_shipdate"] < hi):
+            continue
+        odate, prio = ords[r["l_orderkey"]]
+        if r["l_shipdate"] <= odate + lag:
+            continue
+        counts[mode][0 if prio in relational.SHIPMODE_HIGH_PRIO else 1] += 1
+    want = [(m, counts[m][0], counts[m][1]) for m in sorted(counts)]
+    assert got == want and len(got) > 0
+
+
+def test_shipmode_priority_counts_plan(spark):
+    od, li = _tbls(spark, "orders", "lineitem")
+    plan = _plan(relational.shipmode_priority_counts(od, li))
+    assert "CartesianProduct" not in plan
+    # the ship-year window reaches the lineitem scan
+    assert "PushedFilters" in plan
+
+
+# ---------------------------------------------------------------------------
+# cross-source near-duplication matrix
+# ---------------------------------------------------------------------------
+
+
+def test_neardup_source_matrix_matches_pair_pipeline(spark):
+    from scholar_stream_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    got = [tuple(r) for r in dedup.neardup_source_matrix(docs).collect()]
+    src = {r["doc_id"]: r["source"] for r in docs.collect()}
+    pairs = dedup.ngram_jaccard_pairs(docs).collect()
+    cells: dict[tuple, int] = collections.defaultdict(int)
+    for r in pairs:
+        a, b = sorted((src[r["d1"]], src[r["d2"]]))
+        cells[(a, b)] += 1
+    total = sum(cells.values())
+    want = sorted(
+        (a, b, n, n / float(total)) for (a, b), n in cells.items()
+    )
+    assert got == want and len(got) > 0
+    assert abs(sum(r[3] for r in got) - 1.0) < 1e-9
+
+
+def test_neardup_source_matrix_plan_no_cartesian(spark):
+    from scholar_stream_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = _plan(dedup.neardup_source_matrix(docs))
+    assert "CartesianProduct" not in plan
+    # the share denominator is a window over the ≤|sources|² cell
+    # table, not a second aggregate pass over the pair pipeline
+    assert plan.count("Window") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# embedding-centroid drift screen
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_drift_matches_numpy_reference(spark):
+    from scholar_stream_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    got = [tuple(r) for r in similarity.embedding_drift(emb).collect()]
+    Q = similarity.DRIFT_QUANT
+    sums: dict[tuple, list] = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for r in emb.collect():
+        ref = r["vec_id"] % 2 == 0
+        for d, v in enumerate(r["embedding"]):
+            qv = int(__import__("math").floor(float(v) * Q + 0.5))
+            cell = sums[(r["label"], d)]
+            if ref:
+                cell[0] += qv
+                cell[1] += 1
+            else:
+                cell[2] += qv
+                cell[3] += 1
+    per_label: dict[int, list] = collections.defaultdict(list)
+    for (lbl, d), (sr, nr, sc, nc) in sums.items():
+        mr = float(sr) / (float(Q) * float(nr))
+        mc = float(sc) / (float(Q) * float(nc))
+        per_label[lbl].append((d, mr, mc, abs(mr - mc)))
+    want = []
+    for lbl in sorted(per_label):
+        dims = sorted(per_label[lbl], key=lambda t: (-t[3], t[0]))
+        want.extend(
+            (lbl, d, mr, mc, sh)
+            for d, mr, mc, sh in dims[: similarity.DRIFT_TOP_DIMS]
+        )
+    assert got == want and len(got) > 0
+
+
+def test_curation_funnel_agrees_with_curate_corpus(spark):
+    """The funnel's final-stage count must equal what curate_corpus
+    actually emits per source — same gates, not a reimplementation."""
+    from scholar_stream_spark.operators import curation
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    fun = {r["source"]: tuple(r)[1:] for r in
+           curation.curation_funnel(docs).collect()}
+    src = {r["doc_id"]: r["source"] for r in docs.collect()}
+    emitted = collections.Counter(
+        src[r["doc_id"]]
+        for r in curation.curate_corpus(docs, engine="expr").collect()
+    )
+    totals = collections.Counter(src.values())
+    assert set(fun) == set(totals)
+    for s, (n_total, n_q, n_l, n_u, n_f) in fun.items():
+        assert n_total == totals[s]
+        assert n_total >= n_q >= n_l >= n_u >= n_f >= 0
+        assert n_f == emitted.get(s, 0), s
+    assert sum(t[3] for t in fun.values()) == (
+        curation.curate_corpus(
+            docs, splits=("train", "val", "test"), engine="expr"
+        ).count()
+    )
+
+
+def test_curation_funnel_plan_single_scan_one_window(spark):
+    from scholar_stream_spark.operators import curation
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = _plan(curation.curation_funnel(docs))
+    assert plan.count("documents.parquet") == 1, plan
+    assert plan.count("Window") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_drift_plan_grid_sized_shuffle(spark):
+    from scholar_stream_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    plan = _plan(similarity.embedding_drift(emb))
+    assert "CartesianProduct" not in plan
+    # map-side combine must exist before the grid exchange: a partial
+    # HashAggregate under the explode, a final one after
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,245 @@
+"""Round-10b ops: token-budget planning, packing efficiency, n-gram
+diversity, and rank-exact quality deciles — the mixture-design /
+observability quartet over the documents table."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from scholar_stream_spark.operators import curation, sampling, textops
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# token_budget_plan
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_plan_matches_bruteforce(spark):
+    rows = {
+        r["stratum"]: r
+        for r in sampling.token_budget_plan(_docs(spark)).collect()
+    }
+    con = duckdb.connect()
+    per = con.execute(
+        f"""SELECT lang, count(*),
+                   SUM(length(text) - length(replace(text, ' ', '')) + 1)
+            FROM '{SF_SMALL}/documents.parquet' GROUP BY lang"""
+    ).fetchall()
+    con.close()
+    total_w = sum(sampling.MIXTURE_WEIGHTS.values())
+    assert set(rows) == {lang for lang, _, _ in per}
+    for lang, n_docs, n_tokens in per:
+        r = rows[lang]
+        assert r["n_docs"] == n_docs
+        assert r["n_tokens"] == n_tokens
+        w = sampling.MIXTURE_WEIGHTS.get(lang, 0.0) / total_w
+        target = math.floor(float(sampling.PLAN_BUDGET_TOKENS) * w)
+        assert r["target_tokens"] == target
+        epochs = target / n_tokens
+        assert r["epochs"] == pytest.approx(round(epochs, 6), abs=1e-12)
+        assert r["sample_rate"] == pytest.approx(
+            round(min(1.0, epochs), 6), abs=1e-12
+        )
+        assert r["needs_upsample"] == (epochs > 1.0)
+
+
+def test_token_budget_plan_weight_zero_stratum(spark):
+    # a stratum missing from the weights plans at target 0 (dropped by
+    # the mixer) but still reports its corpus mass
+    weights = {k: v for k, v in sampling.MIXTURE_WEIGHTS.items() if k != "zh"}
+    rows = {
+        r["stratum"]: r
+        for r in sampling.token_budget_plan(
+            _docs(spark), weights=weights
+        ).collect()
+    }
+    assert rows["zh"]["target_tokens"] == 0
+    assert rows["zh"]["epochs"] == 0.0
+    assert not rows["zh"]["needs_upsample"]
+    assert rows["zh"]["n_tokens"] > 0
+
+
+def test_token_budget_plan_plan_single_agg_no_join_of_corpus(spark):
+    plan = _plan(sampling.token_budget_plan(_docs(spark)))
+    assert "CartesianProduct" not in plan
+    # corpus scanned once: one parquet scan node
+    assert plan.count("documents.parquet") == 1
+
+
+# ---------------------------------------------------------------------------
+# packing_efficiency
+# ---------------------------------------------------------------------------
+
+
+def test_packing_efficiency_matches_packed_layout(spark):
+    packed = sampling.pack_documents(_docs(spark)).toPandas()
+    b = sampling.PACK_BUDGET_TOKENS
+    got = {
+        r["shard"]: r
+        for r in sampling.packing_efficiency(_docs(spark)).collect()
+    }
+    assert set(got) == set(packed["shard"].unique())
+    for shard, grp in packed.groupby("shard"):
+        r = got[shard]
+        n_tokens = int(grp["n_doc_tokens"].sum())
+        n_packs = (n_tokens + b - 1) // b
+        n_split = int(
+            ((grp["offset_in_pack"] + grp["n_doc_tokens"]) > b).sum()
+        )
+        assert r["n_docs"] == len(grp)
+        assert r["n_tokens"] == n_tokens
+        assert r["n_packs"] == n_packs
+        assert r["n_split_docs"] == n_split
+        assert r["fill_rate"] == pytest.approx(
+            round(n_tokens / (n_packs * b), 6), abs=1e-12
+        )
+        assert r["split_frac"] == pytest.approx(
+            round(n_split / len(grp), 6), abs=1e-12
+        )
+
+
+def test_packing_efficiency_fill_rate_bounds(spark):
+    for r in sampling.packing_efficiency(_docs(spark)).collect():
+        assert 0.0 < r["fill_rate"] <= 1.0
+        assert 0.0 <= r["split_frac"] <= 1.0
+        # offset packing wastes budget only in the final partial pack
+        assert r["n_tokens"] > (r["n_packs"] - 1) * sampling.PACK_BUDGET_TOKENS
+
+
+# ---------------------------------------------------------------------------
+# ngram_diversity
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_diversity_matches_python_reference(spark):
+    docs = _docs(spark).select("source", "text").collect()
+    n = textops.DIVERSITY_N
+    totals: dict[str, list] = {}
+    grams: dict[str, set] = {}
+    ndocs: dict[str, int] = {}
+    for r in docs:
+        s = r["source"]
+        ndocs[s] = ndocs.get(s, 0) + 1
+        ws = [w for w in re.split(r"\s+", r["text"].strip()) if w]
+        gs = [
+            " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+        ]
+        totals[s] = totals.get(s, 0) + len(gs)
+        grams.setdefault(s, set()).update(gs)
+    got = {
+        r["source"]: r
+        for r in textops.ngram_diversity(_docs(spark)).collect()
+    }
+    assert set(got) == set(ndocs)
+    for s in ndocs:
+        r = got[s]
+        assert r["n_docs"] == ndocs[s]
+        assert r["n_grams"] == totals[s]
+        assert r["n_distinct_grams"] == len(grams[s])
+        assert r["gram_ttr"] == pytest.approx(
+            round(len(grams[s]) / totals[s], 6), abs=1e-12
+        )
+
+
+def test_ngram_diversity_short_docs_count_in_docs_only(spark):
+    docs = spark.createDataFrame(
+        [(1, "one", "a"), (2, "one two one two", "a"), (3, "x", "b")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: r for r in textops.ngram_diversity(docs).collect()
+    }
+    # "one" is shorter than the bigram window: contributes no grams
+    assert got["a"]["n_docs"] == 2
+    assert got["a"]["n_grams"] == 3
+    # "one two" / "two one" / "one two" — the repeat collapses
+    assert got["a"]["n_distinct_grams"] == 2
+    assert got["b"]["n_docs"] == 1
+    assert got["b"]["n_grams"] == 0
+    assert got["b"]["gram_ttr"] == 0.0
+
+
+def test_ngram_diversity_duplicate_doc_lowers_ttr(spark):
+    base = [(i, f"alpha beta gamma delta {i}", "s") for i in range(8)]
+    dup = base + [(100 + i, base[0][1], "s") for i in range(8)]
+    ttr_base = (
+        textops.ngram_diversity(
+            spark.createDataFrame(
+                base, "doc_id long, text string, source string"
+            )
+        ).collect()[0]["gram_ttr"]
+    )
+    ttr_dup = (
+        textops.ngram_diversity(
+            spark.createDataFrame(
+                dup, "doc_id long, text string, source string"
+            )
+        ).collect()[0]["gram_ttr"]
+    )
+    assert ttr_dup < ttr_base
+
+
+# ---------------------------------------------------------------------------
+# quality_deciles
+# ---------------------------------------------------------------------------
+
+
+def test_quality_deciles_rank_selection_exact(spark):
+    # independent rank selection in pandas over the SAME scores the
+    # signal kernel assigns (the score formula itself is oracle-pinned
+    # via curate_corpus; this pins the decile RANK math)
+    _, _, _, score = curation.quality_parts(F.col("text"))
+    scored = (
+        _docs(spark)
+        .select(
+            "source", "doc_id", F.round(score, 4).alias("score")
+        )
+        .toPandas()
+    )
+    got = curation.quality_deciles(_docs(spark)).collect()
+    nd = curation.QUALITY_N_DECILES
+    expect = {}
+    for s, grp in scored.groupby("source"):
+        ordered = grp.sort_values(["score", "doc_id"]).reset_index(drop=True)
+        n = len(ordered)
+        for d in range(1, nd + 1):
+            rn = (d * n + nd - 1) // nd
+            expect[(s, d)] = float(ordered.iloc[rn - 1]["score"])
+    assert len(got) == len(expect)
+    for r in got:
+        assert r["score"] == pytest.approx(
+            expect[(r["source"], r["decile"])], abs=1e-12
+        )
+
+
+def test_quality_deciles_monotone_and_complete(spark):
+    rows = curation.quality_deciles(_docs(spark)).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for s, rs in by_source.items():
+        assert [r["decile"] for r in rs] == list(
+            range(1, curation.QUALITY_N_DECILES + 1)
+        )
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores)
+
+
+def test_quality_deciles_plan_broadcast_targets(spark):
+    plan = _plan(curation.quality_deciles(_docs(spark)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
