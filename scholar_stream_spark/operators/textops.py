@@ -1437,13 +1437,25 @@ def ngram_diversity(documents: DataFrame, n: int = DIVERSITY_N) -> DataFrame:
     source asc. Docs shorter than ``n`` tokens contribute no grams but
     count in ``n_docs``.
     """
+    # gram construction via a zip_with chain: every reference to the
+    # split() word array sits OUTSIDE the lambdas (slice arguments), so
+    # whole-stage-codegen subexpression elimination evaluates the split
+    # once per row — referencing it INSIDE a higher-order-function
+    # lambda would be inlined by CollapseProject and re-evaluated per
+    # element, turning each doc O(len^2) (the measured 6 s -> 1.5 s
+    # difference at sf0.1)
+    ws = "split(trim(text), '\\\\s+')"
+    out_len = f"(size({ws}) - {n - 1})"
+    acc = f"slice({ws}, 1, {out_len})"
+    for k in range(2, n + 1):
+        acc = (
+            f"zip_with({acc}, slice({ws}, {k}, {out_len}), "
+            f"(x, y) -> concat(x, ' ', y))"
+        )
     grams = documents.select(
         "source",
         F.expr(
-            f"CASE WHEN size(split(trim(text), '\\\\s+')) >= {n} THEN "
-            f"transform(sequence(0, size(split(trim(text), '\\\\s+')) - {n}),"
-            f" i -> array_join(slice(split(trim(text), '\\\\s+'), i + 1,"
-            f" {n}), ' ')) "
+            f"CASE WHEN size({ws}) >= {n} THEN {acc} "
             f"ELSE CAST(array() AS array<string>) END"
         ).alias("gs"),
     ).select("source", F.explode("gs").alias("g"))
