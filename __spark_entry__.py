@@ -489,6 +489,7 @@ _DRIVER_FIRST = (
     "embedding_drift",
     "curation_funnel",
     "token_budget_plan",
+    "bpe_pack_docs",
     "packing_efficiency",
     "ngram_diversity",
     "quality_deciles",
@@ -1196,6 +1197,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token-budget plan: per-stratum epochs / sampling-rate table
         # for an externally-fixed training-token budget
         "token_budget_plan": lambda s, d: sampling.token_budget_plan(
+            _t(s, d, "documents")
+        ),
+        # token-exact packing under the frozen BPE merge table
+        "bpe_pack_docs": lambda s, d: sampling.bpe_pack_docs(
             _t(s, d, "documents")
         ),
         # packing-efficiency report over the pack_documents layout
@@ -1919,6 +1924,59 @@ def _mixture_report_sql() -> str:
                round(n_tokens / tt - coalesce(tgt, 0.0), 4) AS deviation
         FROM per CROSS JOIN tot
         LEFT JOIN w ON per.stratum = w.stratum
+    """
+
+
+def _bpe_pack_sql() -> str:
+    """``bpe_pack_docs`` oracle: per-word token counts via the
+    separator-rewrite encode (``_bpe_encode_sql``) folded into the
+    pack_docs offset CTEs."""
+    enc = _bpe_sep_expr()
+    return f"""
+        WITH words AS (
+            SELECT doc_id, w AS word
+            FROM documents,
+                 UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+            WHERE w <> ''
+        ),
+        wc AS (
+            SELECT doc_id, word, count(*) AS c
+            FROM words GROUP BY doc_id, word
+        ),
+        vocab AS (SELECT DISTINCT word FROM words),
+        enc AS (
+            SELECT word,
+                   CAST(len(string_split(trim({enc}, chr(1)),
+                                         chr(1) || chr(1))) AS BIGINT)
+                       AS nt
+            FROM vocab
+        ),
+        doc_toks AS (
+            SELECT doc_id, CAST(SUM(c * nt) AS BIGINT) AS n_doc_tokens
+            FROM wc JOIN enc USING (word) GROUP BY doc_id
+        ),
+        base AS (
+            SELECT d.doc_id,
+                   ({hex48_sql("CAST(d.doc_id AS VARCHAR)")})
+                       % {sampling.PACK_NUM_SHARDS} AS shard,
+                   CAST(coalesce(n_doc_tokens, 0) AS BIGINT)
+                       AS n_doc_tokens
+            FROM documents d LEFT JOIN doc_toks ON d.doc_id = doc_toks.doc_id
+        ),
+        offs AS (
+            SELECT doc_id, shard, n_doc_tokens,
+                   COALESCE(SUM(n_doc_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS start
+            FROM base
+        )
+        SELECT doc_id, shard, n_doc_tokens,
+               CAST(floor(start / {sampling.PACK_BUDGET_TOKENS})
+                    AS BIGINT) AS pack_seq,
+               CAST(start % {sampling.PACK_BUDGET_TOKENS} AS BIGINT)
+                   AS offset_in_pack
+        FROM offs
     """
 
 
@@ -4566,6 +4624,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "curate_corpus": _curate_sql(),
         "curation_funnel": _funnel_sql(),
         "token_budget_plan": _token_budget_sql(),
+        "bpe_pack_docs": _bpe_pack_sql(),
         "packing_efficiency": _packing_efficiency_sql(),
         "ngram_diversity": _ngram_diversity_sql(),
         "quality_deciles": _quality_deciles_sql(),

@@ -1058,3 +1058,92 @@ def packing_efficiency(
             6,
         ).alias("split_frac"),
     ).orderBy("shard")
+
+
+def bpe_pack_docs(
+    documents: DataFrame,
+    budget_tokens: int = PACK_BUDGET_TOKENS,
+    n_shards: int = PACK_NUM_SHARDS,
+    merges: tuple[tuple[str, str], ...] | None = None,
+) -> DataFrame:
+    """Token-exact sequence packing under the frozen BPE merge table —
+    ``pack_documents`` with REAL tokenizer lengths instead of
+    whitespace counts (the gap between them is exactly the fertility
+    ``bpe_fertility`` measures: a high-fertility source under-fills
+    whitespace-budgeted packs by that factor, so whitespace packing
+    mis-sizes every sequence the loader emits).
+
+    Scale shape: the expensive fold chain runs once per DISTINCT word
+    (vocab-sized, the ``bpe_encode`` contract) — per-doc token counts
+    come from a (doc, word)-reduced count joined to the encoded
+    vocabulary (word-keyed exchange, AQE-sized) and summed per doc;
+    docs with no words keep n=0 via a left join back to the corpus.
+    The layout itself is the shared offset-packing prefix sum: hash
+    sharding, one shard-keyed window, deterministic on any cluster.
+
+    Output: (doc_id, shard, n_doc_tokens, pack_seq, offset_in_pack)
+    with ``n_doc_tokens`` in BPE tokens — schema-compatible with
+    ``pack_documents`` so downstream loaders switch tokenizers without
+    a shape change.
+    """
+    from scholar_stream_spark.operators.textops import (
+        BPE_FROZEN_MERGES,
+        bpe_word_tokens,
+    )
+
+    merges = merges if merges is not None else BPE_FROZEN_MERGES
+    wc = (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda w: w != "",
+                )
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    enc = (
+        wc.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.size(bpe_word_tokens(F.col("word"), merges)).alias("nt"),
+        )
+    )
+    doc_toks = (
+        wc.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("nt")).cast("long").alias("n_doc_tokens")
+        )
+    )
+    shard = F.expr(
+        f"{hex48_spark_sql('CAST(doc_id AS STRING)')} % {n_shards}"
+    ).cast("long")
+    toks = (
+        documents.select("doc_id")
+        .join(doc_toks, "doc_id", "left")
+        .select(
+            "doc_id",
+            shard.alias("shard"),
+            F.coalesce("n_doc_tokens", F.lit(0))
+            .cast("long")
+            .alias("n_doc_tokens"),
+        )
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_doc_tokens").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_doc_tokens",
+        F.floor(start / budget_tokens).alias("pack_seq"),
+        (start % budget_tokens).alias("offset_in_pack"),
+    )

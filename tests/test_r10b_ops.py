@@ -243,3 +243,50 @@ def test_quality_deciles_plan_broadcast_targets(spark):
     plan = _plan(curation.quality_deciles(_docs(spark)))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# bpe_pack_docs
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pack_docs_counts_equal_encode_docs(spark):
+    # the packed token counts ARE the encoder's sequence lengths
+    counts = {
+        r["doc_id"]: r["n_tokens"]
+        for r in textops.bpe_encode_docs(_docs(spark)).collect()
+    }
+    packed = sampling.bpe_pack_docs(_docs(spark)).collect()
+    assert len(packed) == _docs(spark).count()
+    for r in packed:
+        assert r["n_doc_tokens"] == counts.get(r["doc_id"], 0)
+
+
+def test_bpe_pack_docs_offsets_are_prefix_sums(spark):
+    b = sampling.PACK_BUDGET_TOKENS
+    rows = sorted(
+        sampling.bpe_pack_docs(_docs(spark)).collect(),
+        key=lambda r: (r["shard"], r["doc_id"]),
+    )
+    run: dict[int, int] = {}
+    for r in rows:
+        start = run.get(r["shard"], 0)
+        assert r["pack_seq"] == start // b
+        assert r["offset_in_pack"] == start % b
+        run[r["shard"]] = start + r["n_doc_tokens"]
+
+
+def test_bpe_pack_docs_schema_matches_pack_documents(spark):
+    a = sampling.pack_documents(_docs(spark)).schema
+    b = sampling.bpe_pack_docs(_docs(spark)).schema
+    assert [(f.name, f.dataType) for f in a] == [
+        (f.name, f.dataType) for f in b
+    ]
+
+
+def test_bpe_pack_docs_plan_vocab_sized_fold(spark):
+    plan = _plan(sampling.bpe_pack_docs(_docs(spark)))
+    assert "CartesianProduct" not in plan
+    # the fold chain must ride the DISTINCT word table, not the corpus:
+    # a HashAggregate (distinct) feeds the projection with the fold
+    assert "HashAggregate" in plan
