@@ -490,6 +490,8 @@ _DRIVER_FIRST = (
     "curation_funnel",
     "token_budget_plan",
     "bpe_pack_docs",
+    "tokenizer_swap_report",
+    "dedup_threshold_sweep",
     "packing_efficiency",
     "ngram_diversity",
     "quality_deciles",
@@ -1201,6 +1203,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # token-exact packing under the frozen BPE merge table
         "bpe_pack_docs": lambda s, d: sampling.bpe_pack_docs(
+            _t(s, d, "documents")
+        ),
+        # tokenizer-migration impact: token counts under two merge
+        # tables from one vocab-sized double-fold projection
+        "tokenizer_swap_report": lambda s, d: textops.tokenizer_swap_report(
+            _t(s, d, "documents")
+        ),
+        # near-dup threshold sweep: pair/doc counts at each candidate
+        # Jaccard cut from ONE loosest-threshold pair pipeline
+        "dedup_threshold_sweep": lambda s, d: dedup.dedup_threshold_sweep(
             _t(s, d, "documents")
         ),
         # packing-efficiency report over the pack_documents layout
@@ -1977,6 +1989,86 @@ def _bpe_pack_sql() -> str:
                CAST(start % {sampling.PACK_BUDGET_TOKENS} AS BIGINT)
                    AS offset_in_pack
         FROM offs
+    """
+
+
+def _tokenizer_swap_sql() -> str:
+    """``tokenizer_swap_report`` oracle: two separator-rewrite encode
+    chains (full + truncated merge tables) over the distinct vocab."""
+    enc_a = _bpe_sep_expr()
+    enc_b = _bpe_sep_expr(merges=textops.BPE_MERGES_SMALL)
+    return f"""
+        WITH words AS (
+            SELECT source, w AS word
+            FROM documents,
+                 UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+            WHERE w <> ''
+        ),
+        wc AS (
+            SELECT source, word, count(*) AS f
+            FROM words GROUP BY source, word
+        ),
+        vocab AS (SELECT DISTINCT word FROM words),
+        enc AS (
+            SELECT word,
+                   CAST(len(string_split(trim({enc_a}, chr(1)),
+                                         chr(1) || chr(1))) AS BIGINT)
+                       AS na,
+                   CAST(len(string_split(trim({enc_b}, chr(1)),
+                                         chr(1) || chr(1))) AS BIGINT)
+                       AS nb
+            FROM vocab
+        ),
+        per AS (
+            SELECT source, CAST(SUM(f) AS BIGINT) AS n_words,
+                   CAST(SUM(f * na) AS BIGINT) AS tokens_a,
+                   CAST(SUM(f * nb) AS BIGINT) AS tokens_b
+            FROM wc JOIN enc USING (word) GROUP BY source
+        )
+        SELECT source, n_words, tokens_a, tokens_b,
+               round(tokens_a / n_words, 6) AS fertility_a,
+               round(tokens_b / n_words, 6) AS fertility_b,
+               round(tokens_b / tokens_a, 6) AS token_ratio
+        FROM per ORDER BY source
+    """
+
+
+def _threshold_sweep_sql() -> str:
+    """``dedup_threshold_sweep`` oracle: the jaccard pair pipeline at
+    the loosest threshold, swept over the literal threshold axis."""
+    th = sorted(dedup.SWEEP_THRESHOLDS)
+    values = ", ".join(f"({float(t)!r}::DOUBLE)" for t in th)
+    loose = f"""
+WITH {_shingle_ctes()},
+cand AS (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+{_jaccard_tail(min(th))}
+"""
+    return f"""
+        WITH p AS (SELECT d1, d2, jaccard FROM ({loose})),
+        t(threshold) AS (VALUES {values}),
+        tagged AS (
+            SELECT t.threshold, p.d1, p.d2
+            FROM p JOIN t ON p.jaccard >= t.threshold
+        ),
+        np AS (
+            SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM tagged GROUP BY threshold
+        ),
+        nd AS (
+            SELECT threshold, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+            FROM (
+                SELECT threshold, unnest([d1, d2]) AS doc FROM tagged
+            ) u GROUP BY threshold
+        )
+        SELECT t.threshold,
+               CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
+        FROM t LEFT JOIN np USING (threshold)
+               LEFT JOIN nd USING (threshold)
+        ORDER BY t.threshold
     """
 
 
@@ -3279,14 +3371,14 @@ FROM d
 """
 
 
-def _bpe_sep_expr(col: str = "word") -> str:
+def _bpe_sep_expr(col: str = "word", merges=None) -> str:
     """The double-separator rewrite chain over ``col`` (see
     ``_bpe_encode_sql`` for why this equals the Spark fold)."""
     enc = (
         "chr(1) || chr(1) || "
         f"regexp_replace({col}, '(.)', '\\1' || chr(1) || chr(1), 'g')"
     )
-    for a, b in textops.BPE_FROZEN_MERGES:
+    for a, b in merges if merges is not None else textops.BPE_FROZEN_MERGES:
         pat = f"chr(1) || '{a}' || chr(1) || chr(1) || '{b}' || chr(1)"
         rep = f"chr(1) || '{a}{b}' || chr(1)"
         enc = f"replace({enc}, {pat}, {rep})"
@@ -4625,6 +4717,8 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "curation_funnel": _funnel_sql(),
         "token_budget_plan": _token_budget_sql(),
         "bpe_pack_docs": _bpe_pack_sql(),
+        "tokenizer_swap_report": _tokenizer_swap_sql(),
+        "dedup_threshold_sweep": _threshold_sweep_sql(),
         "packing_efficiency": _packing_efficiency_sql(),
         "ngram_diversity": _ngram_diversity_sql(),
         "quality_deciles": _quality_deciles_sql(),

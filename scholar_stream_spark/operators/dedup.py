@@ -2478,3 +2478,66 @@ def delete_from_neardup_index(
         exclude_doc_ids=list(doc_ids),
     )
 
+
+
+#: Threshold sweep grid for dedup-budget tuning.
+SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def dedup_threshold_sweep(
+    documents: DataFrame,
+    n: int = SHINGLE_N,
+    thresholds: tuple[float, ...] = SWEEP_THRESHOLDS,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup threshold sweep: pair and affected-document counts at
+    each candidate Jaccard threshold IN ONE PASS — the tuning table
+    behind a dedup budget decision (pick the threshold, read off how
+    many pairs the verify stage will carry and how many documents the
+    cluster stage will touch; running the pipeline once per candidate
+    threshold multiplies the quadratic stage by |thresholds|).
+
+    Scale shape: the quadratic risk runs ONCE at the LOOSEST threshold
+    (shared ``ngram_jaccard_pairs`` pipeline, same hot-shingle guard);
+    the sweep itself is |pairs|×|thresholds| — pair-table-sized, never
+    corpus-sized. Thresholds with zero pairs keep a 0-count row (a
+    LEFT join from the literal threshold axis), so the report's shape
+    is ``|thresholds|`` rows by contract.
+
+    Output: (threshold, n_pairs, n_docs), threshold asc; counts are
+    cumulative by construction (jaccard ≥ threshold).
+    """
+    th = sorted(float(t) for t in thresholds)
+    pairs = ngram_jaccard_pairs(documents, n, min(th), max_doc_freq)
+    axis = documents.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in th])).alias("threshold")
+    )
+    tagged = (
+        pairs.select(
+            F.explode(F.array(*[F.lit(t) for t in th])).alias("threshold"),
+            "d1",
+            "d2",
+            "jaccard",
+        )
+        .filter(F.col("jaccard") >= F.col("threshold"))
+    )
+    n_pairs = tagged.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    n_docs = (
+        tagged.select(
+            "threshold", F.explode(F.array("d1", "d2")).alias("doc")
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("doc").cast("long").alias("n_docs"))
+    )
+    return (
+        axis.join(n_pairs, "threshold", "left")
+        .join(n_docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+        .orderBy("threshold")
+    )

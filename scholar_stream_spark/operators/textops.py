@@ -1491,3 +1491,82 @@ def ngram_diversity(documents: DataFrame, n: int = DIVERSITY_N) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: The comparison merge table for tokenizer-swap reports: the frozen
+#: table truncated to half rank — "the smaller vocabulary we are
+#: considering migrating from/to". Real migrations pass both tables.
+BPE_MERGES_SMALL: tuple[tuple[str, str], ...] = BPE_FROZEN_MERGES[
+    : len(BPE_FROZEN_MERGES) // 2
+]
+
+
+def tokenizer_swap_report(
+    documents: DataFrame,
+    merges_a: tuple[tuple[str, str], ...] = BPE_FROZEN_MERGES,
+    merges_b: tuple[tuple[str, str], ...] = BPE_MERGES_SMALL,
+) -> DataFrame:
+    """Tokenizer-migration impact report: per-source token counts and
+    fertility under TWO merge tables, plus the sequence-budget ratio a
+    swap would impose — the table a team reads before changing
+    tokenizers (the same corpus pays `token_ratio`× its current
+    sequence budget per source; a source where the ratio spikes is
+    where the new vocabulary mismatches the text).
+
+    Scale shape: ONE corpus scan to (source, word) frequencies; BOTH
+    fold chains run once per DISTINCT word in the same vocab-sized
+    projection (two more columns, not two more passes — the join and
+    rollup are shared); ≤|sources|-row integer rollup; each ratio is
+    one division of exact integers.
+
+    Output: (source, n_words, tokens_a, tokens_b, fertility_a,
+    fertility_b, token_ratio = tokens_b / tokens_a), source asc.
+    """
+    words = (
+        scale_out(documents)
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    enc = (
+        words.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.size(bpe_word_tokens(F.col("word"), merges_a))
+            .cast("long")
+            .alias("na"),
+            F.size(bpe_word_tokens(F.col("word"), merges_b))
+            .cast("long")
+            .alias("nb"),
+        )
+    )
+    return (
+        words.join(enc, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("f").cast("long").alias("n_words"),
+            F.sum(F.col("f") * F.col("na")).cast("long").alias("tokens_a"),
+            F.sum(F.col("f") * F.col("nb")).cast("long").alias("tokens_b"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "tokens_a",
+            "tokens_b",
+            F.round(F.col("tokens_a") / F.col("n_words"), 6).alias(
+                "fertility_a"
+            ),
+            F.round(F.col("tokens_b") / F.col("n_words"), 6).alias(
+                "fertility_b"
+            ),
+            F.round(F.col("tokens_b") / F.col("tokens_a"), 6).alias(
+                "token_ratio"
+            ),
+        )
+        .orderBy("source")
+    )

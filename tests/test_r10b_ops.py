@@ -290,3 +290,87 @@ def test_bpe_pack_docs_plan_vocab_sized_fold(spark):
     # the fold chain must ride the DISTINCT word table, not the corpus:
     # a HashAggregate (distinct) feeds the projection with the fold
     assert "HashAggregate" in plan
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_swap_report
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_swap_report_matches_fertility(spark):
+    # side A is the frozen table: tokens_a/fertility_a must equal the
+    # bpe_fertility report exactly
+    fert = {
+        r["source"]: r
+        for r in textops.bpe_fertility(_docs(spark)).collect()
+    }
+    rows = textops.tokenizer_swap_report(_docs(spark)).collect()
+    assert {r["source"] for r in rows} == set(fert)
+    for r in rows:
+        f = fert[r["source"]]
+        assert r["n_words"] == f["n_words"]
+        assert r["tokens_a"] == f["n_tokens"]
+        assert r["fertility_a"] == f["tokens_per_word"]
+
+
+def test_tokenizer_swap_smaller_table_never_fewer_tokens(spark):
+    # the truncated table is a prefix of the full one: every merge it
+    # lacks can only leave words MORE split, so tokens_b >= tokens_a
+    for r in textops.tokenizer_swap_report(_docs(spark)).collect():
+        assert r["tokens_b"] >= r["tokens_a"]
+        assert r["token_ratio"] >= 1.0
+
+
+def test_tokenizer_swap_identity_tables_ratio_one(spark):
+    rows = textops.tokenizer_swap_report(
+        _docs(spark),
+        merges_a=textops.BPE_FROZEN_MERGES,
+        merges_b=textops.BPE_FROZEN_MERGES,
+    ).collect()
+    for r in rows:
+        assert r["tokens_a"] == r["tokens_b"]
+        assert r["token_ratio"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# dedup_threshold_sweep
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_sweep_matches_per_threshold_runs(spark):
+    from scholar_stream_spark.operators import dedup
+
+    sweep = {
+        r["threshold"]: r
+        for r in dedup.dedup_threshold_sweep(_docs(spark)).collect()
+    }
+    assert set(sweep) == set(dedup.SWEEP_THRESHOLDS)
+    for t in dedup.SWEEP_THRESHOLDS:
+        pairs = dedup.ngram_jaccard_pairs(
+            _docs(spark), threshold=float(t)
+        ).collect()
+        docs = {r["d1"] for r in pairs} | {r["d2"] for r in pairs}
+        assert sweep[t]["n_pairs"] == len(pairs)
+        assert sweep[t]["n_docs"] == len(docs)
+
+
+def test_threshold_sweep_cumulative_and_complete(spark):
+    from scholar_stream_spark.operators import dedup
+
+    rows = dedup.dedup_threshold_sweep(_docs(spark)).collect()
+    assert len(rows) == len(dedup.SWEEP_THRESHOLDS)
+    pair_counts = [r["n_pairs"] for r in rows]
+    doc_counts = [r["n_docs"] for r in rows]
+    # tightening the threshold can only shrink both counts
+    assert pair_counts == sorted(pair_counts, reverse=True)
+    assert doc_counts == sorted(doc_counts, reverse=True)
+
+
+def test_threshold_sweep_single_pair_pipeline(spark):
+    from scholar_stream_spark.operators import dedup
+
+    plan = _plan(dedup.dedup_threshold_sweep(_docs(spark)))
+    assert "CartesianProduct" not in plan
+    # the quadratic shingle self-join must appear ONCE, not once per
+    # threshold: count the shingle-equality join nodes
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 6
