@@ -208,6 +208,7 @@ def _para_injected(docs: DataFrame) -> DataFrame:
     even doc_ids. The oracle builds the byte-identical text in SQL."""
     return docs.select(
         "doc_id",
+        "source",
         F.concat(
             F.substring("text", 1, 60),
             F.lit("\n\nSubscribe to our newsletter for updates."),
@@ -492,6 +493,7 @@ _DRIVER_FIRST = (
     "bpe_pack_docs",
     "tokenizer_swap_report",
     "dedup_threshold_sweep",
+    "boilerplate_paragraphs",
     "packing_efficiency",
     "ngram_diversity",
     "quality_deciles",
@@ -1204,6 +1206,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token-exact packing under the frozen BPE merge table
         "bpe_pack_docs": lambda s, d: sampling.bpe_pack_docs(
             _t(s, d, "documents")
+        ),
+        # boilerplate audit: top repeated paragraphs with doc/source
+        # spread, over the shared injected multi-paragraph corpus
+        "boilerplate_paragraphs": lambda s, d: dedup.boilerplate_paragraphs(
+            _para_injected(_t(s, d, "documents"))
         ),
         # tokenizer-migration impact: token counts under two merge
         # tables from one vocab-sized double-fold projection
@@ -1989,6 +1996,50 @@ def _bpe_pack_sql() -> str:
                CAST(start % {sampling.PACK_BUDGET_TOKENS} AS BIGINT)
                    AS offset_in_pack
         FROM offs
+    """
+
+
+def _boilerplate_sql() -> str:
+    """``boilerplate_paragraphs`` oracle: the shared injected corpus
+    (source carried), normalized with the explicit whitespace class so
+    keys match Spark's Java-``\\s`` normalize_text byte-for-byte."""
+    return f"""
+        WITH injected AS (
+            SELECT doc_id, source,
+                   substr(text, 1, 60)
+                   || chr(10) || chr(10)
+                   || 'Subscribe to our newsletter for updates.'
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN chr(10) || chr(10)
+                                || 'Follow Us On Social Media.'
+                           ELSE '' END
+                   || chr(10) || chr(10) || substr(text, 61) AS text
+            FROM documents
+        ),
+        sp AS (
+            SELECT doc_id, source,
+                   string_split(text, chr(10) || chr(10)) AS ps
+            FROM injected
+        ),
+        pk AS (
+            SELECT doc_id, source,
+                   trim(regexp_replace(lower(ps[u.i]),
+                                       '{dedup.SUBSTR_WS_RE}', ' ', 'g'))
+                       AS paragraph
+            FROM sp, unnest(generate_series(1, len(ps))) AS u(i)
+            WHERE trim(ps[u.i]) <> ''
+        ),
+        agg AS (
+            SELECT paragraph,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+            FROM pk GROUP BY paragraph
+        )
+        SELECT paragraph, n_occurrences, n_docs, n_sources
+        FROM agg WHERE n_docs >= {dedup.PARA_MIN_COUNT}
+        ORDER BY n_docs DESC, n_occurrences DESC, paragraph ASC
+        LIMIT {dedup.BOILERPLATE_TOP_K}
     """
 
 
@@ -4718,6 +4769,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "token_budget_plan": _token_budget_sql(),
         "bpe_pack_docs": _bpe_pack_sql(),
         "tokenizer_swap_report": _tokenizer_swap_sql(),
+        "boilerplate_paragraphs": _boilerplate_sql(),
         "dedup_threshold_sweep": _threshold_sweep_sql(),
         "packing_efficiency": _packing_efficiency_sql(),
         "ngram_diversity": _ngram_diversity_sql(),

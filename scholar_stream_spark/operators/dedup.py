@@ -2541,3 +2541,57 @@ def dedup_threshold_sweep(
         )
         .orderBy("threshold")
     )
+
+
+#: Boilerplate report size: top-K repeated paragraphs.
+BOILERPLATE_TOP_K = 50
+
+
+def boilerplate_paragraphs(
+    documents: DataFrame,
+    min_docs: int = PARA_MIN_COUNT,
+    top_k: int = BOILERPLATE_TOP_K,
+) -> DataFrame:
+    """Boilerplate audit: the corpus's most-repeated normalized
+    paragraphs with occurrence / document / source spread — the report
+    a curator reads BEFORE setting ``remove_dup_paragraphs`` loose (a
+    paragraph repeated across many SOURCES is crawler boilerplate —
+    cookie banners, nav footers; repeated within ONE source it may be
+    that site's template, a different removal decision).
+
+    Scale shape: corpus-linear — paragraph explode (few per doc), ONE
+    map-side-combined groupBy on the normalized paragraph key (hot
+    keys are safe in an aggregate; the distinct doc/source counts ride
+    Spark's expand + two-level aggregate, never a join), then a
+    ``min_docs`` filter and a TakeOrdered top-K under a total order
+    (n_docs desc, n_occurrences desc, paragraph asc).
+
+    Output: (paragraph, n_occurrences, n_docs, n_sources).
+    """
+    from scholar_stream_spark.functions.text import normalize_text
+
+    paras = (
+        scale_out(documents)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.col("text"), PARA_SEP)).alias("para"),
+        )
+        .filter(F.trim(F.col("para")) != "")
+        .select(
+            "doc_id", "source", normalize_text(F.col("para")).alias("paragraph")
+        )
+    )
+    return (
+        paras.groupBy("paragraph")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(
+            F.desc("n_docs"), F.desc("n_occurrences"), F.asc("paragraph")
+        )
+        .limit(top_k)
+    )

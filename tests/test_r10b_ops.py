@@ -374,3 +374,64 @@ def test_threshold_sweep_single_pair_pipeline(spark):
     # the quadratic shingle self-join must appear ONCE, not once per
     # threshold: count the shingle-equality join nodes
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 6
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_paragraphs
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_finds_planted_banners(spark):
+    from scholar_stream_spark.operators import dedup
+
+    import __spark_entry__ as entry_mod
+
+    docs = entry_mod._para_injected(_docs(spark))
+    n_total = _docs(spark).count()
+    rows = dedup.boilerplate_paragraphs(docs).collect()
+    by_para = {r["paragraph"]: r for r in rows}
+    # the everywhere-banner tops the report with full doc coverage
+    banner = "subscribe to our newsletter for updates."
+    assert rows[0]["paragraph"] == banner
+    assert by_para[banner]["n_docs"] == n_total
+    assert by_para[banner]["n_occurrences"] == n_total
+    # the even-doc banner covers exactly the even half, all sources
+    half = "follow us on social media."
+    assert by_para[half]["n_docs"] == sum(
+        1 for r in _docs(spark).select("doc_id").collect()
+        if r["doc_id"] % 2 == 0
+    )
+    assert by_para[half]["n_sources"] >= 1
+
+
+def test_boilerplate_counts_match_python(spark):
+    from collections import defaultdict
+
+    from scholar_stream_spark.operators import dedup
+
+    import __spark_entry__ as entry_mod
+
+    docs = entry_mod._para_injected(_docs(spark))
+    occ = defaultdict(int)
+    dset = defaultdict(set)
+    sset = defaultdict(set)
+    for r in docs.collect():
+        for p in r["text"].split("\n\n"):
+            if p.strip():
+                key = re.sub(r"\s+", " ", p.lower()).strip()
+                occ[key] += 1
+                dset[key].add(r["doc_id"])
+                sset[key].add(r["source"])
+    expected = sorted(
+        (
+            (len(dset[k]), occ[k], k)
+            for k in occ
+            if len(dset[k]) >= dedup.PARA_MIN_COUNT
+        ),
+        key=lambda t: (-t[0], -t[1], t[2]),
+    )[: dedup.BOILERPLATE_TOP_K]
+    rows = dedup.boilerplate_paragraphs(docs).collect()
+    assert [(r["n_docs"], r["n_occurrences"], r["paragraph"]) for r in rows] \
+        == expected
+    for r in rows:
+        assert r["n_sources"] == len(sset[r["paragraph"]])
