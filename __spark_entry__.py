@@ -494,6 +494,7 @@ _DRIVER_FIRST = (
     "tokenizer_swap_report",
     "dedup_threshold_sweep",
     "boilerplate_paragraphs",
+    "shard_size_plan",
     "packing_efficiency",
     "ngram_diversity",
     "quality_deciles",
@@ -1205,6 +1206,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # token-exact packing under the frozen BPE merge table
         "bpe_pack_docs": lambda s, d: sampling.bpe_pack_docs(
+            _t(s, d, "documents")
+        ),
+        # output-layout planner: per-source file counts for a target
+        # file size (the small-files-problem table)
+        "shard_size_plan": lambda s, d: sampling.shard_size_plan(
             _t(s, d, "documents")
         ),
         # boilerplate audit: top repeated paragraphs with doc/source
@@ -4770,6 +4776,27 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "bpe_pack_docs": _bpe_pack_sql(),
         "tokenizer_swap_report": _tokenizer_swap_sql(),
         "boilerplate_paragraphs": _boilerplate_sql(),
+        "shard_size_plan": f"""
+            WITH per AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+                FROM documents GROUP BY source
+            ),
+            f AS (
+                SELECT source, n_docs, n_bytes,
+                       CAST(greatest(1, (n_bytes
+                            + {sampling.SHARD_TARGET_BYTES - 1})
+                            // {sampling.SHARD_TARGET_BYTES}) AS BIGINT)
+                           AS n_files
+                FROM per
+            )
+            SELECT source, n_docs, n_bytes, n_files,
+                   CAST((n_docs + n_files - 1) // n_files AS BIGINT)
+                       AS docs_per_file,
+                   round(CAST(n_bytes AS DOUBLE) / n_files, 2)
+                       AS avg_file_bytes
+            FROM f ORDER BY source
+        """,
         "dedup_threshold_sweep": _threshold_sweep_sql(),
         "packing_efficiency": _packing_efficiency_sql(),
         "ngram_diversity": _ngram_diversity_sql(),

@@ -1147,3 +1147,53 @@ def bpe_pack_docs(
         F.floor(start / budget_tokens).alias("pack_seq"),
         (start % budget_tokens).alias("offset_in_pack"),
     )
+
+
+#: Output-layout target file size (bytes of text per output file).
+#: Demo-sized for the synthetic corpora; production parquet targets
+#: ~512 MB-1 GB per file.
+SHARD_TARGET_BYTES = 64 * 1024
+
+
+def shard_size_plan(
+    documents: DataFrame, target_bytes: int = SHARD_TARGET_BYTES
+) -> DataFrame:
+    """Output-layout plan: per source, how many files a write should
+    produce for a target file size — the small-files-problem planner
+    (a 100 TB write that defaults to one file per shuffle partition
+    per source emits millions of KB-sized files; the fix is
+    ``repartitionByRange(n_files)`` per source before the write, and
+    THIS table is where n_files comes from).
+
+    Scale shape: ONE map-side-combined groupBy to ≤|sources| rows;
+    ``n_files = max(1, ceil(bytes / target))`` in integer arithmetic;
+    ``docs_per_file`` integer-ceil too, ``avg_file_bytes`` one IEEE
+    division of exact integers.
+
+    Output: (source, n_docs, n_bytes, n_files, docs_per_file,
+    avg_file_bytes), source asc.
+    """
+    t = int(target_bytes)
+    per = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_bytes"),
+    )
+    n_files = F.greatest(F.lit(1), F.expr(f"(n_bytes + {t - 1}) DIV {t}"))
+    return (
+        per.withColumn("n_files", n_files.cast("long"))
+        .select(
+            "source",
+            "n_docs",
+            "n_bytes",
+            "n_files",
+            F.expr("(n_docs + n_files - 1) DIV n_files")
+            .cast("long")
+            .alias("docs_per_file"),
+            F.round(
+                F.col("n_bytes").cast("double")
+                / F.col("n_files").cast("double"),
+                2,
+            ).alias("avg_file_bytes"),
+        )
+        .orderBy("source")
+    )

@@ -435,3 +435,41 @@ def test_boilerplate_counts_match_python(spark):
         == expected
     for r in rows:
         assert r["n_sources"] == len(sset[r["paragraph"]])
+
+
+# ---------------------------------------------------------------------------
+# shard_size_plan
+# ---------------------------------------------------------------------------
+
+
+def test_shard_size_plan_matches_bruteforce(spark):
+    t = sampling.SHARD_TARGET_BYTES
+    agg = (
+        _docs(spark)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("nd"), F.sum("n_chars").alias("nb"))
+        .collect()
+    )
+    got = {
+        r["source"]: r for r in sampling.shard_size_plan(_docs(spark)).collect()
+    }
+    assert set(got) == {r["source"] for r in agg}
+    for a in agg:
+        r = got[a["source"]]
+        n_files = max(1, (a["nb"] + t - 1) // t)
+        assert r["n_docs"] == a["nd"]
+        assert r["n_bytes"] == a["nb"]
+        assert r["n_files"] == n_files
+        assert r["docs_per_file"] == (a["nd"] + n_files - 1) // n_files
+        assert r["avg_file_bytes"] == pytest.approx(
+            round(a["nb"] / n_files, 2), abs=1e-9
+        )
+
+
+def test_shard_size_plan_respects_target(spark):
+    # every planned file holds at most ~target bytes (exactly: the
+    # ceiling split can't exceed target unless a single source has
+    # fewer bytes than one file's worth)
+    for r in sampling.shard_size_plan(_docs(spark)).collect():
+        assert r["avg_file_bytes"] <= sampling.SHARD_TARGET_BYTES
+        assert r["n_files"] >= 1
