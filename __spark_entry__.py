@@ -1435,6 +1435,18 @@ def profile_pairs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFra
                 docs(s, d), max_doc_freq=dedup.MAX_SHINGLE_DOC_FREQ
             ),
         },
+        "neardup_source_matrix": {
+            "oracle": lambda s, d: dedup.neardup_source_matrix(docs(s, d)),
+            "scale": lambda s, d: dedup.neardup_source_matrix(
+                docs(s, d), max_doc_freq=dedup.MAX_SHINGLE_DOC_FREQ
+            ),
+        },
+        "dedup_threshold_sweep": {
+            "oracle": lambda s, d: dedup.dedup_threshold_sweep(docs(s, d)),
+            "scale": lambda s, d: dedup.dedup_threshold_sweep(
+                docs(s, d), max_doc_freq=dedup.MAX_SHINGLE_DOC_FREQ
+            ),
+        },
         "dedup_incremental_neardup": {
             "oracle": _q_incremental_neardup,
             "scale": lambda s, d: dedup.incremental_neardup(

@@ -473,3 +473,45 @@ def test_shard_size_plan_respects_target(spark):
     for r in sampling.shard_size_plan(_docs(spark)).collect():
         assert r["avg_file_bytes"] <= sampling.SHARD_TARGET_BYTES
         assert r["n_files"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# scale-profile pins for the new quadratic-adjacent reports
+# ---------------------------------------------------------------------------
+
+
+def test_source_matrix_scale_profile_identical_here(spark):
+    # the hot-shingle cap only drops shingles whose doc frequency
+    # exceeds it; the fixture corpus has none, so the scale profile is
+    # result-identical (the guard's correctness contract)
+    from scholar_stream_spark.operators import dedup
+
+    a = sorted(
+        map(tuple, dedup.neardup_source_matrix(_docs(spark)).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            dedup.neardup_source_matrix(
+                _docs(spark), max_doc_freq=dedup.MAX_SHINGLE_DOC_FREQ
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_threshold_sweep_scale_profile_identical_here(spark):
+    from scholar_stream_spark.operators import dedup
+
+    a = sorted(
+        map(tuple, dedup.dedup_threshold_sweep(_docs(spark)).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            dedup.dedup_threshold_sweep(
+                _docs(spark), max_doc_freq=dedup.MAX_SHINGLE_DOC_FREQ
+            ).collect(),
+        )
+    )
+    assert a == b
