@@ -48,6 +48,9 @@ Deliberately WITHOUT oracle entries (rows-only check):
   point). The learned merge table is pytest-pinned against a
   pure-Python reference trainer; ``bpe_merge_pairs`` (one round's
   statistic) IS oracle-checked.
+- ``bpe_train_batched`` — the batched variant (same rationale);
+  pinned in pytest against a pure-Python mirror of the SAME batched
+  algorithm AND exactly equal to ``bpe_train`` at ``batch=1``.
 """
 
 from __future__ import annotations
@@ -616,6 +619,7 @@ _DRIVER_FIRST = (
     "pricing_summary",
     "revenue_by_region",
     "bpe_train",
+    "bpe_train_batched",
     "ivf_index_stats",
     "synthetic_email",
     "distinct_users_sketch",
@@ -986,6 +990,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iterative BPE trainer (rows-only: driver loop of vocab-sized
         # rounds — see module docstring)
         "bpe_train": lambda s, d: textops.bpe_train(_t(s, d, "documents")),
+        # batched trainer: same vocab-sized rounds, ~n/batch driver
+        # round-trips (rows-only, bpe_train's rationale)
+        "bpe_train_batched": lambda s, d: textops.bpe_train_batched(
+            _t(s, d, "documents")
+        ),
         # PSI drift screen: per-type value-distribution shift across
         # the mid-series time cut
         "population_stability": lambda s, d: profiling.population_stability(

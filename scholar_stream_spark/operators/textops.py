@@ -1570,3 +1570,141 @@ def tokenizer_swap_report(
         )
         .orderBy("source")
     )
+
+
+#: Batched-trainer defaults: merges applied per round, and the
+#: candidate headroom factor (rows fetched per round = batch × factor,
+#: so rejected interacting pairs don't stall a round).
+BPE_BATCH_SIZE = 4
+BPE_BATCH_HEADROOM = 8
+
+
+def bpe_train_batched(
+    documents: DataFrame,
+    n_merges: int = BPE_TRAIN_MERGES,
+    batch: int = BPE_BATCH_SIZE,
+) -> DataFrame:
+    """Batched BPE training — the documented scale path for
+    ``bpe_train``'s round-sequential limit (a production 30k-merge run
+    is 30k sequential Spark jobs there; at ``batch`` = 256 it becomes
+    ~120): per round, ONE pair-count aggregate, the top candidates to
+    the driver, and a NON-INTERACTING subset applied in a single
+    rewrite pass.
+
+    Batch admission is strict so a round's merges commute: a candidate
+    is rejected if either of its symbols equals any already-selected
+    pair's symbol OR product, or its product equals a selected
+    product. Under that rule no candidate can touch another's match
+    sites and no within-pass cascade is possible, so applying the
+    batch in one fold equals applying its members sequentially in any
+    order. The cost vs classic BPE is FREQUENCY STALENESS, not
+    reordering: pairs selected 2nd..k-th in a round are ranked by
+    counts taken before the 1st was applied — the standard batched-
+    trainer trade (the exact greedy sequence is recovered at
+    ``batch=1``, pinned in pytest; the batched table is pinned against
+    a pure-Python reference of the SAME algorithm).
+
+    Scale shape per round: one vocab-sized aggregate, ≤ batch ×
+    headroom rows to the driver, one fold-rewrite projection, one
+    ``localCheckpoint``. Driver state: the learned pairs, nothing
+    else.
+
+    Output: (merge_rank, a, b, pair_count), rank asc — ``pair_count``
+    is the count observed at the round's start (stale within a round
+    by construction).
+    """
+    from scholar_stream_spark.plans.partitioning import scale_out
+
+    spark = documents.sparkSession
+    vocab = (
+        scale_out(documents)
+        .select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select(F.expr("split(word, '')").alias("syms"), "f")
+        .localCheckpoint()
+    )
+    adjacent = F.explode(
+        F.expr(
+            "transform(sequence(1, size(syms) - 1),"
+            " i -> struct(element_at(syms, i) AS a,"
+            " element_at(syms, i + 1) AS b))"
+        )
+    ).alias("p")
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < n_merges:
+        room = n_merges - len(merges)
+        want = min(batch, room)
+        top = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(adjacent, "f")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("f").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(want * BPE_BATCH_HEADROOM)
+            .collect()
+        )
+        cands = [r for r in top if r["n"] >= 2]
+        if not cands:
+            break  # BPE's stop condition
+        used_syms: set[str] = set()
+        used_products: set[str] = set()
+        selected: list = []
+        for r in cands:
+            a, b, ab = r["a"], r["b"], r["a"] + r["b"]
+            blocked = used_syms | used_products
+            if a in blocked or b in blocked or ab in used_syms \
+                    or ab in used_products:
+                continue
+            selected.append(r)
+            used_syms.update((a, b))
+            used_products.add(ab)
+            if len(selected) == want:
+                break
+        if not selected:
+            # every candidate interacts with a better one: fall back to
+            # a batch of one so the round always progresses
+            selected = [cands[0]]
+        for r in selected:
+            merges.append(
+                (len(merges) + 1, r["a"], r["b"], int(r["n"]))
+            )
+        pairs = [(F.lit(r["a"]), F.lit(r["b"]), F.lit(r["a"] + r["b"]))
+                 for r in selected]
+
+        # closure factory keeps the lambda 2-ary (PySpark counts
+        # default args as HOF parameters — the bpe_word_tokens lesson)
+        def make_fold(batch_pairs):
+            def fold(acc, s):
+                fused = None
+                for lit_a, lit_b, lit_ab in batch_pairs:
+                    hit = (
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == lit_a)
+                        & (s == lit_b)
+                    )
+                    step = F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(lit_ab)
+                    )
+                    fused = (
+                        F.when(hit, step) if fused is None
+                        else fused.when(hit, step)
+                    )
+                return fused.otherwise(F.concat(acc, F.array(s)))
+
+            return fold
+
+        vocab = vocab.select(
+            F.aggregate(
+                "syms",
+                F.expr("CAST(array() AS array<string>)"),
+                make_fold(pairs),
+            ).alias("syms"),
+            "f",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, schema="merge_rank long, a string, b string, pair_count long"
+    )

