@@ -498,6 +498,7 @@ _DRIVER_FIRST = (
     "dedup_threshold_sweep",
     "boilerplate_paragraphs",
     "shard_size_plan",
+    "embedding_norm_outliers",
     "packing_efficiency",
     "ngram_diversity",
     "quality_deciles",
@@ -694,6 +695,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # embedding-centroid drift screen: per-label top shifted
         # dimensions between snapshot halves (PSI's vector companion)
+        # norm-outlier quarantine list (rank-exact IQR fences)
+        "embedding_norm_outliers": lambda s, d: (
+            similarity.embedding_norm_outliers(_t(s, d, "embeddings"))
+        ),
         "embedding_drift": lambda s, d: similarity.embedding_drift(
             _t(s, d, "embeddings")
         ),
@@ -2023,6 +2028,43 @@ def _bpe_pack_sql() -> str:
                CAST(start % {sampling.PACK_BUDGET_TOKENS} AS BIGINT)
                    AS offset_in_pack
         FROM offs
+    """
+
+
+def _norm_outliers_sql() -> str:
+    """``embedding_norm_outliers`` oracle: the card's sequential-fold
+    norm + rank-exact quartiles + identical IEEE fence math."""
+    k = similarity.NORM_IQR_K
+    return f"""
+        WITH base AS (
+            SELECT vec_id, label,
+                   round(sqrt({_dot_sql("embedding", "embedding")}), 4)
+                       AS norm
+            FROM embeddings
+        ),
+        ranked AS (
+            SELECT label, norm,
+                   row_number() OVER (PARTITION BY label
+                                      ORDER BY norm, vec_id) AS rn
+            FROM base
+        ),
+        nn AS (SELECT label, count(*) AS n FROM base GROUP BY label),
+        q AS (
+            SELECT r.label,
+                   MIN(CASE WHEN rn = (n + 3) // 4 THEN norm END) AS q1,
+                   MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN norm END)
+                       AS q3
+            FROM ranked r JOIN nn USING (label) GROUP BY r.label
+        ),
+        f AS (
+            SELECT label, q1 - {k!r} * (q3 - q1) AS lo_fence,
+                   q3 + {k!r} * (q3 - q1) AS hi_fence
+            FROM q
+        )
+        SELECT b.vec_id, b.label, b.norm, f.lo_fence, f.hi_fence
+        FROM base b JOIN f USING (label)
+        WHERE b.norm < f.lo_fence OR b.norm > f.hi_fence
+        ORDER BY b.label, b.vec_id
     """
 
 
@@ -4797,6 +4839,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "bpe_pack_docs": _bpe_pack_sql(),
         "tokenizer_swap_report": _tokenizer_swap_sql(),
         "boilerplate_paragraphs": _boilerplate_sql(),
+        "embedding_norm_outliers": _norm_outliers_sql(),
         "shard_size_plan": f"""
             WITH per AS (
                 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

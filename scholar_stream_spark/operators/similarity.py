@@ -1355,3 +1355,80 @@ def delete_from_ivf_index(
     compact_ivf_index(
         spark, index_path, out_path, exclude_vec_ids=list(vec_ids)
     )
+
+
+#: Tukey fence multiplier for the norm-outlier screen.
+NORM_IQR_K = 1.5
+
+
+def embedding_norm_outliers(embeddings: DataFrame) -> DataFrame:
+    """Embedding L2-norm outlier list: the ACTIONABLE companion to
+    ``embedding_data_card``'s norm quantiles — the card says a label's
+    norm distribution looks wrong, THIS says which vectors to quarantine
+    (norm outliers are how encoder failures — zero vectors, fp-overflow
+    blowups, un-normalized batches mixed into a normalized table —
+    surface in practice).
+
+    Outliers by the Tukey IQR fence per label, with RANK-EXACT
+    quartiles (value at row ``ceil(n/4)`` / ``ceil(3n/4)`` of the
+    (norm, vec_id)-ordered label — integer rank arithmetic, the
+    ``quality_deciles`` discipline, so both engines pick the SAME
+    vector's norm and the fences are engine-identical IEEE arithmetic
+    on identically-rounded quartiles).
+
+    Scale shape: one narrow projection computes the sequential-fold
+    norm per row (JVM codegen), one label-keyed sort exchange ranks
+    it, the ≤|labels|-row fence table broadcasts back into a filter —
+    the vector table never shuffles beyond the rank exchange.
+
+    Output: (vec_id, label, norm, lo_fence, hi_fence), label asc,
+    vec_id asc.
+    """
+    base = scale_out(embeddings).select(
+        "vec_id",
+        "label",
+        F.round(l2_norm(F.col("embedding")), 4).alias("norm"),
+    )
+    w = Window.partitionBy("label").orderBy("norm", "vec_id")
+    ranked = base.select(
+        "label", "norm", F.row_number().over(w).alias("rn")
+    )
+    counts = base.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    quarts = (
+        ranked.join(F.broadcast(counts), "label")
+        .filter(
+            (F.col("rn") == F.expr("(n + 3) DIV 4"))
+            | (F.col("rn") == F.expr("(3 * n + 3) DIV 4"))
+        )
+        .groupBy("label")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("rn") == F.expr("(n + 3) DIV 4"), F.col("norm")
+                )
+            ).alias("q1"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(3 * n + 3) DIV 4"),
+                    F.col("norm"),
+                )
+            ).alias("q3"),
+        )
+    )
+    k = float(NORM_IQR_K)
+    fences = quarts.select(
+        "label",
+        (F.col("q1") - k * (F.col("q3") - F.col("q1"))).alias("lo_fence"),
+        (F.col("q3") + k * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
+    )
+    return (
+        base.join(F.broadcast(fences), "label")
+        .filter(
+            (F.col("norm") < F.col("lo_fence"))
+            | (F.col("norm") > F.col("hi_fence"))
+        )
+        .select("vec_id", "label", "norm", "lo_fence", "hi_fence")
+        .orderBy("label", "vec_id")
+    )

@@ -631,3 +631,72 @@ def test_bpe_train_batched_fewer_rounds(spark):
     ).collect()
     assert len(rows) == 8
     assert [r["merge_rank"] for r in rows] == list(range(1, 9))
+
+
+# ---------------------------------------------------------------------------
+# embedding_norm_outliers
+# ---------------------------------------------------------------------------
+
+
+def _embs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+def test_norm_outliers_matches_numpy_reference(spark):
+    import numpy as np
+
+    from scholar_stream_spark.operators import similarity
+
+    rows = _embs(spark).collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        # sequential fold, then the op's 4-decimal rounding
+        acc = 0.0
+        for x in v:
+            acc += float(x) * float(x)
+        by_label.setdefault(r["label"], []).append(
+            (r["vec_id"], round(__import__("math").sqrt(acc), 4))
+        )
+    expect = []
+    for lbl, vs in by_label.items():
+        ordered = sorted(vs, key=lambda t: (t[1], t[0]))
+        n = len(ordered)
+        q1 = ordered[(n + 3) // 4 - 1][1]
+        q3 = ordered[(3 * n + 3) // 4 - 1][1]
+        k = similarity.NORM_IQR_K
+        lo, hi = q1 - k * (q3 - q1), q3 + k * (q3 - q1)
+        for vid, nm in vs:
+            if nm < lo or nm > hi:
+                expect.append((vid, lbl, nm))
+    got = [
+        (r["vec_id"], r["label"], r["norm"])
+        for r in similarity.embedding_norm_outliers(_embs(spark)).collect()
+    ]
+    assert sorted(got) == sorted(expect)
+
+
+def test_norm_outliers_flags_planted_blowup(spark):
+    from scholar_stream_spark.operators import similarity
+
+    base = _embs(spark)
+    dim = len(base.first()["embedding"])
+    planted = base.unionByName(
+        spark.createDataFrame(
+            [(99991, [100.0] * dim, 0), (99992, [0.0] * dim, 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+    )
+    got = {
+        r["vec_id"]
+        for r in similarity.embedding_norm_outliers(planted).collect()
+    }
+    assert {99991, 99992} <= got
+
+
+def test_norm_outliers_plan_broadcast_fences(spark):
+    from scholar_stream_spark.operators import similarity
+
+    plan = _plan(similarity.embedding_norm_outliers(_embs(spark)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
