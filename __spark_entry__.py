@@ -26,6 +26,10 @@ Deliberately WITHOUT oracle entries (rows-only check):
 - ``ann_int8_topk`` / ``ann_int8_recall`` — int8-quantized search
   (approximate via quantization error: near-tie neighbors can flip);
   same recall-harness treatment, floor pytest-pinned.
+- ``pq_train`` / ``pq_codes`` / ``ann_pq_topk`` / ``ann_pq_rerank_topk``
+  / ``ann_pq_recall`` — product quantization (iterative per-subspace
+  float k-means, ``cluster_embeddings``' rationale); shape/determinism/
+  training-progress/recall-floor pins in ``tests/test_r11_ops.py``.
 - ``cluster_embeddings`` — iterative spherical k-means (Lloyd's); an
   SQL oracle would need a recursive-CTE re-implementation of the whole
   float iteration. Determinism + cluster semantics are pytest-pinned
@@ -1378,6 +1382,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_int8_recall": lambda s, d: similarity.ann_recall(
             _t(s, d, "embeddings"), method="int8"
+        ),
+        # product quantization (Jégou 2011 / FAISS PQ): codebook train,
+        # compressed-corpus encode, ADC scan, and the re-ranked serving
+        # path — all rows-only (iterative float k-means); shapes,
+        # determinism, and recall floors pinned in tests/test_r11_ops.py
+        "pq_train": lambda s, d: similarity.pq_train(
+            _t(s, d, "embeddings")
+        ),
+        "pq_codes": lambda s, d: similarity.pq_codes(
+            _t(s, d, "embeddings")
+        ),
+        "ann_pq_topk": lambda s, d: similarity.ann_pq_topk(
+            _t(s, d, "embeddings")
+        ),
+        "ann_pq_rerank_topk": lambda s, d: similarity.ann_pq_rerank_topk(
+            _t(s, d, "embeddings")
+        ),
+        "ann_pq_recall": lambda s, d: similarity.ann_recall(
+            _t(s, d, "embeddings"), method="pq"
         ),
         # spherical k-means over the embedding corpus (driver-held k×dim
         # centroids, one map-side-combined corpus pass per iteration)
