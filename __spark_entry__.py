@@ -1294,6 +1294,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- text analysis (SURVEY §2.8) ---
         "token_counts": lambda s, d: textops.token_counts(_t(s, d, "documents")),
+        # BM25 ranked retrieval for the fixed demo query set (Lucene
+        # idf variant; one narrow corpus scan, no inverted index)
+        "bm25_search": lambda s, d: textops.bm25_search(
+            _t(s, d, "documents")
+        ),
         "unigram_logprob": lambda s, d: textops.unigram_logprob(
             _t(s, d, "documents")
         ),
@@ -3402,6 +3407,70 @@ def _text_quality_sql() -> str:
         """
 
 
+def _bm25_sql() -> str:
+    """BM25 oracle — generated from the SAME constants as the operator
+    (``textops.BM25_QUERIES``/``K1``/``B``/``TOPK``) so the query set,
+    hyper-parameters, and the exact left-to-right term-sum order cannot
+    drift between engines. Float parity: avgdl is one IEEE division of
+    exact integers, idf operands are exact, and each score is a literal
+    expression (no float aggregation) — bit-identical doubles."""
+    k1, b = textops.BM25_K1, textops.BM25_B
+    qs = textops.BM25_QUERIES
+    all_terms = sorted({t for _, ts in qs for t in ts})
+    k1p1, one_b = repr(k1 + 1.0), repr(1.0 - b)
+    k1r, br = repr(k1), repr(b)
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}"
+        for t in all_terms
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{t}"
+        for t in all_terms
+    )
+
+    def term(t: str) -> str:
+        return (
+            f"(ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+            f" * CAST(tf_{t} AS DOUBLE) * {k1p1}"
+            f" / (CAST(tf_{t} AS DOUBLE) + {k1r} * ({one_b} + {br}"
+            f" * CAST(dl AS DOUBLE) / avgdl)))"
+        )
+
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, '{qid}' AS query, "
+        + " + ".join(term(t) for t in terms)
+        + " AS score_raw FROM per_doc CROSS JOIN stats"
+        for qid, terms in qs
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ), per_doc AS (
+            SELECT doc_id, len(toks) AS dl, {tf_cols} FROM base
+        ), stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS sum_dl,
+                   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS avgdl,
+                   {df_cols}
+            FROM per_doc
+        ), scored AS ({union}),
+        ranked AS (
+            SELECT query, doc_id, score_raw,
+                   row_number() OVER (PARTITION BY query
+                       ORDER BY score_raw DESC, doc_id ASC) AS rank
+            FROM scored WHERE score_raw > 0
+        )
+        SELECT query, doc_id, round(score_raw, 4) AS score,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {textops.BM25_TOPK}
+    """
+
+
 def _unigram_sql() -> str:
     """Unigram-LM scoring oracle, factored out because the CCNet-style
     ``perplexity_buckets`` oracle nests it verbatim as its first CTE —
@@ -4533,6 +4602,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             FROM tf, total
             WHERE tf > total / {float(textops.HH_K)}
         """,
+        "bm25_search": _bm25_sql(),
         "token_counts": f"""
             SELECT doc_id,
                    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)

@@ -1708,3 +1708,132 @@ def bpe_train_batched(
     return spark.createDataFrame(
         merges, schema="merge_rank long, a string, b string, pair_count long"
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene idf variant)
+
+#: Okapi BM25 hyper-parameters (the Lucene/ES defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+#: Fixed demo query set: (query_id, terms). Queries are CONSTANTS of the
+#: operator (the driver-compare contract needs a deterministic result
+#: set); a serving deployment passes its own.
+BM25_QUERIES = (
+    ("hash join", ("hash", "join")),
+    ("window agg stream", ("window", "agg", "stream")),
+    ("vector scan filter", ("vector", "scan", "filter")),
+)
+
+
+def bm25_search(
+    documents: DataFrame,
+    queries=BM25_QUERIES,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+) -> DataFrame:
+    """BM25 top-k retrieval for a small fixed query set — the lexical
+    search baseline a curation stack runs next to the embedding ANN
+    family (hybrid retrieval; also the standard quality probe for "did
+    my filtering destroy topical coverage").
+
+    Scale shape — NO inverted index is materialized because the query
+    term set is tiny and known: ONE narrow corpus projection computes,
+    per document, the token count (``dl``) and each query term's
+    ``tf`` as JVM array expressions (no explode, no corpus shuffle);
+    a 1-row global aggregate (N, Σdl, per-term df — exact integers)
+    broadcasts back; scoring + the per-query stack are more columns on
+    the same projection, and the final top-k is a ranking window over
+    ``stack``ed (query, doc) rows that each partition pre-prunes
+    nothing from — at ≤ |queries|·|docs| rows it is the cheap side of
+    the plan. At 100 TB this is exactly one pass over the text column.
+
+    Engine parity: ``avgdl = Σdl / N`` (exact-integer division, ONE
+    IEEE op), idf = ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (Lucene's
+    non-negative variant) on exact-integer operands, and each query's
+    score is a literal left-to-right sum of its per-term expressions —
+    no float aggregation anywhere, so Spark and the SQL oracle compute
+    bit-identical doubles (the ``unigram_logprob`` ln-parity
+    precedent). Output: (query, doc_id, score round-4, rank), zero-hit
+    docs dropped.
+    """
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    all_terms = sorted({t for _, terms in queries for t in terms})
+
+    def _eq(term: str):
+        # single-arg closure on purpose: a 2-arg lambda (even with a
+        # bound default) makes F.filter pass the ELEMENT INDEX as the
+        # second argument and the predicate silently never matches
+        return lambda x: x == F.lit(term)
+
+    # per_doc feeds BOTH the global stats aggregate and the scoring
+    # projection; without pinning, each consumer re-scans (and
+    # re-tokenizes) the text column. The checkpoint materializes only
+    # the narrow (doc_id, dl, tf_*) rows — ~80 bytes/row vs re-reading
+    # documents twice (the bloom_join_revenue single-scan discipline).
+    per_doc = (
+        scale_out(documents)
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("dl"),
+            *[
+                F.size(F.filter(toks, _eq(t))).cast("long").alias(f"tf_{t}")
+                for t in all_terms
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in all_terms
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+    )
+
+    def term_score(t: str):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+        )
+        tf = F.col(f"tf_{t}").cast("double")
+        return idf * tf * F.lit(k1 + 1.0) / (tf + norm)
+
+    q_cols = []
+    for qid, terms in queries:
+        s = term_score(terms[0])
+        for t in terms[1:]:
+            s = s + term_score(t)
+        q_cols.append((qid, s))
+    stack_expr = F.expr(
+        "stack({n}, {args}) AS (query, score_raw)".format(
+            n=len(q_cols),
+            args=", ".join(f"'{qid}', _s{i}" for i, (qid, _) in enumerate(q_cols)),
+        )
+    )
+    stacked = scored.select(
+        "doc_id", *[s.alias(f"_s{i}") for i, (_, s) in enumerate(q_cols)]
+    ).select("doc_id", stack_expr)
+    w = Window.partitionBy("query").orderBy(
+        F.desc("score_raw"), F.asc("doc_id")
+    )
+    return (
+        stacked.filter(F.col("score_raw") > 0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query",
+            "doc_id",
+            F.round("score_raw", 4).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -163,3 +163,83 @@ def test_pq_rerank_topk_matches_exact_on_shared_neighbors(emb):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact:
             assert abs(r["cos_sim"] - exact[key]) < 1e-9
+
+
+# --- BM25 ranked retrieval -------------------------------------------------
+
+import math
+
+from scholar_stream_spark.operators import textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def test_bm25_shape_and_ordering(docs):
+    rows = textops.bm25_search(docs).collect()
+    assert rows, "demo queries must hit the synthetic corpus"
+    by_q = {}
+    for r in rows:
+        assert r["score"] > 0
+        by_q.setdefault(r["query"], []).append(r)
+    assert set(by_q) <= {qid for qid, _ in textops.BM25_QUERIES}
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert len(rs) <= textops.BM25_TOPK
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_partition_invariant(docs):
+    a = sorted(map(tuple, textops.bm25_search(docs).collect()))
+    b = sorted(map(tuple, textops.bm25_search(docs.repartition(7)).collect()))
+    assert a == b
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """Exact-value pin on a constructed corpus: the operator's scores
+    must equal a from-the-paper Python BM25 (Lucene idf variant) to
+    float equality after round-4."""
+    corpus = {
+        1: "hash join hash hash",
+        2: "join table scan",
+        3: "window agg stream window",
+        4: "the quick brown fox",
+        5: "hash",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], "doc_id long, text string"
+    )
+    k1, b = textops.BM25_K1, textops.BM25_B
+    toks = {i: t.split() for i, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+
+    def score(terms, d):
+        s = 0.0
+        for t in terms:
+            tf = toks[d].count(t)
+            df_t = sum(1 for v in toks.values() if t in v)
+            idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+            s += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * len(toks[d]) / avgdl)
+            )
+        return s
+
+    expected = {}
+    for qid, terms in textops.BM25_QUERIES:
+        scored = [
+            (d, score(terms, d)) for d in corpus if score(terms, d) > 0
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (d, s) in enumerate(scored[: textops.BM25_TOPK], 1):
+            expected[(qid, d)] = (round(s, 4), rank)
+
+    got = {
+        (r["query"], r["doc_id"]): (r["score"], r["rank"])
+        for r in textops.bm25_search(df).collect()
+    }
+    assert got == expected
