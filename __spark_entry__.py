@@ -478,6 +478,14 @@ PROFILE_COLS = (
 #: Positions 51+: the remaining r8 greens age next, the r9-green block
 #: last (newest checks at the tail).
 _DRIVER_FIRST = (
+    # round 11: the three new oracle-backed ops lead (never
+    # driver-checked); the r10 head follows unchanged because
+    # CORRECTNESS_r10 never ran, so everything it front-loaded is
+    # still awaiting its first driver check. The five new PQ entries
+    # are rows-only and take the tail automatically.
+    "bm25_search",
+    "event_order_audit",
+    "revenue_concentration",
     "nation_revenue_share",
     "idle_customers",
     "min_cost_supplier",
@@ -1135,6 +1143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_weighted_sample": lambda s, d: (
             sampling.quality_weighted_sample(_t(s, d, "documents"))
         ),
+        # per-nation customer-decile Lorenz/Pareto concentration table
+        "revenue_concentration": lambda s, d: relational.revenue_concentration(
+            _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "nation")
+        ),
         "revenue_by_region": lambda s, d: relational.revenue_by_region(
             _t(s, d, "orders"),
             _t(s, d, "customer"),
@@ -1185,6 +1197,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events")
         ),
         "sessionize": lambda s, d: temporal.sessionize(_t(s, d, "events")),
+        # per-user out-of-order arrival audit — the watermark-sizing
+        # report (integer-microsecond lateness, one user-keyed shuffle)
+        "event_order_audit": lambda s, d: temporal.event_order_audit(
+            _t(s, d, "events")
+        ),
         "change_filter": lambda s, d: temporal.change_filter(
             _t(s, d, "events")
         ),
@@ -4457,6 +4474,42 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             GROUP BY c_count
             ORDER BY custdist DESC, c_count DESC
         """,
+        "revenue_concentration": """
+            WITH per_cust AS (
+                SELECT o_custkey,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY o_custkey
+            ), j AS (
+                SELECT n_name, rev, o_custkey
+                FROM per_cust
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+            ), ranked AS (
+                SELECT n_name, rev,
+                       row_number() OVER (PARTITION BY n_name
+                           ORDER BY rev DESC, o_custkey ASC) AS rk,
+                       count(*) OVER (PARTITION BY n_name) AS n_cust
+                FROM j
+            ), dec AS (
+                SELECT n_name,
+                       CAST(((rk - 1) * 10) // n_cust AS INT) + 1 AS decile,
+                       CAST(count(*) AS BIGINT) AS n_customers,
+                       SUM(rev) AS dec_rev
+                FROM ranked GROUP BY 1, 2
+            )
+            SELECT n_name, decile, n_customers,
+                   CAST(dec_rev AS DOUBLE) AS decile_revenue,
+                   round(CAST(dec_rev AS DOUBLE)
+                         / CAST(SUM(dec_rev) OVER (PARTITION BY n_name)
+                                AS DOUBLE), 6) AS revenue_share,
+                   round(CAST(SUM(dec_rev) OVER (PARTITION BY n_name
+                              ORDER BY decile
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS DOUBLE)
+                         / CAST(SUM(dec_rev) OVER (PARTITION BY n_name)
+                                AS DOUBLE), 6) AS cum_share
+            FROM dec
+        """,
         "revenue_by_region": f"""
             SELECT r_name, count(*) AS n_orders,
                    {exact_sum('o_totalprice')} AS revenue
@@ -5042,6 +5095,28 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             SELECT event_id, user_id, ts, event_type, prev_type
             FROM o
             WHERE prev_type IS NULL OR prev_type <> event_type
+        """,
+        "event_order_audit": """
+            WITH staged AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                       max(epoch_us(ts)) OVER (PARTITION BY user_id
+                           ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_max_us
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN prev_max_us > ts_us
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_out_of_order,
+                   round(CAST(sum(CASE WHEN prev_max_us > ts_us
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 4) AS ooo_frac,
+                   CAST(coalesce(max(CASE WHEN prev_max_us > ts_us
+                                          THEN prev_max_us - ts_us END),
+                                 0) AS BIGINT) AS max_lateness_us
+            FROM staged GROUP BY user_id
         """,
         "sessionize": f"""
             WITH o AS (

@@ -2490,3 +2490,86 @@ def detect_outliers(
         )
         .filter(F.abs(F.col("z_score")) > z_threshold)
     )
+
+
+def revenue_concentration(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Per-nation customer-decile revenue concentration — the Lorenz/
+    Pareto table behind "the top 10% of customers carry X% of revenue"
+    (account-concentration risk; the same rank-decile discipline as
+    ``quality_deciles``, applied to money).
+
+    Deciles are over ACTIVE customers (those with >= 1 order): the
+    per-customer rollup is orders-derived, so never-ordered customers
+    don't appear — stated semantics, mirrored by the oracle's join
+    direction.
+
+    Scale shape: the fact table collapses to a ≤|customers|-row money
+    rollup FIRST (map-side combined, the only fact-sized exchange);
+    nation broadcasts into the customer slice; ranking runs per nation
+    (a nation-keyed sort exchange over the AGGREGATE, never the fact
+    table — ``quality_deciles``' justification); the decile rollup and
+    the share windows operate on ≤|nations|·10 rows.
+
+    Engine parity: revenue sums are exact DECIMAL(18,2) arithmetic
+    end-to-end (``exact_sum_double`` discipline) — ranking ties are
+    impossible to get wrong cross-engine because the sort key is exact;
+    decile assignment is INTEGER arithmetic ``((rank-1)*10) div n + 1``;
+    each share is ONE IEEE division of exactly-summed operands.
+
+    Output: (n_name, decile, n_customers, decile_revenue,
+    revenue_share, cum_share), decile 1 = highest-revenue customers.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").alias("rev")
+    )
+    cust_nat = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "n_name")
+    j = per_cust.join(cust_nat, per_cust.o_custkey == cust_nat.c_custkey)
+    w_rank = Window.partitionBy("n_name").orderBy(
+        F.desc("rev"), F.asc("o_custkey")
+    )
+    ranked = j.select(
+        "n_name", "rev", F.row_number().over(w_rank).alias("rk")
+    )
+    counts = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust")
+    )
+    dec = (
+        ranked.join(F.broadcast(counts), "n_name")
+        .withColumn(
+            "decile",
+            F.expr("CAST(((rk - 1) * 10) DIV n_cust AS INT) + 1"),
+        )
+        .groupBy("n_name", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev").alias("dec_rev"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("n_name")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("n_name").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return dec.select(
+        "n_name",
+        "decile",
+        "n_customers",
+        F.col("dec_rev").cast("double").alias("decile_revenue"),
+        F.round(
+            F.col("dec_rev").cast("double")
+            / F.sum("dec_rev").over(w_tot).cast("double"),
+            6,
+        ).alias("revenue_share"),
+        F.round(
+            F.sum("dec_rev").over(w_cum).cast("double")
+            / F.sum("dec_rev").over(w_tot).cast("double"),
+            6,
+        ).alias("cum_share"),
+    )

@@ -213,3 +213,55 @@ def sessionize(
             F.unix_timestamp("session_end") - F.unix_timestamp("session_start"),
         )
     )
+
+
+def event_order_audit(events: DataFrame) -> DataFrame:
+    """Per-user out-of-order arrival audit — the batch report that
+    SIZES a streaming watermark (``streaming/latency.py`` consumes a
+    delay; THIS is where the delay comes from): using ``event_id`` as
+    the arrival sequence, an event is out-of-order when its event time
+    is older than the running event-time max of everything that
+    arrived before it for the same user, and its lateness is that gap.
+    ``max(max_lateness_us)`` across users IS the watermark bound that
+    would have admitted every event.
+
+    One shuffle keyed on user_id (the running max is a per-user
+    arrival-ordered window; AQE splits skewed power users), then a
+    map-side-combined per-user rollup of the same exchange — the fact
+    table is never re-keyed.
+
+    Engine parity: timestamps compare as exact integer MICROSECONDS
+    (``unix_micros`` / ``epoch_us``), lateness is integer subtraction,
+    and the fraction is one IEEE division of exact integers.
+
+    Output: (user_id, n_events, n_out_of_order, ooo_frac,
+    max_lateness_us).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    ).withColumn("prev_max_us", F.max("ts_us").over(w))
+    late = F.when(
+        F.col("prev_max_us") > F.col("ts_us"),
+        F.col("prev_max_us") - F.col("ts_us"),
+    )
+    return staged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.coalesce(
+            F.sum(late.isNotNull().cast("long")), F.lit(0).cast("long")
+        ).alias("n_out_of_order"),
+        F.round(
+            F.sum(late.isNotNull().cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("ooo_frac"),
+        F.coalesce(F.max(late), F.lit(0).cast("long")).alias(
+            "max_lateness_us"
+        ),
+    )

@@ -243,3 +243,87 @@ def test_bm25_matches_pure_python_reference(spark):
         for r in textops.bm25_search(df).collect()
     }
     assert got == expected
+
+
+# --- event-order audit & revenue concentration ------------------------------
+
+from datetime import datetime
+
+from scholar_stream_spark.operators import relational, temporal
+
+
+def test_event_order_audit_constructed(spark):
+    """Hand-checkable arrival sequence: user 1 gets one late event
+    (40 s behind the running max), user 2 arrives perfectly ordered."""
+    rows = [
+        # (event_id = arrival order, ts, user)
+        (1, "2024-01-01 10:00:00", 1),
+        (2, "2024-01-01 10:01:00", 1),
+        (3, "2024-01-01 10:00:20", 1),  # late: max so far 10:01:00 -> 40 s
+        (4, "2024-01-01 10:02:00", 1),
+        (5, "2024-01-01 10:00:00", 2),
+        (6, "2024-01-01 10:05:00", 2),
+    ]
+    df = spark.createDataFrame(
+        [(i, datetime.fromisoformat(t), u) for i, t, u in rows],
+        "event_id long, ts timestamp, user_id long",
+    )
+    got = {r["user_id"]: r for r in temporal.event_order_audit(df).collect()}
+    assert got[1]["n_events"] == 4
+    assert got[1]["n_out_of_order"] == 1
+    assert got[1]["ooo_frac"] == 0.25
+    assert got[1]["max_lateness_us"] == 40_000_000
+    assert got[2]["n_out_of_order"] == 0
+    assert got[2]["ooo_frac"] == 0.0
+    assert got[2]["max_lateness_us"] == 0
+
+
+def test_event_order_audit_ignores_equal_timestamps(spark):
+    """An event equal to the running max is ON TIME (strict >)."""
+    df = spark.createDataFrame(
+        [
+            (1, datetime.fromisoformat("2024-01-01 10:00:00"), 1),
+            (2, datetime.fromisoformat("2024-01-01 10:00:00"), 1),
+        ],
+        "event_id long, ts timestamp, user_id long",
+    )
+    r = temporal.event_order_audit(df).first()
+    assert r["n_out_of_order"] == 0 and r["max_lateness_us"] == 0
+
+
+def test_revenue_concentration_two_nations(spark):
+    """12 active customers in one nation -> deciles sized {2,1,...,1}
+    by the integer rule; shares exact on round money."""
+    nation = spark.createDataFrame(
+        [(0, "A", 0), (1, "B", 0)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    cust = spark.createDataFrame(
+        [(c, 0 if c < 12 else 1) for c in range(14)],
+        "c_custkey long, c_nationkey long",
+    )
+    # nation A: customers 0..11 with revenue 120, 110, ..., 10
+    # nation B: customer 12 only (13 never orders -> excluded)
+    orders = spark.createDataFrame(
+        [(1000 + c, c, float(120 - 10 * c)) for c in range(12)]
+        + [(2000, 12, 500.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    got = relational.revenue_concentration(orders, cust, nation).collect()
+    a = sorted(
+        [r for r in got if r["n_name"] == "A"], key=lambda r: r["decile"]
+    )
+    b = [r for r in got if r["n_name"] == "B"]
+    # integer decile rule over n=12: ((rk-1)*10) div 12 + 1 puts ranks
+    # {1,2} in d1 and {7,8} in d6, singletons elsewhere
+    assert [r["decile"] for r in a] == list(range(1, 11))
+    assert [r["n_customers"] for r in a] == [2, 1, 1, 1, 1, 2, 1, 1, 1, 1]
+    total = sum(float(120 - 10 * c) for c in range(12))
+    assert a[0]["decile_revenue"] == 230.0  # 120 + 110
+    assert abs(a[0]["revenue_share"] - round(230.0 / total, 6)) < 1e-12
+    assert abs(a[-1]["cum_share"] - 1.0) < 1e-12
+    # cum_share monotone increasing
+    cums = [r["cum_share"] for r in a]
+    assert cums == sorted(cums)
+    assert len(b) == 1 and b[0]["n_customers"] == 1
+    assert b[0]["revenue_share"] == 1.0 and b[0]["cum_share"] == 1.0
