@@ -2531,15 +2531,19 @@ def revenue_concentration(
     w_rank = Window.partitionBy("n_name").orderBy(
         F.desc("rev"), F.asc("o_custkey")
     )
+    # n_cust as a windowed count over the SAME n_name partitioning —
+    # a groupBy+broadcast-join here forks the plan and re-scans orders
+    # for the count subtree (measured: 2 fact scans, 9 exchanges →
+    # 1 scan, 4 exchanges)
+    w_all = Window.partitionBy("n_name")
     ranked = j.select(
-        "n_name", "rev", F.row_number().over(w_rank).alias("rk")
-    )
-    counts = ranked.groupBy("n_name").agg(
-        F.count(F.lit(1)).cast("long").alias("n_cust")
+        "n_name",
+        "rev",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n_cust"),
     )
     dec = (
-        ranked.join(F.broadcast(counts), "n_name")
-        .withColumn(
+        ranked.withColumn(
             "decile",
             F.expr("CAST(((rk - 1) * 10) DIV n_cust AS INT) + 1"),
         )
