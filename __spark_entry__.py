@@ -486,6 +486,7 @@ _DRIVER_FIRST = (
     "bm25_search",
     "event_order_audit",
     "revenue_concentration",
+    "zorder_layout",
     "nation_revenue_share",
     "idle_customers",
     "min_cost_supplier",
@@ -1247,6 +1248,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # file size (the small-files-problem table)
         "shard_size_plan": lambda s, d: sampling.shard_size_plan(
             _t(s, d, "documents")
+        ),
+        # Z-order layout plan: per-z-bucket row counts + both columns'
+        # min/max spans (the OPTIMIZE ZORDER audit table)
+        "zorder_layout": lambda s, d: sampling.zorder_layout(
+            _t(s, d, "events")
         ),
         # boilerplate audit: top repeated paragraphs with doc/source
         # spread, over the shared injected multi-paragraph corpus
@@ -3424,6 +3430,46 @@ def _text_quality_sql() -> str:
         """
 
 
+def _zorder_sql() -> str:
+    """Z-order layout oracle — the Morton interleave comes from the
+    SAME generator as the operator (``sampling.morton_interleave_expr``,
+    duckdb dialect) so the bit math cannot drift; quantization mirrors
+    the identical multiply-then-divide + floor + clamp order."""
+    bits = sampling.ZORDER_BITS
+    maxq = (1 << bits) - 1
+    shift = 2 * bits - sampling.ZORDER_BUCKET_BITS
+    morton = sampling.morton_interleave_expr("qx", "qy", bits, "duckdb")
+
+    def q(col: str, lo: str, hi: str) -> str:
+        return (
+            f"CASE WHEN {hi} - {lo} = 0 THEN 0 ELSE "
+            f"least({maxq}, greatest(0, CAST(floor((CAST({col} AS DOUBLE)"
+            f" - {lo}) * {float(maxq)} / ({hi} - {lo})) AS BIGINT))) END"
+        )
+
+    return f"""
+        WITH bounds AS (
+            SELECT CAST(min(user_id) AS DOUBLE) AS min_u,
+                   CAST(max(user_id) AS DOUBLE) AS max_u,
+                   CAST(min(value) AS DOUBLE) AS min_v,
+                   CAST(max(value) AS DOUBLE) AS max_v
+            FROM events
+        ), staged AS (
+            SELECT user_id, value,
+                   {q('user_id', 'min_u', 'max_u')} AS qx,
+                   {q('value', 'min_v', 'max_v')} AS qy
+            FROM events CROSS JOIN bounds
+        )
+        SELECT CAST(({morton}) >> {shift} AS INT) AS zbucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(user_id) AS BIGINT) AS min_user,
+               CAST(max(user_id) AS BIGINT) AS max_user,
+               round(min(value), 4) AS min_value,
+               round(max(value), 4) AS max_value
+        FROM staged GROUP BY 1
+    """
+
+
 def _bm25_sql() -> str:
     """BM25 oracle — generated from the SAME constants as the operator
     (``textops.BM25_QUERIES``/``K1``/``B``/``TOPK``) so the query set,
@@ -4982,6 +5028,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "curate_corpus": _curate_sql(),
         "curation_funnel": _funnel_sql(),
         "token_budget_plan": _token_budget_sql(),
+        "zorder_layout": _zorder_sql(),
         "bpe_pack_docs": _bpe_pack_sql(),
         "tokenizer_swap_report": _tokenizer_swap_sql(),
         "boilerplate_paragraphs": _boilerplate_sql(),

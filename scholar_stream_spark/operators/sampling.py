@@ -1197,3 +1197,118 @@ def shard_size_plan(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout planner — the Delta/Iceberg OPTIMIZE ZORDER shape
+
+#: Per-dimension quantization bits (2^8 = 256 bins per dimension).
+ZORDER_BITS = 8
+#: Bucket = top bits of the interleaved code (2^6 = 64 target files).
+ZORDER_BUCKET_BITS = 6
+
+
+def morton_interleave_expr(qx: str, qy: str, bits: int, dialect: str) -> str:
+    """Bit-interleave expression string for Spark SQL or DuckDB — ONE
+    generator so the engines cannot drift. The sum of single-bit terms
+    is exact integer arithmetic; ``dialect`` only changes the shift
+    spelling (Spark has no ``<<``/``>>`` operators, DuckDB has no
+    ``shiftleft``)."""
+    if dialect == "spark":
+        def shr(c, i):
+            return f"shiftright({c}, {i})" if i else c
+        def shl(c, i):
+            return f"shiftleft({c}, {i})" if i else c
+    elif dialect == "duckdb":
+        def shr(c, i):
+            return f"({c} >> {i})" if i else c
+        def shl(c, i):
+            return f"({c} << {i})" if i else c
+    else:  # pragma: no cover
+        raise ValueError(f"unknown dialect: {dialect!r}")
+    terms = []
+    for i in range(bits):
+        terms.append(shl(f"(({shr(qx, i)}) & 1)", 2 * i))
+        terms.append(shl(f"(({shr(qy, i)}) & 1)", 2 * i + 1))
+    return " + ".join(terms)
+
+
+def zorder_layout(
+    events: DataFrame,
+    bits: int = ZORDER_BITS,
+    bucket_bits: int = ZORDER_BUCKET_BITS,
+) -> DataFrame:
+    """Z-order layout plan for the events table on (user_id, value) —
+    what ``OPTIMIZE ... ZORDER BY (user_id, value)`` would produce,
+    summarized as the per-file min/max ranges that make it worth doing:
+    a multi-dimensional query (``user_id BETWEEN ... AND value > ...``)
+    prunes files on BOTH columns' ranges, which linear layouts can't
+    give (sort by user_id and every file spans all values; Z-order
+    keeps both ranges narrow per file).
+
+    Each row quantizes to ``bits`` bins per dimension against global
+    min/max bounds (1-row broadcast aggregate — the only extra pass),
+    bits interleave into a Morton code (exact integer sum of 1-bit
+    terms, shared-generator expression), and the top ``bucket_bits``
+    of the code pick the target file. Output is the layout AUDIT —
+    per z-bucket row count + per-column min/max span — not a rewrite:
+    at 100 TB the actual write is ``repartitionByRange(n_files,
+    zval)`` on the same code, and THIS table is how you check the
+    span-narrowing before paying for it.
+
+    Engine parity: quantization is ``floor((x - min) * (2^bits - 1)
+    / (max - min))`` — identical IEEE multiply-then-divide order both
+    sides, floor exact; everything after is integer arithmetic.
+
+    Output: (zbucket, n_rows, min_user, max_user, min_value,
+    max_value), zbucket ascending.
+    """
+    maxq = (1 << bits) - 1
+    bounds = events.agg(
+        F.min(F.col("user_id").cast("double")).alias("min_u"),
+        F.max(F.col("user_id").cast("double")).alias("max_u"),
+        F.min(F.col("value").cast("double")).alias("min_v"),
+        F.max(F.col("value").cast("double")).alias("max_v"),
+    )
+
+    def quant(col: str, lo: str, hi: str) -> F.Column:
+        span = F.col(hi) - F.col(lo)
+        raw = F.floor(
+            (F.col(col).cast("double") - F.col(lo))
+            * F.lit(float(maxq))
+            / span
+        )
+        q = F.when(span == 0, F.lit(0).cast("long")).otherwise(
+            F.least(F.lit(maxq).cast("long"), F.greatest(F.lit(0).cast("long"), raw))
+        )
+        return q
+
+    staged = (
+        events.select("user_id", "value")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            "value",
+            quant("user_id", "min_u", "max_u").alias("qx"),
+            quant("value", "min_v", "max_v").alias("qy"),
+        )
+    )
+    shift = 2 * bits - bucket_bits
+    return (
+        staged.select(
+            "user_id",
+            "value",
+            F.expr(
+                f"shiftright({morton_interleave_expr('qx', 'qy', bits, 'spark')}, {shift})"
+            ).cast("int").alias("zbucket"),
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("user_id").cast("long").alias("min_user"),
+            F.max("user_id").cast("long").alias("max_user"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .orderBy("zbucket")
+    )

@@ -327,3 +327,68 @@ def test_revenue_concentration_two_nations(spark):
     assert cums == sorted(cums)
     assert len(b) == 1 and b[0]["n_customers"] == 1
     assert b[0]["revenue_share"] == 1.0 and b[0]["cum_share"] == 1.0
+
+
+# --- Z-order layout planner --------------------------------------------------
+
+from scholar_stream_spark.operators import sampling
+
+
+def _py_morton(qx: int, qy: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((qx >> i) & 1) << (2 * i)
+        z |= ((qy >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_expr_matches_python(spark):
+    """The generated Spark expression equals a reference bit-interleave
+    on the full 4-bit grid (both dialects share one generator; the
+    duckdb dialect is pinned by the oracle mirror)."""
+    bits = 4
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "qx long, qy long")
+    from pyspark.sql import functions as F
+
+    expr = sampling.morton_interleave_expr("qx", "qy", bits, "spark")
+    got = {
+        (r["qx"], r["qy"]): r["z"]
+        for r in df.select("qx", "qy", F.expr(expr).alias("z")).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == _py_morton(x, y, bits)
+
+
+def test_zorder_layout_narrows_both_spans(spark):
+    """On a uniform 2-D grid, every z-bucket's span in EACH dimension
+    must be far narrower than the global span — the property that makes
+    the layout prune on both columns (a 1-D sort gives full span in the
+    other dimension)."""
+    rows = [
+        (i, float(x), x * 64 + y)
+        for i, (x, y) in enumerate(
+            (x, y) for x in range(64) for y in range(64)
+        )
+        for _ in [0]
+    ]
+    df = spark.createDataFrame(
+        [(u, v) for _, v, u in rows], "user_id long, value double"
+    )
+    # user_id in 0..4095, value in 0..63: 64x64 grid flattened
+    out = sampling.zorder_layout(df).collect()
+    assert sum(r["n_rows"] for r in out) == 64 * 64
+    global_u = 64 * 64 - 1
+    global_v = 63.0
+    for r in out:
+        assert (r["max_user"] - r["min_user"]) <= global_u / 4
+        assert (r["max_value"] - r["min_value"]) <= global_v / 4
+
+
+def test_zorder_layout_partition_invariant(spark):
+    df = spark.range(0, 500).selectExpr(
+        "id AS user_id", "CAST(id % 37 AS DOUBLE) / 3.0 AS value"
+    )
+    a = sorted(map(tuple, sampling.zorder_layout(df).collect()))
+    b = sorted(map(tuple, sampling.zorder_layout(df.repartition(7)).collect()))
+    assert a == b
