@@ -487,6 +487,7 @@ _DRIVER_FIRST = (
     "event_order_audit",
     "revenue_concentration",
     "zorder_layout",
+    "session_type_lift",
     "nation_revenue_share",
     "idle_customers",
     "min_cost_supplier",
@@ -1201,6 +1202,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-user out-of-order arrival audit — the watermark-sizing
         # report (integer-microsecond lateness, one user-keyed shuffle)
         "event_order_audit": lambda s, d: temporal.event_order_audit(
+            _t(s, d, "events")
+        ),
+        # session-level event-type co-occurrence: support + lift per
+        # unordered type pair (array-comprehension pairs, no self-join)
+        "session_type_lift": lambda s, d: temporal.session_type_lift(
             _t(s, d, "events")
         ),
         "change_filter": lambda s, d: temporal.change_filter(
@@ -5142,6 +5148,52 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             SELECT event_id, user_id, ts, event_type, prev_type
             FROM o
             WHERE prev_type IS NULL OR prev_type <> event_type
+        """,
+        "session_type_lift": f"""
+            WITH o AS (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ), flagged AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN prev_ts IS NULL
+                              OR date_diff('second', prev_ts, ts)
+                                 > {temporal.SESSION_GAP_SECONDS}
+                            THEN 1 ELSE 0 END AS is_new
+                FROM o
+            ), runs AS (
+                SELECT user_id, event_type,
+                       SUM(is_new) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS session_seq
+                FROM flagged
+            ), st AS (
+                SELECT DISTINCT user_id, session_seq, event_type FROM runs
+            ), tot AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_sessions
+                FROM (SELECT DISTINCT user_id, session_seq FROM st)
+            ), tc AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n_one
+                FROM st GROUP BY 1
+            ), pairs AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       CAST(count(*) AS BIGINT) AS n_sessions_both
+                FROM st a JOIN st b
+                  ON a.user_id = b.user_id
+                 AND a.session_seq = b.session_seq
+                 AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            )
+            SELECT type_a, type_b, n_sessions_both,
+                   round(CAST(n_sessions_both AS DOUBLE)
+                         / CAST(n_sessions AS DOUBLE), 6) AS support,
+                   round(CAST(n_sessions_both * n_sessions AS DOUBLE)
+                         / CAST(na.n_one * nb.n_one AS DOUBLE), 4) AS lift
+            FROM pairs CROSS JOIN tot
+            JOIN tc na ON na.event_type = type_a
+            JOIN tc nb ON nb.event_type = type_b
         """,
         "event_order_audit": """
             WITH staged AS (

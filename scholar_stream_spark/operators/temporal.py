@@ -176,6 +176,26 @@ def change_filter(events: DataFrame) -> DataFrame:
     )
 
 
+def _session_labeled(
+    events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
+) -> DataFrame:
+    """Shared sessionization stage: every event labeled with its
+    per-user ``session_seq`` (gap rule; one user-keyed window exchange).
+    ``sessionize`` rolls these up; ``session_type_lift`` mines them."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev_ts = F.lag("ts").over(w)
+    gap = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(prev_ts)
+    new_session = F.when(
+        prev_ts.isNull() | (gap > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    return events.withColumn("is_new", new_session).withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
 def sessionize(
     events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
 ) -> DataFrame:
@@ -186,23 +206,9 @@ def sessionize(
     session_start, session_end, duration_seconds. Two shuffles, both on
     user_id (the window and the final groupBy co-partition).
     """
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    prev_ts = F.lag("ts").over(w)
-    gap = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(prev_ts)
-    new_session = F.when(
-        prev_ts.isNull() | (gap > gap_seconds), F.lit(1)
-    ).otherwise(F.lit(0))
-    run = (
-        events.withColumn("is_new", new_session)
-        .withColumn(
-            "session_seq",
-            F.sum("is_new").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-    )
     return (
-        run.groupBy("user_id", "session_seq")
+        _session_labeled(events, gap_seconds)
+        .groupBy("user_id", "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("session_start"),
@@ -264,4 +270,85 @@ def event_order_audit(events: DataFrame) -> DataFrame:
         F.coalesce(F.max(late), F.lit(0).cast("long")).alias(
             "max_lateness_us"
         ),
+    )
+
+
+def session_type_lift(
+    events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
+) -> DataFrame:
+    """Market-basket affinity over sessions: for every unordered pair
+    of event types, in how many sessions they CO-OCCUR, that pair's
+    support, and its lift vs independence — the "users who error also
+    purchase?" table product/abuse teams read off telemetry.
+
+    Scale shape: events label with ``session_seq`` (the shared
+    ``_session_labeled`` window — one user-keyed exchange), collapse to
+    ONE ROW PER SESSION carrying its sorted distinct type set
+    (``collect_set`` + ``array_sort``, a session-keyed exchange of the
+    already-labeled rows), and pairs explode from that array with a
+    nested ``transform`` — at most |types|·(|types|-1)/2 rows per
+    session BY CONSTRUCTION (no self-join, no quadratic blowup on
+    power users; the sorted array also makes type_a < type_b
+    structural). The pair/type/total tables that follow are
+    |types|²-sized; singles and the 1-row total broadcast back in.
+
+    Engine parity: all counts are exact integers; support and lift are
+    each ONE IEEE division of exact-integer products (the lift
+    numerator/denominator multiply BEFORE the division). The oracle
+    mines the same pairs via a (user, session)-keyed self-join —
+    different plan, identical set, which is the point of pinning
+    values not plans.
+
+    Output: (type_a, type_b, n_sessions_both, support, lift),
+    type_a < type_b.
+    """
+    labeled = _session_labeled(events, gap_seconds)
+    sess = labeled.groupBy("user_id", "session_seq").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    total = sess.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    singles = (
+        sess.select(F.explode("types").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_one"))
+    )
+    pair_expr = (
+        "flatten(transform(types, (x, i) -> "
+        "transform(slice(types, i + 2, size(types) - i - 1), "
+        "y -> struct(x AS type_a, y AS type_b))))"
+    )
+    pairs = (
+        sess.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions_both"))
+    )
+    na = singles.withColumnRenamed("t", "type_a").withColumnRenamed(
+        "n_one", "n_a"
+    )
+    nb = singles.withColumnRenamed("t", "type_b").withColumnRenamed(
+        "n_one", "n_b"
+    )
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_sessions_both",
+            F.round(
+                F.col("n_sessions_both").cast("double")
+                / F.col("n_sessions").cast("double"),
+                6,
+            ).alias("support"),
+            F.round(
+                (F.col("n_sessions_both") * F.col("n_sessions")).cast(
+                    "double"
+                )
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
     )

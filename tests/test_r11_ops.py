@@ -392,3 +392,72 @@ def test_zorder_layout_partition_invariant(spark):
     a = sorted(map(tuple, sampling.zorder_layout(df).collect()))
     b = sorted(map(tuple, sampling.zorder_layout(df.repartition(7)).collect()))
     assert a == b
+
+
+# --- session type lift -------------------------------------------------------
+
+
+def test_session_type_lift_constructed(spark):
+    """Two users, three sessions, hand-countable co-occurrence:
+    sessions {A,B}, {A,B}, {A,C} -> AB both=2, AC both=1, lift exact."""
+    base = datetime.fromisoformat("2024-01-01 00:00:00")
+    from datetime import timedelta
+
+    rows = []
+    eid = 0
+
+    def add(user, day, types):
+        nonlocal eid
+        for j, t in enumerate(types):
+            rows.append(
+                (eid, base + timedelta(days=day, seconds=j), user, t)
+            )
+            eid += 1
+
+    add(1, 0, ["A", "B"])
+    add(1, 2, ["A", "B", "A"])  # repeat type in-session counts once
+    add(2, 0, ["A", "C"])
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in temporal.session_type_lift(df).collect()
+    }
+    assert set(got) == {("A", "B"), ("A", "C")}
+    ab = got[("A", "B")]
+    # n_sessions=3, n_A=3, n_B=2, n_AB=2 -> lift = 2*3/(3*2) = 1.0
+    assert ab["n_sessions_both"] == 2
+    assert abs(ab["support"] - round(2 / 3, 6)) < 1e-12
+    assert ab["lift"] == 1.0
+    ac = got[("A", "C")]
+    # n_C=1, n_AC=1 -> lift = 1*3/(3*1) = 1.0
+    assert ac["n_sessions_both"] == 1
+    assert ac["lift"] == 1.0
+
+
+def test_session_type_lift_detects_affinity(spark):
+    """Planted affinity: X and Y always co-occur, Z floats alone ->
+    lift(X,Y) > 1, and pairs with Z are absent (never co-occur)."""
+    from datetime import timedelta
+
+    base = datetime.fromisoformat("2024-01-01 00:00:00")
+    rows = []
+    eid = 0
+    for s in range(4):  # 4 XY sessions
+        for j, t in enumerate(["X", "Y"]):
+            rows.append((eid, base + timedelta(days=s, seconds=j), 1, t))
+            eid += 1
+    for s in range(4):  # 4 Z-only sessions
+        rows.append((eid, base + timedelta(days=s, seconds=0), 2, "Z"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r["type_a"], r["type_b"]): r["lift"]
+        for r in temporal.session_type_lift(df).collect()
+    }
+    assert set(got) == {("X", "Y")}
+    # n=8 sessions, n_X=n_Y=4, n_XY=4 -> lift = 4*8/(4*4) = 2.0
+    assert got[("X", "Y")] == 2.0
