@@ -30,6 +30,8 @@ Deliberately WITHOUT oracle entries (rows-only check):
   / ``ann_pq_recall`` — product quantization (iterative per-subspace
   float k-means, ``cluster_embeddings``' rationale); shape/determinism/
   training-progress/recall-floor pins in ``tests/test_r11_ops.py``.
+- ``ann_ivfpq_topk`` / ``ann_ivfpq_recall`` — the IVF×PQ composition
+  (both parents rows-only); recall floor pytest-pinned.
 - ``cluster_embeddings`` — iterative spherical k-means (Lloyd's); an
   SQL oracle would need a recursive-CTE re-implementation of the whole
   float iteration. Determinism + cluster semantics are pytest-pinned
@@ -1435,6 +1437,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_pq_recall": lambda s, d: similarity.ann_recall(
             _t(s, d, "embeddings"), method="pq"
+        ),
+        # IVF-PQ + exact refine — the FAISS production composition
+        # (cell pruning × code scan × shortlist float pass)
+        "ann_ivfpq_topk": lambda s, d: similarity.ann_ivfpq_topk(
+            _t(s, d, "embeddings")
+        ),
+        "ann_ivfpq_recall": lambda s, d: similarity.ann_recall(
+            _t(s, d, "embeddings"), method="ivfpq"
         ),
         # spherical k-means over the embedding corpus (driver-held k×dim
         # centroids, one map-side-combined corpus pass per iteration)

@@ -1028,7 +1028,7 @@ def cosine_topk_int8(
     )
 
 
-RECALL_METHODS = {"lsh", "ivf", "int8", "pq"}
+RECALL_METHODS = {"lsh", "ivf", "int8", "pq", "ivfpq"}
 
 
 def ann_recall(
@@ -1070,6 +1070,8 @@ def ann_recall(
         approx = cosine_topk_int8(embeddings, k, n_queries, q_rows=q_rows)
     elif method == "pq":
         approx = ann_pq_topk(embeddings, k, n_queries, q_rows=q_rows)
+    elif method == "ivfpq":
+        approx = ann_ivfpq_topk(embeddings, k, n_queries)
     else:
         approx = ivf_topk(embeddings, k, n_queries, small_rows=small_rows)
     hits = approx.select(
@@ -1834,3 +1836,155 @@ def ann_pq_rerank_topk(
         .join(F.broadcast(qdf), "query_id")
     )
     return _rerank_topk(cand, topk)
+
+
+def ann_ivfpq_topk(
+    embeddings: DataFrame,
+    topk: int = ANN_TOPK,
+    n_queries: int = ANN_NUM_QUERIES,
+    n_centroids: int = IVF_NUM_CENTROIDS,
+    n_probe: int = IVF_NUM_PROBE,
+    m: int = PQ_NUM_SUBSPACES,
+    k_star: int = PQ_CODEBOOK_SIZE,
+    shortlist: int = PQ_RERANK_SHORTLIST,
+) -> DataFrame:
+    """IVF-PQ with exact refine — the composition FAISS ships as its
+    production web-scale index (``IVFx,PQy`` + ``IndexRefine``): the
+    coarse quantizer prunes the corpus to ``n_probe`` cells per query,
+    PQ-ADC scores only those candidates through their codes, and one
+    float pass over the ADC shortlist restores exact order.
+
+    The three stages compose the repo's existing contracts: the IVF
+    train (seeds + one Lloyd refinement, ONE corpus pass,
+    ``_refined_centroids``), the PQ codebook train
+    (``_pq_train_codebook``, raw-vector variant — FAISS
+    ``by_residual=false``; residual encoding would couple the two
+    quantizers for ~1 extra bit of precision at 4-bit codes), and the
+    ADC + refine tail of ``ann_pq_rerank_topk``. At 100 TB the cell is
+    the partition key (probes read only their cells' files), the codes
+    are the bytes the candidate scan touches, and the float corpus is
+    read at shortlist density only.
+
+    Approximate by construction (cell pruning × quantization error) →
+    rows-only; ``ann_recall(method="ivfpq")`` pins the floor. Family
+    schema: (query_id, neighbor_id, cos_sim, rank).
+    """
+    corpus = scale_out(embeddings).select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
+    )
+    small_rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(max(n_centroids, n_queries))
+        .collect()
+    )
+    seed_rows = small_rows[:n_centroids]
+    if len(seed_rows) < n_centroids:
+        raise ValueError(
+            f"ann_ivfpq_topk: need >= {n_centroids} vectors to train "
+            f"the quantizer, got {len(seed_rows)}"
+        )
+    seed_cells = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)
+    seed_mat = np.array(
+        [r["embedding"] for r in seed_rows], dtype=np.float64
+    )
+    seed_norms = np.linalg.norm(seed_mat, axis=1)
+    seed_norms[seed_norms == 0] = 1.0
+    cells, cmat_normed, _ = _refined_centroids(
+        corpus, seed_cells, seed_mat / seed_norms[:, None]
+    )
+    codebook, _counts = _pq_train_codebook(embeddings, m, k_star)
+    dsub = codebook.shape[2]
+
+    indexed = corpus.withColumn(
+        "cell", _argmax_cell_udf(cells, cmat_normed)(F.col("embedding"))
+    )
+
+    # --- probe cells per query (driver-side, tiny) --------------------
+    q_rows = [r for r in small_rows if r["vec_id"] < n_queries]
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = 1.0
+    sims = q_mat @ cmat_normed.T
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+    probe_rows = [
+        (int(q_ids[i]), int(cells[c]))
+        for i in range(len(q_ids))
+        for c in order[i]
+    ]
+    spark = embeddings.sparkSession
+    q_cells = spark.createDataFrame(probe_rows, "query_id long, cell long")
+
+    # --- ADC over the probed candidates -------------------------------
+    nq = len(q_ids)
+    q_sub = q_mat.reshape(nq, m, dsub)
+    lut_ip = np.einsum("qjd,jkd->qjk", q_sub, codebook)
+    lut_sq = (codebook**2).sum(axis=2)
+    q_pos = {int(q): i for i, q in enumerate(q_ids)}
+    cb = codebook
+
+    cand = indexed.join(F.broadcast(q_cells), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            qids = pdf["query_id"].to_numpy(dtype=np.int64)
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            codes = _pq_assign(x.reshape(len(x), m, dsub), cb)
+            qi = np.array([q_pos[int(q)] for q in qids], dtype=np.int64)
+            ip = np.zeros(len(x))
+            rsq = np.zeros(len(x))
+            for j in range(m):
+                ip += lut_ip[qi, j, codes[:, j]]
+                rsq += lut_sq[j, codes[:, j]]
+            rnorm = np.sqrt(rsq)
+            rnorm[rnorm == 0] = 1.0
+            adc = ip / (rnorm * q_norm[qi])
+            # batch-local shortlist per query (stable family tie-break)
+            out = []
+            df = pd.DataFrame(
+                {"query_id": qids, "neighbor_id": ids, "adc_raw": adc}
+            )
+            for q, grp in df.groupby("query_id", sort=False):
+                g = grp.sort_values(
+                    ["adc_raw", "neighbor_id"], ascending=[False, True]
+                ).head(shortlist)
+                out.append(g)
+            yield pd.concat(out) if out else df.iloc[:0]
+
+    adc_ranked = cand.select(
+        "query_id", "vec_id", "embedding"
+    ).mapInPandas(
+        kernel, "query_id long, neighbor_id long, adc_raw double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_raw"), F.asc("neighbor_id")
+    )
+    short_ids = (
+        adc_ranked.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= shortlist)
+        .select("query_id", F.col("neighbor_id").alias("vec_id"))
+    )
+
+    # --- exact refine over the shortlist -------------------------------
+    qdf = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+            for r in q_rows
+        ],
+        "query_id long, q_embedding array<double>",
+    ).select(
+        "query_id",
+        "q_embedding",
+        l2_norm(F.col("q_embedding")).alias("q_norm"),
+    )
+    refine = (
+        corpus.join(F.broadcast(short_ids), "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+    )
+    return _rerank_topk(refine, topk)

@@ -461,3 +461,45 @@ def test_session_type_lift_detects_affinity(spark):
     assert set(got) == {("X", "Y")}
     # n=8 sessions, n_X=n_Y=4, n_XY=4 -> lift = 4*8/(4*4) = 2.0
     assert got[("X", "Y")] == 2.0
+
+
+# --- IVF-PQ composition ------------------------------------------------------
+
+
+def test_ivfpq_shape_and_ordering(emb):
+    rows = similarity.ann_ivfpq_topk(emb).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == similarity.ANN_NUM_QUERIES
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert len(rs) <= similarity.ANN_TOPK
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert q not in {r["neighbor_id"] for r in rs}
+
+
+def test_ivfpq_recall_floor(emb):
+    """Cell pruning x 4-bit codes x exact refine: measured 0.92 at
+    sf0.001; floor 0.7 (must at least match the plain-IVF floor —
+    the refine stage cannot make the probed candidates worse)."""
+    r = similarity.ann_recall(emb, "ivfpq").first()
+    assert r["recall"] >= 0.7, r["recall"]
+
+
+def test_ivfpq_exact_scores_on_returned_neighbors(emb):
+    """The refine stage is the exact kernel: every returned cosine
+    must equal the brute-force value for that (query, neighbor)."""
+    import itertools
+
+    exact_rows = similarity.cosine_topk_pandas(
+        emb, k=50, n_queries=similarity.ANN_NUM_QUERIES
+    ).collect()
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact_rows
+    }
+    for r in similarity.ann_ivfpq_topk(emb).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(r["cos_sim"] - exact[key]) < 1e-9
