@@ -490,6 +490,7 @@ _DRIVER_FIRST = (
     "revenue_concentration",
     "zorder_layout",
     "session_type_lift",
+    "hybrid_search_rrf",
     "nation_revenue_share",
     "idle_customers",
     "min_cost_supplier",
@@ -1329,6 +1330,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # idf variant; one narrow corpus scan, no inverted index)
         "bm25_search": lambda s, d: textops.bm25_search(
             _t(s, d, "documents")
+        ),
+        # hybrid lexical+semantic retrieval fused by reciprocal-rank
+        # fusion — exact-arithmetic fusion, so oracle-checkable whole
+        "hybrid_search_rrf": lambda s, d: similarity.hybrid_search_rrf(
+            _t(s, d, "documents"), _t(s, d, "embeddings")
         ),
         "unigram_logprob": lambda s, d: textops.unigram_logprob(
             _t(s, d, "documents")
@@ -3446,6 +3452,67 @@ def _text_quality_sql() -> str:
         """
 
 
+def _hybrid_rrf_sql() -> str:
+    """Hybrid RRF oracle: the lexical branch nests ``_bm25_sql()``
+    verbatim (one BM25 definition), the semantic branch is the exact
+    cosine ranked under the family tie-break, and the fusion is
+    exact-integer ranks → one division per contribution → a ≤2-term
+    commutative sum — engine-identical end to end."""
+    assert similarity.RRF_DEPTH == textops.BM25_TOPK, (
+        "hybrid oracle reuses _bm25_sql(), so the fused lexical depth "
+        "must equal BM25_TOPK"
+    )
+    n_q = len(textops.BM25_QUERIES)
+    cos = _cos_sql("q.q_embedding", "e.embedding")
+    qmap_vals = ", ".join(
+        f"('{qid}', {i})" for i, (qid, _) in enumerate(textops.BM25_QUERIES)
+    )
+    k_rrf = float(similarity.RRF_K)
+    return f"""
+        WITH lex0 AS ({_bm25_sql()}),
+        qmap(query, qidx) AS (VALUES {qmap_vals}),
+        lex AS (
+            SELECT qidx, doc_id,
+                   1.0 / ({k_rrf} + rank) AS c
+            FROM lex0 JOIN qmap USING (query)
+        ),
+        sem_q AS (
+            SELECT vec_id AS qidx, embedding AS q_embedding
+            FROM embeddings WHERE vec_id < {n_q}
+        ),
+        sem_c AS (
+            SELECT q.qidx, e.vec_id AS doc_id, {cos} AS cos_raw
+            FROM sem_q q CROSS JOIN embeddings e
+            WHERE e.vec_id <> q.qidx
+        ),
+        sem_r AS (
+            SELECT qidx, doc_id,
+                   row_number() OVER (PARTITION BY qidx
+                       ORDER BY cos_raw DESC, doc_id ASC) AS rank
+            FROM sem_c
+        ),
+        sem AS (
+            SELECT qidx, doc_id, 1.0 / ({k_rrf} + rank) AS c
+            FROM sem_r WHERE rank <= {similarity.RRF_DEPTH}
+        ),
+        fused AS (
+            SELECT qidx, doc_id, SUM(c) AS rrf_raw
+            FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT qidx, doc_id, rrf_raw,
+                   row_number() OVER (PARTITION BY qidx
+                       ORDER BY rrf_raw DESC, doc_id ASC) AS rank
+            FROM fused
+        )
+        SELECT query, doc_id, round(rrf_raw, 6) AS rrf_score,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked JOIN qmap USING (qidx)
+        WHERE rank <= {similarity.RRF_TOPK}
+    """
+
+
 def _zorder_sql() -> str:
     """Z-order layout oracle — the Morton interleave comes from the
     SAME generator as the operator (``sampling.morton_interleave_expr``,
@@ -4718,6 +4785,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             WHERE tf > total / {float(textops.HH_K)}
         """,
         "bm25_search": _bm25_sql(),
+        "hybrid_search_rrf": _hybrid_rrf_sql(),
         "token_counts": f"""
             SELECT doc_id,
                    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)

@@ -1988,3 +1988,93 @@ def ann_ivfpq_topk(
         .join(F.broadcast(qdf), "query_id")
     )
     return _rerank_topk(refine, topk)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical (BM25) + semantic
+# (exact cosine) result lists — Cormack/Clarke/Büttcher RRF.
+
+#: RRF smoothing constant (the paper's k=60).
+RRF_K = 60
+#: Per-branch list depth fed into the fusion.
+RRF_DEPTH = 10
+#: Fused results returned per query.
+RRF_TOPK = 10
+
+
+def hybrid_search_rrf(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    depth: int = RRF_DEPTH,
+    topk: int = RRF_TOPK,
+    k_rrf: int = RRF_K,
+) -> DataFrame:
+    """Hybrid search: BM25 and exact-cosine top-``depth`` lists fused
+    by reciprocal-rank fusion — ``score(d) = Σ 1/(k + rank_d)`` over
+    the lists that contain ``d`` (standard RRF; a doc missing from a
+    branch simply contributes nothing). This is the fusion every
+    production retrieval stack runs over its lexical + vector legs;
+    RRF needs only RANKS, which sidesteps the incomparable-score
+    problem between BM25 and cosine.
+
+    Demo query pairing (documented contract): lexical query ``i`` of
+    ``textops.BM25_QUERIES`` pairs with the semantic query vector
+    ``vec_id = i`` (documents and embeddings share the 0-based id
+    space in the test tables). Both branches are themselves
+    oracle-checked operators, and the fusion arithmetic is exact
+    (integer ranks, one division per contribution, ≤2 IEEE additions
+    per doc — commutative, so partitioning cannot reorder a result),
+    which makes the WHOLE hybrid table oracle-checkable — rare for a
+    retrieval stack.
+
+    Scale shape: both branch plans keep their own contracts (BM25's
+    single scan; the exact branch is the brute-force baseline — swap
+    in ``ann_ivfpq_topk`` unchanged for the approximate serving
+    variant, same schema); the fusion itself touches only
+    ``2·depth·|queries|`` rows.
+
+    Output: (query, doc_id, rrf_score, rank), rank by (score desc,
+    doc_id asc).
+    """
+    from scholar_stream_spark.operators.textops import (  # noqa: PLC0415
+        BM25_QUERIES,
+        bm25_search,
+    )
+
+    n_q = len(BM25_QUERIES)
+    lex = bm25_search(documents, topk=depth).select(
+        "query", F.col("doc_id"), F.col("rank")
+    )
+    qmap = documents.sparkSession.createDataFrame(
+        [(qid, i) for i, (qid, _) in enumerate(BM25_QUERIES)],
+        "query string, qidx long",
+    )
+    lex_c = lex.join(F.broadcast(qmap), "query").select(
+        "qidx",
+        "doc_id",
+        (F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("rank"))).alias("c"),
+    )
+    sem = cosine_topk(embeddings, k=depth, n_queries=n_q).select(
+        F.col("query_id").alias("qidx"),
+        F.col("neighbor_id").alias("doc_id"),
+        (F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("rank"))).alias("c"),
+    )
+    fused = (
+        lex_c.unionByName(sem)
+        .groupBy("qidx", "doc_id")
+        .agg(F.sum("c").alias("rrf_raw"))
+    )
+    w = Window.partitionBy("qidx").orderBy(
+        F.desc("rrf_raw"), F.asc("doc_id")
+    )
+    return (
+        fused.join(F.broadcast(qmap), "qidx")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query",
+            "doc_id",
+            F.round("rrf_raw", 6).alias("rrf_score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -503,3 +503,55 @@ def test_ivfpq_exact_scores_on_returned_neighbors(emb):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact:
             assert abs(r["cos_sim"] - exact[key]) < 1e-9
+
+
+# --- hybrid RRF fusion -------------------------------------------------------
+
+
+def test_hybrid_rrf_matches_hand_fusion(docs, emb):
+    """The fused table must equal RRF computed in Python from the two
+    (independently tested) branch outputs."""
+    depth = similarity.RRF_DEPTH
+    lex = textops.bm25_search(docs, topk=depth).collect()
+    sem = similarity.cosine_topk(
+        emb, k=depth, n_queries=len(textops.BM25_QUERIES)
+    ).collect()
+    qmap = {qid: i for i, (qid, _) in enumerate(textops.BM25_QUERIES)}
+    scores = {}
+    for r in lex:
+        key = (qmap[r["query"]], r["doc_id"])
+        scores[key] = scores.get(key, 0.0) + 1.0 / (
+            similarity.RRF_K + r["rank"]
+        )
+    for r in sem:
+        key = (r["query_id"], r["neighbor_id"])
+        scores[key] = scores.get(key, 0.0) + 1.0 / (
+            similarity.RRF_K + r["rank"]
+        )
+    expected = {}
+    for qidx in set(q for q, _ in scores):
+        items = sorted(
+            ((d, s) for (q, d), s in scores.items() if q == qidx),
+            key=lambda x: (-x[1], x[0]),
+        )[: similarity.RRF_TOPK]
+        for rank, (d, s) in enumerate(items, 1):
+            expected[(qidx, d)] = (round(s, 6), rank)
+    got = {
+        (qmap[r["query"]], r["doc_id"]): (r["rrf_score"], r["rank"])
+        for r in similarity.hybrid_search_rrf(docs, emb).collect()
+    }
+    assert got == expected
+
+
+def test_hybrid_rrf_doc_in_both_branches_outranks(spark, docs, emb):
+    """A doc present in BOTH branch lists carries two contributions —
+    its fused score must exceed any single-branch doc at equal ranks.
+    Structural sanity on the live tables: top fused score >= the
+    maximum possible single-branch contribution iff some doc overlaps;
+    at minimum the fused table is non-empty and well-formed."""
+    rows = similarity.hybrid_search_rrf(docs, emb).collect()
+    assert rows
+    for r in rows:
+        assert r["rrf_score"] > 0
+        # two full branches bound the score: <= 1/(k+1) * 2
+        assert r["rrf_score"] <= 2.0 / (similarity.RRF_K + 1) + 1e-12
