@@ -491,6 +491,7 @@ _DRIVER_FIRST = (
     "zorder_layout",
     "session_type_lift",
     "hybrid_search_rrf",
+    "corpus_shuffle",
     "nation_revenue_share",
     "idle_customers",
     "min_cost_supplier",
@@ -1262,6 +1263,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # min/max spans (the OPTIMIZE ZORDER audit table)
         "zorder_layout": lambda s, d: sampling.zorder_layout(
             _t(s, d, "events")
+        ),
+        # deterministic training-order shuffle: (shard, pos) coordinates
+        # from the portable hash — reproducible, resumable epoch order
+        "corpus_shuffle": lambda s, d: sampling.corpus_shuffle(
+            _t(s, d, "documents")
         ),
         # boilerplate audit: top repeated paragraphs with doc/source
         # spread, over the shared injected multi-paragraph corpus
@@ -5113,6 +5119,20 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "curation_funnel": _funnel_sql(),
         "token_budget_plan": _token_budget_sql(),
         "zorder_layout": _zorder_sql(),
+        "corpus_shuffle": f"""
+            WITH staged AS (
+                SELECT doc_id, source,
+                       {hex48_sql("CONCAT('" + sampling.SHUFFLE_SALT
+                                  + ":', CAST(doc_id AS STRING))")} AS hkey
+                FROM documents
+            )
+            SELECT doc_id, source,
+                   CAST(hkey % {sampling.SHUFFLE_SHARDS} AS INT) AS shard,
+                   CAST(row_number() OVER (
+                            PARTITION BY hkey % {sampling.SHUFFLE_SHARDS}
+                            ORDER BY hkey ASC, doc_id ASC) AS BIGINT) AS pos
+            FROM staged
+        """,
         "bpe_pack_docs": _bpe_pack_sql(),
         "tokenizer_swap_report": _tokenizer_swap_sql(),
         "boilerplate_paragraphs": _boilerplate_sql(),

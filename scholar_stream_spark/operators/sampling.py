@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from scholar_stream_spark.functions.hashing import hex48_spark_sql
+from scholar_stream_spark.plans.partitioning import scale_out
 
 #: Default split ranges over the 100 hash buckets: [0,90) train,
 #: [90,95) val, [95,100) test.
@@ -1311,4 +1312,59 @@ def zorder_layout(
             F.round(F.max("value"), 4).alias("max_value"),
         )
         .orderBy("zbucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle — the training-order materialization
+
+#: Shard count for the shuffled layout (production: thousands; the
+#: demo keeps the per-shard tables readable).
+SHUFFLE_SHARDS = 16
+#: Version salt: bump to issue a DIFFERENT but equally-deterministic
+#: global order (new training run, same corpus).
+SHUFFLE_SALT = "shuffle-v1"
+
+
+def corpus_shuffle(
+    documents: DataFrame,
+    n_shards: int = SHUFFLE_SHARDS,
+    salt: str = SHUFFLE_SALT,
+) -> DataFrame:
+    """Deterministic global shuffle order for training: every document
+    gets a (shard, pos) coordinate — shard from the portable hash of
+    (salt, doc_id), position from the hash-then-id order WITHIN the
+    shard. Reading shards round-robin reproduces one global
+    pseudo-random permutation of the corpus: the property a trainer
+    needs (epoch order reproducible across re-runs, resumable mid-epoch
+    by (shard, pos) checkpoint) that ``df.orderBy(rand())`` cannot give
+    (non-deterministic) and a global ``row_number`` cannot scale to (a
+    single-partition window over the corpus).
+
+    Scale shape: the hash is a narrow projection; the only exchange is
+    the shard-keyed ranking window — ``n_shards``-way parallel, each
+    shard ~|corpus|/n_shards (hash uniformity), AQE handles stragglers.
+    The salt changes the permutation wholesale; epochs = salts.
+
+    Engine parity: the hash is the repo-wide portable 48-bit md5
+    derivation (``sample_bucket``'s primitive), shard is integer mod,
+    pos is a rank over exact integers with doc_id tie-break.
+
+    Output: (doc_id, source, shard, pos).
+    """
+    hkey = F.expr(
+        hex48_spark_sql(
+            f"CONCAT('{salt}:', CAST(doc_id AS STRING))"
+        )
+    ).cast("long")
+    staged = scale_out(documents).select(
+        "doc_id", "source", hkey.alias("hkey")
+    )
+    w = Window.partitionBy("shard").orderBy(F.asc("hkey"), F.asc("doc_id"))
+    return (
+        staged.withColumn(
+            "shard", (F.col("hkey") % n_shards).cast("int")
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "source", "shard", "pos")
     )

@@ -555,3 +555,48 @@ def test_hybrid_rrf_doc_in_both_branches_outranks(spark, docs, emb):
         assert r["rrf_score"] > 0
         # two full branches bound the score: <= 1/(k+1) * 2
         assert r["rrf_score"] <= 2.0 / (similarity.RRF_K + 1) + 1e-12
+
+
+# --- deterministic corpus shuffle --------------------------------------------
+
+
+def test_corpus_shuffle_is_permutation_and_deterministic(docs):
+    n = docs.count()
+    rows = sampling.corpus_shuffle(docs).collect()
+    assert len(rows) == n
+    # (shard, pos) is a proper coordinate system: positions are 1..n_s
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r["shard"] < sampling.SHUFFLE_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # identical under repartitioning
+    again = sampling.corpus_shuffle(docs.repartition(7)).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_corpus_shuffle_salt_changes_order(docs):
+    """A different salt must yield a genuinely different permutation
+    (same shard sizes modulo hash noise is fine; coordinates differ)."""
+    a = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in sampling.corpus_shuffle(docs).collect()
+    }
+    b = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in sampling.corpus_shuffle(docs, salt="shuffle-v2").collect()
+    }
+    moved = sum(1 for d in a if a[d] != b[d])
+    assert moved > len(a) * 0.8, moved
+
+
+def test_corpus_shuffle_balanced(docs):
+    """Hash uniformity: no shard holds more than 3x the fair share."""
+    rows = sampling.corpus_shuffle(docs).collect()
+    n = len(rows)
+    fair = n / sampling.SHUFFLE_SHARDS
+    from collections import Counter
+
+    sizes = Counter(r["shard"] for r in rows)
+    assert max(sizes.values()) <= 3 * fair
