@@ -26,9 +26,9 @@ Deliberately WITHOUT oracle entries (rows-only check):
 - ``ann_int8_topk`` / ``ann_int8_recall`` — int8-quantized search
   (approximate via quantization error: near-tie neighbors can flip);
   same recall-harness treatment, floor pytest-pinned.
-- ``pq_train`` / ``pq_codes`` / ``ann_pq_topk`` / ``ann_pq_rerank_topk``
-  / ``ann_pq_recall`` — product quantization (iterative per-subspace
-  float k-means, ``cluster_embeddings``' rationale); shape/determinism/
+- ``pq_train`` ``pq_codes`` ``ann_pq_topk`` ``ann_pq_rerank_topk`` ``ann_pq_recall``
+  — product quantization (iterative per-subspace float k-means,
+  ``cluster_embeddings``' rationale); shape/determinism/
   training-progress/recall-floor pins in ``tests/test_r11_ops.py``.
 - ``ann_ivfpq_topk`` / ``ann_ivfpq_recall`` — the IVF×PQ composition
   (both parents rows-only); recall floor pytest-pinned.
