@@ -492,6 +492,7 @@ _DRIVER_FIRST = (
     "session_type_lift",
     "hybrid_search_rrf",
     "corpus_shuffle",
+    "mad_outliers",
     "nation_revenue_share",
     "idle_customers",
     "min_cost_supplier",
@@ -1148,6 +1149,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic quality-weighted downsample (FineWeb-Edu idea)
         "quality_weighted_sample": lambda s, d: (
             sampling.quality_weighted_sample(_t(s, d, "documents"))
+        ),
+        # median/MAD robust outlier screen (rank-exact selections)
+        "mad_outliers": lambda s, d: relational.mad_outliers(
+            _t(s, d, "events")
         ),
         # per-nation customer-decile Lorenz/Pareto concentration table
         "revenue_concentration": lambda s, d: relational.revenue_concentration(
@@ -4608,6 +4613,37 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             FROM per_cust
             GROUP BY c_count
             ORDER BY custdist DESC, c_count DESC
+        """,
+        "mad_outliers": f"""
+            WITH base AS (
+                SELECT event_id, event_type, value FROM events
+            ), ranked AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM base
+            ), med_tbl AS (
+                SELECT event_type, value AS med FROM ranked
+                WHERE rn = (n + 1) // 2
+            ), devs AS (
+                SELECT b.event_id, b.event_type, b.value, m.med,
+                       abs(b.value - m.med) AS abs_dev
+                FROM base b JOIN med_tbl m USING (event_type)
+            ), dev_ranked AS (
+                SELECT event_type, abs_dev,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY abs_dev, event_id) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM devs
+            ), mad_tbl AS (
+                SELECT event_type, abs_dev AS mad FROM dev_ranked
+                WHERE rn = (n + 1) // 2
+            )
+            SELECT d.event_id, d.event_type, d.value, d.med, t.mad,
+                   round(d.abs_dev, 4) AS abs_dev
+            FROM devs d JOIN mad_tbl t USING (event_type)
+            WHERE d.abs_dev > {relational.MAD_K} * t.mad
         """,
         "revenue_concentration": """
             WITH per_cust AS (

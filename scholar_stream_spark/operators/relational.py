@@ -2577,3 +2577,76 @@ def revenue_concentration(
             6,
         ).alias("cum_share"),
     )
+
+
+#: MAD multiplier for the robust outlier rule (raw MAD units — no
+#: 1.4826 normal-consistency constant, so the rule stays exact-integer
+#: comparable across engines; 3 raw-MAD ≈ 4.45 sigma on normal data).
+MAD_K = 3.0
+
+
+def mad_outliers(events: DataFrame, k: float = MAD_K) -> DataFrame:
+    """Median/MAD robust outlier screen per event type — the companion
+    to ``detect_outliers``' z-score: mean/stddev are themselves dragged
+    by the outliers they're hunting (one 1000x value inflates sigma
+    until nothing else flags), while the median and the median absolute
+    deviation have a 50% breakdown point. This is the screen to trust
+    on heavy-tailed telemetry.
+
+    Rank-exact discipline (``quality_deciles``): the median is the
+    VALUE AT ROW ``(n+1) div 2`` of the (value, event_id) total order —
+    the lower median, integer rank arithmetic, so both engines pick the
+    SAME event's value; the MAD is the same selection over the
+    (|value - med|, event_id) order. No interpolation anywhere, so the
+    flag boundary ``|value - med| > k·MAD`` compares engine-identical
+    IEEE doubles. Degenerate strata (MAD = 0, >50% identical values)
+    flag every deviating row — the correct robust answer there.
+
+    Scale shape: the narrow (id, type, value) projection pins once
+    (``localCheckpoint`` — two ranking passes must not re-scan the
+    fact table), each pass is a type-keyed sort exchange, and the two
+    ≤|types|-row (median, MAD) tables broadcast back into stateless
+    filters. Output is alert-sized (outliers only).
+
+    Output: (event_id, event_type, value, med, mad, abs_dev).
+    """
+    base = (
+        events.select("event_id", "event_type", "value")
+        .localCheckpoint(eager=False)
+    )
+    w_val = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_n = Window.partitionBy("event_type")
+    ranked = base.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_val).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    med_tbl = ranked.filter(
+        F.col("rn") == F.expr("(n + 1) DIV 2")
+    ).select("event_type", F.col("value").alias("med"))
+    devs = base.join(F.broadcast(med_tbl), "event_type").withColumn(
+        "abs_dev", F.abs(F.col("value") - F.col("med"))
+    )
+    w_dev = Window.partitionBy("event_type").orderBy("abs_dev", "event_id")
+    dev_ranked = devs.select(
+        "event_type",
+        "abs_dev",
+        F.row_number().over(w_dev).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    mad_tbl = dev_ranked.filter(
+        F.col("rn") == F.expr("(n + 1) DIV 2")
+    ).select("event_type", F.col("abs_dev").alias("mad"))
+    return (
+        devs.join(F.broadcast(mad_tbl), "event_type")
+        .filter(F.col("abs_dev") > F.lit(k) * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            "mad",
+            F.round("abs_dev", 4).alias("abs_dev"),
+        )
+    )

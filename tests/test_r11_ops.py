@@ -600,3 +600,37 @@ def test_corpus_shuffle_balanced(docs):
 
     sizes = Counter(r["shard"] for r in rows)
     assert max(sizes.values()) <= 3 * fair
+
+
+# --- MAD robust outliers ------------------------------------------------------
+
+
+def test_mad_outliers_flags_planted_spike_zscore_misses(spark):
+    """The motivating case: one huge spike plus a mild outlier. The
+    spike inflates sigma enough that z-score logic would miss the mild
+    one; median/MAD flags both."""
+    rows = [(i, "a", 10.0 + (i % 5) * 0.1) for i in range(40)]
+    rows += [(100, "a", 10_000.0), (101, "a", 25.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    got = {r["event_id"]: r for r in relational.mad_outliers(df).collect()}
+    assert 100 in got and 101 in got
+    assert set(got) == {100, 101}
+    # median of 42 values -> rank 21 -> one of the 10.x grid points
+    assert 10.0 <= got[100]["med"] <= 10.4
+    assert got[100]["mad"] <= 0.4
+
+
+def test_mad_outliers_lower_median_rule(spark):
+    """Even n: the rule picks rank (n+1) div 2 — the LOWER median.
+    4 values [1,2,3,1000] -> med = 2 (rank 2), deviations [1,0,1,998]
+    -> mad = 1 (rank 2 of sorted devs [0,1,1,998]); only 1000 flags."""
+    df = spark.createDataFrame(
+        [(1, "t", 1.0), (2, "t", 2.0), (3, "t", 3.0), (4, "t", 1000.0)],
+        "event_id long, event_type string, value double",
+    )
+    rows = relational.mad_outliers(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["event_id"] == 4 and r["med"] == 2.0 and r["mad"] == 1.0
