@@ -32,6 +32,10 @@ Deliberately WITHOUT oracle entries (rows-only check):
   training-progress/recall-floor pins in ``tests/test_r11_ops.py``.
 - ``ann_ivfpq_topk`` / ``ann_ivfpq_recall`` — the IVF×PQ composition
   (both parents rows-only); recall floor pytest-pinned.
+- ``pq_index_stats`` / ``pq_probe_index`` — the persisted PQ serving
+  layout (codes from the trained quantizer, ``ivf_index_stats``'
+  rationale); stats pinned vs an inline recount, probe pinned EXACTLY
+  equal to ``ann_pq_rerank_topk``, ADC scan plan-pinned codes-only.
 - ``cluster_embeddings`` — iterative spherical k-means (Lloyd's); an
   SQL oracle would need a recursive-CTE re-implementation of the whole
   float iteration. Determinism + cluster semantics are pytest-pinned
@@ -306,6 +310,17 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
 
         path = tempfile.mkdtemp(prefix="ssq_ivf_index_")
         similarity.write_ivf_index(_t(spark, sf_dir, "embeddings"), path)
+        _INDEX_CACHE[key] = path
+    return _INDEX_CACHE[key]
+
+
+def _pq_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = ("pq", sf_dir)
+    if key not in _INDEX_CACHE:
+        import tempfile  # noqa: PLC0415
+
+        path = tempfile.mkdtemp(prefix="ssq_pq_index_")
+        similarity.write_pq_index(_t(spark, sf_dir, "embeddings"), path)
         _INDEX_CACHE[key] = path
     return _INDEX_CACHE[key]
 
@@ -1454,6 +1469,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_pq_recall": lambda s, d: similarity.ann_recall(
             _t(s, d, "embeddings"), method="pq"
+        ),
+        # persisted PQ serving layout: codes+floats as separate parquet
+        # COLUMNS of one table — the ADC scan is column-pruned to codes
+        "pq_index_stats": lambda s, d: similarity.pq_index_stats(
+            s, _pq_index_dir(s, d)
+        ),
+        "pq_probe_index": lambda s, d: similarity.pq_probe_index(
+            s, _pq_index_dir(s, d)
         ),
         # IVF-PQ + exact refine — the FAISS production composition
         # (cell pruning × code scan × shortlist float pass)

@@ -2078,3 +2078,186 @@ def hybrid_search_rrf(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def write_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    m: int = PQ_NUM_SUBSPACES,
+    k_star: int = PQ_CODEBOOK_SIZE,
+    n_iters: int = PQ_TRAIN_ITERS,
+) -> None:
+    """Persist a PQ index (FAISS ``IndexRefine(PQ)`` layout): one
+    corpus table carrying BOTH the 4-byte codes and the float vectors
+    as separate parquet COLUMNS, plus the trained codebook side table.
+    Parquet's columnar layout is what makes this one table serve two
+    access patterns: the ADC scan reads ONLY (vec_id, codes) — column
+    pruning keeps the float bytes on disk — and the refine stage reads
+    (vec_id, embedding) for the shortlist rows only. Encode is one
+    Arrow pass (codes computed next to the pass-through vector — no
+    self-join to reunite them).
+    """
+    codebook, _ = _pq_train_codebook(embeddings, m, k_star, n_iters)
+    dsub = codebook.shape[2]
+    cb = codebook
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            codes = _pq_assign(x.reshape(len(x), m, dsub), cb)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    corpus = scale_out(embeddings).select("vec_id", "embedding").mapInPandas(
+        kernel, "vec_id long, codes array<int>, embedding array<double>"
+    )
+    corpus.write.mode("overwrite").parquet(f"{path}/corpus")
+    spark = embeddings.sparkSession
+    rows = [
+        (j, c, [float(v) for v in codebook[j, c, :]])
+        for j in range(m)
+        for c in range(k_star)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def pq_index_stats(spark, path: str) -> DataFrame:
+    """Code-occupancy health table off the persisted PQ layout: rows
+    per (subspace, code) — skewed occupancy means the codebook under-
+    fits that subspace (everything lands in few cells → ADC loses
+    discrimination). Reads ONLY the codes column (column pruning);
+    one |codes|-explode + map-side-combined rollup to ≤ m·k* rows.
+    Output: (subspace, code, n_vectors). Rows-only (codes come from
+    the trained quantizer); pinned against an inline recount."""
+    corpus = spark.read.parquet(f"{path}/corpus").select("codes")
+    return (
+        corpus.select(
+            F.posexplode("codes").alias("subspace", "code")
+        )
+        .groupBy("subspace", "code")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("subspace", "code")
+    )
+
+
+def pq_probe_index(
+    spark,
+    path: str,
+    topk: int = ANN_TOPK,
+    n_queries: int = ANN_NUM_QUERIES,
+    shortlist: int = PQ_RERANK_SHORTLIST,
+) -> DataFrame:
+    """Serve top-k from the PERSISTED PQ layout: the ADC scan touches
+    only the (vec_id, codes) columns — the float vectors stay on disk
+    until the refine stage reads the shortlist rows. No re-encoding
+    anywhere: codes come straight off the parquet scan (the IO shape
+    the index exists for; plan-pinned in tests — the ADC stage's
+    ReadSchema must not contain the embedding column).
+
+    Deterministic end to end (trained quantizer persisted, stable
+    tie-breaks), so pytest pins this EQUAL to the inline
+    ``ann_pq_rerank_topk`` on the same corpus — the persisted path
+    cannot drift from the in-memory one. Rows-only driver check.
+    """
+    cb_rows = sorted(
+        spark.read.parquet(f"{path}/codebook").collect(),
+        key=lambda r: (r["subspace"], r["code"]),
+    )
+    m = 1 + max(r["subspace"] for r in cb_rows)
+    k_star = 1 + max(r["code"] for r in cb_rows)
+    dsub = len(cb_rows[0]["centroid"])
+    codebook = np.zeros((m, k_star, dsub))
+    for r in cb_rows:
+        codebook[r["subspace"], r["code"], :] = r["centroid"]
+
+    corpus = spark.read.parquet(f"{path}/corpus")
+    q_rows = (
+        corpus.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = 1.0
+    nq = len(q_ids)
+    q_sub = q_mat.reshape(nq, m, dsub)
+    lut_ip = np.einsum("qjd,jkd->qjk", q_sub, codebook)
+    lut_sq = (codebook**2).sum(axis=2)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            ip = np.zeros((len(ids), nq))
+            rsq = np.zeros(len(ids))
+            for j in range(m):
+                ip += lut_ip[:, j, codes[:, j]].T
+                rsq += lut_sq[j, codes[:, j]]
+            rnorm = np.sqrt(rsq)
+            rnorm[rnorm == 0] = 1.0
+            sims = ip / np.outer(rnorm, q_norm)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(nq):
+                col = sims[:, qi]
+                cand = np.flatnonzero(ids != q_ids[qi])
+                if len(cand) == 0:
+                    continue
+                order = np.lexsort((ids[cand], -col[cand]))[:shortlist]
+                top = cand[order]
+                out_q.extend([q_ids[qi]] * len(top))
+                out_n.extend(ids[top])
+                out_s.extend(col[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "adc_raw": np.array(out_s, dtype=np.float64),
+                }
+            )
+
+    adc = corpus.select("vec_id", "codes").mapInPandas(
+        kernel, "query_id long, neighbor_id long, adc_raw double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_raw"), F.asc("neighbor_id")
+    )
+    short_ids = (
+        adc.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= shortlist)
+        .select("query_id", F.col("neighbor_id").alias("vec_id"))
+    )
+    qdf = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+            for r in q_rows
+        ],
+        "query_id long, q_embedding array<double>",
+    ).select(
+        "query_id",
+        "q_embedding",
+        l2_norm(F.col("q_embedding")).alias("q_norm"),
+    )
+    refine = (
+        corpus.select(
+            "vec_id",
+            "embedding",
+            l2_norm(F.col("embedding")).alias("norm"),
+        )
+        .join(F.broadcast(short_ids), "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+    )
+    return _rerank_topk(refine, topk)

@@ -634,3 +634,58 @@ def test_mad_outliers_lower_median_rule(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r["event_id"] == 4 and r["med"] == 2.0 and r["mad"] == 1.0
+
+
+# --- persisted PQ index ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pq_index(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pq_index"))
+    similarity.write_pq_index(emb, path)
+    return path
+
+
+def test_pq_index_stats_match_inline_recount(spark, emb, pq_index):
+    stats = {
+        (r["subspace"], r["code"]): r["n_vectors"]
+        for r in similarity.pq_index_stats(spark, pq_index).collect()
+    }
+    recount = {}
+    for r in similarity.pq_codes(emb).collect():
+        for j, c in enumerate(r["codes"]):
+            recount[(j, int(c))] = recount.get((j, int(c)), 0) + 1
+    assert stats == recount
+    n = emb.count()
+    for j in range(similarity.PQ_NUM_SUBSPACES):
+        assert sum(v for (s, _), v in stats.items() if s == j) == n
+
+
+def test_pq_probe_equals_inline_rerank(spark, emb, pq_index):
+    """The persisted path cannot drift from the in-memory one: same
+    trained quantizer contract, same tie-breaks -> identical output."""
+    probe = sorted(
+        map(tuple, similarity.pq_probe_index(spark, pq_index).collect())
+    )
+    inline = sorted(
+        map(tuple, similarity.ann_pq_rerank_topk(emb).collect())
+    )
+    assert probe == inline
+
+
+def test_pq_probe_adc_scan_is_codes_only(spark, pq_index):
+    """The IO contract the index exists for: the ADC stage's parquet
+    scan must read (vec_id, codes) and NOT the embedding column."""
+    plan = (
+        similarity.pq_probe_index(spark, pq_index)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    code_scans = [
+        l
+        for l in plan.splitlines()
+        if "FileScan parquet" in l and "codes" in l
+    ]
+    assert code_scans, "no codes-column scan found in plan"
+    assert any("embedding" not in l for l in code_scans)
