@@ -2261,3 +2261,54 @@ def pq_probe_index(
         .join(F.broadcast(qdf), "query_id")
     )
     return _rerank_topk(refine, topk)
+
+
+def pq_append_index(embeddings: DataFrame, path: str) -> None:
+    """Append a NEW embedding batch to a persisted PQ index using the
+    STORED codebook — the incremental half of the PQ serving story
+    (``write_pq_index`` trains+builds, this lands the nightly/streaming
+    batches; ``ivf_append_index``'s operational contract): the codebook
+    loads driver-side (m·k* rows), encoding is the same one-Arrow-pass
+    kernel as the build (codes next to the pass-through vector, no
+    self-join), and the write APPENDS corpus files — probes and stats
+    see the new vectors on the next file listing. The codebook is
+    FROZEN by design (FAISS pattern: appends never silently re-map
+    codes; retrain+rebuild when drift accumulates — compare
+    ``pq_index_stats`` occupancy over time to decide). Idempotence is
+    the caller's job, same as the IVF twin.
+    """
+    spark = embeddings.sparkSession
+    cb_rows = sorted(
+        spark.read.parquet(f"{path}/codebook").collect(),
+        key=lambda r: (r["subspace"], r["code"]),
+    )
+    m = 1 + max(r["subspace"] for r in cb_rows)
+    k_star = 1 + max(r["code"] for r in cb_rows)
+    dsub = len(cb_rows[0]["centroid"])
+    cb = np.zeros((m, k_star, dsub))
+    for r in cb_rows:
+        cb[r["subspace"], r["code"], :] = r["centroid"]
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            codes = _pq_assign(x.reshape(len(x), m, dsub), cb)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    (
+        scale_out(embeddings)
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            kernel, "vec_id long, codes array<int>, embedding array<double>"
+        )
+        .write.mode("append")
+        .parquet(f"{path}/corpus")
+    )

@@ -689,3 +689,47 @@ def test_pq_probe_adc_scan_is_codes_only(spark, pq_index):
     ]
     assert code_scans, "no codes-column scan found in plan"
     assert any("embedding" not in l for l in code_scans)
+
+
+def test_pq_append_index_half_then_half(spark, emb, tmp_path):
+    """Build on the first half, append the second with the FROZEN
+    codebook: stats cover the full corpus, appended codes match the
+    frozen-codebook encoding (not a retrain), and the probe serves
+    neighbors from BOTH halves."""
+    path = str(tmp_path / "pq_append")
+    first = emb.filter("vec_id % 2 = 0")
+    second = emb.filter("vec_id % 2 = 1")
+    similarity.write_pq_index(first, path)
+    similarity.pq_index_stats(spark, path)  # materialize listing once
+    similarity.pq_append_index(second, path)
+    stats = similarity.pq_index_stats(spark, path).collect()
+    n = emb.count()
+    for j in range(similarity.PQ_NUM_SUBSPACES):
+        assert sum(r["n_vectors"] for r in stats if r["subspace"] == j) == n
+    # appended rows carry frozen-codebook codes
+    cb_rows = sorted(
+        spark.read.parquet(f"{path}/codebook").collect(),
+        key=lambda r: (r["subspace"], r["code"]),
+    )
+    m = similarity.PQ_NUM_SUBSPACES
+    k = similarity.PQ_CODEBOOK_SIZE
+    dsub = similarity.EMBED_DIM // m
+    cb = np.zeros((m, k, dsub))
+    for r in cb_rows:
+        cb[r["subspace"], r["code"], :] = r["centroid"]
+    expected = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in similarity.pq_codes(second, codebook=cb).collect()
+    }
+    persisted = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in spark.read.parquet(f"{path}/corpus")
+        .filter("vec_id % 2 = 1")
+        .collect()
+    }
+    assert persisted == expected
+    # probe sees both halves
+    res = similarity.pq_probe_index(spark, path).collect()
+    neighbors = {r["neighbor_id"] for r in res}
+    assert any(v % 2 == 0 for v in neighbors)
+    assert any(v % 2 == 1 for v in neighbors)
