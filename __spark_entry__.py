@@ -508,6 +508,7 @@ _DRIVER_FIRST = (
     "hybrid_search_rrf",
     "corpus_shuffle",
     "mad_outliers",
+    "window_rank_suite",
     "nation_revenue_share",
     "idle_customers",
     "min_cost_supplier",
@@ -1164,6 +1165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic quality-weighted downsample (FineWeb-Edu idea)
         "quality_weighted_sample": lambda s, d: (
             sampling.quality_weighted_sample(_t(s, d, "documents"))
+        ),
+        # full analytic ranking-function family (tie/determinism rules)
+        "window_rank_suite": lambda s, d: relational.window_rank_suite(
+            _t(s, d, "events")
         ),
         # median/MAD robust outlier screen (rank-exact selections)
         "mad_outliers": lambda s, d: relational.mad_outliers(
@@ -4636,6 +4641,18 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             FROM per_cust
             GROUP BY c_count
             ORDER BY custdist DESC, c_count DESC
+        """,
+        "window_rank_suite": """
+            SELECT event_id, event_type, value,
+                   CAST(rank() OVER w_val AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER w_val AS BIGINT) AS dense_rnk,
+                   round(percent_rank() OVER w_val, 6) AS pct_rank,
+                   round(cume_dist() OVER w_val, 6) AS cume,
+                   CAST(ntile(4) OVER w_tot AS BIGINT) AS tile
+            FROM events
+            WINDOW w_val AS (PARTITION BY event_type ORDER BY value),
+                   w_tot AS (PARTITION BY event_type
+                             ORDER BY value, event_id)
         """,
         "mad_outliers": f"""
             WITH base AS (

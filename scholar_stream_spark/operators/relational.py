@@ -2650,3 +2650,41 @@ def mad_outliers(events: DataFrame, k: float = MAD_K) -> DataFrame:
             F.round("abs_dev", 4).alias("abs_dev"),
         )
     )
+
+
+def window_rank_suite(events: DataFrame, n_tiles: int = 4) -> DataFrame:
+    """The full analytic ranking-function family in one table — rank,
+    dense_rank, percent_rank, cume_dist, ntile — per event over its
+    type's value order. Individually trivial; together they are the
+    SQL-surface completeness check an analyst porting queries cares
+    about, and the determinism rules are worth pinning once:
+
+    - rank/dense_rank/percent_rank/cume_dist order by VALUE ALONE —
+      under ties every peer gets the same output, so the result is
+      deterministic even though row order within ties is not;
+    - ntile is ROW-based (ties split arbitrarily), so it orders by
+      (value, event_id) — the repo's total-order discipline — or the
+      output would differ run to run.
+
+    percent_rank = (rank-1)/(n-1) and cume_dist = n_peers_leq/n are
+    single IEEE divisions of exact integers — engine-identical.
+    One type-keyed sort exchange serves both window specs (same
+    partitioning, same leading sort key).
+
+    Output: (event_id, event_type, value, rnk, dense_rnk, pct_rank,
+    cume, tile).
+    """
+    w_val = Window.partitionBy("event_type").orderBy("value")
+    w_total = Window.partitionBy("event_type").orderBy(
+        "value", "event_id"
+    )
+    return events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.rank().over(w_val).cast("long").alias("rnk"),
+        F.dense_rank().over(w_val).cast("long").alias("dense_rnk"),
+        F.round(F.percent_rank().over(w_val), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_val), 6).alias("cume"),
+        F.ntile(n_tiles).over(w_total).cast("long").alias("tile"),
+    )

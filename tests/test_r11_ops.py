@@ -733,3 +733,37 @@ def test_pq_append_index_half_then_half(spark, emb, tmp_path):
     neighbors = {r["neighbor_id"] for r in res}
     assert any(v % 2 == 0 for v in neighbors)
     assert any(v % 2 == 1 for v in neighbors)
+
+
+# --- analytic ranking suite ---------------------------------------------------
+
+
+def test_window_rank_suite_tie_semantics(spark):
+    """Ties: ranks repeat then skip (rank), repeat without gap
+    (dense_rank), percent_rank/cume_dist exact rationals, ntile
+    deterministic via the (value, event_id) total order."""
+    df = spark.createDataFrame(
+        [(1, "t", 1.0), (2, "t", 2.0), (3, "t", 2.0), (4, "t", 5.0)],
+        "event_id long, event_type string, value double",
+    )
+    got = {
+        r["event_id"]: r for r in relational.window_rank_suite(df).collect()
+    }
+    assert [got[i]["rnk"] for i in (1, 2, 3, 4)] == [1, 2, 2, 4]
+    assert [got[i]["dense_rnk"] for i in (1, 2, 3, 4)] == [1, 2, 2, 3]
+    assert got[2]["pct_rank"] == got[3]["pct_rank"] == round(1 / 3, 6)
+    assert got[2]["cume"] == got[3]["cume"] == 0.75
+    assert [got[i]["tile"] for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
+
+
+def test_window_rank_suite_partition_invariant(spark):
+    df = spark.range(0, 300).selectExpr(
+        "id AS event_id",
+        "CAST(id % 3 AS STRING) AS event_type",
+        "CAST(id % 7 AS DOUBLE) AS value",
+    )
+    a = sorted(map(tuple, relational.window_rank_suite(df).collect()))
+    b = sorted(
+        map(tuple, relational.window_rank_suite(df.repartition(7)).collect())
+    )
+    assert a == b
