@@ -509,6 +509,7 @@ _DRIVER_FIRST = (
     "corpus_shuffle",
     "mad_outliers",
     "window_rank_suite",
+    "corr_matrix",
     "nation_revenue_share",
     "idle_customers",
     "min_cost_supplier",
@@ -1165,6 +1166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic quality-weighted downsample (FineWeb-Edu idea)
         "quality_weighted_sample": lambda s, d: (
             sampling.quality_weighted_sample(_t(s, d, "documents"))
+        ),
+        # exact fixed-point Pearson correlation matrix over lineitem
+        "corr_matrix": lambda s, d: relational.corr_matrix(
+            _t(s, d, "lineitem")
         ),
         # full analytic ranking-function family (tie/determinism rules)
         "window_rank_suite": lambda s, d: relational.window_rank_suite(
@@ -3552,6 +3557,42 @@ def _hybrid_rrf_sql() -> str:
     """
 
 
+def _corr_sql() -> str:
+    """corr_matrix oracle — HUGEINT exact moments (DuckDB's 128-bit
+    integer stands in for Spark's DECIMAL(38,0); both are exact, and
+    the final cast-to-double of the SAME exact integer rounds
+    nearest-even identically in both engines)."""
+    cols = relational.CORR_COLS
+    qcols = ", ".join(
+        f"CAST(floor({c} * 100 + 0.5) AS BIGINT) AS q_{c}" for c in cols
+    )
+    sums = ["CAST(count(*) AS HUGEINT) AS n"]
+    pairs = []
+    for c in cols:
+        sums.append(f"SUM(CAST(q_{c} AS HUGEINT)) AS s_{c}")
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            sums.append(
+                f"SUM(CAST(q_{a} AS HUGEINT) * CAST(q_{b} AS HUGEINT))"
+                f" AS s_{a}_{b}"
+            )
+            if a != b:
+                pairs.append((a, b))
+    selects = [
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"round(CAST(n * s_{a}_{b} - s_{a} * s_{b} AS DOUBLE) / "
+        f"sqrt(CAST(n * s_{a}_{a} - s_{a} * s_{a} AS DOUBLE)"
+        f" * CAST(n * s_{b}_{b} - s_{b} * s_{b} AS DOUBLE)), 6) AS corr"
+        f" FROM s"
+        for a, b in pairs
+    ]
+    return (
+        "WITH q AS (SELECT " + qcols + " FROM lineitem), "
+        "s AS (SELECT " + ", ".join(sums) + " FROM q) "
+        + " UNION ALL ".join(selects)
+    )
+
+
 def _zorder_sql() -> str:
     """Z-order layout oracle — the Morton interleave comes from the
     SAME generator as the operator (``sampling.morton_interleave_expr``,
@@ -5195,6 +5236,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "curation_funnel": _funnel_sql(),
         "token_budget_plan": _token_budget_sql(),
         "zorder_layout": _zorder_sql(),
+        "corr_matrix": _corr_sql(),
         "corpus_shuffle": f"""
             WITH staged AS (
                 SELECT doc_id, source,

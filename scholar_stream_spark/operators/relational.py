@@ -2688,3 +2688,85 @@ def window_rank_suite(events: DataFrame, n_tiles: int = 4) -> DataFrame:
         F.round(F.cume_dist().over(w_val), 6).alias("cume"),
         F.ntile(n_tiles).over(w_total).cast("long").alias("tile"),
     )
+
+
+#: Columns in the lineitem correlation matrix (all 2-decimal money/
+#: rate/quantity fields — one shared 1e-2 quantum).
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def corr_matrix(lineitem: DataFrame, cols: tuple = CORR_COLS) -> DataFrame:
+    """Pearson correlation matrix over the fact table's numeric
+    columns in EXACT fixed-point arithmetic — the profiling table a
+    modeler reads before trusting any single-column screen
+    (``detect_outliers``' moment idiom, extended to cross-moments).
+
+    ``corr`` is scale-invariant per variable, so each column quantizes
+    to 1e-2 integer units (portable floor+0.5) and every moment —
+    Σx, Σx², Σxy — accumulates as exact DECIMAL(38,0): identical on
+    any engine and any partitioning, unlike double sums whose
+    round-off is partition-order dependent. The final
+    ``(nΣxy − ΣxΣy) / sqrt((nΣx²−(Σx)²)(nΣy²−(Σy)²))`` runs on the
+    exact decimals cast to double — a handful of IEEE ops on
+    engine-identical operands. (Headroom note: 38 decimal digits cover
+    ~1e12 rows of 1e7-unit values; beyond that, widen the quantum —
+    the same trade ``stats_by_type`` documents.)
+
+    Scale shape: ONE map-side-combined global aggregate (a single
+    14-sum row), then a literal ``stack`` to the 6-pair table — the
+    fact table is scanned once and never shuffled.
+
+    Output: (col_a, col_b, corr), pairs in column order.
+    """
+    quant = lineitem.select(
+        *[
+            F.expr(
+                f"CAST(floor({c} * 100 + 0.5) AS BIGINT)"
+            ).alias(f"q_{c}")
+            for c in cols
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in cols:
+        aggs.append(
+            F.expr(f"SUM(CAST(q_{c} AS DECIMAL(38,0)))").alias(f"s_{c}")
+        )
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.expr(
+                    f"SUM(CAST(q_{a} AS DECIMAL(19,0))"
+                    f" * CAST(q_{b} AS DECIMAL(19,0)))"
+                ).alias(f"s_{a}_{b}")
+            )
+            if a != b:
+                pairs.append((a, b))
+    stats = quant.agg(*aggs)
+
+    def corr_expr(a: str, b: str):
+        num = F.expr(
+            f"CAST(n AS DECIMAL(38,0)) * s_{a}_{b} - s_{a} * s_{b}"
+        ).cast("double")
+        da = F.expr(
+            f"CAST(n AS DECIMAL(38,0)) * s_{a}_{a} - s_{a} * s_{a}"
+        ).cast("double")
+        db = F.expr(
+            f"CAST(n AS DECIMAL(38,0)) * s_{b}_{b} - s_{b} * s_{b}"
+        ).cast("double")
+        return F.round(num / F.sqrt(da * db), 6)
+
+    sel = stats.select(
+        *[
+            corr_expr(a, b).alias(f"c_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return sel.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+        )
+    )

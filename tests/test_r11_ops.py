@@ -767,3 +767,39 @@ def test_window_rank_suite_partition_invariant(spark):
         map(tuple, relational.window_rank_suite(df.repartition(7)).collect())
     )
     assert a == b
+
+
+# --- correlation matrix -------------------------------------------------------
+
+
+def test_corr_matrix_planted_correlations(spark):
+    """y = 2x exactly -> corr 1; z = -x -> corr -1; w independent-ish
+    alternation -> |corr| small."""
+    rows = [
+        (float(i), float(2 * i), float(-i), float(1 if i % 2 else -1))
+        for i in range(1, 101)
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in relational.corr_matrix(df, cols=("a", "b", "c", "d")).collect()
+    }
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] == -1.0
+    assert abs(got[("a", "d")]) < 0.1
+    assert len(got) == 6
+
+
+def test_corr_matrix_partition_invariant(spark):
+    df = spark.range(1, 500).selectExpr(
+        "CAST(id AS DOUBLE) AS a",
+        "CAST(id % 17 AS DOUBLE) AS b",
+        "CAST((id * 7) % 13 AS DOUBLE) AS c",
+        "CAST(id % 2 AS DOUBLE) AS d",
+    )
+    cols = ("a", "b", "c", "d")
+    x = sorted(map(tuple, relational.corr_matrix(df, cols=cols).collect()))
+    y = sorted(
+        map(tuple, relational.corr_matrix(df.repartition(7), cols=cols).collect())
+    )
+    assert x == y
