@@ -482,24 +482,17 @@ PROFILE_COLS = (
     "o_totalprice", "o_orderdate", "o_orderpriority",
 )
 
-#: Driver-cap rotation (round 10): CORRECTNESS runs check at most 50
-#: entries in ``queries()`` order. The r9 FAIL (``nation_revenue_share``,
-#: fixed this round — the money-product decimal idiom) leads, followed
-#: by the other late-r9 ops whose tests were repaired or first run
-#: this round (``bpe_train`` is rows-only, so it sits in the tail
-#: block per the cap invariant) and the two r10-new entries
-#: (``bpe_encode``, ``surplus_suppliers``). Then the 21 entries whose
-#: last driver row is
-#: r7 (the oldest greens anywhere), and the cap fills with the oldest
-#: r8 greens (r8-checked, not re-checked in r9) in ``queries()`` order.
-#: Positions 51+: the remaining r8 greens age next, the r9-green block
-#: last (newest checks at the tail).
+#: Driver-cap rotation (round 11): CORRECTNESS runs check at most 50
+#: entries in ``queries()`` order. The ten r11-new oracle-backed ops
+#: lead (never driver-checked), then the r10 head follows UNCHANGED:
+#: the driver produced no CORRECTNESS_r10, so everything r10
+#: front-loaded (its 5 repaired late-r9 ops, ``bpe_encode`` and the
+#: other r10-new entries, then the 21 r7-stale greens) is still
+#: awaiting its first/refresh driver check and keeps its place in the
+#: 50-cap window. Rows-only entries (the new PQ/IVFPQ family included)
+#: sit contiguously at the tail per the cap invariant
+#: (``test_driver_cap_rotation_invariants``).
 _DRIVER_FIRST = (
-    # round 11: the three new oracle-backed ops lead (never
-    # driver-checked); the r10 head follows unchanged because
-    # CORRECTNESS_r10 never ran, so everything it front-loaded is
-    # still awaiting its first driver check. The five new PQ entries
-    # are rows-only and take the tail automatically.
     "bm25_search",
     "event_order_audit",
     "revenue_concentration",
