@@ -36,6 +36,10 @@ Deliberately WITHOUT oracle entries (rows-only check):
   layout (codes from the trained quantizer, ``ivf_index_stats``'
   rationale); stats pinned vs an inline recount, probe pinned EXACTLY
   equal to ``ann_pq_rerank_topk``, ADC scan plan-pinned codes-only.
+- ``pca_components`` / ``pca_project`` — float eigendecomposition
+  (deterministic via exact fsum moments + fixed eigh order/sign);
+  orthonormality, variance recovery, planted-subspace exactness and
+  partition invariance pinned in ``tests/test_r11_ops.py``.
 - ``cluster_embeddings`` — iterative spherical k-means (Lloyd's); an
   SQL oracle would need a recursive-CTE re-implementation of the whole
   float iteration. Determinism + cluster semantics are pytest-pinned
@@ -1472,6 +1476,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_pq_recall": lambda s, d: similarity.ann_recall(
             _t(s, d, "embeddings"), method="pq"
+        ),
+        # PCA basis + projection (OPQ-style preprocessing; exact fsum
+        # moments, deterministic eigh ordering/sign)
+        "pca_components": lambda s, d: similarity.pca_components(
+            _t(s, d, "embeddings")
+        ),
+        "pca_project": lambda s, d: similarity.pca_project(
+            _t(s, d, "embeddings")
         ),
         # persisted PQ serving layout: codes+floats as separate parquet
         # COLUMNS of one table — the ADC scan is column-pruned to codes

@@ -2307,3 +2307,149 @@ def pq_append_index(embeddings: DataFrame, path: str) -> None:
         .write.mode("append")
         .parquet(f"{path}/corpus")
     )
+
+
+#: Principal components kept by the PCA ops (demo budget; production
+#: keeps 32-256 of a wider encoder).
+PCA_COMPONENTS = 4
+
+
+def _gram_stats(embeddings: DataFrame):
+    """One corpus pass → exact driver-side second-moment stats:
+    ``(n, Σx (dim), Σ xxᵀ (dim×dim))``. Each Arrow batch emits ONE
+    partial row (count, sum vector, flattened Gram); partials collect
+    directly (≤ n_batches rows, zero Exchange — the
+    ``_refined_centroids`` shape) and the driver folds them with
+    ``math.fsum`` per component — fsum computes the exactly-rounded
+    sum, so the fold is ORDER-INDEPENDENT and the stats are identical
+    under any partitioning (pinned by the repartition test)."""
+    import math
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    rows = (
+        embeddings.select("embedding")
+        .mapInPandas(kernel, "n long, s array<double>, g array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pca: empty embeddings table")
+    dim = len(rows[0]["s"])
+    n = sum(r["n"] for r in rows)
+    s = np.array(
+        [math.fsum(r["s"][i] for r in rows) for i in range(dim)]
+    )
+    g = np.array(
+        [
+            math.fsum(r["g"][i] for r in rows)
+            for i in range(dim * dim)
+        ]
+    ).reshape(dim, dim)
+    return n, s, g
+
+
+def _pca_basis(embeddings: DataFrame, k: int):
+    """Top-``k`` eigenpairs of the (biased) covariance, deterministic:
+    exact fsum moments, ``eigh`` on the symmetric matrix, eigenvalue-
+    descending order with a fixed SIGN convention (each component's
+    largest-|coefficient| entry is made positive — eigenvectors are
+    only defined up to sign, and without the convention two runs could
+    emit mirrored projections)."""
+    n, s, g = _gram_stats(embeddings)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-vals, kind="stable")[:k]
+    comps = vecs[:, order].T  # (k, dim)
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, vals[order], float(vals[vals > 0].sum()), comps
+
+
+def pca_components(
+    embeddings: DataFrame, k: int = PCA_COMPONENTS
+) -> DataFrame:
+    """Principal components of the embedding corpus — the
+    dimensionality-reduction artifact (OPQ-style preprocessing for the
+    PQ family, compression for storage, drift-eigenstructure for
+    monitoring). ONE corpus pass for the exact second-moment stats
+    (``_gram_stats``), an O(dim³) driver eigendecomposition (64³ —
+    trivially driver-state), deterministic ordering and sign.
+
+    Output: (component, eigenvalue, explained_var, vector), component
+    0 = largest variance; explained_var = eigenvalue / trace.
+    Rows-only (float eigendecomposition); determinism, orthonormality,
+    and variance-recovery pinned in pytest.
+    """
+    _mean, vals, total, comps = _pca_basis(embeddings, k)
+    spark = embeddings.sparkSession
+    rows = [
+        (
+            i,
+            float(round(vals[i], 6)),
+            float(round(vals[i] / total, 6)) if total > 0 else 0.0,
+            [float(round(v, 6)) for v in comps[i]],
+        )
+        for i in range(len(vals))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "component int, eigenvalue double, explained_var double,"
+        " vector array<double>",
+    ).orderBy("component")
+
+
+def pca_project(
+    embeddings: DataFrame, k: int = PCA_COMPONENTS
+) -> DataFrame:
+    """Project every vector onto the top-``k`` principal components —
+    the narrow compressed representation (store 4 doubles instead of
+    64 floats when downstream tasks tolerate it; also the standard
+    2-D/4-D visualization/clustering input). The basis (k×dim, driver
+    state) is closed over by one Arrow projection — no shuffle, no
+    second pass; ``residual_frac`` audits per-row how much of the
+    vector's energy the kept components miss.
+
+    Output: (vec_id, pcs array<double> length k, residual_frac).
+    Rows-only (inherits the eigenbasis); partition invariance and
+    exact-recovery-on-planted-subspace pinned in pytest.
+    """
+    mean, _vals, _total, comps = _pca_basis(embeddings, k)
+    mean_c = mean
+    comps_c = comps
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            centered = x - mean_c
+            pcs = centered @ comps_c.T
+            tot = (centered**2).sum(axis=1)
+            kept = (pcs**2).sum(axis=1)
+            tot_safe = np.where(tot == 0, 1.0, tot)
+            resid = np.clip(1.0 - kept / tot_safe, 0.0, 1.0)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "pcs": [np.round(p, 4).tolist() for p in pcs],
+                    "residual_frac": np.round(resid, 4),
+                }
+            )
+
+    return scale_out(embeddings).select("vec_id", "embedding").mapInPandas(
+        kernel, "vec_id long, pcs array<double>, residual_frac double"
+    )

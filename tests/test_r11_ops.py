@@ -803,3 +803,50 @@ def test_corr_matrix_partition_invariant(spark):
         map(tuple, relational.corr_matrix(df.repartition(7), cols=cols).collect())
     )
     assert x == y
+
+
+# --- PCA ----------------------------------------------------------------------
+
+
+def test_pca_components_contract(emb):
+    rows = similarity.pca_components(emb).collect()
+    assert len(rows) == similarity.PCA_COMPONENTS
+    vals = [r["eigenvalue"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    assert all(v >= 0 for v in vals)
+    # orthonormal basis (round-6 storage tolerance)
+    vecs = [np.array(r["vector"]) for r in rows]
+    for i in range(len(vecs)):
+        for j in range(len(vecs)):
+            dot = float(vecs[i] @ vecs[j])
+            assert abs(dot - (1.0 if i == j else 0.0)) < 1e-4
+    assert all(0 <= r["explained_var"] <= 1 for r in rows)
+
+
+def test_pca_partition_invariant(emb):
+    a = sorted(
+        (r["vec_id"], tuple(r["pcs"]), r["residual_frac"])
+        for r in similarity.pca_project(emb).collect()
+    )
+    b = sorted(
+        (r["vec_id"], tuple(r["pcs"]), r["residual_frac"])
+        for r in similarity.pca_project(emb.repartition(7)).collect()
+    )
+    assert a == b
+
+
+def test_pca_recovers_planted_subspace(spark):
+    """Vectors living exactly in a 2-D subspace of R^8: the top-2
+    components must absorb ALL the variance and every residual must
+    be ~0 (with k=2)."""
+    rng_rows = []
+    for i in range(200):
+        a, b = (i % 13) - 6.0, ((i * 7) % 11) - 5.0
+        v = [a, b, a + b, a - b, 2 * a, 0.5 * b, a + 2 * b, 3 * a - b]
+        rng_rows.append((i, v))
+    df = spark.createDataFrame(rng_rows, "vec_id long, embedding array<double>")
+    comps = similarity.pca_components(df, k=4).collect()
+    ev = [r["explained_var"] for r in comps]
+    assert ev[0] + ev[1] > 0.9999, ev
+    proj = similarity.pca_project(df, k=2).collect()
+    assert max(r["residual_frac"] for r in proj) < 1e-3
