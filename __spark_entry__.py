@@ -507,6 +507,7 @@ _DRIVER_FIRST = (
     "mad_outliers",
     "window_rank_suite",
     "corr_matrix",
+    "rfm_segments",
     "nation_revenue_share",
     "idle_customers",
     "min_cost_supplier",
@@ -1171,6 +1172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full analytic ranking-function family (tie/determinism rules)
         "window_rank_suite": lambda s, d: relational.window_rank_suite(
             _t(s, d, "events")
+        ),
+        # RFM segmentation: rank-exact global quintile scores -> cells
+        "rfm_segments": lambda s, d: relational.rfm_segments(
+            _t(s, d, "orders")
         ),
         # median/MAD robust outlier screen (rank-exact selections)
         "mad_outliers": lambda s, d: relational.mad_outliers(
@@ -4699,6 +4704,38 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             WINDOW w_val AS (PARTITION BY event_type ORDER BY value),
                    w_tot AS (PARTITION BY event_type
                              ORDER BY value, event_id)
+        """,
+        "rfm_segments": """
+            WITH now_d AS (SELECT max(o_orderdate) AS now_dt FROM orders),
+            per_cust AS (
+                SELECT o_custkey,
+                       CAST(date_diff('day', max(o_orderdate),
+                                      (SELECT now_dt FROM now_d))
+                            AS BIGINT) AS recency_days,
+                       CAST(count(*) AS BIGINT) AS frequency,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+                FROM orders GROUP BY o_custkey
+            ), ranked AS (
+                SELECT o_custkey, monetary,
+                       row_number() OVER (ORDER BY recency_days ASC,
+                                          o_custkey ASC) AS rk_r,
+                       row_number() OVER (ORDER BY frequency DESC,
+                                          o_custkey ASC) AS rk_f,
+                       row_number() OVER (ORDER BY monetary DESC,
+                                          o_custkey ASC) AS rk_m,
+                       count(*) OVER () AS n
+                FROM per_cust
+            ), scored AS (
+                SELECT o_custkey, monetary,
+                       CAST(5 - ((rk_r - 1) * 5) // n AS INT) AS r_score,
+                       CAST(5 - ((rk_f - 1) * 5) // n AS INT) AS f_score,
+                       CAST(5 - ((rk_m - 1) * 5) // n AS INT) AS m_score
+                FROM ranked
+            )
+            SELECT r_score, f_score, m_score,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(monetary) AS DOUBLE) AS total_revenue
+            FROM scored GROUP BY 1, 2, 3
         """,
         "mad_outliers": f"""
             WITH base AS (

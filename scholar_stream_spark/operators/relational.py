@@ -2770,3 +2770,75 @@ def corr_matrix(lineitem: DataFrame, cols: tuple = CORR_COLS) -> DataFrame:
             f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
         )
     )
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """RFM customer segmentation — recency (days since the customer's
+    last order, against the dataset's max order date as "now"),
+    frequency (order count), monetary (exact-decimal revenue) — each
+    scored 1..5 by rank-exact GLOBAL quintile (5 = best), rolled up to
+    the ≤125 (r, f, m) cells: the classic CRM segmentation table
+    ("5-5-5 champions", "1-x-x churned") built with the
+    ``quality_deciles`` integer-rank discipline so both engines score
+    every customer identically.
+
+    Scoring rule: rank customers by (metric, o_custkey) in the
+    quality-DESCENDING direction (most recent / most orders / most
+    revenue first), then ``score = 5 − ((rank−1)·5 div n)``. Ties are
+    impossible cross-engine ambiguities: recency is integer days,
+    frequency integer, monetary exact DECIMAL, and custkey breaks the
+    rest.
+
+    Scale shape: the fact table collapses to a ≤|customers|-row
+    3-metric aggregate FIRST (one map-side-combined exchange — the
+    only fact-sized cost); the three ranking windows then run over
+    that aggregate. They are written as single-total-order windows for
+    oracle parity; at 10⁹ customers the same rule runs distributed as
+    ``repartitionByRange`` + per-partition offsets (a documented
+    mechanical swap — the integer rank arithmetic is unchanged).
+
+    Output: (r_score, f_score, m_score, n_customers, total_revenue),
+    scores descending-best.
+    """
+    now_df = orders.agg(F.max("o_orderdate").alias("_now"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").alias(
+                "monetary"
+            ),
+        )
+        .crossJoin(F.broadcast(now_df))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("_now"), F.col("last_order"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    n_w = Window.partitionBy()
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary",
+        F.row_number().over(w_r).alias("rk_r"),
+        F.row_number().over(w_f).alias("rk_f"),
+        F.row_number().over(w_m).alias("rk_m"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+    ).select(
+        "o_custkey",
+        "monetary",
+        F.expr("CAST(5 - ((rk_r - 1) * 5) DIV n AS INT)").alias("r_score"),
+        F.expr("CAST(5 - ((rk_f - 1) * 5) DIV n AS INT)").alias("f_score"),
+        F.expr("CAST(5 - ((rk_m - 1) * 5) DIV n AS INT)").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.expr("CAST(SUM(monetary) AS DOUBLE)").alias("total_revenue"),
+    )

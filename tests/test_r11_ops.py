@@ -850,3 +850,46 @@ def test_pca_recovers_planted_subspace(spark):
     assert ev[0] + ev[1] > 0.9999, ev
     proj = similarity.pca_project(df, k=2).collect()
     assert max(r["residual_frac"] for r in proj) < 1e-3
+
+
+# --- RFM segmentation ---------------------------------------------------------
+
+from datetime import date
+
+
+def test_rfm_segments_constructed(spark):
+    """5 customers engineered so each lands in a distinct quintile on
+    every dimension: best customer scores (5,5,5), worst (1,1,1)."""
+    rows = []
+    okey = 0
+    # customer c (1..5): c orders, latest at day c (higher c = more
+    # recent AND more orders AND more revenue)
+    for c in range(1, 6):
+        for j in range(c):
+            okey += 1
+            rows.append(
+                (okey, c, date(2024, 1, c), float(100 * c))
+            )
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate date,"
+        " o_totalprice double",
+    )
+    got = {
+        (r["r_score"], r["f_score"], r["m_score"]): r
+        for r in relational.rfm_segments(df).collect()
+    }
+    # five distinct diagonal cells
+    assert set(got) == {(s, s, s) for s in range(1, 6)}
+    assert got[(5, 5, 5)]["n_customers"] == 1
+    assert got[(5, 5, 5)]["total_revenue"] == 5 * 500.0
+    assert got[(1, 1, 1)]["total_revenue"] == 100.0
+
+
+def test_rfm_scores_cover_1_to_5(spark):
+    sf = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    rows = relational.rfm_segments(sf).collect()
+    for dim in ("r_score", "f_score", "m_score"):
+        seen = {r[dim] for r in rows}
+        assert seen <= set(range(1, 6))
+        assert {1, 5} <= seen, (dim, seen)
