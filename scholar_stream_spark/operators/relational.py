@@ -2842,3 +2842,78 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.expr("CAST(SUM(monetary) AS DOUBLE)").alias("total_revenue"),
     )
+
+
+def shipping_delay_profile(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Order→ship latency profile per order priority: rank-exact
+    median and p90 of ``datediff(l_shipdate, o_orderdate)`` plus the
+    spread — the operations dashboard behind "are URGENT orders
+    actually shipped faster?". Complements the Q12 lateness COUNTS
+    with latency PERCENTILES.
+
+    Rank-exact selections (``quality_deciles``): median = lag at row
+    ``(n+1) div 2``, p90 = lag at row ``(9·n+9) div 10`` of the
+    (lag, orderkey, linenumber) total order per priority — integer
+    rank arithmetic on integer-day lags, engine-identical.
+
+    Scale shape: the orders slice (orderkey, date, priority) joins
+    lineitem on the co-keyed orderkey (both sides hash to the same
+    exchange — the Q3 join), lags rank inside a priority-keyed window
+    exchange, and the two target ranks select via the same broadcast
+    pattern; output is ≤|priorities| rows.
+
+    Output: (o_orderpriority, n_lineitems, median_lag_days,
+    p90_lag_days, max_lag_days).
+    """
+    lags = (
+        lineitem.select("l_orderkey", "l_linenumber", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .select(
+            "o_orderpriority",
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("lag_days"),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "lag_days", "l_orderkey", "l_linenumber"
+    )
+    w_n = Window.partitionBy("o_orderpriority")
+    ranked = lags.select(
+        "o_orderpriority",
+        "lag_days",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    picks = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) DIV 2"))
+        | (F.col("rn") == F.expr("(9 * n + 9) DIV 10"))
+    )
+    return picks.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_lineitems"),
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("lag_days")
+            )
+        ).alias("median_lag_days"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(9 * n + 9) DIV 10"),
+                F.col("lag_days"),
+            )
+        ).alias("p90_lag_days"),
+    ).join(
+        F.broadcast(
+            lags.groupBy("o_orderpriority").agg(
+                F.max("lag_days").alias("max_lag_days")
+            )
+        ),
+        "o_orderpriority",
+    )
