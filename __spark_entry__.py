@@ -486,67 +486,17 @@ PROFILE_COLS = (
     "o_totalprice", "o_orderdate", "o_orderpriority",
 )
 
-#: Driver-cap rotation (round 11): CORRECTNESS runs check at most 50
-#: entries in ``queries()`` order. The ten r11-new oracle-backed ops
-#: lead (never driver-checked), then the r10 head follows UNCHANGED:
-#: the driver produced no CORRECTNESS_r10, so everything r10
-#: front-loaded (its 5 repaired late-r9 ops, ``bpe_encode`` and the
-#: other r10-new entries, then the 21 r7-stale greens) is still
-#: awaiting its first/refresh driver check and keeps its place in the
-#: 50-cap window. Rows-only entries (the new PQ/IVFPQ family included)
-#: sit contiguously at the tail per the cap invariant
-#: (``test_driver_cap_rotation_invariants``).
+#: Driver-cap rotation (round 12): CORRECTNESS runs check at most 50
+#: entries in ``queries()`` order. ``shipping_delay_profile`` leads
+#: (r12-new, never driver-checked), then the ten r7-stale entries
+#: (vocab_coverage .. curate_corpus — four windows since their last
+#: driver check), then the oldest r8-era greens fill the 50-cap. The
+#: 50 entries the r11 driver checked green (bm25_search ..
+#: incr_rollup) rotate to the back of the oracle-backed block as the
+#: freshest. Rows-only entries sit contiguously at the tail per the
+#: cap invariant (``test_driver_cap_rotation_invariants``).
 _DRIVER_FIRST = (
-    "bm25_search",
-    "event_order_audit",
-    "revenue_concentration",
-    "zorder_layout",
-    "session_type_lift",
-    "hybrid_search_rrf",
-    "corpus_shuffle",
-    "mad_outliers",
-    "window_rank_suite",
-    "corr_matrix",
-    "rfm_segments",
-    "nation_revenue_share",
-    "idle_customers",
-    "min_cost_supplier",
-    "population_stability",
-    "bpe_encode",
-    "surplus_suppliers",
-    "local_supplier_revenue",
-    "forecast_revenue",
-    "returned_top_customers",
-    "part_supplier_variety",
-    "bpe_fertility",
-    "nation_trade_flows",
-    "market_share",
-    "product_profit",
-    "shipmode_priority_counts",
-    "neardup_source_matrix",
-    "embedding_drift",
-    "curation_funnel",
-    "token_budget_plan",
-    "bpe_pack_docs",
-    "tokenizer_swap_report",
-    "dedup_threshold_sweep",
-    "boilerplate_paragraphs",
-    "shard_size_plan",
-    "embedding_norm_outliers",
-    "packing_efficiency",
-    "ngram_diversity",
-    "quality_deciles",
-    "top_orders_per_customer",
-    "user_setops",
-    "rollup_orders",
-    "cube_orders",
-    "pivot_user_events",
-    "distinct_users_salted",
-    "value_percentiles",
-    "stats_by_type",
-    "windowed_agg",
-    "salted_join_revenue",
-    "incr_rollup",
+    "shipping_delay_profile",
     "vocab_coverage",
     "heavy_hitters",
     "asof_join",
@@ -653,6 +603,56 @@ _DRIVER_FIRST = (
     "sec_of_day",
     "pricing_summary",
     "revenue_by_region",
+    "bm25_search",
+    "event_order_audit",
+    "revenue_concentration",
+    "zorder_layout",
+    "session_type_lift",
+    "hybrid_search_rrf",
+    "corpus_shuffle",
+    "mad_outliers",
+    "window_rank_suite",
+    "corr_matrix",
+    "rfm_segments",
+    "nation_revenue_share",
+    "idle_customers",
+    "min_cost_supplier",
+    "population_stability",
+    "bpe_encode",
+    "surplus_suppliers",
+    "local_supplier_revenue",
+    "forecast_revenue",
+    "returned_top_customers",
+    "part_supplier_variety",
+    "bpe_fertility",
+    "nation_trade_flows",
+    "market_share",
+    "product_profit",
+    "shipmode_priority_counts",
+    "neardup_source_matrix",
+    "embedding_drift",
+    "curation_funnel",
+    "token_budget_plan",
+    "bpe_pack_docs",
+    "tokenizer_swap_report",
+    "dedup_threshold_sweep",
+    "boilerplate_paragraphs",
+    "shard_size_plan",
+    "embedding_norm_outliers",
+    "packing_efficiency",
+    "ngram_diversity",
+    "quality_deciles",
+    "top_orders_per_customer",
+    "user_setops",
+    "rollup_orders",
+    "cube_orders",
+    "pivot_user_events",
+    "distinct_users_salted",
+    "value_percentiles",
+    "stats_by_type",
+    "windowed_agg",
+    "salted_join_revenue",
+    "incr_rollup",
     "bpe_train",
     "bpe_train_batched",
     "ivf_index_stats",
@@ -1184,6 +1184,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-nation customer-decile Lorenz/Pareto concentration table
         "revenue_concentration": lambda s, d: relational.revenue_concentration(
             _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "nation")
+        ),
+        # order->ship latency percentiles per priority (rank-exact)
+        "shipping_delay_profile": lambda s, d: (
+            relational.shipping_delay_profile(
+                _t(s, d, "orders"), _t(s, d, "lineitem")
+            )
         ),
         "revenue_by_region": lambda s, d: relational.revenue_by_region(
             _t(s, d, "orders"),
@@ -4767,6 +4773,37 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                    round(d.abs_dev, 4) AS abs_dev
             FROM devs d JOIN mad_tbl t USING (event_type)
             WHERE d.abs_dev > {relational.MAD_K} * t.mad
+        """,
+        "shipping_delay_profile": """
+            WITH lags AS (
+                SELECT o_orderpriority, l_orderkey, l_linenumber,
+                       CAST(date_diff('day', o_orderdate, l_shipdate)
+                            AS BIGINT) AS lag_days
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ), ranked AS (
+                SELECT o_orderpriority, lag_days,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                           ORDER BY lag_days, l_orderkey, l_linenumber)
+                           AS rn,
+                       count(*) OVER (PARTITION BY o_orderpriority) AS n
+                FROM lags
+            ), picks AS (
+                SELECT o_orderpriority,
+                       max(n) AS n_lineitems,
+                       min(CASE WHEN rn = (n + 1) // 2
+                                THEN lag_days END) AS median_lag_days,
+                       max(CASE WHEN rn = (9 * n + 9) // 10
+                                THEN lag_days END) AS p90_lag_days
+                FROM ranked
+                WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
+                GROUP BY o_orderpriority
+            )
+            SELECT p.o_orderpriority, p.n_lineitems, p.median_lag_days,
+                   p.p90_lag_days, mx.max_lag_days
+            FROM picks p JOIN (
+                SELECT o_orderpriority, max(lag_days) AS max_lag_days
+                FROM lags GROUP BY o_orderpriority
+            ) mx USING (o_orderpriority)
         """,
         "revenue_concentration": """
             WITH per_cust AS (

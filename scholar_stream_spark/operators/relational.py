@@ -2860,9 +2860,12 @@ def shipping_delay_profile(
 
     Scale shape: the orders slice (orderkey, date, priority) joins
     lineitem on the co-keyed orderkey (both sides hash to the same
-    exchange — the Q3 join), lags rank inside a priority-keyed window
-    exchange, and the two target ranks select via the same broadcast
-    pattern; output is ≤|priorities| rows.
+    exchange — the Q3 join), and the narrow ``lags`` result pins ONCE
+    (``localCheckpoint`` — it feeds both the ranked-percentile pass and
+    the ``max_lag_days`` aggregate; the ``mad_outliers`` pin-once
+    discipline, or the fact join runs twice). Lags then rank inside a
+    priority-keyed window exchange, the two target ranks select via the
+    same broadcast pattern; output is ≤|priorities| rows.
 
     Output: (o_orderpriority, n_lineitems, median_lag_days,
     p90_lag_days, max_lag_days).
@@ -2881,6 +2884,7 @@ def shipping_delay_profile(
             .cast("long")
             .alias("lag_days"),
         )
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("o_orderpriority").orderBy(
         "lag_days", "l_orderkey", "l_linenumber"

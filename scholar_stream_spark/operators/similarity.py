@@ -1510,8 +1510,17 @@ def _pq_train_codebook(
     m: int = PQ_NUM_SUBSPACES,
     k: int = PQ_CODEBOOK_SIZE,
     n_iters: int = PQ_TRAIN_ITERS,
+    recount: bool = False,
 ):
     """Shared PQ trainer: returns ``(codebook (m,k,dsub), counts (m,k))``.
+
+    ``counts`` semantics: each Lloyd round's counts are accumulated
+    from the assignment that PRODUCED that round's centroid update, so
+    after the loop they reflect occupancy under the penultimate
+    codebook. ``recount=True`` runs one extra assignment-only pass so
+    the returned counts are occupancy under the EMITTED centroids
+    (matching ``pq_index_stats``' recount) — ``pq_train`` pays this one
+    scan; the ANN consumers discard counts and skip it.
 
     k-means contract (``cluster_embeddings``): the codebook is DRIVER
     state; every Lloyd round is ONE corpus pass. The ``mapInPandas``
@@ -1532,8 +1541,15 @@ def _pq_train_codebook(
     dsub = codebook.shape[2]
     counts = np.zeros((m, k), dtype=np.int64)
 
-    for _ in range(n_iters):
-        cb = codebook  # freeze for closure
+    def _one_pass(cb: np.ndarray):
+        """One corpus pass against ``cb``: (counts (m,k), sums (m,k,dsub)).
+
+        combine DRIVER-side (the _refined_centroids shape): the
+        partials are <= n_batches × m·k tiny rows, so collecting them
+        directly is one zero-Exchange stage; the earlier
+        groupBy(subspace, code) fold added a whole shuffle stage per
+        Lloyd round for rows one numpy pass absorbs anyway (measured
+        3.54 -> ~2 s on pq_train at sf0.1)."""
 
         def kernel(batches, cb=cb):
             for pdf in batches:
@@ -1554,25 +1570,25 @@ def _pq_train_codebook(
                     out["s"].extend(sum_j[nz].tolist())
                 yield pd.DataFrame(out)
 
-        # combine DRIVER-side (the _refined_centroids shape): the
-        # partials are <= n_batches × m·k tiny rows, so collecting them
-        # directly is one zero-Exchange stage; the earlier
-        # groupBy(subspace, code) fold added a whole shuffle stage per
-        # Lloyd round for rows one numpy pass absorbs anyway (measured
-        # 3.54 -> ~2 s on pq_train at sf0.1).
         rows = corpus.mapInPandas(
             kernel, "subspace int, code int, cnt long, s array<double>"
         ).collect()
-        new_cb = codebook.copy()
-        counts = np.zeros((m, k), dtype=np.int64)
+        cnt = np.zeros((m, k), dtype=np.int64)
         sums = np.zeros((m, k, dsub))
         for r in rows:
             j, c = r["subspace"], r["code"]
-            counts[j, c] += r["cnt"]
+            cnt[j, c] += r["cnt"]
             sums[j, c, :] += np.asarray(r["s"], dtype=np.float64)
+        return cnt, sums
+
+    for _ in range(n_iters):
+        counts, sums = _one_pass(codebook)
+        new_cb = codebook.copy()
         nz = counts > 0
         new_cb[nz] = sums[nz] / counts[nz][:, None]
         codebook = new_cb
+    if recount:
+        counts, _ = _one_pass(codebook)
     return codebook, counts
 
 
@@ -1588,11 +1604,16 @@ def pq_train(
 
     Output: (subspace, code, cell_count, centroid array<double>
     round-6), ordered (subspace, code) — always exactly ``m·k`` rows.
+    ``cell_count`` is occupancy under the EMITTED centroids (one
+    assignment-only recount pass after training), so it agrees with
+    ``pq_index_stats``' recount of a persisted index by construction.
     Iterative float k-means → no SQL oracle (rows-only driver check);
     convergence, determinism under repartitioning, and
     reconstruction-error improvement over rounds are pytest-pinned.
     """
-    codebook, counts = _pq_train_codebook(embeddings, m, k, n_iters)
+    codebook, counts = _pq_train_codebook(
+        embeddings, m, k, n_iters, recount=True
+    )
     spark = embeddings.sparkSession
     rows = [
         (

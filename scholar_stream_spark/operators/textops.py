@@ -1759,7 +1759,13 @@ def bm25_search(
     precedent). Output: (query, doc_id, score round-4, rank), zero-hit
     docs dropped.
     """
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # ONE tokenization definition, shared with the oracle: collapse ALL
+    # whitespace (tabs/newlines included) to single spaces BEFORE trim —
+    # plain trim strips only spaces, so a leading tab would survive and
+    # split() would emit an extra empty token (dl off by one vs oracle).
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
     all_terms = sorted({t for _, terms in queries for t in terms})
 
     def _eq(term: str):
