@@ -32,6 +32,9 @@ Deliberately WITHOUT oracle entries (rows-only check):
   training-progress/recall-floor pins in ``tests/test_r11_ops.py``.
 - ``ann_ivfpq_topk`` / ``ann_ivfpq_recall`` — the IVF×PQ composition
   (both parents rows-only); recall floor pytest-pinned.
+- ``ann_opq_topk`` / ``ann_opq_recall`` — parametric OPQ pre-rotation
+  (float eigenbasis, inherits the PQ rationale); recall ≥ plain-PQ
+  and orthogonality pytest-pinned (``tests/test_r12_ops.py``).
 - ``pq_index_stats`` / ``pq_probe_index`` — the persisted PQ serving
   layout (codes from the trained quantizer, ``ivf_index_stats``'
   rationale); stats pinned vs an inline recount, probe pinned EXACTLY
@@ -1487,6 +1490,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_pq_recall": lambda s, d: similarity.ann_recall(
             _t(s, d, "embeddings"), method="pq"
+        ),
+        # OPQ: parametric pre-rotation (PCA eigenbasis + eigenvalue-
+        # product balancing, Ge 2013) before the SAME PQ trainer/ADC —
+        # higher recall at identical 4 bytes/vector (pinned >= plain PQ)
+        "ann_opq_topk": lambda s, d: similarity.ann_opq_topk(
+            _t(s, d, "embeddings")
+        ),
+        "ann_opq_recall": lambda s, d: similarity.ann_recall(
+            _t(s, d, "embeddings"), method="opq"
         ),
         # PCA basis + projection (OPQ-style preprocessing; exact fsum
         # moments, deterministic eigh ordering/sign)

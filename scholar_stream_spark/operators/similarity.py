@@ -1028,7 +1028,7 @@ def cosine_topk_int8(
     )
 
 
-RECALL_METHODS = {"lsh", "ivf", "int8", "pq", "ivfpq"}
+RECALL_METHODS = {"lsh", "ivf", "int8", "pq", "ivfpq", "opq"}
 
 
 def ann_recall(
@@ -1070,6 +1070,8 @@ def ann_recall(
         approx = cosine_topk_int8(embeddings, k, n_queries, q_rows=q_rows)
     elif method == "pq":
         approx = ann_pq_topk(embeddings, k, n_queries, q_rows=q_rows)
+    elif method == "opq":
+        approx = ann_opq_topk(embeddings, k, n_queries, q_rows=q_rows)
     elif method == "ivfpq":
         approx = ann_ivfpq_topk(embeddings, k, n_queries)
     else:
@@ -1462,13 +1464,16 @@ PQ_CODEBOOK_SIZE = 16
 PQ_TRAIN_ITERS = 4
 
 
-def _pq_seed_codebook(embeddings: DataFrame, m: int, k: int):
+def _pq_seed_codebook(
+    embeddings: DataFrame, m: int, k: int, rotation: np.ndarray | None = None
+):
     """Deterministic PQ seeds: the sub-vectors of the ``k`` LOWEST
     vec_ids seed every subspace (sort/take, so gapped id spaces seed
     fully — the ``cluster_embeddings`` contract). Returns the codebook
     as a numpy ``(m, k, dim/m)`` array — driver state of
     ``m·k·(dim/m) = dim·k`` floats (1 KiB here), independent of corpus
-    size."""
+    size. ``rotation`` (OPQ): seeds live in the ROTATED space, same as
+    every vector the trained codebook will quantize."""
     seed_rows = (
         embeddings.select("vec_id", "embedding")
         .orderBy("vec_id")
@@ -1481,6 +1486,8 @@ def _pq_seed_codebook(embeddings: DataFrame, m: int, k: int):
             f"got {len(seed_rows)}"
         )
     mat = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+    if rotation is not None:
+        mat = mat @ rotation.T
     dim = mat.shape[1]
     if dim % m != 0:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
@@ -1511,6 +1518,7 @@ def _pq_train_codebook(
     k: int = PQ_CODEBOOK_SIZE,
     n_iters: int = PQ_TRAIN_ITERS,
     recount: bool = False,
+    rotation: np.ndarray | None = None,
 ):
     """Shared PQ trainer: returns ``(codebook (m,k,dsub), counts (m,k))``.
 
@@ -1531,13 +1539,19 @@ def _pq_train_codebook(
     ``m·k`` rows (128 here) before the driver collect. The corpus is
     never shuffled; empty cells keep their previous centroid (codes
     stay a fixed, dense 0..k-1 space — unlike IVF cells, PQ codes are a
-    STORAGE format and must not disappear)."""
+    STORAGE format and must not disappear).
+
+    ``rotation``: optional orthogonal (dim, dim) matrix applied to
+    every vector (and the seeds) before the sub-vector split — the OPQ
+    pre-rotation (Ge et al. 2013). Orthogonality preserves norms and
+    inner products, so cosine semantics are unchanged; only the
+    subspace decomposition the quantizer sees changes."""
     corpus = (
         scale_out(embeddings)
         .select("embedding")
         .localCheckpoint(eager=False)
     )
-    codebook = _pq_seed_codebook(embeddings, m, k)
+    codebook = _pq_seed_codebook(embeddings, m, k, rotation=rotation)
     dsub = codebook.shape[2]
     counts = np.zeros((m, k), dtype=np.int64)
 
@@ -1551,11 +1565,13 @@ def _pq_train_codebook(
         Lloyd round for rows one numpy pass absorbs anyway (measured
         3.54 -> ~2 s on pq_train at sf0.1)."""
 
-        def kernel(batches, cb=cb):
+        def kernel(batches, cb=cb, rot=rotation):
             for pdf in batches:
                 x = np.array(list(pdf["embedding"]), dtype=np.float64)
                 if len(x) == 0:
                     continue
+                if rot is not None:
+                    x = x @ rot.T
                 xs = x.reshape(len(x), m, dsub)
                 codes = _pq_assign(xs, cb)
                 out = {"subspace": [], "code": [], "cnt": [], "s": []}
@@ -1691,6 +1707,7 @@ def ann_pq_topk(
     q_rows: list | None = None,
     m: int = PQ_NUM_SUBSPACES,
     k_star: int = PQ_CODEBOOK_SIZE,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) cosine top-k over the PQ-compressed
     corpus — queries stay exact floats, database vectors are scored
@@ -1714,7 +1731,9 @@ def ann_pq_topk(
     quality signal with a pytest floor. Same output schema as every
     other path: (query_id, neighbor_id, cos_sim, rank).
     """
-    codebook, _ = _pq_train_codebook(embeddings, m, k_star)
+    codebook, _ = _pq_train_codebook(
+        embeddings, m, k_star, rotation=rotation
+    )
     dsub = codebook.shape[2]
     if q_rows is None:
         q_rows = (
@@ -1724,6 +1743,10 @@ def ann_pq_topk(
         )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    if rotation is not None:
+        # queries live in the SAME rotated space as the codebook;
+        # orthogonality keeps the cosine estimate's meaning unchanged
+        q_mat = q_mat @ rotation.T
     q_norm = np.linalg.norm(q_mat, axis=1)
     q_norm[q_norm == 0] = 1.0
     nq = len(q_ids)
@@ -1733,12 +1756,14 @@ def ann_pq_topk(
     lut_sq = (codebook**2).sum(axis=2)
     cb = codebook
 
-    def kernel(batches):
+    def kernel(batches, rot=rotation):
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             x = np.array(list(pdf["embedding"]), dtype=np.float64)
             if len(x) == 0:
                 continue
+            if rot is not None:
+                x = x @ rot.T
             codes = _pq_assign(x.reshape(len(x), m, dsub), cb)
             # gather: ip[n, q] = sum_j lut_ip[q, j, codes[n, j]]
             ip = np.zeros((len(x), nq))
@@ -1852,6 +1877,98 @@ def ann_pq_rerank_topk(
         .join(F.broadcast(qdf), "query_id")
     )
     return _rerank_topk(cand, topk)
+
+
+def _opq_rotation(embeddings: DataFrame, m: int = PQ_NUM_SUBSPACES):
+    """Parametric OPQ rotation (Ge, He, Ke, Sun, "Optimized Product
+    Quantization", CVPR 2013, §4 — the closed-form variant FAISS calls
+    ``OPQMatrix`` pre-training): rotate into the FULL PCA eigenbasis,
+    then allocate principal directions to the ``m`` subspaces by GREEDY
+    EIGENVALUE-PRODUCT BALANCING — eigenvalues descending, each assigned
+    to the non-full subspace with the smallest current log-eigenvalue
+    sum — so every subspace carries (approximately) equal variance
+    product, the paper's independence-times-balance objective for
+    Gaussian data.
+
+    The rotation is ORTHOGONAL (rows are permuted orthonormal
+    eigenvectors), so norms, inner products, and cosines are exactly
+    preserved; only the sub-vector split PQ quantizes changes. Driver
+    state: dim×dim doubles (32 KiB at dim=64) from ONE corpus pass
+    (``_gram_stats`` — the ``pca_components`` moments).
+
+    Returns ``R (dim, dim)``: apply as ``x @ R.T``. NO mean shift —
+    centering would change cosine semantics (this family serves cosine,
+    not L2)."""
+    dim_probe = embeddings.select("embedding").first()
+    dim = len(dim_probe["embedding"])
+    if dim % m != 0:
+        raise ValueError(f"opq: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    _mean, vals, _total, comps = _pca_basis(embeddings, dim)
+    # greedy product balancing on log-eigenvalues (clip: zero/negative
+    # eigenvalues carry no variance to balance). The min-sum greedy is
+    # only a balancer for NON-NEGATIVE items — with λ < 1 the raw logs
+    # are negative and "smallest sum" would select the FULLEST bucket
+    # (collapsing to sequential allocation). Shifting by logs.min() is
+    # balance-equivalent because every bucket ends with EXACTLY dsub
+    # items: a constant shift moves every final bucket sum by the same
+    # c·dsub.
+    logs = np.log(np.maximum(vals, 1e-12))
+    logs = logs - logs.min()
+    bucket_log = np.zeros(m)
+    bucket_fill = np.zeros(m, dtype=np.int64)
+    assign: list[list[int]] = [[] for _ in range(m)]
+    for i in range(dim):  # eigenvalues already descending
+        open_b = np.flatnonzero(bucket_fill < dsub)
+        j = open_b[np.argmin(bucket_log[open_b])]
+        assign[j].append(i)
+        bucket_log[j] += logs[i]
+        bucket_fill[j] += 1
+    order = [i for bucket in assign for i in bucket]
+    return np.ascontiguousarray(comps[order, :])
+
+
+def ann_opq_topk(
+    embeddings: DataFrame,
+    topk: int = ANN_TOPK,
+    n_queries: int = ANN_NUM_QUERIES,
+    q_rows: list | None = None,
+    m: int = PQ_NUM_SUBSPACES,
+    k_star: int = PQ_CODEBOOK_SIZE,
+) -> DataFrame:
+    """OPQ ADC top-k — ``ann_pq_topk`` with the parametric OPQ
+    pre-rotation (FAISS ``OPQ{m},PQ{m}``): one extra corpus pass trains
+    the rotation (PCA moments → eigenvalue-balanced eigenbasis,
+    ``_opq_rotation``), then the SAME trainer / ADC scan / tie-breaks
+    run in the rotated space — the rotation rides inside the existing
+    Arrow kernels as one (batch × dim) @ (dim × dim) matmul, no extra
+    shuffle, no new plan shape.
+
+    Why it helps: plain PQ quantizes whatever sub-vector split the
+    storage order dictates; correlated/unequal-variance dimensions make
+    some subspaces carry most of the error. The balanced eigenbasis
+    decorrelates ACROSS subspaces and equalizes their variance product —
+    higher recall at the SAME 4 bytes/vector wherever the spectrum
+    decays (measured on a planted anisotropic corpus: ADC recall 0.54
+    vs 0.48, quantization distortion 0.96 vs 2.86 — and 0.26 vs 0.18
+    on the sf0.001 corpus; both pinned). On a near-ISOTROPIC corpus
+    there is nothing to balance and OPQ ties PQ within noise — the
+    honest limit of the parametric variant (the full alternating-
+    minimization OPQ-NP can still gain there; not implemented).
+
+    Approximate by construction → rows-only; family schema
+    (query_id, neighbor_id, cos_sim, rank).
+    """
+    rotation = _opq_rotation(embeddings, m)
+    return ann_pq_topk(
+        embeddings,
+        topk=topk,
+        n_queries=n_queries,
+        q_rows=q_rows,
+        m=m,
+        k_star=k_star,
+        rotation=rotation,
+    )
 
 
 def ann_ivfpq_topk(

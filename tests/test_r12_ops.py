@@ -97,6 +97,72 @@ def test_pq_train_counts_match_encoded_occupancy(emb):
     assert {k: v for k, v in train.items() if v} == recount
 
 
+def test_opq_rotation_is_orthogonal_and_metric_preserving(emb):
+    import numpy as np
+
+    R = similarity._opq_rotation(emb)
+    dim = R.shape[0]
+    assert R.shape == (dim, dim)
+    assert np.allclose(R @ R.T, np.eye(dim), atol=1e-9)
+    # orthogonality preserves norms and inner products (cosine intact)
+    rng_rows = emb.orderBy("vec_id").limit(8).collect()
+    x = np.array([r["embedding"] for r in rng_rows], dtype=np.float64)
+    y = x @ R.T
+    assert np.allclose((x**2).sum(axis=1), (y**2).sum(axis=1))
+    assert np.allclose(x @ x.T, y @ y.T)
+
+
+def test_opq_recall_at_least_plain_pq(emb):
+    """On the ambient corpus the rotation must not LOSE recall vs the
+    identity split at the same 4 bytes/vector (measured 0.26 vs 0.18
+    at sf0.001 when pinned; deterministic — fixed data, fixed seeds).
+    The corpus is near-isotropic so the gap here is small; the
+    MECHANISM is pinned on the anisotropic fixture below."""
+    pq = similarity.ann_recall(emb, method="pq").collect()[0]
+    opq = similarity.ann_recall(emb, method="opq").collect()[0]
+    assert opq["recall"] >= pq["recall"], (opq["recall"], pq["recall"])
+    assert opq["recall"] >= 0.2, opq["recall"]
+
+
+def test_opq_beats_pq_on_anisotropic_corpus(spark):
+    """The case OPQ exists for: a decaying spectrum mixed across the
+    storage order (real embedding corpora look like this). Planted:
+    eigenvalues 0.85^i under a seeded random orthogonal mixing — the
+    identity split cuts correlated mass across subspace boundaries,
+    the balanced eigenbasis doesn't. Measured 0.54 vs 0.48 when
+    pinned; also guards the allocation-greedy sign bug (negative
+    log-eigenvalues collapsing the allocation to sequential), which
+    scored 0.26 here."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n, dim = 500, 64
+    lam = 0.85 ** np.arange(dim)
+    q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+    x = (rng.standard_normal((n, dim)) * np.sqrt(lam)) @ q.T
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    emb.count()
+    pq = similarity.ann_recall(emb, method="pq").collect()[0]
+    opq = similarity.ann_recall(emb, method="opq").collect()[0]
+    assert opq["recall"] > pq["recall"], (opq["recall"], pq["recall"])
+    assert opq["recall"] >= 0.5, opq["recall"]
+
+
+def test_opq_topk_partition_invariant(emb):
+    a = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.ann_opq_topk(emb).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.ann_opq_topk(emb.repartition(7)).collect()
+    )
+    assert a == b
+
+
 def test_bm25_whitespace_edge_tokens(spark):
     """Leading/trailing tabs+newlines must not change dl: the collapse-
     then-trim tokenization gives the tab-padded doc the SAME score as
