@@ -1624,6 +1624,33 @@ def profile_pairs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFra
                 docs(s, d), profile="scale"
             ),
         },
+        # round-12 split (r11 verdict follow-through): the rank-exact
+        # family's documented repartitionByRange + per-partition-offset
+        # swap made real — the scale profile replaces single-task
+        # per-key total-order windows with ranked_by_range (value-
+        # identical, pinned in tests/test_r12_ops.py)
+        "mad_outliers": {
+            "oracle": lambda s, d: relational.mad_outliers(
+                _t(s, d, "events")
+            ),
+            "scale": lambda s, d: relational.mad_outliers(
+                _t(s, d, "events"), profile="scale"
+            ),
+        },
+        "rfm_segments": {
+            "oracle": lambda s, d: relational.rfm_segments(
+                _t(s, d, "orders")
+            ),
+            "scale": lambda s, d: relational.rfm_segments(
+                _t(s, d, "orders"), profile="scale"
+            ),
+        },
+        "quality_deciles": {
+            "oracle": lambda s, d: curation.quality_deciles(docs(s, d)),
+            "scale": lambda s, d: curation.quality_deciles(
+                docs(s, d), profile="scale"
+            ),
+        },
         "semantic_prune": {
             "oracle": lambda s, d: similarity.semantic_prune(
                 _t(s, d, "embeddings")

@@ -366,7 +366,9 @@ def pretraining_pipeline(
 QUALITY_N_DECILES = 10
 
 
-def quality_deciles(documents: DataFrame) -> DataFrame:
+def quality_deciles(
+    documents: DataFrame, profile: str = "oracle"
+) -> DataFrame:
     """Per-source quality-score deciles — the calibration table that
     shows whether a single global quality threshold transfers across
     sources (it usually doesn't: the same cut that keeps 90% of one
@@ -383,10 +385,17 @@ def quality_deciles(documents: DataFrame) -> DataFrame:
 
     Scale shape: one signal scan projected to (source, score, doc_id),
     one sort exchange keyed by source (the quantile order — skew-free
-    here, sources are near-uniform; a skewed corpus would range-
-    partition within source), target ranks derived from the ≤|sources|
-    count table exploded ×10 and broadcast back into a rank-equality
-    join — the corpus is scanned once and shuffled once.
+    here, sources are near-uniform), target ranks derived from the
+    ≤|sources| count table exploded ×10 and broadcast back into a
+    rank-equality join — the corpus is scanned once and shuffled once.
+
+    ``profile="oracle"`` (default) ranks with the per-source window —
+    one task sorts each source's whole slice (fine at source
+    cardinality ~uniform; the oracle-parity form).
+    ``profile="scale"`` is the skewed-corpus path made real: the SAME
+    integer ranks via ``relational.ranked_by_range`` (range shuffle +
+    per-partition offsets — a source's slice spans many parallel
+    tasks); pinned value-identical in pytest.
 
     Output: (source, decile 1..10, score), source asc, decile asc.
     """
@@ -396,10 +405,19 @@ def quality_deciles(documents: DataFrame) -> DataFrame:
         F.col("doc_id"),
         F.round(score, 4).alias("score"),
     )
-    w = Window.partitionBy("source").orderBy("score", "doc_id")
-    ranked = base.select(
-        "source", "score", F.row_number().over(w).alias("rn")
-    )
+    if profile == "scale":
+        from scholar_stream_spark.operators.relational import (  # noqa: PLC0415 — avoids a module-load cycle; relational does not import curation
+            ranked_by_range,
+        )
+
+        ranked = ranked_by_range(
+            base, ["source"], ["score", "doc_id"]
+        ).select("source", "score", "rn")
+    else:
+        w = Window.partitionBy("source").orderBy("score", "doc_id")
+        ranked = base.select(
+            "source", "score", F.row_number().over(w).alias("rn")
+        )
     targets = (
         base.groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))

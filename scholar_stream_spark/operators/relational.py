@@ -16,6 +16,10 @@ summation order varies with partitioning, decimal does not. Plain
 
 from __future__ import annotations
 
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -2579,13 +2583,137 @@ def revenue_concentration(
     )
 
 
+def ranked_by_range(
+    df: DataFrame,
+    key_cols: tuple | list,
+    order_cols: tuple | list,
+    n_parts: int | None = None,
+    rank_col: str = "rn",
+    n_col: str | None = None,
+) -> DataFrame:
+    """Distributed rank-exact ``row_number`` — the scale path the
+    rank-exact family's docstrings promise (``quality_deciles`` /
+    ``rfm_segments`` / ``mad_outliers``): a per-key total-order window
+    sorts each key's WHOLE slice in one task (5 event types / 25
+    nations / one global order ⇒ single-task sorts at 10⁹ rows); this
+    helper computes the IDENTICAL integer ranks with
+    ``repartitionByRange`` + per-partition offsets, so the sort runs
+    ``n_parts``-way parallel and no task ever holds a key's full slice.
+
+    Mechanics: range-partition and locally sort on (key, order) — the
+    total order is contiguous across partition boundaries; one tiny
+    aggregate counts rows per (partition, key) (≤ ``n_parts`` + |keys|
+    rows by contiguity — bounded driver state); cumulative counts give
+    each (partition, key) its rank OFFSET; one Arrow pass then assigns
+    ``rank = offset + local position`` — vectorized per batch (pandas
+    ``cumcount`` within the batch + a per-key running counter across
+    batches), no extra exchange after the range shuffle.
+
+    The (key, order) total order MUST be unique (the family's tiebreak
+    discipline) — equal sort keys could otherwise straddle a range
+    boundary and make offsets ambiguous.
+
+    ``n_col``: optionally also attach each key's TOTAL row count (the
+    driver already knows it from the offsets pass — saves consumers a
+    separate groupBy+broadcast).
+
+    Returns ``df``'s columns + ``rank_col`` (+ ``n_col``), one row per
+    input row. Value-identical to the window form (pytest-pinned).
+    """
+    key_cols = list(key_cols)
+    order_cols = list(order_cols)
+    sort_cols = key_cols + order_cols
+    if n_parts is None:
+        n_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    base = (
+        df.repartitionByRange(n_parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # counts pass + rank pass share it
+    )
+    cnt_rows = base.groupBy("_pid", *key_cols).count().collect()
+    per_key: dict = defaultdict(list)
+    for r in cnt_rows:
+        per_key[tuple(r[k] for k in key_cols)].append(
+            (r["_pid"], r["count"])
+        )
+    offsets: dict = {}
+    totals: dict = {}
+    for key, lst in per_key.items():
+        lst.sort()
+        acc = 0
+        for pid, c in lst:
+            offsets[(pid,) + key] = acc
+            acc += c
+        totals[key] = acc
+
+    out_fields = [f"{fld.name} {fld.dataType.simpleString()}"
+                  for fld in df.schema.fields]
+    out_fields.append(f"{rank_col} long")
+    if n_col is not None:
+        out_fields.append(f"{n_col} long")
+    out_cols = df.columns
+
+    def kernel(batches):
+        seen: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            ranks = np.empty(len(pdf), dtype=np.int64)
+            nvals = (
+                np.empty(len(pdf), dtype=np.int64)
+                if n_col is not None
+                else None
+            )
+            if key_cols:
+                # groupby.indices: ascending row positions per key —
+                # rows of a key are contiguous (partition sorted by
+                # key, order), so position order IS the local rank
+                # order; `seen` carries the running count across this
+                # partition's batches
+                grp = pdf.groupby(key_cols, sort=False)
+                for key, idx in grp.indices.items():
+                    k = key if isinstance(key, tuple) else (key,)
+                    k = tuple(
+                        v.item() if hasattr(v, "item") else v for v in k
+                    )
+                    ck = (pid,) + k
+                    start = seen.get(ck, offsets.get(ck, 0))
+                    ranks[idx] = start + np.arange(
+                        1, len(idx) + 1, dtype=np.int64
+                    )
+                    seen[ck] = start + len(idx)
+                    if nvals is not None:
+                        nvals[idx] = totals[k]
+            else:
+                start = seen.get((pid,), offsets.get((pid,), 0))
+                ranks[:] = start + np.arange(
+                    1, len(pdf) + 1, dtype=np.int64
+                )
+                seen[(pid,)] = start + len(pdf)
+                if nvals is not None:
+                    nvals[:] = totals.get((), 0)
+            out = pdf[out_cols].copy()
+            out[rank_col] = ranks
+            if n_col is not None:
+                out[n_col] = nvals
+            yield out
+
+    return base.mapInPandas(kernel, ", ".join(out_fields))
+
+
 #: MAD multiplier for the robust outlier rule (raw MAD units — no
 #: 1.4826 normal-consistency constant, so the rule stays exact-integer
 #: comparable across engines; 3 raw-MAD ≈ 4.45 sigma on normal data).
 MAD_K = 3.0
 
 
-def mad_outliers(events: DataFrame, k: float = MAD_K) -> DataFrame:
+def mad_outliers(
+    events: DataFrame, k: float = MAD_K, profile: str = "oracle"
+) -> DataFrame:
     """Median/MAD robust outlier screen per event type — the companion
     to ``detect_outliers``' z-score: mean/stddev are themselves dragged
     by the outliers they're hunting (one 1000x value inflates sigma
@@ -2608,33 +2736,57 @@ def mad_outliers(events: DataFrame, k: float = MAD_K) -> DataFrame:
     ≤|types|-row (median, MAD) tables broadcast back into stateless
     filters. Output is alert-sized (outliers only).
 
+    ``profile="oracle"`` (default) ranks with per-type total-order
+    windows — one task sorts each type's whole slice (5 types here;
+    the oracle-parity form). ``profile="scale"`` computes the SAME
+    integer ranks with ``ranked_by_range`` (range shuffle +
+    per-partition offsets — n_parts-way parallel per pass, no
+    single-task key slices); pinned value-identical in pytest.
+
     Output: (event_id, event_type, value, med, mad, abs_dev).
     """
     base = (
         events.select("event_id", "event_type", "value")
         .localCheckpoint(eager=False)
     )
-    w_val = Window.partitionBy("event_type").orderBy("value", "event_id")
     w_n = Window.partitionBy("event_type")
-    ranked = base.select(
-        "event_type",
-        "value",
-        F.row_number().over(w_val).alias("rn"),
-        F.count(F.lit(1)).over(w_n).alias("n"),
-    )
+    if profile == "scale":
+        ranked = ranked_by_range(
+            base, ["event_type"], ["value", "event_id"], n_col="n"
+        )
+    else:
+        w_val = Window.partitionBy("event_type").orderBy(
+            "value", "event_id"
+        )
+        ranked = base.select(
+            "event_type",
+            "value",
+            F.row_number().over(w_val).alias("rn"),
+            F.count(F.lit(1)).over(w_n).alias("n"),
+        )
     med_tbl = ranked.filter(
         F.col("rn") == F.expr("(n + 1) DIV 2")
     ).select("event_type", F.col("value").alias("med"))
     devs = base.join(F.broadcast(med_tbl), "event_type").withColumn(
         "abs_dev", F.abs(F.col("value") - F.col("med"))
     )
-    w_dev = Window.partitionBy("event_type").orderBy("abs_dev", "event_id")
-    dev_ranked = devs.select(
-        "event_type",
-        "abs_dev",
-        F.row_number().over(w_dev).alias("rn"),
-        F.count(F.lit(1)).over(w_n).alias("n"),
-    )
+    if profile == "scale":
+        dev_ranked = ranked_by_range(
+            devs.select("event_type", "abs_dev", "event_id"),
+            ["event_type"],
+            ["abs_dev", "event_id"],
+            n_col="n",
+        )
+    else:
+        w_dev = Window.partitionBy("event_type").orderBy(
+            "abs_dev", "event_id"
+        )
+        dev_ranked = devs.select(
+            "event_type",
+            "abs_dev",
+            F.row_number().over(w_dev).alias("rn"),
+            F.count(F.lit(1)).over(w_n).alias("n"),
+        )
     mad_tbl = dev_ranked.filter(
         F.col("rn") == F.expr("(n + 1) DIV 2")
     ).select("event_type", F.col("abs_dev").alias("mad"))
@@ -2772,7 +2924,7 @@ def corr_matrix(lineitem: DataFrame, cols: tuple = CORR_COLS) -> DataFrame:
     )
 
 
-def rfm_segments(orders: DataFrame) -> DataFrame:
+def rfm_segments(orders: DataFrame, profile: str = "oracle") -> DataFrame:
     """RFM customer segmentation — recency (days since the customer's
     last order, against the dataset's max order date as "now"),
     frequency (order count), monetary (exact-decimal revenue) — each
@@ -2792,10 +2944,14 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     Scale shape: the fact table collapses to a ≤|customers|-row
     3-metric aggregate FIRST (one map-side-combined exchange — the
     only fact-sized cost); the three ranking windows then run over
-    that aggregate. They are written as single-total-order windows for
-    oracle parity; at 10⁹ customers the same rule runs distributed as
-    ``repartitionByRange`` + per-partition offsets (a documented
-    mechanical swap — the integer rank arithmetic is unchanged).
+    that aggregate. ``profile="oracle"`` (default) writes them as
+    single-total-order windows for oracle parity — one task sorts all
+    customers, three times. ``profile="scale"`` is the documented
+    mechanical swap made real: each metric ranks via
+    ``ranked_by_range`` (range shuffle + per-partition offsets,
+    n_parts-way parallel — the form that holds at 10⁹ customers), the
+    integer rank arithmetic unchanged, and the three score tables
+    hash-join back on custkey; pinned value-identical in pytest.
 
     Output: (r_score, f_score, m_score, n_customers, total_revenue),
     scores descending-best.
@@ -2820,6 +2976,39 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
             "monetary",
         )
     )
+    if profile == "scale":
+        # three independent total orders -> three parallel range-rank
+        # passes over the (small relative to the fact table) per-cust
+        # aggregate, re-joined on the shared key; descending metrics
+        # rank on the NEGATED column (integer/exact types, no ties)
+        per_cust = per_cust.localCheckpoint(eager=False)
+
+        def _score(metric_col, asc: bool, name: str):
+            src = per_cust.select(
+                "o_custkey",
+                (F.col(metric_col) if asc else -F.col(metric_col)).alias(
+                    "_k"
+                ),
+            )
+            return ranked_by_range(
+                src, [], ["_k", "o_custkey"], rank_col="rk", n_col="n"
+            ).select(
+                "o_custkey",
+                F.expr(f"CAST(5 - ((rk - 1) * 5) DIV n AS INT)").alias(
+                    name
+                ),
+            )
+
+        scored = (
+            per_cust.select("o_custkey", "monetary")
+            .join(_score("recency_days", True, "r_score"), "o_custkey")
+            .join(_score("frequency", False, "f_score"), "o_custkey")
+            .join(_score("monetary", False, "m_score"), "o_custkey")
+        )
+        return scored.groupBy("r_score", "f_score", "m_score").agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.expr("CAST(SUM(monetary) AS DOUBLE)").alias("total_revenue"),
+        )
     n_w = Window.partitionBy()
     w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
     w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))

@@ -163,6 +163,102 @@ def test_opq_topk_partition_invariant(emb):
     assert a == b
 
 
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ranked_by_range_matches_window_keyed(spark):
+    """The distributed rank (range shuffle + per-partition offsets)
+    must equal the window row_number on the same unique total order —
+    including ties on the value column broken by id, multiple keys,
+    and n_col totals."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(11)
+    rows = [
+        (i, rnd.choice(["a", "b", "c"]), float(rnd.randint(0, 20)))
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, k string, v double"
+    ).repartition(7)
+    got = _rows(
+        relational.ranked_by_range(
+            df, ["k"], ["v", "id"], n_parts=5, n_col="n"
+        ).select("id", "k", "v", "rn", "n")
+    )
+    w = Window.partitionBy("k").orderBy("v", "id")
+    wn = Window.partitionBy("k")
+    want = _rows(
+        df.select(
+            "id",
+            "k",
+            "v",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+        )
+    )
+    assert got == want
+
+
+def test_ranked_by_range_matches_window_global(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") * 37 % 101).alias("v")
+    ).repartition(6)
+    got = _rows(
+        relational.ranked_by_range(
+            df, [], ["v", "id"], n_parts=4, n_col="n"
+        )
+    )
+    w = Window.orderBy("v", "id")
+    want = _rows(
+        df.select(
+            "id",
+            "v",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+        )
+    )
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def sf_small_tables(spark):
+    return {
+        t: spark.read.parquet(f"{SF_SMALL}/{t}.parquet")
+        for t in ("events", "orders", "documents")
+    }
+
+
+def test_mad_outliers_scale_profile_identical(sf_small_tables):
+    ev = sf_small_tables["events"]
+    assert _rows(relational.mad_outliers(ev, profile="scale")) == _rows(
+        relational.mad_outliers(ev)
+    )
+
+
+def test_rfm_segments_scale_profile_identical(sf_small_tables):
+    od = sf_small_tables["orders"]
+    assert _rows(relational.rfm_segments(od, profile="scale")) == _rows(
+        relational.rfm_segments(od)
+    )
+
+
+def test_quality_deciles_scale_profile_identical(sf_small_tables):
+    from scholar_stream_spark.operators import curation
+
+    docs = sf_small_tables["documents"]
+    assert _rows(curation.quality_deciles(docs, profile="scale")) == _rows(
+        curation.quality_deciles(docs)
+    )
+
+
 def test_bm25_whitespace_edge_tokens(spark):
     """Leading/trailing tabs+newlines must not change dl: the collapse-
     then-trim tokenization gives the tab-padded doc the SAME score as
