@@ -259,6 +259,108 @@ def test_quality_deciles_scale_profile_identical(sf_small_tables):
     )
 
 
+def _late_history(spark):
+    """Constructed disorder: user 1's arrival order (event_id) carries
+    one event 100 s older than the running event-time max — the audit
+    must measure max_lateness_us = 100e6, so the auto delay is
+    ceil(100 * 1.25) = 125 s."""
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        (1, 1, base + datetime.timedelta(seconds=10)),
+        (2, 1, base + datetime.timedelta(seconds=40)),
+        (3, 1, base + datetime.timedelta(seconds=90)),
+        (4, 1, base + datetime.timedelta(seconds=160)),
+        (5, 1, base + datetime.timedelta(seconds=200)),
+        (6, 1, base + datetime.timedelta(seconds=100)),  # 100 s late
+    ]
+    return (
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp"
+        ),
+        base,
+    )
+
+
+def test_auto_watermark_delay_from_audit(spark):
+    from scholar_stream_spark.streaming.latency import auto_watermark_delay
+
+    events, _ = _late_history(spark)
+    assert auto_watermark_delay(events) == "125 seconds"
+    # in-order history collapses to the floor
+    ordered = events.filter("event_id != 6")
+    assert auto_watermark_delay(ordered) == "1 seconds"
+
+
+@pytest.mark.parametrize(
+    "delay,expected_admitted", [("125 seconds", 6), ("1 seconds", 5)]
+)
+def test_auto_watermark_admits_measured_lateness(
+    spark, tmp_path, delay, expected_admitted
+):
+    """End-to-end admission pin: replay the late history as a stream
+    (one file per micro-batch, in the SAME arrival order the audit
+    measured; the late event gets its own micro-batch — Spark's
+    late-row filter applies the watermark with a one-batch lag, so
+    same-batch lateness is never filtered), aggregate under the
+    watermark, and count rows in FINALIZED windows (append mode; a
+    far-future flush event closes every real window). The auto-sized
+    125 s delay admits all 6 events; a 1 s delay drops the 100 s-late
+    one — the silent-loss failure mode auto-sizing exists to prevent."""
+    import json as _json
+    import os
+
+    events, base = _late_history(spark)
+    arrival = sorted(events.collect(), key=lambda r: r["event_id"])
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    batches = [arrival[:4], arrival[4:5], arrival[5:]]
+    epoch = lambda r: int(r["ts"].replace(  # noqa: E731
+        tzinfo=datetime.timezone.utc).timestamp())
+    for i, batch in enumerate(batches):
+        p = inbox / f"b{i}.json"
+        p.write_text(
+            "\n".join(
+                _json.dumps({"event_id": r["event_id"], "sec": epoch(r)})
+                for r in batch
+            )
+        )
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    flush = inbox / "b9.json"
+    flush.write_text(_json.dumps({"event_id": 99, "sec": int(
+        base.timestamp()) + 100_000}))
+    os.utime(flush, (1_700_000_009, 1_700_000_009))
+
+    stream = (
+        spark.readStream.schema("event_id long, sec long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(inbox))
+        .select(
+            "event_id",
+            F.to_timestamp(F.from_unixtime("sec")).alias("ts"),
+        )
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "30 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"wm_{delay.split()[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    admitted = spark.sql(
+        f"SELECT coalesce(sum(n), 0) AS s FROM {name}"
+        f" WHERE w.start < to_timestamp('2026-01-02')"
+    ).first()["s"]
+    assert admitted == expected_admitted, admitted
+
+
 def test_bm25_whitespace_edge_tokens(spark):
     """Leading/trailing tabs+newlines must not change dl: the collapse-
     then-trim tokenization gives the tab-padded doc the SAME score as
