@@ -500,6 +500,9 @@ PROFILE_COLS = (
 #: cap invariant (``test_driver_cap_rotation_invariants``).
 _DRIVER_FIRST = (
     "shipping_delay_profile",
+    "doclen_histogram",
+    "cross_source_overlap",
+    "dedup_cluster_sizes",
     "vocab_coverage",
     "heavy_hitters",
     "asof_join",
@@ -1193,6 +1196,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             relational.shipping_delay_profile(
                 _t(s, d, "orders"), _t(s, d, "lineitem")
             )
+        ),
+        # per-source token-length histogram (fixed-width integer
+        # buckets — the pre-packing context-length report)
+        "doclen_histogram": lambda s, d: textops.doclen_histogram(
+            _t(s, d, "documents")
+        ),
+        # exact-fingerprint overlap matrix between sources (provenance
+        # companion to neardup_source_matrix)
+        "cross_source_overlap": lambda s, d: dedup.cross_source_overlap(
+            _t(s, d, "documents")
+        ),
+        # near-dup cluster-size histogram incl. the singleton row —
+        # partitions the whole corpus (dedup budget table)
+        "dedup_cluster_sizes": lambda s, d: dedup.dedup_cluster_sizes(
+            _t(s, d, "documents")
         ),
         "revenue_by_region": lambda s, d: relational.revenue_by_region(
             _t(s, d, "orders"),
@@ -4813,6 +4831,59 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             FROM devs d JOIN mad_tbl t USING (event_type)
             WHERE d.abs_dev > {relational.MAD_K} * t.mad
         """,
+        "doclen_histogram": f"""
+            WITH base AS (
+                SELECT source,
+                       CAST(length(text) - length(replace(text, ' ', ''))
+                            + 1 AS BIGINT) AS nt
+                FROM documents
+            ), rolled AS (
+                SELECT source,
+                       CAST((nt // {textops.DOCLEN_BUCKET_WIDTH})
+                            * {textops.DOCLEN_BUCKET_WIDTH} AS BIGINT)
+                           AS bucket_lo,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(nt) AS BIGINT) AS total_tokens
+                FROM base GROUP BY 1, 2
+            )
+            SELECT source, bucket_lo, n_docs, total_tokens,
+                   round(CAST(n_docs AS DOUBLE)
+                         / CAST(sum(n_docs) OVER (PARTITION BY source)
+                                AS DOUBLE), 6) AS doc_frac
+            FROM rolled
+        """,
+        "cross_source_overlap": """
+            WITH sf AS (
+                SELECT DISTINCT source,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                           'g'))) AS fp
+                FROM documents
+            ), per_src AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_distinct
+                FROM sf GROUP BY source
+            ), pairs AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       CAST(count(*) AS BIGINT) AS n_common
+                FROM sf a JOIN sf b
+                  ON a.fp = b.fp AND a.source < b.source
+                GROUP BY 1, 2
+            ), grid AS (
+                SELECT a.source AS source_a, b.source AS source_b
+                FROM per_src a, per_src b WHERE a.source < b.source
+            )
+            SELECT g.source_a, g.source_b,
+                   na.n_distinct AS n_a, nb.n_distinct AS n_b,
+                   CAST(coalesce(p.n_common, 0) AS BIGINT) AS n_common,
+                   round(CAST(coalesce(p.n_common, 0) AS DOUBLE)
+                         / CAST(na.n_distinct + nb.n_distinct
+                                - coalesce(p.n_common, 0) AS DOUBLE),
+                         6) AS jaccard
+            FROM grid g
+            LEFT JOIN pairs p ON p.source_a = g.source_a
+                             AND p.source_b = g.source_b
+            JOIN per_src na ON na.source = g.source_a
+            JOIN per_src nb ON nb.source = g.source_b
+        """,
         "shipping_delay_profile": """
             WITH lags AS (
                 SELECT o_orderpriority, l_orderkey, l_linenumber,
@@ -5875,6 +5946,31 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                               WHERE idx.fingerprint = b.fingerprint)
         """,
         "dedup_clusters": _clusters_sql(),
+        "dedup_cluster_sizes": f"""
+            WITH cl AS (SELECT * FROM ({_clusters_sql()})),
+            hist AS (
+                SELECT cluster_size,
+                       CAST(count(*) AS BIGINT) AS n_clusters,
+                       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+                FROM (SELECT DISTINCT cluster_id, cluster_size FROM cl)
+                GROUP BY cluster_size
+            ),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total
+                    FROM documents),
+            cltot AS (SELECT CAST(coalesce(sum(n_docs), 0) AS BIGINT)
+                          AS n_cl FROM hist),
+            full_h AS (
+                SELECT * FROM hist
+                UNION ALL
+                SELECT CAST(1 AS BIGINT), n_total - n_cl, n_total - n_cl
+                FROM tot, cltot
+            )
+            SELECT cluster_size, n_clusters, n_docs,
+                   round(CAST(n_docs AS DOUBLE)
+                         / CAST((SELECT n_total FROM tot) AS DOUBLE),
+                         6) AS doc_frac
+            FROM full_h WHERE n_clusters > 0
+        """,
         "dedup_survivor_map": f"""
             WITH cl AS (SELECT * FROM ({_clusters_sql()})),
             tq AS (SELECT doc_id, quality_score

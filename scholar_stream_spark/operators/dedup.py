@@ -126,6 +126,176 @@ def exact_dedup_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def cross_source_overlap(documents: DataFrame) -> DataFrame:
+    """Exact-content overlap matrix between sources — for every
+    unordered source pair, how many distinct normalized fingerprints
+    appear in BOTH, and the Jaccard of the two fingerprint sets. This
+    is the provenance companion to ``neardup_source_matrix`` (near-dup
+    pairs): exact cross-source overlap means one crawl mirrors
+    another — the upsampling-risk / licensing-audit table.
+
+    Fingerprint = md5 of the whitespace-collapsed lowercased text (the
+    repo's one normalization, shared with the curate pipeline and the
+    oracle). Scale shape: ONE text scan → distinct (source, fp) (one
+    map-side-combined exchange); per-fp source SETS via sorted
+    ``collect_set`` keyed on fp (second exchange — the set is ≤
+    |sources| BY CONSTRUCTION); pairs explode from the tiny array with
+    the ``session_type_lift`` nested ``transform`` (a<b structural —
+    no self-join on a corpus-sized table); per-source distinct counts
+    broadcast into the ≤|sources|²-row grid built from the sources
+    cross join, so ZERO-overlap pairs keep their row. Jaccard is one
+    IEEE division of exact integers.
+
+    Output: (source_a, source_b, n_a, n_b, n_common, jaccard),
+    source_a < source_b.
+    """
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    sf = (
+        scale_out(documents)
+        .select("source", fp.alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds pair mining AND side counts
+    )
+    per_src = sf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    )
+    # pair grid from ONE sorted source array (the same nested-transform
+    # idiom as the per-fp pair mining) — a sources×sources crossJoin
+    # would plan as a CartesianProduct, which the fleet plan audit bans
+    grid = (
+        per_src.agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (a, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "b -> struct(a AS source_a, b AS source_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.source_a", "p.source_b")
+    )
+    pairs = (
+        sf.groupBy("fp")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (a, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "b -> struct(a AS source_a, b AS source_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    na = per_src.select(
+        F.col("source").alias("source_a"), F.col("n_distinct").alias("n_a")
+    )
+    nb = per_src.select(
+        F.col("source").alias("source_b"), F.col("n_distinct").alias("n_b")
+    )
+    return (
+        grid.join(F.broadcast(pairs), ["source_a", "source_b"], "left")
+        .join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("n_common"), F.lit(0).cast("long")).alias(
+                "n_common"
+            ),
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                / (
+                    F.col("n_a") + F.col("n_b")
+                    - F.coalesce(F.col("n_common"), F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def dedup_cluster_sizes(
+    documents: DataFrame,
+    n: int = SHINGLE_N,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Cluster-size histogram over the near-dup graph — the dedup
+    BUDGET table: how many clusters of each size exist, how many
+    documents they hold, and what fraction of the corpus each size
+    class is (size 2 = simple pairs; a heavy tail of big clusters
+    means boilerplate/mirrors and a large survivor saving).
+    Singletons (documents in no near-dup pair) appear as the
+    ``cluster_size = 1`` row, so the histogram partitions the WHOLE
+    corpus: ``sum(n_docs) = |documents|`` by construction.
+
+    Scale shape: the shared ``neardup_clusters`` pipeline does the
+    heavy lifting (pair mining + min-label propagation, its own
+    checkpoint discipline); this rollup touches only the
+    duplicate-population-sized cluster table — distinct (cluster_id,
+    cluster_size) then a map-side-combined groupBy to ≤ max-size rows;
+    the singleton row is ONE narrow corpus count minus the clustered
+    count. `doc_frac` is one IEEE division of exact integers.
+
+    Output: (cluster_size, n_clusters, n_docs, doc_frac), size desc.
+    """
+    clusters = neardup_clusters(documents, n=n, threshold=threshold)
+    hist = (
+        clusters.select("cluster_id", "cluster_size")
+        .distinct()
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        # feeds BOTH the histogram rows and the clustered-total for the
+        # singleton row — pin once (it's a ≤max-size-row table)
+        .localCheckpoint(eager=False)
+    )
+    total_df = documents.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    clustered_df = hist.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_cl")
+    )
+    singles = (
+        total_df.crossJoin(clustered_df)
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("n_total") - F.col("n_cl")).alias("n_clusters"),
+            (F.col("n_total") - F.col("n_cl")).alias("n_docs"),
+        )
+    )
+    return (
+        hist.unionByName(singles)
+        .filter(F.col("n_clusters") > 0)
+        .crossJoin(F.broadcast(total_df))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("doc_frac"),
+        )
+        .orderBy(F.desc("cluster_size"))
+    )
+
+
 def distinct_shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, shingle) with per-doc distinct n-word shingles.
 

@@ -74,6 +74,59 @@ def token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+#: Fixed token-count bucket width for the per-source length histogram
+#: (32 tokens ≈ the granularity packing decisions care about).
+DOCLEN_BUCKET_WIDTH = 32
+
+
+def doclen_histogram(
+    documents: DataFrame, bucket_width: int = DOCLEN_BUCKET_WIDTH
+) -> DataFrame:
+    """Per-source document-length histogram in whitespace tokens — the
+    report read BEFORE choosing a packing context length (`pack_docs`'
+    budget) or a chunking size: how much of each source falls below /
+    above a candidate sequence budget, and where the mass is.
+
+    Buckets are FIXED-width integer arithmetic (``nt DIV width``), so
+    both engines bucket identically — no quantile estimation, no
+    float boundaries (`value_equidepth_bins` is the equi-DEPTH
+    companion on events). `doc_frac` is one IEEE division of exact
+    integers computed over the ≤|sources|·buckets rollup.
+
+    Scale shape: ONE text scan computing the `n_tokens` length
+    expression (no token array materialized), one map-side-combined
+    groupBy to the tiny (source, bucket) rollup; the per-source share
+    window runs on the rollup, never the corpus.
+
+    Output: (source, bucket_lo, n_docs, total_tokens, doc_frac),
+    bucket_lo = bucket start in tokens.
+    """
+    base = scale_out(documents).select(
+        "source", n_tokens(F.col("text")).alias("nt")
+    )
+    rolled = base.groupBy(
+        "source",
+        F.expr(f"(nt DIV {int(bucket_width)}) * {int(bucket_width)}")
+        .cast("long")
+        .alias("bucket_lo"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+    )
+    w_src = Window.partitionBy("source")
+    return rolled.select(
+        "source",
+        "bucket_lo",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w_src).cast("double"),
+            6,
+        ).alias("doc_frac"),
+    )
+
+
 def quality_parts(text: Column) -> tuple[Column, Column, Column, Column]:
     """(n_tokens, mean_token_len, stopword_ratio, composite score) for a
     text column — shared by ``text_quality`` and the composed

@@ -361,6 +361,74 @@ def test_auto_watermark_admits_measured_lateness(
     assert admitted == expected_admitted, admitted
 
 
+def test_doclen_histogram_buckets(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "w " * 10),     # 11 ws tokens -> bucket 0
+            (2, "a", "w " * 40),     # 41 -> bucket 32
+            (3, "a", "w " * 41),     # 42 -> bucket 32
+            (4, "b", "one two"),     # 2 -> bucket 0
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        (r["source"], r["bucket_lo"]): r
+        for r in textops.doclen_histogram(docs).collect()
+    }
+    assert set(rows) == {("a", 0), ("a", 32), ("b", 0)}
+    assert rows[("a", 0)]["n_docs"] == 1
+    assert rows[("a", 32)]["n_docs"] == 2
+    assert rows[("a", 32)]["total_tokens"] == 41 + 42
+    assert rows[("a", 0)]["doc_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert rows[("b", 0)]["doc_frac"] == 1.0
+
+
+def test_cross_source_overlap_planted(spark):
+    from scholar_stream_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "shared document text"),
+            (2, "a", "only in a"),
+            (3, "b", "Shared   DOCUMENT text"),  # same after normalize
+            (4, "b", "only in b"),
+            (5, "b", "only in b too"),
+            (6, "c", "nothing in common"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in dedup.cross_source_overlap(docs).collect()
+    }
+    # full grid: every source pair has a row, zero-overlap included
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = rows[("a", "b")]
+    assert (ab["n_a"], ab["n_b"], ab["n_common"]) == (2, 3, 1)
+    assert ab["jaccard"] == pytest.approx(1 / 4, abs=1e-6)
+    assert rows[("a", "c")]["n_common"] == 0
+    assert rows[("a", "c")]["jaccard"] == 0.0
+
+
+def test_dedup_cluster_sizes_partitions_corpus(spark):
+    from scholar_stream_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    hist = dedup.dedup_cluster_sizes(docs).collect()
+    assert sum(r["n_docs"] for r in hist) == docs.count()
+    assert sum(r["cluster_size"] * r["n_clusters"] for r in hist) == docs.count()
+    sizes = {
+        r["cluster_id"]: r["cluster_size"]
+        for r in dedup.neardup_clusters(docs).collect()
+    }
+    by_size: dict = {}
+    for sz in sizes.values():
+        by_size[sz] = by_size.get(sz, 0) + 1
+    got = {r["cluster_size"]: r["n_clusters"] for r in hist if r["cluster_size"] > 1}
+    assert got == by_size
+    assert abs(sum(r["doc_frac"] for r in hist) - 1.0) < 1e-4
+
+
 def test_bm25_whitespace_edge_tokens(spark):
     """Leading/trailing tabs+newlines must not change dl: the collapse-
     then-trim tokenization gives the tab-padded doc the SAME score as
