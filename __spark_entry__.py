@@ -32,9 +32,11 @@ Deliberately WITHOUT oracle entries (rows-only check):
   training-progress/recall-floor pins in ``tests/test_r11_ops.py``.
 - ``ann_ivfpq_topk`` / ``ann_ivfpq_recall`` — the IVF×PQ composition
   (both parents rows-only); recall floor pytest-pinned.
-- ``ann_opq_topk`` / ``ann_opq_recall`` — parametric OPQ pre-rotation
-  (float eigenbasis, inherits the PQ rationale); recall ≥ plain-PQ
-  and orthogonality pytest-pinned (``tests/test_r12_ops.py``).
+- ``ann_opq_topk`` / ``ann_opq_recall`` / ``opq_probe_index`` —
+  parametric OPQ pre-rotation (float eigenbasis, inherits the PQ
+  rationale); recall ≥ plain-PQ, orthogonality, persisted-probe ==
+  inline-rerank, and frozen-rotation appends pytest-pinned
+  (``tests/test_r12_ops.py``).
 - ``pq_index_stats`` / ``pq_probe_index`` — the persisted PQ serving
   layout (codes from the trained quantizer, ``ivf_index_stats``'
   rationale); stats pinned vs an inline recount, probe pinned EXACTLY
@@ -332,6 +334,19 @@ def _pq_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return _INDEX_CACHE[key]
 
 
+def _opq_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = ("opq", sf_dir)
+    if key not in _INDEX_CACHE:
+        import tempfile  # noqa: PLC0415
+
+        path = tempfile.mkdtemp(prefix="ssq_opq_index_")
+        similarity.write_pq_index(
+            _t(spark, sf_dir, "embeddings"), path, opq=True
+        )
+        _INDEX_CACHE[key] = path
+    return _INDEX_CACHE[key]
+
+
 def _neardup_index_dir(spark: SparkSession, sf_dir: str) -> str:
     key = ("neardup", sf_dir)
     if key not in _INDEX_CACHE:
@@ -500,6 +515,7 @@ PROFILE_COLS = (
 #: cap invariant (``test_driver_cap_rotation_invariants``).
 _DRIVER_FIRST = (
     "shipping_delay_profile",
+    "customer_order_gaps",
     "doclen_histogram",
     "cross_source_overlap",
     "dedup_cluster_sizes",
@@ -1191,6 +1207,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_concentration": lambda s, d: relational.revenue_concentration(
             _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "nation")
         ),
+        # per-repeat-customer reorder-interval profile (lag window)
+        "customer_order_gaps": lambda s, d: relational.customer_order_gaps(
+            _t(s, d, "orders")
+        ),
         # order->ship latency percentiles per priority (rank-exact)
         "shipping_delay_profile": lambda s, d: (
             relational.shipping_delay_profile(
@@ -1533,6 +1553,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "pq_probe_index": lambda s, d: similarity.pq_probe_index(
             s, _pq_index_dir(s, d)
+        ),
+        # OPQ persisted serving path: same layout + a rotation side
+        # table; probes/appends rotate consistently forever after
+        "opq_probe_index": lambda s, d: similarity.pq_probe_index(
+            s, _opq_index_dir(s, d)
         ),
         # IVF-PQ + exact refine — the FAISS production composition
         # (cell pruning × code scan × shortlist float pass)
@@ -4830,6 +4855,26 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                    round(d.abs_dev, 4) AS abs_dev
             FROM devs d JOIN mad_tbl t USING (event_type)
             WHERE d.abs_dev > {relational.MAD_K} * t.mad
+        """,
+        "customer_order_gaps": """
+            WITH gaps AS (
+                SELECT o_custkey,
+                       CAST(date_diff('day',
+                           lag(o_orderdate) OVER (
+                               PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey),
+                           o_orderdate) AS BIGINT) AS gap_days
+                FROM orders
+            )
+            SELECT o_custkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   min(gap_days) AS min_gap_days,
+                   max(gap_days) AS max_gap_days,
+                   round(CAST(sum(gap_days) AS DOUBLE)
+                         / CAST(count(gap_days) AS DOUBLE), 4)
+                       AS avg_gap_days
+            FROM gaps GROUP BY o_custkey
+            HAVING min(gap_days) IS NOT NULL
         """,
         "doclen_histogram": f"""
             WITH base AS (

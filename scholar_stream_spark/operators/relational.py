@@ -3033,6 +3033,58 @@ def rfm_segments(orders: DataFrame, profile: str = "oracle") -> DataFrame:
     )
 
 
+def customer_order_gaps(orders: DataFrame) -> DataFrame:
+    """Reorder-interval profile — per repeat customer, the gaps between
+    consecutive orders: the retention signal behind "is this account
+    accelerating or going quiet" (`rfm_segments` scores the LAST gap
+    via recency; this is the whole history).
+
+    Consecutive = by (o_orderdate, o_orderkey) within customer — the
+    orderkey tiebreak makes same-day orders a deterministic sequence
+    (gap 0), so both engines difference the SAME neighbor pairs. Gaps
+    are integer days (`datediff` of adjacent rows via ``lag``);
+    min/max are exact integers; the mean is ONE IEEE division of the
+    exact (sum, count) pair.
+
+    Scale shape: one customer-keyed window exchange (|customers| keys —
+    massively parallel, no single-task slice; the lag window and the
+    rollup share the exchange because groupBy re-keys on the window's
+    own partition key). Output ≤|repeat customers| rows; single-order
+    customers have no interval and are excluded by contract.
+
+    Output: (o_custkey, n_orders, min_gap_days, max_gap_days,
+    avg_gap_days round-4).
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"),
+            F.lag("o_orderdate").over(w),
+        )
+        .cast("long")
+        .alias("gap_days"),
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("gap_days").alias("min_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+            # denominator = non-null gaps (n_orders - 1): the first
+            # order of each customer carries a NULL gap by construction
+            F.round(
+                F.sum("gap_days").cast("double")
+                / F.count("gap_days").cast("double"),
+                4,
+            ).alias("avg_gap_days"),
+        )
+        .filter(F.col("min_gap_days").isNotNull())
+    )
+
+
 def shipping_delay_profile(
     orders: DataFrame, lineitem: DataFrame
 ) -> DataFrame:

@@ -1824,6 +1824,7 @@ def ann_pq_rerank_topk(
     shortlist: int = PQ_RERANK_SHORTLIST,
     m: int = PQ_NUM_SUBSPACES,
     k_star: int = PQ_CODEBOOK_SIZE,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """PQ-ADC shortlist + exact-cosine re-rank — the production PQ
     serving shape (FAISS ``IndexRefine`` over a PQ base): the
@@ -1858,6 +1859,7 @@ def ann_pq_rerank_topk(
         q_rows=q_rows,
         m=m,
         k_star=k_star,
+        rotation=rotation,
     ).select("query_id", F.col("neighbor_id").alias("vec_id"))
     spark = embeddings.sparkSession
     qdf = spark.createDataFrame(
@@ -2213,12 +2215,42 @@ def hybrid_search_rrf(
     )
 
 
+def _load_pq_index_meta(spark, path: str):
+    """Driver-side load of a persisted PQ index's metadata: the
+    ``(m, k*, dsub)`` codebook plus the optional OPQ rotation (absent
+    for plain-PQ indexes — pre-r12 layouts load unchanged)."""
+    cb_rows = sorted(
+        spark.read.parquet(f"{path}/codebook").collect(),
+        key=lambda r: (r["subspace"], r["code"]),
+    )
+    m = 1 + max(r["subspace"] for r in cb_rows)
+    k_star = 1 + max(r["code"] for r in cb_rows)
+    dsub = len(cb_rows[0]["centroid"])
+    codebook = np.zeros((m, k_star, dsub))
+    for r in cb_rows:
+        codebook[r["subspace"], r["code"], :] = r["centroid"]
+    rotation = None
+    try:
+        rot_rows = sorted(
+            spark.read.parquet(f"{path}/rotation").collect(),
+            key=lambda r: r["row_idx"],
+        )
+        if rot_rows:
+            rotation = np.array(
+                [r["coeffs"] for r in rot_rows], dtype=np.float64
+            )
+    except Exception:  # noqa: BLE001 — no rotation table = plain PQ
+        rotation = None
+    return codebook, rotation
+
+
 def write_pq_index(
     embeddings: DataFrame,
     path: str,
     m: int = PQ_NUM_SUBSPACES,
     k_star: int = PQ_CODEBOOK_SIZE,
     n_iters: int = PQ_TRAIN_ITERS,
+    opq: bool = False,
 ) -> None:
     """Persist a PQ index (FAISS ``IndexRefine(PQ)`` layout): one
     corpus table carrying BOTH the 4-byte codes and the float vectors
@@ -2229,16 +2261,29 @@ def write_pq_index(
     (vec_id, embedding) for the shortlist rows only. Encode is one
     Arrow pass (codes computed next to the pass-through vector — no
     self-join to reunite them).
+
+    ``opq=True`` = FAISS ``OPQ{m},PQ{m}`` persisted: the parametric
+    rotation trains first (``_opq_rotation``), codes live in the
+    ROTATED space, and the dim×dim rotation persists as a third side
+    table so probes and appends rotate consistently forever after. The
+    STORED float vectors stay in the ORIGINAL space — the refine
+    stage's exact cosine is rotation-invariant, and un-rotated floats
+    keep the corpus readable by every non-PQ consumer.
     """
-    codebook, _ = _pq_train_codebook(embeddings, m, k_star, n_iters)
+    rotation = _opq_rotation(embeddings, m) if opq else None
+    codebook, _ = _pq_train_codebook(
+        embeddings, m, k_star, n_iters, rotation=rotation
+    )
     dsub = codebook.shape[2]
     cb = codebook
 
-    def kernel(batches):
+    def kernel(batches, rot=rotation):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if rot is not None:
+                x = x @ rot.T
             codes = _pq_assign(x.reshape(len(x), m, dsub), cb)
             yield pd.DataFrame(
                 {
@@ -2261,6 +2306,14 @@ def write_pq_index(
     spark.createDataFrame(
         rows, "subspace int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    if rotation is not None:
+        spark.createDataFrame(
+            [
+                (i, [float(v) for v in rotation[i]])
+                for i in range(rotation.shape[0])
+            ],
+            "row_idx int, coeffs array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/rotation")
 
 
 def pq_index_stats(spark, path: str) -> DataFrame:
@@ -2299,18 +2352,12 @@ def pq_probe_index(
     Deterministic end to end (trained quantizer persisted, stable
     tie-breaks), so pytest pins this EQUAL to the inline
     ``ann_pq_rerank_topk`` on the same corpus — the persisted path
-    cannot drift from the in-memory one. Rows-only driver check.
+    cannot drift from the in-memory one (OPQ indexes pin against the
+    inline path with the SAME persisted rotation). Rows-only driver
+    check.
     """
-    cb_rows = sorted(
-        spark.read.parquet(f"{path}/codebook").collect(),
-        key=lambda r: (r["subspace"], r["code"]),
-    )
-    m = 1 + max(r["subspace"] for r in cb_rows)
-    k_star = 1 + max(r["code"] for r in cb_rows)
-    dsub = len(cb_rows[0]["centroid"])
-    codebook = np.zeros((m, k_star, dsub))
-    for r in cb_rows:
-        codebook[r["subspace"], r["code"], :] = r["centroid"]
+    codebook, rotation = _load_pq_index_meta(spark, path)
+    m, k_star, dsub = codebook.shape
 
     corpus = spark.read.parquet(f"{path}/corpus")
     q_rows = (
@@ -2320,6 +2367,10 @@ def pq_probe_index(
     )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    if rotation is not None:
+        # codes live in the rotated space; queries must follow (norms
+        # are rotation-invariant, the refine stage stays un-rotated)
+        q_mat = q_mat @ rotation.T
     q_norm = np.linalg.norm(q_mat, axis=1)
     q_norm[q_norm == 0] = 1.0
     nq = len(q_ids)
@@ -2408,25 +2459,21 @@ def pq_append_index(embeddings: DataFrame, path: str) -> None:
     FROZEN by design (FAISS pattern: appends never silently re-map
     codes; retrain+rebuild when drift accumulates — compare
     ``pq_index_stats`` occupancy over time to decide). Idempotence is
-    the caller's job, same as the IVF twin.
+    the caller's job, same as the IVF twin. An OPQ index's persisted
+    rotation applies to every appended batch — frozen together with
+    the codebook it trained for.
     """
     spark = embeddings.sparkSession
-    cb_rows = sorted(
-        spark.read.parquet(f"{path}/codebook").collect(),
-        key=lambda r: (r["subspace"], r["code"]),
-    )
-    m = 1 + max(r["subspace"] for r in cb_rows)
-    k_star = 1 + max(r["code"] for r in cb_rows)
-    dsub = len(cb_rows[0]["centroid"])
-    cb = np.zeros((m, k_star, dsub))
-    for r in cb_rows:
-        cb[r["subspace"], r["code"], :] = r["centroid"]
+    cb, rotation = _load_pq_index_meta(spark, path)
+    m, k_star, dsub = cb.shape
 
-    def kernel(batches):
+    def kernel(batches, rot=rotation):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if rot is not None:
+                x = x @ rot.T
             codes = _pq_assign(x.reshape(len(x), m, dsub), cb)
             yield pd.DataFrame(
                 {

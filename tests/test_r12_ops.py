@@ -361,6 +361,29 @@ def test_auto_watermark_admits_measured_lateness(
     assert admitted == expected_admitted, admitted
 
 
+def test_customer_order_gaps_fixture(spark):
+    d = lambda s: datetime.date(2026, 1, 1) + datetime.timedelta(  # noqa: E731
+        days=s
+    )
+    orders = spark.createDataFrame(
+        [
+            # customer 1: days 0, 10, 10, 40 -> gaps 10, 0, 30
+            (100, 1, d(0)), (101, 1, d(10)), (102, 1, d(10)), (103, 1, d(40)),
+            # customer 2: single order -> excluded
+            (200, 2, d(5)),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate date",
+    )
+    rows = {
+        r["o_custkey"]: r
+        for r in relational.customer_order_gaps(orders).collect()
+    }
+    assert set(rows) == {1}
+    r = rows[1]
+    assert (r["n_orders"], r["min_gap_days"], r["max_gap_days"]) == (4, 0, 30)
+    assert r["avg_gap_days"] == pytest.approx(40 / 3, abs=1e-4)
+
+
 def test_doclen_histogram_buckets(spark):
     docs = spark.createDataFrame(
         [
@@ -427,6 +450,63 @@ def test_dedup_cluster_sizes_partitions_corpus(spark):
     got = {r["cluster_size"]: r["n_clusters"] for r in hist if r["cluster_size"] > 1}
     assert got == by_size
     assert abs(sum(r["doc_frac"] for r in hist) - 1.0) < 1e-4
+
+
+def test_opq_index_probe_matches_inline_rerank(spark, emb, tmp_path):
+    """The persisted OPQ path cannot drift from the in-memory one: a
+    probe of the written index (codes in rotated space, floats
+    original, rotation side table) equals the inline re-ranked PQ with
+    the SAME rotation."""
+    path = str(tmp_path / "opqidx")
+    similarity.write_pq_index(emb, path, opq=True)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.pq_probe_index(spark, path).collect()
+    )
+    rot = similarity._opq_rotation(emb)
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.ann_pq_rerank_topk(emb, rotation=rot).collect()
+    )
+    assert got == want
+
+
+def test_opq_index_append_consistent(spark, emb, tmp_path):
+    """Appends rotate with the PERSISTED rotation: building on half
+    the corpus and appending the other half yields byte-identical
+    codes to encoding both halves at build time with the same frozen
+    quantizer+rotation."""
+    from pyspark.sql import functions as F
+
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    p1 = str(tmp_path / "full")
+    similarity.write_pq_index(emb, p1, opq=True)
+    p2 = str(tmp_path / "halfapp")
+    similarity.write_pq_index(half_a, p2, opq=True)
+    # freeze p2's quantizer+rotation over p1's training set: overwrite
+    # the side tables with p1's so only the APPEND mechanics differ
+    spark.read.parquet(f"{p1}/codebook").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{p2}/codebook")
+    spark.read.parquet(f"{p1}/rotation").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{p2}/rotation")
+    # re-encode half_a under the frozen artifacts, then append half_b
+    import shutil
+
+    shutil.rmtree(f"{p2}/corpus")
+    similarity.pq_append_index(half_a, p2)
+    similarity.pq_append_index(half_b, p2)
+    codes1 = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in spark.read.parquet(f"{p1}/corpus").collect()
+    }
+    codes2 = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in spark.read.parquet(f"{p2}/corpus").collect()
+    }
+    assert codes1 == codes2
 
 
 def test_bm25_whitespace_edge_tokens(spark):
