@@ -505,14 +505,17 @@ PROFILE_COLS = (
 )
 
 #: Driver-cap rotation (round 12): CORRECTNESS runs check at most 50
-#: entries in ``queries()`` order. ``shipping_delay_profile`` leads
-#: (r12-new, never driver-checked), then the ten r7-stale entries
-#: (vocab_coverage .. curate_corpus — four windows since their last
-#: driver check), then the oldest r8-era greens fill the 50-cap. The
-#: 50 entries the r11 driver checked green (bm25_search ..
-#: incr_rollup) rotate to the back of the oracle-backed block as the
-#: freshest. Rows-only entries sit contiguously at the tail per the
-#: cap invariant (``test_driver_cap_rotation_invariants``).
+#: entries in ``queries()`` order. The FIVE r12-new oracle-backed ops
+#: lead (shipping_delay_profile, customer_order_gaps, doclen_histogram,
+#: cross_source_overlap, dedup_cluster_sizes — never driver-checked),
+#: then the ten r7-stale entries (vocab_coverage .. curate_corpus —
+#: four windows since their last driver check), then the oldest
+#: r8-era greens fill the 50-cap. The 50 entries the r11 driver
+#: checked green (bm25_search .. incr_rollup) rotate to the back of
+#: the oracle-backed block as the freshest. Rows-only entries
+#: (r12-new ann_opq_topk/ann_opq_recall/opq_probe_index included) sit
+#: contiguously at the tail per the cap invariant
+#: (``test_driver_cap_rotation_invariants``).
 _DRIVER_FIRST = (
     "shipping_delay_profile",
     "customer_order_gaps",
