@@ -519,6 +519,7 @@ PROFILE_COLS = (
 _DRIVER_FIRST = (
     "shipping_delay_profile",
     "customer_order_gaps",
+    "span_corruption_plan",
     "doclen_histogram",
     "cross_source_overlap",
     "dedup_cluster_sizes",
@@ -1213,6 +1214,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-repeat-customer reorder-interval profile (lag window)
         "customer_order_gaps": lambda s, d: relational.customer_order_gaps(
             _t(s, d, "orders")
+        ),
+        # deterministic T5-style span-corruption masking plan (portable
+        # hash placement, non-overlap structural)
+        "span_corruption_plan": lambda s, d: chunking.span_corruption_plan(
+            _t(s, d, "documents")
         ),
         # order->ship latency percentiles per priority (rank-exact)
         "shipping_delay_profile": lambda s, d: (
@@ -4858,6 +4864,36 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                    round(d.abs_dev, 4) AS abs_dev
             FROM devs d JOIN mad_tbl t USING (event_type)
             WHERE d.abs_dev > {relational.MAD_K} * t.mad
+        """,
+        "span_corruption_plan": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(length(text) - length(replace(text, ' ', ''))
+                            + 1 AS BIGINT) AS n
+                FROM documents
+            ), planned AS (
+                SELECT doc_id, n,
+                       (n * {chunking.SPAN_NOISE_PCT} // 100)
+                           // {chunking.SPAN_LEN} AS n_spans
+                FROM base
+            ), spans AS (
+                SELECT doc_id, n, n // n_spans AS stride, u.k
+                FROM planned,
+                     unnest(range(CAST(n_spans AS BIGINT))) AS u(k)
+                WHERE n_spans > 0
+            )
+            SELECT doc_id,
+                   CAST(k AS BIGINT) AS mask_id,
+                   CAST(k * stride
+                        + ({hex48_sql(
+                            "CAST(doc_id AS VARCHAR) || ':' "
+                            "|| CAST(k AS VARCHAR)"
+                        )})
+                          % greatest(stride - {chunking.SPAN_LEN} + 1, 1)
+                        AS BIGINT) AS start_token,
+                   CAST({chunking.SPAN_LEN} AS BIGINT) AS span_len,
+                   n AS n_doc_tokens
+            FROM spans
         """,
         "customer_order_gaps": """
             WITH gaps AS (

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from scholar_stream_spark.functions.hashing import hex48_spark_sql
 from scholar_stream_spark.plans.partitioning import scale_out
 
 #: Defaults shared with the DuckDB oracle text (do not fork).
@@ -67,4 +68,85 @@ def chunk_documents(
         .cast("long")
         .alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+#: T5 span-corruption defaults (Raffel et al., JMLR 2020 §3.1.4 —
+#: "Exploring the Limits of Transfer Learning"): 15% of tokens masked
+#: in spans of mean length 3. The deterministic variant fixes the span
+#: length at the mean — noise placement, not noise-length sampling, is
+#: what the plan table exists to pin down.
+SPAN_NOISE_PCT = 15
+SPAN_LEN = 3
+
+
+def span_corruption_plan(
+    documents: DataFrame,
+    noise_pct: int = SPAN_NOISE_PCT,
+    span_len: int = SPAN_LEN,
+) -> DataFrame:
+    """Deterministic T5-style span-corruption masking plan — WHERE the
+    denoising spans go, decided once and reproducibly, so every epoch /
+    restart / engine masks the same tokens (the plan-table discipline:
+    randomness in data prep must be a deterministic function of the
+    record, or runs aren't comparable).
+
+    Placement rule (all integer arithmetic): ``n_spans = (n·15 div
+    100) div 3``; the document splits into ``n_spans`` equal strides
+    (``stride = n div n_spans``, ≥ 20 at the defaults) and span ``k``
+    starts at ``k·stride + jitter_k`` with ``jitter_k =
+    hex48(doc_id:k) mod (stride − span_len + 1)`` — the portable
+    48-bit hash both engines compute bit-identically. One span per
+    stride makes NON-OVERLAP structural (no rejection sampling, no
+    cross-engine RNG to reconcile). Documents too short for one span
+    (n < 20) emit no rows — stated semantics.
+
+    Scale shape: one narrow text scan (the ``n_tokens`` length
+    expression, no token array), a per-row ``sequence`` explode of
+    n_spans ≈ n/20 plan rows, per-row hash arithmetic — no shuffle
+    anywhere; output is ~5% of corpus token count.
+
+    Output: (doc_id, mask_id 0.., start_token, span_len,
+    n_doc_tokens).
+    """
+    from scholar_stream_spark.operators.textops import n_tokens  # noqa: PLC0415 — textops does not import chunking; local to avoid a cycle if it ever does
+
+    staged = (
+        scale_out(documents)
+        .select("doc_id", n_tokens(F.col("text")).alias("n"))
+        .withColumn(
+            "n_spans",
+            F.expr(f"(n * {int(noise_pct)} DIV 100) DIV {int(span_len)}"),
+        )
+        .filter(F.col("n_spans") > 0)
+        .withColumn("stride", F.expr("n DIV n_spans"))
+    )
+    jitter = F.expr(
+        "{h} % greatest(stride - {sl} + 1, 1)".format(
+            h=hex48_spark_sql(
+                "CONCAT(CAST(doc_id AS STRING), ':', CAST(k AS STRING))"
+            ),
+            sl=int(span_len),
+        )
+    )
+    return (
+        staged.select(
+            "doc_id",
+            "n",
+            "stride",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_spans").cast("int") - F.lit(1)
+                )
+            ).alias("k"),
+        )
+        .select(
+            "doc_id",
+            F.col("k").cast("long").alias("mask_id"),
+            (F.col("k") * F.col("stride") + jitter)
+            .cast("long")
+            .alias("start_token"),
+            F.lit(int(span_len)).cast("long").alias("span_len"),
+            F.col("n").alias("n_doc_tokens"),
+        )
     )

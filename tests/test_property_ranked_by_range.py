@@ -1,0 +1,62 @@
+"""Property-based check of ``ranked_by_range`` (the rank-exact
+family's distributed scale path).
+
+The distributed rank's correctness hinges on the per-(partition, key)
+offset bookkeeping surviving adversarial layouts: keys straddling range
+boundaries, heavy value ties broken only by the id column, single-row
+keys, empty partitions, and partition counts both smaller and larger
+than the data. Hypothesis drives those against the window-form
+``row_number`` the oracle profile uses — the two must be IDENTICAL on
+any input whose (key, order) total order is unique (the family's
+contract).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from scholar_stream_spark.operators.relational import ranked_by_range
+
+row = st.tuples(
+    st.integers(min_value=0, max_value=4),    # key (few -> collisions)
+    st.integers(min_value=0, max_value=6),    # value (heavy ties)
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(row, min_size=0, max_size=60),
+    n_parts=st.integers(min_value=1, max_value=9),
+    in_parts=st.integers(min_value=1, max_value=5),
+)
+def test_ranked_by_range_equals_window(spark, rows, n_parts, in_parts):
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "id long, k long, v long"
+    ).repartition(in_parts)
+    got = sorted(
+        tuple(r)
+        for r in ranked_by_range(
+            df, ["k"], ["v", "id"], n_parts=n_parts, n_col="n"
+        ).collect()
+    )
+    w = Window.partitionBy("k").orderBy("v", "id")
+    wn = Window.partitionBy("k")
+    want = sorted(
+        tuple(r)
+        for r in df.select(
+            "id",
+            "k",
+            "v",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+        ).collect()
+    )
+    assert got == want

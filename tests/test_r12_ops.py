@@ -361,6 +361,45 @@ def test_auto_watermark_admits_measured_lateness(
     assert admitted == expected_admitted, admitted
 
 
+def test_span_corruption_plan_structural(spark):
+    """The placement contract: one span per stride (non-overlap
+    STRUCTURAL), spans in-bounds, mask ratio ~= 15%, short docs (< 20
+    tokens) emit nothing, and the plan is a pure function of the
+    record (stable across partitionings)."""
+    from scholar_stream_spark.operators import chunking
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w " * 100),  # 101 tokens -> 5 spans
+            (2, "w " * 19),   # 20 tokens -> 1 span
+            (3, "w " * 10),   # 11 tokens -> 0 spans
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunking.span_corruption_plan(docs).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    assert len(by_doc[1]) == 5 and len(by_doc[2]) == 1
+    for doc_id, spans in by_doc.items():
+        n = spans[0]["n_doc_tokens"]
+        spans = sorted(spans, key=lambda r: r["mask_id"])
+        prev_end = -1
+        for r in spans:
+            assert 0 <= r["start_token"]
+            assert r["start_token"] + r["span_len"] <= n
+            assert r["start_token"] > prev_end, "overlap"
+            prev_end = r["start_token"] + r["span_len"] - 1
+        masked = sum(r["span_len"] for r in spans)
+        assert masked <= 0.15 * n + chunking.SPAN_LEN
+    again = sorted(
+        tuple(r)
+        for r in chunking.span_corruption_plan(docs.repartition(5)).collect()
+    )
+    assert again == sorted(tuple(r) for r in rows)
+
+
 def test_customer_order_gaps_fixture(spark):
     d = lambda s: datetime.date(2026, 1, 1) + datetime.timedelta(  # noqa: E731
         days=s
