@@ -520,6 +520,8 @@ _DRIVER_FIRST = (
     "shipping_delay_profile",
     "customer_order_gaps",
     "span_corruption_plan",
+    "part_pair_affinity",
+    "fk_integrity_report",
     "doclen_histogram",
     "cross_source_overlap",
     "dedup_cluster_sizes",
@@ -1219,6 +1221,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash placement, non-overlap structural)
         "span_corruption_plan": lambda s, d: chunking.span_corruption_plan(
             _t(s, d, "documents")
+        ),
+        # market-basket part-pair affinity on the fact table (baskets =
+        # orders; pairs from per-order sorted arrays, never a self-join)
+        "part_pair_affinity": lambda s, d: relational.part_pair_affinity(
+            _t(s, d, "lineitem")
+        ),
+        # referential-integrity audit over the star schema's FK edges
+        "fk_integrity_report": lambda s, d: profiling.fk_integrity_report(
+            {
+                t: _t(s, d, t)
+                for t in (
+                    "lineitem", "orders", "part", "supplier",
+                    "customer", "nation", "region",
+                )
+            }
         ),
         # order->ship latency percentiles per priority (rank-exact)
         "shipping_delay_profile": lambda s, d: (
@@ -3740,6 +3757,30 @@ def _zorder_sql() -> str:
     """
 
 
+def _fk_integrity_sql() -> str:
+    """FK-audit oracle generated from the SAME ``profiling.FK_EDGES``
+    literal as the operator — one edge list, no drift. NULL FKs count
+    as orphans on both sides (Spark: null never equi-joins so it
+    survives the anti join; SQL: ``NOT EXISTS`` over an unknown
+    predicate is true)."""
+    parts = []
+    for child, fk, parent, pk in profiling.FK_EDGES:
+        orphans = (
+            f"(SELECT count(*) FROM {child} c WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}))"
+        )
+        parts.append(
+            f"SELECT '{child}' AS child_table, '{fk}' AS fk_column,"
+            f" '{parent}' AS parent_table,"
+            f" CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_rows,"
+            f" CAST({orphans} AS BIGINT) AS n_orphans,"
+            f" round(CAST({orphans} AS DOUBLE)"
+            f" / CAST((SELECT count(*) FROM {child}) AS DOUBLE), 6)"
+            f" AS orphan_frac"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _bm25_sql() -> str:
     """BM25 oracle — generated from the SAME constants as the operator
     (``textops.BM25_QUERIES``/``K1``/``B``/``TOPK``) so the query set,
@@ -4865,6 +4906,35 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             FROM devs d JOIN mad_tbl t USING (event_type)
             WHERE d.abs_dev > {relational.MAD_K} * t.mad
         """,
+        "part_pair_affinity": f"""
+            WITH op AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pairs AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       CAST(count(*) AS BIGINT) AS co_count
+                FROM op a JOIN op b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            ), singles AS (
+                SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+                FROM op GROUP BY 1
+            ), tot AS (
+                SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                    AS n_orders FROM op
+            )
+            SELECT part_a, part_b, co_count,
+                   sa.cnt AS cnt_a, sb.cnt AS cnt_b,
+                   round(CAST(co_count * n_orders AS DOUBLE)
+                         / CAST(sa.cnt * sb.cnt AS DOUBLE), 6) AS lift
+            FROM pairs
+            JOIN singles sa ON sa.l_partkey = part_a
+            JOIN singles sb ON sb.l_partkey = part_b
+            CROSS JOIN tot
+            ORDER BY co_count DESC, part_a, part_b
+            LIMIT {relational.PART_AFFINITY_TOPK}
+        """,
+        "fk_integrity_report": _fk_integrity_sql(),
         "span_corruption_plan": f"""
             WITH base AS (
                 SELECT doc_id,

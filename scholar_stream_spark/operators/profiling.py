@@ -224,3 +224,77 @@ def population_stability(
         )
         .orderBy(F.desc("psi"), F.asc("event_type"))
     )
+
+
+#: The star schema's FK edges: (child_table, fk_col, parent_table,
+#: parent_key). One shared literal so the Spark report and the oracle
+#: SQL audit the SAME edges (generated from this tuple on both sides).
+FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def fk_integrity_report(tables: dict[str, DataFrame]) -> DataFrame:
+    """Referential-integrity audit over the star schema's FK edges —
+    the load-time gate a warehouse runs before exposing a batch
+    (`check_constraints` audits row-level domains; THIS audits the
+    edges between tables): per edge, child rows whose FK has no parent
+    row, as a count and a fraction. All-zero orphans is the expected
+    (and still load-bearing) output on an intact batch; the pytest
+    fixture plants orphans to prove detection.
+
+    Scale shape, per edge: the child collapses to its DISTINCT FK
+    values with row counts FIRST (one map-side-combined exchange over
+    a single column — never the wide child rows), then LEFT-ANTI joins
+    the parent's key column (AQE picks broadcast for the dimension
+    parents; the big-parent edges hash-join key-to-key); orphan rows =
+    sum of counts over surviving keys. The per-edge 1-row summaries
+    union into the ≤|edges|-row report — NULL FKs count as orphans
+    (a dangling edge either way).
+
+    Output: (child_table, fk_column, parent_table, n_rows, n_orphans,
+    orphan_frac round-6), edge order as declared.
+    """
+    parts = []
+    for child, fk, parent, pk in FK_EDGES:
+        child_df, parent_df = tables[child], tables[parent]
+        fk_counts = child_df.groupBy(F.col(fk).alias("_fk")).agg(
+            F.count(F.lit(1)).cast("long").alias("_cnt")
+        )
+        orphan = fk_counts.join(
+            parent_df.select(F.col(pk).alias("_fk")).distinct(),
+            "_fk",
+            "left_anti",
+        )
+        total = child_df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows")
+        )
+        summary = total.crossJoin(
+            orphan.agg(
+                F.coalesce(F.sum("_cnt"), F.lit(0))
+                .cast("long")
+                .alias("n_orphans")
+            )
+        ).select(
+            F.lit(child).alias("child_table"),
+            F.lit(fk).alias("fk_column"),
+            F.lit(parent).alias("parent_table"),
+            "n_rows",
+            "n_orphans",
+            F.round(
+                F.col("n_orphans").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("orphan_frac"),
+        )
+        parts.append(summary)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

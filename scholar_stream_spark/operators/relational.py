@@ -3033,6 +3033,99 @@ def rfm_segments(orders: DataFrame, profile: str = "oracle") -> DataFrame:
     )
 
 
+#: Pairs reported by the market-basket affinity table.
+PART_AFFINITY_TOPK = 50
+
+
+def part_pair_affinity(
+    lineitem: DataFrame, topk: int = PART_AFFINITY_TOPK
+) -> DataFrame:
+    """Market-basket affinity on the FACT table: the top part pairs by
+    order co-occurrence, with lift vs independence — `session_type_lift`'s
+    discipline applied to products ("customers who buy A buy B"; the
+    cross-sell table). Co-occurrence is per ORDER (the basket), parts
+    distinct within it.
+
+    Scale shape: lineitem collapses to one row per order carrying its
+    sorted distinct part ARRAY (one order-keyed map-side-combined
+    exchange); pairs explode from that array with the nested
+    ``transform`` — ≤ |order|²/2 rows per order, and TPC-H-ish orders
+    hold ≤ 7 parts, so the pair stream is ~21× orders AT MOST, never
+    a parts×parts self-join; per-part basket counts ride the SAME
+    distinct (order, part) table; the final top-K is
+    ``orderBy … LIMIT`` — TakeOrderedAndProject, distributed, never a
+    global single-task sort. Lift = ``co·N / (cnt_a·cnt_b)`` — one
+    IEEE division of exact-integer products.
+
+    Determinism: ties on co_count break by (part_a, part_b) — a unique
+    total order, so the LIMIT cut is engine-stable.
+
+    Output: (part_a, part_b, co_count, cnt_a, cnt_b, lift round-6),
+    top-K by (co_count desc, part_a, part_b).
+    """
+    # the distinct (order, part) table feeds THREE consumers (baskets,
+    # per-part counts, the order total) — pin once
+    op = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    baskets = op.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (a, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "b -> struct(a AS part_a, b AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("co_count"))
+    )
+    singles = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    n_df = op.agg(
+        F.count_distinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    return (
+        pairs.join(
+            singles.select(
+                F.col("l_partkey").alias("part_a"),
+                F.col("cnt").alias("cnt_a"),
+            ),
+            "part_a",
+        )
+        .join(
+            singles.select(
+                F.col("l_partkey").alias("part_b"),
+                F.col("cnt").alias("cnt_b"),
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "part_a",
+            "part_b",
+            "co_count",
+            "cnt_a",
+            "cnt_b",
+            F.round(
+                (F.col("co_count") * F.col("n_orders")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("co_count"), "part_a", "part_b")
+        .limit(topk)
+    )
+
+
 def customer_order_gaps(orders: DataFrame) -> DataFrame:
     """Reorder-interval profile — per repeat customer, the gaps between
     consecutive orders: the retention signal behind "is this account

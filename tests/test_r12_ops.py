@@ -361,6 +361,74 @@ def test_auto_watermark_admits_measured_lateness(
     assert admitted == expected_admitted, admitted
 
 
+def test_part_pair_affinity_hand_counted(spark):
+    """Planted baskets: {1,2,3}, {1,2}, {2,3}, {4} ->
+    co(1,2)=2, co(1,3)=1, co(2,3)=2; singles 1:2, 2:3, 3:2, 4:1;
+    N=4 orders. lift(1,2) = 2*4/(2*3) = 1.333333."""
+    li = spark.createDataFrame(
+        [
+            (10, 1), (10, 2), (10, 3),
+            (11, 1), (11, 2),
+            (12, 2), (12, 3), (12, 3),  # dup line: distinct per basket
+            (13, 4),
+        ],
+        "l_orderkey long, l_partkey long",
+    )
+    rows = {
+        (r["part_a"], r["part_b"]): r
+        for r in relational.part_pair_affinity(li).collect()
+    }
+    assert set(rows) == {(1, 2), (1, 3), (2, 3)}
+    assert rows[(1, 2)]["co_count"] == 2
+    assert rows[(2, 3)]["co_count"] == 2
+    assert rows[(1, 3)]["co_count"] == 1
+    assert (rows[(1, 2)]["cnt_a"], rows[(1, 2)]["cnt_b"]) == (2, 3)
+    assert rows[(1, 2)]["lift"] == pytest.approx(8 / 6, abs=1e-6)
+    assert rows[(2, 3)]["lift"] == pytest.approx(8 / 6, abs=1e-6)
+    assert rows[(1, 3)]["lift"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_fk_integrity_report_detects_planted_orphans(spark):
+    """An intact pair of edges reports zero; a planted orphan FK (and
+    a NULL FK) are counted. Only the two orders/customer/nation edges
+    are exercised — the report's edge list is fixed, so the fixture
+    supplies every table but keeps the others trivially intact."""
+    from scholar_stream_spark.operators import profiling
+
+    tables = {
+        "region": spark.createDataFrame([(1,)], "r_regionkey long"),
+        "nation": spark.createDataFrame(
+            [(1, 1)], "n_nationkey long, n_regionkey long"
+        ),
+        "customer": spark.createDataFrame(
+            [(1, 1), (2, 1)], "c_custkey long, c_nationkey long"
+        ),
+        "supplier": spark.createDataFrame(
+            [(1, 1)], "s_suppkey long, s_nationkey long"
+        ),
+        "part": spark.createDataFrame([(1,)], "p_partkey long"),
+        "orders": spark.createDataFrame(
+            # custkey 99 = orphan; NULL custkey = orphan by contract
+            [(10, 1), (11, 99), (12, None)],
+            "o_orderkey long, o_custkey long",
+        ),
+        "lineitem": spark.createDataFrame(
+            [(10, 1, 1)], "l_orderkey long, l_partkey long, l_suppkey long"
+        ),
+    }
+    rows = {
+        (r["child_table"], r["fk_column"]): r
+        for r in profiling.fk_integrity_report(tables).collect()
+    }
+    assert len(rows) == len(profiling.FK_EDGES)
+    o = rows[("orders", "o_custkey")]
+    assert (o["n_rows"], o["n_orphans"]) == (3, 2)
+    assert o["orphan_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    for key, r in rows.items():
+        if key != ("orders", "o_custkey"):
+            assert r["n_orphans"] == 0, key
+
+
 def test_span_corruption_plan_structural(spark):
     """The placement contract: one span per stride (non-overlap
     STRUCTURAL), spans in-bounds, mask ratio ~= 15%, short docs (< 20
