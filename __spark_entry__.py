@@ -505,14 +505,15 @@ PROFILE_COLS = (
 )
 
 #: Driver-cap rotation (round 12): CORRECTNESS runs check at most 50
-#: entries in ``queries()`` order. The FIVE r12-new oracle-backed ops
-#: lead (shipping_delay_profile, customer_order_gaps, doclen_histogram,
-#: cross_source_overlap, dedup_cluster_sizes — never driver-checked),
-#: then the ten r7-stale entries (vocab_coverage .. curate_corpus —
-#: four windows since their last driver check), then the oldest
-#: r8-era greens fill the 50-cap. The 50 entries the r11 driver
-#: checked green (bm25_search .. incr_rollup) rotate to the back of
-#: the oracle-backed block as the freshest. Rows-only entries
+#: entries in ``queries()`` order. The EIGHT r12-new oracle-backed ops
+#: lead (shipping_delay_profile, customer_order_gaps,
+#: span_corruption_plan, part_pair_affinity, fk_integrity_report,
+#: doclen_histogram, cross_source_overlap, dedup_cluster_sizes — never
+#: driver-checked), then the ten r7-stale entries (vocab_coverage ..
+#: curate_corpus — four windows since their last driver check), then
+#: the oldest r8-era greens fill the 50-cap. The 50 entries the r11
+#: driver checked green (bm25_search .. incr_rollup) rotate to the
+#: back of the oracle-backed block as the freshest. Rows-only entries
 #: (r12-new ann_opq_topk/ann_opq_recall/opq_probe_index included) sit
 #: contiguously at the tail per the cap invariant
 #: (``test_driver_cap_rotation_invariants``).
@@ -1718,6 +1719,17 @@ def profile_pairs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFra
             "oracle": lambda s, d: curation.quality_deciles(docs(s, d)),
             "scale": lambda s, d: curation.quality_deciles(
                 docs(s, d), profile="scale"
+            ),
+        },
+        "revenue_concentration": {
+            "oracle": lambda s, d: relational.revenue_concentration(
+                _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "nation")
+            ),
+            "scale": lambda s, d: relational.revenue_concentration(
+                _t(s, d, "orders"),
+                _t(s, d, "customer"),
+                _t(s, d, "nation"),
+                profile="scale",
             ),
         },
         "semantic_prune": {

@@ -2497,7 +2497,10 @@ def detect_outliers(
 
 
 def revenue_concentration(
-    orders: DataFrame, customer: DataFrame, nation: DataFrame
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    profile: str = "oracle",
 ) -> DataFrame:
     """Per-nation customer-decile revenue concentration — the Lorenz/
     Pareto table behind "the top 10% of customers carry X% of revenue"
@@ -2532,20 +2535,34 @@ def revenue_concentration(
         F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
     ).select("c_custkey", "n_name")
     j = per_cust.join(cust_nat, per_cust.o_custkey == cust_nat.c_custkey)
-    w_rank = Window.partitionBy("n_name").orderBy(
-        F.desc("rev"), F.asc("o_custkey")
-    )
-    # n_cust as a windowed count over the SAME n_name partitioning —
-    # a groupBy+broadcast-join here forks the plan and re-scans orders
-    # for the count subtree (measured: 2 fact scans, 9 exchanges →
-    # 1 scan, 4 exchanges)
-    w_all = Window.partitionBy("n_name")
-    ranked = j.select(
-        "n_name",
-        "rev",
-        F.row_number().over(w_rank).alias("rk"),
-        F.count(F.lit(1)).over(w_all).alias("n_cust"),
-    )
+    if profile == "scale":
+        # the family's documented swap (``ranked_by_range``): per-nation
+        # ranking without any task holding a nation's full customer
+        # slice; DESC rev ranks as ASC on the exact-decimal negation
+        ranked = ranked_by_range(
+            j.select(
+                "n_name", "rev", (-F.col("rev")).alias("_neg"), "o_custkey"
+            ),
+            ["n_name"],
+            ["_neg", "o_custkey"],
+            rank_col="rk",
+            n_col="n_cust",
+        ).select("n_name", "rev", "rk", "n_cust")
+    else:
+        w_rank = Window.partitionBy("n_name").orderBy(
+            F.desc("rev"), F.asc("o_custkey")
+        )
+        # n_cust as a windowed count over the SAME n_name partitioning —
+        # a groupBy+broadcast-join here forks the plan and re-scans
+        # orders for the count subtree (measured: 2 fact scans, 9
+        # exchanges → 1 scan, 4 exchanges)
+        w_all = Window.partitionBy("n_name")
+        ranked = j.select(
+            "n_name",
+            "rev",
+            F.row_number().over(w_rank).alias("rk"),
+            F.count(F.lit(1)).over(w_all).alias("n_cust"),
+        )
     dec = (
         ranked.withColumn(
             "decile",

@@ -250,6 +250,15 @@ def test_rfm_segments_scale_profile_identical(sf_small_tables):
     )
 
 
+def test_revenue_concentration_scale_profile_identical(spark, sf_small_tables):
+    od = sf_small_tables["orders"]
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    nat = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    assert _rows(
+        relational.revenue_concentration(od, cust, nat, profile="scale")
+    ) == _rows(relational.revenue_concentration(od, cust, nat))
+
+
 def test_quality_deciles_scale_profile_identical(sf_small_tables):
     from scholar_stream_spark.operators import curation
 
