@@ -1732,6 +1732,14 @@ def profile_pairs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFra
                 profile="scale",
             ),
         },
+        "window_rank_suite": {
+            "oracle": lambda s, d: relational.window_rank_suite(
+                _t(s, d, "events")
+            ),
+            "scale": lambda s, d: relational.window_rank_suite(
+                _t(s, d, "events"), profile="scale"
+            ),
+        },
         "semantic_prune": {
             "oracle": lambda s, d: similarity.semantic_prune(
                 _t(s, d, "embeddings")

@@ -2821,7 +2821,9 @@ def mad_outliers(
     )
 
 
-def window_rank_suite(events: DataFrame, n_tiles: int = 4) -> DataFrame:
+def window_rank_suite(
+    events: DataFrame, n_tiles: int = 4, profile: str = "oracle"
+) -> DataFrame:
     """The full analytic ranking-function family in one table — rank,
     dense_rank, percent_rank, cume_dist, ntile — per event over its
     type's value order. Individually trivial; together they are the
@@ -2840,9 +2842,83 @@ def window_rank_suite(events: DataFrame, n_tiles: int = 4) -> DataFrame:
     One type-keyed sort exchange serves both window specs (same
     partitioning, same leading sort key).
 
+    ``profile="scale"`` derives the whole family from ONE
+    ``ranked_by_range`` pass (the rank-exact scale discipline — no
+    single-task per-type window sort): with ``rn`` the (value,
+    event_id) total-order row number and ``n`` the type size,
+    rank = min(rn) over the (type, value) tie group, cume's
+    n_peers_leq = max(rn) over the same group, dense_rank = the tie
+    group's index (a second tiny ranked pass over DISTINCT (type,
+    value)), ntile = the textbook row-based formula on rn directly.
+    The tie-group aggregates shuffle on (type, value) — far more keys
+    than types, no giant slices. Pinned value-identical in pytest.
+
     Output: (event_id, event_type, value, rnk, dense_rnk, pct_rank,
     cume, tile).
     """
+    if profile == "scale":
+        base = ranked_by_range(
+            events.select("event_id", "event_type", "value"),
+            ["event_type"],
+            ["value", "event_id"],
+            n_col="n",
+        )
+        w_tie = Window.partitionBy("event_type", "value")
+        staged = base.select(
+            "event_id",
+            "event_type",
+            "value",
+            "rn",
+            "n",
+            F.min("rn").over(w_tie).alias("rnk_raw"),
+            F.max("rn").over(w_tie).alias("n_leq"),
+        )
+        dense = ranked_by_range(
+            events.select("event_type", "value").distinct(),
+            ["event_type"],
+            ["value"],
+            rank_col="dense_rnk",
+        )
+        # ntile, row-based: tile = ((rn-1)·t + t-1) DIV n + 1 is NOT the
+        # SQL rule; SQL gives the first n % t tiles one extra row:
+        # tile = (rn-1) DIV (n DIV t + 1) + 1 for the big tiles, else
+        # offset into the small ones — expressed branch-free below
+        t = int(n_tiles)
+        big = F.expr(f"n DIV {t} + 1")  # big-tile size
+        n_big = F.expr(f"n % {t}")      # how many big tiles
+        cut = big * n_big               # rows covered by big tiles
+        tile = F.when(
+            F.col("rn") <= cut,
+            (F.col("rn") - 1) / big,
+        ).otherwise(
+            n_big + (F.col("rn") - cut - 1) / F.expr(f"n DIV {t}")
+        )
+        return (
+            staged.join(dense, ["event_type", "value"])
+            .select(
+                "event_id",
+                "event_type",
+                "value",
+                F.col("rnk_raw").alias("rnk"),
+                F.col("dense_rnk"),
+                # SQL percent_rank of a single-row partition is 0.0,
+                # not 0/0
+                F.when(F.col("n") == 1, F.lit(0.0))
+                .otherwise(
+                    F.round(
+                        (F.col("rnk_raw") - 1).cast("double")
+                        / (F.col("n") - 1).cast("double"),
+                        6,
+                    )
+                )
+                .alias("pct_rank"),
+                F.round(
+                    F.col("n_leq").cast("double") / F.col("n").cast("double"),
+                    6,
+                ).alias("cume"),
+                (F.floor(tile) + 1).cast("long").alias("tile"),
+            )
+        )
     w_val = Window.partitionBy("event_type").orderBy("value")
     w_total = Window.partitionBy("event_type").orderBy(
         "value", "event_id"

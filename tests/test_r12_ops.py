@@ -259,6 +259,27 @@ def test_revenue_concentration_scale_profile_identical(spark, sf_small_tables):
     ) == _rows(relational.revenue_concentration(od, cust, nat))
 
 
+def test_window_rank_suite_scale_profile_identical(sf_small_tables):
+    ev = sf_small_tables["events"]
+    assert _rows(
+        relational.window_rank_suite(ev, profile="scale")
+    ) == _rows(relational.window_rank_suite(ev))
+
+
+def test_window_rank_suite_scale_ntile_edges(spark):
+    """ntile's uneven split (first n%t tiles get one extra row) and
+    tiny partitions (n < t, single row) must match SQL NTILE exactly."""
+    rows = [(i, "a", float(i % 3)) for i in range(10)]  # n=10, t=4
+    rows += [(100 + i, "b", float(i)) for i in range(3)]  # n=3 < t
+    rows += [(200, "c", 1.0)]  # n=1
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    assert _rows(
+        relational.window_rank_suite(ev, profile="scale")
+    ) == _rows(relational.window_rank_suite(ev))
+
+
 def test_quality_deciles_scale_profile_identical(sf_small_tables):
     from scholar_stream_spark.operators import curation
 
