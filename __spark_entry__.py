@@ -505,10 +505,11 @@ PROFILE_COLS = (
 )
 
 #: Driver-cap rotation (round 12): CORRECTNESS runs check at most 50
-#: entries in ``queries()`` order. The EIGHT r12-new oracle-backed ops
+#: entries in ``queries()`` order. The NINE r12-new oracle-backed ops
 #: lead (shipping_delay_profile, customer_order_gaps,
 #: span_corruption_plan, part_pair_affinity, fk_integrity_report,
-#: doclen_histogram, cross_source_overlap, dedup_cluster_sizes — never
+#: supplier_hhi, doclen_histogram, cross_source_overlap,
+#: dedup_cluster_sizes — never
 #: driver-checked), then the ten r7-stale entries (vocab_coverage ..
 #: curate_corpus — four windows since their last driver check), then
 #: the oldest r8-era greens fill the 50-cap. The 50 entries the r11
@@ -523,6 +524,7 @@ _DRIVER_FIRST = (
     "span_corruption_plan",
     "part_pair_affinity",
     "fk_integrity_report",
+    "supplier_hhi",
     "doclen_histogram",
     "cross_source_overlap",
     "dedup_cluster_sizes",
@@ -1227,6 +1229,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # orders; pairs from per-order sorted arrays, never a self-join)
         "part_pair_affinity": lambda s, d: relational.part_pair_affinity(
             _t(s, d, "lineitem")
+        ),
+        # per-nation supplier-concentration HHI (exact decimal sum of
+        # squares, one closing division)
+        "supplier_hhi": lambda s, d: relational.supplier_hhi(
+            _t(s, d, "lineitem"), _t(s, d, "supplier"), _t(s, d, "nation")
         ),
         # referential-integrity audit over the star schema's FK edges
         "fk_integrity_report": lambda s, d: profiling.fk_integrity_report(
@@ -4955,6 +4962,29 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             LIMIT {relational.PART_AFFINITY_TOPK}
         """,
         "fk_integrity_report": _fk_integrity_sql(),
+        "supplier_hhi": """
+            WITH per_sup AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                            AS DECIMAL(18,4)) AS rev
+                FROM lineitem GROUP BY l_suppkey
+            ), j AS (
+                SELECT n_name, rev
+                FROM per_sup
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+            )
+            SELECT n_name,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+                   round(CAST(SUM(CAST(rev AS DECIMAL(19,4))
+                                  * CAST(rev AS DECIMAL(19,4)))
+                              AS DOUBLE)
+                         / (CAST(SUM(rev) AS DOUBLE)
+                            * CAST(SUM(rev) AS DOUBLE)), 6) AS hhi
+            FROM j GROUP BY n_name
+        """,
         "span_corruption_plan": f"""
             WITH base AS (
                 SELECT doc_id,

@@ -3126,6 +3126,69 @@ def rfm_segments(orders: DataFrame, profile: str = "oracle") -> DataFrame:
     )
 
 
+def supplier_hhi(lineitem: DataFrame, supplier: DataFrame,
+                 nation: DataFrame) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per nation —
+    "is this nation's supply single-sourced?" (procurement-risk
+    analytics; HHI = Σ share² over each supplier's revenue share,
+    1/n = perfectly even, 1.0 = monopoly).
+
+    Engine parity — the float-summation trap and its exact escape:
+    HHI as ``SUM((rev/total)²)`` aggregates DOUBLES, whose round-off
+    is partition-order dependent. Algebraically ``Σ(revᵢ/T)² =
+    Σ(revᵢ²)/T²``, and revᵢ is an exact DECIMAL(18,2) (the
+    ``DISCOUNTED_PRICE`` discipline), so Σrevᵢ² accumulates as exact
+    DECIMAL(38,4) and the WHOLE index becomes ONE IEEE division of two
+    engine-identical operands. (Headroom: 38 digits cover ~1e9
+    suppliers of ~1e12-cent revenue; beyond that, widen the quantum —
+    the ``corr_matrix`` trade.)
+
+    Scale shape: the fact table collapses to the ≤|suppliers|-row
+    (nation, supplier) revenue rollup first (one map-side-combined
+    exchange keyed on suppkey; supplier⋈nation broadcast into the
+    rollup), then a ≤|nations|-row second rollup computes n, T, Σrev²
+    together — the fact table is scanned once.
+
+    Output: (n_name, n_suppliers, total_revenue, hhi round-6).
+    """
+    sup_nat = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    # rev re-casts to DECIMAL(18,4) (exact — the sum is scale-4 and
+    # fits 14 integer digits by the headroom note) so rev² lands at
+    # DECIMAL(37,8), INSIDE the 38-digit cap on both engines; squaring
+    # the full-width (38,4) sum would overflow precision and trigger
+    # Spark's precision-loss ROUNDING — silently inexact, and
+    # differently inexact than DuckDB
+    per_sup = (
+        lineitem.groupBy("l_suppkey")
+        .agg(
+            F.expr(
+                f"CAST(SUM({DISCOUNTED_PRICE}) AS DECIMAL(18,4))"
+            ).alias("rev")
+        )
+        .join(sup_nat, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        per_sup.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("rev").alias("_t"),
+            F.sum(F.expr("rev * rev")).alias("_sq"),
+        )
+        .select(
+            "n_name",
+            "n_suppliers",
+            F.col("_t").cast("double").alias("total_revenue"),
+            F.round(
+                F.col("_sq").cast("double")
+                / (F.col("_t").cast("double") * F.col("_t").cast("double")),
+                6,
+            ).alias("hhi"),
+        )
+    )
+
+
 #: Pairs reported by the market-basket affinity table.
 PART_AFFINITY_TOPK = 50
 

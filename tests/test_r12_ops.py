@@ -391,6 +391,33 @@ def test_auto_watermark_admits_measured_lateness(
     assert admitted == expected_admitted, admitted
 
 
+def test_supplier_hhi_boundaries(spark):
+    """Monopoly nation -> hhi = 1.0; two even suppliers -> 0.5."""
+    nation = spark.createDataFrame(
+        [(1, "MONO"), (2, "DUO")], "n_nationkey long, n_name string"
+    )
+    supplier = spark.createDataFrame(
+        [(10, 1), (20, 2), (21, 2)],
+        "s_suppkey long, s_nationkey long",
+    )
+    li = spark.createDataFrame(
+        [
+            (10, 100.0, 0.0),
+            (20, 50.0, 0.0),
+            (21, 25.0, 0.0), (21, 25.0, 0.0),
+        ],
+        "l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    rows = {
+        r["n_name"]: r
+        for r in relational.supplier_hhi(li, supplier, nation).collect()
+    }
+    assert rows["MONO"]["hhi"] == 1.0
+    assert rows["MONO"]["n_suppliers"] == 1
+    assert rows["DUO"]["hhi"] == pytest.approx(0.5, abs=1e-6)
+    assert rows["DUO"]["total_revenue"] == 100.0
+
+
 def test_part_pair_affinity_hand_counted(spark):
     """Planted baskets: {1,2,3}, {1,2}, {2,3}, {4} ->
     co(1,2)=2, co(1,3)=1, co(2,3)=2; singles 1:2, 2:3, 3:2, 4:1;
