@@ -32,11 +32,12 @@ Deliberately WITHOUT oracle entries (rows-only check):
   training-progress/recall-floor pins in ``tests/test_r11_ops.py``.
 - ``ann_ivfpq_topk`` / ``ann_ivfpq_recall`` — the IVF×PQ composition
   (both parents rows-only); recall floor pytest-pinned.
-- ``ann_opq_topk`` / ``ann_opq_recall`` / ``opq_probe_index`` —
-  parametric OPQ pre-rotation (float eigenbasis, inherits the PQ
-  rationale); recall ≥ plain-PQ, orthogonality, persisted-probe ==
-  inline-rerank, and frozen-rotation appends pytest-pinned
-  (``tests/test_r12_ops.py``).
+- ``ann_opq_topk`` / ``ann_opq_recall`` / ``opq_probe_index`` /
+  ``ann_ivfopq_topk`` / ``ann_ivfopq_recall`` — parametric OPQ
+  pre-rotation and its IVF composition (float eigenbasis, inherits
+  the PQ rationale); recall ≥ plain-PQ, orthogonality,
+  persisted-probe == inline-rerank, frozen-rotation appends, and the
+  IVF-OPQ recall floor pytest-pinned (``tests/test_r12_ops.py``).
 - ``pq_index_stats`` / ``pq_probe_index`` — the persisted PQ serving
   layout (codes from the trained quantizer, ``ivf_index_stats``'
   rationale); stats pinned vs an inline recount, probe pinned EXACTLY
@@ -1600,6 +1601,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_ivfpq_recall": lambda s, d: similarity.ann_recall(
             _t(s, d, "embeddings"), method="ivfpq"
+        ),
+        # the full FAISS factory string OPQ{m},IVF{x},PQ{m} + refine
+        "ann_ivfopq_topk": lambda s, d: similarity.ann_ivfopq_topk(
+            _t(s, d, "embeddings")
+        ),
+        "ann_ivfopq_recall": lambda s, d: similarity.ann_recall(
+            _t(s, d, "embeddings"), method="ivfopq"
         ),
         # spherical k-means over the embedding corpus (driver-held k×dim
         # centroids, one map-side-combined corpus pass per iteration)

@@ -1028,7 +1028,7 @@ def cosine_topk_int8(
     )
 
 
-RECALL_METHODS = {"lsh", "ivf", "int8", "pq", "ivfpq", "opq"}
+RECALL_METHODS = {"lsh", "ivf", "int8", "pq", "ivfpq", "opq", "ivfopq"}
 
 
 def ann_recall(
@@ -1074,6 +1074,8 @@ def ann_recall(
         approx = ann_opq_topk(embeddings, k, n_queries, q_rows=q_rows)
     elif method == "ivfpq":
         approx = ann_ivfpq_topk(embeddings, k, n_queries)
+    elif method == "ivfopq":
+        approx = ann_ivfopq_topk(embeddings, k, n_queries)
     else:
         approx = ivf_topk(embeddings, k, n_queries, small_rows=small_rows)
     hits = approx.select(
@@ -1982,6 +1984,7 @@ def ann_ivfpq_topk(
     m: int = PQ_NUM_SUBSPACES,
     k_star: int = PQ_CODEBOOK_SIZE,
     shortlist: int = PQ_RERANK_SHORTLIST,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ with exact refine — the composition FAISS ships as its
     production web-scale index (``IVFx,PQy`` + ``IndexRefine``): the
@@ -2028,7 +2031,13 @@ def ann_ivfpq_topk(
     cells, cmat_normed, _ = _refined_centroids(
         corpus, seed_cells, seed_mat / seed_norms[:, None]
     )
-    codebook, _counts = _pq_train_codebook(embeddings, m, k_star)
+    # the COARSE quantizer always lives in the original space (cell
+    # probing is a cosine argmax — rotation-invariant, so rotating it
+    # would change nothing); only the fine PQ stage rotates (the FAISS
+    # ``OPQ{m},IVF{x},PQ{m}`` factory string's placement)
+    codebook, _counts = _pq_train_codebook(
+        embeddings, m, k_star, rotation=rotation
+    )
     dsub = codebook.shape[2]
 
     indexed = corpus.withColumn(
@@ -2053,7 +2062,8 @@ def ann_ivfpq_topk(
 
     # --- ADC over the probed candidates -------------------------------
     nq = len(q_ids)
-    q_sub = q_mat.reshape(nq, m, dsub)
+    q_fine = q_mat @ rotation.T if rotation is not None else q_mat
+    q_sub = q_fine.reshape(nq, m, dsub)
     lut_ip = np.einsum("qjd,jkd->qjk", q_sub, codebook)
     lut_sq = (codebook**2).sum(axis=2)
     q_pos = {int(q): i for i, q in enumerate(q_ids)}
@@ -2063,13 +2073,15 @@ def ann_ivfpq_topk(
         F.col("vec_id") != F.col("query_id")
     )
 
-    def kernel(batches):
+    def kernel(batches, rot=rotation):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             qids = pdf["query_id"].to_numpy(dtype=np.int64)
             x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if rot is not None:
+                x = x @ rot.T
             codes = _pq_assign(x.reshape(len(x), m, dsub), cb)
             qi = np.array([q_pos[int(q)] for q in qids], dtype=np.int64)
             ip = np.zeros(len(x))
@@ -2123,6 +2135,36 @@ def ann_ivfpq_topk(
         .join(F.broadcast(qdf), "query_id")
     )
     return _rerank_topk(refine, topk)
+
+
+def ann_ivfopq_topk(
+    embeddings: DataFrame,
+    topk: int = ANN_TOPK,
+    n_queries: int = ANN_NUM_QUERIES,
+    **kw,
+) -> DataFrame:
+    """The full FAISS production factory string —
+    ``OPQ{m},IVF{x},PQ{m}`` + ``IndexRefine`` — assembled from parts
+    the repo already pins: the parametric OPQ rotation trains once
+    (ONE extra corpus pass) and rides inside the IVF-PQ fine stage's
+    Arrow kernels; the COARSE quantizer stays in the original space
+    (cell probing is a cosine argmax — rotation-invariant), and the
+    exact refine reads original floats. Same plan shape as
+    ``ann_ivfpq_topk`` plus one batch-matmul per kernel.
+
+    Rows-only (all three parents' rationale);
+    ``ann_recall(method="ivfopq")`` carries the measured quality with
+    a pytest floor. Family schema: (query_id, neighbor_id, cos_sim,
+    rank).
+    """
+    rotation = _opq_rotation(embeddings, kw.get("m", PQ_NUM_SUBSPACES))
+    return ann_ivfpq_topk(
+        embeddings,
+        topk=topk,
+        n_queries=n_queries,
+        rotation=rotation,
+        **kw,
+    )
 
 
 # ---------------------------------------------------------------------------

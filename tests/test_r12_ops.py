@@ -616,6 +616,16 @@ def test_dedup_cluster_sizes_partitions_corpus(spark):
     assert abs(sum(r["doc_frac"] for r in hist) - 1.0) < 1e-4
 
 
+def test_ivfopq_recall_floor(emb):
+    """The full FAISS factory string (OPQ + IVF + PQ + refine) must
+    hold the IVF-PQ family's recall floor (measured 0.92 at sf0.001
+    when pinned — the exact refine dominates at this scale, so the
+    rotation neither helps nor hurts here; its ADC-stage gain is
+    pinned separately in the OPQ-vs-PQ tests)."""
+    r = similarity.ann_recall(emb, method="ivfopq").collect()[0]
+    assert r["recall"] >= 0.7, r["recall"]
+
+
 def test_opq_index_probe_matches_inline_rerank(spark, emb, tmp_path):
     """The persisted OPQ path cannot drift from the in-memory one: a
     probe of the written index (codes in rotated space, floats
