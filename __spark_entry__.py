@@ -32,12 +32,14 @@ Deliberately WITHOUT oracle entries (rows-only check):
   training-progress/recall-floor pins in ``tests/test_r11_ops.py``.
 - ``ann_ivfpq_topk`` / ``ann_ivfpq_recall`` — the IVF×PQ composition
   (both parents rows-only); recall floor pytest-pinned.
-- ``ann_opq_topk`` / ``ann_opq_recall`` / ``opq_probe_index`` /
-  ``ann_ivfopq_topk`` / ``ann_ivfopq_recall`` — parametric OPQ
-  pre-rotation and its IVF composition (float eigenbasis, inherits
-  the PQ rationale); recall ≥ plain-PQ, orthogonality,
-  persisted-probe == inline-rerank, frozen-rotation appends, and the
-  IVF-OPQ recall floor pytest-pinned (``tests/test_r12_ops.py``).
+- ``ann_opq_topk`` / ``ann_opq_recall`` / ``opq_probe_index`` —
+  parametric OPQ pre-rotation (float eigenbasis, inherits the PQ
+  rationale); recall ≥ plain-PQ, orthogonality, persisted-probe ==
+  inline-rerank, and frozen-rotation appends pytest-pinned
+  (``tests/test_r12_ops.py``).
+- ``ann_ivfopq_topk`` / ``ann_ivfopq_recall`` — the OPQ+IVF+PQ+refine
+  composition (all three parents' rationale); recall floor 0.7
+  pytest-pinned, measured 0.92 at sf0.001.
 - ``pq_index_stats`` / ``pq_probe_index`` — the persisted PQ serving
   layout (codes from the trained quantizer, ``ivf_index_stats``'
   rationale); stats pinned vs an inline recount, probe pinned EXACTLY
