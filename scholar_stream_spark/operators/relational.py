@@ -2600,6 +2600,27 @@ def revenue_concentration(
     )
 
 
+def _norm_rank_key(v):
+    """Normalize one key-column value so ``ranked_by_range``'s two key
+    spaces hash identically: the Spark ``collect()`` rows of the counts
+    pass (python ``None``/``int``/``str``/``datetime``) and the pandas
+    groupby keys inside the Arrow kernel (``NaN``/``NaT``/numpy
+    scalars; Arrow renders a nullable int64 column as float64, so an
+    int key arrives as ``5.0``)."""
+    if v is None:
+        return None
+    if hasattr(v, "item"):  # numpy scalar -> python scalar
+        v = v.item()
+    try:
+        if pd.isna(v):  # NaN / NaT -> the Spark-side None
+            return None
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, float) and v.is_integer():
+        return int(v)  # float64-promoted nullable int key
+    return v
+
+
 def ranked_by_range(
     df: DataFrame,
     key_cols: tuple | list,
@@ -2628,7 +2649,10 @@ def ranked_by_range(
 
     The (key, order) total order MUST be unique (the family's tiebreak
     discipline) — equal sort keys could otherwise straddle a range
-    boundary and make offsets ambiguous.
+    boundary and make offsets ambiguous. NULL keys are supported: the
+    counts pass groups them (Spark groupBy keeps nulls) and the Arrow
+    kernel groups with ``dropna=False``, normalizing pandas NaN/NaT
+    keys back to ``None`` so both sides hash identically.
 
     ``n_col``: optionally also attach each key's TOTAL row count (the
     driver already knows it from the offsets pass — saves consumers a
@@ -2653,7 +2677,7 @@ def ranked_by_range(
     cnt_rows = base.groupBy("_pid", *key_cols).count().collect()
     per_key: dict = defaultdict(list)
     for r in cnt_rows:
-        per_key[tuple(r[k] for k in key_cols)].append(
+        per_key[tuple(_norm_rank_key(r[k]) for k in key_cols)].append(
             (r["_pid"], r["count"])
         )
     offsets: dict = {}
@@ -2679,9 +2703,12 @@ def ranked_by_range(
             if len(pdf) == 0:
                 continue
             pid = int(pdf["_pid"].iloc[0])
-            ranks = np.empty(len(pdf), dtype=np.int64)
+            # -1 sentinels (not np.empty): a group the loop somehow
+            # misses must fail the post-loop check loudly, never emit
+            # uninitialized memory as a rank
+            ranks = np.full(len(pdf), -1, dtype=np.int64)
             nvals = (
-                np.empty(len(pdf), dtype=np.int64)
+                np.full(len(pdf), -1, dtype=np.int64)
                 if n_col is not None
                 else None
             )
@@ -2690,15 +2717,22 @@ def ranked_by_range(
                 # rows of a key are contiguous (partition sorted by
                 # key, order), so position order IS the local rank
                 # order; `seen` carries the running count across this
-                # partition's batches
-                grp = pdf.groupby(key_cols, sort=False)
+                # partition's batches. dropna=False: null-key groups
+                # rank too (Spark's groupBy kept them in the counts
+                # pass), with NaN/NaT normalized back to None so the
+                # offsets/totals lookups match the collect()ed keys.
+                grp = pdf.groupby(key_cols, sort=False, dropna=False)
                 for key, idx in grp.indices.items():
                     k = key if isinstance(key, tuple) else (key,)
-                    k = tuple(
-                        v.item() if hasattr(v, "item") else v for v in k
-                    )
+                    k = tuple(_norm_rank_key(v) for v in k)
                     ck = (pid,) + k
-                    start = seen.get(ck, offsets.get(ck, 0))
+                    start = seen.get(ck, offsets.get(ck))
+                    if start is None:
+                        raise KeyError(
+                            f"ranked_by_range: no offset for "
+                            f"(partition, key)={ck!r} — counts pass "
+                            f"and kernel keys diverged"
+                        )
                     ranks[idx] = start + np.arange(
                         1, len(idx) + 1, dtype=np.int64
                     )
@@ -2713,6 +2747,11 @@ def ranked_by_range(
                 seen[(pid,)] = start + len(pdf)
                 if nvals is not None:
                     nvals[:] = totals.get((), 0)
+            if ranks.min() < 1:
+                raise AssertionError(
+                    "ranked_by_range: unranked rows in batch "
+                    f"(pid={pid}) — a group was skipped"
+                )
             out = pdf[out_cols].copy()
             out[rank_col] = ranks
             if n_col is not None:

@@ -32,6 +32,7 @@ import random
 
 import numpy as np
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -2281,7 +2282,26 @@ def _load_pq_index_meta(spark, path: str):
             rotation = np.array(
                 [r["coeffs"] for r in rot_rows], dtype=np.float64
             )
-    except Exception:  # noqa: BLE001 — no rotation table = plain PQ
+    except AnalysisException as exc:
+        # ONLY a missing side table means "plain PQ" (pre-r12 layout).
+        # Any other failure (corrupt parquet, permissions, transient
+        # FS) on a real OPQ index must re-raise: silently probing
+        # un-rotated queries against rotated codes would return wrong
+        # neighbors with no error.
+        cond = (
+            exc.getCondition()
+            if hasattr(exc, "getCondition")
+            else getattr(exc, "getErrorClass", lambda: None)()
+        )
+        missing = cond == "PATH_NOT_FOUND" or (
+            cond is None
+            and (
+                "PATH_NOT_FOUND" in str(exc)
+                or "Path does not exist" in str(exc)
+            )
+        )
+        if not missing:
+            raise
         rotation = None
     return codebook, rotation
 

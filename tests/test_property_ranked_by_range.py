@@ -25,6 +25,14 @@ row = st.tuples(
     st.integers(min_value=0, max_value=6),    # value (heavy ties)
 )
 
+# NULL-key variant: Spark's groupBy keeps null keys, so the counts pass
+# emits (pid, None) groups; the kernel must rank them too (pandas
+# groupby dropna=False) — r12 ADVICE reproduced garbage ranks here.
+row_nullable = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+    st.integers(min_value=0, max_value=6),
+)
+
 
 @settings(
     max_examples=12,
@@ -41,6 +49,44 @@ def test_ranked_by_range_equals_window(spark, rows, n_parts, in_parts):
     df = spark.createDataFrame(
         data, "id long, k long, v long"
     ).repartition(in_parts)
+    got = sorted(
+        tuple(r)
+        for r in ranked_by_range(
+            df, ["k"], ["v", "id"], n_parts=n_parts, n_col="n"
+        ).collect()
+    )
+    w = Window.partitionBy("k").orderBy("v", "id")
+    wn = Window.partitionBy("k")
+    want = sorted(
+        tuple(r)
+        for r in df.select(
+            "id",
+            "k",
+            "v",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+        ).collect()
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(row_nullable, min_size=1, max_size=40),
+    n_parts=st.integers(min_value=1, max_value=7),
+)
+def test_ranked_by_range_null_keys_equal_window(spark, rows, n_parts):
+    """Null-key groups get the SAME ranks/counts as the window form
+    (Spark windows partition nulls into their own group). Also covers
+    the Arrow nullable-int64→float64 key promotion: with any None
+    present, the kernel sees the k column as float64 and must still
+    hit the int-keyed offsets from the Spark counts pass."""
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, k long, v long")
     got = sorted(
         tuple(r)
         for r in ranked_by_range(
