@@ -19,6 +19,16 @@ The JSON line also carries a ``streaming`` block: end-to-end micro-batch
 latency (NDJSON file drop → metadata-stamped bronze commit) measured on
 the demo trigger preset against the reference's SLOs (BASELINE.md:
 p50 ≤ 20 s, p95 ≤ 60 s).
+
+Output contract (r13): stdout carries the FULL result as the first
+line, then a COMPACT summary (same headline metric, slowest-20 query
+subset) as the last line. The driver's capture keeps only the last
+~2000 chars of stdout — the full 8 KB line's head was truncated
+mid-object in r11/r12 (``"parsed": null``) — so the final line is
+sized to survive that tail window intact. The full result always also
+persists to ``BENCH_latest_local.json`` (or ``$SPARK_GRAFT_BENCH_OUT``),
+which is DELETED at run start so a crashed run can't leave the previous
+round's file masquerading as current; ``started_at`` stamps both.
 """
 
 from __future__ import annotations
@@ -137,6 +147,19 @@ def measure_streaming_latency(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_from_dir(sf_dir)
+    started_at = datetime.now(timezone.utc).isoformat(timespec="seconds")
+    # Remove any PREVIOUS run's persisted result up front: a crashed run
+    # must leave no stale file that a stdout-truncated driver could
+    # mistake for this round's evidence (r12 ADVICE).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_latest_local.json"),
+    )
+    try:
+        os.remove(out_path)
+    except OSError:
+        pass
     spark = get_spark(app_name="scholar-stream-bench")
 
     # warm-up: JVM + parquet footer read + codegen paths, plus Python UDF
@@ -276,28 +299,57 @@ def main() -> None:
         "passes": pass_walls,
         "scale_profile": scale_profile,
         "streaming": streaming,
+        "started_at": started_at,  # run identifier: a stale file from a
+        # previous round can't masquerade as this run's evidence
+        "n_passes": n_passes,
     }
     if failures:
         out["failed_queries"] = failures
     if flaky:
         out["flaky_queries"] = flaky
     line = json.dumps(out)
+    # Full result FIRST on stdout (nothing precedes it — all progress
+    # goes to stderr), then persist it to the local file.
     print(line)
     sys.stdout.flush()
-    # Belt-and-braces for the driver's parser (r11's driver-side capture
-    # truncated and lost the JSON line): always ALSO persist the full
-    # result next to the repo so a truncated stdout capture can't lose
-    # the round's perf evidence.
-    out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_latest_local.json"),
-    )
     try:
         with open(out_path, "w") as f:
             f.write(line + "\n")
     except OSError as exc:
         print(f"  bench out file not written: {exc}", file=sys.stderr)
+    # The driver's stdout capture keeps only the LAST ~2000 chars, so
+    # the full line above (≈8 KB at 195 queries) parses as null there
+    # (BENCH_r11/r12 both lost their head mid-object). The LAST stdout
+    # line is therefore a compact summary sized to fit entirely inside
+    # that tail window: headline metric + pass walls + streaming SLO +
+    # the slowest queries, with a pointer to the full persisted JSON.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+    )
+    compact = {
+        "metric": "query_set_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": len(failures),
+        "passes": pass_walls,
+        "streaming": {
+            "e2e_p50_sec": streaming.get("e2e_p50_sec"),
+            "e2e_p95_sec": streaming.get("e2e_p95_sec"),
+        },
+        "queries": slowest,
+        "queries_truncated_to_slowest": 20,
+        "full_results_file": os.path.basename(out_path),
+        "started_at": started_at,
+    }
+    compact_line = json.dumps(compact)
+    if len(compact_line) > 1900:  # stay inside the 2000-char tail
+        compact["queries"] = dict(list(slowest.items())[:10])
+        compact["queries_truncated_to_slowest"] = 10
+        compact_line = json.dumps(compact)
+    print(compact_line)
+    sys.stdout.flush()
     spark.stop()
 
 
