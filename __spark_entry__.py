@@ -507,201 +507,58 @@ PROFILE_COLS = (
     "o_totalprice", "o_orderdate", "o_orderpriority",
 )
 
-#: Driver-cap rotation (round 12): CORRECTNESS runs check at most 50
-#: entries in ``queries()`` order. The NINE r12-new oracle-backed ops
-#: lead (shipping_delay_profile, customer_order_gaps,
-#: span_corruption_plan, part_pair_affinity, fk_integrity_report,
-#: supplier_hhi, doclen_histogram, cross_source_overlap,
-#: dedup_cluster_sizes — never
-#: driver-checked), then the ten r7-stale entries (vocab_coverage ..
-#: curate_corpus — four windows since their last driver check), then
-#: the oldest r8-era greens fill the 50-cap. The 50 entries the r11
-#: driver checked green (bm25_search .. incr_rollup) rotate to the
-#: back of the oracle-backed block as the freshest. Rows-only entries
-#: (r12-new ann_opq_topk/ann_opq_recall/opq_probe_index included) sit
-#: contiguously at the tail per the cap invariant
-#: (``test_driver_cap_rotation_invariants``).
-_DRIVER_FIRST = (
-    "shipping_delay_profile",
-    "customer_order_gaps",
-    "span_corruption_plan",
-    "part_pair_affinity",
-    "fk_integrity_report",
-    "supplier_hhi",
-    "doclen_histogram",
-    "cross_source_overlap",
-    "dedup_cluster_sizes",
-    "vocab_coverage",
-    "heavy_hitters",
-    "asof_join",
-    "sessionize",
-    "change_filter",
-    "range_join",
-    "value_histogram",
-    "split_assign",
-    "pack_docs",
-    "curate_corpus",
-    "quantize_embeddings",
-    "embedding_data_card",
-    "ann_cosine_topk",
-    "ann_cosine_topk_vec",
-    "multimodal_blob_stats",
-    "multimodal_decode",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_resize",
-    "dup_spans",
-    "remove_dup_spans",
-    "remove_dup_spans_first",
-    "bigram_logprob",
-    "minhash_estimate",
-    "corpus_data_card",
-    "temperature_mixture",
-    "clean_lines",
-    "gopher_quality",
-    "latency_kpis",
-    "topn_recent",
-    "shipping_priority",
-    "promo_revenue",
-    "top_supplier",
-    "brand_revenue_bands",
-    "quality_classifier",
-    "curriculum_phases",
-    "pipeline_end_to_end",
-    "reservoir_sample",
-    "hash_sample",
-    "scrub_pii",
-    "dsir_sample",
-    "repetition_stats",
-    "token_counts",
-    "unigram_logprob",
-    "perplexity_buckets",
-    "text_quality",
-    "lang_profile",
-    "doc_fingerprint",
-    "tfidf_top_terms",
-    "dedup_first_event",
-    "dedup_exact_stats",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding",
-    "dedup_fuzzy",
-    "decontaminate",
-    "ivf_probe_index",
-    "incremental_neardup_indexed",
-    "remove_dup_paragraphs",
-    "dedup_incremental_bloom",
-    "dedup_survivor_map",
-    "lsh_index_stats",
-    "mixture_report",
-    "winnow_fingerprints",
-    "winnow_neardup_pairs",
-    "dup_span_coverage",
-    "cluster_safe_splits",
-    "split_leakage_report",
-    "event_transitions",
-    "bloom_join_revenue",
-    "remove_dup_paragraphs_first",
-    "event_rate_anomalies",
-    "value_equidepth_bins",
-    "avg_quantity_gate",
-    "waiting_supplier",
-    "bpe_merge_pairs",
-    "source_share_cap",
-    "blocklist_filter",
-    "gopher_repetition",
-    "order_priority_check",
-    "customer_distribution",
-    "retention_cohorts",
-    "quality_weighted_sample",
-    "contamination_report",
-    "key_skew_profile",
-    "profile_columns",
-    "check_constraints",
-    "table_diff",
-    "detect_outliers",
-    "json_extract",
-    "mask_email",
-    "large_orders",
-    "funnel_analysis",
-    "scd2_apply",
-    "scd2_as_of",
-    "chunk_docs",
-    "dedup_clusters",
-    "dedup_keep_best",
-    "dedup_incremental",
-    "dedup_incremental_neardup",
-    "mixture_sample",
-    "mixture_upsample",
-    "sec_of_day",
-    "pricing_summary",
-    "revenue_by_region",
-    "bm25_search",
-    "event_order_audit",
-    "revenue_concentration",
-    "zorder_layout",
-    "session_type_lift",
-    "hybrid_search_rrf",
-    "corpus_shuffle",
-    "mad_outliers",
-    "window_rank_suite",
-    "corr_matrix",
-    "rfm_segments",
-    "nation_revenue_share",
-    "idle_customers",
-    "min_cost_supplier",
-    "population_stability",
-    "bpe_encode",
-    "surplus_suppliers",
-    "local_supplier_revenue",
-    "forecast_revenue",
-    "returned_top_customers",
-    "part_supplier_variety",
-    "bpe_fertility",
-    "nation_trade_flows",
-    "market_share",
-    "product_profit",
-    "shipmode_priority_counts",
-    "neardup_source_matrix",
-    "embedding_drift",
-    "curation_funnel",
-    "token_budget_plan",
-    "bpe_pack_docs",
-    "tokenizer_swap_report",
-    "dedup_threshold_sweep",
-    "boilerplate_paragraphs",
-    "shard_size_plan",
-    "embedding_norm_outliers",
-    "packing_efficiency",
-    "ngram_diversity",
-    "quality_deciles",
-    "top_orders_per_customer",
-    "user_setops",
-    "rollup_orders",
-    "cube_orders",
-    "pivot_user_events",
-    "distinct_users_salted",
-    "value_percentiles",
-    "stats_by_type",
-    "windowed_agg",
-    "salted_join_revenue",
-    "incr_rollup",
-    "bpe_train",
-    "bpe_train_batched",
-    "ivf_index_stats",
-    "synthetic_email",
-    "distinct_users_sketch",
-    "value_percentiles_sketch",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_lsh_recall",
-    "ann_ivf_recall",
-    "ann_int8_topk",
-    "ann_int8_recall",
-    "cluster_embeddings",
-    "semantic_prune",
-)
+#: Driver-cap rotation (r13, AUTOMATED): CORRECTNESS runs check at
+#: most 50 entries in ``queries()`` order. Since r13 the order is
+#: least-recently-driver-checked first, computed from the committed
+#: ``CORRECTNESS_r*.json`` artifacts at import time — never-checked
+#: oracle-backed entries (i.e. new ops) lead, then entries ascending
+#: by the last round they were driver-green, ties alphabetical. This
+#: keeps the full 165-entry oracle-backed cycle at ≤ ceil(165/50) = 4
+#: windows mechanically, with no hand-curated tuple to go stale (the
+#: r12 verdict found 65 entries 3–4 windows old under manual
+#: rotation). Rows-only entries still sit contiguously at the tail
+#: (``test_driver_cap_rotation_invariants``). ``_DRIVER_FIRST`` is
+#: assigned at the END of the module (it needs ``oracle_sql()``).
+
+
+def _driver_first_order(oracle_names: tuple) -> tuple:
+    """Order oracle-backed entries least-recently-driver-checked
+    first, reading the committed ``CORRECTNESS_r*.json`` artifacts
+    next to this module. An entry counts as checked in round N only
+    if it was GREEN there (rows+schema+hash all true) — a red check
+    must be retried next window, not pushed to the back. Missing or
+    unreadable artifacts degrade to "never checked" (the entry
+    leads), so a fresh clone without artifacts still produces a
+    deterministic alphabetical order."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, v in data.items():
+            green = isinstance(v, dict) and all(
+                v.get(k) is True
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            if green:
+                last[name] = max(last.get(name, -1), rnd)
+    return tuple(
+        sorted(oracle_names, key=lambda n: (last.get(n, -1), n))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1643,10 +1500,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
     }
-    # apply the driver-cap rotation: _DRIVER_FIRST, then the remaining
-    # oracle-backed entries in literal order, rows-only entries last
+    # apply the driver-cap rotation: _DRIVER_FIRST (least-recently-
+    # driver-checked oracle-backed entries first — computed, not
+    # hand-curated), then any oracle-backed stragglers in literal
+    # order, rows-only entries contiguously last
     oracle_backed = set(oracle_sql())
-    ordered = {name: q.pop(name) for name in _DRIVER_FIRST}
+    ordered = {name: q.pop(name) for name in _DRIVER_FIRST if name in q}
     for name in [n for n in q if n in oracle_backed]:
         ordered[name] = q.pop(name)
     ordered.update(q)
@@ -6272,3 +6131,8 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "multimodal_frames": _mm_frames_sql(),
         "multimodal_resize": _mm_resize_sql(),
     }
+
+
+# Computed HERE (end of module) because it needs oracle_sql(); see the
+# rotation note above _driver_first_order.
+_DRIVER_FIRST = _driver_first_order(tuple(oracle_sql()))

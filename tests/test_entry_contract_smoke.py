@@ -52,3 +52,31 @@ def test_driver_cap_rotation_invariants():
     rows_only = [n for n in order if n not in oracle_backed]
     assert order[-len(rows_only):] == rows_only
     assert order[: len(entry._DRIVER_FIRST)] == list(entry._DRIVER_FIRST)
+
+
+def test_driver_first_is_least_recently_checked():
+    """r13: the rotation is COMPUTED — oracle-backed entries ordered by
+    the last round they were driver-green in the committed
+    CORRECTNESS_r*.json artifacts, ascending (never-checked = -1
+    leads), ties alphabetical. Recompute independently and require the
+    module's order to be monotone in (last_green, name) — manual
+    curation let 65 entries go 3-4 windows stale by r12."""
+    import glob
+    import json
+    import os
+    import re
+
+    entry = importlib.import_module("__spark_entry__")
+    root = os.path.dirname(os.path.abspath(entry.__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+        for name, v in json.load(open(path)).items():
+            if isinstance(v, dict) and all(
+                v.get(k) is True
+                for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                last[name] = max(last.get(name, -1), rnd)
+    keys = [(last.get(n, -1), n) for n in entry._DRIVER_FIRST]
+    assert keys == sorted(keys)
+    assert set(entry._DRIVER_FIRST) == set(entry.oracle_sql())
