@@ -1583,6 +1583,15 @@ def profile_pairs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFra
                 _t(s, d, "events"), profile="scale"
             ),
         },
+        "shipping_delay_profile": {
+            "oracle": lambda s, d: relational.shipping_delay_profile(
+                _t(s, d, "orders"), _t(s, d, "lineitem")
+            ),
+            "scale": lambda s, d: relational.shipping_delay_profile(
+                _t(s, d, "orders"), _t(s, d, "lineitem"),
+                profile="scale",
+            ),
+        },
         "rfm_segments": {
             "oracle": lambda s, d: relational.rfm_segments(
                 _t(s, d, "orders")

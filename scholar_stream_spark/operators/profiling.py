@@ -254,7 +254,12 @@ def fk_integrity_report(tables: dict[str, DataFrame]) -> DataFrame:
     a single column — never the wide child rows), then LEFT-ANTI joins
     the parent's key column (AQE picks broadcast for the dimension
     parents; the big-parent edges hash-join key-to-key); orphan rows =
-    sum of counts over surviving keys. The per-edge 1-row summaries
+    sum of counts over surviving keys. The child scans ONCE per edge:
+    the FK aggregate pins (``localCheckpoint``) and the row total
+    folds out of the SAME aggregate (``sum(_cnt)`` pre-anti-join —
+    NULL FKs group too, so the total is exact), instead of a second
+    ``count()`` scan of the fact table (r12 verdict: up to 7 extra
+    fact scans per audit at 100 TB). The per-edge 1-row summaries
     union into the ≤|edges|-row report — NULL FKs count as orphans
     (a dangling edge either way).
 
@@ -264,16 +269,22 @@ def fk_integrity_report(tables: dict[str, DataFrame]) -> DataFrame:
     parts = []
     for child, fk, parent, pk in FK_EDGES:
         child_df, parent_df = tables[child], tables[parent]
-        fk_counts = child_df.groupBy(F.col(fk).alias("_fk")).agg(
-            F.count(F.lit(1)).cast("long").alias("_cnt")
+        fk_counts = (
+            child_df.groupBy(F.col(fk).alias("_fk"))
+            .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+            # pinned: BOTH the row total and the anti-join read this
+            # ≤|distinct fk|-row aggregate — the wide child scans once
+            .localCheckpoint(eager=False)
         )
         orphan = fk_counts.join(
             parent_df.select(F.col(pk).alias("_fk")).distinct(),
             "_fk",
             "left_anti",
         )
-        total = child_df.agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows")
+        total = fk_counts.agg(
+            F.coalesce(F.sum("_cnt"), F.lit(0))
+            .cast("long")
+            .alias("n_rows")
         )
         summary = total.crossJoin(
             orphan.agg(

@@ -3374,7 +3374,7 @@ def customer_order_gaps(orders: DataFrame) -> DataFrame:
 
 
 def shipping_delay_profile(
-    orders: DataFrame, lineitem: DataFrame
+    orders: DataFrame, lineitem: DataFrame, profile: str = "oracle"
 ) -> DataFrame:
     """Order→ship latency profile per order priority: rank-exact
     median and p90 of ``datediff(l_shipdate, o_orderdate)`` plus the
@@ -3396,6 +3396,15 @@ def shipping_delay_profile(
     priority-keyed window exchange, the two target ranks select via the
     same broadcast pattern; output is ≤|priorities| rows.
 
+    ``profile="oracle"`` (default) ranks with the per-priority
+    total-order window — one task sorts each priority's whole slice (5
+    priorities ⇒ 5 tasks regardless of cluster size; the oracle-parity
+    form). ``profile="scale"`` computes the SAME integer ranks with
+    ``ranked_by_range`` (range shuffle + per-partition offsets —
+    n_parts-way parallel, no single-task key slices); pinned
+    value-identical in pytest, timed in bench's ``scale_profile`` lane
+    like the rest of the rank-exact family.
+
     Output: (o_orderpriority, n_lineitems, median_lag_days,
     p90_lag_days, max_lag_days).
     """
@@ -3415,16 +3424,25 @@ def shipping_delay_profile(
         )
         .localCheckpoint(eager=False)
     )
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "lag_days", "l_orderkey", "l_linenumber"
-    )
-    w_n = Window.partitionBy("o_orderpriority")
-    ranked = lags.select(
-        "o_orderpriority",
-        "lag_days",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(w_n).alias("n"),
-    )
+    if profile == "scale":
+        ranked = ranked_by_range(
+            lags,
+            ["o_orderpriority"],
+            ["lag_days", "l_orderkey", "l_linenumber"],
+            rank_col="rn",
+            n_col="n",
+        ).select("o_orderpriority", "lag_days", "rn", "n")
+    else:
+        w = Window.partitionBy("o_orderpriority").orderBy(
+            "lag_days", "l_orderkey", "l_linenumber"
+        )
+        w_n = Window.partitionBy("o_orderpriority")
+        ranked = lags.select(
+            "o_orderpriority",
+            "lag_days",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(w_n).alias("n"),
+        )
     picks = ranked.filter(
         (F.col("rn") == F.expr("(n + 1) DIV 2"))
         | (F.col("rn") == F.expr("(9 * n + 9) DIV 10"))

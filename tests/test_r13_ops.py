@@ -12,7 +12,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from scholar_stream_spark.operators import similarity
+from scholar_stream_spark.operators import relational, similarity
 from tests.conftest import SF_SMALL
 
 
@@ -44,3 +44,56 @@ def test_pq_index_meta_corrupt_rotation_raises(spark, emb, tmp_path):
         similarity._load_pq_index_meta(spark, path)
     # the missing-path fallback must NOT have swallowed this
     assert "PATH_NOT_FOUND" not in str(exc_info.value)
+
+
+def test_fk_integrity_report_single_child_scan_per_edge(spark):
+    """r12 verdict: the row total used to be a SECOND full scan of
+    each child table. Folded into the pinned FK aggregate, the main
+    plan now scans each table only in its PARENT role (key column,
+    once per parent edge); every child read goes through the
+    checkpointed ≤|distinct fk|-row aggregate (ExistingRDD)."""
+    import re
+
+    from scholar_stream_spark.operators import profiling
+
+    tables = {
+        n: spark.read.parquet(f"{SF_SMALL}/{n}.parquet")
+        for n in (
+            "region", "nation", "customer", "supplier",
+            "part", "orders", "lineitem",
+        )
+    }
+    rep = profiling.fk_integrity_report(tables)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    parent_scans = {
+        "region": 1, "nation": 2, "customer": 1, "supplier": 1,
+        "part": 1, "orders": 1, "lineitem": 0,
+    }
+    for t, want in parent_scans.items():
+        got = len(re.findall(rf"{t}\.parquet", plan))
+        assert got == want, f"{t}: {got} parquet scans, want {want}"
+    # still 7 edges, counts intact (sum over the aggregate == count(*))
+    rows = {r["child_table"] + "." + r["fk_column"]: r for r in rep.collect()}
+    assert len(rows) == 7
+    assert rows["lineitem.l_orderkey"]["n_rows"] == tables["lineitem"].count()
+
+
+def test_shipping_delay_profile_scale_identical(spark):
+    """The 16th scale-profile pair: shipping_delay_profile's 5-key
+    priority window (the last single-task rank in the family) swapped
+    onto ranked_by_range — value-identical to the oracle profile."""
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    a = sorted(
+        tuple(r)
+        for r in relational.shipping_delay_profile(
+            orders, lineitem
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in relational.shipping_delay_profile(
+            orders, lineitem, profile="scale"
+        ).collect()
+    )
+    assert a == b and len(a) > 0
