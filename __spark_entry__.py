@@ -37,9 +37,22 @@ Deliberately WITHOUT oracle entries (rows-only check):
   rationale); recall ≥ plain-PQ, orthogonality, persisted-probe ==
   inline-rerank, and frozen-rotation appends pytest-pinned
   (``tests/test_r12_ops.py``).
+- ``ann_opq_iter_topk`` / ``ann_opq_iter_recall`` — non-parametric
+  OPQ (alternating Lloyd + Procrustes-SVD rotation, Ge et al. §5 —
+  the FAISS default; float-iterative, inherits the OPQ rationale);
+  orthogonality and recall ≥ parametric pinned on BOTH the planted
+  anisotropic fixture (0.60 vs 0.54) and the sf corpus (0.42 vs
+  0.26) in ``tests/test_r13_ops.py``.
 - ``ann_ivfopq_topk`` / ``ann_ivfopq_recall`` — the OPQ+IVF+PQ+refine
   composition (all three parents' rationale); recall floor 0.7
   pytest-pinned, measured 0.92 at sf0.001.
+- ``hybrid_search_rrf_ann`` — ``hybrid_search_rrf`` with the semantic
+  leg served by ``ann_ivfpq_topk`` (the approximate serving variant
+  the exact entry's docstring promises); inherits the IVF-PQ rows-only
+  rationale. Per-query overlap vs the ORACLE-CHECKED exact hybrid
+  pytest-pinned (``tests/test_r13_ops.py``); the lexical leg and the
+  fusion arithmetic are unchanged and stay value-checked through
+  ``hybrid_search_rrf``.
 - ``pq_index_stats`` / ``pq_probe_index`` — the persisted PQ serving
   layout (codes from the trained quantizer, ``ivf_index_stats``'
   rationale); stats pinned vs an inline recount, probe pinned EXACTLY
@@ -1315,6 +1328,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": lambda s, d: similarity.hybrid_search_rrf(
             _t(s, d, "documents"), _t(s, d, "embeddings")
         ),
+        # the approximate SERVING variant: semantic leg via IVF-PQ
+        # (rows-only — see module docstring; overlap floor vs the
+        # exact hybrid pinned in tests/test_r13_ops.py)
+        "hybrid_search_rrf_ann": lambda s, d: similarity.hybrid_search_rrf(
+            _t(s, d, "documents"), _t(s, d, "embeddings"),
+            semantic="ivfpq",
+        ),
         "unigram_logprob": lambda s, d: textops.unigram_logprob(
             _t(s, d, "documents")
         ),
@@ -1431,6 +1451,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_opq_recall": lambda s, d: similarity.ann_recall(
             _t(s, d, "embeddings"), method="opq"
+        ),
+        # non-parametric (alternating-minimization) OPQ — Ge et al. §5,
+        # the FAISS default; rows-only, ≥-parametric pins in
+        # tests/test_r13_ops.py
+        "ann_opq_iter_topk": lambda s, d: similarity.ann_opq_topk(
+            _t(s, d, "embeddings"), mode="iterative"
+        ),
+        "ann_opq_iter_recall": lambda s, d: similarity.ann_recall(
+            _t(s, d, "embeddings"), method="opq_np"
         ),
         # PCA basis + projection (OPQ-style preprocessing; exact fsum
         # moments, deterministic eigh ordering/sign)

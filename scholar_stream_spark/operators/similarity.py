@@ -1029,7 +1029,9 @@ def cosine_topk_int8(
     )
 
 
-RECALL_METHODS = {"lsh", "ivf", "int8", "pq", "ivfpq", "opq", "ivfopq"}
+RECALL_METHODS = {
+    "lsh", "ivf", "int8", "pq", "ivfpq", "opq", "opq_np", "ivfopq",
+}
 
 
 def ann_recall(
@@ -1073,6 +1075,10 @@ def ann_recall(
         approx = ann_pq_topk(embeddings, k, n_queries, q_rows=q_rows)
     elif method == "opq":
         approx = ann_opq_topk(embeddings, k, n_queries, q_rows=q_rows)
+    elif method == "opq_np":
+        approx = ann_opq_topk(
+            embeddings, k, n_queries, q_rows=q_rows, mode="iterative"
+        )
     elif method == "ivfpq":
         approx = ann_ivfpq_topk(embeddings, k, n_queries)
     elif method == "ivfopq":
@@ -1933,6 +1939,117 @@ def _opq_rotation(embeddings: DataFrame, m: int = PQ_NUM_SUBSPACES):
     return np.ascontiguousarray(comps[order, :])
 
 
+#: Alternating-minimization rounds for non-parametric OPQ (Ge et al.
+#: §5; FAISS ``OPQMatrix`` defaults to 25 tiny in-RAM rounds — here
+#: each round is a full corpus pass, and the parametric seed already
+#: lands near the optimum, so a few rounds close the remaining gap).
+OPQ_NP_ITERS = 4
+
+
+def _opq_rotation_iterative(
+    embeddings: DataFrame,
+    m: int = PQ_NUM_SUBSPACES,
+    k_star: int = PQ_CODEBOOK_SIZE,
+    n_iter: int = OPQ_NP_ITERS,
+) -> np.ndarray:
+    """Non-parametric OPQ rotation (Ge, He, Ke, Sun, "Optimized
+    Product Quantization", CVPR 2013, §5 — the alternating
+    minimization FAISS runs by default): seed with the parametric
+    eigenvalue-balanced rotation (the paper's recommended init), then
+    alternate (a) one Lloyd update of the codebook in the current
+    rotated space with (b) an orthogonal-Procrustes update of the
+    rotation against the codebook's reconstructions —
+    ``R* = argmax tr(R·Σ xᵢyᵢᵀ) = V·Uᵀ`` from ``SVD(Σ xᵢyᵢᵀ) = USVᵀ``,
+    where ``yᵢ`` is the reconstruction of ``R·xᵢ``'s codes. Directly
+    minimizes the quantization distortion ``Σ‖R·xᵢ − yᵢ‖²`` instead of
+    the parametric variant's Gaussian-assumption proxy — the one
+    family member that can still gain on near-isotropic corpora.
+
+    Scale shape: each round is ONE ``mapInPandas`` corpus pass whose
+    kernel emits BOTH the Lloyd partials (≤ batches·m·k* tiny rows —
+    the ``_pq_train_codebook`` shape) AND the Procrustes scatter
+    (``dim`` rows of ``dim`` doubles per batch); everything collected
+    is geometry-sized (m·k*·dsub + dim² driver floats), the corpus is
+    never shuffled, and the dim×dim SVD runs on the driver. The
+    returned rotation feeds the UNCHANGED trainer/ADC/refine kernels,
+    so serving cost is identical to parametric OPQ.
+
+    Returns ``R (dim, dim)`` orthogonal; apply as ``x @ R.T``.
+    """
+    rotation = _opq_rotation(embeddings, m)
+    dim = rotation.shape[0]
+    dsub = dim // m
+    codebook, _ = _pq_train_codebook(
+        embeddings, m, k_star, rotation=rotation
+    )
+    corpus = (
+        scale_out(embeddings)
+        .select("embedding")
+        .localCheckpoint(eager=False)
+    )
+    schema = "kind int, idx int, code int, cnt long, s array<double>"
+
+    def _one_pass(rot: np.ndarray, cb: np.ndarray):
+        def kernel(batches, rot=rot, cb=cb):
+            for pdf in batches:
+                x = np.array(list(pdf["embedding"]), dtype=np.float64)
+                if len(x) == 0:
+                    continue
+                xr = x @ rot.T
+                xs = xr.reshape(len(x), m, dsub)
+                codes = _pq_assign(xs, cb)
+                out = {
+                    "kind": [], "idx": [], "code": [],
+                    "cnt": [], "s": [],
+                }
+                y = np.empty_like(xs)
+                for j in range(m):
+                    y[:, j, :] = cb[j][codes[:, j]]
+                    cnt_j = np.bincount(codes[:, j], minlength=k_star)
+                    sum_j = np.zeros((k_star, dsub))
+                    np.add.at(sum_j, codes[:, j], xs[:, j, :])
+                    nz = np.flatnonzero(cnt_j)
+                    out["kind"].extend([0] * len(nz))
+                    out["idx"].extend([j] * len(nz))
+                    out["code"].extend(nz.tolist())
+                    out["cnt"].extend(cnt_j[nz].tolist())
+                    out["s"].extend(sum_j[nz].tolist())
+                # Procrustes scatter partial: A = Σ xᵢ yᵢᵀ (dim×dim),
+                # x ORIGINAL space, y the rotated-space reconstruction
+                a = x.T @ y.reshape(len(x), dim)
+                out["kind"].extend([1] * dim)
+                out["idx"].extend(range(dim))
+                out["code"].extend([0] * dim)
+                out["cnt"].extend([0] * dim)
+                out["s"].extend(a.tolist())
+                yield pd.DataFrame(out)
+
+        cnt = np.zeros((m, k_star), dtype=np.int64)
+        sums = np.zeros((m, k_star, dsub))
+        scatter = np.zeros((dim, dim))
+        for r in corpus.mapInPandas(kernel, schema).collect():
+            if r["kind"] == 0:
+                j, c = r["idx"], r["code"]
+                cnt[j, c] += r["cnt"]
+                sums[j, c, :] += np.asarray(r["s"], dtype=np.float64)
+            else:
+                scatter[r["idx"], :] += np.asarray(
+                    r["s"], dtype=np.float64
+                )
+        return cnt, sums, scatter
+
+    for _ in range(n_iter):
+        cnt, sums, scatter = _one_pass(rotation, codebook)
+        nz = cnt > 0
+        new_cb = codebook.copy()
+        new_cb[nz] = sums[nz] / cnt[nz][:, None]
+        codebook = new_cb
+        u, _sv, vt = np.linalg.svd(scatter)
+        # max tr(R·A) over orthogonal R, A = USVᵀ ⇒ R = VUᵀ
+        rotation = np.ascontiguousarray(vt.T @ u.T)
+    return rotation
+
+
 def ann_opq_topk(
     embeddings: DataFrame,
     topk: int = ANN_TOPK,
@@ -1940,6 +2057,7 @@ def ann_opq_topk(
     q_rows: list | None = None,
     m: int = PQ_NUM_SUBSPACES,
     k_star: int = PQ_CODEBOOK_SIZE,
+    mode: str = "parametric",
 ) -> DataFrame:
     """OPQ ADC top-k — ``ann_pq_topk`` with the parametric OPQ
     pre-rotation (FAISS ``OPQ{m},PQ{m}``): one extra corpus pass trains
@@ -1958,13 +2076,23 @@ def ann_opq_topk(
     vs 0.48, quantization distortion 0.96 vs 2.86 — and 0.26 vs 0.18
     on the sf0.001 corpus; both pinned). On a near-ISOTROPIC corpus
     there is nothing to balance and OPQ ties PQ within noise — the
-    honest limit of the parametric variant (the full alternating-
-    minimization OPQ-NP can still gain there; not implemented).
+    honest limit of the parametric variant.
+
+    ``mode="iterative"`` (r13) closes that limit with the
+    non-parametric alternating minimization
+    (``_opq_rotation_iterative`` — Ge et al. §5, the FAISS default):
+    seeded by the parametric rotation, it directly minimizes the
+    quantization distortion, so it is pinned ≥ parametric on the
+    anisotropic fixture; the trainer/ADC tail is byte-identical, only
+    the rotation differs.
 
     Approximate by construction → rows-only; family schema
     (query_id, neighbor_id, cos_sim, rank).
     """
-    rotation = _opq_rotation(embeddings, m)
+    if mode == "iterative":
+        rotation = _opq_rotation_iterative(embeddings, m, k_star)
+    else:
+        rotation = _opq_rotation(embeddings, m)
     return ann_pq_topk(
         embeddings,
         topk=topk,
@@ -2186,6 +2314,7 @@ def hybrid_search_rrf(
     depth: int = RRF_DEPTH,
     topk: int = RRF_TOPK,
     k_rrf: int = RRF_K,
+    semantic: str = "exact",
 ) -> DataFrame:
     """Hybrid search: BM25 and exact-cosine top-``depth`` lists fused
     by reciprocal-rank fusion — ``score(d) = Σ 1/(k + rank_d)`` over
@@ -2206,10 +2335,17 @@ def hybrid_search_rrf(
     retrieval stack.
 
     Scale shape: both branch plans keep their own contracts (BM25's
-    single scan; the exact branch is the brute-force baseline — swap
-    in ``ann_ivfpq_topk`` unchanged for the approximate serving
-    variant, same schema); the fusion itself touches only
-    ``2·depth·|queries|`` rows.
+    single scan; the semantic branch is pluggable — see ``semantic``);
+    the fusion itself touches only ``2·depth·|queries|`` rows.
+
+    ``semantic="exact"`` (default) runs the brute-force cosine
+    baseline (oracle-parity — the whole hybrid table value-checks
+    against SQL). ``semantic="ivfpq"`` swaps in ``ann_ivfpq_topk``
+    unchanged (same family schema) — the approximate SERVING variant:
+    at 100 TB the vector leg reads ``n_probe`` cells' codes instead of
+    the corpus, and the fusion/lexical legs are untouched. Approximate
+    by construction → rows-only, with the recall floor vs the exact
+    hybrid pinned in pytest.
 
     Output: (query, doc_id, rrf_score, rank), rank by (score desc,
     doc_id asc).
@@ -2232,7 +2368,11 @@ def hybrid_search_rrf(
         "doc_id",
         (F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("rank"))).alias("c"),
     )
-    sem = cosine_topk(embeddings, k=depth, n_queries=n_q).select(
+    if semantic == "ivfpq":
+        sem_topk = ann_ivfpq_topk(embeddings, topk=depth, n_queries=n_q)
+    else:
+        sem_topk = cosine_topk(embeddings, k=depth, n_queries=n_q)
+    sem = sem_topk.select(
         F.col("query_id").alias("qidx"),
         F.col("neighbor_id").alias("doc_id"),
         (F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("rank"))).alias("c"),

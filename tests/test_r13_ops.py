@@ -78,6 +78,94 @@ def test_fk_integrity_report_single_child_scan_per_edge(spark):
     assert rows["lineitem.l_orderkey"]["n_rows"] == tables["lineitem"].count()
 
 
+@pytest.fixture(scope="module")
+def aniso_emb(spark):
+    """The r12 planted-anisotropic corpus (eigenvalues 0.85^i under a
+    seeded orthogonal mixing) — the case OPQ exists for."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n, dim = 500, 64
+    lam = 0.85 ** np.arange(dim)
+    q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+    x = (rng.standard_normal((n, dim)) * np.sqrt(lam)) @ q.T
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    df.count()
+    return df
+
+
+def test_iterative_opq_rotation_orthogonal(aniso_emb):
+    import numpy as np
+
+    r = similarity._opq_rotation_iterative(aniso_emb)
+    assert np.allclose(r @ r.T, np.eye(r.shape[0]), atol=1e-9)
+
+
+def test_iterative_opq_beats_parametric_anisotropic(aniso_emb):
+    """Ge et al. §5: the alternating minimization directly optimizes
+    the distortion the parametric variant only proxies — pinned ≥
+    parametric on the anisotropic fixture (measured 0.60 vs 0.54;
+    both deterministic, seeded)."""
+    p = similarity.ann_recall(aniso_emb, method="opq").collect()[0]
+    np_ = similarity.ann_recall(aniso_emb, method="opq_np").collect()[0]
+    assert np_["recall"] >= p["recall"], (np_["recall"], p["recall"])
+    assert np_["recall"] >= 0.55, np_["recall"]
+
+
+def test_iterative_opq_gains_on_near_isotropic_corpus(emb):
+    """The parametric variant's documented honest limit: on the
+    near-isotropic sf corpus it ties plain PQ. The non-parametric
+    alternation still gains there (measured 0.42 vs 0.26) — the reason
+    the family member exists."""
+    p = similarity.ann_recall(emb, method="opq").collect()[0]
+    np_ = similarity.ann_recall(emb, method="opq_np").collect()[0]
+    assert np_["recall"] >= p["recall"], (np_["recall"], p["recall"])
+    assert np_["recall"] >= 0.35, np_["recall"]
+
+
+def test_iterative_opq_topk_partition_invariant(emb):
+    a = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.ann_opq_topk(emb, mode="iterative").collect()
+    )
+    b = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.ann_opq_topk(
+            emb.repartition(7), mode="iterative"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_hybrid_rrf_ann_overlap_floor(spark, emb):
+    """The hybrid-over-ANN serving variant (semantic leg = IVF-PQ)
+    must keep per-query top-k overlap with the ORACLE-CHECKED exact
+    hybrid above the IVF-PQ family's floor — this makes the exact
+    entry's 'swap in ann_ivfpq_topk unchanged' claim executable."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    from scholar_stream_spark.operators.similarity import (
+        hybrid_search_rrf,
+    )
+
+    def topsets(df):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["query"], set()).add(r["doc_id"])
+        return out
+
+    exact = topsets(hybrid_search_rrf(docs, emb))
+    ann = topsets(hybrid_search_rrf(docs, emb, semantic="ivfpq"))
+    assert set(ann) == set(exact)  # same queries served
+    recalls = [
+        len(ann[q] & exact[q]) / len(exact[q]) for q in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.7, (mean_recall, recalls)
+
+
 def test_shipping_delay_profile_scale_identical(spark):
     """The 16th scale-profile pair: shipping_delay_profile's 5-key
     priority window (the last single-task rank in the family) swapped
