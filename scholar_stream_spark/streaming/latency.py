@@ -114,7 +114,12 @@ def streaming_latency_kpis_auto(
     measured disorder audit over batch history — the two halves
     (`event_order_audit` → ``withWatermark``) actually wired, not
     documentation-only neighbors. Admission of every event within the
-    measured bound is pinned in ``tests/test_r12_ops.py``."""
+    measured bound is pinned in ``tests/test_r12_ops.py``.
+
+    Sized ONCE at stream start: pair with ``WatermarkResizeMonitor``
+    in ``foreachBatch`` for long-running streams whose disorder can
+    grow (measure-continuously + restart-to-resize — Spark cannot
+    widen a running stream's watermark)."""
     return streaming_latency_kpis(
         vw_works_stream,
         window=window,
@@ -123,6 +128,84 @@ def streaming_latency_kpis_auto(
             history_events, margin_frac=margin_frac
         ),
     )
+
+
+class WatermarkResizeMonitor:
+    """Periodic watermark RE-sizing for long-running streams (r12
+    verdict item 7): ``auto_watermark_delay`` measures disorder once at
+    stream start, so a stream whose disorder GROWS would silently drop
+    late rows forever after. Spark fixes ``withWatermark`` at plan
+    time — a running stream cannot widen its own watermark — so the
+    honest contract is **measure continuously, restart to resize**:
+
+    1. call ``observe(batch_df, batch_id)`` from ``foreachBatch``
+       (batch_df in the audit's events shape: user_id, event_id, ts);
+    2. every ``check_every`` batches the monitor re-runs
+       ``event_order_audit`` ON THAT BATCH (bounded: one window pass
+       over micro-batch-sized input) and folds the measured max
+       lateness into a sliding history of the last ``window_batches``
+       checks;
+    3. when the re-derived recommendation exceeds the configured
+       delay, ``observe`` returns the new interval string (else
+       ``None``) and ``needs_resize`` latches — the operator (or a
+       supervising restart loop) stops the query and restarts it with
+       ``recommended_delay``, which Structured Streaming resumes
+       exactly-once from the checkpoint.
+
+    Driver state is geometry-sized: ``window_batches`` ints. The
+    recommendation only ever looks BACK ``window_batches`` checks, so
+    a transient disorder spike ages out instead of pinning the
+    watermark wide forever.
+    """
+
+    def __init__(
+        self,
+        configured_delay: str,
+        check_every: int = 10,
+        window_batches: int = 50,
+        margin_frac: float = AUTO_WATERMARK_MARGIN,
+        min_delay_seconds: int = 1,
+    ) -> None:
+        self.configured_seconds = int(configured_delay.split()[0])
+        self.check_every = max(1, int(check_every))
+        self.window_batches = max(1, int(window_batches))
+        self.margin_frac = margin_frac
+        self.min_delay_seconds = min_delay_seconds
+        self._lateness_us: list[int] = []
+        self.n_checks = 0
+        self.needs_resize = False
+
+    @property
+    def recommended_seconds(self) -> int:
+        worst = max(self._lateness_us, default=0)
+        return max(
+            self.min_delay_seconds,
+            math.ceil(worst * (1.0 + self.margin_frac) / 1_000_000),
+        )
+
+    @property
+    def recommended_delay(self) -> str:
+        return f"{self.recommended_seconds} seconds"
+
+    def observe(self, batch_df: DataFrame, batch_id: int) -> str | None:
+        """Record one micro-batch. Runs the disorder audit only on
+        every ``check_every``-th batch (cost control); returns the new
+        interval string when the measured disorder no longer fits the
+        configured delay, else None."""
+        if batch_id % self.check_every:
+            return None
+        row = (
+            event_order_audit(batch_df)
+            .agg(F.max("max_lateness_us").alias("mx"))
+            .first()
+        )
+        self._lateness_us.append(int(row["mx"] or 0))
+        del self._lateness_us[: -self.window_batches]
+        self.n_checks += 1
+        if self.recommended_seconds > self.configured_seconds:
+            self.needs_resize = True
+            return self.recommended_delay
+        return None
 
 
 def streaming_dedup(

@@ -166,6 +166,69 @@ def test_hybrid_rrf_ann_overlap_floor(spark, emb):
     assert mean_recall >= 0.7, (mean_recall, recalls)
 
 
+def _audit_batch(spark, latenesses_us):
+    """One user's arrival sequence: lateness 0 advances the event-time
+    clock 10 s in order; lateness L places the event exactly L
+    microseconds BEHIND the running event-time max (so the audit
+    measures max_lateness_us == max(latenesses_us))."""
+    import datetime
+
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    rows, mx_us = [], 0
+    for i, late in enumerate([0] + list(latenesses_us)):
+        ts_us = mx_us + 10_000_000 if late == 0 else mx_us - late
+        mx_us = max(mx_us, ts_us)
+        rows.append(
+            ("u1", i, base + datetime.timedelta(microseconds=ts_us))
+        )
+    return spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp"
+    )
+
+
+def test_watermark_resize_monitor_picks_up_disorder_shift(spark):
+    """A long-running stream whose disorder GROWS must not keep
+    dropping late rows silently: the monitor re-derives the delay per
+    check_every batches and signals restart-to-resize when the
+    measurement outgrows the configured delay."""
+    from scholar_stream_spark.streaming.latency import (
+        WatermarkResizeMonitor,
+    )
+
+    mon = WatermarkResizeMonitor("5 seconds", check_every=2)
+    # in-order batch at a check boundary: fits, floor recommendation
+    assert mon.observe(_audit_batch(spark, [0, 0]), batch_id=0) is None
+    assert not mon.needs_resize
+    assert mon.recommended_seconds == 1
+    # non-check batch: skipped entirely (a frame the audit would
+    # reject proves observe() never touched it)
+    bad = spark.createDataFrame([(1,)], "x long")
+    assert mon.observe(bad, batch_id=1) is None
+    # disorder shift: 8 s lateness * 1.25 margin = 10 s > 5 s config
+    got = mon.observe(_audit_batch(spark, [8_000_000]), batch_id=2)
+    assert got == "10 seconds"
+    assert mon.needs_resize
+    assert mon.n_checks == 2
+
+
+def test_watermark_resize_monitor_spike_ages_out(spark):
+    """The recommendation looks back window_batches checks, so a
+    transient spike must not pin the watermark wide forever."""
+    from scholar_stream_spark.streaming.latency import (
+        WatermarkResizeMonitor,
+    )
+
+    mon = WatermarkResizeMonitor(
+        "60 seconds", check_every=1, window_batches=2
+    )
+    mon.observe(_audit_batch(spark, [8_000_000]), batch_id=0)
+    assert mon.recommended_seconds == 10
+    mon.observe(_audit_batch(spark, [0]), batch_id=1)
+    mon.observe(_audit_batch(spark, [0]), batch_id=2)
+    assert mon.recommended_seconds == 1  # spike aged out
+    assert not mon.needs_resize  # 10 s never exceeded the 60 s config
+
+
 def test_shipping_delay_profile_scale_identical(spark):
     """The 16th scale-profile pair: shipping_delay_profile's 5-key
     priority window (the last single-task rank in the family) swapped
