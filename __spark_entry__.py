@@ -1105,6 +1105,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # per-nation supplier-concentration HHI (exact decimal sum of
         # squares, one closing division)
+        # ABC (Pareto) inventory classification — integer-exact
+        # cumulative-share boundaries
+        "pareto_parts": lambda s, d: relational.pareto_parts(
+            _t(s, d, "lineitem")
+        ),
+        # month-over-month revenue trend (exact-decimal sums, lag
+        # window over the <=|months| aggregate)
+        "monthly_revenue_trend": lambda s, d: (
+            relational.monthly_revenue_trend(_t(s, d, "orders"))
+        ),
         "supplier_hhi": lambda s, d: relational.supplier_hhi(
             _t(s, d, "lineitem"), _t(s, d, "supplier"), _t(s, d, "nation")
         ),
@@ -4869,6 +4879,51 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             LIMIT {relational.PART_AFFINITY_TOPK}
         """,
         "fk_integrity_report": _fk_integrity_sql(),
+        "pareto_parts": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                            AS DECIMAL(18,4)) AS rev
+                FROM lineitem GROUP BY l_partkey
+            ), cumed AS (
+                SELECT rev,
+                       CAST(SUM(rev) OVER (
+                           ORDER BY rev DESC, l_partkey ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+                            AS DECIMAL(25,4)) AS cum,
+                       CAST(SUM(rev) OVER () AS DECIMAL(25,4)) AS total
+                FROM per_part
+            ), classed AS (
+                SELECT rev, total,
+                       CASE WHEN cum * 10 <= total * 7 THEN 'A'
+                            WHEN cum * 10 <= total * 9 THEN 'B'
+                            ELSE 'C' END AS abc_class
+                FROM cumed
+            )
+            SELECT abc_class,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(rev) AS DOUBLE) AS revenue,
+                   round(CAST(SUM(rev) AS DOUBLE)
+                         / CAST(MAX(total) AS DOUBLE), 6) AS revenue_share
+            FROM classed GROUP BY abc_class
+        """,
+        "monthly_revenue_trend": """
+            WITH monthly AS (
+                SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                       CAST(count(*) AS BIGINT) AS n_orders,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS _rev
+                FROM orders GROUP BY 1
+            )
+            SELECT month, n_orders,
+                   CAST(_rev AS DOUBLE) AS revenue,
+                   round(CAST(_rev - lag(_rev) OVER (ORDER BY month)
+                              AS DOUBLE)
+                         / CAST(lag(_rev) OVER (ORDER BY month)
+                                AS DOUBLE), 6) AS mom_growth
+            FROM monthly
+        """,
         "supplier_hhi": """
             WITH per_sup AS (
                 SELECT l_suppkey,

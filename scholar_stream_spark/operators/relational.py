@@ -3468,3 +3468,127 @@ def shipping_delay_profile(
         ),
         "o_orderpriority",
     )
+
+
+#: ABC classification boundaries as integer tenths of cumulative
+#: revenue share: class A while 10·cum ≤ 7·total, B while ≤ 9·total.
+ABC_BOUNDS = (7, 9)
+
+
+def pareto_parts(lineitem: DataFrame) -> DataFrame:
+    """ABC inventory classification — the Pareto rollup behind "which
+    parts carry the revenue?": parts rank by revenue descending, class
+    A = parts up to 70% of cumulative revenue, B to 90%, C the tail
+    (the standard inventory-control cut; the part-side complement to
+    ``revenue_concentration``'s customer Lorenz table).
+
+    Engine parity — every boundary decision is EXACT-DECIMAL: per-part
+    revenue is the ``DISCOUNTED_PRICE`` sum kept at its natural scale
+    4 (``DECIMAL(18,4)`` — the ``supplier_hhi`` convention; a scale-2
+    re-cast would ROUND, and Spark rounds the decimal string HALF_UP
+    while DuckDB rounds the stored value — a $6 drift at sf0.01), the
+    cumulative sum runs over the unique (rev desc, partkey asc) total
+    order as exact decimals re-anchored at DECIMAL(25,4) (headroom
+    ~$10¹⁷ total; DuckDB's window SUM lands at width 38 where a ×10
+    would overflow — the explicit re-anchor keeps the boundary
+    arithmetic in-range on BOTH engines), and the class boundary is
+    ``10·cum ≤ bound·total`` in exact decimal arithmetic — no float
+    share ever decides a boundary row, so both engines classify the
+    SAME parts (the ``quality_deciles`` rank-exact discipline applied
+    to cumulative sums).
+
+    Scale shape: the fact table collapses to the ≤|parts|-row revenue
+    rollup first (one map-side-combined exchange — the only fact-sized
+    move); the cumulative window then runs over the DIMENSION-sized
+    aggregate (the ``revenue_concentration`` precedent; at extreme
+    |parts| the same rule runs as ``repartitionByRange`` +
+    per-partition partial-sum offsets — the ``ranked_by_range``
+    machinery with sums for counts). Output: 3 rows.
+
+    Output: (abc_class, n_parts, revenue, revenue_share round-6).
+    """
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.expr(
+            f"CAST(SUM({DISCOUNTED_PRICE}) AS DECIMAL(18,4))"
+        ).alias("rev")
+    )
+    w_cum = (
+        Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy()
+    a_bound, b_bound = ABC_BOUNDS
+    classed = per_part.select(
+        "rev",
+        F.sum("rev").over(w_cum).cast("decimal(25,4)").alias("cum"),
+        F.sum("rev").over(w_tot).cast("decimal(25,4)").alias("total"),
+    ).select(
+        "rev",
+        "total",
+        F.when(
+            F.col("cum") * 10 <= F.col("total") * a_bound, F.lit("A")
+        )
+        .when(F.col("cum") * 10 <= F.col("total") * b_bound, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev").alias("_rev"),
+            F.max("total").alias("_total"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.round(
+                F.col("_rev").cast("double")
+                / F.col("_total").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+    )
+
+
+def monthly_revenue_trend(orders: DataFrame) -> DataFrame:
+    """Month-over-month revenue trend — the seasonality/health table
+    every revenue dashboard opens with: per calendar month, order
+    count, exact revenue, and MoM growth.
+
+    Engine parity: the month key is a string (``yyyy-MM`` /
+    ``%Y-%m`` — same rendering both engines), revenue sums as exact
+    DECIMAL(18,2) (``o_totalprice`` is cent-quantized), and MoM growth
+    is ONE IEEE division of two engine-identical exact decimals
+    (``(rev − prev)/prev``), NULL for the first month. "Previous" =
+    the prior month PRESENT in the data (``lag`` over the month
+    order) — with TPC-H-dense dates that is the prior calendar month;
+    gapped histories difference across the gap (stated).
+
+    Scale shape: one map-side-combined groupBy collapses the orders
+    table to ≤|months| rows; the lag window runs over that tiny
+    aggregate (single exchange of ≤|months| rows — bounded by the
+    calendar, not the data). Output: one row per month.
+
+    Output: (month, n_orders, revenue, mom_growth round-6).
+    """
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.expr(
+            "SUM(CAST(o_totalprice AS DECIMAL(18,2)))"
+        ).alias("_rev"),
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "n_orders",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.round(
+            (F.col("_rev") - F.lag("_rev").over(w)).cast("double")
+            / F.lag("_rev").over(w).cast("double"),
+            6,
+        ).alias("mom_growth"),
+    )

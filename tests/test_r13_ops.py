@@ -229,6 +229,55 @@ def test_watermark_resize_monitor_spike_ages_out(spark):
     assert not mon.needs_resize  # 10 s never exceeded the 60 s config
 
 
+def test_pareto_parts_boundary_classes(spark):
+    """Hand-built ABC fixture: 10 parts, revenues 70/10/10/5/1×6 — the
+    first part lands EXACTLY on the 70% boundary (class A by the ≤
+    rule), the next two close out 90% (B), the tail is C. Exact-decimal
+    boundaries mean the classification is not at the mercy of a float
+    share."""
+    rows = []
+    revs = [70, 10, 10, 5, 1, 1, 1, 1, 1, 0]  # total = 100
+    for pk, r in enumerate(revs):
+        rows.append((1000 + pk, pk, float(r), 0.0))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_extendedprice double,"
+        " l_discount double",
+    )
+    got = {
+        r["abc_class"]: (r["n_parts"], r["revenue"], r["revenue_share"])
+        for r in relational.pareto_parts(li).collect()
+    }
+    assert got["A"] == (1, 70.0, 0.7)
+    assert got["B"] == (2, 20.0, 0.2)
+    assert got["C"] == (7, 10.0, 0.1)
+
+
+def test_monthly_revenue_trend_growth(spark):
+    """Constructed 3-month history: +100% then -50%, first month NULL
+    growth; same-month orders aggregate before the lag window."""
+    import datetime
+
+    def d(m, day=1):
+        return datetime.datetime(2026, m, day)
+
+    orders = spark.createDataFrame(
+        [
+            (1, d(1), 50.0), (2, d(1, 20), 50.0),   # Jan: 100
+            (3, d(2), 200.0),                        # Feb: 200 (+100%)
+            (4, d(3), 60.0), (5, d(3, 15), 40.0),    # Mar: 100 (-50%)
+        ],
+        "o_orderkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    got = {
+        r["month"]: (r["n_orders"], r["revenue"], r["mom_growth"])
+        for r in relational.monthly_revenue_trend(orders).collect()
+    }
+    assert got["2026-01"] == (2, 100.0, None)
+    assert got["2026-02"] == (1, 200.0, 1.0)
+    assert got["2026-03"] == (2, 100.0, -0.5)
+
+
 def test_shipping_delay_profile_scale_identical(spark):
     """The 16th scale-profile pair: shipping_delay_profile's 5-key
     priority window (the last single-task rank in the family) swapped
