@@ -1632,6 +1632,16 @@ def profile_pairs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFra
                 profile="scale",
             ),
         },
+        # cumulative-sum sibling: prefix_sum_by_range vs the
+        # single-task global window (exact decimals both ways)
+        "pareto_parts": {
+            "oracle": lambda s, d: relational.pareto_parts(
+                _t(s, d, "lineitem")
+            ),
+            "scale": lambda s, d: relational.pareto_parts(
+                _t(s, d, "lineitem"), profile="scale"
+            ),
+        },
         "rfm_segments": {
             "oracle": lambda s, d: relational.rfm_segments(
                 _t(s, d, "orders")

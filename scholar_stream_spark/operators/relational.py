@@ -3475,7 +3475,107 @@ def shipping_delay_profile(
 ABC_BOUNDS = (7, 9)
 
 
-def pareto_parts(lineitem: DataFrame) -> DataFrame:
+def prefix_sum_by_range(
+    df: DataFrame,
+    order_exprs: list,
+    value_col: str,
+    cum_col: str = "cum",
+    total_col: str | None = None,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Distributed EXACT cumulative sum over a unique global total
+    order — ``ranked_by_range``'s machinery with per-partition partial
+    SUMS in place of counts: ``repartitionByRange`` on the order, one
+    tiny per-partition SUM aggregate (``n_parts`` rows — bounded
+    driver state), cumulative partials give each partition its sum
+    OFFSET, and one Arrow pass emits ``offset + running local sum``.
+    The single-task global-window cumsum (``Window.orderBy`` with no
+    partition) becomes an ``n_parts``-way parallel sort.
+
+    Exactness: DECIMAL values arrive in the Arrow kernel as Python
+    ``decimal.Decimal`` objects and the running sum uses exact decimal
+    addition — the distributed path is bit-identical to the window
+    form, never a float re-association. Integral values use exact int
+    addition. (Float value columns are rejected: their cumsum is
+    order-defined and a parallel re-association would change results.)
+
+    ``order_exprs``: Column expressions defining the UNIQUE total
+    order (e.g. ``[F.desc("rev"), F.asc("id")]``) — uniqueness is the
+    same contract as ``ranked_by_range``. ``total_col``: optionally
+    attach the grand total (the driver already knows it from the
+    offsets pass). Returns ``df``'s columns + ``cum_col``
+    (+ ``total_col``)."""
+    import decimal as _decimal  # noqa: PLC0415
+
+    dtype = df.schema[value_col].dataType.simpleString()
+    if dtype.startswith("decimal"):
+        prec, scale = map(
+            int, dtype[len("decimal("):-1].split(",")
+        )
+        out_type = f"decimal({min(38, prec + 7)},{scale})"
+        zero = _decimal.Decimal(0)
+    elif dtype in ("int", "bigint", "smallint", "tinyint", "long"):
+        out_type = "bigint"
+        zero = 0
+    else:
+        raise TypeError(
+            f"prefix_sum_by_range: exact cumsum needs a decimal or "
+            f"integral value column, got {value_col}: {dtype}"
+        )
+    if n_parts is None:
+        n_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    base = (
+        df.repartitionByRange(n_parts, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # sums pass + cum pass share it
+    )
+    part_sums = {
+        r["_pid"]: (r["s"] if r["s"] is not None else zero)
+        for r in base.groupBy("_pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets: dict = {}
+    acc = zero
+    for pid in sorted(part_sums):  # range partitions are id-ordered
+        offsets[pid] = acc
+        acc += part_sums[pid]
+    total = acc
+
+    out_fields = [f"{fld.name} {fld.dataType.simpleString()}"
+                  for fld in df.schema.fields]
+    out_fields.append(f"{cum_col} {out_type}")
+    if total_col is not None:
+        out_fields.append(f"{total_col} {out_type}")
+    out_cols = df.columns
+
+    def kernel(batches):
+        seen: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            running = seen.get(pid, offsets.get(pid, zero))
+            cums = []
+            for v in pdf[value_col]:
+                running = running + (v if v is not None else zero)
+                cums.append(running)
+            seen[pid] = running
+            out = pdf[out_cols].copy()
+            out[cum_col] = cums
+            if total_col is not None:
+                out[total_col] = total
+            yield out
+
+    return base.mapInPandas(kernel, ", ".join(out_fields))
+
+
+def pareto_parts(
+    lineitem: DataFrame, profile: str = "oracle"
+) -> DataFrame:
     """ABC inventory classification — the Pareto rollup behind "which
     parts carry the revenue?": parts rank by revenue descending, class
     A = parts up to 70% of cumulative revenue, B to 90%, C the tail
@@ -3500,10 +3600,13 @@ def pareto_parts(lineitem: DataFrame) -> DataFrame:
     Scale shape: the fact table collapses to the ≤|parts|-row revenue
     rollup first (one map-side-combined exchange — the only fact-sized
     move); the cumulative window then runs over the DIMENSION-sized
-    aggregate (the ``revenue_concentration`` precedent; at extreme
-    |parts| the same rule runs as ``repartitionByRange`` +
-    per-partition partial-sum offsets — the ``ranked_by_range``
-    machinery with sums for counts). Output: 3 rows.
+    aggregate (the ``revenue_concentration`` precedent).
+    ``profile="oracle"`` (default) uses the single-task global window
+    (oracle-parity form); ``profile="scale"`` computes the IDENTICAL
+    exact-decimal cumulative sums with ``prefix_sum_by_range``
+    (``ranked_by_range``'s machinery with per-partition partial SUMS —
+    n_parts-way parallel, no single task holds the full part order);
+    pinned value-identical in pytest. Output: 3 rows.
 
     Output: (abc_class, n_parts, revenue, revenue_share round-6).
     """
@@ -3512,17 +3615,31 @@ def pareto_parts(lineitem: DataFrame) -> DataFrame:
             f"CAST(SUM({DISCOUNTED_PRICE}) AS DECIMAL(18,4))"
         ).alias("rev")
     )
-    w_cum = (
-        Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_tot = Window.partitionBy()
     a_bound, b_bound = ABC_BOUNDS
-    classed = per_part.select(
-        "rev",
-        F.sum("rev").over(w_cum).cast("decimal(25,4)").alias("cum"),
-        F.sum("rev").over(w_tot).cast("decimal(25,4)").alias("total"),
-    ).select(
+    if profile == "scale":
+        cumed = prefix_sum_by_range(
+            per_part,
+            [F.desc("rev"), F.asc("l_partkey")],
+            "rev",
+            cum_col="cum",
+            total_col="total",
+        ).select(
+            "rev",
+            F.col("cum").cast("decimal(25,4)").alias("cum"),
+            F.col("total").cast("decimal(25,4)").alias("total"),
+        )
+    else:
+        w_cum = (
+            Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_tot = Window.partitionBy()
+        cumed = per_part.select(
+            "rev",
+            F.sum("rev").over(w_cum).cast("decimal(25,4)").alias("cum"),
+            F.sum("rev").over(w_tot).cast("decimal(25,4)").alias("total"),
+        )
+    classed = cumed.select(
         "rev",
         "total",
         F.when(

@@ -18,7 +18,10 @@ from hypothesis import strategies as st
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from scholar_stream_spark.operators.relational import ranked_by_range
+from scholar_stream_spark.operators.relational import (
+    prefix_sum_by_range,
+    ranked_by_range,
+)
 
 row = st.tuples(
     st.integers(min_value=0, max_value=4),    # key (few -> collisions)
@@ -103,6 +106,71 @@ def test_ranked_by_range_null_keys_equal_window(spark, rows, n_parts):
             "v",
             F.row_number().over(w).cast("long").alias("rn"),
             F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+        ).collect()
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    cents=st.lists(
+        st.integers(min_value=-(10**6), max_value=10**6),
+        min_size=0,
+        max_size=50,
+    ),
+    n_parts=st.integers(min_value=1, max_value=9),
+)
+def test_prefix_sum_by_range_equals_window(spark, cents, n_parts):
+    """prefix_sum_by_range (the cumulative-sum sibling of
+    ranked_by_range — per-partition partial SUMS for counts) must be
+    BIT-identical to the global-window cumsum on exact decimals,
+    under any partition count, including negative values, empty
+    input, and values straddling range boundaries."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rows = [
+        (i, Decimal(c) / Decimal(100)) for i, c in enumerate(cents)
+    ]
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", DecimalType(18, 4)),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = sorted(
+        tuple(r)
+        for r in prefix_sum_by_range(
+            df,
+            [F.desc("v"), F.asc("id")],
+            "v",
+            cum_col="cum",
+            total_col="tot",
+            n_parts=n_parts,
+        ).collect()
+    )
+    w = Window.orderBy(F.desc("v"), F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy()
+    want = sorted(
+        tuple(r)
+        for r in df.select(
+            "id",
+            "v",
+            F.sum("v").over(w).cast("decimal(25,4)").alias("cum"),
+            F.sum("v").over(w_tot).cast("decimal(25,4)").alias("tot"),
         ).collect()
     )
     assert got == want

@@ -253,6 +253,28 @@ def test_pareto_parts_boundary_classes(spark):
     assert got["C"] == (7, 10.0, 0.1)
 
 
+def test_pareto_parts_scale_profile_identical(spark):
+    """profile=\"scale\" (prefix_sum_by_range — exact-decimal
+    distributed cumsum) classifies identically to the window form."""
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    a = sorted(map(tuple, relational.pareto_parts(li).collect()))
+    b = sorted(
+        map(
+            tuple,
+            relational.pareto_parts(li, profile="scale").collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_prefix_sum_by_range_rejects_float(spark):
+    """Float cumsum is order-defined; a parallel re-association would
+    change results — the helper must refuse instead of drifting."""
+    df = spark.createDataFrame([(1, 1.5)], "id long, v double")
+    with pytest.raises(TypeError, match="decimal or integral"):
+        relational.prefix_sum_by_range(df, [F.asc("id")], "v")
+
+
 def test_monthly_revenue_trend_growth(spark):
     """Constructed 3-month history: +100% then -50%, first month NULL
     growth; same-month orders aggregate before the lag window."""
