@@ -144,14 +144,29 @@ def start_anomaly_monitor(
     checkpoint_path: str,
     z_threshold: float = RATE_Z_THRESHOLD,
     trigger_available_now: bool = False,
+    watermark_monitor=None,
 ) -> StreamingQuery:
     """Run the rate-anomaly monitor against an event stream
-    (``event_type``, ``ts``, + payload columns)."""
+    (``event_type``, ``ts``, + payload columns).
+
+    ``watermark_monitor``: an optional
+    ``streaming.latency.WatermarkResizeMonitor`` observed per landed
+    micro-batch — the production topology for watermark re-sizing:
+    the RAW ``foreachBatch`` landing (this query) measures disorder
+    continuously, and when the measurement outgrows the configured
+    delay, the watermark-DEPENDENT sibling query
+    (``streaming_latency_kpis``) restarts with
+    ``monitor.recommended_delay`` (exactly-once from its checkpoint).
+    Default the monitor keys disorder by ``event_type`` via its
+    ``key_col`` mapping (this wire carries no user column; the
+    recommendation maxes over keys either way)."""
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
         monitor_batch(
             batch_df, batch_id, counts_path, alerts_path, z_threshold
         )
+        if watermark_monitor is not None:
+            watermark_monitor.observe(batch_df, batch_id)
 
     writer = events_stream.writeStream.foreachBatch(land).option(
         "checkpointLocation", checkpoint_path

@@ -165,12 +165,21 @@ class WatermarkResizeMonitor:
         window_batches: int = 50,
         margin_frac: float = AUTO_WATERMARK_MARGIN,
         min_delay_seconds: int = 1,
+        key_col: str = "user_id",
+        seq_col: str = "event_id",
+        ts_col: str = "ts",
     ) -> None:
         self.configured_seconds = int(configured_delay.split()[0])
         self.check_every = max(1, int(check_every))
         self.window_batches = max(1, int(window_batches))
         self.margin_frac = margin_frac
         self.min_delay_seconds = min_delay_seconds
+        # column mapping into the audit's (user_id, event_id, ts)
+        # shape — a keyless wire can pass any stable grouping column
+        # (the recommendation takes the max over keys either way)
+        self.key_col = key_col
+        self.seq_col = seq_col
+        self.ts_col = ts_col
         self._lateness_us: list[int] = []
         self.n_checks = 0
         self.needs_resize = False
@@ -194,8 +203,13 @@ class WatermarkResizeMonitor:
         configured delay, else None."""
         if batch_id % self.check_every:
             return None
+        audited = batch_df.select(
+            F.col(self.key_col).alias("user_id"),
+            F.col(self.seq_col).alias("event_id"),
+            F.col(self.ts_col).alias("ts"),
+        )
         row = (
-            event_order_audit(batch_df)
+            event_order_audit(audited)
             .agg(F.max("max_lateness_us").alias("mx"))
             .first()
         )

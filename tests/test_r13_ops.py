@@ -211,6 +211,56 @@ def test_watermark_resize_monitor_picks_up_disorder_shift(spark):
     assert mon.n_checks == 2
 
 
+def test_watermark_resize_monitor_wired_into_anomaly_stream(
+    spark, tmp_path
+):
+    """The monitor riding a REAL foreachBatch landing (the production
+    topology: raw ingest measures disorder; the watermark-dependent
+    KPI query restarts on its recommendation). One availableNow pass
+    over a planted 8 s-late fixture must latch needs_resize on a 1 s
+    configured delay."""
+    import json
+
+    from scholar_stream_spark.streaming.anomaly_monitor import (
+        start_anomaly_monitor,
+    )
+    from scholar_stream_spark.streaming.latency import (
+        WatermarkResizeMonitor,
+    )
+
+    inbox = tmp_path / "in"
+    inbox.mkdir()
+    rows = [
+        {"event_id": 0, "event_type": "view",
+         "ts": "2026-01-01 00:00:10"},
+        {"event_id": 1, "event_type": "view",
+         "ts": "2026-01-01 00:00:20"},
+        {"event_id": 2, "event_type": "view",
+         "ts": "2026-01-01 00:00:12"},  # 8 s behind the running max
+    ]
+    (inbox / "b0.ndjson").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n"
+    )
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, ts timestamp"
+    ).json(str(inbox))
+    mon = WatermarkResizeMonitor(
+        "1 seconds", check_every=1, key_col="event_type"
+    )
+    q = start_anomaly_monitor(
+        stream,
+        counts_path=str(tmp_path / "c"),
+        alerts_path=str(tmp_path / "a"),
+        checkpoint_path=str(tmp_path / "ck"),
+        trigger_available_now=True,
+        watermark_monitor=mon,
+    )
+    q.awaitTermination(120)
+    assert mon.n_checks >= 1
+    assert mon.needs_resize
+    assert mon.recommended_delay == "10 seconds"  # ceil(8 s * 1.25)
+
+
 def test_watermark_resize_monitor_spike_ages_out(spark):
     """The recommendation looks back window_batches checks, so a
     transient spike must not pin the watermark wide forever."""
