@@ -3552,6 +3552,8 @@ def prefix_sum_by_range(
         out_fields.append(f"{total_col} {out_type}")
     out_cols = df.columns
 
+    integral = out_type == "bigint"
+
     def kernel(batches):
         seen: dict = {}
         for pdf in batches:
@@ -3561,7 +3563,16 @@ def prefix_sum_by_range(
             running = seen.get(pid, offsets.get(pid, zero))
             cums = []
             for v in pdf[value_col]:
-                running = running + (v if v is not None else zero)
+                # NULLs add as zero (matching the Spark-side offset
+                # sums, which skip them). Arrow renders a NULL-bearing
+                # int64 column as float64 (NaN nulls) — normalize back
+                # to exact ints so the running sum never re-associates
+                # in float (exact for |v| ≤ 2^53; the fully-exact path
+                # for wider values is the decimal branch).
+                if v is None or (isinstance(v, float) and v != v):
+                    pass  # null -> + zero
+                else:
+                    running = running + (int(v) if integral else v)
                 cums.append(running)
             seen[pid] = running
             out = pdf[out_cols].copy()

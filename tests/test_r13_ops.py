@@ -317,6 +317,38 @@ def test_pareto_parts_scale_profile_identical(spark):
     assert a == b and len(a) > 0
 
 
+def test_prefix_sum_by_range_integer_path(spark):
+    """The bigint branch (exact int addition, bigint output) matches
+    the window cumsum; nulls add as zero on both paths."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(0, 5), (1, None), (2, -3), (3, 7)], "id long, v long"
+    )
+    got = sorted(
+        tuple(r)
+        for r in relational.prefix_sum_by_range(
+            df, [F.asc("id")], "v", cum_col="cum", total_col="tot",
+            n_parts=3,
+        ).collect()
+    )
+    w = Window.orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = sorted(
+        tuple(r)
+        for r in df.select(
+            "id",
+            "v",
+            F.sum(F.coalesce("v", F.lit(0))).over(w).alias("cum"),
+            F.sum(F.coalesce("v", F.lit(0)))
+            .over(Window.partitionBy())
+            .alias("tot"),
+        ).collect()
+    )
+    assert got == want
+
+
 def test_prefix_sum_by_range_rejects_float(spark):
     """Float cumsum is order-defined; a parallel re-association would
     change results — the helper must refuse instead of drifting."""
