@@ -1104,9 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_pair_affinity": lambda s, d: relational.part_pair_affinity(
             _t(s, d, "lineitem")
         ),
-        # per-nation supplier-concentration HHI (exact decimal sum of
-        # squares, one closing division)
-        # ABC (Pareto) inventory classification — integer-exact
+        # ABC (Pareto) inventory classification — exact-decimal
         # cumulative-share boundaries
         "pareto_parts": lambda s, d: relational.pareto_parts(
             _t(s, d, "lineitem")
@@ -1116,6 +1114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_revenue_trend": lambda s, d: (
             relational.monthly_revenue_trend(_t(s, d, "orders"))
         ),
+        # per-nation supplier-concentration HHI (exact decimal sum of
+        # squares, one closing division)
         "supplier_hhi": lambda s, d: relational.supplier_hhi(
             _t(s, d, "lineitem"), _t(s, d, "supplier"), _t(s, d, "nation")
         ),

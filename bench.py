@@ -333,6 +333,8 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": len(failures),
+        "n_flaky": len(flaky),  # nondeterministic breakage is a bug
+        # signal — it must reach a tail-truncated capture too
         "passes": pass_walls,
         "streaming": {
             "e2e_p50_sec": streaming.get("e2e_p50_sec"),

@@ -2675,6 +2675,28 @@ def ranked_by_range(
         .localCheckpoint(eager=False)  # counts pass + rank pass share it
     )
     cnt_rows = base.groupBy("_pid", *key_cols).count().collect()
+    # Guard the one genuinely unrepresentable case: Spark's groupBy
+    # keeps NULL and NaN as SEPARATE float-key groups, but both arrive
+    # in the Arrow kernel as NaN — indistinguishable, so their groups
+    # would silently merge (and the second offset assignment would
+    # overwrite the first). Detect the mix in the tiny counts rows and
+    # refuse loudly.
+    na_kinds: dict[str, set] = {k: set() for k in key_cols}
+    for r in cnt_rows:
+        for k in key_cols:
+            v = r[k]
+            if v is None:
+                na_kinds[k].add("null")
+            elif isinstance(v, float) and v != v:
+                na_kinds[k].add("nan")
+    mixed = [k for k, kinds in na_kinds.items() if len(kinds) == 2]
+    if mixed:
+        raise ValueError(
+            f"ranked_by_range: key column(s) {mixed} contain BOTH "
+            f"NULL and NaN — Spark groups them separately but the "
+            f"Arrow kernel cannot distinguish them; normalize the "
+            f"key (e.g. nanvl/coalesce) first"
+        )
     per_key: dict = defaultdict(list)
     for r in cnt_rows:
         per_key[tuple(_norm_rank_key(r[k]) for k in key_cols)].append(
@@ -3571,8 +3593,22 @@ def prefix_sum_by_range(
                 # for wider values is the decimal branch).
                 if v is None or (isinstance(v, float) and v != v):
                     pass  # null -> + zero
+                elif integral:
+                    if isinstance(v, float) and abs(v) > 2.0**53:
+                        # a NULL-bearing int64 column rides through
+                        # Arrow as float64; beyond 2^53 the value is
+                        # ALREADY rounded — refuse rather than emit a
+                        # silently-inexact "exact" cumsum (use the
+                        # decimal path for wider values)
+                        raise ValueError(
+                            f"prefix_sum_by_range: {value_col} has "
+                            f"nulls and |value| > 2**53 ({v!r}) — "
+                            f"float64 promotion lost exactness; cast "
+                            f"the column to decimal first"
+                        )
+                    running = running + int(v)
                 else:
-                    running = running + (int(v) if integral else v)
+                    running = running + v
                 cums.append(running)
             seen[pid] = running
             out = pdf[out_cols].copy()

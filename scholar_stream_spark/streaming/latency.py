@@ -29,6 +29,43 @@ from scholar_stream_spark.operators.views import build_vw_works
 #: is a bit worse. 25% is the "one more straggler hop" allowance.
 AUTO_WATERMARK_MARGIN = 0.25
 
+#: Interval-unit multipliers for the tiny subset of Spark interval
+#: strings the watermark helpers exchange.
+_INTERVAL_UNIT_SECONDS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+}
+
+
+def _interval_seconds(delay: str) -> int:
+    """Parse ``"2 minutes"`` / ``"75 seconds"`` / ``"1 hour"`` to whole
+    seconds. Raises on units outside the supported set — silently
+    reading ``"2 minutes"`` as 2 SECONDS would make the resize monitor
+    recommend SHRINKING a watermark (the exact late-row drop it exists
+    to prevent)."""
+    parts = delay.split()
+    if len(parts) != 2 or parts[1].lower() not in _INTERVAL_UNIT_SECONDS:
+        raise ValueError(
+            f"unsupported interval {delay!r}: expected "
+            f"'<n> {set(_INTERVAL_UNIT_SECONDS)}'"
+        )
+    return int(parts[0]) * _INTERVAL_UNIT_SECONDS[parts[1].lower()]
+
+
+def _sized_delay_seconds(
+    mx_us: int, margin_frac: float, min_delay_seconds: int
+) -> int:
+    """The ONE sizing rule (shared by ``auto_watermark_delay`` and
+    ``WatermarkResizeMonitor`` so start-time sizing and resize
+    recommendations cannot desynchronize): worst measured lateness
+    plus ``margin_frac``, ceiling to whole seconds, floored at
+    ``min_delay_seconds``."""
+    return max(
+        min_delay_seconds,
+        math.ceil(mx_us * (1.0 + margin_frac) / 1_000_000),
+    )
+
 
 def auto_watermark_delay(
     history_events: DataFrame,
@@ -56,10 +93,7 @@ def auto_watermark_delay(
         .first()
     )
     mx_us = int(row["mx"] or 0)
-    secs = max(
-        min_delay_seconds,
-        math.ceil(mx_us * (1.0 + margin_frac) / 1_000_000),
-    )
+    secs = _sized_delay_seconds(mx_us, margin_frac, min_delay_seconds)
     return f"{secs} seconds"
 
 
@@ -169,7 +203,7 @@ class WatermarkResizeMonitor:
         seq_col: str = "event_id",
         ts_col: str = "ts",
     ) -> None:
-        self.configured_seconds = int(configured_delay.split()[0])
+        self.configured_seconds = _interval_seconds(configured_delay)
         self.check_every = max(1, int(check_every))
         self.window_batches = max(1, int(window_batches))
         self.margin_frac = margin_frac
@@ -187,9 +221,8 @@ class WatermarkResizeMonitor:
     @property
     def recommended_seconds(self) -> int:
         worst = max(self._lateness_us, default=0)
-        return max(
-            self.min_delay_seconds,
-            math.ceil(worst * (1.0 + self.margin_frac) / 1_000_000),
+        return _sized_delay_seconds(
+            worst, self.margin_frac, self.min_delay_seconds
         )
 
     @property
@@ -202,6 +235,11 @@ class WatermarkResizeMonitor:
         interval string when the measured disorder no longer fits the
         configured delay, else None."""
         if batch_id % self.check_every:
+            return None
+        if batch_df.isEmpty():
+            # an idle stream's empty check batches must not run audit
+            # jobs NOR append 0-lateness entries that age a genuine
+            # disorder measurement out of the sliding history
             return None
         audited = batch_df.select(
             F.col(self.key_col).alias("user_id"),

@@ -261,6 +261,57 @@ def test_watermark_resize_monitor_wired_into_anomaly_stream(
     assert mon.recommended_delay == "10 seconds"  # ceil(8 s * 1.25)
 
 
+def test_watermark_resize_monitor_parses_minute_delays(spark):
+    """'2 minutes' must mean 120 s, not 2 s: misreading the unit would
+    make the monitor recommend SHRINKING a minute-denominated
+    watermark (the repo's own streaming defaults) — the exact late-row
+    drop it exists to prevent. Unknown units refuse loudly."""
+    from scholar_stream_spark.streaming.latency import (
+        WatermarkResizeMonitor,
+    )
+
+    mon = WatermarkResizeMonitor("2 minutes", check_every=1)
+    assert mon.configured_seconds == 120
+    # 8 s disorder fits comfortably inside 2 minutes: no resize
+    assert mon.observe(_audit_batch(spark, [8_000_000]), 0) is None
+    assert not mon.needs_resize
+    with pytest.raises(ValueError, match="unsupported interval"):
+        WatermarkResizeMonitor("2 fortnights")
+
+
+def test_watermark_resize_monitor_skips_empty_batches(spark):
+    """Idle-stream empty check batches must not append 0-lateness
+    entries that age a real disorder measurement out of the sliding
+    history (nor run audit jobs on zero rows)."""
+    from scholar_stream_spark.streaming.latency import (
+        WatermarkResizeMonitor,
+    )
+
+    mon = WatermarkResizeMonitor(
+        "60 seconds", check_every=1, window_batches=2
+    )
+    mon.observe(_audit_batch(spark, [8_000_000]), 0)
+    assert mon.recommended_seconds == 10
+    empty = _audit_batch(spark, []).filter("event_id < 0")
+    for b in (1, 2, 3):
+        assert mon.observe(empty, b) is None
+    # the disorder measurement survives the idle stretch
+    assert mon.recommended_seconds == 10
+    assert mon.n_checks == 1
+
+
+def test_ranked_by_range_rejects_mixed_null_nan_keys(spark):
+    """Spark groups NULL and NaN float keys separately; the Arrow
+    kernel cannot tell them apart — the helper must refuse the mix
+    instead of silently merging the groups."""
+    df = spark.createDataFrame(
+        [(0, None, 1), (1, float("nan"), 2), (2, 1.0, 3)],
+        "id long, k double, v long",
+    )
+    with pytest.raises(ValueError, match="BOTH NULL and NaN"):
+        relational.ranked_by_range(df, ["k"], ["v", "id"]).collect()
+
+
 def test_watermark_resize_monitor_spike_ages_out(spark):
     """The recommendation looks back window_batches checks, so a
     transient spike must not pin the watermark wide forever."""
