@@ -1356,6 +1356,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "text_quality": lambda s, d: textops.text_quality(_t(s, d, "documents")),
         "lang_profile": lambda s, d: textops.lang_profile(_t(s, d, "documents")),
+        # per-source language mix + label-agreement (mixture report;
+        # shares the lang_profile argmax rule + oracle generator)
+        "lang_mix_by_source": lambda s, d: textops.lang_mix_by_source(
+            _t(s, d, "documents")
+        ),
         "doc_fingerprint": lambda s, d: textops.doc_fingerprints(
             _t(s, d, "documents")
         ),
@@ -5598,6 +5603,28 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             FROM r WHERE rn = 1
         """,
         "lang_profile": _lang_profile_sql(),
+        "lang_mix_by_source": f"""
+            WITH per AS (
+                SELECT source, lang AS labeled_lang,
+                       {_lang_case_sql()} AS pred_lang
+                FROM documents
+            ), rolled AS (
+                SELECT source, pred_lang,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(CASE WHEN pred_lang = labeled_lang
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS agree
+                FROM per GROUP BY source, pred_lang
+            )
+            SELECT source, pred_lang, n_docs,
+                   round(CAST(n_docs AS DOUBLE)
+                         / CAST(SUM(n_docs) OVER (PARTITION BY source)
+                                AS DOUBLE), 6) AS share_of_source,
+                   round(CAST(agree AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE), 6)
+                       AS label_agree_frac
+            FROM rolled
+        """,
         "curate_corpus": _curate_sql(),
         "curation_funnel": _funnel_sql(),
         "token_budget_plan": _token_budget_sql(),

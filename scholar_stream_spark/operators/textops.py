@@ -219,6 +219,64 @@ def lang_profile(documents: DataFrame) -> DataFrame:
     )
 
 
+def lang_mix_by_source(documents: DataFrame) -> DataFrame:
+    """Language composition per source — the corpus-mixture report a
+    multilingual training pipeline reads before setting sampling
+    weights ("how much of each language does each crawl carry, and
+    does the heuristic agree with the upstream labels?"). Rolls the
+    ``lang_profile`` per-document language ID up to (source,
+    pred_lang): document count, share of the source, and the fraction
+    where the prediction agrees with the labeled ``lang`` column (the
+    label-drift alarm — a source whose agreement sinks got relabeled
+    or re-crawled).
+
+    Engine parity: the language ID is the SHARED priority-argmax rule
+    (one definition generates both the Column expression and the
+    oracle SQL); counts are exact integers and both fractions are
+    single IEEE divisions of exact integers.
+
+    Scale shape: ONE text scan stages the per-language hit counts
+    (``lang_hit_cols`` — filters evaluated once per language), one
+    map-side-combined groupBy collapses to the ≤|sources|·|langs| grid,
+    and the share window runs over that tiny rollup. Output:
+    (source, pred_lang, n_docs, share_of_source, label_agree_frac).
+    """
+    hits = lang_hit_cols(F.col("text"))
+    staged = scale_out(documents).select(
+        "source",
+        F.col("lang").alias("labeled_lang"),
+        *[hits[lang].alias(f"_h_{lang}") for lang in LANG_ORDER],
+    )
+    staged_hits = {lang: F.col(f"_h_{lang}") for lang in LANG_ORDER}
+    per_doc = staged.select(
+        "source",
+        "labeled_lang",
+        pred_lang_from_hits(staged_hits).alias("pred_lang"),
+    )
+    rolled = per_doc.groupBy("source", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            (F.col("pred_lang") == F.col("labeled_lang")).cast("long")
+        ).cast("long").alias("_agree"),
+    )
+    w_src = Window.partitionBy("source")
+    return rolled.select(
+        "source",
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w_src).cast("double"),
+            6,
+        ).alias("share_of_source"),
+        F.round(
+            F.col("_agree").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("label_agree_frac"),
+    )
+
+
 TFIDF_TOP_K = 5
 
 

@@ -433,6 +433,32 @@ def test_monthly_revenue_trend_growth(spark):
     assert got["2026-03"] == (2, 100.0, -0.5)
 
 
+def test_lang_mix_by_source_counts_and_agreement(spark):
+    """Constructed two-source corpus: shares partition each source and
+    the agreement fraction counts pred==label exactly (the 'und'
+    bucket disagrees with its 'en' label by construction)."""
+    from scholar_stream_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the and with of", "en", "web"),
+            (1, "the of to in", "en", "web"),
+            (2, "el la los de que", "es", "web"),
+            (3, "zzz qqq", "en", "books"),  # no markers -> und
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        (r["source"], r["pred_lang"]): (
+            r["n_docs"], r["share_of_source"], r["label_agree_frac"]
+        )
+        for r in textops.lang_mix_by_source(docs).collect()
+    }
+    assert got[("web", "en")] == (2, 0.666667, 1.0)
+    assert got[("web", "es")] == (1, 0.333333, 1.0)
+    assert got[("books", "und")] == (1, 1.0, 0.0)
+
+
 def test_shipping_delay_profile_scale_identical(spark):
     """The 16th scale-profile pair: shipping_delay_profile's 5-key
     priority window (the last single-task rank in the family) swapped
