@@ -1104,6 +1104,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_pair_affinity": lambda s, d: relational.part_pair_affinity(
             _t(s, d, "lineitem")
         ),
+        # lineitems-per-order histogram (two tiny integer rollups)
+        "order_linecount_histogram": lambda s, d: (
+            relational.order_linecount_histogram(_t(s, d, "lineitem"))
+        ),
+        # market-segment x order-priority demand-mix grid
+        "segment_priority_matrix": lambda s, d: (
+            relational.segment_priority_matrix(
+                _t(s, d, "orders"), _t(s, d, "customer")
+            )
+        ),
         # ABC (Pareto) inventory classification — exact-decimal
         # cumulative-share boundaries
         "pareto_parts": lambda s, d: relational.pareto_parts(
@@ -4895,6 +4905,37 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             LIMIT {relational.PART_AFFINITY_TOPK}
         """,
         "fk_integrity_report": _fk_integrity_sql(),
+        "order_linecount_histogram": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       CAST(count(*) AS BIGINT) AS n_lines
+                FROM lineitem GROUP BY l_orderkey
+            ), hist AS (
+                SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+                FROM per_order GROUP BY n_lines
+            )
+            SELECT n_lines, n_orders,
+                   round(CAST(n_orders AS DOUBLE)
+                         / CAST(SUM(n_orders) OVER () AS DOUBLE), 6)
+                       AS order_share
+            FROM hist
+        """,
+        "segment_priority_matrix": """
+            WITH grid AS (
+                SELECT c_mktsegment, o_orderpriority,
+                       CAST(count(*) AS BIGINT) AS n_orders,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS _rev
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY c_mktsegment, o_orderpriority
+            )
+            SELECT c_mktsegment, o_orderpriority, n_orders,
+                   CAST(_rev AS DOUBLE) AS revenue,
+                   round(CAST(n_orders AS DOUBLE)
+                         / CAST(SUM(n_orders) OVER (
+                               PARTITION BY c_mktsegment) AS DOUBLE), 6)
+                       AS segment_share
+            FROM grid
+        """,
         "pareto_parts": """
             WITH per_part AS (
                 SELECT l_partkey,

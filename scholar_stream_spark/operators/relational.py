@@ -3756,3 +3756,85 @@ def monthly_revenue_trend(orders: DataFrame) -> DataFrame:
             6,
         ).alias("mom_growth"),
     )
+
+
+def order_linecount_histogram(lineitem: DataFrame) -> DataFrame:
+    """Distribution of line items per order — the order-size shape
+    behind capacity planning and the ``part_pair_affinity`` cost model
+    (its per-order pair explosion is |lines|²-bounded; THIS table says
+    what |lines| actually is): per distinct line count, how many
+    orders and what share of all orders.
+
+    Exact everywhere: both aggregations are integer counts, the share
+    is ONE IEEE division of exact integers. Two map-side-combined
+    exchanges — the fact table collapses to ≤|orders| rows keyed on
+    the order, then to ≤max-linecount rows — and the share window runs
+    over the tiny histogram. Output: one row per distinct line count.
+
+    Output: (n_lines, n_orders, order_share round-6).
+    """
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    hist = per_order.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    w = Window.partitionBy()
+    return hist.select(
+        "n_lines",
+        "n_orders",
+        F.round(
+            F.col("n_orders").cast("double")
+            / F.sum("n_orders").over(w).cast("double"),
+            6,
+        ).alias("order_share"),
+    )
+
+
+def segment_priority_matrix(
+    orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Market-segment × order-priority contingency table — "do
+    AUTOMOBILE customers place more URGENT orders?" (the demand-mix
+    grid a fulfillment planner reads next to Q4's priority counts):
+    per (c_mktsegment, o_orderpriority) cell, order count, exact
+    revenue, and the cell's share WITHIN its segment row.
+
+    Engine parity: counts exact integers, revenue exact DECIMAL(18,2)
+    sums of the cent-quantized ``o_totalprice`` (cast to double only
+    at emission), row share ONE IEEE division of exact integers.
+
+    Scale shape: the orders→customer join is key-to-key on custkey
+    (both sides hash to the same exchange; AQE broadcasts the
+    dimension side when it fits), the grid aggregate is map-side
+    combined to ≤|segments|·|priorities| rows, and the row-share
+    window runs over that tiny grid. Output: one row per occupied
+    cell.
+
+    Output: (c_mktsegment, o_orderpriority, n_orders, revenue,
+    segment_share round-6).
+    """
+    joined = orders.select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    ).join(
+        customer.select("c_custkey", "c_mktsegment"),
+        orders.o_custkey == customer.c_custkey,
+    )
+    grid = joined.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.expr(
+            "SUM(CAST(o_totalprice AS DECIMAL(18,2)))"
+        ).alias("_rev"),
+    )
+    w_seg = Window.partitionBy("c_mktsegment")
+    return grid.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "n_orders",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("n_orders").cast("double")
+            / F.sum("n_orders").over(w_seg).cast("double"),
+            6,
+        ).alias("segment_share"),
+    )

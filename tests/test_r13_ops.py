@@ -433,6 +433,53 @@ def test_monthly_revenue_trend_growth(spark):
     assert got["2026-03"] == (2, 100.0, -0.5)
 
 
+def test_order_linecount_histogram_shares(spark):
+    """3 orders with 1/1/2 lines: histogram {1: 2 orders, 2: 1 order},
+    shares partition to 1.0."""
+    li = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1), (12, 2)],
+        "l_orderkey long, l_linenumber long",
+    )
+    got = {
+        r["n_lines"]: (r["n_orders"], r["order_share"])
+        for r in relational.order_linecount_histogram(li).collect()
+    }
+    assert got == {1: (2, 0.666667), 2: (1, 0.333333)}
+
+
+def test_segment_priority_matrix_row_shares(spark):
+    """Hand-built 2-segment grid: row shares normalize within each
+    segment and revenue sums exactly."""
+    import datetime
+
+    d = datetime.datetime(2026, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "1-URGENT", 10.0, d),
+            (2, 1, "1-URGENT", 20.0, d),
+            (3, 1, "3-MEDIUM", 30.0, d),
+            (4, 2, "3-MEDIUM", 40.0, d),
+        ],
+        "o_orderkey long, o_custkey long, o_orderpriority string,"
+        " o_totalprice double, o_orderdate timestamp",
+    )
+    cust = spark.createDataFrame(
+        [(1, "AUTO"), (2, "BUILDING")],
+        "c_custkey long, c_mktsegment string",
+    )
+    got = {
+        (r["c_mktsegment"], r["o_orderpriority"]): (
+            r["n_orders"], r["revenue"], r["segment_share"]
+        )
+        for r in relational.segment_priority_matrix(
+            orders, cust
+        ).collect()
+    }
+    assert got[("AUTO", "1-URGENT")] == (2, 30.0, 0.666667)
+    assert got[("AUTO", "3-MEDIUM")] == (1, 30.0, 0.333333)
+    assert got[("BUILDING", "3-MEDIUM")] == (1, 40.0, 1.0)
+
+
 def test_lang_mix_by_source_counts_and_agreement(spark):
     """Constructed two-source corpus: shares partition each source and
     the agreement fraction counts pred==label exactly (the 'und'
