@@ -346,9 +346,14 @@ def main() -> None:
         "started_at": started_at,
     }
     compact_line = json.dumps(compact)
-    if len(compact_line) > 1900:  # stay inside the 2000-char tail
-        compact["queries"] = dict(list(slowest.items())[:10])
-        compact["queries_truncated_to_slowest"] = 10
+    # stay inside the 2000-char tail: shrink the queries dict until the
+    # line fits, down to dropping it entirely (20 → 10 → 5 → 0) — a
+    # single retry could still overflow on long query names
+    for keep in (10, 5, 0):
+        if len(compact_line) <= 1900:
+            break
+        compact["queries"] = dict(list(slowest.items())[:keep])
+        compact["queries_truncated_to_slowest"] = keep
         compact_line = json.dumps(compact)
     print(compact_line)
     sys.stdout.flush()

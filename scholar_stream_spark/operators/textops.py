@@ -256,7 +256,9 @@ def lang_mix_by_source(documents: DataFrame) -> DataFrame:
     rolled = per_doc.groupBy("source", "pred_lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(
-            (F.col("pred_lang") == F.col("labeled_lang")).cast("long")
+            F.when(
+                F.col("pred_lang") == F.col("labeled_lang"), F.lit(1)
+            ).otherwise(F.lit(0))
         ).cast("long").alias("_agree"),
     )
     w_src = Window.partitionBy("source")

@@ -161,6 +161,11 @@ def start_anomaly_monitor(
     ``key_col`` mapping (this wire carries no user column; the
     recommendation maxes over keys either way)."""
 
+    if watermark_monitor is not None:
+        # fail at wire time, not inside foreachBatch on the first
+        # check batch (which would kill the running stream)
+        watermark_monitor.validate_columns(events_stream.columns)
+
     def land(batch_df: DataFrame, batch_id: int) -> None:
         monitor_batch(
             batch_df, batch_id, counts_path, alerts_path, z_threshold

@@ -32,25 +32,38 @@ AUTO_WATERMARK_MARGIN = 0.25
 #: Interval-unit multipliers for the tiny subset of Spark interval
 #: strings the watermark helpers exchange.
 _INTERVAL_UNIT_SECONDS = {
+    "millisecond": 0.001, "milliseconds": 0.001,
     "second": 1, "seconds": 1,
     "minute": 60, "minutes": 60,
     "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
 }
 
 
 def _interval_seconds(delay: str) -> int:
-    """Parse ``"2 minutes"`` / ``"75 seconds"`` / ``"1 hour"`` to whole
-    seconds. Raises on units outside the supported set — silently
-    reading ``"2 minutes"`` as 2 SECONDS would make the resize monitor
-    recommend SHRINKING a watermark (the exact late-row drop it exists
-    to prevent)."""
+    """Parse any watermark delay string Spark accepts for
+    ``withWatermark`` (``"500 milliseconds"`` … ``"2 weeks"``) to whole
+    seconds, flooring sub-second remainders. Raises on units outside
+    the supported set — silently reading ``"2 minutes"`` as 2 SECONDS
+    would make the resize monitor recommend SHRINKING a watermark (the
+    exact late-row drop it exists to prevent) — and on delays that
+    floor to 0 s, because the monitor sizes in whole seconds and a
+    0-second baseline would disable its shrink guard."""
     parts = delay.split()
     if len(parts) != 2 or parts[1].lower() not in _INTERVAL_UNIT_SECONDS:
         raise ValueError(
             f"unsupported interval {delay!r}: expected "
             f"'<n> {set(_INTERVAL_UNIT_SECONDS)}'"
         )
-    return int(parts[0]) * _INTERVAL_UNIT_SECONDS[parts[1].lower()]
+    seconds = int(int(parts[0]) * _INTERVAL_UNIT_SECONDS[parts[1].lower()])
+    if seconds <= 0:
+        raise ValueError(
+            f"interval {delay!r} floors to {seconds} s: the resize "
+            "monitor sizes watermarks in whole seconds and needs a "
+            "positive baseline"
+        )
+    return seconds
 
 
 def _sized_delay_seconds(
@@ -229,6 +242,25 @@ class WatermarkResizeMonitor:
     def recommended_delay(self) -> str:
         return f"{self.recommended_seconds} seconds"
 
+    def validate_columns(self, columns: list[str]) -> None:
+        """Raise loudly when the configured (key, seq, ts) mapping does
+        not exist in ``columns`` — called by stream wires BEFORE
+        ``.start()`` so a mis-keyed monitor fails at construction, not
+        inside ``foreachBatch`` on the first check batch (where the
+        error would kill a running stream mid-flight)."""
+        missing = [
+            c
+            for c in (self.key_col, self.seq_col, self.ts_col)
+            if c not in columns
+        ]
+        if missing:
+            raise ValueError(
+                f"WatermarkResizeMonitor columns {missing} not in the "
+                f"stream schema {sorted(columns)}; remap via "
+                "key_col/seq_col/ts_col (e.g. key_col='event_type' for "
+                "the anomaly landing wire)"
+            )
+
     def observe(self, batch_df: DataFrame, batch_id: int) -> str | None:
         """Record one micro-batch. Runs the disorder audit only on
         every ``check_every``-th batch (cost control); returns the new
@@ -236,6 +268,7 @@ class WatermarkResizeMonitor:
         configured delay, else None."""
         if batch_id % self.check_every:
             return None
+        self.validate_columns(batch_df.columns)
         if batch_df.isEmpty():
             # an idle stream's empty check batches must not run audit
             # jobs NOR append 0-lateness entries that age a genuine

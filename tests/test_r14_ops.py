@@ -1,0 +1,168 @@
+"""Round-14 operator tests.
+
+Covers the r13 ADVICE fixes (lang_mix_by_source NULL-label groups,
+watermark-monitor column validation at wire time, _interval_seconds
+unit coverage, bench compact-line truncation loop) and the r13
+verdict items landed this round (fk_integrity_report single-pass
+fold is pinned in test_r13_ops; here: whatever r14 adds on top).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+# ---------------------------------------------------------------
+# r13 ADVICE: _interval_seconds must accept every unit Spark's
+# withWatermark accepts (day/week/millisecond), not just s/m/h
+# ---------------------------------------------------------------
+
+def test_interval_seconds_full_spark_unit_coverage():
+    from scholar_stream_spark.streaming.latency import _interval_seconds
+
+    assert _interval_seconds("90 seconds") == 90
+    assert _interval_seconds("2 minutes") == 120
+    assert _interval_seconds("1 hour") == 3600
+    assert _interval_seconds("1 day") == 86400
+    assert _interval_seconds("2 weeks") == 1209600
+    # milliseconds floor to whole seconds
+    assert _interval_seconds("1500 milliseconds") == 1
+    assert _interval_seconds("2000 milliseconds") == 2
+
+
+def test_interval_seconds_rejects_subsecond_and_unknown():
+    from scholar_stream_spark.streaming.latency import _interval_seconds
+
+    with pytest.raises(ValueError, match="floors to 0"):
+        _interval_seconds("500 milliseconds")
+    with pytest.raises(ValueError, match="unsupported interval"):
+        _interval_seconds("3 fortnights")
+    with pytest.raises(ValueError, match="unsupported interval"):
+        _interval_seconds("5")
+
+
+# ---------------------------------------------------------------
+# r13 ADVICE: a mis-keyed WatermarkResizeMonitor must fail at wire
+# time (before .start()), not inside foreachBatch mid-stream
+# ---------------------------------------------------------------
+
+def test_watermark_monitor_validate_columns_contract(spark):
+    from scholar_stream_spark.streaming.latency import (
+        WatermarkResizeMonitor,
+    )
+
+    mon = WatermarkResizeMonitor("5 seconds")  # default user_id key
+    with pytest.raises(ValueError, match="user_id"):
+        mon.validate_columns(["event_id", "event_type", "ts"])
+    # remapped to a column the wire carries: passes
+    mon2 = WatermarkResizeMonitor("5 seconds", key_col="event_type")
+    mon2.validate_columns(["event_id", "event_type", "ts"])
+    # observe on a CHECK batch raises the same loud error
+    df = spark.createDataFrame(
+        [(1, "view")], "event_id long, event_type string"
+    )
+    with pytest.raises(ValueError, match="not in the stream schema"):
+        mon.observe(df, batch_id=0)
+
+
+def test_anomaly_wire_rejects_miskeyed_monitor_before_start(
+    spark, tmp_path
+):
+    """start_anomaly_monitor with a default-keyed monitor on the
+    (event_id, event_type, ts) wire must raise BEFORE starting a
+    query — previously it started fine and died inside foreachBatch
+    on the first check batch (r13 ADVICE)."""
+    from scholar_stream_spark.streaming.anomaly_monitor import (
+        start_anomaly_monitor,
+    )
+    from scholar_stream_spark.streaming.latency import (
+        WatermarkResizeMonitor,
+    )
+
+    inbox = tmp_path / "in"
+    inbox.mkdir()
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, ts timestamp"
+    ).json(str(inbox))
+    n_before = len(spark.streams.active)
+    with pytest.raises(ValueError, match="user_id"):
+        start_anomaly_monitor(
+            stream,
+            counts_path=str(tmp_path / "c"),
+            alerts_path=str(tmp_path / "a"),
+            checkpoint_path=str(tmp_path / "ck"),
+            trigger_available_now=True,
+            watermark_monitor=WatermarkResizeMonitor("1 seconds"),
+        )
+    assert len(spark.streams.active) == n_before
+
+
+# ---------------------------------------------------------------
+# r13 ADVICE: lang_mix_by_source groups whose labels are ALL NULL
+# must report label_agree_frac = 0.0 (the oracle's CASE..ELSE 0),
+# not NULL (Spark's sum-over-all-NULL)
+# ---------------------------------------------------------------
+
+def test_lang_mix_by_source_all_null_labels_agree_zero(spark):
+    from scholar_stream_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the and with of", None, "web"),
+            (1, "the of to in", None, "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = textops.lang_mix_by_source(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["source"], r["pred_lang"], r["n_docs"]) == ("web", "en", 2)
+    assert r["label_agree_frac"] == 0.0  # not None
+
+
+# ---------------------------------------------------------------
+# r13 ADVICE: the bench compact stdout line must fit the ~2000-char
+# driver tail window regardless of query-name length — the
+# truncation loops 20 -> 10 -> 5 -> 0 instead of one retry
+# ---------------------------------------------------------------
+
+def test_bench_compact_line_truncation_always_fits():
+    import json
+
+    # simulate the bench tail logic with adversarially long names
+    def tail_line(name_len: int) -> dict:
+        timings = {
+            f"q_{'x' * name_len}_{i}": 1.0 + i for i in range(40)
+        }
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+        )
+        compact = {
+            "metric": "query_set_wall_clock", "value": 260.0,
+            "unit": "sec", "sf": 0.1, "n_queries": len(timings),
+            "n_failed": 0, "n_flaky": 0,
+            "passes": [320.0, 264.0, 269.0],
+            "streaming": {"e2e_p50_sec": 1.0, "e2e_p95_sec": 2.0},
+            "queries": slowest, "queries_truncated_to_slowest": 20,
+            "full_results_file": "BENCH_r14_local.json",
+            "started_at": "2026-08-15T00:00:00Z",
+        }
+        compact_line = json.dumps(compact)
+        for keep in (10, 5, 0):
+            if len(compact_line) <= 1900:
+                break
+            compact["queries"] = dict(list(slowest.items())[:keep])
+            compact["queries_truncated_to_slowest"] = keep
+            compact_line = json.dumps(compact)
+        assert len(compact_line) <= 1900
+        return json.loads(compact_line)
+
+    # 120-char names: shrinks until it fits, keeping what it can
+    assert 0 < len(tail_line(120)["queries"]) <= 10
+    # 500-char names: even 5 overflow -> queries dropped entirely,
+    # the headline metrics still parse
+    parsed = tail_line(500)
+    assert parsed["queries"] == {}
+    assert parsed["n_queries"] == 40
