@@ -626,18 +626,35 @@ def test_ivfopq_recall_floor(emb):
     assert r["recall"] >= 0.7, r["recall"]
 
 
-def test_opq_index_probe_matches_inline_rerank(spark, emb, tmp_path):
+@pytest.mark.parametrize("opq_mode", ["parametric", "iterative"])
+def test_opq_index_probe_matches_inline_rerank(
+    spark, emb, tmp_path, opq_mode
+):
     """The persisted OPQ path cannot drift from the in-memory one: a
     probe of the written index (codes in rotated space, floats
     original, rotation side table) equals the inline re-ranked PQ with
-    the SAME rotation."""
+    the SAME rotation — for BOTH trainers (r13 verdict item 3: the
+    iterative rotation must be servable from the persisted layout).
+    The inline side reads the PERSISTED rotation so the pin checks the
+    serving path, not trainer determinism."""
     path = str(tmp_path / "opqidx")
-    similarity.write_pq_index(emb, path, opq=True)
+    similarity.write_pq_index(emb, path, opq=True, opq_mode=opq_mode)
     got = sorted(
         (r["query_id"], r["neighbor_id"], r["rank"])
         for r in similarity.pq_probe_index(spark, path).collect()
     )
-    rot = similarity._opq_rotation(emb)
+    _, rot = similarity._load_pq_index_meta(spark, path)
+    assert rot is not None
+    if opq_mode == "parametric":
+        # the persisted rotation IS the parametric trainer's output
+        import numpy as np
+
+        assert np.allclose(rot, similarity._opq_rotation(emb))
+    else:
+        # iterative must actually be orthogonal (SVD-composed)
+        import numpy as np
+
+        assert np.allclose(rot @ rot.T, np.eye(rot.shape[0]), atol=1e-8)
     want = sorted(
         (r["query_id"], r["neighbor_id"], r["rank"])
         for r in similarity.ann_pq_rerank_topk(emb, rotation=rot).collect()
@@ -645,17 +662,18 @@ def test_opq_index_probe_matches_inline_rerank(spark, emb, tmp_path):
     assert got == want
 
 
-def test_opq_index_append_consistent(spark, emb, tmp_path):
+@pytest.mark.parametrize("opq_mode", ["parametric", "iterative"])
+def test_opq_index_append_consistent(spark, emb, tmp_path, opq_mode):
     """Appends rotate with the PERSISTED rotation: building on half
     the corpus and appending the other half yields byte-identical
     codes to encoding both halves at build time with the same frozen
-    quantizer+rotation."""
+    quantizer+rotation — mode-invariant by layout (r14)."""
     from pyspark.sql import functions as F
 
     half_a = emb.filter(F.col("vec_id") % 2 == 0)
     half_b = emb.filter(F.col("vec_id") % 2 == 1)
     p1 = str(tmp_path / "full")
-    similarity.write_pq_index(emb, p1, opq=True)
+    similarity.write_pq_index(emb, p1, opq=True, opq_mode=opq_mode)
     p2 = str(tmp_path / "halfapp")
     similarity.write_pq_index(half_a, p2, opq=True)
     # freeze p2's quantizer+rotation over p1's training set: overwrite
