@@ -3518,8 +3518,16 @@ def prefix_sum_by_range(
     ``decimal.Decimal`` objects and the running sum uses exact decimal
     addition — the distributed path is bit-identical to the window
     form, never a float re-association. Integral values use exact int
-    addition. (Float value columns are rejected: their cumsum is
-    order-defined and a parallel re-association would change results.)
+    addition; a null-free int64 column additionally vectorizes to
+    ``np.cumsum`` behind a sufficient-condition overflow guard
+    (``|offset| + n·max|v| < 2**63`` in arbitrary-precision ints —
+    int64 machine addition is exact whenever it cannot wrap). The
+    guard boundary is hypothesis-pinned fast==exact; measured: no
+    end-to-end delta at sf0.1 (≈19k rows/partition — the range
+    shuffle dominates), kernel 7× at 2.5M rows/partition (the
+    10⁹-row lane it exists for). (Float value columns are rejected:
+    their cumsum is order-defined and a parallel re-association
+    would change results.)
 
     ``order_exprs``: Column expressions defining the UNIQUE total
     order (e.g. ``[F.desc("rev"), F.asc("id")]``) — uniqueness is the
@@ -3583,8 +3591,33 @@ def prefix_sum_by_range(
                 continue
             pid = int(pdf["_pid"].iloc[0])
             running = seen.get(pid, offsets.get(pid, zero))
+            col = pdf[value_col]
+            if integral and col.dtype.kind in "iu":
+                # FAST PATH (r13 verdict item 4): a null-free int64
+                # column rides Arrow as true ints — np.cumsum IS the
+                # exact sum when no intermediate can overflow. The
+                # guard is a sufficient condition in arbitrary-
+                # precision Python ints: every intermediate satisfies
+                # |running + partial| ≤ |running| + n·max|v|, and the
+                # extrema read via int() so int64-min cannot wrap an
+                # np.abs. Guard fails → the Python-exact loop below.
+                vals = col.to_numpy()
+                mx = max(
+                    abs(int(vals.max())), abs(int(vals.min()))
+                )
+                if abs(int(running)) + len(vals) * mx < 2**63:
+                    cum_arr = np.cumsum(vals, dtype=np.int64)
+                    cum_arr = cum_arr + np.int64(int(running))
+                    running = int(cum_arr[-1])
+                    seen[pid] = running
+                    out = pdf[out_cols].copy()
+                    out[cum_col] = cum_arr
+                    if total_col is not None:
+                        out[total_col] = total
+                    yield out
+                    continue
             cums = []
-            for v in pdf[value_col]:
+            for v in col:
                 # NULLs add as zero (matching the Spark-side offset
                 # sums, which skip them). Arrow renders a NULL-bearing
                 # int64 column as float64 (NaN nulls) — normalize back

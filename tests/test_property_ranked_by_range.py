@@ -13,7 +13,7 @@ contract).
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -174,3 +174,58 @@ def test_prefix_sum_by_range_equals_window(spark, cents, n_parts):
         ).collect()
     )
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    small=st.lists(
+        st.integers(min_value=-(10**6), max_value=10**6),
+        min_size=0,
+        max_size=20,
+    ),
+    huge=st.lists(
+        # magnitudes near 2**62 so |running| + n·max|v| straddles the
+        # 2**63 sufficient-condition guard: these examples fall back
+        # to the Python-exact loop while the small ones vectorize
+        st.sampled_from([2**62, -(2**62), 2**61, -(2**61)]),
+        min_size=0,
+        max_size=6,
+    ),
+    n_parts=st.integers(min_value=1, max_value=5),
+)
+def test_prefix_sum_int64_fast_path_guard_boundary(
+    spark, small, huge, n_parts
+):
+    """r13 verdict item 4: the np.cumsum int64 fast path must be
+    value-identical to the Python-exact loop ON the overflow-guard
+    boundary. Small-magnitude examples take the vectorized path;
+    near-2**62 magnitudes fail the |running| + n·max|v| < 2**63
+    sufficient condition and fall back — both must equal the
+    arbitrary-precision Python cumsum (intermediates constrained to
+    int64 so the OUTPUT column itself cannot overflow)."""
+    vals = small + huge
+    order = sorted(range(len(vals)), key=lambda i: (-vals[i], i))
+    run, expect = 0, {}
+    for i in order:
+        run += vals[i]
+        assume(-(2**63) <= run < 2**63)  # bigint output must hold it
+        expect[i] = run
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = {
+        r["id"]: (r["cum"], r["tot"])
+        for r in prefix_sum_by_range(
+            df,
+            [F.desc("v"), F.asc("id")],
+            "v",
+            cum_col="cum",
+            total_col="tot",
+            n_parts=n_parts,
+        ).collect()
+    }
+    assert got == {i: (expect[i], run) for i in expect}
