@@ -166,3 +166,132 @@ def test_bench_compact_line_truncation_always_fits():
     parsed = tail_line(500)
     assert parsed["queries"] == {}
     assert parsed["n_queries"] == 40
+
+
+# ---------------------------------------------------------------
+# r13 verdict item 5: the restart loop that EXECUTES the watermark
+# resize recommendation — same checkpoint, wider delay, late rows
+# admitted that the old delay would have dropped
+# ---------------------------------------------------------------
+
+def test_run_with_watermark_resizing_admits_post_resize(
+    spark, tmp_path
+):
+    """End to end: pass 1 runs the windowed aggregation at a 1 s
+    delay (availableNow, drains, watermark advances to ~199 s); the
+    monitor — latched from the measured 100 s disorder — triggers a
+    restart at its 125 s recommendation FROM THE SAME CHECKPOINT.
+    Pass 2's fixture (planted by the second build_query call) carries
+    a 90 s-late event: under the old 1 s delay the advancing batch
+    would have pushed the watermark past it (299 > 210); under the
+    resized 125 s delay the watermark holds at 199 and the row lands
+    in a finalized window. Asserts the exact admitted set, the [210,
+    240) window row, the restart count, and the rebased monitor."""
+    import datetime
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scholar_stream_spark.streaming.latency import (
+        WatermarkResizeMonitor,
+        run_with_watermark_resizing,
+    )
+
+    base = int(
+        datetime.datetime(
+            2026, 1, 1, tzinfo=datetime.timezone.utc
+        ).timestamp()
+    )
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def plant(name, secs, mtime):
+        p = inbox / name
+        p.write_text(
+            "\n".join(
+                json.dumps({"event_id": i, "sec": base + s})
+                for i, s in enumerate(secs)
+            )
+        )
+        os.utime(p, (mtime, mtime))
+
+    # pass-1 fixture: in-order batch advances the watermark to 199 s
+    # at the 1 s delay (one file per micro-batch)
+    plant("b0.json", [10, 40, 90, 160, 200], 1_700_000_000)
+
+    # the monitor latches from the measured disorder (the sibling
+    # landing topology is pinned in test_r13_ops; here the loop is
+    # under test): 100 s lateness * 1.25 -> "125 seconds" > 1 s
+    mon = WatermarkResizeMonitor(
+        "1 seconds", check_every=1, key_col="user_id"
+    )
+    audit = spark.createDataFrame(
+        [
+            (1, 1, datetime.datetime.fromtimestamp(
+                base + 200, datetime.timezone.utc)),
+            (2, 1, datetime.datetime.fromtimestamp(
+                base + 100, datetime.timezone.utc)),  # 100 s late
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    assert mon.observe(audit, batch_id=0) == "125 seconds"
+    assert mon.needs_resize
+
+    calls: list[str] = []
+
+    def build_query(delay):
+        calls.append(delay)
+        if len(calls) == 2:
+            # pass-2 fixture, planted between restarts: an advancing
+            # event (300 s) then a 90 s-late one (210 s) in its own
+            # batch — vs the held-at-199 watermark it is admitted;
+            # the old 1 s delay would have watermarked to 299 first
+            plant("b1.json", [300], 1_700_000_010)
+            plant("b2.json", [210], 1_700_000_011)
+            # flush far future to finalize every real window
+            plant("b3.json", [100_000], 1_700_000_012)
+        stream = (
+            spark.readStream.schema("event_id long, sec long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(inbox))
+            .select(
+                "event_id",
+                F.to_timestamp(F.from_unixtime("sec")).alias("ts"),
+            )
+        )
+        agg = (
+            stream.withWatermark("ts", delay)
+            .groupBy(F.window("ts", "30 seconds").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    result = run_with_watermark_resizing(
+        build_query, mon, initial_delay="1 seconds"
+    )
+    assert result["restarts"] == 1
+    assert result["delay"] == "125 seconds"
+    assert result["resize_pending"] is False
+    assert calls == ["1 seconds", "125 seconds"]
+    # monitor rebased to the active delay
+    assert mon.configured_seconds == 125 and not mon.needs_resize
+
+    got = {
+        (r["w"]["start"].second + r["w"]["start"].minute * 60
+         + r["w"]["start"].hour * 3600): r["n"]
+        for r in spark.read.parquet(out).collect()
+        if r["w"]["start"].year == 2026
+    }
+    # pass 1: 10,40,90,160,200 all admitted; pass 2: 300 AND the
+    # 210 s late row admitted post-resize
+    assert got == {0: 1, 30: 1, 90: 1, 150: 1, 180: 1, 210: 1, 300: 1}
