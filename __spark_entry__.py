@@ -527,7 +527,7 @@ PROFILE_COLS = (
 #: oracle-backed entries (i.e. new ops) lead, then entries ascending
 #: by the last round they were driver-green, ties alphabetical. This
 #: keeps the full oracle-backed cycle at ≤ ceil(n_oracle/50) windows
-#: mechanically (170 entries in r13 ⇒ ≤ 4), with no hand-curated tuple
+#: mechanically (171 entries in r14 ⇒ ≤ 4), with no hand-curated tuple
 #: to go stale (the
 #: r12 verdict found 65 entries 3–4 windows old under manual
 #: rotation). Rows-only entries still sit contiguously at the tail
@@ -1301,6 +1301,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # per-source exact rank-based quality-score deciles
         "quality_deciles": lambda s, d: curation.quality_deciles(
+            _t(s, d, "documents")
+        ),
+        # mojibake repair audit: per-rule hit counts over an in-query
+        # deterministically corrupted corpus; after-repair all-zero
+        "fix_encoding_report": lambda s, d: curation.fix_encoding_report(
             _t(s, d, "documents")
         ),
         # flagship composition: curate -> decontaminate -> mixture as
@@ -2516,6 +2521,48 @@ def _ngram_diversity_sql() -> str:
                     ELSE 0.0 END AS gram_ttr
         FROM d LEFT JOIN gs ON d.source = gs.source
         ORDER BY d.source
+    """
+
+
+def _fix_encoding_sql() -> str:
+    """``fix_encoding_report`` oracle, generated from the SAME
+    ``curation.MOJIBAKE_RULES`` table the Spark operator compiles its
+    replace chain from (one rule table, both engines — the
+    ``lang_profile`` shared-definition discipline). Injection, repair
+    chain, and the (length-difference)//rule-length occurrence count
+    are literal SQL mirrors of the Column expressions."""
+    rules = curation.MOJIBAKE_RULES
+    n = len(rules)
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    inject_case = " ".join(
+        f"WHEN {i} THEN 'x{esc(bad)}y{esc(bad)}'"
+        for i, (_, bad, _) in enumerate(rules)
+    )
+    fixed = "t"
+    for _, bad, good in rules:
+        fixed = f"replace({fixed}, '{esc(bad)}', '{esc(good)}')"
+    arms = []
+    for name, bad, _ in rules:
+        b, ln = esc(bad), len(bad)
+        arms.append(f"""
+            SELECT '{name}' AS rule,
+                   CAST(SUM((length(t) - length(replace(t, '{b}', '')))
+                            // {ln}) AS BIGINT) AS n_hits,
+                   CAST(SUM(CASE WHEN length(t)
+                                      > length(replace(t, '{b}', ''))
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+                   CAST(SUM((length(f) - length(replace(f, '{b}', '')))
+                            // {ln}) AS BIGINT) AS n_hits_after
+            FROM fixed""")
+    union = "\n            UNION ALL\n".join(arms)
+    return f"""
+        WITH injected AS (
+            SELECT text || ' ' || CASE CAST(doc_id % {n} AS INT)
+                   {inject_case} END AS t
+            FROM documents
+        ),
+        fixed AS (SELECT t, {fixed} AS f FROM injected)
+        {union}
     """
 
 
@@ -5668,6 +5715,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         """,
         "curate_corpus": _curate_sql(),
         "curation_funnel": _funnel_sql(),
+        "fix_encoding_report": _fix_encoding_sql(),
         "token_budget_plan": _token_budget_sql(),
         "zorder_layout": _zorder_sql(),
         "corr_matrix": _corr_sql(),

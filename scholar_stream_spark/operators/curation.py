@@ -441,3 +441,174 @@ def quality_deciles(
         .select("source", F.col("decile").cast("int").alias("decile"), "score")
         .orderBy("source", "decile")
     )
+
+
+#: Ordered mojibake repair rules — the "Ã©-class": UTF-8 byte pairs/
+#: triples mis-decoded as cp1252/Latin-1 somewhere upstream (the
+#: Dolma/CCNet `fix_encoding` step between raw text and every
+#: downstream gate). Each entry is (rule, bad, good); the chain
+#: applies IN ORDER. Safety properties of this table, maintained on
+#: edit: no rule's `bad` is a prefix of another's (the â€- and
+#: Ã-families all differ in the final character), and no rule's
+#: `good` output contains any rule's `bad` (repair cannot cascade).
+#: Deliberately absent: sequences whose cp1252 round-trip lands on
+#: undefined/control bytes (the ” U+201D class via 0x9D) or invisible
+#: characters (í via 0xAD soft hyphen) — repairing those needs byte-
+#: level re-decoding, not string replace, and a wrong match would
+#: corrupt clean text silently.
+MOJIBAKE_RULES = (
+    ("right_single_quote", "â€™", "’"),  # â€™ → '
+    ("left_double_quote", "â€œ", "“"),   # â€œ → "
+    ("en_dash", "â€“", "–"),             # â€“ → –
+    ("em_dash", "â€”", "—"),             # â€” → —
+    ("ellipsis", "â€¦", "…"),            # â€¦ → …
+    ("e_acute", "Ã©", "é"),                   # Ã© → é
+    ("e_grave", "Ã¨", "è"),                   # Ã¨ → è
+    ("a_acute", "Ã¡", "á"),                   # Ã¡ → á
+    ("o_acute", "Ã³", "ó"),                   # Ã³ → ó
+    ("u_acute", "Ãº", "ú"),                   # Ãº → ú
+    ("n_tilde", "Ã±", "ñ"),                   # Ã± → ñ
+    ("c_cedilla", "Ã§", "ç"),                 # Ã§ → ç
+    ("a_umlaut", "Ã¤", "ä"),                  # Ã¤ → ä
+    ("o_umlaut", "Ã¶", "ö"),                  # Ã¶ → ö
+    ("u_umlaut", "Ã¼", "ü"),                  # Ã¼ → ü
+    ("guillemet_left", "Â«", "«"),            # Â« → «
+    ("guillemet_right", "Â»", "»"),           # Â» → »
+)
+
+
+def fixed_text_expr(col):
+    """The repair chain as ONE Column expression (narrow codegen
+    projection — no shuffle, no Python): `replace` applied per rule in
+    table order. Shared by `fix_encoding` and the report's
+    after-repair recount, and mirrored literally by the oracle SQL
+    (`_fixed_sql` in the entry module) — one rule table, both
+    engines."""
+    out = col
+    for _, bad, good in MOJIBAKE_RULES:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
+def fix_encoding(
+    documents: DataFrame, text_col: str = "text", nfc: bool = False
+) -> DataFrame:
+    """Unicode/mojibake normalization gate — the curation chain's
+    encoding-repair step (run BEFORE fingerprints, quality signals, or
+    language ID: a mojibake'd `Ã©` breaks all three). Two stages:
+
+    1. **Mojibake repair** (always): the `MOJIBAKE_RULES` chain as a
+       narrow whole-stage-codegen projection — zero shuffle, zero
+       Python, the curate chain's discipline.
+    2. **NFC normalization** (``nfc=True``): canonical composition
+       (é as U+00E9, never e + U+0301 — fingerprints and exact dedup
+       depend on byte-stable text). Spark has no NFC builtin, so this
+       stage is ONE Arrow `mapInPandas` pass over `unicodedata`
+       (stated honestly: Arrow-batched kernel, not codegen — the same
+       trade every Arrow kernel in this repo makes), schema unchanged,
+       still zero shuffle. Skipped by default because most corpora
+       are already NFC; the repair stage alone stays pure-JVM.
+    """
+    out = documents.withColumn(text_col, fixed_text_expr(F.col(text_col)))
+    if not nfc:
+        return out
+
+    schema = out.schema
+
+    def kernel(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf[text_col] = pdf[text_col].map(
+                lambda s: None
+                if s is None
+                else unicodedata.normalize("NFC", s)
+            )
+            yield pdf
+
+    return scale_out(out).mapInPandas(kernel, schema)
+
+
+def fix_encoding_report(documents: DataFrame) -> DataFrame:
+    """Per-rule mojibake audit over a deterministically corrupted copy
+    of the corpus — the oracle-checkable demonstration that the repair
+    chain finds and removes every planted sequence. The sf corpora are
+    clean ASCII, so the entry INJECTS mojibake in-query (both engines
+    run the identical injection SQL: doc `i` gets rule `i mod R`'s bad
+    sequence appended twice), then reports, per rule: total
+    occurrences before repair, documents containing the sequence, and
+    occurrences AFTER the `fixed_text_expr` chain (all-zero — the
+    repair proof).
+
+    Counting is exact integer arithmetic both engines share:
+    occurrences = (length(t) − length(replace(t, bad, ''))) /
+    length(bad) — character-based `length`/`replace` agree between
+    Spark and DuckDB, and the division is exact by construction.
+
+    Scale shape: ONE text scan evaluates all 3·R counting expressions
+    in a single projection, ONE map-side-combined global aggregate
+    collapses to a 1-row frame, and the per-rule rows explode from a
+    literal R-struct array on that single row — no shuffle wider than
+    the 1-row exchange, no window. Output: (rule, n_hits, n_docs,
+    n_hits_after), table order.
+    """
+    rules = MOJIBAKE_RULES
+    n_rules = len(rules)
+    snippets = F.array(
+        *[F.lit(f"x{bad}y{bad}") for _, bad, _ in rules]
+    )
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" "),
+        F.element_at(
+            snippets, (F.col("doc_id") % n_rules).cast("int") + 1
+        ),
+    )
+
+    def occurrences(col, bad):
+        return (
+            (F.length(col) - F.length(F.replace(col, F.lit(bad))))
+            / F.length(F.lit(bad))
+        ).cast("long")
+
+    staged = scale_out(documents).select(
+        *[
+            occurrences(injected, bad).alias(f"_h_{i}")
+            for i, (_, bad, _) in enumerate(rules)
+        ],
+        *[
+            occurrences(fixed_text_expr(injected), bad).alias(f"_a_{i}")
+            for i, (_, bad, _) in enumerate(rules)
+        ],
+    )
+    agg = staged.agg(
+        *[F.sum(f"_h_{i}").cast("long").alias(f"h_{i}") for i in range(n_rules)],
+        *[
+            F.sum((F.col(f"_h_{i}") > 0).cast("long")).cast("long").alias(f"d_{i}")
+            for i in range(n_rules)
+        ],
+        *[F.sum(f"_a_{i}").cast("long").alias(f"a_{i}") for i in range(n_rules)],
+    )
+    per_rule = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.lit(i).alias("_ord"),
+                        F.col(f"h_{i}").alias("n_hits"),
+                        F.col(f"d_{i}").alias("n_docs"),
+                        F.col(f"a_{i}").alias("n_hits_after"),
+                    )
+                    for i, (name, _, _) in enumerate(rules)
+                ]
+            )
+        ).alias("r")
+    )
+    return (
+        per_rule.select(
+            "r.rule", "r._ord", "r.n_hits", "r.n_docs", "r.n_hits_after"
+        )
+        .orderBy("_ord")
+        .drop("_ord")
+    )

@@ -14,6 +14,17 @@ scale gate, two rules over all of ``queries()``:
    relation and nested-loop the corpus against it: the audit walks the
    plan tree to the build subtree and fails unless a boundedness marker
    (keys=[] HashAggregate or a Limit) is present.
+3. no UNBOUNDED single-task Window (r13 verdict item 6) — a Window
+   with an EMPTY partition spec serializes its whole input through one
+   task, which is fine exactly when that input is a rollup (months,
+   histogram buckets, dimension grids — every legitimate global window
+   here runs over an aggregate) or Limit-bounded. The audit walks to
+   each global Window's input subtree and fails unless an aggregate /
+   Limit marker is present. Honesty limit (stated): a grouped
+   aggregate on a corpus-cardinality key would pass the marker check —
+   the rule is the tripwire for the WORST shape (a global window
+   directly over scan/join density), the per-op scale profiles carry
+   the finer guarantees.
 """
 
 from __future__ import annotations
@@ -70,6 +81,38 @@ def unbounded_bnlj_builds(df) -> list[str]:
     return bad
 
 
+#: Window-input operators that prove a single-task (empty partition
+#: spec) Window runs over a rollup, not the corpus: any aggregate
+#: collapses density before the window; the Limit family bounds rows.
+_BOUNDED_WINDOW_MARKERS = (
+    "HashAggregate(",
+    "ObjectHashAggregate(",
+    "SortAggregate(",
+    "GlobalLimit",
+    "CollectLimit",
+    "TakeOrderedAndProject",
+)
+
+
+def unbounded_global_windows(df) -> list[str]:
+    """Input subtree strings of every empty-partition-spec Window in
+    ``df``'s physical plan whose input is not provably a rollup."""
+    bad: list[str] = []
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls in ("WindowExec", "WindowGroupLimitExec"):
+            if node.partitionSpec().size() == 0:
+                child_s = node.child().toString()
+                if not any(
+                    m in child_s for m in _BOUNDED_WINDOW_MARKERS
+                ):
+                    bad.append(child_s)
+        stack.extend(_children(node))
+    return bad
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_cartesian_or_unbounded_bnlj(name, spark):
     df = QUERIES[name](spark, SF_SMALL)
@@ -80,6 +123,41 @@ def test_no_cartesian_or_unbounded_bnlj(name, spark):
         f"{name} plans a BroadcastNestedLoopJoin whose build side is not "
         f"provably bounded:\n" + "\n---\n".join(bad)
     )
+    bad_w = unbounded_global_windows(df)
+    assert not bad_w, (
+        f"{name} plans a single-task Window whose input is not "
+        f"provably a rollup:\n" + "\n---\n".join(bad_w)
+    )
+
+
+def test_audit_flags_synthetic_unbounded_global_window(spark):
+    """Red test: a global (no-partition) window directly over a scan
+    must be caught by the audit helper."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).withColumn(
+        "c", F.sum("id").over(Window.orderBy("id"))
+    )
+    assert unbounded_global_windows(df), (
+        "audit helper failed to flag a scan-fed global window:\n"
+        + df._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_audit_accepts_rollup_fed_global_window(spark):
+    """Green twin: the rollup-then-window shape the codebase actually
+    uses (months / histogram buckets / dimension grids) must pass."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    grid = (
+        spark.range(0, 1000)
+        .groupBy((F.col("id") % 10).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    df = grid.withColumn("c", F.sum("n").over(Window.orderBy("k")))
+    assert unbounded_global_windows(df) == []
 
 
 def test_audit_flags_synthetic_unbounded_bnlj(spark):

@@ -295,3 +295,116 @@ def test_run_with_watermark_resizing_admits_post_resize(
     # pass 1: 10,40,90,160,200 all admitted; pass 2: 300 AND the
     # 210 s late row admitted post-resize
     assert got == {0: 1, 30: 1, 90: 1, 150: 1, 180: 1, 210: 1, 300: 1}
+
+
+# ---------------------------------------------------------------
+# r13 verdict item 7: the Unicode/mojibake normalization gate
+# ---------------------------------------------------------------
+
+def test_mojibake_rules_safety_invariants():
+    """The properties the repair chain's correctness rests on: no
+    rule's bad sequence is a prefix of another's (chain order cannot
+    change results), and no rule's output contains any rule's bad
+    sequence (repair cannot cascade into more repair)."""
+    from scholar_stream_spark.operators.curation import MOJIBAKE_RULES
+
+    bads = [b for _, b, _ in MOJIBAKE_RULES]
+    for i, b1 in enumerate(bads):
+        for j, b2 in enumerate(bads):
+            if i != j:
+                assert not b2.startswith(b1), (b1, b2)
+    for _, _, good in MOJIBAKE_RULES:
+        for b in bads:
+            assert b not in good
+    # and every rule IS a genuine cp1252 mis-decode of its target:
+    # good.encode(utf8).decode(cp1252) == bad
+    for name, bad, good in MOJIBAKE_RULES:
+        assert good.encode("utf-8").decode("cp1252") == bad, name
+
+
+def test_fix_encoding_repairs_planted_mojibake(spark):
+    from scholar_stream_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [
+            (0, "CafÃ© rÃ©sumÃ© â€” itâ€™s Ã¼ber", "en", "web"),
+            (1, "clean ascii stays byte-identical", "en", "web"),
+            (2, None, "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in curation.fix_encoding(docs).collect()
+    }
+    assert got[0] == "Café résumé — it’s über"
+    assert got[1] == "clean ascii stays byte-identical"
+    assert got[2] is None
+
+
+def test_fix_encoding_nfc_matches_unicodedata_and_duckdb(spark):
+    """The NFC stage (Arrow kernel — Spark has no NFC builtin) must
+    agree with BOTH unicodedata (the kernel's own library, on a
+    fixture it cannot have memorized: combining marks, Hangul jamo,
+    ligature non-decomposition) and DuckDB's nfc_normalize (the
+    independent utf8proc implementation)."""
+    import unicodedata
+
+    import duckdb
+
+    from scholar_stream_spark.operators import curation
+
+    fixtures = [
+        "Café",          # e + combining acute -> é
+        "각",  # Hangul jamo -> 각
+        "ﬁle",            # fi ligature: NFC must NOT decompose
+        "Å",             # A + ring -> Å
+        "already composed é ü ñ",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "w") for i, t in enumerate(fixtures)],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in curation.fix_encoding(docs, nfc=True).collect()
+    }
+    for i, t in enumerate(fixtures):
+        want = unicodedata.normalize("NFC", t)
+        assert got[i] == want, (i, got[i], want)
+        duck = duckdb.sql(
+            "SELECT nfc_normalize(?)", params=[t]
+        ).fetchone()[0]
+        assert got[i] == duck, (i, got[i], duck)
+
+
+def test_fix_encoding_report_counts_planted_fixture(spark):
+    """Hand-countable fixture: 4 docs cycle through the first 4 rules
+    (doc_id % 17), each snippet carries its rule's bad sequence twice;
+    doc 0 additionally carries one natural Ã© in its text. After
+    repair every count is zero."""
+    from scholar_stream_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [
+            (0, "natural Ã© here", "en", "web"),
+            (1, "plain", "en", "web"),
+            (2, "plain", "en", "web"),
+            (3, "plain", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {
+        r["rule"]: (r["n_hits"], r["n_docs"], r["n_hits_after"])
+        for r in curation.fix_encoding_report(docs).collect()
+    }
+    assert len(rows) == len(curation.MOJIBAKE_RULES)
+    # doc 0 -> rule 0 snippet (2 hits) ... doc 3 -> rule 3
+    assert rows["right_single_quote"] == (2, 1, 0)
+    assert rows["left_double_quote"] == (2, 1, 0)
+    assert rows["en_dash"] == (2, 1, 0)
+    assert rows["em_dash"] == (2, 1, 0)
+    # rule 5 (e_acute) only from doc 0's natural occurrence
+    assert rows["e_acute"] == (1, 1, 0)
+    # untouched rules: zero everywhere
+    assert rows["guillemet_right"] == (0, 0, 0)
