@@ -527,7 +527,7 @@ PROFILE_COLS = (
 #: oracle-backed entries (i.e. new ops) lead, then entries ascending
 #: by the last round they were driver-green, ties alphabetical. This
 #: keeps the full oracle-backed cycle at ≤ ceil(n_oracle/50) windows
-#: mechanically (171 entries in r14 ⇒ ≤ 4), with no hand-curated tuple
+#: mechanically (173 entries in r14 ⇒ ≤ 4), with no hand-curated tuple
 #: to go stale (the
 #: r12 verdict found 65 entries 3–4 windows old under manual
 #: rotation). Rows-only entries still sit contiguously at the tail
@@ -1306,6 +1306,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mojibake repair audit: per-rule hit counts over an in-query
         # deterministically corrupted corpus; after-repair all-zero
         "fix_encoding_report": lambda s, d: curation.fix_encoding_report(
+            _t(s, d, "documents")
+        ),
+        # C4 sentence-level gate signals per source (3-sentence floor,
+        # terminal punctuation, words per sentence)
+        "sentence_stats": lambda s, d: textops.sentence_stats(
+            _t(s, d, "documents")
+        ),
+        # per-source character-class composition (the FineWeb/Dolma
+        # non-alphabetic gate input; other_frac spike = markup/mojibake)
+        "char_class_profile": lambda s, d: textops.char_class_profile(
             _t(s, d, "documents")
         ),
         # flagship composition: curate -> decontaminate -> mixture as
@@ -5716,6 +5726,76 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "curate_corpus": _curate_sql(),
         "curation_funnel": _funnel_sql(),
         "fix_encoding_report": _fix_encoding_sql(),
+        "sentence_stats": f"""
+            WITH per AS (
+                SELECT source,
+                       CAST(len(regexp_extract_all(text,
+                            '{textops.SENTENCE_TERM_RE}')) AS BIGINT)
+                           AS ns,
+                       CAST(length(text)
+                            - length(replace(text, ' ', '')) + 1
+                            AS BIGINT) AS nw,
+                       CASE WHEN regexp_matches(rtrim(text), '[.!?]$')
+                            THEN 1 ELSE 0 END AS term
+                FROM documents
+            ), rolled AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(ns) AS BIGINT) AS n_sentences,
+                       CAST(SUM(nw) AS BIGINT) AS words,
+                       CAST(SUM(CASE WHEN ns >= {textops.C4_MIN_SENTENCES}
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_min3,
+                       CAST(SUM(term) AS BIGINT) AS n_term
+                FROM per GROUP BY source
+            )
+            SELECT source, n_docs, n_sentences,
+                   round(CAST(n_sentences AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE), 6)
+                       AS avg_sentences_per_doc,
+                   CASE WHEN n_sentences > 0
+                        THEN round(CAST(words AS DOUBLE)
+                                   / CAST(n_sentences AS DOUBLE), 6)
+                        END AS avg_words_per_sentence,
+                   round(CAST(n_min3 AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE), 6) AS min3_frac,
+                   round(CAST(n_term AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE), 6) AS terminal_frac
+            FROM rolled
+        """,
+        "char_class_profile": f"""
+            WITH per AS (
+                SELECT source,
+                       CAST(length(text) AS BIGINT) AS nc,
+                       CAST(length(text) - length(regexp_replace(
+                            text, '[A-Za-z]', '', 'g')) AS BIGINT)
+                           AS na,
+                       CAST(length(text) - length(regexp_replace(
+                            text, '[0-9]', '', 'g')) AS BIGINT) AS nd,
+                       CAST(length(text) - length(regexp_replace(
+                            text, '{textops.CHAR_CLASS_WS_RE}', '',
+                            'g')) AS BIGINT) AS nw
+                FROM documents
+            ), rolled AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(nc) AS BIGINT) AS n_chars,
+                       CAST(SUM(na) AS BIGINT) AS alpha,
+                       CAST(SUM(nd) AS BIGINT) AS digit,
+                       CAST(SUM(nw) AS BIGINT) AS space
+                FROM per GROUP BY source
+            )
+            SELECT source, n_docs, n_chars,
+                   round(CAST(alpha AS DOUBLE)
+                         / CAST(n_chars AS DOUBLE), 6) AS alpha_frac,
+                   round(CAST(digit AS DOUBLE)
+                         / CAST(n_chars AS DOUBLE), 6) AS digit_frac,
+                   round(CAST(space AS DOUBLE)
+                         / CAST(n_chars AS DOUBLE), 6) AS space_frac,
+                   round(CAST(n_chars - alpha - digit - space AS DOUBLE)
+                         / CAST(n_chars AS DOUBLE), 6) AS other_frac
+            FROM rolled
+        """,
         "token_budget_plan": _token_budget_sql(),
         "zorder_layout": _zorder_sql(),
         "corr_matrix": _corr_sql(),

@@ -1956,3 +1956,147 @@ def bm25_search(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+#: Sentence terminator runs — "..." and "?!" count as ONE boundary.
+#: Shared literally by the Spark expression and the oracle SQL (Java
+#: regex and DuckDB's RE2 agree on this class).
+SENTENCE_TERM_RE = "[.!?]+"
+
+#: Explicit ASCII whitespace class (the ``_ASCII_WS`` / ``BPE_UNIT_RE``
+#: discipline: Java ``\s`` and RE2 ``\s`` disagree on vertical tab).
+#: Raw string so BOTH engines receive the escape sequences.
+CHAR_CLASS_WS_RE = r"[ \t\n\x0b\f\r]"
+
+#: C4's sentence floor: pages with fewer than 3 sentences are dropped
+#: (Raffel et al. 2020 §2.2). The report measures the rule's firing
+#: rate instead of silently applying it.
+C4_MIN_SENTENCES = 3
+
+
+def sentence_stats(documents: DataFrame) -> DataFrame:
+    """Per-source sentence-structure report — the C4 gate family's
+    missing signal level (Gopher rules are word- and line-level;
+    C4 §2.2 filters on SENTENCES: ≥3 sentences per page, lines ending
+    in terminal punctuation). Per source: document count, total
+    sentences, sentences per doc, words per sentence, the fraction of
+    docs passing the C4 3-sentence floor, and the fraction whose
+    trimmed text ends on a sentence terminator.
+
+    Engine parity: a sentence boundary is one ``[.!?]+`` run
+    (``SENTENCE_TERM_RE`` — shared literally; "..." is ONE boundary),
+    counted by ``regexp_count`` in Spark and
+    ``len(regexp_extract_all(...))`` in DuckDB; words are the shared
+    ``n_tokens`` length-difference rule; every fraction is a single
+    IEEE division of exact integers (zero-sentence denominators
+    guarded to NULL identically on both engines).
+
+    Scale shape: ONE text scan evaluates the per-doc counts in a
+    narrow codegen projection, one map-side-combined groupBy collapses
+    to ≤|sources| rows — no window, no join, nothing corpus-sized
+    past the scan. Output: (source, n_docs, n_sentences,
+    avg_sentences_per_doc, avg_words_per_sentence, min3_frac,
+    terminal_frac), all rounds 6.
+    """
+    n_sent = F.regexp_count(F.col("text"), F.lit(SENTENCE_TERM_RE))
+    per_doc = scale_out(documents).select(
+        "source",
+        n_sent.cast("long").alias("_ns"),
+        n_tokens(F.col("text")).alias("_nw"),
+        (n_sent >= C4_MIN_SENTENCES).cast("long").alias("_min3"),
+        F.rtrim(F.col("text")).rlike("[.!?]$").cast("long").alias("_term"),
+    )
+    rolled = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_ns").cast("long").alias("n_sentences"),
+        F.sum("_nw").cast("long").alias("_words"),
+        F.sum("_min3").cast("long").alias("_n_min3"),
+        F.sum("_term").cast("long").alias("_n_term"),
+    )
+    return rolled.select(
+        "source",
+        "n_docs",
+        "n_sentences",
+        F.round(
+            F.col("n_sentences").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("avg_sentences_per_doc"),
+        F.round(
+            F.when(
+                F.col("n_sentences") > 0,
+                F.col("_words").cast("double")
+                / F.col("n_sentences").cast("double"),
+            ),
+            6,
+        ).alias("avg_words_per_sentence"),
+        F.round(
+            F.col("_n_min3").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("min3_frac"),
+        F.round(
+            F.col("_n_term").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("terminal_frac"),
+    )
+
+
+def char_class_profile(documents: DataFrame) -> DataFrame:
+    """Per-source character-class composition — the FineWeb/Dolma
+    non-alphabetic gates' input ("what fraction of this crawl is
+    letters vs digits vs whitespace vs symbols?"; a source whose
+    other_frac spikes is markup, tables, or mojibake — feed it to
+    ``fix_encoding`` / ``clean_lines`` before the token gates).
+
+    Engine parity: each class count is the exact length-difference
+    under a character-class removal (``regexp_replace`` — global by
+    default in Spark, ``'g'`` flag in the DuckDB oracle); whitespace
+    is the explicit ``[ \\t\\n\\x0b\\f\\r]`` class (the ``_ASCII_WS``
+    discipline — Java ``\\s`` and RE2 ``\\s`` disagree on vertical
+    tab); "other" is the remainder, so the four fractions partition
+    every character by construction. Fractions are single IEEE
+    divisions of exact integers.
+
+    Scale shape: ONE text scan, narrow codegen projection of 4 counts,
+    one map-side-combined groupBy to ≤|sources| rows. Output:
+    (source, n_docs, n_chars, alpha_frac, digit_frac, space_frac,
+    other_frac), fractions round 6.
+    """
+    t = F.col("text")
+
+    def removed(pattern: str):
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, pattern, ""))
+        ).cast("long")
+
+    per_doc = scale_out(documents).select(
+        "source",
+        F.length(t).cast("long").alias("_nc"),
+        removed("[A-Za-z]").alias("_na"),
+        removed("[0-9]").alias("_nd"),
+        removed(CHAR_CLASS_WS_RE).alias("_nw"),
+    )
+    rolled = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nc").cast("long").alias("n_chars"),
+        F.sum("_na").cast("long").alias("_alpha"),
+        F.sum("_nd").cast("long").alias("_digit"),
+        F.sum("_nw").cast("long").alias("_space"),
+    )
+    frac = lambda c: F.round(  # noqa: E731
+        c.cast("double") / F.col("n_chars").cast("double"), 6
+    )
+    return rolled.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        frac(F.col("_alpha")).alias("alpha_frac"),
+        frac(F.col("_digit")).alias("digit_frac"),
+        frac(F.col("_space")).alias("space_frac"),
+        frac(
+            F.col("n_chars") - F.col("_alpha") - F.col("_digit")
+            - F.col("_space")
+        ).alias("other_frac"),
+    )

@@ -408,3 +408,64 @@ def test_fix_encoding_report_counts_planted_fixture(spark):
     assert rows["e_acute"] == (1, 1, 0)
     # untouched rules: zero everywhere
     assert rows["guillemet_right"] == (0, 0, 0)
+
+
+# ---------------------------------------------------------------
+# r14 widening: C4 sentence-level signals + char-class composition
+# ---------------------------------------------------------------
+
+def test_sentence_stats_hand_counted(spark):
+    from scholar_stream_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            # 3 sentence runs ("..." is ONE), 6 words, terminal-ended
+            (0, "One two. Three four... Five six?", "en", "web"),
+            # 1 run, 3 words, NOT terminal-ended
+            (1, "no caps here.  trailing", "en", "web"),
+            # 0 sentences
+            (2, "just words no stops", "en", "books"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        r["source"]: r for r in textops.sentence_stats(docs).collect()
+    }
+    w = got["web"]
+    assert (w["n_docs"], w["n_sentences"]) == (2, 4)
+    assert w["avg_sentences_per_doc"] == 2.0
+    # words: doc0 has 6 ws-tokens, doc1 "no caps here.  trailing" =
+    # len-diff rule counts the double space as two -> 5; (6+5)/4
+    assert w["avg_words_per_sentence"] == 2.75
+    assert w["min3_frac"] == 0.5
+    assert w["terminal_frac"] == 0.5
+    b = got["books"]
+    assert (b["n_sentences"], b["avg_words_per_sentence"]) == (0, None)
+    assert b["min3_frac"] == 0.0 and b["terminal_frac"] == 0.0
+
+
+def test_char_class_profile_partitions_every_char(spark):
+    from scholar_stream_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (0, "ab 12!", "en", "web"),      # 2 alpha 2 digit 1 sp 1 other
+            (1, "x\ty\x0bz", "en", "web"),   # 3 alpha, tab+VT whitespace
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = textops.char_class_profile(docs).collect()[0]
+    assert (r["n_docs"], r["n_chars"]) == (2, 11)
+    assert r["alpha_frac"] == round(5 / 11, 6)
+    assert r["digit_frac"] == round(2 / 11, 6)
+    assert r["space_frac"] == round(3 / 11, 6)
+    assert r["other_frac"] == round(1 / 11, 6)
+    # the four classes partition the text by construction
+    assert (
+        round(
+            r["alpha_frac"] + r["digit_frac"] + r["space_frac"]
+            + r["other_frac"],
+            5,
+        )
+        == 1.0
+    )
