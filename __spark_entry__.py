@@ -5735,7 +5735,8 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                        CAST(length(text)
                             - length(replace(text, ' ', '')) + 1
                             AS BIGINT) AS nw,
-                       CASE WHEN regexp_matches(rtrim(text), '[.!?]$')
+                       CASE WHEN regexp_matches(text,
+                            '{textops.TERMINAL_END_RE}')
                             THEN 1 ELSE 0 END AS term
                 FROM documents
             ), rolled AS (

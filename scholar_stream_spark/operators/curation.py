@@ -545,8 +545,10 @@ def fix_encoding_report(documents: DataFrame) -> DataFrame:
     length(bad) — character-based `length`/`replace` agree between
     Spark and DuckDB, and the division is exact by construction.
 
-    Scale shape: ONE text scan evaluates all 3·R counting expressions
-    in a single projection, ONE map-side-combined global aggregate
+    Scale shape: ONE text scan stages `injected` and `fixed` once
+    each (two stacked narrow projections — one concat, one 17-replace
+    chain per row), evaluates all 3·R counting expressions over the
+    staged pair, then ONE map-side-combined global aggregate
     collapses to a 1-row frame, and the per-rule rows explode from a
     literal R-struct array on that single row — no shuffle wider than
     the 1-row exchange, no window. Output: (rule, n_hits, n_docs,
@@ -571,13 +573,23 @@ def fix_encoding_report(documents: DataFrame) -> DataFrame:
             / F.length(F.lit(bad))
         ).cast("long")
 
-    staged = scale_out(documents).select(
+    # Stage `injected` then `fixed` ONCE (mirrors the oracle's
+    # injected/fixed CTE shape) so each is evaluated one time per row
+    # regardless of codegen subexpression elimination — inlining them
+    # into every count column would plant ~3·R copies of the concat +
+    # 17-replace chain in one projection.
+    staged_text = (
+        scale_out(documents)
+        .select(injected.alias("_inj"))
+        .select("_inj", fixed_text_expr(F.col("_inj")).alias("_fix"))
+    )
+    staged = staged_text.select(
         *[
-            occurrences(injected, bad).alias(f"_h_{i}")
+            occurrences(F.col("_inj"), bad).alias(f"_h_{i}")
             for i, (_, bad, _) in enumerate(rules)
         ],
         *[
-            occurrences(fixed_text_expr(injected), bad).alias(f"_a_{i}")
+            occurrences(F.col("_fix"), bad).alias(f"_a_{i}")
             for i, (_, bad, _) in enumerate(rules)
         ],
     )

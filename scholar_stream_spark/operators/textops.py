@@ -1968,6 +1968,16 @@ SENTENCE_TERM_RE = "[.!?]+"
 #: Raw string so BOTH engines receive the escape sequences.
 CHAR_CLASS_WS_RE = r"[ \t\n\x0b\f\r]"
 
+#: Terminal-ender rule: last non-whitespace character is a sentence
+#: terminator. Anchored with ``\z`` (absolute end-of-text in BOTH
+#: Java regex and RE2) — ``$`` DIVERGES between the engines (Java
+#: matches just before a final line terminator, RE2 only at true
+#: end), so a doc ending ``"sentence.\n"`` would count as terminated
+#: in Spark but not in the DuckDB oracle. Raw string, shared
+#: literally by both engines (parity pinned for \n / \r\n / \t /
+#: \x0b tails in tests).
+TERMINAL_END_RE = "[.!?]" + CHAR_CLASS_WS_RE + r"*\z"
+
 #: C4's sentence floor: pages with fewer than 3 sentences are dropped
 #: (Raffel et al. 2020 §2.2). The report measures the rule's firing
 #: rate instead of silently applying it.
@@ -1980,8 +1990,10 @@ def sentence_stats(documents: DataFrame) -> DataFrame:
     C4 §2.2 filters on SENTENCES: ≥3 sentences per page, lines ending
     in terminal punctuation). Per source: document count, total
     sentences, sentences per doc, words per sentence, the fraction of
-    docs passing the C4 3-sentence floor, and the fraction whose
-    trimmed text ends on a sentence terminator.
+    docs passing the C4 3-sentence floor, and the fraction whose last
+    NON-WHITESPACE character is a sentence terminator
+    (``TERMINAL_END_RE`` — ``\\z``-anchored because Java's ``$``
+    matches before a final newline while RE2's does not).
 
     Engine parity: a sentence boundary is one ``[.!?]+`` run
     (``SENTENCE_TERM_RE`` — shared literally; "..." is ONE boundary),
@@ -2004,7 +2016,7 @@ def sentence_stats(documents: DataFrame) -> DataFrame:
         n_sent.cast("long").alias("_ns"),
         n_tokens(F.col("text")).alias("_nw"),
         (n_sent >= C4_MIN_SENTENCES).cast("long").alias("_min3"),
-        F.rtrim(F.col("text")).rlike("[.!?]$").cast("long").alias("_term"),
+        F.col("text").rlike(TERMINAL_END_RE).cast("long").alias("_term"),
     )
     rolled = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

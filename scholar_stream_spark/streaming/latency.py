@@ -334,6 +334,13 @@ def run_with_watermark_resizing(
     Returns ``{"query", "delay", "restarts", "resize_pending"}`` —
     ``resize_pending`` True iff the latch is still set when the loop
     exits (restart budget exhausted: the operator must intervene).
+    A continuous query is NEVER stopped unless a restart will follow
+    — budget exhaustion returns it still RUNNING; restarts only ever
+    WIDEN the delay (strict ``>`` vs the active delay — restarting
+    narrower would raise the resumed watermark and drop late rows
+    the active delay admits), and a stale latch whose recommendation
+    has aged to/below the active delay is cleared and supervision
+    continues.
     """
     delay = initial_delay or f"{monitor.configured_seconds} seconds"
     restarts = 0
@@ -342,27 +349,42 @@ def run_with_watermark_resizing(
         terminated = query.awaitTermination(poll_seconds)
         if not terminated and not monitor.needs_resize:
             continue  # running fine; keep polling
+        # Decide restart eligibility BEFORE touching the query: a
+        # latch we will not act on (budget exhausted, or the live
+        # recommendation no longer WIDENS the active delay — strict
+        # `>`: shrinking the watermark on restart raises it and drops
+        # late rows the active delay admits) must never stop a
+        # healthy continuous stream.
+        will_restart = (
+            monitor.needs_resize
+            and restarts < max_restarts
+            and monitor.recommended_seconds > _interval_seconds(delay)
+        )
+        if not will_restart:
+            if (
+                not terminated
+                and monitor.needs_resize
+                and restarts < max_restarts
+            ):
+                # Stale latch (the spike aged below the active
+                # delay): clear it and keep supervising — the next
+                # genuine shift re-latches above the active delay.
+                monitor.needs_resize = False
+                continue
+            return {
+                "query": query,
+                "delay": delay,
+                "restarts": restarts,
+                "resize_pending": monitor.needs_resize,
+            }
         if not terminated:
             query.stop()
             query.awaitTermination()
-        if (
-            monitor.needs_resize
-            and restarts < max_restarts
-            and monitor.recommended_seconds
-            != _interval_seconds(delay)
-        ):
-            delay = monitor.recommended_delay
-            monitor.configured_seconds = _interval_seconds(delay)
-            monitor.needs_resize = False
-            restarts += 1
-            query = build_query(delay)
-            continue
-        return {
-            "query": query,
-            "delay": delay,
-            "restarts": restarts,
-            "resize_pending": monitor.needs_resize,
-        }
+        delay = monitor.recommended_delay
+        monitor.configured_seconds = _interval_seconds(delay)
+        monitor.needs_resize = False
+        restarts += 1
+        query = build_query(delay)
 
 
 def streaming_dedup(

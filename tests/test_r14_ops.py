@@ -469,3 +469,155 @@ def test_char_class_profile_partitions_every_char(spark):
         )
         == 1.0
     )
+
+
+def test_sentence_terminal_anchor_parity_on_trailing_newlines(spark):
+    """Review fix: `$` diverges between Java regex (matches before a
+    final line terminator) and DuckDB's RE2 (end-of-text only), so
+    the terminal rule is `\\z`-anchored (`TERMINAL_END_RE`) with an
+    explicit trailing-whitespace class. Pins BOTH engines on the
+    exact tails that used to diverge — a doc ending "sentence.\\n"
+    must count as terminal-ended on both — and the aggregated
+    terminal_frac on a trailing-newline fixture."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from scholar_stream_spark.operators import textops
+
+    tails = [
+        "Fine sentence.\n",
+        "Fine sentence.",
+        "crlf tail.\r\n",
+        "tab tail!\t",
+        "vtab tail?\x0b",
+        "no terminal\n",
+        "mid. text",
+        "",
+    ]
+    want = [True, True, True, True, True, False, False, False]
+    got_spark = [
+        r["m"]
+        for r in spark.createDataFrame(
+            [(i, t) for i, t in enumerate(tails)], "i long, text string"
+        )
+        .orderBy("i")
+        .select(
+            "i", F.col("text").rlike(textops.TERMINAL_END_RE).alias("m")
+        )
+        .collect()
+    ]
+    assert got_spark == want
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "SELECT regexp_matches(?, ?)", [t, textops.TERMINAL_END_RE]
+        ).fetchone()[0]
+        for t in tails
+    ]
+    assert got_duck == want
+
+    docs = spark.createDataFrame(
+        [
+            (0, "One two. Three four... Five six?\n", "en", "web"),
+            (1, "no terminal\n", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    row = textops.sentence_stats(docs).collect()[0]
+    assert row["terminal_frac"] == 0.5
+
+
+class _FakeStreamingQuery:
+    """Minimal StreamingQuery stand-in for supervisor edge cases the
+    real-stream test (above) can't reach cheaply: a CONTINUOUS query
+    that never terminates on its own."""
+
+    def __init__(self):
+        self.stopped = False
+        self.await_calls = 0
+
+    def awaitTermination(self, timeout=None):
+        self.await_calls += 1
+        if timeout is None:
+            return None  # blocking variant returns None post-stop
+        return self.stopped  # poll: "terminated" only once stopped
+
+    def stop(self):
+        self.stopped = True
+
+
+def test_resize_supervisor_never_strands_a_stopped_stream():
+    """Review fix: restart eligibility is decided BEFORE stopping.
+    Budget-exhausted latch (max_restarts=0) must return the
+    continuous query still RUNNING with resize_pending, not stopped."""
+    from scholar_stream_spark.streaming.latency import (
+        WatermarkResizeMonitor,
+        run_with_watermark_resizing,
+    )
+
+    mon = WatermarkResizeMonitor("100 seconds", check_every=1)
+    mon.needs_resize = True
+    mon._history = [200.0]  # recommended 200*1.25 = 250 > 100
+
+    queries = []
+
+    def build_query(delay):
+        q = _FakeStreamingQuery()
+        queries.append((delay, q))
+        return q
+
+    out = run_with_watermark_resizing(
+        build_query, mon, max_restarts=0, poll_seconds=0.01
+    )
+    assert out["resize_pending"] is True
+    assert out["restarts"] == 0
+    assert len(queries) == 1
+    assert queries[0][1].stopped is False  # still running
+    assert out["query"] is queries[0][1]
+
+
+def test_resize_supervisor_never_restarts_narrower():
+    """Review fix: the restart guard is strict `>` — a latched
+    recommendation that aged BELOW the active delay is a stale latch:
+    cleared, no restart (restarting narrower would RAISE the resumed
+    watermark and drop late rows the active delay admits), and
+    supervision continues until the query terminates."""
+    from scholar_stream_spark.streaming.latency import (
+        WatermarkResizeMonitor,
+        run_with_watermark_resizing,
+    )
+
+    mon = WatermarkResizeMonitor("100 seconds", check_every=1)
+    mon.needs_resize = True
+    mon._history = [10.0]  # recommended 12.5 -> 13 < 100: stale
+
+    queries = []
+
+    def build_query(delay):
+        q = _FakeStreamingQuery()
+        queries.append((delay, q))
+        return q
+
+    class _StopsAfterLatchClear(_FakeStreamingQuery):
+        def awaitTermination(self, timeout=None):
+            # terminate naturally on the poll AFTER the stale latch
+            # was cleared (cleared -> loop continues -> this poll)
+            super().awaitTermination(timeout)
+            return mon.needs_resize is False and self.await_calls >= 2
+
+    queries_cls = _StopsAfterLatchClear
+
+    def build2(delay):
+        q = queries_cls()
+        queries.append((delay, q))
+        return q
+
+    out = run_with_watermark_resizing(
+        build2, mon, max_restarts=3, poll_seconds=0.01
+    )
+    assert out["restarts"] == 0
+    assert out["delay"] == "100 seconds"
+    assert out["resize_pending"] is False  # stale latch was cleared
+    assert len(queries) == 1
+    assert queries[0][1].stopped is False  # never stopped by us
