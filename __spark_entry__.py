@@ -527,7 +527,7 @@ PROFILE_COLS = (
 #: oracle-backed entries (i.e. new ops) lead, then entries ascending
 #: by the last round they were driver-green, ties alphabetical. This
 #: keeps the full oracle-backed cycle at ≤ ceil(n_oracle/50) windows
-#: mechanically (173 entries in r14 ⇒ ≤ 4), with no hand-curated tuple
+#: mechanically (174 entries in r14 ⇒ ≤ 4), with no hand-curated tuple
 #: to go stale (the
 #: r12 verdict found 65 entries 3–4 windows old under manual
 #: rotation). Rows-only entries still sit contiguously at the tail
@@ -1316,6 +1316,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-source character-class composition (the FineWeb/Dolma
         # non-alphabetic gate input; other_frac spike = markup/mojibake)
         "char_class_profile": lambda s, d: textops.char_class_profile(
+            _t(s, d, "documents")
+        ),
+        # per-source Flesch reading ease / FK grade, micro-averaged on
+        # exact integer counts (the canonical readability gate)
+        "readability_profile": lambda s, d: textops.readability_profile(
             _t(s, d, "documents")
         ),
         # flagship composition: curate -> decontaminate -> mixture as
@@ -5795,6 +5800,55 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                          / CAST(n_chars AS DOUBLE), 6) AS space_frac,
                    round(CAST(n_chars - alpha - digit - space AS DOUBLE)
                          / CAST(n_chars AS DOUBLE), 6) AS other_frac
+            FROM rolled
+        """,
+        # Flesch scores micro-averaged on exact integer counts; the
+        # two ratios are single IEEE divisions and the affine score
+        # forms evaluate in the same literal order as the Spark side,
+        # so the doubles are bit-identical before the round-6.
+        "readability_profile": f"""
+            WITH per AS (
+                SELECT source,
+                       CAST(length(text)
+                            - length(replace(text, ' ', '')) + 1
+                            AS BIGINT) AS w,
+                       CAST(len(regexp_extract_all(text,
+                            '{textops.SENTENCE_TERM_RE}')) AS BIGINT)
+                           AS s,
+                       CAST(len(regexp_extract_all(lower(text),
+                            '{textops.SYLLABLE_RE}')) AS BIGINT) AS y
+                FROM documents
+            ), rolled AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(w) AS BIGINT) AS words,
+                       CAST(SUM(s) AS BIGINT) AS sentences,
+                       CAST(SUM(y) AS BIGINT) AS syllables
+                FROM per GROUP BY source
+            )
+            SELECT source, n_docs, words, sentences, syllables,
+                   CASE WHEN sentences > 0 THEN
+                        round(CAST(words AS DOUBLE)
+                              / CAST(sentences AS DOUBLE), 6)
+                   END AS words_per_sentence,
+                   CASE WHEN words > 0 THEN
+                        round(CAST(syllables AS DOUBLE)
+                              / CAST(words AS DOUBLE), 6)
+                   END AS syllables_per_word,
+                   CASE WHEN sentences > 0 AND words > 0 THEN
+                        round(206.835
+                              - 1.015 * (CAST(words AS DOUBLE)
+                                         / CAST(sentences AS DOUBLE))
+                              - 84.6 * (CAST(syllables AS DOUBLE)
+                                        / CAST(words AS DOUBLE)), 6)
+                   END AS flesch_reading_ease,
+                   CASE WHEN sentences > 0 AND words > 0 THEN
+                        round(0.39 * (CAST(words AS DOUBLE)
+                                      / CAST(sentences AS DOUBLE))
+                              + 11.8 * (CAST(syllables AS DOUBLE)
+                                        / CAST(words AS DOUBLE))
+                              - 15.59, 6)
+                   END AS fk_grade
             FROM rolled
         """,
         "token_budget_plan": _token_budget_sql(),

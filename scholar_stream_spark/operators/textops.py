@@ -2112,3 +2112,98 @@ def char_class_profile(documents: DataFrame) -> DataFrame:
             - F.col("_space")
         ).alias("other_frac"),
     )
+
+
+#: Syllable heuristic: one vowel GROUP per syllable ("readable" →
+#: ea|a|e = 3; y counts as a vowel — "syllable" → 3). The classic
+#: Flesch implementation trade (hyphenation dictionaries don't exist
+#: at corpus scale); counted over the whole lowercased text in one
+#: pass — whitespace breaks runs, so this equals the per-word sum.
+#: Shared literally by both engines (plain character class, no
+#: engine-divergent syntax).
+SYLLABLE_RE = "[aeiouy]+"
+
+
+def readability_profile(documents: DataFrame) -> DataFrame:
+    """Per-source readability — Flesch Reading Ease and Flesch-Kincaid
+    grade (Kincaid et al. 1975), the canonical readability gate the
+    quality-classifier family approximates (educational-value filters
+    à la FineWeb-edu rank on exactly these signals; a source whose FRE
+    collapses is OCR noise, legalese, or code, and should be routed
+    before the token gates).
+
+    Engine parity: the three raw counts are exact integers both
+    engines compute identically — words (the shared ``n_tokens``
+    length-difference rule), sentences (``SENTENCE_TERM_RE`` runs —
+    ``regexp_count`` Spark / ``len(regexp_extract_all)`` DuckDB), and
+    syllables (``SYLLABLE_RE`` vowel-group runs, same mechanism).
+    Scores are MICRO-averaged: summed exact integers feed ONE IEEE
+    division each (words/sentence, syllables/word), then the Flesch
+    affine forms evaluate in the same literal order on both engines —
+    bit-identical before the round-6. A macro (per-doc mean) score
+    would sum order-dependent doubles; deliberately not offered.
+    Zero-sentence / zero-word sources guard both scores to NULL.
+
+    Scale shape: ONE text scan evaluates the three counting
+    expressions in a narrow whole-stage-codegen projection, one
+    map-side-combined groupBy collapses to ≤|sources| rows — no
+    window, no join, nothing corpus-sized past the scan.
+
+    Output: (source, n_docs, words, sentences, syllables,
+    words_per_sentence, syllables_per_word, flesch_reading_ease,
+    fk_grade), ratios and scores rounded 6.
+    """
+    rolled = (
+        scale_out(documents)
+        .select(
+            "source",
+            n_tokens(F.col("text")).alias("_w"),
+            F.regexp_count(F.col("text"), F.lit(SENTENCE_TERM_RE))
+            .cast("long")
+            .alias("_s"),
+            F.regexp_count(F.lower(F.col("text")), F.lit(SYLLABLE_RE))
+            .cast("long")
+            .alias("_y"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_w").cast("long").alias("words"),
+            F.sum("_s").cast("long").alias("sentences"),
+            F.sum("_y").cast("long").alias("syllables"),
+        )
+    )
+    wps = F.col("words").cast("double") / F.col("sentences").cast(
+        "double"
+    )
+    spw = F.col("syllables").cast("double") / F.col("words").cast(
+        "double"
+    )
+    valid = (F.col("sentences") > 0) & (F.col("words") > 0)
+    return rolled.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(
+            F.when(F.col("sentences") > 0, wps), 6
+        ).alias("words_per_sentence"),
+        F.round(
+            F.when(F.col("words") > 0, spw), 6
+        ).alias("syllables_per_word"),
+        F.round(
+            F.when(
+                valid,
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+            ),
+            6,
+        ).alias("flesch_reading_ease"),
+        F.round(
+            F.when(
+                valid,
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59),
+            ),
+            6,
+        ).alias("fk_grade"),
+    )

@@ -621,3 +621,41 @@ def test_resize_supervisor_never_restarts_narrower():
     assert out["resize_pending"] is False  # stale latch was cleared
     assert len(queries) == 1
     assert queries[0][1].stopped is False  # never stopped by us
+
+
+def test_readability_profile_hand_counted(spark):
+    """Flesch micro-average on hand-counted exact integers:
+    web = {"The cat sat." (3w/1s/3syl), "Beautiful education!?"
+    (2w/1s/7syl: eau-i-u + e-u-a-io)} -> 5w/2s/10syl, wps 2.5,
+    spw 2.0, FRE 206.835-1.015*2.5-84.6*2 = 35.0975, FK
+    0.39*2.5+11.8*2-15.59 = 8.985. books = "xz pqr" (y IS a vowel,
+    so no y either): zero sentences/syllables -> NULL-guarded
+    scores, spw 0.0."""
+    from scholar_stream_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (0, "The cat sat.", "en", "web"),
+            (1, "Beautiful education!?", "en", "web"),
+            (2, "xz pqr", "en", "books"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        r["source"]: r
+        for r in textops.readability_profile(docs).collect()
+    }
+    w = got["web"]
+    assert (w["n_docs"], w["words"], w["sentences"], w["syllables"]) == (
+        2, 5, 2, 10,
+    )
+    assert w["words_per_sentence"] == 2.5
+    assert w["syllables_per_word"] == 2.0
+    assert w["flesch_reading_ease"] == 35.0975
+    assert w["fk_grade"] == 8.985
+    b = got["books"]
+    assert (b["words"], b["sentences"], b["syllables"]) == (2, 0, 0)
+    assert b["words_per_sentence"] is None
+    assert b["syllables_per_word"] == 0.0
+    assert b["flesch_reading_ease"] is None
+    assert b["fk_grade"] is None
