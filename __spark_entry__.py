@@ -527,7 +527,7 @@ PROFILE_COLS = (
 #: oracle-backed entries (i.e. new ops) lead, then entries ascending
 #: by the last round they were driver-green, ties alphabetical. This
 #: keeps the full oracle-backed cycle at ≤ ceil(n_oracle/50) windows
-#: mechanically (174 entries in r14 ⇒ ≤ 4), with no hand-curated tuple
+#: mechanically (175 entries in r14 ⇒ ≤ 4), with no hand-curated tuple
 #: to go stale (the
 #: r12 verdict found 65 entries 3–4 windows old under manual
 #: rotation). Rows-only entries still sit contiguously at the tail
@@ -1405,6 +1405,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
+            _t(s, d, "documents")
+        ),
+        # asymmetric companion: near-SUBSET pairs by exact shingle
+        # containment (inter/min-size, integer-exact boundary)
+        "ngram_containment_pairs": lambda s, d: dedup.ngram_containment_pairs(
             _t(s, d, "documents")
         ),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(
@@ -2836,6 +2841,39 @@ cand AS (
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 ),
 {_jaccard_tail(dedup.JACCARD_THRESHOLD)}
+"""
+
+
+def _ngram_containment_sql() -> str:
+    """``ngram_containment_pairs`` oracle: same shingle CTEs and
+    intersection join as the Jaccard sibling; the boundary is the
+    identical integer test (``n_inter·den ≥ num·min(n1,n2)``)."""
+    num, den = dedup.CONTAINMENT_NUM, dedup.CONTAINMENT_DEN
+    return f"""
+WITH {_shingle_ctes()},
+cand AS (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.d1, c.d2, count(*) AS n_inter
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.d1
+    JOIN sh sb ON sb.doc_id = c.d2 AND sa.shingle = sb.shingle
+    GROUP BY c.d1, c.d2
+)
+SELECT i.d1, i.d2,
+       CAST(i.n_inter AS BIGINT) AS n_inter,
+       CAST(s1.n_sh AS BIGINT) AS n1,
+       CAST(s2.n_sh AS BIGINT) AS n2,
+       round(CAST(i.n_inter AS DOUBLE) / CAST(s1.n_sh AS DOUBLE), 4)
+           AS c12,
+       round(CAST(i.n_inter AS DOUBLE) / CAST(s2.n_sh AS DOUBLE), 4)
+           AS c21
+FROM inter i
+JOIN sizes s1 ON s1.doc_id = i.d1
+JOIN sizes s2 ON s2.doc_id = i.d2
+WHERE i.n_inter * {den} >= {num} * least(s1.n_sh, s2.n_sh)
 """
 
 
@@ -6271,6 +6309,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "remove_dup_paragraphs": _remove_dup_paragraphs_sql(),
         "remove_dup_paragraphs_first": _remove_dup_paragraphs_sql("first"),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
+        "ngram_containment_pairs": _ngram_containment_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
         "neardup_source_matrix": _source_matrix_sql(),
         "minhash_estimate": _minhash_estimate_sql(),

@@ -2765,3 +2765,120 @@ def boilerplate_paragraphs(
         )
         .limit(top_k)
     )
+
+
+#: Containment threshold as an exact rational (4/5 = 0.8): a pair
+#: reports when at least 80% of the SMALLER document's shingles appear
+#: in the other. Rational so the boundary test is integer arithmetic —
+#: no IEEE fraction ever decides a boundary pair (the `pareto_parts` /
+#: `avg_quantity_gate` discipline).
+CONTAINMENT_NUM = 4
+CONTAINMENT_DEN = 5
+
+
+def ngram_containment_pairs(
+    documents: DataFrame,
+    n: int = SHINGLE_N,
+    threshold_num: int = CONTAINMENT_NUM,
+    threshold_den: int = CONTAINMENT_DEN,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-SUBSET pairs by exact n-gram containment — the asymmetric
+    companion to ``ngram_jaccard_pairs``. Jaccard misses wholesale
+    INCLUSION: a short article quoted inside a long wrapper page has
+    tiny `|A∩B| / |A∪B|` but containment `|A∩B| / |A|` ≈ 1 (the
+    "coverage" signal ExactSubstr-style span dedup acts on, here at
+    whole-document granularity — Broder 1997 distinguishes resemblance
+    from containment for exactly this case). Reports both directions
+    (`c12` = fraction of d1's shingles shared, `c21` = of d2's); a
+    pair qualifies when the LARGER direction — equivalently
+    `n_inter/min(n1,n2)` — clears the threshold, tested integer-exactly
+    as ``n_inter·den ≥ num·min(n1,n2)``.
+
+    Scale shape: identical to the Jaccard sibling — candidates from the
+    shingle equi-join (docs sharing ≥1 shingle; never a cross join),
+    `|A∩B|` falls out of that same join (one self-join, one groupBy),
+    sizes joined twice off ONE shared shingling exchange
+    (``_shingle_sizes``), and ``max_doc_freq`` is the same quadratic
+    guard: hot shingles leave CANDIDATE GENERATION only, the verify
+    recount runs over all shingles so emitted fractions stay exact.
+
+    Output: (d1, d2, n_inter, n1, n2, c12, c21), fractions one IEEE
+    division of exact integers, round 4.
+    """
+    sh = distinct_shingles(documents, n)
+    sizes = _shingle_sizes(sh)
+    if max_doc_freq is not None:
+        cand_sh = _drop_hot_shingles(sh, max_doc_freq)
+        cand = (
+            cand_sh.alias("a")
+            .join(
+                cand_sh.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("d1"),
+                F.col("b.doc_id").alias("d2"),
+            )
+            .distinct()
+        )
+        inter = (
+            cand.join(sh.alias("sa"), F.col("d1") == F.col("sa.doc_id"))
+            .join(
+                sh.alias("sb"),
+                (F.col("d2") == F.col("sb.doc_id"))
+                & (F.col("sa.shingle") == F.col("sb.shingle")),
+            )
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        inter = (
+            sh.alias("a")
+            .join(
+                sh.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("d1"),
+                F.col("b.doc_id").alias("d2"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1")
+            ),
+            "d1",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2")
+            ),
+            "d2",
+        )
+        .filter(
+            F.col("n_inter") * F.lit(threshold_den)
+            >= F.lit(threshold_num) * F.least("n1", "n2")
+        )
+        .select(
+            "d1",
+            "d2",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.round(
+                F.col("n_inter").cast("double")
+                / F.col("n1").cast("double"),
+                4,
+            ).alias("c12"),
+            F.round(
+                F.col("n_inter").cast("double")
+                / F.col("n2").cast("double"),
+                4,
+            ).alias("c21"),
+        )
+    )

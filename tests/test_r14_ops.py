@@ -659,3 +659,52 @@ def test_readability_profile_hand_counted(spark):
     assert b["syllables_per_word"] == 0.0
     assert b["flesch_reading_ease"] is None
     assert b["fk_grade"] is None
+
+
+def test_ngram_containment_catches_subset_jaccard_misses(spark):
+    """A 6-word article (two 5-shingles) quoted verbatim inside a
+    16-word wrapper (twelve 5-shingles): containment of the article is
+    2/2 = 1.0 but Jaccard is 2/12 < 0.8 — `dedup_ngram_jaccard` must
+    NOT pair them while `ngram_containment_pairs` must, with exact
+    hand-counted sizes both directions. The unrelated doc pairs with
+    neither. Also pins the integer boundary: 4/5 containment (4 of the
+    smaller doc's 5 shingles shared) qualifies at num/den = 4/5 via
+    `n_inter*den >= num*min` with no float in the decision."""
+    from scholar_stream_spark.operators import dedup
+
+    article = "alpha beta gamma delta epsilon zeta"
+    wrapper = (
+        "header one two three four "
+        + article
+        + " footer five six seven eight"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, article, "en", "web"),
+            (1, wrapper, "en", "web"),
+            (2, "totally different words here nothing shared", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        (r["d1"], r["d2"]): r
+        for r in dedup.ngram_containment_pairs(docs).collect()
+    }
+    assert set(got) == {(0, 1)}
+    r = got[(0, 1)]
+    assert (r["n_inter"], r["n1"], r["n2"]) == (2, 2, 12)
+    assert r["c12"] == 1.0
+    assert r["c21"] == round(2 / 12, 4)
+    assert dedup.ngram_jaccard_pairs(docs).count() == 0
+
+    # exact boundary: 9-word doc (5 shingles), 4 shared with its pair
+    # (one word changed at the end) -> 4*5 >= 4*5 qualifies exactly
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    b = "w1 w2 w3 w4 w5 w6 w7 w8 CHANGED"
+    docs2 = spark.createDataFrame(
+        [(0, a, "en", "web"), (1, b, "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = dedup.ngram_containment_pairs(docs2).collect()
+    assert len(rows) == 1 and rows[0]["n_inter"] == 4
+    assert rows[0]["c12"] == 0.8
