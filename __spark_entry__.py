@@ -527,7 +527,7 @@ PROFILE_COLS = (
 #: oracle-backed entries (i.e. new ops) lead, then entries ascending
 #: by the last round they were driver-green, ties alphabetical. This
 #: keeps the full oracle-backed cycle at ≤ ceil(n_oracle/50) windows
-#: mechanically (175 entries in r14 ⇒ ≤ 4), with no hand-curated tuple
+#: mechanically (176 entries in r14 ⇒ ≤ 4), with no hand-curated tuple
 #: to go stale (the
 #: r12 verdict found 65 entries 3–4 windows old under manual
 #: rotation). Rows-only entries still sit contiguously at the tail
@@ -1080,6 +1080,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # RFM segmentation: rank-exact global quintile scores -> cells
         "rfm_segments": lambda s, d: relational.rfm_segments(
+            _t(s, d, "orders")
+        ),
+        # two-period value-tier flow matrix (churn/upsell review);
+        # tier 0 = absent that period
+        "segment_migration": lambda s, d: relational.segment_migration(
             _t(s, d, "orders")
         ),
         # median/MAD robust outlier screen (rank-exact selections)
@@ -1687,6 +1692,14 @@ def profile_pairs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFra
                 _t(s, d, "orders")
             ),
             "scale": lambda s, d: relational.rfm_segments(
+                _t(s, d, "orders"), profile="scale"
+            ),
+        },
+        "segment_migration": {
+            "oracle": lambda s, d: relational.segment_migration(
+                _t(s, d, "orders")
+            ),
+            "scale": lambda s, d: relational.segment_migration(
                 _t(s, d, "orders"), profile="scale"
             ),
         },
@@ -4944,6 +4957,44 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_customers,
                    CAST(SUM(monetary) AS DOUBLE) AS total_revenue
             FROM scored GROUP BY 1, 2, 3
+        """,
+        # two-period value-tier flow; same integer-quintile rule as
+        # rfm_segments, tier 0 = absent that period
+        "segment_migration": f"""
+            WITH per AS (
+                SELECT o_custkey,
+                       SUM(CASE WHEN o_orderdate
+                                < DATE '{relational.MIGRATION_SPLIT_DATE}'
+                           THEN CAST(o_totalprice AS DECIMAL(18,2))
+                           END) AS rev1,
+                       SUM(CASE WHEN o_orderdate
+                                >= DATE '{relational.MIGRATION_SPLIT_DATE}'
+                           THEN CAST(o_totalprice AS DECIMAL(18,2))
+                           END) AS rev2
+                FROM orders GROUP BY o_custkey
+            ), t1 AS (
+                SELECT o_custkey,
+                       CAST(5 - ((row_number() OVER (ORDER BY rev1 DESC,
+                                 o_custkey ASC) - 1) * 5)
+                            // (count(*) OVER ()) AS INT) AS tier1
+                FROM per WHERE rev1 IS NOT NULL
+            ), t2 AS (
+                SELECT o_custkey,
+                       CAST(5 - ((row_number() OVER (ORDER BY rev2 DESC,
+                                 o_custkey ASC) - 1) * 5)
+                            // (count(*) OVER ()) AS INT) AS tier2
+                FROM per WHERE rev2 IS NOT NULL
+            )
+            SELECT COALESCE(t1.tier1, 0) AS p1_tier,
+                   COALESCE(t2.tier2, 0) AS p2_tier,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(COALESCE(SUM(per.rev2),
+                                 CAST(0 AS DECIMAL(18,2)))
+                        AS DOUBLE) AS revenue_p2
+            FROM per
+            LEFT JOIN t1 USING (o_custkey)
+            LEFT JOIN t2 USING (o_custkey)
+            GROUP BY 1, 2
         """,
         "mad_outliers": f"""
             WITH base AS (

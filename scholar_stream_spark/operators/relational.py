@@ -3871,3 +3871,102 @@ def segment_priority_matrix(
             6,
         ).alias("segment_share"),
     )
+
+
+#: Period boundary for the migration matrix: the TPC-H date span's
+#: midpoint (orders run 1992-01 .. 1998-08). A literal, not a computed
+#: median — the tier comparison is only meaningful against a FIXED
+#: boundary, and both engines must cut identically.
+MIGRATION_SPLIT_DATE = "1995-01-01"
+
+
+def segment_migration(
+    orders: DataFrame,
+    split_date: str = MIGRATION_SPLIT_DATE,
+    profile: str = "oracle",
+) -> DataFrame:
+    """Customer value-tier migration matrix — which revenue quintile
+    each customer moved to between two periods (the CRM flow table
+    behind every churn/upsell review: diagonal = stable, below =
+    decaying, tier→0 = churned, 0→tier = newly acquired). The dynamic
+    companion to the static ``rfm_segments`` snapshot and the
+    cohort-age ``retention_cohorts`` counts.
+
+    Semantics: period 1 = orders strictly before ``split_date``,
+    period 2 = on/after. Within each period, customers PRESENT in the
+    period rank by (exact-decimal revenue desc, custkey) and tier
+    1..5 by the shared integer-quintile rule ``5 − ((rank−1)·5 div
+    n)`` (the ``rfm_segments`` discipline — exact decimals + custkey
+    total order make cross-engine ties impossible); absent customers
+    take tier 0. Cells aggregate customer counts and period-2 revenue.
+
+    Scale shape: the fact table collapses to ONE ≤|customers|-row
+    two-period conditional aggregate (one map-side-combined exchange —
+    the only fact-sized cost); the per-period rankings run over
+    present-customer slices of that aggregate. ``profile="oracle"``
+    ranks on single-total-order windows (oracle parity; bounded input
+    — the per-customer rollup). ``profile="scale"`` swaps both
+    rankings to ``ranked_by_range`` (range shuffle + per-partition
+    offsets, n_parts-parallel — the form that holds at 10⁹ customers),
+    identical integer arithmetic, hash-joined back on custkey; pinned
+    value-identical in pytest. Final matrix is a ≤36-cell aggregate.
+
+    Output: (p1_tier, p2_tier, n_customers, revenue_p2) — tiers INT
+    (0 = absent), revenue_p2 the cell's exact DECIMAL(18,2) period-2
+    sum cast DOUBLE for display (0.0 for churned cells).
+    """
+    split = F.lit(split_date).cast("date")
+    price = 'CAST(o_totalprice AS DECIMAL(18,2))'
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.expr(
+            f"SUM(CASE WHEN o_orderdate < DATE'{split_date}' "
+            f"THEN {price} END)"
+        ).alias("rev1"),
+        F.expr(
+            f"SUM(CASE WHEN o_orderdate >= DATE'{split_date}' "
+            f"THEN {price} END)"
+        ).alias("rev2"),
+    )
+
+    def _tier_oracle(rev_col: str, name: str) -> DataFrame:
+        present = per_cust.filter(F.col(rev_col).isNotNull())
+        w = Window.orderBy(F.desc(rev_col), F.asc("o_custkey"))
+        return present.select(
+            "o_custkey",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        ).select(
+            "o_custkey",
+            F.expr("CAST(5 - ((rk - 1) * 5) DIV n AS INT)").alias(name),
+        )
+
+    def _tier_scale(rev_col: str, name: str) -> DataFrame:
+        present = per_cust.filter(F.col(rev_col).isNotNull()).select(
+            "o_custkey", (-F.col(rev_col)).alias("_k")
+        )
+        return ranked_by_range(
+            present, [], ["_k", "o_custkey"], rank_col="rk", n_col="n"
+        ).select(
+            "o_custkey",
+            F.expr("CAST(5 - ((rk - 1) * 5) DIV n AS INT)").alias(name),
+        )
+
+    tier = _tier_scale if profile == "scale" else _tier_oracle
+    if profile == "scale":
+        per_cust = per_cust.localCheckpoint(eager=False)
+    joined = (
+        per_cust.join(tier("rev1", "_t1"), "o_custkey", "left")
+        .join(tier("rev2", "_t2"), "o_custkey", "left")
+        .select(
+            F.coalesce(F.col("_t1"), F.lit(0)).cast("int").alias("p1_tier"),
+            F.coalesce(F.col("_t2"), F.lit(0)).cast("int").alias("p2_tier"),
+            "rev2",
+        )
+    )
+    return joined.groupBy("p1_tier", "p2_tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.expr(
+            "CAST(COALESCE(SUM(rev2), CAST(0 AS DECIMAL(18,2))) "
+            "AS DOUBLE)"
+        ).alias("revenue_p2"),
+    )

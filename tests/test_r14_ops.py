@@ -708,3 +708,49 @@ def test_ngram_containment_catches_subset_jaccard_misses(spark):
     rows = dedup.ngram_containment_pairs(docs2).collect()
     assert len(rows) == 1 and rows[0]["n_inter"] == 4
     assert rows[0]["c12"] == 0.8
+
+
+def test_segment_migration_hand_built_flows(spark):
+    """6 customers, every flow class: decayed (c1 tier 5->1), upgraded
+    (c2 4->5), churned (c3 3->0), stable-ish (c4 2->3, c5 1->4), new
+    (c6 0->2). n=5 per period so the quintile rule maps rank r to
+    tier 6-r exactly; c1's period-1 revenue arrives as TWO orders to
+    pin the per-period summation. The scale profile (ranked_by_range
+    over both period rankings) must be value-identical."""
+    from scholar_stream_spark.operators import relational
+
+    p1, p2 = "1994-06-01", "1995-06-01"
+    rows = [
+        (1, p1, 250.0), (1, p1, 250.0), (1, p2, 50.0),
+        (2, p1, 400.0), (2, p2, 500.0),
+        (3, p1, 300.0),
+        (4, p1, 200.0), (4, p2, 200.0),
+        (5, p1, 100.0), (5, p2, 300.0),
+        (6, p2, 100.0),
+    ]
+    orders = spark.createDataFrame(
+        [(c, d, v) for c, d, v in rows],
+        "o_custkey long, o_orderdate string, o_totalprice double",
+    ).selectExpr(
+        "o_custkey", "CAST(o_orderdate AS DATE) AS o_orderdate",
+        "o_totalprice",
+    )
+    got = {
+        (r["p1_tier"], r["p2_tier"]): (r["n_customers"], r["revenue_p2"])
+        for r in relational.segment_migration(orders).collect()
+    }
+    assert got == {
+        (5, 1): (1, 50.0),
+        (4, 5): (1, 500.0),
+        (3, 0): (1, 0.0),
+        (2, 3): (1, 200.0),
+        (1, 4): (1, 300.0),
+        (0, 2): (1, 100.0),
+    }
+    scale = {
+        (r["p1_tier"], r["p2_tier"]): (r["n_customers"], r["revenue_p2"])
+        for r in relational.segment_migration(
+            orders, profile="scale"
+        ).collect()
+    }
+    assert scale == got
