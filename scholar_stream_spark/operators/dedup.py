@@ -322,6 +322,66 @@ def _shingle_sizes(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
 
+def _candidate_pairs(cand_sh: DataFrame) -> DataFrame:
+    """Distinct (d1, d2) pairs sharing ≥1 shingle (d1 < d2) from the
+    shingle equi-join — never a cross join. The ONE candidate rule
+    every exact-shingle pair op (Jaccard, containment) derives from."""
+    return (
+        cand_sh.alias("a")
+        .join(
+            cand_sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+
+
+def _cand_intersections(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """(d1, d2, n_inter): exact |A∩B| for given candidate pairs,
+    recounted over ALL shingles (hot ones included — emitted scores
+    stay exact regardless of how candidates were generated)."""
+    return (
+        cand.join(sh.alias("sa"), F.col("d1") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("d2") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+
+
+def _pair_intersections(
+    sh: DataFrame, max_doc_freq: int | None = None
+) -> DataFrame:
+    """(d1, d2, n_inter) for every shingle-sharing pair. Uncapped, the
+    count falls directly out of ONE self-join (no distinct + re-join
+    round trip); capped, candidates come from the hot-shingle-filtered
+    join (the quadratic guard) and the count is re-joined over ALL
+    shingles so scores stay exact."""
+    if max_doc_freq is not None:
+        return _cand_intersections(
+            _candidate_pairs(_drop_hot_shingles(sh, max_doc_freq)), sh
+        )
+    return (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+
+
 def _verify_jaccard(
     cand: DataFrame,
     sh: DataFrame,
@@ -337,16 +397,7 @@ def _verify_jaccard(
     """
     if sizes is None:
         sizes = _shingle_sizes(sh)
-    inter = (
-        cand.join(sh.alias("sa"), F.col("d1") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("d2") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    inter = _cand_intersections(cand, sh)
     jac = (
         inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1")), "d1")
         .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2")), "d2")
@@ -391,32 +442,9 @@ def ngram_jaccard_pairs(
     if max_doc_freq is not None:
         # drop hot shingles before the quadratic step only; the verify
         # below still scores over ALL shingles
-        cand_sh = _drop_hot_shingles(sh, max_doc_freq)
-        cand = (
-            cand_sh.alias("a")
-            .join(
-                cand_sh.alias("b"),
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-            )
-            .distinct()
-        )
+        cand = _candidate_pairs(_drop_hot_shingles(sh, max_doc_freq))
         return _verify_jaccard(cand, sh, threshold, sizes=sizes)
-    inter = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    inter = _pair_intersections(sh)
     jac = (
         inter.join(
             sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1")),
@@ -2808,45 +2836,7 @@ def ngram_containment_pairs(
     """
     sh = distinct_shingles(documents, n)
     sizes = _shingle_sizes(sh)
-    if max_doc_freq is not None:
-        cand_sh = _drop_hot_shingles(sh, max_doc_freq)
-        cand = (
-            cand_sh.alias("a")
-            .join(
-                cand_sh.alias("b"),
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("d1"),
-                F.col("b.doc_id").alias("d2"),
-            )
-            .distinct()
-        )
-        inter = (
-            cand.join(sh.alias("sa"), F.col("d1") == F.col("sa.doc_id"))
-            .join(
-                sh.alias("sb"),
-                (F.col("d2") == F.col("sb.doc_id"))
-                & (F.col("sa.shingle") == F.col("sb.shingle")),
-            )
-            .groupBy("d1", "d2")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
-    else:
-        inter = (
-            sh.alias("a")
-            .join(
-                sh.alias("b"),
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .groupBy(
-                F.col("a.doc_id").alias("d1"),
-                F.col("b.doc_id").alias("d2"),
-            )
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
+    inter = _pair_intersections(sh, max_doc_freq)
     return (
         inter.join(
             sizes.select(

@@ -16,6 +16,7 @@ summation order varies with partitioning, decimal does not. Plain
 
 from __future__ import annotations
 
+import datetime
 from collections import defaultdict
 
 import numpy as np
@@ -3915,7 +3916,8 @@ def segment_migration(
     (0 = absent), revenue_p2 the cell's exact DECIMAL(18,2) period-2
     sum cast DOUBLE for display (0.0 for churned cells).
     """
-    split = F.lit(split_date).cast("date")
+    # reject malformed boundaries before they reach the f-string SQL
+    datetime.date.fromisoformat(split_date)
     price = 'CAST(o_totalprice AS DECIMAL(18,2))'
     per_cust = orders.groupBy("o_custkey").agg(
         F.expr(

@@ -338,39 +338,54 @@ def run_with_watermark_resizing(
     — budget exhaustion returns it still RUNNING; restarts only ever
     WIDEN the delay (strict ``>`` vs the active delay — restarting
     narrower would raise the resumed watermark and drop late rows
-    the active delay admits), and a stale latch whose recommendation
-    has aged to/below the active delay is cleared and supervision
-    continues.
+    the active delay admits), the recommendation is read ONCE per
+    decision (the monitor may be fed concurrently by a sibling
+    stream, so the restart uses the exact value the eligibility test
+    saw), and a stale latch whose recommendation has aged to/below
+    the active delay is cleared + rebased (supervision continues on
+    a live query; a drained one returns ``resize_pending=False`` —
+    nothing actionable remains). The monitor is also rebased to
+    ``initial_delay`` up front, so latching is always relative to
+    what the query actually runs with.
     """
     delay = initial_delay or f"{monitor.configured_seconds} seconds"
+    # Rebase the monitor to the ACTIVE delay up front: it latches
+    # against ITS configured_seconds, so an initial_delay wider than
+    # the monitor's construction delay would otherwise re-latch on
+    # every check batch for recommendations the query already covers.
+    monitor.configured_seconds = _interval_seconds(delay)
     restarts = 0
     query = build_query(delay)
     while True:
         terminated = query.awaitTermination(poll_seconds)
         if not terminated and not monitor.needs_resize:
             continue  # running fine; keep polling
+        # Read the recommendation ONCE per iteration: the monitor may
+        # be fed concurrently from a sibling stream's foreachBatch,
+        # and a value re-read after stop() could have aged BELOW the
+        # active delay — restarting narrower raises the resumed
+        # watermark and drops late rows the active delay admits.
+        rec = monitor.recommended_seconds
+        active = _interval_seconds(delay)
         # Decide restart eligibility BEFORE touching the query: a
-        # latch we will not act on (budget exhausted, or the live
-        # recommendation no longer WIDENS the active delay — strict
-        # `>`: shrinking the watermark on restart raises it and drops
-        # late rows the active delay admits) must never stop a
-        # healthy continuous stream.
+        # latch we will not act on (budget exhausted, or a stale
+        # recommendation that no longer WIDENS the active delay —
+        # strict `>`) must never stop a healthy continuous stream.
         will_restart = (
-            monitor.needs_resize
-            and restarts < max_restarts
-            and monitor.recommended_seconds > _interval_seconds(delay)
+            monitor.needs_resize and restarts < max_restarts and rec > active
         )
         if not will_restart:
-            if (
-                not terminated
-                and monitor.needs_resize
-                and restarts < max_restarts
-            ):
-                # Stale latch (the spike aged below the active
-                # delay): clear it and keep supervising — the next
-                # genuine shift re-latches above the active delay.
+            if monitor.needs_resize and rec <= active:
+                # Stale latch (the spike aged to/below the active
+                # delay): clear it and rebase so the next check
+                # compares against the ACTIVE delay — whether the
+                # query drained (return resize_pending=False: nothing
+                # actionable remains) or still runs (keep
+                # supervising; a genuine later shift re-latches).
                 monitor.needs_resize = False
-                continue
+                monitor.configured_seconds = active
+                if not terminated:
+                    continue
             return {
                 "query": query,
                 "delay": delay,
@@ -380,8 +395,8 @@ def run_with_watermark_resizing(
         if not terminated:
             query.stop()
             query.awaitTermination()
-        delay = monitor.recommended_delay
-        monitor.configured_seconds = _interval_seconds(delay)
+        delay = f"{rec} seconds"
+        monitor.configured_seconds = rec
         monitor.needs_resize = False
         restarts += 1
         query = build_query(delay)

@@ -549,8 +549,11 @@ class _FakeStreamingQuery:
 
 def test_resize_supervisor_never_strands_a_stopped_stream():
     """Review fix: restart eligibility is decided BEFORE stopping.
-    Budget-exhausted latch (max_restarts=0) must return the
-    continuous query still RUNNING with resize_pending, not stopped."""
+    Budget-exhausted latch (max_restarts=0) with a GENUINELY widening
+    recommendation (lateness 200 s -> 250 s > the 100 s active delay,
+    via the monitor's real `_lateness_us` microsecond history) must
+    return the continuous query still RUNNING with resize_pending —
+    isolating the `restarts < max_restarts` clause specifically."""
     from scholar_stream_spark.streaming.latency import (
         WatermarkResizeMonitor,
         run_with_watermark_resizing,
@@ -558,7 +561,8 @@ def test_resize_supervisor_never_strands_a_stopped_stream():
 
     mon = WatermarkResizeMonitor("100 seconds", check_every=1)
     mon.needs_resize = True
-    mon._history = [200.0]  # recommended 200*1.25 = 250 > 100
+    mon._lateness_us = [200_000_000]  # 200 s * 1.25 = 250 > 100
+    assert mon.recommended_seconds == 250
 
     queries = []
 
@@ -579,8 +583,9 @@ def test_resize_supervisor_never_strands_a_stopped_stream():
 
 def test_resize_supervisor_never_restarts_narrower():
     """Review fix: the restart guard is strict `>` — a latched
-    recommendation that aged BELOW the active delay is a stale latch:
-    cleared, no restart (restarting narrower would RAISE the resumed
+    recommendation that aged BELOW the active delay (lateness 10 s ->
+    13 s < 100 s) is a stale latch: cleared AND rebased to the active
+    delay, no restart (restarting narrower would RAISE the resumed
     watermark and drop late rows the active delay admits), and
     supervision continues until the query terminates."""
     from scholar_stream_spark.streaming.latency import (
@@ -590,14 +595,10 @@ def test_resize_supervisor_never_restarts_narrower():
 
     mon = WatermarkResizeMonitor("100 seconds", check_every=1)
     mon.needs_resize = True
-    mon._history = [10.0]  # recommended 12.5 -> 13 < 100: stale
+    mon._lateness_us = [10_000_000]  # ceil(10 * 1.25) = 13 < 100
+    assert mon.recommended_seconds == 13
 
     queries = []
-
-    def build_query(delay):
-        q = _FakeStreamingQuery()
-        queries.append((delay, q))
-        return q
 
     class _StopsAfterLatchClear(_FakeStreamingQuery):
         def awaitTermination(self, timeout=None):
@@ -606,21 +607,98 @@ def test_resize_supervisor_never_restarts_narrower():
             super().awaitTermination(timeout)
             return mon.needs_resize is False and self.await_calls >= 2
 
-    queries_cls = _StopsAfterLatchClear
-
-    def build2(delay):
-        q = queries_cls()
+    def build_query(delay):
+        q = _StopsAfterLatchClear()
         queries.append((delay, q))
         return q
 
     out = run_with_watermark_resizing(
-        build2, mon, max_restarts=3, poll_seconds=0.01
+        build_query, mon, max_restarts=3, poll_seconds=0.01
     )
     assert out["restarts"] == 0
     assert out["delay"] == "100 seconds"
     assert out["resize_pending"] is False  # stale latch was cleared
+    assert mon.configured_seconds == 100  # rebased to the active delay
     assert len(queries) == 1
     assert queries[0][1].stopped is False  # never stopped by us
+
+
+def test_resize_supervisor_restart_uses_decision_time_recommendation():
+    """Review fix: the recommendation is read ONCE per decision. A
+    sibling-stream feed that ages the spike out DURING query.stop()
+    must not shrink the restart delay — the query restarts at the
+    250 s the eligibility test saw, not the 13 s the monitor reads
+    after the stop."""
+    from scholar_stream_spark.streaming.latency import (
+        WatermarkResizeMonitor,
+        run_with_watermark_resizing,
+    )
+
+    mon = WatermarkResizeMonitor("100 seconds", check_every=1)
+    mon.needs_resize = True
+    mon._lateness_us = [200_000_000]  # 250 s > 100 s: will restart
+
+    queries = []
+
+    class _AgesOutDuringStop(_FakeStreamingQuery):
+        def stop(self):
+            # concurrent foreachBatch feed: the spike ages out of the
+            # sliding window while the supervisor stops the query
+            mon._lateness_us = [10_000_000]  # now reads 13 s
+            super().stop()
+
+    class _DrainsImmediately(_FakeStreamingQuery):
+        def awaitTermination(self, timeout=None):
+            self.await_calls += 1
+            return True
+
+    def build_query(delay):
+        q = (_AgesOutDuringStop if not queries else _DrainsImmediately)()
+        queries.append((delay, q))
+        return q
+
+    out = run_with_watermark_resizing(
+        build_query, mon, max_restarts=3, poll_seconds=0.01
+    )
+    assert [d for d, _ in queries] == ["100 seconds", "250 seconds"]
+    assert out["restarts"] == 1 and out["delay"] == "250 seconds"
+    assert mon.configured_seconds == 250
+
+
+def test_resize_supervisor_rebases_to_wider_initial_delay():
+    """Review fix: the monitor latches against ITS configured delay,
+    so an initial_delay wider than the construction delay must rebase
+    up front — a steady 130 s recommendation (> the constructed 100 s
+    but < the active 200 s) is stale, not an endless latch/clear
+    churn; a drained availableNow query returns resize_pending=False."""
+    from scholar_stream_spark.streaming.latency import (
+        WatermarkResizeMonitor,
+        run_with_watermark_resizing,
+    )
+
+    mon = WatermarkResizeMonitor("100 seconds", check_every=1)
+    mon.needs_resize = True  # latched vs the constructed 100 s
+    mon._lateness_us = [104_000_000]  # 130 s: < the active 200 s
+
+    queries = []
+
+    class _DrainsImmediately(_FakeStreamingQuery):
+        def awaitTermination(self, timeout=None):
+            self.await_calls += 1
+            return True
+
+    def build_query(delay):
+        q = _DrainsImmediately()
+        queries.append((delay, q))
+        return q
+
+    out = run_with_watermark_resizing(
+        build_query, mon, initial_delay="200 seconds", poll_seconds=0.01
+    )
+    assert mon.configured_seconds == 200  # rebased to the active delay
+    assert out["restarts"] == 0
+    assert out["resize_pending"] is False  # drained + non-widening
+    assert len(queries) == 1
 
 
 def test_readability_profile_hand_counted(spark):
