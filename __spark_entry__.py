@@ -86,6 +86,14 @@ Deliberately WITHOUT oracle entries (rows-only check):
 - ``bpe_train_batched`` — the batched variant (same rationale);
   pinned in pytest against a pure-Python mirror of the SAME batched
   algorithm AND exactly equal to ``bpe_train`` at ``batch=1``.
+- ``mmr_topk`` — Maximal-Marginal-Relevance diversified re-rank: the
+  greedy selection is a float-iterative loop over pairwise cosine
+  matmuls (each pick depends on all previous picks' float maxima —
+  ``cluster_embeddings``' recursive-fixed-point rationale). The
+  RELEVANCE leg stays value-checked through the oracle-backed
+  ``ann_cosine_topk`` shortlist it reads; pytest pins λ=1 ≡ exact
+  top-k, shortlist containment, partition invariance, and a strict
+  max-intra-set-similarity win at λ=0.7 (``tests/test_r14_ops.py``).
 """
 
 from __future__ import annotations
@@ -1129,6 +1137,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_revenue_trend": lambda s, d: (
             relational.monthly_revenue_trend(_t(s, d, "orders"))
         ),
+        # per-nation MoM growth drill-down (lag over the tiny
+        # nation x month grid; 25-row dim broadcast)
+        "revenue_growth_by_nation": lambda s, d: (
+            relational.revenue_growth_by_nation(
+                _t(s, d, "orders"), _t(s, d, "customer"),
+                _t(s, d, "nation"),
+            )
+        ),
         # per-nation supplier-concentration HHI (exact decimal sum of
         # squares, one closing division)
         "supplier_hhi": lambda s, d: relational.supplier_hhi(
@@ -1381,6 +1397,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents"), _t(s, d, "embeddings"),
             semantic="ivfpq",
         ),
+        # MMR diversified re-rank over the exact shortlist (rows-only
+        # — see module docstring; lambda=1 ≡ exact top-k, diversity
+        # win and partition invariance pinned in tests/test_r14_ops.py)
+        "mmr_topk": lambda s, d: similarity.mmr_topk(
+            _t(s, d, "embeddings")
+        ),
         "unigram_logprob": lambda s, d: textops.unigram_logprob(
             _t(s, d, "documents")
         ),
@@ -1584,6 +1606,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _para_injected(_t(s, d, "documents")), keep="first"
             )
         ),
+        # sorted-neighborhood record-linkage candidates over the
+        # distinct part-name spine (Hernandez-Stolfo blocking; the
+        # fuzzy-match complement to exact/shingled dedup)
+        "snm_candidate_pairs": lambda s, d: dedup.snm_candidate_pairs(
+            _t(s, d, "part")
+        ),
+        # Heaps'-law bigram vocabulary-growth curve by corpus decile
+        # (the unseen-vocabulary signal read before freezing a vocab).
+        # Default profile is the SCALE form: the decile assignment
+        # ranks the raw corpus, so the single-total-order window
+        # variant is exactly what the fleet plan audit bans (global
+        # Window over a bare scan) — ranked_by_range is the honest
+        # default; the window form lives in profile_pairs, pinned
+        # value-identical
+        "vocab_growth": lambda s, d: textops.vocab_growth(
+            _t(s, d, "documents"), profile="scale"
+        ),
     }
     # apply the driver-cap rotation: _DRIVER_FIRST (least-recently-
     # driver-checked oracle-backed entries first — computed, not
@@ -1701,6 +1740,24 @@ def profile_pairs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFra
             ),
             "scale": lambda s, d: relational.segment_migration(
                 _t(s, d, "orders"), profile="scale"
+            ),
+        },
+        # spine-rank siblings: single-total-order window vs
+        # ranked_by_range on the distinct-name / doc-id spines
+        "snm_candidate_pairs": {
+            "oracle": lambda s, d: dedup.snm_candidate_pairs(
+                _t(s, d, "part")
+            ),
+            "scale": lambda s, d: dedup.snm_candidate_pairs(
+                _t(s, d, "part"), profile="scale"
+            ),
+        },
+        "vocab_growth": {
+            "oracle": lambda s, d: textops.vocab_growth(
+                _t(s, d, "documents")
+            ),
+            "scale": lambda s, d: textops.vocab_growth(
+                _t(s, d, "documents"), profile="scale"
             ),
         },
         "quality_deciles": {
@@ -5131,6 +5188,101 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                          / CAST(lag(_rev) OVER (ORDER BY month)
                                 AS DOUBLE), 6) AS mom_growth
             FROM monthly
+        """,
+        "revenue_growth_by_nation": """
+            WITH grid AS (
+                SELECT n_name AS nation,
+                       strftime(o_orderdate, '%Y-%m') AS month,
+                       CAST(count(*) AS BIGINT) AS n_orders,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS _rev
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1, 2
+            )
+            SELECT nation, month, n_orders,
+                   CAST(_rev AS DOUBLE) AS revenue,
+                   round(CAST(_rev - lag(_rev) OVER (
+                                  PARTITION BY nation ORDER BY month)
+                              AS DOUBLE)
+                         / CAST(lag(_rev) OVER (
+                                    PARTITION BY nation ORDER BY month)
+                                AS DOUBLE), 6) AS mom_growth
+            FROM grid
+        """,
+        "snm_candidate_pairs": f"""
+            WITH spine AS (
+                SELECT p_name,
+                       CAST(count(*) AS BIGINT) AS n_parts
+                FROM part GROUP BY 1
+            ), ranked AS (
+                SELECT p_name, n_parts,
+                       row_number() OVER (ORDER BY p_name) AS rk
+                FROM spine
+            )
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev,
+                   a.n_parts AS parts_a, b.n_parts AS parts_b
+            FROM ranked a JOIN ranked b
+              ON b.rk BETWEEN a.rk + 1 AND a.rk + {dedup.SNM_WINDOW}
+            WHERE levenshtein(a.p_name, b.p_name)
+                  BETWEEN 1 AND {dedup.SNM_MAX_DIST}
+        """,
+        "vocab_growth": f"""
+            WITH ranked AS (
+                SELECT list_filter(
+                           regexp_split_to_array(lower(text),
+                                                 '[^a-z0-9]+'),
+                           x -> x <> '') AS toks,
+                       row_number() OVER (ORDER BY doc_id) AS r,
+                       count(*) OVER () AS n
+                FROM documents
+            ), bucketed AS (
+                SELECT CAST((r - 1) * {textops.VOCAB_GROWTH_BUCKETS}
+                            // n + 1 AS INT) AS bucket,
+                       toks
+                FROM ranked
+            ), grams AS (
+                SELECT bucket,
+                       unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])) AS gram
+                FROM bucketed
+            ), firsts AS (
+                SELECT gram, min(bucket) AS bucket FROM grams GROUP BY 1
+            ), newt AS (
+                SELECT bucket, CAST(count(*) AS BIGINT) AS new_types
+                FROM firsts GROUP BY 1
+            ), occ AS (
+                SELECT bucket, CAST(count(*) AS BIGINT) AS bucket_grams
+                FROM grams GROUP BY 1
+            ), docs AS (
+                SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs
+                FROM bucketed GROUP BY 1
+            ), grid AS (
+                SELECT d.bucket, d.n_docs,
+                       COALESCE(newt.new_types, 0) AS new_types,
+                       COALESCE(occ.bucket_grams, 0) AS bucket_grams
+                FROM docs d
+                LEFT JOIN newt ON d.bucket = newt.bucket
+                LEFT JOIN occ ON d.bucket = occ.bucket
+            ), cum AS (
+                SELECT bucket, n_docs, new_types,
+                       CAST(SUM(new_types) OVER (ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS cum_types,
+                       bucket_grams,
+                       CAST(SUM(bucket_grams) OVER (ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS cum_grams
+                FROM grid
+            )
+            SELECT bucket, n_docs, new_types, cum_types,
+                   bucket_grams, cum_grams,
+                   CASE WHEN cum_grams > 0 THEN
+                       round(CAST(cum_types AS DOUBLE)
+                             / CAST(cum_grams AS DOUBLE), 6)
+                   END AS type_token_ratio
+            FROM cum
         """,
         "supplier_hhi": """
             WITH per_sup AS (

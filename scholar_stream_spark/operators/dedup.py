@@ -2872,3 +2872,91 @@ def ngram_containment_pairs(
             ).alias("c21"),
         )
     )
+
+
+#: Sorted-neighborhood window: each spine row is compared to its
+#: ``SNM_WINDOW`` successors in key order (Hernández-Stolfo '95).
+SNM_WINDOW = 10
+#: Edit-distance gate for candidate pairs — 0 is excluded by
+#: construction (exact-equal keys collapse into one spine row, so the
+#: exact-dup case is already `dedup_exact_stats`' job).
+SNM_MAX_DIST = 4
+
+
+def snm_candidate_pairs(
+    part: DataFrame,
+    window: int = SNM_WINDOW,
+    max_dist: int = SNM_MAX_DIST,
+    profile: str = "oracle",
+) -> DataFrame:
+    """Sorted-neighborhood record-linkage candidates over part names —
+    the blocking step of entity resolution (Hernández & Stolfo 1995):
+    sort the distinct-key spine, slide a ``window``-row window, and
+    gate the O(n·w) neighbor pairs by edit distance. The fuzzy-match
+    complement to `dedup_exact_stats` (exact keys) and
+    `dedup_ngram_jaccard` (shingled text): catalog listings that
+    differ by a typo-sized edit sort near each other, so the
+    quadratic all-pairs matcher collapses to a linear scan.
+
+    Semantics: the spine is the DISTINCT ``p_name`` set with per-name
+    part counts (running SNM over distinct keys instead of raw rows is
+    the standard multiplicity fix — a key with 300 exact copies would
+    otherwise waste the whole window on itself); spine rows rank by
+    ``p_name`` (unique ⇒ cross-engine-stable); pair (a, b) iff
+    ``0 < rank_b − rank_a ≤ window`` and
+    ``1 ≤ levenshtein(name_a, name_b) ≤ max_dist`` (both engines'
+    ``levenshtein`` is the standard unit-cost insert/delete/substitute
+    distance).
+
+    Scale shape: the spine is ONE map-side-combined groupBy of the
+    name column (column-pruned scan); the neighbor pairing is an
+    EQUI-join — each spine row re-emits at ranks ``rank+1 ..
+    rank+window`` via an exploded ``sequence`` and joins back on rank
+    (w× row inflation, bounded by the constant window), NOT a band
+    join (no range/BNLJ anywhere; the plan audit stays green).
+    ``profile="oracle"`` ranks the spine on a single-total-order
+    window (bounded only by |distinct names|);  ``profile="scale"``
+    swaps to ``ranked_by_range`` — the form that holds when the
+    distinct-key spine itself is billions of rows — identical integer
+    ranks, pinned value-identical in pytest.
+
+    Output: (name_a, name_b, lev, parts_a, parts_b) — lev INT, counts
+    BIGINT. Row count ≤ |spine|·window, in practice the lev-gated
+    subset (~15% here).
+    """
+    spine = part.groupBy("p_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    if profile == "scale":
+        from scholar_stream_spark.operators.relational import (
+            ranked_by_range,
+        )
+
+        ranked = ranked_by_range(spine, [], ["p_name"], rank_col="rk")
+    else:
+        w = Window.orderBy("p_name")
+        ranked = spine.select(
+            "p_name", "n_parts", F.row_number().over(w).alias("rk")
+        )
+    left = ranked.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("parts_a"),
+        F.explode(
+            F.expr(f"sequence(rk + 1, rk + {window})")
+        ).alias("_probe_rk"),
+    )
+    right = ranked.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("parts_b"),
+        F.col("rk").alias("_probe_rk"),
+    )
+    paired = left.join(right, "_probe_rk").select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("int").alias("lev"),
+        "parts_a",
+        "parts_b",
+    )
+    return paired.filter(
+        (F.col("lev") >= 1) & (F.col("lev") <= max_dist)
+    )

@@ -3972,3 +3972,59 @@ def segment_migration(
             "AS DOUBLE)"
         ).alias("revenue_p2"),
     )
+
+
+def revenue_growth_by_nation(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Month-over-month revenue growth per nation — the drill-down of
+    `monthly_revenue_trend` every regional review reads next to the
+    global line (a flat global MoM can hide one nation collapsing into
+    another's growth; the per-nation lag matrix is what shows it).
+
+    Engine parity: the `monthly_revenue_trend` discipline exactly —
+    string ``yyyy-MM`` month keys, exact DECIMAL(18,2) sums, MoM
+    growth ONE IEEE division of engine-identical decimals, NULL for a
+    nation's first month; "previous" = the nation's prior month
+    PRESENT in the data (lag over its month order).
+
+    Scale shape: the fact table joins customer on the shuffle-hash
+    key and broadcasts the 25-row nation dim, then collapses in one
+    map-side-combined exchange to the ≤|nations|·|months| grid; the
+    lag window partitions by nation over that tiny grid (bounded by
+    the calendar × the dim, never the data). Output: one grid row.
+
+    Output: (nation, month, n_orders, revenue, mom_growth round-6).
+    """
+    grid = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.expr(
+                "SUM(CAST(o_totalprice AS DECIMAL(18,2)))"
+            ).alias("_rev"),
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("month")
+    return grid.select(
+        "nation",
+        "month",
+        "n_orders",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.round(
+            (F.col("_rev") - F.lag("_rev").over(w)).cast("double")
+            / F.lag("_rev").over(w).cast("double"),
+            6,
+        ).alias("mom_growth"),
+    )

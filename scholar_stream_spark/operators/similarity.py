@@ -2859,3 +2859,129 @@ def pca_project(
     return scale_out(embeddings).select("vec_id", "embedding").mapInPandas(
         kernel, "vec_id long, pcs array<double>, residual_frac double"
     )
+
+
+#: MMR trade-off: 1.0 = pure relevance (reduces to ``cosine_topk``),
+#: 0.0 = pure diversity. 0.7 is the Carbonell-Goldstein default zone.
+MMR_LAMBDA = 0.7
+#: Exact-cosine shortlist depth the greedy re-ranker runs over.
+MMR_SHORTLIST = 30
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    k: int = ANN_TOPK,
+    n_queries: int = ANN_NUM_QUERIES,
+    lam: float = MMR_LAMBDA,
+    shortlist: int = MMR_SHORTLIST,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR '98) — the serving-side re-rank that keeps a
+    result page from being k near-copies of the same document:
+    greedily pick ``argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)``
+    until k results are selected.
+
+    Two-stage plan — the shape every production MMR uses: stage 1 is
+    the EXACT cosine shortlist (``cosine_topk``'s plan verbatim, kept
+    at raw precision so the λ=1 degenerate case reproduces the exact
+    window order; swap in any ``ann_*_topk`` for the 100 TB
+    path, exactly like ``hybrid_search_rrf_ann`` does for RRF), so
+    the corpus is touched only by the already-audited shortlist plan;
+    stage 2 re-ranks per query in ONE ``applyInPandas`` group of
+    ≤``shortlist`` rows — the greedy loop is O(shortlist²·k) on a
+    constant-bounded group, never the corpus. Candidate embeddings
+    hash-join back on vec_id (the only added exchange, shortlist-
+    density rows).
+
+    Determinism: groups sort by neighbor_id before the loop; seeds are
+    the shortlist's (desc relevance, asc id) order; ties in the greedy
+    score break (score desc, neighbor_id asc). Pairwise sims are
+    float64 matmuls of the same-ordered operands — run-stable, but
+    float-iterative selection is not SQL-expressible, so the driver
+    checks rows-only; pytest pins λ=1 ≡ ``cosine_topk``, shortlist
+    containment, partition invariance, and a strict diversity win on
+    the pinned corpus (max intra-set sim below plain top-k's).
+
+    Output: (query_id, rank, neighbor_id, relevance, mmr_score) —
+    relevance the stage-1 cos_sim (round 4), mmr_score round 4; the
+    rank-1 seed scores ``λ·relevance`` (the empty-set max-sim term is
+    0, so the seed is the pure-relevance argmax).
+    """
+    # the cosine_topk plan, but keeping cos_sim_raw: the greedy loop's
+    # λ=1 degenerate case must reproduce the exact window order
+    # (raw desc, id asc) — the ROUNDED display value would collapse
+    # near-ties and flip it
+    q = _query_set(embeddings, n_queries)
+    corpus = scale_out(embeddings).select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
+    )
+    joined = corpus.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    )
+    cos = cosine_from_norms(
+        F.col("q_embedding"),
+        F.col("embedding"),
+        F.col("q_norm"),
+        F.col("norm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim_raw"), F.asc("neighbor_id")
+    )
+    short = (
+        joined.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim_raw"),
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= shortlist)
+        .drop("_rk")
+    )
+    cand = short.join(
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"), "embedding"
+        ),
+        "neighbor_id",
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy()
+        rel = pdf["cos_sim_raw"].to_numpy(dtype=np.float64)
+        m = np.array(list(pdf["embedding"]), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = m / norms[:, None]
+        pair = unit @ unit.T
+        n = len(ids)
+        take = min(k, n)
+        selected: list[int] = []
+        scores: list[float] = []
+        remaining = np.ones(n, dtype=bool)
+        for _step in range(take):
+            if not selected:
+                max_sim = np.zeros(n, dtype=np.float64)
+            else:
+                max_sim = pair[:, selected].max(axis=1)
+            score = lam * rel - (1.0 - lam) * max_sim
+            score_masked = np.where(remaining, score, -np.inf)
+            best = np.lexsort((ids, -score_masked))[0]
+            selected.append(int(best))
+            scores.append(float(score[best]))
+            remaining[best] = False
+        out = pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "rank": np.arange(1, take + 1, dtype=np.int64),
+                "neighbor_id": ids[selected],
+                "relevance": np.round(rel[selected], 4),
+                "mmr_score": np.round(np.array(scores), 4),
+            }
+        )
+        return out
+
+    schema = (
+        "query_id long, rank long, neighbor_id long, "
+        "relevance double, mmr_score double"
+    )
+    return cand.groupBy("query_id").applyInPandas(_mmr, schema=schema)

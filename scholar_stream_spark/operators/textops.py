@@ -2207,3 +2207,136 @@ def readability_profile(documents: DataFrame) -> DataFrame:
             6,
         ).alias("fk_grade"),
     )
+
+
+#: Decile grid for the vocabulary-growth curve; the bucket rule is the
+#: shared integer-quintile discipline (``5 − ((rank−1)·5 div n)`` in
+#: ``rfm_segments``) flipped to ascending deciles.
+VOCAB_GROWTH_BUCKETS = 10
+
+
+def vocab_growth(
+    documents: DataFrame,
+    n_buckets: int = VOCAB_GROWTH_BUCKETS,
+    profile: str = "oracle",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve — how many NEW types each
+    corpus decile contributes (reference behavior: the scholar-stream
+    warehouse exposes only static per-source rollups; this is the
+    dynamic companion every tokenizer/mixture designer reads before
+    freezing a vocab: if the curve is still rising at the last decile,
+    the corpus has unseen vocabulary and the OOV rate of a vocab
+    trained on a prefix will understate production OOV).
+
+    Types are word BIGRAMS (lower, split on ``[^a-z0-9]+``, drop
+    empties — the engine-portable tokenizer used fleet-wide): the
+    synthetic corpus has a closed ~31-word unigram vocab that
+    saturates in decile 1, while its ~900-bigram vocabulary keeps
+    admitting new types through decile 10, so the curve is a real
+    exactness check, not a constant. Docs rank by ``doc_id`` (unique
+    ⇒ cross-engine-stable order); decile = ``(rank−1)·B div n + 1``.
+
+    Scale shape: ONE text scan → bigram explode (term-level output,
+    unavoidable) → the only corpus-keyed exchange is the
+    ``groupBy(gram).min(bucket)`` first-occurrence rollup (map-side
+    combined, ≤ |vocab| rows out); per-bucket token counts ride the
+    same explode. Cumulative sums run on the ≤``n_buckets``-row grid
+    (single-task Window over an aggregate — plan-audit bounded).
+    ``profile="oracle"`` ranks docs on a single-total-order window;
+    ``profile="scale"`` swaps to ``ranked_by_range`` (range shuffle +
+    per-partition offsets — the form that holds at 10⁹ docs),
+    identical integer arithmetic, pinned value-identical in pytest.
+
+    Output: (bucket, n_docs, new_types, cum_types, bucket_grams,
+    cum_grams, type_token_ratio) — counts BIGINT exact, ttr one IEEE
+    division of exact integers, round 6, NULL for a gram-free prefix.
+    """
+    base = documents.select("doc_id", "text")
+    if profile == "scale":
+        from scholar_stream_spark.operators.relational import (
+            ranked_by_range,
+        )
+
+        ranked = ranked_by_range(
+            base, [], ["doc_id"], rank_col="_r", n_col="_n"
+        )
+    else:
+        w = Window.orderBy("doc_id")
+        ranked = base.select(
+            "text",
+            F.row_number().over(w).alias("_r"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("_n"),
+        )
+    bucketed = ranked.select(
+        F.expr(
+            f"CAST((CAST(_r AS BIGINT) - 1) * {n_buckets} "
+            f"DIV _n + 1 AS INT)"
+        ).alias("bucket"),
+        "text",
+    )
+    # bigrams via the zip_with-outside-lambda discipline
+    # (ngram_diversity above): every reference to the filtered token
+    # array sits OUTSIDE the lambdas so codegen subexpression
+    # elimination evaluates the split+filter once per row
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    out_len = f"(size({toks}) - 1)"
+    grams_expr = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"zip_with(slice({toks}, 1, {out_len}), "
+        f"slice({toks}, 2, {out_len}), "
+        f"(x, y) -> concat(x, ' ', y)) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    grams = bucketed.select(
+        "bucket", F.explode(F.expr(grams_expr)).alias("gram")
+    )
+    firsts = grams.groupBy("gram").agg(F.min("bucket").alias("bucket"))
+    newt = firsts.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("new_types")
+    )
+    occ = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("bucket_grams")
+    )
+    docs = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    grid = (
+        docs.join(newt, "bucket", "left")
+        .join(occ, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            F.coalesce("new_types", F.lit(0))
+            .cast("long")
+            .alias("new_types"),
+            F.coalesce("bucket_grams", F.lit(0))
+            .cast("long")
+            .alias("bucket_grams"),
+        )
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return grid.select(
+        "bucket",
+        "n_docs",
+        "new_types",
+        F.sum("new_types").over(w_cum).cast("long").alias("cum_types"),
+        "bucket_grams",
+        F.sum("bucket_grams").over(w_cum).cast("long").alias("cum_grams"),
+    ).select(
+        "bucket",
+        "n_docs",
+        "new_types",
+        "cum_types",
+        "bucket_grams",
+        "cum_grams",
+        F.when(
+            F.col("cum_grams") > 0,
+            F.round(
+                F.col("cum_types").cast("double")
+                / F.col("cum_grams").cast("double"),
+                6,
+            ),
+        ).alias("type_token_ratio"),
+    )

@@ -832,3 +832,274 @@ def test_segment_migration_hand_built_flows(spark):
         ).collect()
     }
     assert scale == got
+
+
+# ---------------------------------------------------------------
+# r14 widening: sorted-neighborhood record-linkage candidates
+# ---------------------------------------------------------------
+
+def _parts_df(spark, names):
+    return spark.createDataFrame(
+        [
+            (i, n, "Brand#1", "type", 1, 9.99)
+            for i, n in enumerate(names)
+        ],
+        "p_partkey long, p_name string, p_brand string, "
+        "p_type string, p_size int, p_retailprice double",
+    )
+
+
+def test_snm_pairs_window_and_distance_gate(spark):
+    from scholar_stream_spark.operators import dedup
+
+    # spine sorted: aaaa, aaab, aaba, zzzz — window 2 pairs
+    # (aaaa,aaab) lev1, (aaaa,aaba) lev2, (aaab,aaba) lev2; zzzz is
+    # 3 ranks past aaaa (outside window 2 for aaaa only via gate
+    # anyway: lev 4 > max_dist 2); exact dups of aaaa collapse into
+    # one spine row with n_parts=2
+    names = ["aaaa", "aaaa", "aaab", "aaba", "zzzz"]
+    got = {
+        (r["name_a"], r["name_b"]): r
+        for r in dedup.snm_candidate_pairs(
+            _parts_df(spark, names), window=2, max_dist=2
+        ).collect()
+    }
+    assert set(got) == {
+        ("aaaa", "aaab"), ("aaaa", "aaba"), ("aaab", "aaba")
+    }
+    r = got[("aaaa", "aaab")]
+    assert (r["lev"], r["parts_a"], r["parts_b"]) == (1, 2, 1)
+    # window boundary: with window=1 the (aaaa, aaba) pair (rank
+    # distance 2) disappears
+    got1 = {
+        (r["name_a"], r["name_b"])
+        for r in dedup.snm_candidate_pairs(
+            _parts_df(spark, names), window=1, max_dist=2
+        ).collect()
+    }
+    assert got1 == {("aaaa", "aaab"), ("aaab", "aaba")}
+
+
+def test_snm_scale_profile_identical(spark):
+    """The 19th scale-profile pair: the distinct-name spine ranking
+    swaps to ranked_by_range — value-identical candidate set."""
+    from scholar_stream_spark.operators import dedup
+
+    part = spark.read.parquet(f"{SF_SMALL}/part.parquet")
+    key = ["name_a", "name_b"]
+    oracle = sorted(
+        (tuple(r[k] for k in key), r["lev"], r["parts_a"], r["parts_b"])
+        for r in dedup.snm_candidate_pairs(part).collect()
+    )
+    scale = sorted(
+        (tuple(r[k] for k in key), r["lev"], r["parts_a"], r["parts_b"])
+        for r in dedup.snm_candidate_pairs(
+            part, profile="scale"
+        ).collect()
+    )
+    assert oracle == scale and len(oracle) > 0
+
+
+# ---------------------------------------------------------------
+# r14 widening: Heaps'-law bigram vocabulary-growth curve
+# ---------------------------------------------------------------
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "web") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string",
+    )
+
+
+def test_vocab_growth_hand_counted(spark):
+    from scholar_stream_spark.operators import textops
+
+    # 4 docs, 2 buckets: bucket1 = docs 0-1, bucket2 = docs 2-3.
+    # doc0 "a b c"   -> bigrams {a b, b c}
+    # doc1 "a b"     -> {a b}            (no new type)
+    # doc2 "c d e"   -> {c d, d e}       (2 new)
+    # doc3 "x"       -> no bigram
+    docs = _docs_df(spark, ["a b c", "a b", "c d e", "x"])
+    rows = {
+        r["bucket"]: r
+        for r in textops.vocab_growth(docs, n_buckets=2).collect()
+    }
+    b1, b2 = rows[1], rows[2]
+    assert (b1["n_docs"], b1["new_types"], b1["cum_types"]) == (2, 2, 2)
+    assert (b1["bucket_grams"], b1["cum_grams"]) == (3, 3)
+    assert b1["type_token_ratio"] == round(2 / 3, 6)
+    assert (b2["n_docs"], b2["new_types"], b2["cum_types"]) == (2, 2, 4)
+    assert (b2["bucket_grams"], b2["cum_grams"]) == (2, 5)
+    assert b2["type_token_ratio"] == round(4 / 5, 6)
+
+
+def test_vocab_growth_tokenizer_case_and_punct(spark):
+    from scholar_stream_spark.operators import textops
+
+    # "A-b" lowers+splits to (a, b); "a b!" to (a, b): same bigram,
+    # so bucket 2 contributes zero new types
+    docs = _docs_df(spark, ["A-b", "a b!"])
+    rows = {
+        r["bucket"]: r
+        for r in textops.vocab_growth(docs, n_buckets=2).collect()
+    }
+    assert rows[1]["new_types"] == 1 and rows[2]["new_types"] == 0
+    assert rows[2]["cum_grams"] == 2
+
+
+def test_vocab_growth_scale_profile_identical(spark):
+    """The 20th scale-profile pair: the doc-rank decile assignment
+    swaps to ranked_by_range — value-identical curve."""
+    from scholar_stream_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    oracle = sorted(
+        tuple(r) for r in textops.vocab_growth(docs).collect()
+    )
+    scale = sorted(
+        tuple(r)
+        for r in textops.vocab_growth(docs, profile="scale").collect()
+    )
+    assert oracle == scale and len(oracle) == 10
+
+
+# ---------------------------------------------------------------
+# r14 widening: per-nation MoM revenue growth
+# ---------------------------------------------------------------
+
+def test_revenue_growth_first_month_null_and_lag(spark):
+    from scholar_stream_spark.operators import relational
+
+    import datetime as _dt
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, _dt.date(1995, 1, 15), 100.0),
+            (2, 10, _dt.date(1995, 2, 10), 150.0),
+            (3, 20, _dt.date(1995, 1, 20), 80.0),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate date, "
+        "o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(10, 1), (20, 2)], "c_custkey long, c_nationkey long"
+    )
+    nation = spark.createDataFrame(
+        [(1, "ALPHA"), (2, "BETA")], "n_nationkey long, n_name string"
+    )
+    rows = {
+        (r["nation"], r["month"]): r
+        for r in relational.revenue_growth_by_nation(
+            orders, customer, nation
+        ).collect()
+    }
+    assert rows[("ALPHA", "1995-01")]["mom_growth"] is None
+    assert rows[("ALPHA", "1995-02")]["mom_growth"] == 0.5
+    assert rows[("BETA", "1995-01")]["revenue"] == 80.0
+    # BETA has no second month — exactly one row
+    assert len([k for k in rows if k[0] == "BETA"]) == 1
+
+
+# ---------------------------------------------------------------
+# r14 widening: MMR diversified top-k (rows-only pins)
+# ---------------------------------------------------------------
+
+def test_mmr_lambda_one_equals_exact_topk(spark):
+    from scholar_stream_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.cosine_topk(emb, k=5).collect()
+    }
+    mmr = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.mmr_topk(emb, k=5, lam=1.0).collect()
+    }
+    assert mmr == exact
+
+
+def test_mmr_shortlist_containment_and_shape(spark):
+    from scholar_stream_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    short = similarity.cosine_topk(emb, k=similarity.MMR_SHORTLIST)
+    allowed = {
+        (r["query_id"], r["neighbor_id"]) for r in short.collect()
+    }
+    out = similarity.mmr_topk(emb, k=5).collect()
+    assert all(
+        (r["query_id"], r["neighbor_id"]) in allowed for r in out
+    )
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert len(per_q) == similarity.ANN_NUM_QUERIES
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_mmr_partition_invariance(spark):
+    from scholar_stream_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    a = sorted(map(tuple, similarity.mmr_topk(emb, k=5).collect()))
+    b = sorted(
+        map(
+            tuple,
+            similarity.mmr_topk(emb.repartition(13), k=5).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_mmr_diversity_strictly_improves_on_planted_neardups(spark):
+    """Plant a query whose top relevance hits are near-copies of each
+    other plus moderately-relevant diverse vectors: plain top-k takes
+    the near-copies; MMR at λ=0.7 must swap at least one out, and the
+    selected set's max intra-set cosine must drop strictly."""
+    import numpy as np
+    from scholar_stream_spark.operators import similarity
+
+    # controlled geometry (orthonormal basis): a 4-vector near-dup
+    # cluster at rel≈0.93 to q with ≈1.0 mutual cosine, and 8 diverse
+    # vectors at rel=0.90 with ≈0.81 mutual cosine. Plain top-4 takes
+    # the cluster (higher rel); at λ=0.7 a cluster member's marginal
+    # score is 0.7·0.93 − 0.3·1.0 ≈ 0.35 while a diverse item scores
+    # 0.7·0.90 − 0.3·0.84 ≈ 0.38 — MMR must swap cluster for diverse.
+    rng = np.random.default_rng(7)
+    basis, _ = np.linalg.qr(rng.normal(size=(64, 16)))
+    q = basis[:, 0]
+    u = basis[:, 1]
+    cluster = [
+        0.93 * q + 0.368 * u + 0.003 * basis[:, 10 + i]
+        for i in range(4)
+    ]
+    diverse = [0.9 * q + 0.436 * basis[:, 2 + i] for i in range(8)]
+    rows = [(0, [float(x) for x in q])]
+    vid = 1
+    for v in cluster + diverse:
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+    def max_intra(ids):
+        vecs = {r[0]: np.array(r[1]) for r in rows}
+        sel = [vecs[i] / np.linalg.norm(vecs[i]) for i in ids]
+        m = np.array(sel) @ np.array(sel).T
+        np.fill_diagonal(m, -1)
+        return m.max()
+
+    plain = [
+        r["neighbor_id"]
+        for r in similarity.cosine_topk(emb, k=4, n_queries=1).collect()
+    ]
+    div = [
+        r["neighbor_id"]
+        for r in similarity.mmr_topk(
+            emb, k=4, n_queries=1, lam=0.7, shortlist=12
+        ).collect()
+    ]
+    assert set(div) != set(plain)
+    assert max_intra(div) < max_intra(plain)
