@@ -121,6 +121,7 @@ from scholar_stream_spark.operators import (
     chunking,
     curation,
     dedup,
+    masking,
     multimodal,
     profiling,
     relational,
@@ -1611,6 +1612,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fuzzy-match complement to exact/shingled dedup)
         "snm_candidate_pairs": lambda s, d: dedup.snm_candidate_pairs(
             _t(s, d, "part")
+        ),
+        # PMI over sliding-window co-occurrence (the SGNS/GloVe
+        # association statistic; Church-Hanks collocations)
+        "pmi_cooccurrence": lambda s, d: textops.pmi_cooccurrence(
+            _t(s, d, "documents")
+        ),
+        # k-anonymity equivalence-class size histogram over the
+        # customer quasi-identifiers (the governance measurement
+        # companion to apply_masking)
+        "k_anonymity_audit": lambda s, d: masking.k_anonymity_audit(
+            _t(s, d, "customer")
         ),
         # Heaps'-law bigram vocabulary-growth curve by corpus decile
         # (the unseen-vocabulary signal read before freezing a vocab).
@@ -5209,6 +5221,68 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                                     PARTITION BY nation ORDER BY month)
                                 AS DOUBLE), 6) AS mom_growth
             FROM grid
+        """,
+        "pmi_cooccurrence": f"""
+            WITH t AS (
+                SELECT string_split(
+                           trim(regexp_replace(lower(text), '\\s+', ' ',
+                                               'g')), ' ') AS ws
+                FROM documents
+            ), pairs AS (
+                SELECT unnest(
+                    list_concat({", ".join(
+                        f"CASE WHEN len(ws) >= {d + 1} THEN "
+                        f"list_transform(range(1, len(ws) - {d} + 1), "
+                        f"i -> CASE WHEN ws[i] <= ws[i + {d}] "
+                        f"THEN ws[i] || ' ' || ws[i + {d}] "
+                        f"ELSE ws[i + {d}] || ' ' || ws[i] END) "
+                        f"ELSE [] END"
+                        for d in range(1, textops.PMI_WINDOW + 1)
+                    )})) AS pair
+                FROM t
+            ), pair_counts AS (
+                SELECT pair, CAST(count(*) AS BIGINT) AS pair_count
+                FROM pairs GROUP BY 1
+            ), unigrams AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+                FROM (SELECT unnest(ws) AS tok FROM t)
+                WHERE tok <> '' GROUP BY 1
+            ), n_tok AS (
+                SELECT CAST(SUM(cnt) AS DOUBLE) AS _n_tok FROM unigrams
+            ), n_pair AS (
+                SELECT CAST(SUM(pair_count) AS DOUBLE) AS _n_pair
+                FROM pair_counts
+            ), gated AS (
+                SELECT string_split(pair, ' ')[1] AS w_a,
+                       string_split(pair, ' ')[2] AS w_b,
+                       pair_count
+                FROM pair_counts
+                WHERE pair_count >= {textops.PMI_MIN_COUNT}
+            )
+            SELECT w_a, w_b, pair_count,
+                   ua.cnt AS count_a, ub.cnt AS count_b,
+                   round(ln(((CAST(pair_count AS DOUBLE) * _n_tok)
+                             * _n_tok)
+                            / ((_n_pair * CAST(ua.cnt AS DOUBLE))
+                               * CAST(ub.cnt AS DOUBLE))), 4) AS pmi
+            FROM gated
+            JOIN unigrams ua ON gated.w_a = ua.tok
+            JOIN unigrams ub ON gated.w_b = ub.tok
+            CROSS JOIN n_tok CROSS JOIN n_pair
+        """,
+        "k_anonymity_audit": f"""
+            WITH classes AS (
+                SELECT c_nationkey, c_mktsegment,
+                       floor(c_acctbal / {float(masking.K_ANON_BAL_BAND)})
+                           AS _band,
+                       CAST(count(*) AS BIGINT) AS group_size
+                FROM customer GROUP BY 1, 2, 3
+            )
+            SELECT group_size,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(group_size) AS BIGINT) AS n_customers,
+                   group_size < {masking.K_ANON_K} AS at_risk
+            FROM classes GROUP BY group_size
         """,
         "snm_candidate_pairs": f"""
             WITH spine AS (

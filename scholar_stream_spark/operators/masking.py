@@ -39,3 +39,62 @@ def apply_masking(
 
 def is_privileged(role: str) -> bool:
     return role.upper() in PRIVILEGED_ROLES
+
+
+#: Re-identification threshold: a quasi-identifier group smaller than
+#: K_ANON_K is an at-risk equivalence class (Sweeney 2002's k).
+K_ANON_K = 5
+#: Account-balance generalization width for the quasi-identifier.
+K_ANON_BAL_BAND = 1000
+
+
+def k_anonymity_audit(
+    customer: DataFrame,
+    k: int = K_ANON_K,
+    bal_band: int = K_ANON_BAL_BAND,
+) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifiers — the
+    measurement side of the governance story `apply_masking` enforces
+    (Sweeney 2002: masking direct identifiers is not enough when the
+    QUASI-identifier combination — here (nation, market segment,
+    balance band) — isolates individuals; an equivalence class smaller
+    than k re-identifies its members by linkage).
+
+    Reports the equivalence-class SIZE DISTRIBUTION rather than the
+    classes themselves (the classes are the sensitive thing — a size-1
+    dump would be its own leak): per distinct class size, how many
+    classes, how many customers, and whether that size is below k.
+    ``sum(n_customers)`` partitions the table by construction.
+
+    The balance generalization is integer floor-division of the DOUBLE
+    balance by ``bal_band`` — identical IEEE divide + floor both
+    engines; NULL balances form their own band (grouped, not dropped —
+    the linkage attacker sees NULL too).
+
+    Scale shape: two map-side-combined exchanges (customer → ≤|QI
+    grid| class sizes → ≤max-size histogram); no window, no join.
+    Output: (group_size, n_groups, n_customers, at_risk), exact
+    integers.
+    """
+    from pyspark.sql import functions as F
+
+    classes = customer.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(float(bal_band))).alias(
+            "_band"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+    return (
+        classes.groupBy("group_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("group_size").cast("long").alias("n_customers"),
+        )
+        .select(
+            "group_size",
+            "n_groups",
+            "n_customers",
+            (F.col("group_size") < k).alias("at_risk"),
+        )
+    )

@@ -2340,3 +2340,114 @@ def vocab_growth(
             ),
         ).alias("type_token_ratio"),
     )
+
+
+#: Symmetric co-occurrence context width (token-distance 1..window).
+PMI_WINDOW = 2
+#: Pair-count floor — below it PMI estimates are noise (Church-Hanks'
+#: own caveat) and the output table would be vocabulary².
+PMI_MIN_COUNT = 5
+
+
+def pmi_cooccurrence(
+    documents: DataFrame,
+    window: int = PMI_WINDOW,
+    min_count: int = PMI_MIN_COUNT,
+) -> DataFrame:
+    """Pointwise mutual information over sliding-window co-occurrence
+    (Church & Hanks 1990) — the association statistic word2vec/GloVe
+    factorize (SGNS ≈ shifted-PMI matrix, Levy & Goldberg 2014): for
+    unordered token pairs within ``window`` positions, ``PMI =
+    ln(p(a,b) / (p(a)·p(b)))`` with ``p(a,b) = c_ab/P``, ``p(a) =
+    c_a/N``. The embedding-pipeline preprocessing report: which
+    collocations the corpus would push into nearby vectors.
+
+    Tokenizer is the LM family's (``normalize_text`` + space split —
+    `unigram_logprob`'s contract); pairs canonicalize as (min, max)
+    under binary string order, both engines' default collation. The
+    PMI expression is the identical literal both engines —
+    ``ln(((c_ab·N)·N) / ((P·c_a)·c_b))`` over DOUBLE-cast exact
+    integers (products stay inside float64's exact-integer range far
+    past this workload; mul/div are IEEE-exact-rounded, and ``ln`` +
+    round 4 is `bigram_logprob`'s proven parity pattern).
+
+    Scale shape: pair arrays build NARROW per-document (one zip_with
+    slice leg per offset d = 1..window, the `ngram_diversity`
+    outside-the-lambda CSE discipline — no positional self-join, no
+    band join) and explode once; two map-side-combined counts (pair,
+    unigram); the two totals are 1-row aggregates broadcast-crossed
+    (the fleet's bounded-crossJoin idiom); scoring joins the
+    ≤|vocab²| gated pair table to the ≤|vocab| unigram table twice.
+
+    Output: (w_a, w_b, pair_count, count_a, count_b, pmi round-4),
+    gated ``pair_count ≥ min_count``.
+    """
+    ws = "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"
+
+    def leg(d: int) -> str:
+        out_len = f"(size({ws}) - {d})"
+        return (
+            f"CASE WHEN size({ws}) >= {d + 1} THEN "
+            f"zip_with(slice({ws}, 1, {out_len}), "
+            f"slice({ws}, {1 + d}, {out_len}), "
+            f"(x, y) -> CASE WHEN x <= y THEN concat(x, ' ', y) "
+            f"ELSE concat(y, ' ', x) END) "
+            f"ELSE CAST(array() AS array<string>) END"
+        )
+
+    pair_arr = "concat(" + ", ".join(
+        leg(d) for d in range(1, window + 1)
+    ) + ")"
+    base = documents.select("text")
+    pairs = base.select(F.explode(F.expr(pair_arr)).alias("pair"))
+    pair_counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("pair_count")
+    )
+    unigrams = (
+        base.select(F.explode(F.expr(ws)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    n_tok = unigrams.agg(
+        F.sum("cnt").cast("double").alias("_n_tok")
+    )
+    n_pair = pair_counts.agg(
+        F.sum("pair_count").cast("double").alias("_n_pair")
+    )
+    gated = pair_counts.filter(F.col("pair_count") >= min_count).select(
+        F.split(F.col("pair"), " ")[0].alias("w_a"),
+        F.split(F.col("pair"), " ")[1].alias("w_b"),
+        "pair_count",
+    )
+    scored = (
+        gated.join(
+            unigrams.select(
+                F.col("tok").alias("w_a"), F.col("cnt").alias("count_a")
+            ),
+            "w_a",
+        )
+        .join(
+            unigrams.select(
+                F.col("tok").alias("w_b"), F.col("cnt").alias("count_b")
+            ),
+            "w_b",
+        )
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pair))
+    )
+    return scored.select(
+        "w_a",
+        "w_b",
+        "pair_count",
+        "count_a",
+        "count_b",
+        F.round(
+            F.expr(
+                "ln(((CAST(pair_count AS DOUBLE) * _n_tok) * _n_tok) "
+                "/ ((_n_pair * CAST(count_a AS DOUBLE)) "
+                "* CAST(count_b AS DOUBLE)))"
+            ),
+            4,
+        ).alias("pmi"),
+    )

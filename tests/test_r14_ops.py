@@ -1103,3 +1103,68 @@ def test_mmr_diversity_strictly_improves_on_planted_neardups(spark):
     ]
     assert set(div) != set(plain)
     assert max_intra(div) < max_intra(plain)
+
+
+# ---------------------------------------------------------------
+# r14 widening: PMI co-occurrence + k-anonymity audit
+# ---------------------------------------------------------------
+
+def test_pmi_hand_counted(spark):
+    import math
+    from scholar_stream_spark.operators import textops
+
+    # doc1 tokens (a b a), doc2 (b a); window 2:
+    #   doc1 d=1: "a b","a b"; d=2: "a a";  doc2 d=1: "a b"
+    # P=4, N=5, c(a)=3, c(b)=2, c("a b")=3, c("a a")=1
+    docs = _docs_df(spark, ["a  b a", "b a"])
+    rows = {
+        (r["w_a"], r["w_b"]): r
+        for r in textops.pmi_cooccurrence(docs, min_count=1).collect()
+    }
+    ab = rows[("a", "b")]
+    assert (ab["pair_count"], ab["count_a"], ab["count_b"]) == (3, 3, 2)
+    assert ab["pmi"] == round(math.log(((3.0 * 5) * 5) / ((4.0 * 3) * 2)), 4)
+    aa = rows[("a", "a")]
+    assert (aa["pair_count"], aa["count_a"], aa["count_b"]) == (1, 3, 3)
+    assert aa["pmi"] == round(math.log(((1.0 * 5) * 5) / ((4.0 * 3) * 3)), 4)
+    # min_count gates the singleton pair out
+    gated = textops.pmi_cooccurrence(docs, min_count=2).collect()
+    assert {(r["w_a"], r["w_b"]) for r in gated} == {("a", "b")}
+
+
+def test_pmi_pair_canonicalization_and_short_docs(spark):
+    from scholar_stream_spark.operators import textops
+
+    # "b a" and "a b" are the SAME unordered pair; a 1-token doc and
+    # an empty doc contribute no pairs (and '' never becomes a token)
+    docs = _docs_df(spark, ["b a", "a b", "x", "  "])
+    rows = textops.pmi_cooccurrence(docs, min_count=1).collect()
+    pairs = {(r["w_a"], r["w_b"]): r["pair_count"] for r in rows}
+    assert pairs[("a", "b")] == 2
+    assert ("x", "x") not in pairs and ("", "") not in pairs
+
+
+def test_k_anonymity_hand_counted(spark):
+    from scholar_stream_spark.operators import masking
+
+    cust = spark.createDataFrame(
+        [
+            (1, "n", 1, 500.0, "A"),   # band 0 \ size-2 class
+            (2, "n", 1, 600.0, "A"),   # band 0 /
+            (3, "n", 1, 1500.0, "A"),  # band 1: size-1 class
+        ]
+        + [(10 + i, "n", 2, None, "B") for i in range(5)],  # NULL band
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    rows = {
+        r["group_size"]: r
+        for r in masking.k_anonymity_audit(cust, k=5).collect()
+    }
+    assert (rows[2]["n_groups"], rows[2]["n_customers"]) == (1, 2)
+    assert rows[2]["at_risk"] is True
+    assert rows[1]["at_risk"] is True
+    # the NULL-balance quintet forms ONE band of size 5 — not at risk
+    assert (rows[5]["n_groups"], rows[5]["at_risk"]) == (1, False)
+    # the histogram partitions the population
+    assert sum(r["n_customers"] for r in rows.values()) == 8
