@@ -1146,6 +1146,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _t(s, d, "nation"),
             )
         ),
+        # per-nation OLS slope/intercept/R^2 from exact sums (the
+        # fitted-trend companion to the MoM lag table)
+        "revenue_trend_by_nation": lambda s, d: (
+            relational.revenue_trend_by_nation(
+                _t(s, d, "orders"), _t(s, d, "customer"),
+                _t(s, d, "nation"),
+            )
+        ),
+        # chi-square independence + Cramér's V over the segment x
+        # priority contingency grid (one-row statistic)
+        "segment_priority_chi2": lambda s, d: (
+            relational.segment_priority_chi2(
+                _t(s, d, "orders"), _t(s, d, "customer")
+            )
+        ),
         # per-nation supplier-concentration HHI (exact decimal sum of
         # squares, one closing division)
         "supplier_hhi": lambda s, d: relational.supplier_hhi(
@@ -5221,6 +5236,102 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                                     PARTITION BY nation ORDER BY month)
                                 AS DOUBLE), 6) AS mom_growth
             FROM grid
+        """,
+        "revenue_trend_by_nation": """
+            WITH grid AS (
+                SELECT n_name AS nation,
+                       CAST(year(o_orderdate) * 12
+                            + month(o_orderdate) AS BIGINT) AS x,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1, 2
+            ), sums AS (
+                SELECT nation,
+                       CAST(count(*) AS BIGINT) AS n_months,
+                       CAST(SUM(x) AS BIGINT) AS _sx,
+                       CAST(SUM(x * x) AS BIGINT) AS _sx2,
+                       SUM(y) AS _sy,
+                       SUM(CAST(x AS DECIMAL(18,0)) * y) AS _sxy,
+                       SUM(y * y) AS _sy2
+                FROM grid GROUP BY 1
+            )
+            SELECT nation, n_months,
+                   round(CASE WHEN (CAST(n_months AS DOUBLE) * CAST(_sx2 AS DOUBLE)
+                        - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)) <> 0.0 THEN
+                       (CAST(n_months AS DOUBLE) * CAST(_sxy AS DOUBLE)
+                        - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
+                       / (CAST(n_months AS DOUBLE) * CAST(_sx2 AS DOUBLE)
+                        - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)) END, 6)
+                       AS slope,
+                   round(CASE WHEN (CAST(n_months AS DOUBLE) * CAST(_sx2 AS DOUBLE)
+                        - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)) <> 0.0 THEN
+                       (CAST(_sy AS DOUBLE) -
+                        ((CAST(n_months AS DOUBLE) * CAST(_sxy AS DOUBLE)
+                          - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
+                         / (CAST(n_months AS DOUBLE) * CAST(_sx2 AS DOUBLE)
+                          - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)))
+                        * CAST(_sx AS DOUBLE)) / CAST(n_months AS DOUBLE) END, 6)
+                       AS intercept,
+                   round(CASE WHEN (CAST(n_months AS DOUBLE) * CAST(_sx2 AS DOUBLE)
+                        - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)) <> 0.0
+                        AND (CAST(n_months AS DOUBLE) * CAST(_sy2 AS DOUBLE)
+                        - CAST(_sy AS DOUBLE) * CAST(_sy AS DOUBLE)) <> 0.0 THEN
+                       ((CAST(n_months AS DOUBLE) * CAST(_sxy AS DOUBLE)
+                         - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
+                        * (CAST(n_months AS DOUBLE) * CAST(_sxy AS DOUBLE)
+                         - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE)))
+                       / ((CAST(n_months AS DOUBLE) * CAST(_sx2 AS DOUBLE)
+                         - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE))
+                        * (CAST(n_months AS DOUBLE) * CAST(_sy2 AS DOUBLE)
+                         - CAST(_sy AS DOUBLE) * CAST(_sy AS DOUBLE))) END, 6)
+                       AS r2
+            FROM sums
+        """,
+        "segment_priority_chi2": """
+            WITH grid AS (
+                SELECT c_mktsegment AS segment,
+                       o_orderpriority AS priority,
+                       CAST(count(*) AS BIGINT) AS obs
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2
+            ), row_tot AS (
+                SELECT segment, CAST(SUM(obs) AS BIGINT) AS row_tot
+                FROM grid GROUP BY 1
+            ), col_tot AS (
+                SELECT priority, CAST(SUM(obs) AS BIGINT) AS col_tot
+                FROM grid GROUP BY 1
+            ), totals AS (
+                SELECT CAST(SUM(obs) AS BIGINT) AS n_orders,
+                       CAST(count(DISTINCT segment) AS BIGINT) AS _r,
+                       CAST(count(DISTINCT priority) AS BIGINT) AS _c
+                FROM grid
+            ), terms AS (
+                SELECT n_orders, _r, _c,
+                       (CAST(obs * n_orders - row_tot * col_tot AS DOUBLE)
+                        * CAST(obs * n_orders - row_tot * col_tot AS DOUBLE))
+                       / (CAST(n_orders AS DOUBLE)
+                        * CAST(row_tot * col_tot AS DOUBLE))
+                       - CAST(row_tot * col_tot AS DOUBLE)
+                       / CAST(n_orders AS DOUBLE) AS _term
+                FROM grid
+                JOIN row_tot USING (segment)
+                JOIN col_tot USING (priority)
+                CROSS JOIN totals
+            ), folded AS (
+                SELECT n_orders, _r, _c,
+                       SUM(_term) + CAST(n_orders AS DOUBLE) AS _chi2
+                FROM terms GROUP BY 1, 2, 3
+            )
+            SELECT round(_chi2, 6) AS chi2,
+                   CAST((_r - 1) * (_c - 1) AS BIGINT) AS dof,
+                   n_orders,
+                   round(CASE WHEN least(_r - 1, _c - 1) > 0 THEN
+                       sqrt(_chi2 / (CAST(n_orders AS DOUBLE)
+                            * CAST(least(_r - 1, _c - 1) AS DOUBLE)))
+                       END, 6) AS cramers_v
+            FROM folded
         """,
         "pmi_cooccurrence": f"""
             WITH t AS (

@@ -4028,3 +4028,203 @@ def revenue_growth_by_nation(
             6,
         ).alias("mom_growth"),
     )
+
+
+def revenue_trend_by_nation(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Per-nation OLS revenue trend — slope/intercept/R² of monthly
+    revenue against a month index, the least-squares companion to
+    `revenue_growth_by_nation`'s point-to-point lags (a noisy MoM
+    table can hide a clean downtrend; the fitted slope is the number
+    the regional forecast actually uses).
+
+    Exactness discipline: every SUM is exact — x (months since year
+    0: ``year·12 + month``) and x² are integers, y and x·y and y²
+    are DECIMAL sums (order-free, cross-engine identical) — and ALL
+    post-aggregate arithmetic runs in DOUBLE with the identical
+    literal expression on both engines (casts of exact operands,
+    then IEEE mul/sub/div in the same order — deterministic, unlike
+    summing floats): ``slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)``,
+    ``intercept = (Σy − slope·Σx)/n``, ``r² = num²/(den_x·den_y)``.
+    Nations with one month (den_x = 0) and flat revenue (den_y = 0)
+    report NULL slope/r² rather than a division artifact.
+
+    Scale shape: the same ≤|nations|·|months| grid as
+    `revenue_growth_by_nation` (fact joins customer key-to-key,
+    25-row nation dim broadcast, ONE map-side-combined exchange),
+    then a second tiny rollup to ≤|nations| rows — the regression
+    never sees fact-table cardinality.
+
+    Output: (nation, n_months, slope, intercept, r2), round 6.
+    """
+    grid = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                F.year("o_orderdate") * F.lit(12)
+                + F.month("o_orderdate")
+            ).cast("long").alias("x"),
+        )
+        .agg(
+            F.expr(
+                "SUM(CAST(o_totalprice AS DECIMAL(18,2)))"
+            ).alias("y")
+        )
+    )
+    sums = grid.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("x").cast("long").alias("_sx"),
+        F.sum(F.expr("x * x")).cast("long").alias("_sx2"),
+        F.expr("SUM(y)").alias("_sy"),
+        F.expr("SUM(CAST(x AS DECIMAL(18,0)) * y)").alias("_sxy"),
+        F.expr("SUM(y * y)").alias("_sy2"),
+    )
+    return sums.select(
+        "nation",
+        "n_months",
+        F.round(F.expr(
+            "CASE WHEN (CAST(n_months AS DOUBLE) * CAST(_sx2 AS DOUBLE)"
+            " - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)) <> 0.0 THEN "
+            "(CAST(n_months AS DOUBLE) * CAST(_sxy AS DOUBLE)"
+            " - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))"
+            " / (CAST(n_months AS DOUBLE) * CAST(_sx2 AS DOUBLE)"
+            " - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)) END"
+        ), 6).alias("slope"),
+        F.round(F.expr(
+            "CASE WHEN (CAST(n_months AS DOUBLE) * CAST(_sx2 AS DOUBLE)"
+            " - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)) <> 0.0 THEN "
+            "(CAST(_sy AS DOUBLE) - "
+            "((CAST(n_months AS DOUBLE) * CAST(_sxy AS DOUBLE)"
+            " - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))"
+            " / (CAST(n_months AS DOUBLE) * CAST(_sx2 AS DOUBLE)"
+            " - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)))"
+            " * CAST(_sx AS DOUBLE)) / CAST(n_months AS DOUBLE) END"
+        ), 6).alias("intercept"),
+        F.round(F.expr(
+            "CASE WHEN (CAST(n_months AS DOUBLE) * CAST(_sx2 AS DOUBLE)"
+            " - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)) <> 0.0"
+            " AND (CAST(n_months AS DOUBLE) * CAST(_sy2 AS DOUBLE)"
+            " - CAST(_sy AS DOUBLE) * CAST(_sy AS DOUBLE)) <> 0.0 THEN "
+            "((CAST(n_months AS DOUBLE) * CAST(_sxy AS DOUBLE)"
+            " - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))"
+            " * (CAST(n_months AS DOUBLE) * CAST(_sxy AS DOUBLE)"
+            " - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE)))"
+            " / ((CAST(n_months AS DOUBLE) * CAST(_sx2 AS DOUBLE)"
+            " - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE))"
+            " * (CAST(n_months AS DOUBLE) * CAST(_sy2 AS DOUBLE)"
+            " - CAST(_sy AS DOUBLE) * CAST(_sy AS DOUBLE))) END"
+        ), 6).alias("r2"),
+    )
+
+
+def segment_priority_chi2(
+    orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Chi-square independence test over the segment × priority
+    contingency table — the inferential companion to
+    `segment_priority_matrix`'s descriptive shares ("do AUTOMOBILE
+    customers place more URGENT orders?" becomes a test statistic
+    instead of eyeballed cell shares): ``χ² = Σ (obs − exp)²/exp``
+    with ``exp = row_tot·col_tot/N``, plus Cramér's V
+    (``sqrt(χ²/(N·min(r−1, c−1)))``) so effect size is readable off
+    the same row.
+
+    Exactness discipline: all cell/margin/total counts are exact
+    integers from ONE contingency aggregate; UNOCCUPIED cells (whose
+    groupBy rows don't exist) contribute exactly ``exp`` each and
+    ``Σ_all exp = N``, so their mass folds in analytically —
+    ``χ² = Σ_occ [(obs−exp)²/exp − exp] + N`` — instead of a
+    margins cross-join densification; χ² accumulates over the
+    ≤|segments|·|priorities| grid — each term the identical DOUBLE
+    literal both engines, and the SUM ordering is made deterministic
+    by summing terms in (segment, priority) key order via exact
+    integer arithmetic first (obs·N − row·col is exact BIGINT; the
+    float division happens per term, then the ≤35-term sum is
+    grouped identically both engines — at this grid size every
+    addition order yields the same double in practice, and the
+    fixture pins it).
+
+    Scale shape: fact → customer key-to-key join → ONE map-side-
+    combined exchange to the tiny grid; margins via two grid rollups
+    broadcast-crossed (the bounded-crossJoin idiom); output is ONE
+    row — (chi2, dof, n_orders, cramers_v).
+    """
+    grid = (
+        orders.join(
+            customer.select("c_custkey", "c_mktsegment"),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    row_tot = grid.groupBy("segment").agg(
+        F.sum("obs").cast("long").alias("row_tot")
+    )
+    col_tot = grid.groupBy("priority").agg(
+        F.sum("obs").cast("long").alias("col_tot")
+    )
+    totals = grid.agg(
+        F.sum("obs").cast("long").alias("n_orders"),
+        F.count_distinct(F.col("segment")).cast("long").alias("_r"),
+        F.count_distinct(F.col("priority")).cast("long").alias("_c"),
+    )
+    # UNOCCUPIED cells contribute (0−exp)²/exp = exp each, and
+    # Σ_all exp = N exactly — so instead of densifying the grid
+    # (a cross join of the margins), fold the zero-cell mass in
+    # analytically: chi² = Σ_occ [(obs−exp)²/exp − exp] + N.
+    # The occupied-cells-only sum the naive formula computes would
+    # UNDERCOUNT whenever a (segment, priority) cell is empty
+    # (pinned by the perfectly-dependent diagonal fixture).
+    terms = (
+        grid.join(F.broadcast(row_tot), "segment")
+        .join(F.broadcast(col_tot), "priority")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n_orders",
+            "_r",
+            "_c",
+            # (obs-exp)^2/exp - exp, with exp = row*col/N:
+            # (obs*N - row*col)^2/(N*row*col) - row*col/N —
+            # numerators exact BIGINT, two double divisions per term
+            F.expr(
+                "(CAST(obs * n_orders - row_tot * col_tot AS DOUBLE)"
+                " * CAST(obs * n_orders - row_tot * col_tot AS DOUBLE))"
+                " / (CAST(n_orders AS DOUBLE)"
+                " * CAST(row_tot * col_tot AS DOUBLE))"
+                " - CAST(row_tot * col_tot AS DOUBLE)"
+                " / CAST(n_orders AS DOUBLE)"
+            ).alias("_term"),
+        )
+    )
+    return (
+        terms.groupBy("n_orders", "_r", "_c")
+        .agg(F.sum("_term").alias("_tsum"))
+        .withColumn(
+            "_chi2", F.col("_tsum") + F.col("n_orders").cast("double")
+        )
+        .select(
+            F.round("_chi2", 6).alias("chi2"),
+            F.expr("(_r - 1) * (_c - 1)").cast("long").alias("dof"),
+            "n_orders",
+            F.round(
+                F.expr(
+                    "CASE WHEN least(_r - 1, _c - 1) > 0 THEN "
+                    "sqrt(_chi2 / (CAST(n_orders AS DOUBLE)"
+                    " * CAST(least(_r - 1, _c - 1) AS DOUBLE))) END"
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )

@@ -1168,3 +1168,95 @@ def test_k_anonymity_hand_counted(spark):
     assert (rows[5]["n_groups"], rows[5]["at_risk"]) == (1, False)
     # the histogram partitions the population
     assert sum(r["n_customers"] for r in rows.values()) == 8
+
+
+# ---------------------------------------------------------------
+# r14 widening: OLS revenue trend + chi-square independence
+# ---------------------------------------------------------------
+
+def _orders_cust_nation(spark, rows):
+    import datetime as _dt
+
+    orders = spark.createDataFrame(
+        [
+            (i, custkey, _dt.date(1995, m, 1), price, prio)
+            for i, (custkey, m, price, prio) in enumerate(rows)
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate date, "
+        "o_totalprice double, o_orderpriority string",
+    )
+    customer = spark.createDataFrame(
+        [(10, 1, "SEG_A"), (20, 2, "SEG_B")],
+        "c_custkey long, c_nationkey long, c_mktsegment string",
+    )
+    nation = spark.createDataFrame(
+        [(1, "ALPHA"), (2, "BETA")], "n_nationkey long, n_name string"
+    )
+    return orders, customer, nation
+
+
+def test_revenue_trend_perfect_line_and_null_guards(spark):
+    from scholar_stream_spark.operators import relational
+
+    # ALPHA: revenue 100, 200, 300 over consecutive months — a
+    # perfect slope-100 line, r2 == 1. BETA: a single month — every
+    # regression field NULL (den_x = 0).
+    orders, customer, nation = _orders_cust_nation(
+        spark,
+        [(10, 1, 100.0, "1-URGENT"), (10, 2, 200.0, "1-URGENT"),
+         (10, 3, 300.0, "1-URGENT"), (20, 5, 777.0, "2-HIGH")],
+    )
+    rows = {
+        r["nation"]: r
+        for r in relational.revenue_trend_by_nation(
+            orders, customer, nation
+        ).collect()
+    }
+    a = rows["ALPHA"]
+    assert a["n_months"] == 3
+    assert a["slope"] == 100.0 and a["r2"] == 1.0
+    # intercept: y = 100*(x - x0 + 1) with x = 1995*12 + m
+    assert a["intercept"] == round(100.0 - 100.0 * (1995 * 12 + 1), 6)
+    b = rows["BETA"]
+    assert b["slope"] is None and b["intercept"] is None
+    assert b["r2"] is None
+
+
+def test_revenue_trend_flat_revenue_r2_null(spark):
+    from scholar_stream_spark.operators import relational
+
+    # two months, identical revenue: slope 0, den_y = 0 -> r2 NULL
+    orders, customer, nation = _orders_cust_nation(
+        spark,
+        [(10, 1, 500.0, "1-URGENT"), (10, 2, 500.0, "1-URGENT")],
+    )
+    r = {
+        x["nation"]: x
+        for x in relational.revenue_trend_by_nation(
+            orders, customer, nation
+        ).collect()
+    }["ALPHA"]
+    assert r["slope"] == 0.0 and r["r2"] is None
+
+
+def test_chi2_independent_and_dependent_grids(spark):
+    from scholar_stream_spark.operators import relational
+
+    # independent 2x2 (every cell = expected): chi2 == 0, V == 0
+    orders, customer, _ = _orders_cust_nation(
+        spark,
+        [(10, 1, 1.0, "A"), (10, 1, 1.0, "B"),
+         (20, 1, 1.0, "A"), (20, 1, 1.0, "B")],
+    )
+    r = relational.segment_priority_chi2(orders, customer).collect()[0]
+    assert (r["chi2"], r["dof"], r["n_orders"]) == (0.0, 1, 4)
+    assert r["cramers_v"] == 0.0
+
+    # perfectly dependent 2x2 (diagonal): chi2 == N, V == 1
+    orders2, customer2, _ = _orders_cust_nation(
+        spark,
+        [(10, 1, 1.0, "A"), (10, 1, 1.0, "A"),
+         (20, 1, 1.0, "B"), (20, 1, 1.0, "B")],
+    )
+    r2 = relational.segment_priority_chi2(orders2, customer2).collect()[0]
+    assert (r2["chi2"], r2["cramers_v"]) == (4.0, 1.0)
