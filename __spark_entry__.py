@@ -1628,6 +1628,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_candidate_pairs": lambda s, d: dedup.snm_candidate_pairs(
             _t(s, d, "part")
         ),
+        # transitive closure of the SNM match graph -> entities with
+        # survivor records (Hernandez-Stolfo step 4; shared CC kernel)
+        "snm_entity_clusters": lambda s, d: dedup.snm_entity_clusters(
+            _t(s, d, "part")
+        ),
         # PMI over sliding-window co-occurrence (the SGNS/GloVe
         # association statistic; Church-Hanks collocations)
         "pmi_cooccurrence": lambda s, d: textops.pmi_cooccurrence(
@@ -5412,6 +5417,39 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
               ON b.rk BETWEEN a.rk + 1 AND a.rk + {dedup.SNM_WINDOW}
             WHERE levenshtein(a.p_name, b.p_name)
                   BETWEEN 1 AND {dedup.SNM_MAX_DIST}
+        """,
+        "snm_entity_clusters": f"""
+            WITH RECURSIVE spine AS (
+                SELECT p_name,
+                       CAST(count(*) AS BIGINT) AS n_parts
+                FROM part GROUP BY 1
+            ), ranked AS (
+                SELECT p_name, n_parts,
+                       row_number() OVER (ORDER BY p_name) AS rk
+                FROM spine
+            ), pairs AS (
+                SELECT a.p_name AS na, b.p_name AS nb
+                FROM ranked a JOIN ranked b
+                  ON b.rk BETWEEN a.rk + 1 AND a.rk + {dedup.SNM_WINDOW}
+                WHERE levenshtein(a.p_name, b.p_name)
+                      BETWEEN 1 AND {dedup.SNM_MAX_DIST}
+            ), edges AS (
+                SELECT na AS s, nb AS t FROM pairs
+                UNION
+                SELECT nb, na FROM pairs
+            ), reach(node, r) AS (
+                SELECT s, s FROM edges
+                UNION
+                SELECT e.t, reach.r FROM reach
+                JOIN edges e ON reach.node = e.s
+            ), labeled AS (
+                SELECT node, MIN(r) AS canon FROM reach GROUP BY node
+            )
+            SELECT canon AS canonical_name,
+                   CAST(count(*) AS BIGINT) AS n_names,
+                   CAST(SUM(sp.n_parts) AS BIGINT) AS n_parts
+            FROM labeled JOIN spine sp ON labeled.node = sp.p_name
+            GROUP BY 1
         """,
         "vocab_growth": f"""
             WITH ranked AS (

@@ -2924,6 +2924,16 @@ def snm_candidate_pairs(
     BIGINT. Row count ≤ |spine|·window, in practice the lev-gated
     subset (~15% here).
     """
+    return _snm_pairs(
+        _snm_ranked_spine(part, profile), window, max_dist
+    ).select("name_a", "name_b", "lev", "parts_a", "parts_b")
+
+
+def _snm_ranked_spine(part: DataFrame, profile: str) -> DataFrame:
+    """Distinct-name spine with per-name counts and the unique
+    name-order rank — shared by `snm_candidate_pairs` (pairs) and
+    `snm_entity_clusters` (the rank doubles as the integer node id
+    for connected components)."""
     spine = part.groupBy("p_name").agg(
         F.count(F.lit(1)).cast("long").alias("n_parts")
     )
@@ -2932,15 +2942,22 @@ def snm_candidate_pairs(
             ranked_by_range,
         )
 
-        ranked = ranked_by_range(spine, [], ["p_name"], rank_col="rk")
-    else:
-        w = Window.orderBy("p_name")
-        ranked = spine.select(
-            "p_name", "n_parts", F.row_number().over(w).alias("rk")
-        )
+        return ranked_by_range(spine, [], ["p_name"], rank_col="rk")
+    w = Window.orderBy("p_name")
+    return spine.select(
+        "p_name", "n_parts", F.row_number().over(w).alias("rk")
+    )
+
+
+def _snm_pairs(
+    ranked: DataFrame, window: int, max_dist: int
+) -> DataFrame:
+    """Lev-gated sorted-neighborhood pairs with both spine ranks
+    carried (rk_a < rk_b by construction)."""
     left = ranked.select(
         F.col("p_name").alias("name_a"),
         F.col("n_parts").alias("parts_a"),
+        F.col("rk").alias("rk_a"),
         F.explode(
             F.expr(f"sequence(rk + 1, rk + {window})")
         ).alias("_probe_rk"),
@@ -2956,7 +2973,63 @@ def snm_candidate_pairs(
         F.levenshtein("name_a", "name_b").cast("int").alias("lev"),
         "parts_a",
         "parts_b",
+        "rk_a",
+        F.col("_probe_rk").alias("rk_b"),
     )
     return paired.filter(
         (F.col("lev") >= 1) & (F.col("lev") <= max_dist)
     )
+
+
+def snm_entity_clusters(
+    part: DataFrame,
+    window: int = SNM_WINDOW,
+    max_dist: int = SNM_MAX_DIST,
+    profile: str = "oracle",
+) -> DataFrame:
+    """Entity-resolution clusters over the sorted-neighborhood match
+    graph — the step after `snm_candidate_pairs` that turns pairwise
+    matches into ENTITIES (Hernández-Stolfo §4: matches are
+    transitive-closed, then each component merges into one canonical
+    record): connected components over the lev-gated pair edges, one
+    output row per multi-name cluster with the SURVIVOR record
+    (canonical name = lexicographically-first member — equivalently
+    the min spine rank, the same min-member-id rule as
+    `dedup_clusters`) and the merged part count.
+
+    Scale shape: the spine rank doubles as the integer node id, so
+    the component kernel is the SHARED `connected_components`
+    machinery (label-prop default; large-star/small-star under
+    `profile="scale"` — O(log²) rounds on adversarial chain shapes);
+    the edge list is SNM-bounded (≤ |spine|·window before the lev
+    gate) and checkpointed once; membership maps back to names by ONE
+    rank equi-join; the final rollup is cluster-count sized.
+    Singleton names (no match edge) are omitted — the pair list's
+    contract, same as `neardup_clusters`.
+
+    Output: (canonical_name, n_names, n_parts) — BIGINT counts;
+    `n_names ≥ 2` by construction.
+    """
+    ranked = _snm_ranked_spine(part, profile)
+    pairs = _snm_pairs(ranked, window, max_dist).select(
+        F.col("rk_a").cast("long").alias("d1"),
+        F.col("rk_b").cast("long").alias("d2"),
+    )
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).localCheckpoint(eager=False)
+    kernel = "star" if profile == "scale" else "label-prop"
+    comp = connected_components(edges, kernel=kernel)
+    members = comp.join(
+        ranked.select(
+            F.col("rk").cast("long").alias("node"),
+            "p_name",
+            "n_parts",
+        ),
+        "node",
+    )
+    return members.groupBy("lbl").agg(
+        F.min("p_name").alias("canonical_name"),
+        F.count(F.lit(1)).cast("long").alias("n_names"),
+        F.sum("n_parts").cast("long").alias("n_parts"),
+    ).select("canonical_name", "n_names", "n_parts")

@@ -1260,3 +1260,38 @@ def test_chi2_independent_and_dependent_grids(spark):
     )
     r2 = relational.segment_priority_chi2(orders2, customer2).collect()[0]
     assert (r2["chi2"], r2["cramers_v"]) == (4.0, 1.0)
+
+
+def test_snm_entity_clusters_transitive_closure(spark):
+    from scholar_stream_spark.operators import dedup
+
+    # edges at max_dist=1: aaaa-aaab, aaab-aabb; aaaa-aabb (lev 2) is
+    # NOT an edge — the cluster still merges all three transitively.
+    # zzzz has no edge: singleton, omitted.
+    names = ["aaaa", "aaaa", "aaab", "aabb", "zzzz"]
+    rows = dedup.snm_entity_clusters(
+        _parts_df(spark, names), window=2, max_dist=1
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["canonical_name"], r["n_names"], r["n_parts"]) == (
+        "aaaa", 3, 4,
+    )
+
+
+def test_snm_entity_clusters_scale_profile_identical(spark):
+    """scale profile = ranked_by_range spine + star CC kernel —
+    identical clusters."""
+    from scholar_stream_spark.operators import dedup
+
+    part = spark.read.parquet(f"{SF_SMALL}/part.parquet")
+    oracle = sorted(
+        map(tuple, dedup.snm_entity_clusters(part).collect())
+    )
+    scale = sorted(
+        map(
+            tuple,
+            dedup.snm_entity_clusters(part, profile="scale").collect(),
+        )
+    )
+    assert oracle == scale and len(oracle) > 0
