@@ -2375,9 +2375,12 @@ def pmi_cooccurrence(
     slice leg per offset d = 1..window, the `ngram_diversity`
     outside-the-lambda CSE discipline — no positional self-join, no
     band join) and explode once; two map-side-combined counts (pair,
-    unigram); the two totals are 1-row aggregates broadcast-crossed
-    (the fleet's bounded-crossJoin idiom); scoring joins the
-    ≤|vocab²| gated pair table to the ≤|vocab| unigram table twice.
+    unigram), each CHECKPOINTED because each feeds 2+ consumers
+    (totals + scoring joins — without it the corpus re-explodes per
+    consumer: 5 text scans instead of 2, measured in `.explain`); the
+    two totals are 1-row aggregates broadcast-crossed (the fleet's
+    bounded-crossJoin idiom); scoring joins the ≤|vocab²| gated pair
+    table to the ≤|vocab| unigram table twice.
 
     Output: (w_a, w_b, pair_count, count_a, count_b, pmi round-4),
     gated ``pair_count ≥ min_count``.
@@ -2400,14 +2403,21 @@ def pmi_cooccurrence(
     ) + ")"
     base = documents.select("text")
     pairs = base.select(F.explode(F.expr(pair_arr)).alias("pair"))
-    pair_counts = pairs.groupBy("pair").agg(
-        F.count(F.lit(1)).cast("long").alias("pair_count")
+    # each rollup feeds TWO+ consumers (totals + scoring joins) —
+    # checkpoint so the corpus is exploded once per rollup, not once
+    # per consumer (5 text scans → 2; the materialized state is
+    # vocabulary-sized, the fk_integrity_report trade)
+    pair_counts = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .localCheckpoint(eager=False)
     )
     unigrams = (
         base.select(F.explode(F.expr(ws)).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     n_tok = unigrams.agg(
         F.sum("cnt").cast("double").alias("_n_tok")
