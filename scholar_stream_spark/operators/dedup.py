@@ -2942,11 +2942,16 @@ def _snm_ranked_spine(part: DataFrame, profile: str) -> DataFrame:
             ranked_by_range,
         )
 
-        return ranked_by_range(spine, [], ["p_name"], rank_col="rk")
-    w = Window.orderBy("p_name")
-    return spine.select(
-        "p_name", "n_parts", F.row_number().over(w).alias("rk")
-    )
+        ranked = ranked_by_range(spine, [], ["p_name"], rank_col="rk")
+    else:
+        w = Window.orderBy("p_name")
+        ranked = spine.select(
+            "p_name", "n_parts", F.row_number().over(w).alias("rk")
+        )
+    # 2-3 consumers (pair join's two sides; the clusters' member
+    # map-back) — checkpoint the spine-sized rank table so the
+    # corpus groupBy(+rank) runs once, not per consumer
+    return ranked.localCheckpoint(eager=False)
 
 
 def _snm_pairs(

@@ -4168,6 +4168,9 @@ def segment_priority_chi2(
             F.col("o_orderpriority").alias("priority"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+        # four consumers (margins ×2, totals, terms) — checkpoint the
+        # ≤r·c-row grid so the fact join+aggregate runs ONCE, not 4×
+        .localCheckpoint(eager=False)
     )
     row_tot = grid.groupBy("segment").agg(
         F.sum("obs").cast("long").alias("row_tot")

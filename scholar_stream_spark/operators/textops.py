@@ -2238,9 +2238,10 @@ def vocab_growth(
 
     Scale shape: ONE text scan → bigram explode (term-level output,
     unavoidable) → the only corpus-keyed exchange is the
-    ``groupBy(gram).min(bucket)`` first-occurrence rollup (map-side
-    combined, ≤ |vocab| rows out); per-bucket token counts ride the
-    same explode. Cumulative sums run on the ≤``n_buckets``-row grid
+    ``groupBy(bucket, gram)`` count rollup (map-side combined,
+    ≤ |vocab|·n_buckets rows out, CHECKPOINTED — first-occurrence
+    mins and occurrence sums both read it, so the explode runs once,
+    not per consumer). Cumulative sums run on the ≤``n_buckets``-row grid
     (single-task Window over an aggregate — plan-audit bounded).
     ``profile="oracle"`` ranks docs on a single-total-order window;
     ``profile="scale"`` swaps to ``ranked_by_range`` (range shuffle +
@@ -2290,12 +2291,23 @@ def vocab_growth(
     grams = bucketed.select(
         "bucket", F.explode(F.expr(grams_expr)).alias("gram")
     )
-    firsts = grams.groupBy("gram").agg(F.min("bucket").alias("bucket"))
+    # ONE corpus-keyed exchange serves both rollups: the (bucket,
+    # gram) count table is ≤|vocab|·n_buckets rows (bounded), so it
+    # checkpoints cheaply and new-type mins + occurrence sums both
+    # read it — without this the explode re-runs per consumer
+    per_bucket_gram = (
+        grams.groupBy("bucket", "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    firsts = per_bucket_gram.groupBy("gram").agg(
+        F.min("bucket").alias("bucket")
+    )
     newt = firsts.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("new_types")
     )
-    occ = grams.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("bucket_grams")
+    occ = per_bucket_gram.groupBy("bucket").agg(
+        F.sum("_c").cast("long").alias("bucket_grams")
     )
     docs = bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
