@@ -1633,6 +1633,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_entity_clusters": lambda s, d: dedup.snm_entity_clusters(
             _t(s, d, "part")
         ),
+        # per-doc char-level Shannon entropy (repeated-junk LOW /
+        # base64-blob HIGH quality gate)
+        "char_entropy": lambda s, d: textops.char_entropy(
+            _t(s, d, "documents")
+        ),
         # PMI over sliding-window co-occurrence (the SGNS/GloVe
         # association statistic; Church-Hanks collocations)
         "pmi_cooccurrence": lambda s, d: textops.pmi_cooccurrence(
@@ -5337,6 +5342,27 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                             * CAST(least(_r - 1, _c - 1) AS DOUBLE)))
                        END, 6) AS cramers_v
             FROM folded
+        """,
+        "char_entropy": """
+            WITH chars AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '(?s).')) AS ch
+                FROM documents
+            ), h AS (
+                SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+                FROM chars GROUP BY 1, 2
+            ), lens AS (
+                SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+                FROM documents
+            )
+            SELECT h.doc_id, n_chars,
+                   round(SUM(-(CAST(c AS DOUBLE)
+                               / CAST(n_chars AS DOUBLE))
+                             * ln(CAST(c AS DOUBLE)
+                                  / CAST(n_chars AS DOUBLE))), 4)
+                       AS entropy
+            FROM h JOIN lens ON h.doc_id = lens.doc_id
+            GROUP BY 1, 2
         """,
         "pmi_cooccurrence": f"""
             WITH t AS (

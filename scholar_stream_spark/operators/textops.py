@@ -2473,3 +2473,59 @@ def pmi_cooccurrence(
             4,
         ).alias("pmi"),
     )
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the
+    quality gate that catches what length/stopword ratios can't:
+    repeated-character junk and template spam score LOW (one symbol
+    dominates), while base64/binary-in-text blobs score HIGH (flat
+    distribution near ln|charset|); both tails get routed out before
+    the token gates. The per-doc companion to `char_class_profile`'s
+    per-source class fractions.
+
+    Engine parity: the char histogram is exact integers (chars via
+    ``regexp_extract_all(text, '(?s).')`` — identical in Java regex
+    and RE2; ``n`` is the column-pruned ``length(text)``, no second
+    text pass); each ``−(c/n)·ln(c/n)`` term is the identical DOUBLE
+    literal of exact operands, and the per-doc sum runs over a
+    charset-BOUNDED group (≤ ~100 terms — `bigram_logprob`'s
+    float-reduce precedent, round 4).
+
+    Scale shape: one text scan → char explode → ONE map-side-combined
+    (doc, char) count (the only corpus-keyed exchange, ≤ charset rows
+    per doc out), hash-joined to the thin per-doc length projection,
+    one per-doc reduce. Docs with no characters are omitted (the
+    empty-histogram contract, as the LM ops).
+
+    Output: (doc_id, n_chars, entropy round-4).
+    """
+    h = (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(text, '(?s).', 0)")
+            ).alias("ch"),
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    lens = documents.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    return (
+        h.join(lens, "doc_id")
+        .groupBy("doc_id", "n_chars")
+        .agg(
+            F.round(
+                F.sum(
+                    F.expr(
+                        "-(CAST(c AS DOUBLE) / CAST(n_chars AS DOUBLE))"
+                        " * ln(CAST(c AS DOUBLE)"
+                        " / CAST(n_chars AS DOUBLE))"
+                    )
+                ),
+                4,
+            ).alias("entropy")
+        )
+    )

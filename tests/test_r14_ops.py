@@ -1295,3 +1295,22 @@ def test_snm_entity_clusters_scale_profile_identical(spark):
         )
     )
     assert oracle == scale and len(oracle) > 0
+
+
+def test_char_entropy_hand_counted(spark):
+    import math
+    from scholar_stream_spark.operators import textops
+
+    # "aaaa": one symbol -> entropy 0; "abab": two equiprobable ->
+    # ln 2; "ab\ncd" exercises (?s). across the newline (5 distinct
+    # chars of 5 -> ln 5); "" omitted (no chars)
+    docs = _docs_df(spark, ["aaaa", "abab", "ab\ncd", ""])
+    rows = {
+        r["doc_id"]: r for r in textops.char_entropy(docs).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert (rows[0]["n_chars"], rows[0]["entropy"]) == (4, 0.0)
+    assert rows[1]["entropy"] == round(math.log(2), 4)
+    assert (rows[2]["n_chars"], rows[2]["entropy"]) == (
+        5, round(math.log(5), 4),
+    )
