@@ -2924,9 +2924,22 @@ def snm_candidate_pairs(
     BIGINT. Row count ≤ |spine|·window, in practice the lev-gated
     subset (~15% here).
     """
+    _snm_validate(window, max_dist)
     return _snm_pairs(
         _snm_ranked_spine(part, profile), window, max_dist
     ).select("name_a", "name_b", "lev", "parts_a", "parts_b")
+
+
+def _snm_validate(window: int, max_dist: int) -> None:
+    # sequence(rk+1, rk+window) would silently generate a DESCENDING
+    # range for window < 1 (Spark's sequence reverses) — refuse loudly
+    if window < 1:
+        raise ValueError(f"snm: window must be >= 1, got {window}")
+    if max_dist < 1:
+        raise ValueError(
+            f"snm: max_dist must be >= 1 (0 is the exact-dup case, "
+            f"already collapsed into the spine), got {max_dist}"
+        )
 
 
 def _snm_ranked_spine(part: DataFrame, profile: str) -> DataFrame:
@@ -3015,6 +3028,7 @@ def snm_entity_clusters(
     Output: (canonical_name, n_names, n_parts) — BIGINT counts;
     `n_names ≥ 2` by construction.
     """
+    _snm_validate(window, max_dist)
     ranked = _snm_ranked_spine(part, profile)
     pairs = _snm_pairs(ranked, window, max_dist).select(
         F.col("rk_a").cast("long").alias("d1"),

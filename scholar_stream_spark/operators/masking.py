@@ -78,6 +78,13 @@ def k_anonymity_audit(
     """
     from pyspark.sql import functions as F
 
+    if k < 1:
+        raise ValueError(f"k_anonymity: k must be >= 1, got {k}")
+    if bal_band <= 0:
+        # the generalization divide would be /0 -> inf bands
+        raise ValueError(
+            f"k_anonymity: bal_band must be > 0, got {bal_band}"
+        )
     classes = customer.groupBy(
         "c_nationkey",
         "c_mktsegment",

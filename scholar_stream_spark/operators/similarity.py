@@ -2907,6 +2907,12 @@ def mmr_topk(
     rank-1 seed scores ``λ·relevance`` (the empty-set max-sim term is
     0, so the seed is the pure-relevance argmax).
     """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"mmr: lambda must be in [0, 1], got {lam}")
+    if shortlist < k:
+        raise ValueError(
+            f"mmr: shortlist ({shortlist}) must be >= k ({k})"
+        )
     # the cosine_topk plan, but keeping cos_sim_raw: the greedy loop's
     # λ=1 degenerate case must reproduce the exact window order
     # (raw desc, id asc) — the ROUNDED display value would collapse

@@ -2252,6 +2252,10 @@ def vocab_growth(
     cum_grams, type_token_ratio) — counts BIGINT exact, ttr one IEEE
     division of exact integers, round 6, NULL for a gram-free prefix.
     """
+    if n_buckets < 1:
+        raise ValueError(
+            f"vocab_growth: n_buckets must be >= 1, got {n_buckets}"
+        )
     base = documents.select("doc_id", "text")
     if profile == "scale":
         from scholar_stream_spark.operators.relational import (
@@ -2397,6 +2401,8 @@ def pmi_cooccurrence(
     Output: (w_a, w_b, pair_count, count_a, count_b, pmi round-4),
     gated ``pair_count ≥ min_count``.
     """
+    if window < 1:
+        raise ValueError(f"pmi: window must be >= 1, got {window}")
     ws = "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"
 
     def leg(d: int) -> str:

@@ -1314,3 +1314,36 @@ def test_char_entropy_hand_counted(spark):
     assert (rows[2]["n_chars"], rows[2]["entropy"]) == (
         5, round(math.log(5), 4),
     )
+
+
+def test_r14_ops_reject_degenerate_params(spark):
+    from scholar_stream_spark.operators import (
+        dedup, masking, similarity, textops,
+    )
+
+    part = _parts_df(spark, ["a"])
+    docs = _docs_df(spark, ["a b"])
+    cust = spark.createDataFrame(
+        [(1, "n", 1, 0.0, "A")],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="window must be >= 1"):
+        dedup.snm_candidate_pairs(part, window=0)
+    with pytest.raises(ValueError, match="max_dist must be >= 1"):
+        dedup.snm_entity_clusters(part, max_dist=0)
+    with pytest.raises(ValueError, match="window must be >= 1"):
+        textops.pmi_cooccurrence(docs, window=0)
+    with pytest.raises(ValueError, match="n_buckets must be >= 1"):
+        textops.vocab_growth(docs, n_buckets=0)
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        masking.k_anonymity_audit(cust, k=0)
+    with pytest.raises(ValueError, match="bal_band must be > 0"):
+        masking.k_anonymity_audit(cust, bal_band=0)
+    with pytest.raises(ValueError, match="lambda must be in"):
+        similarity.mmr_topk(emb, lam=1.5)
+    with pytest.raises(ValueError, match="shortlist"):
+        similarity.mmr_topk(emb, k=10, shortlist=5)
