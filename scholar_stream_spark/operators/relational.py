@@ -3563,18 +3563,52 @@ def prefix_sum_by_range(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=False)  # sums pass + cum pass share it
     )
-    part_sums = {
-        r["_pid"]: (r["s"] if r["s"] is not None else zero)
-        for r in base.groupBy("_pid")
-        .agg(F.sum(value_col).alias("s"))
+    # the offsets pass sums at DECIMAL(38, scale) regardless of the
+    # value dtype: with ANSI off, Spark's BIGINT SUM silently WRAPS
+    # on overflow — a partition of three −2⁶² values summed to +2⁶²
+    # (caught by the hypothesis guard-boundary test), corrupting
+    # every downstream offset even though each PREFIX fits int64
+    # (a partition sum is a difference of two prefixes, so it can
+    # exceed the int64 range the prefixes themselves honor). The
+    # 38-digit sum cannot wrap; it returns NULL on true overflow,
+    # which the count disambiguates from the all-NULL partition.
+    is_decimal = dtype.startswith("decimal")
+    sum_expr = F.sum(
+        F.col(value_col).cast(
+            f"decimal(38,{scale})" if is_decimal else "decimal(38,0)"
+        )
+    )
+    sums_rows = (
+        base.groupBy("_pid")
+        .agg(sum_expr.alias("s"), F.count(value_col).alias("c"))
         .collect()
-    }
+    )
+    part_sums: dict = {}
+    for r in sums_rows:
+        if r["s"] is None and r["c"] > 0:
+            raise ValueError(
+                "prefix_sum_by_range: a partition sum overflowed "
+                "DECIMAL(38) — the cumsum is not representable"
+            )
+        s = zero if r["s"] is None else r["s"]
+        part_sums[r["_pid"]] = s if is_decimal else int(s)
     offsets: dict = {}
     acc = zero
     for pid in sorted(part_sums):  # range partitions are id-ordered
         offsets[pid] = acc
         acc += part_sums[pid]
     total = acc
+    if not is_decimal:
+        # the OUTPUT column is bigint: every emitted prefix must fit.
+        # Boundary prefixes (offsets, total) are checked here; the
+        # kernel checks interior prefixes as it emits them.
+        for v in [total, *offsets.values()]:
+            if not -(2**63) <= v < 2**63:
+                raise ValueError(
+                    f"prefix_sum_by_range: cumulative sum {v} exceeds "
+                    f"the BIGINT output range — cast {value_col} to "
+                    f"decimal first"
+                )
 
     out_fields = [f"{fld.name} {fld.dataType.simpleString()}"
                   for fld in df.schema.fields]
@@ -3641,6 +3675,17 @@ def prefix_sum_by_range(
                             f"the column to decimal first"
                         )
                     running = running + int(v)
+                    if not -(2**63) <= running < 2**63:
+                        # interior prefix left the bigint output range
+                        # (boundary prefixes are driver-checked) — an
+                        # unguarded list would reach Arrow as
+                        # uint64/object and fail cryptically there
+                        raise ValueError(
+                            f"prefix_sum_by_range: cumulative sum "
+                            f"{running} exceeds the BIGINT output "
+                            f"range — cast {value_col} to decimal "
+                            f"first"
+                        )
                 else:
                     running = running + v
                 cums.append(running)

@@ -1347,3 +1347,52 @@ def test_r14_ops_reject_degenerate_params(spark):
         similarity.mmr_topk(emb, lam=1.5)
     with pytest.raises(ValueError, match="shortlist"):
         similarity.mmr_topk(emb, k=10, shortlist=5)
+
+
+# ---------------------------------------------------------------
+# prefix_sum_by_range: partition-sum wrap regression (found by the
+# hypothesis guard-boundary test mid-r14): Spark's BIGINT SUM wraps
+# silently with ANSI off, so a partition of three -2^62 values
+# summed to +2^62 and corrupted every downstream offset, even though
+# every PREFIX fits int64
+# ---------------------------------------------------------------
+
+def test_prefix_sum_partition_sum_wrap_regression(spark):
+    from pyspark.sql import functions as F
+    from scholar_stream_spark.operators.relational import (
+        prefix_sum_by_range,
+    )
+
+    q = 4611686018427387904  # 2^62
+    vals = [0, 0, q, -q, -q, -q]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = {
+        r["id"]: (r["cum"], r["tot"])
+        for r in prefix_sum_by_range(
+            df, [F.desc("v"), F.asc("id")], "v",
+            cum_col="cum", total_col="tot", n_parts=2,
+        ).collect()
+    }
+    # order (v desc, id): id2, id0, id1, id3, id4, id5
+    assert got == {
+        2: (q, -2 * q), 0: (q, -2 * q), 1: (q, -2 * q),
+        3: (0, -2 * q), 4: (-q, -2 * q), 5: (-2 * q, -2 * q),
+    }
+
+
+def test_prefix_sum_out_of_bigint_range_raises(spark):
+    from pyspark.sql import functions as F
+    from scholar_stream_spark.operators.relational import (
+        prefix_sum_by_range,
+    )
+
+    q = 4611686018427387904  # 2^62: prefix 3q exceeds int64
+    df = spark.createDataFrame(
+        [(i, q) for i in range(3)], "id long, v long"
+    )
+    with pytest.raises(ValueError, match="BIGINT output range"):
+        prefix_sum_by_range(
+            df, [F.asc("id")], "v", cum_col="cum", n_parts=2
+        ).collect()
