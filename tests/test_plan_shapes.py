@@ -283,3 +283,100 @@ def test_large_orders_aggregates_before_joining(spark):
         if p >= 0
     )
     assert agg_pos > join_pos, "aggregate must sit below the joins"
+
+
+# ---------------------------------------------------------------
+# r14 second batch: checkpoint-sharing and pruning pins
+# ---------------------------------------------------------------
+
+def test_pmi_consumer_reads_only_checkpointed_rollups(spark):
+    """The scoring joins must read the two checkpointed count tables,
+    never re-explode the corpus: zero parquet scans and zero Generate
+    nodes in the consumer plan (the explodes live inside the one-shot
+    checkpoint computations), no sort-merge join."""
+    plan = _plan(spark, "pmi_cooccurrence")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Generate" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_chi2_consumer_reads_only_checkpointed_grid(spark):
+    """Margins, totals, and terms must all read the ONE checkpointed
+    contingency grid — a consumer-plan parquet scan would mean the
+    fact join re-runs per consumer."""
+    plan = _plan(spark, "segment_priority_chi2")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_snm_reads_spine_checkpoint_and_equijoins(spark):
+    """Both SNM entries must read the checkpointed spine (no corpus
+    re-aggregate per consumer) and pair via an EQUI-join on the
+    exploded probe rank — never a range/nested-loop join."""
+    for name in ("snm_candidate_pairs", "snm_entity_clusters"):
+        plan = _plan(spark, name)
+        assert plan.count("Scan parquet") == 0, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "NestedLoop" not in plan, (name, plan)
+
+
+def test_vocab_growth_consumer_no_reexplode(spark):
+    """The curve's grid joins must read the checkpointed (bucket,
+    gram) rollup — zero Generate in the consumer plan proves the
+    bigram explode ran once."""
+    plan = _plan(spark, "vocab_growth")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Generate" not in plan, plan
+
+
+def test_revenue_nation_ops_prune_and_broadcast(spark):
+    """Both per-nation revenue entries: the orders scan reads exactly
+    (o_custkey, o_orderdate, o_totalprice) and the 25-row nation dim
+    is broadcast."""
+    for name in ("revenue_growth_by_nation", "revenue_trend_by_nation"):
+        plan = _plan(spark, name)
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+        orders_schema = [s for s in schemas if "o_custkey" in s]
+        assert orders_schema, (name, schemas)
+        cols = {c.split(":")[0] for c in orders_schema[0].split(",")}
+        assert cols == {"o_custkey", "o_orderdate", "o_totalprice"}, (
+            name, cols,
+        )
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_mmr_shortlist_gets_window_group_limit(spark):
+    """The per-query shortlist rank filter must compile to Spark's
+    WindowGroupLimit pushdown (partial top-k before the exchange) —
+    losing it would full-sort every query's candidate list; and the
+    embedding scans must prune to (vec_id, embedding)."""
+    plan = _plan(spark, "mmr_topk")
+    assert "WindowGroupLimit" in plan, plan
+    for s in re.findall(r"ReadSchema: struct<([^>]*)", plan):
+        assert s.startswith("vec_id:bigint,embedding:array"), s
+
+
+def test_k_anonymity_prunes_to_quasi_identifiers(spark):
+    """The audit must read ONLY the three quasi-identifier columns —
+    dragging c_name through a 100 TB scan would be pure waste — and
+    aggregate map-side (two HashAggregate pairs, no join)."""
+    plan = _plan(spark, "k_anonymity_audit")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    cols = {c.split(":")[0] for c in schemas[0].split(",")}
+    assert cols == {"c_nationkey", "c_acctbal", "c_mktsegment"}, cols
+    assert plan.count("HashAggregate") == 4, plan
+    assert "Join" not in plan, plan
+
+
+def test_char_entropy_length_leg_shares_pruned_scan(spark):
+    """Two scans only — the (doc, char) explode and the thin length
+    projection — both pruned to (doc_id, text); the join must stay a
+    hash join on doc_id."""
+    plan = _plan(spark, "char_entropy")
+    assert plan.count("Scan parquet") == 2, plan
+    for s in re.findall(r"ReadSchema: struct<([^>]*)", plan):
+        assert {c.split(":")[0] for c in s.split(",")} == {
+            "doc_id", "text",
+        }, s
+    assert "SortMergeJoin" not in plan, plan
