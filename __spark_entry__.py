@@ -1649,6 +1649,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_audit": lambda s, d: masking.k_anonymity_audit(
             _t(s, d, "customer")
         ),
+        # l-diversity histogram: distinct-sensitive-value counts per
+        # QI class (the homogeneity attack k-anonymity misses)
+        "l_diversity_audit": lambda s, d: masking.l_diversity_audit(
+            _t(s, d, "customer")
+        ),
         # Heaps'-law bigram vocabulary-growth curve by corpus decile
         # (the unseen-vocabulary signal read before freezing a vocab).
         # Default profile is the SCALE form: the decile assignment
@@ -5425,6 +5430,26 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                    CAST(SUM(group_size) AS BIGINT) AS n_customers,
                    group_size < {masking.K_ANON_K} AS at_risk
             FROM classes GROUP BY group_size
+        """,
+        "l_diversity_audit": f"""
+            WITH cells AS (
+                SELECT c_nationkey,
+                       floor(c_acctbal / {float(masking.K_ANON_BAL_BAND)})
+                           AS _band,
+                       c_mktsegment,
+                       CAST(count(*) AS BIGINT) AS _m
+                FROM customer GROUP BY 1, 2, 3
+            ), classes AS (
+                SELECT c_nationkey, _band,
+                       CAST(count(*) AS BIGINT) AS l_distinct,
+                       CAST(SUM(_m) AS BIGINT) AS _size
+                FROM cells GROUP BY 1, 2
+            )
+            SELECT l_distinct,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(SUM(_size) AS BIGINT) AS n_customers,
+                   l_distinct < {masking.L_DIVERSITY_L} AS at_risk
+            FROM classes GROUP BY l_distinct
         """,
         "snm_candidate_pairs": f"""
             WITH spine AS (

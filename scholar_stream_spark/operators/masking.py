@@ -105,3 +105,70 @@ def k_anonymity_audit(
             (F.col("group_size") < k).alias("at_risk"),
         )
     )
+
+
+#: Distinct-sensitive-value floor: a class where every member shares
+#: one market segment leaks the segment by membership alone.
+L_DIVERSITY_L = 2
+
+
+def l_diversity_audit(
+    customer: DataFrame,
+    l_floor: int = L_DIVERSITY_L,
+    bal_band: int = K_ANON_BAL_BAND,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the attack
+    k-anonymity misses: a quasi-identifier class can be large (k-safe)
+    while every member shares the SAME sensitive value, so membership
+    alone discloses it (the homogeneity attack). Quasi-identifiers
+    here are (nation, balance band) — the `k_anonymity_audit` grid
+    MINUS the sensitive attribute — and the sensitive value is the
+    market segment.
+
+    Same disclosure-safe shape as the k audit: the distribution of
+    per-class distinct-sensitive counts, not the classes themselves —
+    per distinct l: classes, customers, at-risk flag (``l <
+    l_floor``). ``sum(n_customers)`` partitions the population.
+
+    Scale shape: the distinct-sensitive count and the class size come
+    from ONE two-level aggregate (customer → distinct (QI, segment)
+    grid with member counts → per-class rollup), then the ≤max-l
+    histogram — three map-side-combined exchanges, no window, no
+    join. NULL balances and NULL segments each group as their own
+    value (the attacker sees NULL too). Output: (l_distinct,
+    n_classes, n_customers, at_risk), exact integers.
+    """
+    from pyspark.sql import functions as F
+
+    if l_floor < 1:
+        raise ValueError(
+            f"l_diversity: l_floor must be >= 1, got {l_floor}"
+        )
+    if bal_band <= 0:
+        raise ValueError(
+            f"l_diversity: bal_band must be > 0, got {bal_band}"
+        )
+    cells = customer.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(float(bal_band))).alias(
+            "_band"
+        ),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).cast("long").alias("_m"))
+    classes = cells.groupBy("c_nationkey", "_band").agg(
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        F.sum("_m").cast("long").alias("_size"),
+    )
+    return (
+        classes.groupBy("l_distinct")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("_size").cast("long").alias("n_customers"),
+        )
+        .select(
+            "l_distinct",
+            "n_classes",
+            "n_customers",
+            (F.col("l_distinct") < l_floor).alias("at_risk"),
+        )
+    )

@@ -1396,3 +1396,30 @@ def test_prefix_sum_out_of_bigint_range_raises(spark):
         prefix_sum_by_range(
             df, [F.asc("id")], "v", cum_col="cum", n_parts=2
         ).collect()
+
+
+def test_l_diversity_homogeneous_class_at_risk(spark):
+    from scholar_stream_spark.operators import masking
+
+    cust = spark.createDataFrame(
+        # class (1, band 0): 3 members, ALL segment A -> l=1, k-safe
+        # at k=3 but homogeneity-leaking; class (2, band 0): 2 members
+        # across A and B -> l=2, safe
+        [
+            (1, "n", 1, 100.0, "A"),
+            (2, "n", 1, 200.0, "A"),
+            (3, "n", 1, 300.0, "A"),
+            (4, "n", 2, 100.0, "A"),
+            (5, "n", 2, 200.0, "B"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    rows = {
+        r["l_distinct"]: r
+        for r in masking.l_diversity_audit(cust).collect()
+    }
+    assert (rows[1]["n_classes"], rows[1]["n_customers"]) == (1, 3)
+    assert rows[1]["at_risk"] is True
+    assert (rows[2]["n_classes"], rows[2]["at_risk"]) == (1, False)
+    assert sum(r["n_customers"] for r in rows.values()) == 5
