@@ -536,7 +536,8 @@ PROFILE_COLS = (
 #: oracle-backed entries (i.e. new ops) lead, then entries ascending
 #: by the last round they were driver-green, ties alphabetical. This
 #: keeps the full oracle-backed cycle at ≤ ceil(n_oracle/50) windows
-#: mechanically (176 entries in r14 ⇒ ≤ 4), with no hand-curated tuple
+#: mechanically (187 entries after the r14 additions ⇒ ≤ 4), with no
+#: hand-curated tuple
 #: to go stale (the
 #: r12 verdict found 65 entries 3–4 windows old under manual
 #: rotation). Rows-only entries still sit contiguously at the tail
