@@ -536,7 +536,7 @@ PROFILE_COLS = (
 #: oracle-backed entries (i.e. new ops) lead, then entries ascending
 #: by the last round they were driver-green, ties alphabetical. This
 #: keeps the full oracle-backed cycle at ≤ ceil(n_oracle/50) windows
-#: mechanically (187 entries after the r14 additions ⇒ ≤ 4), with no
+#: mechanically (186 entries after the r14 additions ⇒ ≤ 4), with no
 #: hand-curated tuple
 #: to go stale (the
 #: r12 verdict found 65 entries 3–4 windows old under manual
@@ -5325,11 +5325,13 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                 FROM grid
             ), terms AS (
                 SELECT n_orders, _r, _c,
-                       (CAST(obs * n_orders - row_tot * col_tot AS DOUBLE)
-                        * CAST(obs * n_orders - row_tot * col_tot AS DOUBLE))
+                       (CAST(obs AS DOUBLE) * CAST(n_orders AS DOUBLE)
+                        - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))
+                       * (CAST(obs AS DOUBLE) * CAST(n_orders AS DOUBLE)
+                        - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))
                        / (CAST(n_orders AS DOUBLE)
-                        * CAST(row_tot * col_tot AS DOUBLE))
-                       - CAST(row_tot * col_tot AS DOUBLE)
+                        * (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)))
+                       - (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))
                        / CAST(n_orders AS DOUBLE) AS _term
                 FROM grid
                 JOIN row_tot USING (segment)
@@ -5357,18 +5359,18 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             ), h AS (
                 SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
                 FROM chars GROUP BY 1, 2
-            ), lens AS (
-                SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
-                FROM documents
+            ), per_doc AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_chars,
+                       SUM(CAST(c AS DOUBLE)
+                           * ln(CAST(c AS DOUBLE))) AS _clnc
+                FROM h GROUP BY 1
             )
-            SELECT h.doc_id, n_chars,
-                   round(SUM(-(CAST(c AS DOUBLE)
-                               / CAST(n_chars AS DOUBLE))
-                             * ln(CAST(c AS DOUBLE)
-                                  / CAST(n_chars AS DOUBLE))), 4)
+            SELECT doc_id, n_chars,
+                   round(ln(CAST(n_chars AS DOUBLE))
+                         - _clnc / CAST(n_chars AS DOUBLE), 4)
                        AS entropy
-            FROM h JOIN lens ON h.doc_id = lens.doc_id
-            GROUP BY 1, 2
+            FROM per_doc
         """,
         "pmi_cooccurrence": f"""
             WITH t AS (

@@ -3017,8 +3017,11 @@ def snm_entity_clusters(
 
     Scale shape: the spine rank doubles as the integer node id, so
     the component kernel is the SHARED `connected_components`
-    machinery (label-prop default; large-star/small-star under
-    `profile="scale"` — O(log²) rounds on adversarial chain shapes);
+    machinery — ALWAYS the large/small-star kernel (O(log²) rounds on
+    ANY diameter), both profiles: SNM edit-distance chains are
+    precisely the long-diameter shape where bounded-round label
+    propagation would return silently unconverged labels and split an
+    entity, so `profile` governs only the spine ranking;
     the edge list is SNM-bounded (≤ |spine|·window before the lev
     gate) and checkpointed once; membership maps back to names by ONE
     rank equi-join; the final rollup is cluster-count sized.
@@ -3037,8 +3040,13 @@ def snm_entity_clusters(
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).localCheckpoint(eager=False)
-    kernel = "star" if profile == "scale" else "label-prop"
-    comp = connected_components(edges, kernel=kernel)
+    # ALWAYS the large/small-star kernel, both profiles: SNM edit-
+    # distance chains are exactly the long-diameter shape label-prop
+    # is not built for (a chain of >max_iter names one edit apart
+    # would return silently UNCONVERGED labels, splitting one entity
+    # — a review finding); star converges in O(log²) rounds on any
+    # diameter, so the profile switch governs only the spine ranking.
+    comp = connected_components(edges, kernel="star")
     members = comp.join(
         ranked.select(
             F.col("rk").cast("long").alias("node"),

@@ -4019,6 +4019,32 @@ def segment_migration(
     )
 
 
+def _orders_with_nation(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Shared stage 1 of the per-nation revenue family
+    (`revenue_growth_by_nation` / `revenue_trend_by_nation`): the
+    fact table joined key-to-key to customer with the 25-row nation
+    dim broadcast, pruned to (nation, o_orderdate, o_totalprice) —
+    one definition so the join shape and pruning cannot drift between
+    the siblings (a review finding: three hand-copied joins)."""
+    return (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "o_orderdate",
+            "o_totalprice",
+        )
+    )
+
+
 def revenue_growth_by_nation(
     orders: DataFrame, customer: DataFrame, nation: DataFrame
 ) -> DataFrame:
@@ -4042,16 +4068,9 @@ def revenue_growth_by_nation(
     Output: (nation, month, n_orders, revenue, mom_growth round-6).
     """
     grid = (
-        orders.join(
-            customer.select("c_custkey", "c_nationkey"),
-            orders["o_custkey"] == customer["c_custkey"],
-        )
-        .join(
-            F.broadcast(nation.select("n_nationkey", "n_name")),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        )
+        _orders_with_nation(orders, customer, nation)
         .groupBy(
-            F.col("n_name").alias("nation"),
+            "nation",
             F.date_format("o_orderdate", "yyyy-MM").alias("month"),
         )
         .agg(
@@ -4104,16 +4123,9 @@ def revenue_trend_by_nation(
     Output: (nation, n_months, slope, intercept, r2), round 6.
     """
     grid = (
-        orders.join(
-            customer.select("c_custkey", "c_nationkey"),
-            orders["o_custkey"] == customer["c_custkey"],
-        )
-        .join(
-            F.broadcast(nation.select("n_nationkey", "n_name")),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        )
+        _orders_with_nation(orders, customer, nation)
         .groupBy(
-            F.col("n_name").alias("nation"),
+            "nation",
             (
                 F.year("o_orderdate") * F.lit(12)
                 + F.month("o_orderdate")
@@ -4190,13 +4202,13 @@ def segment_priority_chi2(
     ``χ² = Σ_occ [(obs−exp)²/exp − exp] + N`` — instead of a
     margins cross-join densification; χ² accumulates over the
     ≤|segments|·|priorities| grid — each term the identical DOUBLE
-    literal both engines, and the SUM ordering is made deterministic
-    by summing terms in (segment, priority) key order via exact
-    integer arithmetic first (obs·N − row·col is exact BIGINT; the
-    float division happens per term, then the ≤35-term sum is
-    grouped identically both engines — at this grid size every
-    addition order yields the same double in practice, and the
-    fixture pins it).
+    literal both engines, with every count cast to DOUBLE BEFORE the
+    products (a BIGINT ``obs·N`` wraps silently past ~1.5e10 orders
+    with ANSI off — the `prefix_sum_by_range` wrap class — while the
+    double products are exact through 2⁵³ and round, never wrap,
+    beyond; the ≤35-term sum is grouped identically both engines —
+    at this grid size every addition order yields the same double in
+    practice, and the fixture pins it).
 
     Scale shape: fact → customer key-to-key join → ONE map-side-
     combined exchange to the tiny grid; margins via two grid rollups
@@ -4244,14 +4256,21 @@ def segment_priority_chi2(
             "_r",
             "_c",
             # (obs-exp)^2/exp - exp, with exp = row*col/N:
-            # (obs*N - row*col)^2/(N*row*col) - row*col/N —
-            # numerators exact BIGINT, two double divisions per term
+            # (obs*N - row*col)^2/(N*row*col) - row*col/N. Every
+            # operand is cast to DOUBLE BEFORE multiplying: a BIGINT
+            # obs*N wraps silently past ~1.5e10 orders (ANSI off) —
+            # the prefix_sum_by_range wrap class — while the double
+            # products are exact through 2^53 and merely round, never
+            # wrap, beyond (chi² is a float statistic; the identical
+            # literal keeps both engines bit-equal)
             F.expr(
-                "(CAST(obs * n_orders - row_tot * col_tot AS DOUBLE)"
-                " * CAST(obs * n_orders - row_tot * col_tot AS DOUBLE))"
+                "(CAST(obs AS DOUBLE) * CAST(n_orders AS DOUBLE)"
+                " - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))"
+                " * (CAST(obs AS DOUBLE) * CAST(n_orders AS DOUBLE)"
+                " - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))"
                 " / (CAST(n_orders AS DOUBLE)"
-                " * CAST(row_tot * col_tot AS DOUBLE))"
-                " - CAST(row_tot * col_tot AS DOUBLE)"
+                " * (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)))"
+                " - (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))"
                 " / CAST(n_orders AS DOUBLE)"
             ).alias("_term"),
         )

@@ -2907,6 +2907,8 @@ def mmr_topk(
     rank-1 seed scores ``λ·relevance`` (the empty-set max-sim term is
     0, so the seed is the pure-relevance argmax).
     """
+    if k < 1:
+        raise ValueError(f"mmr: k must be >= 1, got {k}")
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"mmr: lambda must be in [0, 1], got {lam}")
     if shortlist < k:

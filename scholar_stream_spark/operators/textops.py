@@ -2403,6 +2403,12 @@ def pmi_cooccurrence(
     """
     if window < 1:
         raise ValueError(f"pmi: window must be >= 1, got {window}")
+    if min_count < 1:
+        # min_count=0 disables the very gate that keeps the output
+        # from going vocabulary² (the constant's documented purpose)
+        raise ValueError(
+            f"pmi: min_count must be >= 1, got {min_count}"
+        )
     ws = "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"
 
     def leg(d: int) -> str:
@@ -2492,17 +2498,22 @@ def char_entropy(documents: DataFrame) -> DataFrame:
 
     Engine parity: the char histogram is exact integers (chars via
     ``regexp_extract_all(text, '(?s).')`` — identical in Java regex
-    and RE2; ``n`` is the column-pruned ``length(text)``, no second
-    text pass); each ``−(c/n)·ln(c/n)`` term is the identical DOUBLE
-    literal of exact operands, and the per-doc sum runs over a
-    charset-BOUNDED group (≤ ~100 terms — `bigram_logprob`'s
-    float-reduce precedent, round 4).
+    and RE2); the entropy evaluates in the rearranged form
+    ``ln(n) − (Σ c·ln c)/n`` with ``n = Σ c`` taken FROM the
+    histogram itself — algebraically identical to ``−Σ (c/n)ln(c/n)``
+    but needing no separate length column, so the whole op is ONE
+    text scan with no join (a review finding: the original length
+    projection re-read the full text column and hash-joined it back,
+    doubling text I/O against its own docstring claim). Each
+    ``c·ln c`` term is the identical DOUBLE literal of exact
+    operands; the per-doc sums run over charset-BOUNDED groups
+    (≤ ~100 terms — `bigram_logprob`'s float-reduce precedent,
+    round 4).
 
     Scale shape: one text scan → char explode → ONE map-side-combined
     (doc, char) count (the only corpus-keyed exchange, ≤ charset rows
-    per doc out), hash-joined to the thin per-doc length projection,
-    one per-doc reduce. Docs with no characters are omitted (the
-    empty-histogram contract, as the LM ops).
+    per doc out) → per-doc reduce. Docs with no characters are
+    omitted (the empty-histogram contract, as the LM ops).
 
     Output: (doc_id, n_chars, entropy round-4).
     """
@@ -2516,22 +2527,25 @@ def char_entropy(documents: DataFrame) -> DataFrame:
         .groupBy("doc_id", "ch")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    lens = documents.select(
-        "doc_id", F.length("text").cast("long").alias("n_chars")
-    )
     return (
-        h.join(lens, "doc_id")
-        .groupBy("doc_id", "n_chars")
+        h.groupBy("doc_id")
         .agg(
+            F.sum("c").cast("long").alias("n_chars"),
+            F.sum(
+                F.expr(
+                    "CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))"
+                )
+            ).alias("_clnc"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
             F.round(
-                F.sum(
-                    F.expr(
-                        "-(CAST(c AS DOUBLE) / CAST(n_chars AS DOUBLE))"
-                        " * ln(CAST(c AS DOUBLE)"
-                        " / CAST(n_chars AS DOUBLE))"
-                    )
+                F.expr(
+                    "ln(CAST(n_chars AS DOUBLE))"
+                    " - _clnc / CAST(n_chars AS DOUBLE)"
                 ),
                 4,
-            ).alias("entropy")
+            ).alias("entropy"),
         )
     )

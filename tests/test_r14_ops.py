@@ -1347,6 +1347,10 @@ def test_r14_ops_reject_degenerate_params(spark):
         similarity.mmr_topk(emb, lam=1.5)
     with pytest.raises(ValueError, match="shortlist"):
         similarity.mmr_topk(emb, k=10, shortlist=5)
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        similarity.mmr_topk(emb, k=0)
+    with pytest.raises(ValueError, match="min_count must be >= 1"):
+        textops.pmi_cooccurrence(docs, min_count=0)
 
 
 # ---------------------------------------------------------------
