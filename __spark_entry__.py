@@ -1655,6 +1655,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity_audit": lambda s, d: masking.l_diversity_audit(
             _t(s, d, "customer")
         ),
+        # t-closeness histogram: variational distance between each
+        # class's sensitive distribution and the global one (the
+        # skewness attack l-diversity misses)
+        "t_closeness_audit": lambda s, d: masking.t_closeness_audit(
+            _t(s, d, "customer")
+        ),
         # Heaps'-law bigram vocabulary-growth curve by corpus decile
         # (the unseen-vocabulary signal read before freezing a vocab).
         # Default profile is the SCALE form: the decile assignment
@@ -5453,6 +5459,43 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                    CAST(SUM(_size) AS BIGINT) AS n_customers,
                    l_distinct < {masking.L_DIVERSITY_L} AS at_risk
             FROM classes GROUP BY l_distinct
+        """,
+        "t_closeness_audit": f"""
+            WITH cells AS (
+                SELECT c_nationkey,
+                       floor(c_acctbal / {float(masking.K_ANON_BAL_BAND)})
+                           AS _band,
+                       COALESCE(c_mktsegment, '(null)') AS _seg,
+                       CAST(count(*) AS BIGINT) AS _m
+                FROM customer GROUP BY 1, 2, 3
+            ), classes AS (
+                SELECT c_nationkey, _band,
+                       CAST(SUM(_m) AS BIGINT) AS _n_c
+                FROM cells GROUP BY 1, 2
+            ), seg_tot AS (
+                SELECT _seg, CAST(SUM(_m) AS BIGINT) AS _g
+                FROM cells GROUP BY 1
+            ), n_total AS (
+                SELECT CAST(SUM(_m) AS BIGINT) AS _n FROM cells
+            ), per_class AS (
+                SELECT cells.c_nationkey, cells._band, _n_c,
+                       0.5 * (SUM(
+                           abs(CAST(_m AS DOUBLE) / CAST(_n_c AS DOUBLE)
+                               - CAST(_g AS DOUBLE) / CAST(_n AS DOUBLE))
+                           - CAST(_g AS DOUBLE) / CAST(_n AS DOUBLE)
+                       ) + 1.0) AS _t
+                FROM cells
+                JOIN classes ON cells.c_nationkey = classes.c_nationkey
+                           AND cells._band IS NOT DISTINCT FROM classes._band
+                JOIN seg_tot ON cells._seg = seg_tot._seg
+                CROSS JOIN n_total
+                GROUP BY 1, 2, 3
+            )
+            SELECT CAST(floor(_t * 10.0) AS INT) AS t_bucket,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(SUM(_n_c) AS BIGINT) AS n_customers,
+                   _t > {masking.T_CLOSENESS_T!r} AS at_risk
+            FROM per_class GROUP BY 1, 4
         """,
         "snm_candidate_pairs": f"""
             WITH spine AS (

@@ -172,3 +172,124 @@ def l_diversity_audit(
             (F.col("l_distinct") < l_floor).alias("at_risk"),
         )
     )
+
+
+#: Total-variation threshold: a class whose sensitive-value
+#: distribution sits farther than this from the global one leaks
+#: attribute information even when k- and l-safe.
+T_CLOSENESS_T = 0.3
+
+
+def t_closeness_audit(
+    customer: DataFrame,
+    t_threshold: float = T_CLOSENESS_T,
+    bal_band: int = K_ANON_BAL_BAND,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    skewness attack l-diversity misses: a class can contain l distinct
+    sensitive values yet be distributed nothing like the population
+    (99% segment A in a 20%-A world), so membership still shifts the
+    attacker's posterior. Distance is the variational/EMD-with-unit-
+    ground metric for categoricals: ``t = ½·Σ_s |p_class(s) −
+    p_global(s)|``, QI = (nation, balance band), sensitive = market
+    segment (the `l_diversity_audit` grid).
+
+    Zero-cell fold, the `segment_priority_chi2` discipline: a segment
+    ABSENT from a class contributes exactly ``p_global(s)`` and
+    ``Σ_all p_global = 1``, so ``t = ½·(Σ_{s∈class} (|p_cs − p_gs| −
+    p_gs) + 1)`` needs only the OCCUPIED (class, segment) cells — no
+    class × segment densify. Each term is the identical DOUBLE
+    literal of exact integer counts on both engines; NULL segments
+    coalesce to a sentinel BEFORE the pipeline (join keys drop NULLs
+    in both engines — the sentinel keeps that mass in the
+    distribution, the `lang_mix_by_source` precedent).
+
+    Disclosure-safe histogram shape (the k/l audits' contract): per
+    (tenth-bucket of t, at-risk flag) — both computed PER CLASS on
+    the engine-identical double (``floor(t·10)`` and ``t >
+    t_threshold``), grouped together so a bucket straddling the
+    threshold splits honestly instead of blurring into one flag. Scale
+    shape: ONE cells aggregate (checkpointed — feeds class sizes,
+    global margins, and terms), two tiny rollups broadcast back,
+    per-class reduce, ≤11-row histogram.
+
+    Output: (t_bucket, n_classes, n_customers, at_risk) — bucket INT
+    0..10, counts BIGINT.
+    """
+    from pyspark.sql import functions as F
+
+    if not 0.0 < t_threshold <= 1.0:
+        raise ValueError(
+            f"t_closeness: t_threshold must be in (0, 1], got "
+            f"{t_threshold}"
+        )
+    if bal_band <= 0:
+        raise ValueError(
+            f"t_closeness: bal_band must be > 0, got {bal_band}"
+        )
+    cells = (
+        customer.groupBy(
+            "c_nationkey",
+            F.floor(
+                F.col("c_acctbal") / F.lit(float(bal_band))
+            ).alias("_band"),
+            F.coalesce("c_mktsegment", F.lit("(null)")).alias("_seg"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_m"))
+        # three consumers (class sizes, global margins, terms)
+        .localCheckpoint(eager=False)
+    )
+    classes = cells.groupBy("c_nationkey", "_band").agg(
+        F.sum("_m").cast("long").alias("_n_c")
+    )
+    seg_tot = cells.groupBy("_seg").agg(
+        F.sum("_m").cast("long").alias("_g")
+    )
+    n_total = cells.agg(F.sum("_m").cast("long").alias("_n"))
+    c = cells.alias("c")
+    k = classes.alias("k")
+    per_class = (
+        # NULL-SAFE on the band: NULL-balance classes are real QI
+        # classes and a plain equi-join would silently drop them
+        # (the oracle's IS NOT DISTINCT FROM); segments were already
+        # coalesced to the sentinel so their join is plain
+        c.join(
+            F.broadcast(k),
+            (F.col("c.c_nationkey") == F.col("k.c_nationkey"))
+            & F.col("c._band").eqNullSafe(F.col("k._band")),
+        )
+        .select(
+            F.col("c.c_nationkey").alias("c_nationkey"),
+            F.col("c._band").alias("_band"),
+            "c._seg",
+            "c._m",
+            "k._n_c",
+        )
+        .join(F.broadcast(seg_tot), "_seg")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("c_nationkey", "_band", "_n_c")
+        .agg(
+            F.sum(
+                F.expr(
+                    "abs(CAST(_m AS DOUBLE) / CAST(_n_c AS DOUBLE)"
+                    " - CAST(_g AS DOUBLE) / CAST(_n AS DOUBLE))"
+                    " - CAST(_g AS DOUBLE) / CAST(_n AS DOUBLE)"
+                )
+            ).alias("_tsum")
+        )
+        .select(
+            "_n_c",
+            F.expr("0.5 * (_tsum + 1.0)").alias("_t"),
+        )
+    )
+    return (
+        per_class.groupBy(
+            F.expr("CAST(floor(_t * 10.0) AS INT)").alias("t_bucket"),
+            F.expr(f"_t > {t_threshold!r}").alias("at_risk"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("_n_c").cast("long").alias("n_customers"),
+        )
+        .select("t_bucket", "n_classes", "n_customers", "at_risk")
+    )

@@ -10,7 +10,7 @@ import math
 import re
 from collections import Counter, defaultdict
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 from scholar_stream_spark.operators import dedup, masking, textops
@@ -231,3 +231,34 @@ def test_privacy_audits_match_reference(spark, rows, k, l_floor):
     assert got_l == {
         l: (g, c, l < l_floor) for l, (g, c) in l_want.items()
     }
+
+    # t-closeness vs the direct variational-distance reference over
+    # the same classes (NULL segments as the sentinel value)
+    seg_of = lambda seg: "(null)" if seg is None else seg
+    t_cells: dict = defaultdict(Counter)
+    for nk, bal, seg in rows:
+        t_cells[(nk, band(bal))][seg_of(seg)] += 1
+    n_total = len(rows)
+    g: Counter = Counter(seg_of(seg) for _, _, seg in rows)
+    t_want: dict = defaultdict(lambda: [0, 0])
+    for cls, dist in t_cells.items():
+        n_c = sum(dist.values())
+        # the ENGINE's zero-cell fold form, term by term — matching
+        # its float recipe so bucket/flag agree; knife-edge classes
+        # (t within 1e-9 of a bucket boundary or the 0.3 threshold,
+        # where a last-ulp summation-order difference flips the
+        # label) are excluded from the draw
+        t = 0.5 * (sum(
+            abs(m / n_c - g[sv] / n_total) - g[sv] / n_total
+            for sv, m in dist.items()
+        ) + 1.0)
+        assume(abs(t - 0.3) > 1e-9)
+        assume(abs(t * 10.0 - round(t * 10.0)) > 1e-9 or t == 0.0)
+        key = (math.floor(t * 10.0), t > 0.3)
+        t_want[key][0] += 1
+        t_want[key][1] += n_c
+    got_t = {
+        (r["t_bucket"], r["at_risk"]): (r["n_classes"], r["n_customers"])
+        for r in masking.t_closeness_audit(df).collect()
+    }
+    assert got_t == {k: tuple(v) for k, v in t_want.items()}

@@ -1427,3 +1427,56 @@ def test_l_diversity_homogeneous_class_at_risk(spark):
     assert rows[1]["at_risk"] is True
     assert (rows[2]["n_classes"], rows[2]["at_risk"]) == (1, False)
     assert sum(r["n_customers"] for r in rows.values()) == 5
+
+
+def test_t_closeness_skewed_class_at_risk(spark):
+    """A class can be l-diverse (2 segments) yet skewed: 9-of-10 'A'
+    in a 50/50 world has t = 0.4 > 0.3 -> at risk; a class matching
+    the global mix exactly has t = 0; a NULL-band class must not be
+    dropped by the class join."""
+    from scholar_stream_spark.operators import masking
+
+    rows = (
+        # class (1, band 0): 9 A + 1 B  -> skewed
+        [(i, "n", 1, 100.0, "A") for i in range(9)]
+        + [(9, "n", 1, 200.0, "B")]
+        # class (2, band 0): 7 A + 7 B -> must sit at LOW t
+        + [(20 + i, "n", 2, 100.0, "A") for i in range(7)]
+        + [(40 + i, "n", 2, 100.0, "B") for i in range(7)]
+        # class (3, NULL band): 2 B
+        + [(60, "n", 3, None, "B"), (61, "n", 3, None, "B")]
+    )
+    cust = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    out = masking.t_closeness_audit(cust).collect()
+    # population: 16 A / 10 B of 26. class1 p=(0.9,0.1):
+    # t = .5*(|.9-16/26| + |.1-10/26|) ~ 0.2846 -> bucket 2, safe
+    # class2 p=(.5,.5): t = .5*(|.5-16/26|+|.5-10/26|) ~ 0.1154
+    # class3 p=(0,1)B: t = .5*(|1-10/26| + 16/26) ~ 0.6154 -> risk
+    by_bucket = {(r["t_bucket"], r["at_risk"]): r for r in out}
+    assert sum(r["n_customers"] for r in out) == 26
+    assert (6, True) in by_bucket          # NULL-band class, t~0.62
+    assert by_bucket[(6, True)]["n_customers"] == 2
+    assert (2, False) in by_bucket         # the skewed-but-under one
+    assert (1, False) in by_bucket         # the matching one
+    assert all(
+        (r["t_bucket"] >= 4) == r["at_risk"] for r in out
+    )  # threshold 0.3 sits inside bucket 3; none of these hit it
+
+
+def test_t_closeness_rejects_degenerate_params(spark):
+    from scholar_stream_spark.operators import masking
+
+    cust = spark.createDataFrame(
+        [(1, "n", 1, 0.0, "A")],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    import pytest as _pt
+    with _pt.raises(ValueError, match="t_threshold"):
+        masking.t_closeness_audit(cust, t_threshold=0.0)
+    with _pt.raises(ValueError, match="bal_band"):
+        masking.t_closeness_audit(cust, bal_band=0)
