@@ -536,7 +536,8 @@ PROFILE_COLS = (
 #: oracle-backed entries (i.e. new ops) lead, then entries ascending
 #: by the last round they were driver-green, ties alphabetical. This
 #: keeps the full oracle-backed cycle at ≤ ceil(n_oracle/50) windows
-#: mechanically (186 entries after the r14 additions ⇒ ≤ 4), with no
+#: mechanically (187 entries after the r14 additions ⇒ ≤ 4,
+#: count asserted in ``test_driver_cap_rotation_invariants``), with no
 #: hand-curated tuple
 #: to go stale (the
 #: r12 verdict found 65 entries 3–4 windows old under manual
