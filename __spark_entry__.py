@@ -536,9 +536,10 @@ PROFILE_COLS = (
 #: oracle-backed entries (i.e. new ops) lead, then entries ascending
 #: by the last round they were driver-green, ties alphabetical. This
 #: keeps the full oracle-backed cycle at ≤ ceil(n_oracle/50) windows
-#: mechanically (187 entries after the r14 additions ⇒ ≤ 4,
-#: count asserted in ``test_driver_cap_rotation_invariants``), with no
-#: hand-curated tuple
+#: mechanically (``_N_ORACLE_BACKED`` entries ⇒ ≤ 4 windows; the
+#: constant is asserted against ``len(oracle_sql())`` in
+#: ``test_driver_cap_rotation_invariants`` — a structured pin, not a
+#: comment regex), with no hand-curated tuple
 #: to go stale (the
 #: r12 verdict found 65 entries 3–4 windows old under manual
 #: rotation). Rows-only entries still sit contiguously at the tail
@@ -5314,8 +5315,8 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         """,
         "segment_priority_chi2": """
             WITH grid AS (
-                SELECT c_mktsegment AS segment,
-                       o_orderpriority AS priority,
+                SELECT COALESCE(c_mktsegment, '(null)') AS segment,
+                       COALESCE(o_orderpriority, '(null)') AS priority,
                        CAST(count(*) AS BIGINT) AS obs
                 FROM orders JOIN customer ON o_custkey = c_custkey
                 GROUP BY 1, 2
@@ -5486,8 +5487,9 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                            - CAST(_g AS DOUBLE) / CAST(_n AS DOUBLE)
                        ) + 1.0) AS _t
                 FROM cells
-                JOIN classes ON cells.c_nationkey = classes.c_nationkey
-                           AND cells._band IS NOT DISTINCT FROM classes._band
+                JOIN classes
+                  ON cells.c_nationkey IS NOT DISTINCT FROM classes.c_nationkey
+                 AND cells._band IS NOT DISTINCT FROM classes._band
                 JOIN seg_tot ON cells._seg = seg_tot._seg
                 CROSS JOIN n_total
                 GROUP BY 1, 2, 3
@@ -7050,6 +7052,11 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "multimodal_resize": _mm_resize_sql(),
     }
 
+
+#: Count of oracle-backed entries — the structured form of the rotation
+#: note's "N entries" claim (two r14 review rounds caught the comment
+#: stale; a constant asserted against len(oracle_sql()) cannot drift).
+_N_ORACLE_BACKED = 187
 
 # Computed HERE (end of module) because it needs oracle_sql(); see the
 # rotation note above _driver_first_order.

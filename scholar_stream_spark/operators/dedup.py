@@ -1676,7 +1676,15 @@ def _label_prop_components(edges: DataFrame, max_iter: int) -> DataFrame:
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    # Convergence sums are taken as DECIMAL(38,0), not LongType: node ids
+    # are arbitrary 64-bit values, so a LongType running sum overflows —
+    # silent wrap under ansi=false (a wrapped sum is still a usable
+    # checksum, but only by accident), ARITHMETIC_OVERFLOW under the
+    # Spark 4 ANSI default. 38 decimal digits hold 10^9 nodes x 2^63
+    # with ~10 digits of headroom.
+    _lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_lbl_sum).first()[0]
+    converged = False
     for _ in range(max_iter):
         prop = (
             edges.join(labels, edges["d1"] == labels["node"])
@@ -1693,10 +1701,22 @@ def _label_prop_components(edges: DataFrame, max_iter: int) -> DataFrame:
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        cur_sum = labels.agg(_lbl_sum).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Same loud-stop contract as the star kernel: falling out of
+        # the loop mid-propagation would return wrong labels silently
+        # (min labels only travel max_iter hops). Rounds needed =
+        # graph diameter — a cap hit means this graph wants the star
+        # kernel (O(log^2) rounds on any shape), not a bigger budget.
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iter} rounds "
+            "(rounds = graph diameter); use kernel='star' for "
+            "long-diameter graphs"
+        )
     return labels
 
 
@@ -1744,6 +1764,7 @@ def _star_components(edges: DataFrame, max_iter: int) -> DataFrame:
     iterative lineage can't grow."""
     cur = edges.localCheckpoint()
     prev_stat = None
+    converged = False
     for _ in range(max_iter):
         cur = _small_star(_large_star(cur)).localCheckpoint()
         # Convergence is detected from (count, sum of xxhash64(d1, d2)):
@@ -1755,14 +1776,32 @@ def _star_components(edges: DataFrame, max_iter: int) -> DataFrame:
         # count+checksum collision between consecutive rounds would need
         # an xxhash64 multiset collision (~2^-64) — and the check stays
         # one tiny aggregate per round, vs an exceptAll join per round
-        # for an exact set-difference test.
+        # for an exact set-difference test. The hash is summed as
+        # DECIMAL(38,0): a LongType sum of uniform signed 64-bit hashes
+        # leaves [-2^63, 2^63) almost surely past a handful of edges —
+        # silent wrap under ansi=false, ARITHMETIC_OVERFLOW under the
+        # Spark 4 ANSI default (the CORRECTNESS_r14 failure).
         stat = cur.agg(
-            F.count(F.lit(1)), F.sum(F.xxhash64("d1", "d2"))
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("d1", "d2").cast("decimal(38,0)")),
         ).first()
         stat = (stat[0], stat[1])
         if stat == prev_stat:
+            converged = True
             break
         prev_stat = stat
+    if not converged:
+        # A non-fixpoint edge set would make the star-forest extraction
+        # below emit WRONG labels silently — the exact failure mode this
+        # kernel exists to avoid in label-prop. Kiveris et al. bound
+        # convergence at O(log^2 n) alternating rounds, so the default
+        # max_iter=20 covers any graph this engine can hold; hitting the
+        # cap means a bug or a pathological input, and either deserves a
+        # loud stop, not wrong clusters.
+        raise RuntimeError(
+            f"star connected-components did not converge in {max_iter} "
+            "rounds; raise max_iter (Kiveris et al. bound O(log^2 n))"
+        )
     # converged: a forest of stars (child → component-min root). Roots
     # appear only on the d2 side and label themselves.
     child_lbl = cur.groupBy(F.col("d1").alias("node")).agg(

@@ -249,13 +249,16 @@ def t_closeness_audit(
     c = cells.alias("c")
     k = classes.alias("k")
     per_class = (
-        # NULL-SAFE on the band: NULL-balance classes are real QI
-        # classes and a plain equi-join would silently drop them
-        # (the oracle's IS NOT DISTINCT FROM); segments were already
-        # coalesced to the sentinel so their join is plain
+        # NULL-SAFE on BOTH QI keys: NULL-balance/NULL-nation classes
+        # are real QI classes — a plain equi-join would silently drop
+        # them from the histogram, breaking the triptych's shared
+        # "sum(n_customers) partitions the population" contract with
+        # k_anonymity/l_diversity (pure groupBys, which KEEP NULL
+        # keys). The oracle mirrors with IS NOT DISTINCT FROM; segments
+        # were already coalesced to the sentinel so their join is plain
         c.join(
             F.broadcast(k),
-            (F.col("c.c_nationkey") == F.col("k.c_nationkey"))
+            F.col("c.c_nationkey").eqNullSafe(F.col("k.c_nationkey"))
             & F.col("c._band").eqNullSafe(F.col("k._band")),
         )
         .select(

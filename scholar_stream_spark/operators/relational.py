@@ -4220,9 +4220,18 @@ def segment_priority_chi2(
             customer.select("c_custkey", "c_mktsegment"),
             orders["o_custkey"] == customer["c_custkey"],
         )
+        # NULL segments/priorities coalesce to a sentinel BEFORE the
+        # contingency groupBy (the t_closeness_audit discipline): the
+        # margin equi-joins below drop NULL keys in both engines, so a
+        # NULL-bearing cell would vanish from the terms sum while still
+        # counting in n_orders — a silently-wrong chi2. TPC-H columns
+        # are non-null, so this is a latent-data guard, not a behavior
+        # change on the oracle tables.
         .groupBy(
-            F.col("c_mktsegment").alias("segment"),
-            F.col("o_orderpriority").alias("priority"),
+            F.coalesce("c_mktsegment", F.lit("(null)")).alias("segment"),
+            F.coalesce("o_orderpriority", F.lit("(null)")).alias(
+                "priority"
+            ),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("obs"))
         # four consumers (margins ×2, totals, terms) — checkpoint the

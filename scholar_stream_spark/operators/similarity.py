@@ -2915,6 +2915,10 @@ def mmr_topk(
         raise ValueError(
             f"mmr: shortlist ({shortlist}) must be >= k ({k})"
         )
+    if n_queries < 1:
+        # reject-degenerate-params discipline: _query_set would
+        # silently yield an empty result otherwise
+        raise ValueError(f"mmr: n_queries must be >= 1, got {n_queries}")
     # the cosine_topk plan, but keeping cos_sim_raw: the greedy loop's
     # λ=1 degenerate case must reproduce the exact window order
     # (raw desc, id asc) — the ROUNDED display value would collapse

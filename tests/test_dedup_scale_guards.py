@@ -7,6 +7,7 @@ profile's banding invariants.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from scholar_stream_spark.operators import dedup
@@ -428,15 +429,12 @@ def test_star_kernel_matches_union_find_on_1k_chain(spark):
 def test_label_prop_needs_diameter_rounds_on_chain(spark):
     """Documents WHY star is the scale kernel: per-hop min propagation
     cannot finish a 1k chain in 20 rounds (labels only travel 20 hops),
-    while the star kernel above does."""
+    while the star kernel above does. Since r15 the cap hit is a LOUD
+    RuntimeError, not silently-wrong labels — the same non-convergence
+    contract as the star kernel."""
     edges = _chain_edges(spark, 1000)
-    lp = {
-        r["node"]: r["lbl"]
-        for r in dedup.connected_components(
-            edges, kernel="label-prop", max_iter=20
-        ).collect()
-    }
-    assert set(lp.values()) != {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, kernel="label-prop", max_iter=20)
 
 
 def test_star_kernel_on_disjoint_components(spark):

@@ -52,14 +52,13 @@ def test_driver_cap_rotation_invariants():
     rows_only = [n for n in order if n not in oracle_backed]
     assert order[-len(rows_only):] == rows_only
     assert order[: len(entry._DRIVER_FIRST)] == list(entry._DRIVER_FIRST)
-    # the rotation comment states the oracle-backed count; two r14
-    # review rounds caught it stale, so pin it to the dict itself
-    import re
-
-    src = open(entry.__file__).read()
-    m = re.search(r"mechanically \((\d+) entries", src)
-    assert m and int(m.group(1)) == len(oracle_backed), (
-        m and m.group(1), len(oracle_backed),
+    # the rotation note's "N entries" claim lives in a module constant
+    # (two r14 review rounds caught the prose count stale; a constant
+    # asserted against the dict itself cannot drift, and survives
+    # bytecode-only installs where reading entry.__file__ source would
+    # not)
+    assert entry._N_ORACLE_BACKED == len(oracle_backed), (
+        entry._N_ORACLE_BACKED, len(oracle_backed),
     )
 
 
