@@ -1636,6 +1636,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_entity_clusters": lambda s, d: dedup.snm_entity_clusters(
             _t(s, d, "part")
         ),
+        # member -> canonical replacement map for the SNM entities
+        # (the dedup_survivor_map shape for parts; shares the
+        # recursive-CTE oracle's reach/labeled CTEs)
+        "snm_survivor_map": lambda s, d: dedup.snm_survivor_map(
+            _t(s, d, "part")
+        ),
         # per-doc char-level Shannon entropy (repeated-junk LOW /
         # base64-blob HIGH quality gate)
         "char_entropy": lambda s, d: textops.char_entropy(
@@ -1662,6 +1668,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # skewness attack l-diversity misses)
         "t_closeness_audit": lambda s, d: masking.t_closeness_audit(
             _t(s, d, "customer")
+        ),
+        # generalization-ladder decision table: re-measure k/l/t on
+        # each coarsening rung and mark the first rung passing all
+        # three (the ENFORCEMENT step the audits only measure)
+        "generalize_qi_report": lambda s, d: masking.generalize_qi_report(
+            _t(s, d, "customer"), _t(s, d, "nation")
+        ),
+        # the enforcement output itself: customer with the QI columns
+        # coarsened at the minimal passing rung, audit-rerunnable
+        "generalize_quasi_identifiers": lambda s, d: (
+            masking.generalize_quasi_identifiers(
+                _t(s, d, "customer"), _t(s, d, "nation")
+            )
         ),
         # Heaps'-law bigram vocabulary-growth curve by corpus decile
         # (the unseen-vocabulary signal read before freezing a vocab).
@@ -3635,6 +3654,154 @@ WHERE base.bucket < thr.thr
 """
 
 
+def _gen_qi_cells_sql() -> str:
+    """Shared finest-grain QI cells CTE body for the generalization
+    oracle SQLs — mirrors masking._qi_cells exactly (sentinel-coalesced
+    segment, NULL-keeping nation/band, base band = K_ANON_BAL_BAND)."""
+    b = float(masking.K_ANON_BAL_BAND)
+    return f"""cells AS (
+                SELECT CAST(c_nationkey AS BIGINT) AS _nat,
+                       CAST(n_regionkey AS BIGINT) AS _reg,
+                       COALESCE(c_mktsegment, '(null)') AS _seg,
+                       floor(c_acctbal / {b!r}) AS _band1,
+                       CAST(count(*) AS BIGINT) AS _m
+                FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1, 2, 3, 4
+            ), seg_tot AS (
+                SELECT _seg, CAST(SUM(_m) AS BIGINT) AS _g
+                FROM cells GROUP BY 1
+            ), n_total AS (
+                SELECT CAST(SUM(_m) AS BIGINT) AS _n FROM cells
+            )"""
+
+
+def _gen_qi_levels_sql() -> str:
+    """UNION ALL of one stats row per generalization-ladder rung,
+    generated FROM masking.QI_GENERALIZATION_LADDER so the oracle can
+    never drift from the ladder the Spark op walks."""
+    b = masking.K_ANON_BAL_BAND
+    blocks = []
+    for lvl, (geo, mult) in enumerate(masking.QI_GENERALIZATION_LADDER):
+        gx = {"nation": "_nat", "region": "_reg"}.get(
+            geo, "CAST(-1 AS BIGINT)"
+        )
+        bx = (
+            f"floor(_band1 / {float(mult)!r})"
+            if mult is not None
+            else "CAST(0 AS BIGINT)"
+        )
+        width = (
+            f"CAST({mult * b} AS BIGINT)"
+            if mult is not None
+            else "CAST(NULL AS BIGINT)"
+        )
+        blocks.append(f"""
+                SELECT CAST({lvl} AS INT) AS level,
+                       '{geo}' AS geo_level,
+                       {width} AS band_width,
+                       k.n_classes, k.min_class_size, l.min_l, t._max_t
+                FROM (
+                    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+                           CAST(MIN(_sz) AS BIGINT) AS min_class_size
+                    FROM (SELECT SUM(_m) AS _sz FROM cells
+                          GROUP BY {gx}, _seg, {bx}) kc
+                ) k CROSS JOIN (
+                    SELECT CAST(MIN(_ld) AS BIGINT) AS min_l
+                    FROM (SELECT count(*) AS _ld
+                          FROM (SELECT {gx} AS _gg, {bx} AS _bb, _seg
+                                FROM cells GROUP BY 1, 2, 3) sc0
+                          GROUP BY _gg, _bb) lc
+                ) l CROSS JOIN (
+                    SELECT MAX(_t) AS _max_t FROM (
+                        SELECT 0.5 * (SUM(
+                                   abs(CAST(_mc AS DOUBLE)
+                                       / CAST(_n_c AS DOUBLE)
+                                       - CAST(_g AS DOUBLE)
+                                       / CAST(_n AS DOUBLE))
+                                   - CAST(_g AS DOUBLE)
+                                   / CAST(_n AS DOUBLE)
+                               ) + 1.0) AS _t
+                        FROM (SELECT {gx} AS _gg, {bx} AS _bb, _seg,
+                                     CAST(SUM(_m) AS BIGINT) AS _mc
+                              FROM cells GROUP BY 1, 2, 3) sc
+                        JOIN (SELECT {gx} AS _gg, {bx} AS _bb,
+                                     CAST(SUM(_m) AS BIGINT) AS _n_c
+                              FROM cells GROUP BY 1, 2) cl
+                          ON sc._gg IS NOT DISTINCT FROM cl._gg
+                         AND sc._bb IS NOT DISTINCT FROM cl._bb
+                        JOIN seg_tot ON sc._seg = seg_tot._seg
+                        CROSS JOIN n_total
+                        GROUP BY sc._gg, sc._bb
+                    ) pt
+                ) t""")
+    return "\nUNION ALL\n".join(blocks)
+
+
+def _gen_qi_report_sql() -> str:
+    k, l_ = masking.K_ANON_K, masking.L_DIVERSITY_L
+    t = masking.T_CLOSENESS_T
+    return f"""
+            WITH {_gen_qi_cells_sql()}, levels AS (
+                {_gen_qi_levels_sql()}
+            ), flagged AS (
+                SELECT *,
+                       min_class_size >= {k} AS k_ok,
+                       min_l >= {l_} AS l_ok,
+                       _max_t <= {t!r} AS t_ok
+                FROM levels
+            )
+            SELECT level, geo_level, band_width, n_classes,
+                   min_class_size, min_l,
+                   round(_max_t, 6) AS max_t,
+                   k_ok, l_ok, t_ok,
+                   level = (SELECT MIN(level) FROM flagged
+                            WHERE k_ok AND l_ok AND t_ok) AS chosen
+            FROM flagged
+    """
+
+
+def _gen_qi_table_sql() -> str:
+    """Generalized customer table at the chosen rung — the enforcement
+    output. The chosen level is recomputed in-SQL (same flagged CTE as
+    the report), then per-rung CASE branches rebuild the exact
+    projection generalize_quasi_identifiers emits."""
+    b = float(masking.K_ANON_BAL_BAND)
+    geo_cases, bal_cases = [], []
+    for lvl, (geo, mult) in enumerate(masking.QI_GENERALIZATION_LADDER):
+        gexpr = {
+            "nation": "c_nationkey",
+            "region": "CAST(n_regionkey AS INT)",
+        }.get(geo, "CAST(-1 AS INT)")
+        bexpr = (
+            f"floor(c_acctbal / {float(mult) * b!r}) * {float(mult) * b!r}"
+            if mult is not None
+            else "0.0"
+        )
+        geo_cases.append(f"WHEN _lvl = {lvl} THEN {gexpr}")
+        bal_cases.append(f"WHEN _lvl = {lvl} THEN {bexpr}")
+    geo_case = "\n                       ".join(geo_cases)
+    bal_case = "\n                       ".join(bal_cases)
+    k, l_ = masking.K_ANON_K, masking.L_DIVERSITY_L
+    t = masking.T_CLOSENESS_T
+    return f"""
+            WITH {_gen_qi_cells_sql()}, levels AS (
+                {_gen_qi_levels_sql()}
+            ), pick AS (
+                SELECT MIN(level) AS _lvl FROM levels
+                WHERE min_class_size >= {k} AND min_l >= {l_}
+                  AND _max_t <= {t!r}
+            )
+            SELECT c_custkey, c_name,
+                   CASE {geo_case}
+                       END AS c_nationkey,
+                   CAST(CASE {bal_case}
+                       END AS DOUBLE) AS c_acctbal,
+                   c_mktsegment
+            FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+            CROSS JOIN pick
+    """
+
+
 def _ann_topk_sql() -> str:
     cos = _cos_sql("q.q_embedding", "e.embedding")
     return f"""
@@ -5500,6 +5667,8 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                    _t > {masking.T_CLOSENESS_T!r} AS at_risk
             FROM per_class GROUP BY 1, 4
         """,
+        "generalize_qi_report": _gen_qi_report_sql(),
+        "generalize_quasi_identifiers": _gen_qi_table_sql(),
         "snm_candidate_pairs": f"""
             WITH spine AS (
                 SELECT p_name,
@@ -5550,6 +5719,43 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                    CAST(SUM(sp.n_parts) AS BIGINT) AS n_parts
             FROM labeled JOIN spine sp ON labeled.node = sp.p_name
             GROUP BY 1
+        """,
+        "snm_survivor_map": f"""
+            WITH RECURSIVE spine AS (
+                SELECT p_name,
+                       CAST(count(*) AS BIGINT) AS n_parts
+                FROM part GROUP BY 1
+            ), ranked AS (
+                SELECT p_name, n_parts,
+                       row_number() OVER (ORDER BY p_name) AS rk
+                FROM spine
+            ), pairs AS (
+                SELECT a.p_name AS na, b.p_name AS nb
+                FROM ranked a JOIN ranked b
+                  ON b.rk BETWEEN a.rk + 1 AND a.rk + {dedup.SNM_WINDOW}
+                WHERE levenshtein(a.p_name, b.p_name)
+                      BETWEEN 1 AND {dedup.SNM_MAX_DIST}
+            ), edges AS (
+                SELECT na AS s, nb AS t FROM pairs
+                UNION
+                SELECT nb, na FROM pairs
+            ), reach(node, r) AS (
+                SELECT s, s FROM edges
+                UNION
+                SELECT e.t, reach.r FROM reach
+                JOIN edges e ON reach.node = e.s
+            ), labeled AS (
+                SELECT node, MIN(r) AS canon FROM reach GROUP BY node
+            ), widths AS (
+                SELECT canon, CAST(count(*) AS BIGINT) AS n_names
+                FROM labeled GROUP BY 1
+            )
+            SELECT l.node AS p_name, l.canon AS canonical_name,
+                   sp.n_parts AS n_parts, w.n_names AS n_names
+            FROM labeled l
+            JOIN spine sp ON l.node = sp.p_name
+            JOIN widths w ON l.canon = w.canon
+            WHERE l.node <> l.canon
         """,
         "vocab_growth": f"""
             WITH ranked AS (
@@ -7056,7 +7262,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
 #: Count of oracle-backed entries — the structured form of the rotation
 #: note's "N entries" claim (two r14 review rounds caught the comment
 #: stale; a constant asserted against len(oracle_sql()) cannot drift).
-_N_ORACLE_BACKED = 187
+_N_ORACLE_BACKED = 190
 
 # Computed HERE (end of module) because it needs oracle_sql(); see the
 # rotation note above _driver_first_order.

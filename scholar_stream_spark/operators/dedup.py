@@ -3070,6 +3070,21 @@ def snm_entity_clusters(
     Output: (canonical_name, n_names, n_parts) — BIGINT counts;
     `n_names ≥ 2` by construction.
     """
+    members = _snm_members(part, window, max_dist, profile)
+    return members.groupBy("lbl").agg(
+        F.min("p_name").alias("canonical_name"),
+        F.count(F.lit(1)).cast("long").alias("n_names"),
+        F.sum("n_parts").cast("long").alias("n_parts"),
+    ).select("canonical_name", "n_names", "n_parts")
+
+
+def _snm_members(
+    part: DataFrame, window: int, max_dist: int, profile: str
+) -> DataFrame:
+    """Shared SNM cluster-member table: (node, lbl, p_name, n_parts)
+    — one row per spine name that appears in ≥1 lev-gated pair, with
+    its component label. Feeds `snm_entity_clusters` (per-cluster
+    rollup) and `snm_survivor_map` (member → canonical mapping)."""
     _snm_validate(window, max_dist)
     ranked = _snm_ranked_spine(part, profile)
     pairs = _snm_pairs(ranked, window, max_dist).select(
@@ -3086,7 +3101,7 @@ def snm_entity_clusters(
     # — a review finding); star converges in O(log²) rounds on any
     # diameter, so the profile switch governs only the spine ranking.
     comp = connected_components(edges, kernel="star")
-    members = comp.join(
+    return comp.join(
         ranked.select(
             F.col("rk").cast("long").alias("node"),
             "p_name",
@@ -3094,8 +3109,48 @@ def snm_entity_clusters(
         ),
         "node",
     )
-    return members.groupBy("lbl").agg(
+
+
+def snm_survivor_map(
+    part: DataFrame,
+    window: int = SNM_WINDOW,
+    max_dist: int = SNM_MAX_DIST,
+    profile: str = "oracle",
+) -> DataFrame:
+    """Member → canonical replacement map for the SNM entity clusters —
+    the lineage artifact `snm_entity_clusters` only summarizes: one row
+    per NON-canonical cluster member, so downstream joins can redirect
+    references from a merged-away name to its survivor (the
+    `dedup_survivor_map` shape, for parts instead of documents: a
+    catalog consolidation publishes this map alongside the merged
+    entity table or every FK into the old names dangles).
+
+    Pure composition off the shared `_snm_members` table: the member
+    rows are localCheckpointed (duplicate-population-sized — names
+    with no match edge never enter), then ONE cluster-sized rollup
+    derives (canonical_name, n_names) per component and equi-joins
+    back onto the members (cluster-count-sized, NOT forced broadcast —
+    unbounded at scale; AQE picks broadcast when it fits) — no second
+    pass over the corpus, no second CC run. Canonical =
+    lexicographically-first member, identical to
+    `snm_entity_clusters` (min spine rank ⇒ min name; the shared
+    recursive-CTE oracle pins both).
+
+    Output: (p_name, canonical_name, n_parts, n_names) for
+    non-canonical members only — `n_parts` the member's OWN part
+    count (what redirects), `n_names` the cluster width (lineage
+    context). Row count = Σ(cluster_size − 1) ≤ pair-graph node
+    count.
+    """
+    members = _snm_members(part, window, max_dist, profile).localCheckpoint(
+        eager=False
+    )
+    canon = members.groupBy("lbl").agg(
         F.min("p_name").alias("canonical_name"),
         F.count(F.lit(1)).cast("long").alias("n_names"),
-        F.sum("n_parts").cast("long").alias("n_parts"),
-    ).select("canonical_name", "n_names", "n_parts")
+    )
+    return (
+        members.join(canon, "lbl")
+        .filter(F.col("p_name") != F.col("canonical_name"))
+        .select("p_name", "canonical_name", "n_parts", "n_names")
+    )

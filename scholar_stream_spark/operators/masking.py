@@ -296,3 +296,306 @@ def t_closeness_audit(
         )
         .select("t_bucket", "n_classes", "n_customers", "at_risk")
     )
+
+
+#: Deterministic generalization ladder (level → (geo granularity,
+#: balance-band multiplier)): each step strictly coarsens the customer
+#: quasi-identifiers the k/l/t audits measure — nation → region → '*'
+#: on the geography axis, band × 1/5/25 → suppressed on the balance
+#: axis. The LAST rung collapses everything into one equivalence class
+#: (global distribution ⇒ t = 0), so enforcement always terminates.
+QI_GENERALIZATION_LADDER = (
+    ("nation", 1),
+    ("nation", 5),
+    ("region", 5),
+    ("region", 25),
+    ("region", None),  # balance suppressed
+    ("*", None),  # geography + balance suppressed
+)
+
+
+def _qi_cells(customer: DataFrame, nation: DataFrame, bal_band: int):
+    """Finest-grain QI cell table: (_nat, _reg, _seg, _band1, _m) —
+    ONE corpus-scan aggregate every ladder rung rolls up from. The
+    floor identity ``floor(x/(m·B)) = floor(floor(x/B)/m)`` (m integer)
+    makes every coarser band an exact rollup of the base band, so the
+    6-level report never rescans the customer table. Segments coalesce
+    to a sentinel (the `t_closeness_audit` precedent); NULL
+    nation/balance keep NULL keys (their own class — the attacker sees
+    NULL too)."""
+    from pyspark.sql import functions as F
+
+    return (
+        customer.join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            customer["c_nationkey"] == nation["n_nationkey"],
+            "left",
+        )
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("_nat"),
+            F.col("n_regionkey").cast("long").alias("_reg"),
+            F.coalesce("c_mktsegment", F.lit("(null)")).alias("_seg"),
+            F.floor(
+                F.col("c_acctbal") / F.lit(float(bal_band))
+            ).alias("_band1"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_m"))
+        # consumed by 6 rungs x 3 rollups + the global margins
+        .localCheckpoint(eager=False)
+    )
+
+
+def _qi_level_keys(geo: str, mult):
+    """(geo key, band key) Column pair for one ladder rung, rolled up
+    from the `_qi_cells` base keys. Suppressed axes use constants so
+    NULLs merge too (suppression erases the column, NULL included)."""
+    from pyspark.sql import functions as F
+
+    if geo == "nation":
+        g = F.col("_nat")
+    elif geo == "region":
+        g = F.col("_reg")
+    else:
+        g = F.lit(-1).cast("long")
+    if mult is None:
+        b = F.lit(0).cast("long")
+    else:
+        b = F.floor(F.col("_band1") / F.lit(float(mult)))
+    return g, b
+
+
+def generalize_qi_report(
+    customer: DataFrame,
+    nation: DataFrame,
+    k_target: int = K_ANON_K,
+    l_floor: int = L_DIVERSITY_L,
+    t_threshold: float = T_CLOSENESS_T,
+    bal_band: int = K_ANON_BAL_BAND,
+) -> DataFrame:
+    """Generalization ladder report — the ENFORCEMENT companion to the
+    k/l/t audit triptych (Sweeney 2002 §generalization; Samarati 2001's
+    domain generalization hierarchies): for each rung of
+    `QI_GENERALIZATION_LADDER`, re-measure all three privacy criteria
+    on the coarsened quasi-identifiers and mark the FIRST rung where
+    every criterion passes — the minimal generalization
+    `generalize_quasi_identifiers` then applies. The audits measure;
+    this decides.
+
+    Per rung: ``min_class_size`` over the k grid (geo, segment, band —
+    `k_anonymity_audit`'s QI), ``min_l`` distinct-sensitive floor and
+    ``max_t`` total-variation distance over the l/t grid (geo, band),
+    each computed with the audits' exact semantics (grouped cells so
+    NULL segments count as a value; the zero-cell t fold; every count
+    an exact integer until the final double literal).
+
+    Scale shape: ONE map-side-combined corpus aggregate to the
+    grid-sized `_qi_cells` table (checkpointed), then 6 rungs × 3
+    cell-table rollups — the floor identity makes every coarser band
+    an exact rollup, so the corpus is scanned once no matter how many
+    rungs; global segment margins broadcast into the t fold; output is
+    6 rows. The chosen flag folds in via a 1-row broadcast cross-join
+    (no window).
+
+    Output: (level, geo_level, band_width, n_classes, min_class_size,
+    min_l, max_t, k_ok, l_ok, t_ok, chosen) — one row per rung;
+    band_width NULL = balance suppressed; n_classes counts the k grid.
+    """
+    from pyspark.sql import functions as F
+
+    if k_target < 1:
+        raise ValueError(
+            f"generalize_qi: k_target must be >= 1, got {k_target}"
+        )
+    if l_floor < 1:
+        raise ValueError(
+            f"generalize_qi: l_floor must be >= 1, got {l_floor}"
+        )
+    if not 0.0 < t_threshold <= 1.0:
+        raise ValueError(
+            f"generalize_qi: t_threshold must be in (0, 1], got "
+            f"{t_threshold}"
+        )
+    if bal_band <= 0:
+        raise ValueError(
+            f"generalize_qi: bal_band must be > 0, got {bal_band}"
+        )
+    cells = _qi_cells(customer, nation, bal_band)
+    seg_tot = cells.groupBy("_seg").agg(
+        F.sum("_m").cast("long").alias("_g")
+    )
+    n_total = cells.agg(F.sum("_m").cast("long").alias("_n"))
+    rungs = []
+    for lvl, (geo, mult) in enumerate(QI_GENERALIZATION_LADDER):
+        g, b = _qi_level_keys(geo, mult)
+        # k grid: (geo, segment, band) class sizes -> min + count
+        kstats = (
+            cells.groupBy(g.alias("_gg"), F.col("_seg"), b.alias("_bb"))
+            .agg(F.sum("_m").alias("_sz"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_classes"),
+                F.min("_sz").cast("long").alias("min_class_size"),
+            )
+        )
+        # l/t grid: (geo, band) with per-segment cells
+        sc = (
+            cells.groupBy(g.alias("_gg"), b.alias("_bb"), F.col("_seg"))
+            .agg(F.sum("_m").cast("long").alias("_mc"))
+            .localCheckpoint(eager=False)  # feeds l stats + t fold
+        )
+        lstats = (
+            sc.groupBy("_gg", "_bb")
+            .agg(F.count(F.lit(1)).alias("_ld"))
+            .agg(F.min("_ld").cast("long").alias("min_l"))
+        )
+        classes = sc.groupBy("_gg", "_bb").agg(
+            F.sum("_mc").cast("long").alias("_n_c")
+        )
+        s = sc.alias("s")
+        c = classes.alias("c")
+        tstats = (
+            # null-safe on both QI keys (NULL geo/band classes are
+            # real classes — the t_closeness_audit contract)
+            s.join(
+                c,
+                F.col("s._gg").eqNullSafe(F.col("c._gg"))
+                & F.col("s._bb").eqNullSafe(F.col("c._bb")),
+            )
+            .join(F.broadcast(seg_tot), "_seg")
+            .crossJoin(F.broadcast(n_total))
+            .groupBy("s._gg", "s._bb")
+            .agg(
+                F.sum(
+                    F.expr(
+                        "abs(CAST(_mc AS DOUBLE) / CAST(_n_c AS DOUBLE)"
+                        " - CAST(_g AS DOUBLE) / CAST(_n AS DOUBLE))"
+                        " - CAST(_g AS DOUBLE) / CAST(_n AS DOUBLE)"
+                    )
+                ).alias("_tsum")
+            )
+            .select(F.expr("0.5 * (_tsum + 1.0)").alias("_t"))
+            .agg(F.max("_t").alias("_max_t"))
+        )
+        rungs.append(
+            kstats.crossJoin(F.broadcast(lstats))
+            .crossJoin(F.broadcast(tstats))
+            .select(
+                F.lit(lvl).cast("int").alias("level"),
+                F.lit(geo).alias("geo_level"),
+                (
+                    F.lit(mult * bal_band).cast("long")
+                    if mult is not None
+                    else F.lit(None).cast("long")
+                ).alias("band_width"),
+                "n_classes",
+                "min_class_size",
+                "min_l",
+                "_max_t",
+            )
+        )
+    report = rungs[0]
+    for r in rungs[1:]:
+        report = report.unionByName(r)
+    report = report.select(
+        "*",
+        (F.col("min_class_size") >= F.lit(k_target)).alias("k_ok"),
+        (F.col("min_l") >= F.lit(l_floor)).alias("l_ok"),
+        (F.col("_max_t") <= F.lit(float(t_threshold))).alias("t_ok"),
+    )
+    first_ok = report.agg(
+        F.min(
+            F.when(
+                F.col("k_ok") & F.col("l_ok") & F.col("t_ok"),
+                F.col("level"),
+            )
+        ).alias("_first_ok")
+    )
+    return (
+        report.crossJoin(F.broadcast(first_ok))
+        .select(
+            "level",
+            "geo_level",
+            "band_width",
+            "n_classes",
+            "min_class_size",
+            "min_l",
+            F.round("_max_t", 6).alias("max_t"),
+            "k_ok",
+            "l_ok",
+            "t_ok",
+            (F.col("level") == F.col("_first_ok")).alias("chosen"),
+        )
+    )
+
+
+def generalize_quasi_identifiers(
+    customer: DataFrame,
+    nation: DataFrame,
+    k_target: int = K_ANON_K,
+    l_floor: int = L_DIVERSITY_L,
+    t_threshold: float = T_CLOSENESS_T,
+    bal_band: int = K_ANON_BAL_BAND,
+) -> DataFrame:
+    """Apply the minimal passing rung of the generalization ladder —
+    the enforcement step the k/l/t audits only measure: returns the
+    customer table with its quasi-identifier columns coarsened in
+    place (``c_nationkey`` → nation / region key / −1 sentinel;
+    ``c_acctbal`` → snapped to the chosen band start / 0.0 when
+    suppressed) so the UNCHANGED audit operators re-run green on the
+    output — same column names and types, every non-QI column intact.
+
+    The rung choice reads `generalize_qi_report` (a bounded ≤6-row
+    collect — the decision table, not data); the projection itself is
+    one narrow codegen map over the corpus, broadcast-joined to the
+    25-row nation dim only when the rung coarsens to region. Band
+    snapping uses ``floor(bal/(m·B))·(m·B)``, so the audits' own
+    ``floor(bal/B)`` re-banding groups EXACTLY like the report's
+    rolled-up grid (both are injective images of the snapped band
+    index) — what the report certified is what the audits re-measure.
+
+    Raises if no rung passes (possible only with degenerate criteria,
+    e.g. ``l_floor`` above the table's distinct-segment count — the
+    last rung is one global class, so real data always terminates).
+    """
+    from pyspark.sql import functions as F
+
+    report = generalize_qi_report(
+        customer, nation, k_target, l_floor, t_threshold, bal_band
+    )
+    chosen = [r for r in report.collect() if r["chosen"]]
+    if not chosen:
+        raise ValueError(
+            "generalize_qi: no ladder rung satisfies "
+            f"(k>={k_target}, l>={l_floor}, t<={t_threshold}) — "
+            "even full suppression fails; criteria are degenerate "
+            "for this table"
+        )
+    geo, mult = QI_GENERALIZATION_LADDER[chosen[0]["level"]]
+    nat_type = dict(customer.dtypes)["c_nationkey"]
+    if geo == "nation":
+        gen = customer
+        geo_col = F.col("c_nationkey")
+    elif geo == "region":
+        gen = customer.join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            customer["c_nationkey"] == nation["n_nationkey"],
+            "left",
+        )
+        geo_col = F.col("n_regionkey").cast(nat_type)
+    else:
+        gen = customer
+        geo_col = F.lit(-1).cast(nat_type)
+    if mult is None:
+        bal_col = F.lit(0.0)
+    else:
+        width = F.lit(float(mult * bal_band))
+        bal_col = F.floor(F.col("c_acctbal") / width) * width
+    return gen.select(
+        *[
+            geo_col.alias("c_nationkey")
+            if name == "c_nationkey"
+            else bal_col.cast("double").alias("c_acctbal")
+            if name == "c_acctbal"
+            else F.col(name)
+            for name in customer.columns
+        ]
+    )

@@ -1,0 +1,223 @@
+"""Round-15 operator tests.
+
+Covers the r14 verdict items landed this round: the SNM survivor map
+(member → canonical lineage off the shared `_snm_members` table) and
+the QI generalization ladder (`generalize_qi_report` +
+`generalize_quasi_identifiers` — the enforcement step the k/l/t
+audits only measure; the verdict's Done criterion is the audits
+re-running GREEN on the generalized output, pinned here). The CC
+kernel ANSI/convergence fixes are pinned in test_ansi_mode /
+test_dedup_scale_guards.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scholar_stream_spark.operators import dedup, masking
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def part(spark):
+    return spark.read.parquet(f"{SF_SMALL}/part.parquet")
+
+
+@pytest.fixture(scope="module")
+def customer(spark):
+    return spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+
+
+@pytest.fixture(scope="module")
+def nation(spark):
+    return spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+
+
+# ---------------------------------------------------------------
+# snm_survivor_map: member → canonical lineage
+# ---------------------------------------------------------------
+
+def test_snm_survivor_map_consistent_with_clusters(spark, part):
+    clusters = {
+        r["canonical_name"]: (r["n_names"], r["n_parts"])
+        for r in dedup.snm_entity_clusters(part).collect()
+    }
+    rows = dedup.snm_survivor_map(part).collect()
+    # no member maps to itself; every canonical target is a real cluster
+    for r in rows:
+        assert r["p_name"] != r["canonical_name"]
+        assert r["canonical_name"] in clusters
+        assert r["n_names"] == clusters[r["canonical_name"]][0]
+        # canonical = lexicographically-first member
+        assert r["canonical_name"] < r["p_name"]
+    # exactly (cluster_size - 1) mapped members per cluster
+    from collections import Counter
+
+    per_canon = Counter(r["canonical_name"] for r in rows)
+    assert per_canon == {
+        name: n_names - 1 for name, (n_names, _) in clusters.items()
+    }
+    # member part counts + the canonical's own count = cluster n_parts
+    spine = {
+        r["p_name"]: r["n_parts"]
+        for r in part.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .collect()
+    }
+    got_parts = Counter()
+    for r in rows:
+        got_parts[r["canonical_name"]] += r["n_parts"]
+    for name, (_, n_parts) in clusters.items():
+        assert got_parts[name] + spine[name] == n_parts, name
+
+
+def test_snm_survivor_map_known_chain(spark):
+    # three names one edit apart + one singleton: the chain maps to its
+    # lexicographic min, the singleton is absent
+    rows = [("aaa",), ("aab",), ("aac",), ("zzzzzz",)]
+    part = spark.createDataFrame(rows * 2, "p_name string")
+    got = {
+        (r["p_name"], r["canonical_name"], r["n_parts"], r["n_names"])
+        for r in dedup.snm_survivor_map(part).collect()
+    }
+    assert got == {("aab", "aaa", 2, 3), ("aac", "aaa", 2, 3)}
+
+
+# ---------------------------------------------------------------
+# generalize_qi_report: the ladder decision table
+# ---------------------------------------------------------------
+
+def test_generalize_report_shape_and_chosen(customer, nation):
+    rows = {r["level"]: r for r in
+            masking.generalize_qi_report(customer, nation).collect()}
+    assert sorted(rows) == list(range(len(masking.QI_GENERALIZATION_LADDER)))
+    chosen = [r for r in rows.values() if r["chosen"]]
+    assert len(chosen) == 1
+    c = chosen[0]
+    assert c["k_ok"] and c["l_ok"] and c["t_ok"]
+    # minimality: every rung below the chosen one fails something
+    for lvl in range(c["level"]):
+        r = rows[lvl]
+        assert not (r["k_ok"] and r["l_ok"] and r["t_ok"]), lvl
+    # the last rung is one global class: t exactly 0, k = |customers|
+    last = rows[len(rows) - 1]
+    assert last["n_classes"] == customer.select(
+        F.count_distinct(F.coalesce("c_mktsegment", F.lit("(null)")))
+    ).first()[0]
+    assert last["max_t"] == 0.0
+    assert last["geo_level"] == "*" and last["band_width"] is None
+
+
+def test_generalize_report_coarsening_monotone(customer, nation):
+    """Strict coarsening: class counts never increase down the ladder,
+    and the k-grid min class size never decreases."""
+    rows = sorted(
+        masking.generalize_qi_report(customer, nation).collect(),
+        key=lambda r: r["level"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_classes"] <= a["n_classes"]
+        assert b["min_class_size"] >= a["min_class_size"]
+
+
+def test_generalize_report_rejects_degenerate_params(customer, nation):
+    with pytest.raises(ValueError, match="k_target"):
+        masking.generalize_qi_report(customer, nation, k_target=0)
+    with pytest.raises(ValueError, match="l_floor"):
+        masking.generalize_qi_report(customer, nation, l_floor=0)
+    with pytest.raises(ValueError, match="t_threshold"):
+        masking.generalize_qi_report(customer, nation, t_threshold=0.0)
+    with pytest.raises(ValueError, match="bal_band"):
+        masking.generalize_qi_report(customer, nation, bal_band=0)
+
+
+# ---------------------------------------------------------------
+# generalize_quasi_identifiers: enforcement output
+# ---------------------------------------------------------------
+
+def test_generalized_output_passes_all_three_audits(customer, nation):
+    """The verdict's Done criterion: the UNCHANGED audit operators
+    re-run green on the generalized table."""
+    gen = masking.generalize_quasi_identifiers(customer, nation)
+    assert masking.k_anonymity_audit(gen).filter("at_risk").count() == 0
+    assert masking.l_diversity_audit(gen).filter("at_risk").count() == 0
+    assert masking.t_closeness_audit(gen).filter("at_risk").count() == 0
+
+
+def test_generalized_output_schema_and_nonqi_intact(customer, nation):
+    gen = masking.generalize_quasi_identifiers(customer, nation)
+    assert gen.columns == customer.columns
+    assert dict(gen.dtypes) == dict(customer.dtypes)
+    assert gen.count() == customer.count()
+    # non-QI columns byte-identical (keyed by c_custkey)
+    diff = (
+        gen.select("c_custkey", "c_name", "c_mktsegment")
+        .exceptAll(
+            customer.select("c_custkey", "c_name", "c_mktsegment")
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_generalized_values_match_chosen_rung(customer, nation):
+    """The output's QI columns are exactly the chosen rung's
+    projection — recompute the rung independently and compare."""
+    rep = masking.generalize_qi_report(customer, nation).collect()
+    lvl = next(r["level"] for r in rep if r["chosen"])
+    geo, mult = masking.QI_GENERALIZATION_LADDER[lvl]
+    gen = masking.generalize_quasi_identifiers(customer, nation)
+    if geo == "*":
+        assert gen.select("c_nationkey").distinct().collect() == [(-1,)]
+    elif geo == "region":
+        regions = {
+            r["n_regionkey"] for r in nation.select("n_regionkey").collect()
+        }
+        got = {r["c_nationkey"] for r in gen.select("c_nationkey").distinct().collect()}
+        assert got <= regions
+    if mult is None:
+        vals = gen.select("c_acctbal").distinct().collect()
+        assert {r["c_acctbal"] for r in vals} == {0.0}
+    else:
+        width = float(mult * masking.K_ANON_BAL_BAND)
+        off = gen.filter(
+            F.col("c_acctbal")
+            != F.floor(F.col("c_acctbal") / width) * width
+        ).count()
+        assert off == 0
+
+
+def test_generalize_raises_when_no_rung_passes(customer, nation):
+    """l_floor above the distinct-segment count: even the global class
+    fails, so enforcement must stop loudly, not emit a false pass."""
+    with pytest.raises(ValueError, match="no ladder rung"):
+        masking.generalize_quasi_identifiers(
+            customer, nation, l_floor=10_000
+        )
+
+
+def test_generalize_on_already_safe_fixture(spark, nation):
+    """A table that is k/l/t-safe at rung 0 stays at rung 0: nation
+    granularity, base band — the minimality contract."""
+    import itertools
+
+    segs = ["A", "B", "C"]
+    rows = [
+        (i, f"c{i}", nk, 500.0, seg)
+        for i, (nk, seg) in enumerate(
+            itertools.islice(
+                itertools.cycle(itertools.product([1, 2], segs)), 120
+            )
+        )
+    ]
+    cust = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    )
+    rep = masking.generalize_qi_report(cust, nation).collect()
+    assert next(r["level"] for r in rep if r["chosen"]) == 0
+    gen = masking.generalize_quasi_identifiers(cust, nation)
+    # rung 0 keeps nation keys; balances snap to the base band start
+    assert {r["c_nationkey"] for r in gen.select("c_nationkey").distinct().collect()} == {1, 2}
+    assert {r["c_acctbal"] for r in gen.select("c_acctbal").distinct().collect()} == {0.0}
