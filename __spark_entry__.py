@@ -1682,6 +1682,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _t(s, d, "customer"), _t(s, d, "nation")
             )
         ),
+        # record suppression, the other k-anonymity enforcement lever:
+        # drop rows in sub-k QI classes, keep survivors uncoarsened
+        "suppress_small_classes": lambda s, d: (
+            masking.suppress_small_classes(_t(s, d, "customer"))
+        ),
         # Heaps'-law bigram vocabulary-growth curve by corpus decile
         # (the unseen-vocabulary signal read before freezing a vocab).
         # Default profile is the SCALE form: the decile assignment
@@ -1691,6 +1696,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # default; the window form lives in profile_pairs, pinned
         # value-identical
         "vocab_growth": lambda s, d: textops.vocab_growth(
+            _t(s, d, "documents"), profile="scale"
+        ),
+        # Zipf rank-frequency OLS fit over the bigram type-frequency
+        # table (corpus-health next to vocab_growth's Heaps curve);
+        # scale profile = ranked_by_range rank, window form pinned
+        # value-identical in profile_pairs
+        "zipf_fit": lambda s, d: textops.zipf_fit(
             _t(s, d, "documents"), profile="scale"
         ),
     }
@@ -1827,6 +1839,14 @@ def profile_pairs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFra
                 _t(s, d, "documents")
             ),
             "scale": lambda s, d: textops.vocab_growth(
+                _t(s, d, "documents"), profile="scale"
+            ),
+        },
+        "zipf_fit": {
+            "oracle": lambda s, d: textops.zipf_fit(
+                _t(s, d, "documents")
+            ),
+            "scale": lambda s, d: textops.zipf_fit(
                 _t(s, d, "documents"), profile="scale"
             ),
         },
@@ -5669,6 +5689,16 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         """,
         "generalize_qi_report": _gen_qi_report_sql(),
         "generalize_quasi_identifiers": _gen_qi_table_sql(),
+        "suppress_small_classes": f"""
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                   c_mktsegment
+            FROM customer
+            QUALIFY count(*) OVER (
+                PARTITION BY c_nationkey, c_mktsegment,
+                             floor(c_acctbal
+                                   / {float(masking.K_ANON_BAL_BAND)!r})
+            ) >= {masking.K_ANON_K}
+        """,
         "snm_candidate_pairs": f"""
             WITH spine AS (
                 SELECT p_name,
@@ -5812,6 +5842,94 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                              / CAST(cum_grams AS DOUBLE), 6)
                    END AS type_token_ratio
             FROM cum
+        """,
+        "zipf_fit": """
+            WITH t AS (
+                SELECT list_filter(
+                           regexp_split_to_array(lower(text),
+                                                 '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+                FROM documents
+            ), grams AS (
+                SELECT unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])) AS gram
+                FROM t
+            ), freq AS (
+                SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+                FROM grams GROUP BY 1
+            ), ranked AS (
+                SELECT cnt,
+                       row_number() OVER (ORDER BY cnt DESC, gram ASC)
+                           AS _rk
+                FROM freq
+            ), m AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_types,
+                       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                       SUM(CAST(round(ln(CAST(_rk AS DOUBLE)), 9)
+                                AS DECIMAL(12,9))) AS _sx,
+                       SUM(CAST(round(ln(CAST(cnt AS DOUBLE)), 9)
+                                AS DECIMAL(12,9))) AS _sy,
+                       SUM(CAST(round(ln(CAST(_rk AS DOUBLE)), 9)
+                                AS DECIMAL(12,9))
+                           * CAST(round(ln(CAST(cnt AS DOUBLE)), 9)
+                                  AS DECIMAL(12,9))) AS _sxy,
+                       SUM(CAST(round(ln(CAST(_rk AS DOUBLE)), 9)
+                                AS DECIMAL(12,9))
+                           * CAST(round(ln(CAST(_rk AS DOUBLE)), 9)
+                                  AS DECIMAL(12,9))) AS _sxx,
+                       SUM(CAST(round(ln(CAST(cnt AS DOUBLE)), 9)
+                                AS DECIMAL(12,9))
+                           * CAST(round(ln(CAST(cnt AS DOUBLE)), 9)
+                                  AS DECIMAL(12,9))) AS _syy
+                FROM ranked
+            )
+            SELECT n_types, n_tokens,
+                   round(CASE WHEN (CAST(n_types AS DOUBLE)
+                                    * CAST(_sxx AS DOUBLE)
+                                    - CAST(_sx AS DOUBLE)
+                                    * CAST(_sx AS DOUBLE)) > 0 THEN
+                       (CAST(n_types AS DOUBLE) * CAST(_sxy AS DOUBLE)
+                        - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
+                       / (CAST(n_types AS DOUBLE) * CAST(_sxx AS DOUBLE)
+                          - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE))
+                       END, 6) AS slope,
+                   round(CASE WHEN (CAST(n_types AS DOUBLE)
+                                    * CAST(_sxx AS DOUBLE)
+                                    - CAST(_sx AS DOUBLE)
+                                    * CAST(_sx AS DOUBLE)) > 0 THEN
+                       (CAST(_sy AS DOUBLE)
+                        - ((CAST(n_types AS DOUBLE)
+                            * CAST(_sxy AS DOUBLE)
+                            - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
+                           / (CAST(n_types AS DOUBLE)
+                              * CAST(_sxx AS DOUBLE)
+                              - CAST(_sx AS DOUBLE)
+                              * CAST(_sx AS DOUBLE)))
+                          * CAST(_sx AS DOUBLE))
+                       / CAST(n_types AS DOUBLE)
+                       END, 6) AS intercept,
+                   round(CASE WHEN (CAST(n_types AS DOUBLE)
+                                    * CAST(_sxx AS DOUBLE)
+                                    - CAST(_sx AS DOUBLE)
+                                    * CAST(_sx AS DOUBLE)) > 0
+                              AND (CAST(n_types AS DOUBLE)
+                                   * CAST(_syy AS DOUBLE)
+                                   - CAST(_sy AS DOUBLE)
+                                   * CAST(_sy AS DOUBLE)) > 0 THEN
+                       ((CAST(n_types AS DOUBLE) * CAST(_sxy AS DOUBLE)
+                         - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
+                        * (CAST(n_types AS DOUBLE)
+                           * CAST(_sxy AS DOUBLE)
+                           - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE)))
+                       / ((CAST(n_types AS DOUBLE)
+                           * CAST(_sxx AS DOUBLE)
+                           - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE))
+                          * (CAST(n_types AS DOUBLE)
+                             * CAST(_syy AS DOUBLE)
+                             - CAST(_sy AS DOUBLE)
+                             * CAST(_sy AS DOUBLE)))
+                       END, 6) AS r2
+            FROM m
         """,
         "supplier_hhi": """
             WITH per_sup AS (
@@ -7262,7 +7380,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
 #: Count of oracle-backed entries — the structured form of the rotation
 #: note's "N entries" claim (two r14 review rounds caught the comment
 #: stale; a constant asserted against len(oracle_sql()) cannot drift).
-_N_ORACLE_BACKED = 190
+_N_ORACLE_BACKED = 192
 
 # Computed HERE (end of module) because it needs oracle_sql(); see the
 # rotation note above _driver_first_order.

@@ -599,3 +599,46 @@ def generalize_quasi_identifiers(
             for name in customer.columns
         ]
     )
+
+
+def suppress_small_classes(
+    customer: DataFrame,
+    k: int = K_ANON_K,
+    bal_band: int = K_ANON_BAL_BAND,
+) -> DataFrame:
+    """Record suppression — the OTHER k-anonymity enforcement lever
+    (Sweeney 2002 §suppression; what `generalize_quasi_identifiers`
+    trades utility for coverage, this trades coverage for utility):
+    drop every row whose `k_anonymity_audit` equivalence class —
+    (nation, segment, balance band), the audit's exact QI grid — has
+    fewer than ``k`` members, leaving all surviving values UNCOARSENED.
+    The audit re-runs green on the output by construction (suppressing
+    a class never shrinks another: classes are disjoint), pinned in
+    pytest alongside the row-count identity
+    ``|kept| = Σ_{size ≥ k} size``.
+
+    Scale shape: ONE partitioned window — `count(*) OVER (PARTITION BY
+    QI)` — on the grid-cardinality partitioning (NULL keys group,
+    matching the audit's groupBy semantics; no join, no second scan),
+    then a per-row filter. Not an unbounded single-task window: the QI
+    grid is the partition key.
+
+    Output: the retained customer rows, all columns intact.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if k < 1:
+        raise ValueError(f"suppress: k must be >= 1, got {k}")
+    if bal_band <= 0:
+        raise ValueError(f"suppress: bal_band must be > 0, got {bal_band}")
+    w = Window.partitionBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(float(bal_band))),
+    )
+    return (
+        customer.withColumn("_csz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_csz") >= F.lit(k))
+        .drop("_csz")
+    )

@@ -2549,3 +2549,121 @@ def char_entropy(documents: DataFrame) -> DataFrame:
             ).alias("entropy"),
         )
     )
+
+
+def zipf_fit(
+    documents: DataFrame,
+    profile: str = "oracle",
+) -> DataFrame:
+    """Zipf rank-frequency fit — the corpus-health statistic read next
+    to `vocab_growth`'s Heaps curve (Zipf 1949; natural text follows
+    ``freq ∝ rank^{-s}`` with s ≈ 1, so a fitted slope far from −1
+    flags boilerplate floods, template spam, or truncated
+    vocabularies before they poison a tokenizer or mixture design):
+    OLS of ``ln(freq)`` on ``ln(rank)`` over the full type-frequency
+    table, plus the fit's r² so a non-power-law corpus is visible, not
+    just mis-sloped.
+
+    Types are word BIGRAMS (the fleet tokenizer: lower, split
+    ``[^a-z0-9]+``, drop empties) — the synthetic corpus's closed
+    ~31-word unigram vocabulary is a degenerate 31-point fit, while
+    its ~900-bigram vocabulary exercises a real curve. Ranks order by
+    (freq DESC, gram ASC) — the unique-total-order tiebreak
+    discipline.
+
+    Exactness discipline: the OLS moments are sums of PER-TERM
+    QUANTIZED decimals — each ``ln`` double rounds to 9 dp and casts
+    to DECIMAL(12,9) BEFORE summing, so every moment is an exact,
+    order-independent decimal both engines (the whole-sum
+    double-drift class that would otherwise bite a vocabulary-sized
+    float sum); products are taken per term at DECIMAL(25,18) (inside
+    38 — the `prefix_sum_by_range` overflow discipline), and the
+    final slope/intercept/r² are a handful of double ops on the exact
+    moments — identical literals both engines, round 6.
+
+    Scale shape: ONE text scan → bigram explode → map-side-combined
+    gram counts; the rank is the only total order —
+    ``profile="oracle"`` a single window, ``profile="scale"``
+    ``ranked_by_range`` on (−freq, gram) (value-identical, pinned);
+    the moments are ONE map-side-combined global aggregate; output is
+    one row. No joins, no corpus-sized window.
+
+    Output: (n_types, n_tokens, slope, intercept, r2) — counts
+    BIGINT; slope/intercept/r2 DOUBLE round 6, NULL when the fit is
+    degenerate (fewer than 2 types / zero x-variance).
+    """
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+    out_len = f"(size({toks}) - 1)"
+    grams_expr = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"zip_with(slice({toks}, 1, {out_len}), "
+        f"slice({toks}, 2, {out_len}), (a, b) -> concat(a, ' ', b)) "
+        f"ELSE array() END"
+    )
+    freq = (
+        documents.select(
+            F.explode(F.expr(grams_expr)).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    if profile == "scale":
+        from scholar_stream_spark.operators.relational import (
+            ranked_by_range,
+        )
+
+        ranked = ranked_by_range(
+            freq.withColumn("_negc", -F.col("cnt")),
+            [],
+            ["_negc", "gram"],
+            rank_col="_rk",
+        )
+    elif profile == "oracle":
+        w = Window.orderBy(F.desc("cnt"), F.asc("gram"))
+        ranked = freq.select(
+            "cnt", F.row_number().over(w).alias("_rk")
+        )
+    else:
+        raise ValueError(f"zipf_fit: unknown profile {profile!r}")
+    # per-term quantized decimal moments (see docstring)
+    q = "CAST(round(ln(CAST({v} AS DOUBLE)), 9) AS DECIMAL(12,9))"
+    x, y = q.format(v="_rk"), q.format(v="cnt")
+    moments = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.expr(x)).alias("_sx"),
+        F.sum(F.expr(y)).alias("_sy"),
+        F.sum(F.expr(f"{x} * {y}")).alias("_sxy"),
+        F.sum(F.expr(f"{x} * {x}")).alias("_sxx"),
+        F.sum(F.expr(f"{y} * {y}")).alias("_syy"),
+    )
+    d = "CAST({c} AS DOUBLE)"
+    n, sx, sy = (d.format(c=c) for c in ("n_types", "_sx", "_sy"))
+    sxy, sxx, syy = (d.format(c=c) for c in ("_sxy", "_sxx", "_syy"))
+    den_x = f"({n} * {sxx} - {sx} * {sx})"
+    den_y = f"({n} * {syy} - {sy} * {sy})"
+    cov = f"({n} * {sxy} - {sx} * {sy})"
+    return moments.select(
+        "n_types",
+        "n_tokens",
+        F.round(
+            F.expr(
+                f"CASE WHEN {den_x} > 0 THEN {cov} / {den_x} END"
+            ),
+            6,
+        ).alias("slope"),
+        F.round(
+            F.expr(
+                f"CASE WHEN {den_x} > 0 THEN "
+                f"({sy} - ({cov} / {den_x}) * {sx}) / {n} END"
+            ),
+            6,
+        ).alias("intercept"),
+        F.round(
+            F.expr(
+                f"CASE WHEN {den_x} > 0 AND {den_y} > 0 THEN "
+                f"({cov} * {cov}) / ({den_x} * {den_y}) END"
+            ),
+            6,
+        ).alias("r2"),
+    )

@@ -221,3 +221,108 @@ def test_generalize_on_already_safe_fixture(spark, nation):
     # rung 0 keeps nation keys; balances snap to the base band start
     assert {r["c_nationkey"] for r in gen.select("c_nationkey").distinct().collect()} == {1, 2}
     assert {r["c_acctbal"] for r in gen.select("c_acctbal").distinct().collect()} == {0.0}
+
+
+# ---------------------------------------------------------------
+# suppress_small_classes: the other k-anonymity enforcement lever
+# ---------------------------------------------------------------
+
+def test_suppress_small_classes_audit_green_and_counts(customer):
+    kept = masking.suppress_small_classes(customer)
+    audit = masking.k_anonymity_audit(kept).collect()
+    assert all(not r["at_risk"] for r in audit)
+    # row-count identity: |kept| = sum over classes of size >= k
+    base = masking.k_anonymity_audit(customer).collect()
+    want = sum(
+        r["n_customers"] for r in base if not r["at_risk"]
+    )
+    assert kept.count() == want
+    # survivors are untouched original rows
+    assert kept.exceptAll(customer).count() == 0
+    assert kept.columns == customer.columns
+
+
+def test_suppress_small_classes_null_qi_kept_when_large(spark):
+    """NULL QI values form their own class (the audit's groupBy
+    semantics): a NULL-nation class of size >= k survives."""
+    rows = [(i, None, 100.0, "A") for i in range(6)] + [
+        (99, 7, 100.0, "B")  # size-1 class: suppressed
+    ]
+    cust = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    kept = masking.suppress_small_classes(cust, k=5)
+    assert kept.count() == 6
+    assert kept.filter("c_custkey = 99").count() == 0
+
+
+def test_suppress_rejects_degenerate_params(customer):
+    with pytest.raises(ValueError, match="k must be"):
+        masking.suppress_small_classes(customer, k=0)
+    with pytest.raises(ValueError, match="bal_band"):
+        masking.suppress_small_classes(customer, bal_band=-1)
+
+
+# ---------------------------------------------------------------
+# zipf_fit: rank-frequency OLS
+# ---------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def test_zipf_scale_profile_value_identical(documents):
+    from scholar_stream_spark.operators import textops
+
+    a = textops.zipf_fit(documents, profile="oracle").collect()
+    b = textops.zipf_fit(documents, profile="scale").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 1 and a[0]["slope"] is not None
+    # a natural-ish corpus fits a DECREASING power law
+    assert a[0]["slope"] < 0
+    assert 0.0 <= a[0]["r2"] <= 1.0
+
+
+def test_zipf_fit_hand_computed(spark):
+    """Controlled bigram frequencies 4/2/1 -> ranks 1/2/3: compare to
+    a numpy lstsq fit over the same quantized ln points."""
+    import math
+
+    from scholar_stream_spark.operators import textops
+
+    # one doc per gram occurrence: "a b" x4, "c d" x2, "e f" x1
+    rows = [("a b",)] * 4 + [("c d",)] * 2 + [("e f",)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, (t,) in enumerate(rows)], "doc_id long, text string"
+    )
+    got = textops.zipf_fit(docs).first()
+    assert got["n_types"] == 3 and got["n_tokens"] == 7
+    xs = [round(math.log(r), 9) for r in (1, 2, 3)]
+    ys = [round(math.log(c), 9) for c in (4, 2, 1)]
+    n = 3.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert got["slope"] == pytest.approx(slope, abs=1e-6)
+    assert got["intercept"] == pytest.approx(intercept, abs=1e-6)
+    assert got["r2"] == pytest.approx(r2, abs=1e-6)
+
+
+def test_zipf_fit_degenerate_single_type(spark):
+    from scholar_stream_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    got = textops.zipf_fit(docs).first()
+    assert got["n_types"] == 1
+    assert got["slope"] is None and got["r2"] is None
