@@ -1642,6 +1642,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_survivor_map": lambda s, d: dedup.snm_survivor_map(
             _t(s, d, "part")
         ),
+        # COMPLETE edit-distance self-join (q-gram prefix filtering;
+        # the no-false-negative complement to SNM's sliding window)
+        "edit_distance_pairs": lambda s, d: dedup.edit_distance_pairs(
+            _t(s, d, "part")
+        ),
         # per-doc char-level Shannon entropy (repeated-junk LOW /
         # base64-blob HIGH quality gate)
         "char_entropy": lambda s, d: textops.char_entropy(
@@ -5787,6 +5792,17 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             JOIN widths w ON l.canon = w.canon
             WHERE l.node <> l.canon
         """,
+        "edit_distance_pairs": f"""
+            WITH spine AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
+            FROM spine a JOIN spine b
+              ON a.p_name < b.p_name
+             AND abs(length(a.p_name) - length(b.p_name))
+                 <= {dedup.EDJOIN_MAX_DIST}
+            WHERE levenshtein(a.p_name, b.p_name)
+                  BETWEEN 1 AND {dedup.EDJOIN_MAX_DIST}
+        """,
         "vocab_growth": f"""
             WITH ranked AS (
                 SELECT list_filter(
@@ -7380,7 +7396,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
 #: Count of oracle-backed entries — the structured form of the rotation
 #: note's "N entries" claim (two r14 review rounds caught the comment
 #: stale; a constant asserted against len(oracle_sql()) cannot drift).
-_N_ORACLE_BACKED = 192
+_N_ORACLE_BACKED = 193
 
 # Computed HERE (end of module) because it needs oracle_sql(); see the
 # rotation note above _driver_first_order.

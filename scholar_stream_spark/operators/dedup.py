@@ -3154,3 +3154,143 @@ def snm_survivor_map(
         .filter(F.col("p_name") != F.col("canonical_name"))
         .select("p_name", "canonical_name", "n_parts", "n_names")
     )
+
+
+#: q-gram width for the edit-distance join's prefix filter.
+EDJOIN_Q = 3
+#: Edit-distance gate (1..d; 0 is the exact-dup case, collapsed into
+#: the distinct spine like SNM).
+EDJOIN_MAX_DIST = 2
+
+
+def edit_distance_pairs(
+    part: DataFrame,
+    q: int = EDJOIN_Q,
+    max_dist: int = EDJOIN_MAX_DIST,
+) -> DataFrame:
+    """COMPLETE edit-distance self-join over the distinct part-name
+    spine — every pair with ``1 ≤ lev ≤ max_dist``, no false
+    negatives, via q-gram prefix filtering (Gravano et al. VLDB '01
+    count bound; Xiao/Wang/Lin ED-Join's fixed ``q·d+1`` prefix;
+    Bayardo et al. AllPairs' rare-first global gram order). The
+    exactness complement to `snm_candidate_pairs`: SNM's sliding
+    window is a heuristic that can miss pairs sorting far apart (a
+    typo in the FIRST character moves a name across the spine);
+    this join is provably complete, at the cost of a gram index
+    instead of one sort.
+
+    Completeness (why the oracle can be the naive quadratic): an edit
+    alters only the ≤ q substrings overlapping its position, so d
+    edits destroy ≤ q·d gram OCCURRENCES; a LONG name (``len ≥
+    q·(d+1)`` ⇒ ≥ q·d+1 occurrences) therefore always keeps ≥ 1
+    common gram with any match. Under any global total order on
+    grams, the size-``q·d+1`` prefixes of two matching long names
+    must intersect: if both gram sets are large the classic
+    exchange argument applies (a common gram outside both prefixes
+    would have to sort after each prefix's grams — circular); if
+    either set is small its prefix is the whole set and the
+    ``|B \\ A| ≤ q·d`` bound lands a prefix gram in the other set.
+    SHORT names (``len < q·(d+1)``) bypass grams entirely through an
+    exact-length probe join (lev ≤ d bounds ``|len_a − len_b| ≤ d``,
+    so each short name probes 2d+1 length buckets — the SNM
+    ``sequence`` trick on lengths).
+
+    Scale shape: every join is an EQUI-join — gram-frequency
+    (map-side combined), prefix selection (a per-NAME window, ≤
+    ``len`` rows per partition — never a global order), the
+    prefix-gram self-join (rare-first order keeps per-gram fan-out
+    low; the prefix is the ``q·d+1`` RAREST grams of each name, so
+    stopword-grade grams never generate candidates), and the short
+    length-bucket join. Candidates length-filter before the
+    O(len²) `levenshtein` verify; no band join, no cartesian, no
+    unbounded window. At 100 TB the gram index and candidate set
+    are the only super-linear terms, both bounded by gram rarity —
+    the same contract as the MinHash band join.
+
+    Output: (name_a, name_b, lev) with ``name_a < name_b``, lev INT
+    in [1, max_dist] — verified exact distances, not candidates.
+    """
+    if q < 2:
+        raise ValueError(f"edjoin: q must be >= 2, got {q}")
+    if max_dist < 1:
+        raise ValueError(
+            f"edjoin: max_dist must be >= 1 (0 is the exact-dup "
+            f"case, collapsed into the distinct spine), got {max_dist}"
+        )
+    spine = (
+        part.select("p_name")
+        .distinct()
+        .select("p_name", F.length("p_name").alias("_len"))
+        # three consumers: long split, short split, short probe target
+        .localCheckpoint(eager=False)
+    )
+    min_long = q * (max_dist + 1)
+    longs = spine.filter(F.col("_len") >= min_long)
+    shorts = spine.filter(F.col("_len") < min_long)
+    grams = longs.select(
+        "p_name",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(p_name) - {q} + 1),"
+                    f" i -> substring(p_name, i, {q}))"
+                )
+            )
+        ).alias("_gram"),
+    )
+    freq = grams.groupBy("_gram").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    prefix_sz = q * max_dist + 1
+    w = Window.partitionBy("p_name").orderBy("_df", "_gram")
+    prefix = (
+        grams.join(freq, "_gram")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_sz)
+        .select("p_name", "_gram")
+        # the self-join reads it twice
+        .localCheckpoint(eager=False)
+    )
+    long_cand = (
+        prefix.select(F.col("p_name").alias("name_a"), "_gram")
+        .join(
+            prefix.select(F.col("p_name").alias("name_b"), "_gram"),
+            "_gram",
+        )
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    probes = shorts.select(
+        F.col("p_name").alias("_sname"),
+        F.explode(
+            F.expr(
+                f"sequence(greatest(_len - {max_dist}, 0),"
+                f" _len + {max_dist})"
+            )
+        ).alias("_len"),
+    )
+    short_cand = (
+        probes.join(spine, "_len")
+        .filter(F.col("_sname") != F.col("p_name"))
+        .select(
+            F.least("_sname", "p_name").alias("name_a"),
+            F.greatest("_sname", "p_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    # disjoint by construction (long path is long x long only; the
+    # short path always involves a short name) — union'd distinct
+    # anyway as cheap insurance on the candidate set
+    cand = long_cand.union(short_cand).distinct()
+    return (
+        cand.filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= max_dist
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("lev"),
+        )
+        .filter((F.col("lev") >= 1) & (F.col("lev") <= max_dist))
+    )

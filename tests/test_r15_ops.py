@@ -326,3 +326,95 @@ def test_zipf_fit_degenerate_single_type(spark):
     got = textops.zipf_fit(docs).first()
     assert got["n_types"] == 1
     assert got["slope"] is None and got["r2"] is None
+
+
+# ---------------------------------------------------------------
+# edit_distance_pairs: complete q-gram-prefix edit-distance join
+# ---------------------------------------------------------------
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _naive_pairs(names, d):
+    out = set()
+    uniq = sorted(set(names))
+    for i, a in enumerate(uniq):
+        for b in uniq[i + 1:]:
+            lv = _lev(a, b)
+            if 1 <= lv <= d:
+                out.add((a, b, lv))
+    return out
+
+
+def test_edjoin_matches_naive_on_mixed_lengths(spark):
+    """Names straddling the short/long boundary (min_long = q·(d+1) =
+    9): typo clusters, repeated-gram strings (the small-distinct-set
+    prefix edge), shorts incl. the empty string, and far-apart
+    non-matches."""
+    names = [
+        "abcdefghij", "abcdefghix", "xbcdefghij",  # long cluster
+        "aaaaaaaaaa", "aaaaaaaaab",  # 1 distinct gram each
+        "short", "shirt", "sho", "sh", "s", "",  # shorts
+        "completely different", "zzzzzzzzzzzz",
+    ]
+    part = spark.createDataFrame([(n,) for n in names], "p_name string")
+    got = {
+        (r["name_a"], r["name_b"], r["lev"])
+        for r in dedup.edit_distance_pairs(part).collect()
+    }
+    assert got == _naive_pairs(names, dedup.EDJOIN_MAX_DIST)
+    assert got  # fixture sanity: matches exist
+
+
+def test_edjoin_property_vs_naive(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    name = st.text(alphabet="abc", min_size=0, max_size=12)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(name, min_size=1, max_size=12))
+    def run(names):
+        part = spark.createDataFrame(
+            [(n,) for n in names], "p_name string"
+        )
+        got = {
+            (r["name_a"], r["name_b"], r["lev"])
+            for r in dedup.edit_distance_pairs(part).collect()
+        }
+        assert got == _naive_pairs(names, dedup.EDJOIN_MAX_DIST)
+
+    run()
+
+
+def test_edjoin_wider_distance_gate(spark, part):
+    """max_dist=4 on real part names must equal the naive reference —
+    the gate is a parameter, not a constant baked into the filter."""
+    names = [r["p_name"] for r in part.select("p_name").collect()]
+    got = {
+        (r["name_a"], r["name_b"], r["lev"])
+        for r in dedup.edit_distance_pairs(part, max_dist=4).collect()
+    }
+    assert got == _naive_pairs(names, 4)
+
+
+def test_edjoin_rejects_degenerate_params(part):
+    with pytest.raises(ValueError, match="q must be"):
+        dedup.edit_distance_pairs(part, q=1)
+    with pytest.raises(ValueError, match="max_dist"):
+        dedup.edit_distance_pairs(part, max_dist=0)
