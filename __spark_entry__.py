@@ -1453,6 +1453,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
             _t(s, d, "documents")
         ),
+        # value-identical AllPairs prefix-filtered form: candidate
+        # fan-out bounded by shingle rarity with NO completeness loss
+        # (the honest version of the max_doc_freq cap); shares the
+        # uncapped oracle
+        "dedup_jaccard_prefix": lambda s, d: dedup.jaccard_prefix_pairs(
+            _t(s, d, "documents")
+        ),
         # asymmetric companion: near-SUBSET pairs by exact shingle
         # containment (inter/min-size, integer-exact boundary)
         "ngram_containment_pairs": lambda s, d: dedup.ngram_containment_pairs(
@@ -7175,6 +7182,9 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "remove_dup_paragraphs": _remove_dup_paragraphs_sql(),
         "remove_dup_paragraphs_first": _remove_dup_paragraphs_sql("first"),
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
+        # the prefix-filtered form is value-identical by construction
+        # (AllPairs completeness) -> same oracle text
+        "dedup_jaccard_prefix": _ngram_jaccard_sql(),
         "ngram_containment_pairs": _ngram_containment_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
         "neardup_source_matrix": _source_matrix_sql(),
@@ -7396,7 +7406,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
 #: Count of oracle-backed entries — the structured form of the rotation
 #: note's "N entries" claim (two r14 review rounds caught the comment
 #: stale; a constant asserted against len(oracle_sql()) cannot drift).
-_N_ORACLE_BACKED = 193
+_N_ORACLE_BACKED = 194
 
 # Computed HERE (end of module) because it needs oracle_sql(); see the
 # rotation note above _driver_first_order.

@@ -3294,3 +3294,71 @@ def edit_distance_pairs(
         )
         .filter((F.col("lev") >= 1) & (F.col("lev") <= max_dist))
     )
+
+
+def jaccard_prefix_pairs(
+    documents: DataFrame,
+    n: int = SHINGLE_N,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via AllPairs prefix filtering
+    (Chaudhuri/Ganti/Kaushik SSJoin ICDE '06; Bayardo/Ma/Srikant WWW
+    '07) — VALUE-IDENTICAL to the uncapped `ngram_jaccard_pairs`
+    (pinned) but with candidate fan-out bounded by shingle RARITY
+    instead of by `max_doc_freq`'s semantics-changing cap: the
+    uncapped equi-join explodes quadratically on any boilerplate
+    shingle (d docs ⇒ d(d−1)/2 candidate rows), and the df cap fixes
+    that by DROPPING pairs that only share hot shingles; prefix
+    filtering keeps completeness — ``J(A,B) ≥ τ ⇒ |A∩B| ≥ ⌈τ·|A|⌉``,
+    so under a global shingle order the first ``|A| − ⌈τ·|A|⌉ + 1``
+    shingles of A (its PREFIX) must contain a common shingle with any
+    match (if every common shingle sat past the prefix, fewer than
+    ⌈τ|A|⌉ could be common) — and with the order = (df asc, shingle
+    asc), hot shingles sit at the END of every prefix ordering and
+    almost never enter one. This is the same rare-first prefix
+    machinery as `edit_distance_pairs`, with the Jaccard overlap
+    bound in place of the q-gram count bound.
+
+    Scale shape: shingle df is one map-side aggregate; prefix
+    selection is a per-DOC window (partition ≤ |doc shingles| — never
+    a global order); candidates self-equi-join on the prefix shingles
+    only; the exact verify is the shared `_verify_jaccard` (scores
+    over ALL shingles — emitted jaccards are exact). At 100 TB the
+    candidate volume is governed by rare-shingle collisions — the
+    honest version of what the df cap approximates.
+
+    Output: (d1, d2, jaccard round 4), identical rows to
+    `ngram_jaccard_pairs(documents, n, threshold)`.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"jaccard_prefix: threshold must be in (0, 1], got "
+            f"{threshold}"
+        )
+    sh = distinct_shingles(documents, n).localCheckpoint(eager=False)
+    sizes = _shingle_sizes(sh)
+    freq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    w = Window.partitionBy("doc_id").orderBy("_df", "shingle")
+    wn = Window.partitionBy("doc_id")
+    prefix = (
+        sh.join(freq, "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wn).alias("_nsh"),
+        )
+        # prefix size = |A| - ceil(tau*|A|) + 1
+        .filter(
+            F.col("_rn")
+            <= F.col("_nsh")
+            - F.ceil(F.lit(float(threshold)) * F.col("_nsh"))
+            + 1
+        )
+        .select("doc_id", "shingle")
+        .localCheckpoint(eager=False)  # the self-join reads it twice
+    )
+    cand = _candidate_pairs(prefix)
+    return _verify_jaccard(cand, sh, threshold, sizes=sizes)

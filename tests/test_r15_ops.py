@@ -418,3 +418,70 @@ def test_edjoin_rejects_degenerate_params(part):
         dedup.edit_distance_pairs(part, q=1)
     with pytest.raises(ValueError, match="max_dist"):
         dedup.edit_distance_pairs(part, max_dist=0)
+
+
+# ---------------------------------------------------------------
+# jaccard_prefix_pairs: AllPairs prefix filtering, value-identical
+# ---------------------------------------------------------------
+
+def test_jaccard_prefix_identical_to_uncapped(spark, documents):
+    base = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(documents).collect())
+    )
+    pref = sorted(
+        map(tuple, dedup.jaccard_prefix_pairs(documents).collect())
+    )
+    assert pref == base
+    assert len(pref) > 0
+
+
+def test_jaccard_prefix_identical_at_other_thresholds(spark, documents):
+    for tau in (0.5, 0.95, 1.0):
+        base = sorted(
+            map(
+                tuple,
+                dedup.ngram_jaccard_pairs(
+                    documents, threshold=tau
+                ).collect(),
+            )
+        )
+        pref = sorted(
+            map(
+                tuple,
+                dedup.jaccard_prefix_pairs(
+                    documents, threshold=tau
+                ).collect(),
+            )
+        )
+        assert pref == base, tau
+
+
+def test_jaccard_prefix_boilerplate_flood_fixture(spark):
+    """The exact failure mode the prefix filter exists for: many docs
+    sharing ONE boilerplate shingle (equi-join would fan out
+    quadratically on it) plus a genuine near-dup pair — the pair must
+    survive, the boilerplate-only pairs must not appear."""
+    boiler = "lorem ipsum dolor sit amet"
+    docs = [(i, f"{boiler} unique{i} text{i} row{i} pad{i}") for i in range(30)]
+    docs += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["d1"], r["d2"])
+        for r in dedup.jaccard_prefix_pairs(df, threshold=0.5).collect()
+    }
+    want = {
+        (r["d1"], r["d2"])
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert got == want
+    assert (100, 101) in got
+
+
+def test_jaccard_prefix_rejects_degenerate_threshold(documents):
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.jaccard_prefix_pairs(documents, threshold=0.0)
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.jaccard_prefix_pairs(documents, threshold=1.5)
