@@ -1374,6 +1374,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": lambda s, d: sampling.hash_sample(
             _t(s, d, "documents"), 0.1
         ).select("doc_id", "lang"),
+        # Efraimidis-Spirakis weighted WITHOUT-replacement exact-k
+        # sample (weight = doc length; deterministic portable-hash u)
+        "weighted_sample_topk": lambda s, d: sampling.weighted_sample_topk(
+            _t(s, d, "documents").select(
+                "doc_id", F.length("text").cast("long").alias("weight")
+            )
+        ),
         # PII scrub demo: inject deterministic emails/ids/phones/IPs/
         # UUIDs into the text (the synthetic corpus has none) so every
         # redaction pattern is exercised, plus one word-boundary
@@ -6849,6 +6856,22 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                   % {sampling.SAMPLE_DENOM}
                   < {int(0.1 * sampling.SAMPLE_DENOM)}
         """,
+        "weighted_sample_topk": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS weight,
+                       ln((({hex48_sql("CAST(doc_id AS VARCHAR)")})
+                           % {sampling.SAMPLE_DENOM} + 0.5)
+                          / {float(sampling.SAMPLE_DENOM)!r})
+                       / CAST(length(text) AS DOUBLE) AS _es
+                FROM documents
+                WHERE length(text) > 0
+            )
+            SELECT doc_id, weight, round(_es, 6) AS es_key
+            FROM b
+            ORDER BY _es DESC, doc_id ASC
+            LIMIT {sampling.WEIGHTED_TOPK_K}
+        """,
         "doc_fingerprint": """
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
@@ -7406,7 +7429,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
 #: Count of oracle-backed entries — the structured form of the rotation
 #: note's "N entries" claim (two r14 review rounds caught the comment
 #: stale; a constant asserted against len(oracle_sql()) cannot drift).
-_N_ORACLE_BACKED = 194
+_N_ORACLE_BACKED = 195
 
 # Computed HERE (end of module) because it needs oracle_sql(); see the
 # rotation note above _driver_first_order.

@@ -1368,3 +1368,59 @@ def corpus_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "source", "shard", "pos")
     )
+
+
+#: Default sample size for the weighted-without-replacement top-k.
+WEIGHTED_TOPK_K = 100
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int = WEIGHTED_TOPK_K,
+    weight_col: str = "weight",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly k rows, one pass
+    — Efraimidis & Spirakis (IPL 2006): give every row the key
+    ``u^(1/w)`` (u uniform, w its weight) and keep the k largest; the
+    result is distributed exactly as sequential weighted draws without
+    replacement. The missing quadrant of the sampling family:
+    `hash_sample` is uniform-Bernoulli, `quality_weighted_sample` is
+    weighted-Bernoulli (random SIZE, no k control), `stratified_
+    reservoir` is uniform-per-stratum — this is weighted AND
+    exact-size, the "sample 10k docs ∝ quality/length" primitive a
+    mixture designer actually asks for.
+
+    Determinism (the family contract): u derives from the portable
+    hash bucket — ``u = (bucket + 0.5)/DENOM`` (never 0 or 1, so ln
+    is finite) — identical on any cluster, partitioning, or engine;
+    rows rank by ``ln(u)/w`` DESC (the monotone log of the ES key —
+    same order, no cross-engine ``pow``), ties broken by key. The
+    bucket's ~10⁶ distinct low-precision rationals keep ``ln``
+    bit-identical across libms. Rows with NULL or non-positive
+    weight are excluded (an ES key is undefined there), stated
+    contract.
+
+    Scale shape: a narrow projection (hash + ln, zero shuffle) into a
+    global top-k — ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject (per-partition heaps + driver merge of
+    k-row partials), never a full sort. Output: (key, weight,
+    es_key round 6).
+    """
+    if k < 1:
+        raise ValueError(f"weighted_topk: k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    u = (sample_bucket(key_col) + F.lit(0.5)) / F.lit(
+        float(SAMPLE_DENOM)
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (w > 0))
+        .withColumn("_es", F.log(u) / w)
+        .orderBy(F.desc("_es"), F.asc(key_col))
+        .limit(k)
+        .select(
+            key_col,
+            weight_col,
+            F.round("_es", 6).alias("es_key"),
+        )
+    )

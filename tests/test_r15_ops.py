@@ -485,3 +485,69 @@ def test_jaccard_prefix_rejects_degenerate_threshold(documents):
         dedup.jaccard_prefix_pairs(documents, threshold=0.0)
     with pytest.raises(ValueError, match="threshold"):
         dedup.jaccard_prefix_pairs(documents, threshold=1.5)
+
+
+# ---------------------------------------------------------------
+# weighted_sample_topk: Efraimidis-Spirakis without replacement
+# ---------------------------------------------------------------
+
+def test_weighted_topk_matches_python_reference(spark, documents):
+    import math
+
+    from scholar_stream_spark.operators import sampling
+
+    base = documents.select(
+        "doc_id", F.length("text").cast("long").alias("weight")
+    )
+    got = [
+        (r["doc_id"], r["weight"])
+        for r in sampling.weighted_sample_topk(base, k=20).collect()
+    ]
+    # independent reference off the same portable buckets
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in base.select(
+            "doc_id", sampling.sample_bucket("doc_id").alias("b")
+        ).collect()
+    }
+    weights = {r["doc_id"]: r["weight"] for r in base.collect()}
+    keys = {
+        d: math.log((buckets[d] + 0.5) / sampling.SAMPLE_DENOM)
+        / weights[d]
+        for d in weights
+        if weights[d] > 0
+    }
+    want = sorted(keys, key=lambda d: (-keys[d], d))[:20]
+    assert [d for d, _ in got] == want
+    # output is ordered by the ES key (the contract of orderBy+limit)
+    assert got == sorted(got, key=lambda t: (-keys[t[0]], t[0]))
+
+
+def test_weighted_topk_heavier_is_overrepresented(spark):
+    """1000 rows, 10 with weight 1000 vs 990 with weight 1: at k=50
+    the heavy rows must all survive (their ES keys concentrate near
+    0) — the qualitative weighted-sampling property."""
+    from scholar_stream_spark.operators import sampling
+
+    rows = [(i, 1000) for i in range(10)] + [
+        (i, 1) for i in range(10, 1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    got = {
+        r["doc_id"]
+        for r in sampling.weighted_sample_topk(df, k=50).collect()
+    }
+    assert set(range(10)) <= got
+
+
+def test_weighted_topk_excludes_nonpositive_weights(spark):
+    from scholar_stream_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -7), (4, None)],
+        "doc_id long, weight long",
+    )
+    got = sampling.weighted_sample_topk(df, k=10).collect()
+    assert [r["doc_id"] for r in got] == [1]
+    with pytest.raises(ValueError, match="k must be"):
+        sampling.weighted_sample_topk(df, k=0)
