@@ -1250,6 +1250,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "events")
         ),
         "sessionize": lambda s, d: temporal.sessionize(_t(s, d, "events")),
+        # sweep-line concurrency profile over the sessionized stream
+        # ("how many users at once, for how long"); scale profile =
+        # prefix_sum_by_range + rank+1 join, window form pinned
+        # value-identical in profile_pairs
+        "session_concurrency": lambda s, d: temporal.session_concurrency(
+            _t(s, d, "events"), profile="scale"
+        ),
         # per-user out-of-order arrival audit — the watermark-sizing
         # report (integer-microsecond lateness, one user-keyed shuffle)
         "event_order_audit": lambda s, d: temporal.event_order_audit(
@@ -1867,6 +1874,14 @@ def profile_pairs() -> dict[str, dict[str, Callable[[SparkSession, str], DataFra
             ),
             "scale": lambda s, d: textops.zipf_fit(
                 _t(s, d, "documents"), profile="scale"
+            ),
+        },
+        "session_concurrency": {
+            "oracle": lambda s, d: temporal.session_concurrency(
+                _t(s, d, "events")
+            ),
+            "scale": lambda s, d: temporal.session_concurrency(
+                _t(s, d, "events"), profile="scale"
             ),
         },
         "quality_deciles": {
@@ -7011,6 +7026,51 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                    date_diff('second', min(ts), max(ts)) AS duration_seconds
             FROM runs GROUP BY user_id, session_seq
         """,
+        "session_concurrency": f"""
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ), flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN prev_ts IS NULL
+                              OR date_diff('second', prev_ts, ts)
+                                 > {temporal.SESSION_GAP_SECONDS}
+                            THEN 1 ELSE 0 END AS is_new
+                FROM o
+            ), runs AS (
+                SELECT user_id, ts,
+                       CAST(SUM(is_new) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
+                           AS session_seq
+                FROM flagged
+            ), sess AS (
+                SELECT epoch_us(min(ts)) AS s,
+                       epoch_us(max(ts)) + 1 AS e
+                FROM runs GROUP BY user_id, session_seq
+            ), pts AS (
+                SELECT s AS t, 1 AS d FROM sess
+                UNION ALL
+                SELECT e AS t, -1 AS d FROM sess
+            ), net AS (
+                SELECT t, CAST(SUM(d) AS BIGINT) AS _net
+                FROM pts GROUP BY 1
+            ), iv AS (
+                SELECT t,
+                       SUM(_net) OVER (ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS _lvl,
+                       lead(t) OVER (ORDER BY t) AS _next_t
+                FROM net
+            )
+            SELECT CAST(_lvl AS BIGINT) AS concurrency,
+                   CAST(count(*) AS BIGINT) AS n_intervals,
+                   CAST(SUM(_next_t - t) AS BIGINT) AS total_us
+            FROM iv WHERE _next_t IS NOT NULL
+            GROUP BY 1
+        """,
         "range_join": f"""
             SELECT l.event_id, l.user_id, l.ts,
                    r.event_id AS matched_event_id,
@@ -7429,7 +7489,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
 #: Count of oracle-backed entries — the structured form of the rotation
 #: note's "N entries" claim (two r14 review rounds caught the comment
 #: stale; a constant asserted against len(oracle_sql()) cannot drift).
-_N_ORACLE_BACKED = 195
+_N_ORACLE_BACKED = 196
 
 # Computed HERE (end of module) because it needs oracle_sql(); see the
 # rotation note above _driver_first_order.

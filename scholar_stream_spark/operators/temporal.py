@@ -352,3 +352,100 @@ def session_type_lift(
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def session_concurrency(
+    events: DataFrame,
+    gap_seconds: int = SESSION_GAP_SECONDS,
+    profile: str = "oracle",
+) -> DataFrame:
+    """Concurrency profile over the sessionized event stream — how much
+    wall-clock time the system spends with exactly c sessions open (the
+    capacity-planning statistic sessionize's per-session rows can't
+    answer: "how many users are on AT ONCE"): classic sweep-line —
+    every session contributes +1 at its start and −1 just AFTER its
+    end, the running sum of deltas in time order IS the concurrency
+    level, and each level holds for the interval to the next change
+    point.
+
+    Semantics: sessions are CLOSED intervals ([start, end] — a
+    one-event session still occupies its instant), so the −1 lands at
+    ``end + 1 µs``; all arithmetic is exact integer MICROSECONDS (the
+    `event_order_audit` engine-parity discipline — never float
+    seconds). Deltas first collapse to a NET change per distinct
+    change point (map-side groupBy), which makes the sweep's total
+    order unique on the timestamp alone — no endpoint-kind tiebreaks.
+    Level-0 rows are real output (idle gaps between sessions); the
+    final change point closes the last session back to level 0 and
+    has no interval (nothing after it), so it is dropped by the
+    rank+1 join / lead, both engines.
+
+    Scale shape: sessionize's two user-keyed exchanges, then the
+    change-point table is SESSION-sized (≤ 2 per session), where
+    ``profile="oracle"`` runs one single-task window (cumsum + lead)
+    and ``profile="scale"`` swaps in `prefix_sum_by_range` (exact
+    int64 cumsum, n_parts-way) + `ranked_by_range` with a rank+1
+    equi-join for the lead — the pair that holds when the change-point
+    table itself is billions of rows; value-identical, pinned. Output
+    rollup is ≤ max-concurrency rows.
+
+    Output: (concurrency, n_intervals, total_us) — all BIGINT exact;
+    ``sum(total_us)`` spans first change point → last change point by
+    construction.
+    """
+    if profile not in ("oracle", "scale"):
+        raise ValueError(f"session_concurrency: unknown profile {profile!r}")
+    if gap_seconds <= 0:
+        raise ValueError(
+            f"session_concurrency: gap_seconds must be > 0, got "
+            f"{gap_seconds}"
+        )
+    sess = sessionize(events, gap_seconds).select(
+        # cast: unix_micros rejects TIMESTAMP_NTZ (raw parquet reads);
+        # the session pins UTC, so NTZ -> TZ is value-preserving
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+            "_s"
+        ),
+        (
+            F.unix_micros(F.col("session_end").cast("timestamp"))
+            + F.lit(1)
+        ).alias("_e"),
+    )
+    pts = sess.select(F.col("_s").alias("t"), F.lit(1).alias("d")).union(
+        sess.select(F.col("_e").alias("t"), F.lit(-1).alias("d"))
+    )
+    net = pts.groupBy("t").agg(F.sum("d").cast("long").alias("_net"))
+    if profile == "scale":
+        from scholar_stream_spark.operators.relational import (
+            prefix_sum_by_range,
+            ranked_by_range,
+        )
+
+        cum = prefix_sum_by_range(
+            net, [F.asc("t")], "_net", cum_col="_lvl"
+        )
+        ranked = ranked_by_range(cum, [], ["t"], rank_col="_rk")
+        nxt = ranked.select(
+            (F.col("_rk") - F.lit(1)).alias("_rk"),
+            F.col("t").alias("_next_t"),
+        )
+        iv = ranked.join(nxt, "_rk")  # the last point has no interval
+    else:
+        w = Window.orderBy("t")
+        iv = net.select(
+            "t",
+            F.sum("_net")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("_lvl"),
+            F.lead("t").over(w).alias("_next_t"),
+        ).filter(F.col("_next_t").isNotNull())
+    return (
+        iv.groupBy(F.col("_lvl").cast("long").alias("concurrency"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum(F.col("_next_t") - F.col("t"))
+            .cast("long")
+            .alias("total_us"),
+        )
+        .select("concurrency", "n_intervals", "total_us")
+    )

@@ -551,3 +551,84 @@ def test_weighted_topk_excludes_nonpositive_weights(spark):
     assert [r["doc_id"] for r in got] == [1]
     with pytest.raises(ValueError, match="k must be"):
         sampling.weighted_sample_topk(df, k=0)
+
+
+# ---------------------------------------------------------------
+# session_concurrency: sweep-line profile over sessions
+# ---------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_SMALL}/events.parquet")
+
+
+def test_session_concurrency_profiles_identical(events):
+    from scholar_stream_spark.operators import temporal
+
+    a = sorted(
+        map(tuple, temporal.session_concurrency(events).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            temporal.session_concurrency(
+                events, profile="scale"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_session_concurrency_invariants(events):
+    """Sweep-line bookkeeping: total_us spans exactly first→last change
+    point, level 0 exists (the stream has idle gaps), and the max
+    level is ≥ 1."""
+    from scholar_stream_spark.operators import temporal
+
+    rows = temporal.session_concurrency(events).collect()
+    levels = {r["concurrency"] for r in rows}
+    assert 0 in levels and max(levels) >= 1
+    sess = temporal.sessionize(events).agg(
+        F.unix_micros(
+            F.min("session_start").cast("timestamp")
+        ).alias("lo"),
+        F.unix_micros(F.max("session_end").cast("timestamp")).alias(
+            "hi"
+        ),
+    ).first()
+    assert sum(r["total_us"] for r in rows) == sess["hi"] + 1 - sess["lo"]
+
+
+def test_session_concurrency_hand_fixture(spark):
+    """Three users: A [0s,10s], B [5s,15s], C [30s,35s] (single
+    sessions via a huge gap). Levels: 1 on [0,5), 2 on [5,10+1µs),
+    1 on [10+1µs,15+1µs), 0 on [15+1µs,30), 1 on [30,35+1µs)."""
+    from scholar_stream_spark.operators import temporal
+
+    base = "2024-01-01 00:00:"
+    rows = [
+        (1, "u_a", f"{base}00"), (2, "u_a", f"{base}10"),
+        (3, "u_b", f"{base}05"), (4, "u_b", f"{base}15"),
+        (5, "u_c", f"{base}30"), (6, "u_c", f"{base}35"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts_s string"
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+    got = {
+        r["concurrency"]: (r["n_intervals"], r["total_us"])
+        for r in temporal.session_concurrency(ev).collect()
+    }
+    us = 1_000_000
+    assert got[2] == (1, 5 * us + 1)
+    assert got[0] == (1, 15 * us - 1)  # (15s+1µs .. 30s)
+    # level 1: [0,5) + [10+1µs, 15+1µs) + [30, 35+1µs)
+    assert got[1] == (3, 5 * us + 5 * us + 5 * us + 1)
+
+
+def test_session_concurrency_rejects_degenerate(events):
+    from scholar_stream_spark.operators import temporal
+
+    with pytest.raises(ValueError, match="gap_seconds"):
+        temporal.session_concurrency(events, gap_seconds=0)
+    with pytest.raises(ValueError, match="profile"):
+        temporal.session_concurrency(events, profile="bogus")
