@@ -94,6 +94,15 @@ Deliberately WITHOUT oracle entries (rows-only check):
   ``ann_cosine_topk`` shortlist it reads; pytest pins λ=1 ≡ exact
   top-k, shortlist containment, partition invariance, and a strict
   max-intra-set-similarity win at λ=0.7 (``tests/test_r14_ops.py``).
+- ``nation_pagerank`` — iterative-float PageRank fixpoint
+  (``cluster_embeddings``' recursive-fixed-point rationale: an SQL
+  oracle would need a recursive-CTE re-implementation of 20 damped
+  power-iteration rounds). Pinned in pytest against a numpy
+  power-iteration reference at 1e-9 on both a hand graph (incl. a
+  dangling node) and the real trade graph, plus Σpr = 1 and
+  partition invariance (``tests/test_r15_ops.py``). The edge-build
+  revenue aggregate is the oracle-checked money idiom shared with
+  ``nation_trade_flows``.
 """
 
 from __future__ import annotations
@@ -121,6 +130,7 @@ from scholar_stream_spark.operators import (
     chunking,
     curation,
     dedup,
+    graph,
     masking,
     multimodal,
     profiling,
@@ -1256,6 +1266,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-identical in profile_pairs
         "session_concurrency": lambda s, d: temporal.session_concurrency(
             _t(s, d, "events"), profile="scale"
+        ),
+        # damped weighted PageRank over the nation trade graph (which
+        # nations are CENTRAL, not just high-volume); rows-only —
+        # float-iterative, numpy-reference-pinned
+        "nation_pagerank": lambda s, d: graph.nation_pagerank(
+            _t(s, d, "customer"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "supplier"),
         ),
         # per-user out-of-order arrival audit — the watermark-sizing
         # report (integer-microsecond lateness, one user-keyed shuffle)

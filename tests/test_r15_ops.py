@@ -632,3 +632,131 @@ def test_session_concurrency_rejects_degenerate(events):
         temporal.session_concurrency(events, gap_seconds=0)
     with pytest.raises(ValueError, match="profile"):
         temporal.session_concurrency(events, profile="bogus")
+
+
+# ---------------------------------------------------------------
+# pagerank: iterative-float graph fixpoint
+# ---------------------------------------------------------------
+
+def _numpy_pagerank(edges, damping, n_iter):
+    """Reference damped weighted power iteration with uniform
+    dangling-mass spread — the exact recurrence graph.pagerank runs."""
+    import numpy as np
+
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0.0) + w
+    pr = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        nxt = np.full(n, (1.0 - damping) / n)
+        d_mass = sum(pr[idx[v]] for v in nodes if v not in out_w)
+        nxt += damping * d_mass / n
+        for s, d, w in edges:
+            nxt[idx[d]] += damping * (w / out_w[s]) * pr[idx[s]]
+        pr = nxt
+    return {v: pr[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_numpy_with_dangling(spark):
+    from scholar_stream_spark.operators import graph
+
+    # 1 -> 2 (heavy), 1 -> 3 (light), 2 -> 1, 3 is DANGLING
+    e = [(1, 2, 3.0), (1, 3, 1.0), (2, 1, 1.0)]
+    df = spark.createDataFrame(e, "src long, dst long, weight double")
+    got = {r["node"]: r["pr"] for r in graph.pagerank(df).collect()}
+    want = _numpy_pagerank(
+        e, graph.PAGERANK_DAMPING, graph.PAGERANK_ITER
+    )
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # the heavily-cited node outranks the lightly-cited one
+    assert got[2] > got[3]
+
+
+def test_nation_pagerank_matches_numpy_on_real_graph(spark):
+    from scholar_stream_spark.operators import graph
+
+    tabs = {
+        t: spark.read.parquet(f"{SF_SMALL}/{t}.parquet")
+        for t in ("customer", "orders", "lineitem", "supplier")
+    }
+    got = {
+        r["nation_key"]: r["pr"]
+        for r in graph.nation_pagerank(*tabs.values()).collect()
+    }
+    # rebuild the same edge list and run the reference
+    rev = (
+        tabs["lineitem"]
+        .join(
+            tabs["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            tabs["supplier"].select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            tabs["customer"].select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("s_nationkey").cast("long").alias("src"),
+            F.col("c_nationkey").cast("long").alias("dst"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1).cast("decimal(18,2)")
+                    - F.col("l_discount").cast("decimal(18,2)")
+                )
+            ).cast("double").alias("weight")
+        )
+        .collect()
+    )
+    want = _numpy_pagerank(
+        [(r["src"], r["dst"], r["weight"]) for r in rev],
+        graph.PAGERANK_DAMPING,
+        graph.PAGERANK_ITER,
+    )
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(round(want[v], 6), abs=2e-6), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_pagerank_partition_invariance(spark):
+    from scholar_stream_spark.operators import graph
+
+    e = [(i, (i * 7) % 10, float(1 + i % 3)) for i in range(10)]
+    e = [(s, d, w) for s, d, w in e if s != d]
+    df = spark.createDataFrame(e, "src long, dst long, weight double")
+    a = {r["node"]: r["pr"] for r in graph.pagerank(df, n_iter=8).collect()}
+    b = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank(df.repartition(7), n_iter=8).collect()
+    }
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12), v
+
+
+def test_pagerank_rejects_degenerate(spark):
+    from scholar_stream_spark.operators import graph
+
+    df = spark.createDataFrame(
+        [(1, 2, 1.0)], "src long, dst long, weight double"
+    )
+    with pytest.raises(ValueError, match="damping"):
+        graph.pagerank(df, damping=1.0)
+    with pytest.raises(ValueError, match="n_iter"):
+        graph.pagerank(df, n_iter=0)
+    bad = spark.createDataFrame(
+        [(1, 2, 0.0)], "src long, dst long, weight double"
+    )
+    with pytest.raises(ValueError, match="positive"):
+        graph.pagerank(bad)
