@@ -66,6 +66,10 @@ def pagerank(
         )
     if n_iter < 1:
         raise ValueError(f"pagerank: n_iter must be >= 1, got {n_iter}")
+    # the edge plan may be expensive (nation_pagerank's is a full
+    # fact-table star join) and feeds FOUR consumers below (validation,
+    # node spine, out-weights, normalization) — checkpoint it once
+    edges = edges.localCheckpoint(eager=False)
     bad = edges.filter(
         F.col("weight").isNull() | (F.col("weight") <= 0)
     ).limit(1).count()
@@ -101,16 +105,24 @@ def pagerank(
     dangling_nodes = nodes.join(
         out_w.select(F.col("src").alias("node")), "node", "left_anti"
     ).localCheckpoint(eager=False)
+    # decided ONCE: a dangling-free graph (every node has out-edges —
+    # the common case for flow graphs) skips the per-round mass
+    # aggregate entirely, halving the job count of the loop
+    has_dangling = dangling_nodes.limit(1).count() > 0
     pr = nodes.select(
         "node", F.lit(1.0 / n).alias("pr")
     ).localCheckpoint(eager=False)
     teleport = (1.0 - damping) / n
     for _ in range(n_iter):
         d_mass = (
-            dangling_nodes.join(pr, "node")
-            .agg(F.sum("pr"))
-            .first()[0]
-            or 0.0
+            (
+                dangling_nodes.join(pr, "node")
+                .agg(F.sum("pr"))
+                .first()[0]
+                or 0.0
+            )
+            if has_dangling
+            else 0.0
         )
         contrib = (
             norm.join(pr, norm["src"] == pr["node"])
