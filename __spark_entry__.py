@@ -1276,6 +1276,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "lineitem"),
             _t(s, d, "supplier"),
         ),
+        # cross-user co-active session pairs (bucketized interval
+        # overlap join -- equi-join on time buckets, exact verify)
+        "session_overlap_pairs": lambda s, d: (
+            temporal.session_overlap_pairs(_t(s, d, "events"))
+        ),
         # per-user out-of-order arrival audit — the watermark-sizing
         # report (integer-microsecond lateness, one user-keyed shuffle)
         "event_order_audit": lambda s, d: temporal.event_order_audit(
@@ -7090,6 +7095,42 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             FROM iv WHERE _next_t IS NOT NULL
             GROUP BY 1
         """,
+        "session_overlap_pairs": f"""
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ), flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN prev_ts IS NULL
+                              OR date_diff('second', prev_ts, ts)
+                                 > {temporal.SESSION_GAP_SECONDS}
+                            THEN 1 ELSE 0 END AS is_new
+                FROM o
+            ), runs AS (
+                SELECT user_id, ts,
+                       CAST(SUM(is_new) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
+                           AS session_seq
+                FROM flagged
+            ), sess AS (
+                SELECT user_id,
+                       epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+                FROM runs GROUP BY user_id, session_seq
+            )
+            SELECT a.user_id AS user_a, b.user_id AS user_b,
+                   CAST(count(*) AS BIGINT) AS n_overlaps,
+                   CAST(SUM(least(a.e, b.e)
+                            - greatest(a.s, b.s) + 1) AS BIGINT)
+                       AS overlap_us
+            FROM sess a JOIN sess b
+              ON a.user_id < b.user_id
+             AND a.s <= b.e AND b.s <= a.e
+            GROUP BY 1, 2
+        """,
         "range_join": f"""
             SELECT l.event_id, l.user_id, l.ts,
                    r.event_id AS matched_event_id,
@@ -7508,7 +7549,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
 #: Count of oracle-backed entries — the structured form of the rotation
 #: note's "N entries" claim (two r14 review rounds caught the comment
 #: stale; a constant asserted against len(oracle_sql()) cannot drift).
-_N_ORACLE_BACKED = 196
+_N_ORACLE_BACKED = 197
 
 # Computed HERE (end of module) because it needs oracle_sql(); see the
 # rotation note above _driver_first_order.

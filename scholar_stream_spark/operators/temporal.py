@@ -449,3 +449,110 @@ def session_concurrency(
         )
         .select("concurrency", "n_intervals", "total_us")
     )
+
+
+#: Bucket width for the interval-overlap equi-join (seconds). Sessions
+#: emit one probe row per covered bucket, so the width trades join
+#: fan-out (narrow buckets) against per-bucket candidate density (wide
+#: buckets); one hour ≈ 2 buckets per median session at the default
+#: 30-min gap.
+OVERLAP_BUCKET_SECONDS = 3600
+
+
+def session_overlap_pairs(
+    events: DataFrame,
+    gap_seconds: int = SESSION_GAP_SECONDS,
+    bucket_seconds: int = OVERLAP_BUCKET_SECONDS,
+) -> DataFrame:
+    """Cross-user session-overlap join — which user PAIRS are co-active,
+    for how long (the pairwise companion to `session_concurrency`'s
+    global census; the social/abuse signal behind "these two accounts
+    are always online together"): every pair of sessions from DIFFERENT
+    users whose closed intervals overlap, rolled up per user pair.
+
+    Scale shape — the bucketized interval join (the standard
+    spatial-binning reduction of an interval×interval range join, the
+    same family as `range_join`'s bucket trick): each session explodes
+    to its covered ``bucket_seconds``-wide time buckets (the SNM
+    ``sequence`` idiom — fan-out = duration/width + 1, bounded), pairs
+    equi-join ON BUCKET (never a range/BNLJ condition on the big
+    sides), distinct away the multi-bucket double-counts, and the
+    EXACT overlap predicate + duration verify on the candidate pairs
+    only. Complete: two overlapping intervals share at least the
+    bucket containing the later start. All arithmetic exact integer
+    microseconds (closed intervals, the `session_concurrency`
+    convention: instantaneous touching — one ends exactly where the
+    other starts — is a 1 µs overlap, not zero).
+
+    Same-user pairs are excluded by construction (gap sessionization
+    makes one user's sessions disjoint — nothing to measure) and by
+    the join predicate (defense in depth). Output: (user_a, user_b,
+    n_overlaps, overlap_us) with user_a < user_b; ``overlap_us`` sums
+    ``min(end) − max(start) + 1`` over the pair's overlapping session
+    pairs.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(
+            f"session_overlap: bucket_seconds must be > 0, got "
+            f"{bucket_seconds}"
+        )
+    bw = bucket_seconds * 1_000_000
+    sess = (
+        sessionize(events, gap_seconds)
+        .select(
+            "user_id",
+            "session_seq",
+            F.unix_micros(
+                F.col("session_start").cast("timestamp")
+            ).alias("_s"),
+            F.unix_micros(F.col("session_end").cast("timestamp")).alias(
+                "_e"
+            ),
+        )
+        # two join sides read it
+        .localCheckpoint(eager=False)
+    )
+    probes = sess.select(
+        "user_id",
+        "session_seq",
+        "_s",
+        "_e",
+        F.explode(
+            F.expr(f"sequence(_s div {bw}, _e div {bw})")
+        ).alias("_bkt"),
+    )
+    a = probes.alias("a")
+    b = probes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._bkt") == F.col("b._bkt"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.session_seq").alias("seq_a"),
+            F.col("a._s").alias("s_a"),
+            F.col("a._e").alias("e_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.session_seq").alias("seq_b"),
+            F.col("b._s").alias("s_b"),
+            F.col("b._e").alias("e_b"),
+        )
+        # a session pair sharing several buckets appears once per
+        # shared bucket — collapse before the verify
+        .distinct()
+    )
+    overlaps = cand.filter(
+        (F.col("s_a") <= F.col("e_b")) & (F.col("s_b") <= F.col("e_a"))
+    ).select(
+        "user_a",
+        "user_b",
+        (
+            F.least("e_a", "e_b") - F.greatest("s_a", "s_b") + F.lit(1)
+        ).alias("_ov"),
+    )
+    return overlaps.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlaps"),
+        F.sum("_ov").cast("long").alias("overlap_us"),
+    )

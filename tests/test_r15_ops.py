@@ -760,3 +760,102 @@ def test_pagerank_rejects_degenerate(spark):
     )
     with pytest.raises(ValueError, match="positive"):
         graph.pagerank(bad)
+
+
+# ---------------------------------------------------------------
+# session_overlap_pairs: bucketized interval-overlap join
+# ---------------------------------------------------------------
+
+def test_session_overlap_matches_naive(spark, events):
+    """Completeness of the bucket reduction: the bucketized equi-join
+    + exact verify must equal the naive quadratic overlap join on the
+    same sessionized intervals."""
+    from scholar_stream_spark.operators import temporal
+
+    got = {
+        (r["user_a"], r["user_b"]): (r["n_overlaps"], r["overlap_us"])
+        for r in temporal.session_overlap_pairs(events).collect()
+    }
+    sess = temporal.sessionize(events).select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("s"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("e"),
+    )
+    a, b = sess.alias("a"), sess.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.least("a.e", "b.e") - F.greatest("a.s", "b.s") + F.lit(1)
+            ).cast("long").alias("ov"),
+        )
+        .collect()
+    )
+    want = {(r["user_a"], r["user_b"]): (r["n"], r["ov"]) for r in naive}
+    assert got == want
+    assert got  # real overlaps exist at this SF
+
+
+def test_session_overlap_bucket_width_invariance(spark, events):
+    """The bucket width is a physical knob, not semantics: different
+    widths give identical output (incl. one far wider than any
+    session, where most pairs come from a single shared bucket)."""
+    from scholar_stream_spark.operators import temporal
+
+    base = sorted(
+        map(tuple, temporal.session_overlap_pairs(events).collect())
+    )
+    for width in (600, 86400 * 30):
+        other = sorted(
+            map(
+                tuple,
+                temporal.session_overlap_pairs(
+                    events, bucket_seconds=width
+                ).collect(),
+            )
+        )
+        assert other == base, width
+
+
+def test_session_overlap_hand_fixture(spark):
+    """A [0,10s] with B [10s,20s] touch at one instant (1 µs closed
+    overlap); C [30s,35s] overlaps nobody; A's second session [40s,50s]
+    overlaps B's [45s,55s] for 5 s + 1 µs — pairs accumulate."""
+    from scholar_stream_spark.operators import temporal
+
+    base = "2024-01-01 00:0"
+    rows = [
+        (1, "a", f"{base}0:00"), (2, "a", f"{base}0:10"),
+        (3, "b", f"{base}0:10"), (4, "b", f"{base}0:20"),
+        (5, "c", f"{base}0:30"), (6, "c", f"{base}0:35"),
+        (7, "a", f"{base}0:40"), (8, "a", f"{base}0:50"),
+        (9, "b", f"{base}0:45"), (10, "b", f"{base}0:55"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts_s string"
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+    got = {
+        (r["user_a"], r["user_b"]): (r["n_overlaps"], r["overlap_us"])
+        for r in temporal.session_overlap_pairs(
+            ev, gap_seconds=15
+        ).collect()
+    }
+    us = 1_000_000
+    assert got == {("a", "b"): (2, 1 + (5 * us + 1))}
+
+
+def test_session_overlap_rejects_degenerate(events):
+    from scholar_stream_spark.operators import temporal
+
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        temporal.session_overlap_pairs(events, bucket_seconds=0)
