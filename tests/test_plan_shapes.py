@@ -384,3 +384,46 @@ def test_char_entropy_single_scan_no_join(spark):
             "doc_id", "text",
         }, s
     assert "Join" not in plan, plan
+
+
+def test_weighted_sample_topk_is_topk_not_full_sort(spark):
+    """The ES weighted draw must plan as TakeOrderedAndProject
+    (per-partition heaps) — a global Sort + Limit materializes the
+    whole corpus order at 100 TB — and the ES-key projection must be
+    narrow: no join, no aggregate before the top-k."""
+    plan = _plan(spark, "weighted_sample_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_suppress_small_classes_is_one_window_no_join(spark):
+    """Record suppression must stay ONE partitioned window (class
+    sizes) + a row filter — a groupBy + join-back here would rescan
+    and reshuffle the table twice."""
+    plan = _plan(spark, "suppress_small_classes")
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
+    # the window partitions on the QI grid, never a global order
+    assert re.search(r"Window .*partition", plan, re.IGNORECASE) or (
+        "PartitionBy" in plan or "windowspecdefinition" in plan.lower()
+    ), plan
+
+
+def test_edit_distance_pairs_all_equi_joins(spark):
+    """The complete edit-distance join's candidate generation must be
+    pure equi-joins (gram prefix + length probe) — any
+    BroadcastNestedLoop or CartesianProduct means the range predicate
+    leaked into a join condition."""
+    plan = _plan(spark, "edit_distance_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_zipf_fit_single_gram_aggregate(spark):
+    """The Zipf moments must come from map-side-combined hash
+    aggregates over one gram explode — a SortAggregate fallback or a
+    join would mean the decimal quantization broke hashability."""
+    plan = _plan(spark, "zipf_fit")
+    assert "SortAggregate" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
