@@ -436,6 +436,11 @@ def ngram_jaccard_pairs(
     Capped, candidates are distinct pairs from the capped join and the
     verify re-joins over ALL shingles (hot ones included), so scores
     stay exact.
+
+    See `jaccard_prefix_pairs` for the third point in the design
+    space: identical output to the UNCAPPED form with candidate
+    fan-out bounded by shingle rarity (AllPairs prefix filtering) —
+    completeness without the cap's dropped-hot-pair tradeoff.
     """
     sh = distinct_shingles(documents, n)
     sizes = _shingle_sizes(sh)
@@ -2962,6 +2967,12 @@ def snm_candidate_pairs(
     Output: (name_a, name_b, lev, parts_a, parts_b) — lev INT, counts
     BIGINT. Row count ≤ |spine|·window, in practice the lev-gated
     subset (~15% here).
+
+    SNM is a HEURISTIC: a pair whose typo lands in the first
+    characters sorts far apart and can fall outside any window. See
+    `edit_distance_pairs` for the provably complete q-gram-prefix
+    join when no-false-negatives matters more than the single-sort
+    cost profile.
     """
     _snm_validate(window, max_dist)
     return _snm_pairs(
