@@ -1281,6 +1281,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_overlap_pairs": lambda s, d: (
             temporal.session_overlap_pairs(_t(s, d, "events"))
         ),
+        # inter-event gap histogram: the evidence behind the
+        # sessionization gap constant (bimodality check)
+        "session_gap_profile": lambda s, d: (
+            temporal.session_gap_profile(_t(s, d, "events"))
+        ),
         # per-user out-of-order arrival audit — the watermark-sizing
         # report (integer-microsecond lateness, one user-keyed shuffle)
         "event_order_audit": lambda s, d: temporal.event_order_audit(
@@ -3732,6 +3737,47 @@ WHERE base.bucket < thr.thr
 """
 
 
+def _gap_profile_sql() -> str:
+    """Oracle for session_gap_profile — CASE bounds generated FROM
+    temporal.GAP_PROFILE_BOUNDS_US so the two sides cannot drift."""
+    cases, lo, los = [], 0, {}
+    for label, hi in temporal.GAP_PROFILE_BOUNDS_US:
+        cases.append(f"WHEN _gap < {hi} THEN '{label}'")
+        los[label] = lo
+        lo = hi
+    los[">=1d"] = lo
+    case = "CASE " + " ".join(cases) + " ELSE '>=1d' END"
+    lo_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN gap_bucket = '{lab}' THEN CAST({v} AS BIGINT)"
+            for lab, v in los.items()
+        )
+        + " END"
+    )
+    return f"""
+            WITH g AS (
+                SELECT epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                           AS _gap
+                FROM events
+            ), hist AS (
+                SELECT {case} AS gap_bucket,
+                       CAST(count(*) AS BIGINT) AS n_gaps
+                FROM g WHERE _gap IS NOT NULL
+                GROUP BY 1
+            ), tot AS (
+                SELECT CAST(SUM(n_gaps) AS BIGINT) AS _tot FROM hist
+            )
+            SELECT {lo_case} AS bucket_lo_us,
+                   gap_bucket, n_gaps,
+                   round(CAST(n_gaps AS DOUBLE)
+                         / CAST(_tot AS DOUBLE), 6) AS pct
+            FROM hist CROSS JOIN tot
+    """
+
+
 def _gen_qi_cells_sql() -> str:
     """Shared finest-grain QI cells CTE body for the generalization
     oracle SQLs — mirrors masking._qi_cells exactly (sentinel-coalesced
@@ -5745,6 +5791,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                    _t > {masking.T_CLOSENESS_T!r} AS at_risk
             FROM per_class GROUP BY 1, 4
         """,
+        "session_gap_profile": _gap_profile_sql(),
         "generalize_qi_report": _gen_qi_report_sql(),
         "generalize_quasi_identifiers": _gen_qi_table_sql(),
         "suppress_small_classes": f"""
@@ -7549,7 +7596,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
 #: Count of oracle-backed entries — the structured form of the rotation
 #: note's "N entries" claim (two r14 review rounds caught the comment
 #: stale; a constant asserted against len(oracle_sql()) cannot drift).
-_N_ORACLE_BACKED = 197
+_N_ORACLE_BACKED = 198
 
 # Computed HERE (end of module) because it needs oracle_sql(); see the
 # rotation note above _driver_first_order.

@@ -556,3 +556,93 @@ def session_overlap_pairs(
         F.count(F.lit(1)).cast("long").alias("n_overlaps"),
         F.sum("_ov").cast("long").alias("overlap_us"),
     )
+
+
+#: Gap-profile bucket boundaries in MICROSECONDS (upper bounds,
+#: exclusive; the last bucket is open). The 1800 s boundary IS the
+#: `SESSION_GAP_SECONDS` default, so the report directly shows how
+#: much inter-event mass a gap choice splits on.
+GAP_PROFILE_BOUNDS_US = (
+    ("0s", 1),  # simultaneous events
+    ("<1s", 1_000_000),
+    ("<10s", 10_000_000),
+    ("<1m", 60_000_000),
+    ("<10m", 600_000_000),
+    ("<30m", 1_800_000_000),  # == SESSION_GAP_SECONDS
+    ("<1h", 3_600_000_000),
+    ("<1d", 86_400_000_000),
+)
+
+
+def session_gap_profile(events: DataFrame) -> DataFrame:
+    """Inter-event gap distribution per the sessionization key — the
+    evidence behind `SESSION_GAP_SECONDS` (every gap-based
+    sessionization assumes a bimodal gap distribution: short
+    within-session gaps, long between-session gaps; this report shows
+    whether THIS stream has that shape and where the valley sits,
+    instead of trusting the 30-minute folklore constant): per-user
+    consecutive-event gaps, bucketed on human-scale boundaries with
+    the default session gap as an explicit boundary.
+
+    Exactness: gaps are integer MICROSECONDS off the same
+    (user, ts, event_id) order `sessionize` uses (ties → 0-gap rows,
+    reported in their own "0s" bucket, not dropped); bucket edges are
+    integer-exact CASE bounds; ``pct`` is one IEEE division of exact
+    counts, round 6.
+
+    Scale shape: ONE user-keyed window exchange (shared order with
+    sessionize — at 100 TB this is the pipeline's existing shuffle,
+    not a new one), then a map-side-combined ≤9-row histogram with a
+    1-row total broadcast-crossed in. Output: (bucket_lo_us,
+    gap_bucket, n_gaps, pct) ordered by bucket_lo_us — bucket_lo_us
+    is the bucket's inclusive lower bound, so the output sorts
+    numerically without parsing labels.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        events.select(
+            (ts_us - F.lag(ts_us).over(w)).alias("_gap")
+        )
+        .filter(F.col("_gap").isNotNull())
+    )
+    cases = []
+    lo = 0
+    los = {}
+    for label, hi in GAP_PROFILE_BOUNDS_US:
+        cases.append(f"WHEN _gap < {hi} THEN '{label}'")
+        los[label] = lo
+        lo = hi
+    last_label = ">=1d"
+    los[last_label] = lo
+    bucket = F.expr(
+        "CASE " + " ".join(cases) + f" ELSE '{last_label}' END"
+    )
+    lo_expr = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN gap_bucket = '{lab}' THEN CAST({v} AS BIGINT)"
+            for lab, v in los.items()
+        )
+        + " END"
+    )
+    hist = (
+        gaps.groupBy(bucket.alias("gap_bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+    )
+    total = hist.agg(F.sum("n_gaps").cast("long").alias("_tot"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            lo_expr.alias("bucket_lo_us"),
+            "gap_bucket",
+            "n_gaps",
+            F.round(
+                F.col("n_gaps").cast("double")
+                / F.col("_tot").cast("double"),
+                6,
+            ).alias("pct"),
+        )
+    )

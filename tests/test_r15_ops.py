@@ -859,3 +859,45 @@ def test_session_overlap_rejects_degenerate(events):
 
     with pytest.raises(ValueError, match="bucket_seconds"):
         temporal.session_overlap_pairs(events, bucket_seconds=0)
+
+
+# ---------------------------------------------------------------
+# session_gap_profile: the evidence behind SESSION_GAP_SECONDS
+# ---------------------------------------------------------------
+
+def test_gap_profile_partitions_all_gaps(events):
+    from scholar_stream_spark.operators import temporal
+
+    rows = temporal.session_gap_profile(events).collect()
+    # n_gaps partitions (events - users): one gap per consecutive pair
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    assert sum(r["n_gaps"] for r in rows) == n_events - n_users
+    assert sum(r["pct"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    # buckets sort numerically by their lower bound and are distinct
+    lows = [r["bucket_lo_us"] for r in rows]
+    assert len(set(lows)) == len(lows)
+
+
+def test_gap_profile_hand_fixture(spark):
+    """Gaps of 0 s, 5 s, 45 s, 2000 s for one user land in the 0s,
+    <10s, <1m, and <1h buckets."""
+    from scholar_stream_spark.operators import temporal
+
+    t0 = 1_700_000_000
+    offsets = [0, 0, 5, 50, 2050]
+    rows = [
+        (i, "u", t) for i, t in enumerate(
+            [t0 + sum(offsets[: i + 1]) for i in range(len(offsets))]
+        )
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, epoch long"
+    ).select(
+        "event_id", "user_id", F.timestamp_seconds("epoch").alias("ts")
+    )
+    got = {
+        r["gap_bucket"]: r["n_gaps"]
+        for r in temporal.session_gap_profile(ev).collect()
+    }
+    assert got == {"0s": 1, "<10s": 1, "<1m": 1, "<1h": 1}
