@@ -1286,6 +1286,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_gap_profile": lambda s, d: (
             temporal.session_gap_profile(_t(s, d, "events"))
         ),
+        # per-nation monthly revenue + 3-month trailing moving average
+        # (the bounded-FRAME window exemplar; smooths the MoM deltas)
+        "rolling_revenue_by_nation": lambda s, d: (
+            relational.rolling_revenue_by_nation(
+                _t(s, d, "orders"), _t(s, d, "customer")
+            )
+        ),
         # per-user out-of-order arrival audit — the watermark-sizing
         # report (integer-microsecond lateness, one user-keyed shuffle)
         "event_order_audit": lambda s, d: temporal.event_order_audit(
@@ -5792,6 +5799,24 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             FROM per_class GROUP BY 1, 4
         """,
         "session_gap_profile": _gap_profile_sql(),
+        "rolling_revenue_by_nation": f"""
+            WITH monthly AS (
+                SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+                       strftime(o_orderdate, '%Y-%m') AS month,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS _rev
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2
+            )
+            SELECT nation_key, month,
+                   round(CAST(_rev AS DOUBLE), 2) AS revenue,
+                   round(CAST(SUM(_rev) OVER w AS DOUBLE)
+                         / CAST(count(*) OVER w AS DOUBLE), 4) AS ma
+            FROM monthly
+            WINDOW w AS (PARTITION BY nation_key ORDER BY month
+                         ROWS BETWEEN
+                         {relational.ROLLING_REVENUE_MONTHS - 1}
+                         PRECEDING AND CURRENT ROW)
+        """,
         "generalize_qi_report": _gen_qi_report_sql(),
         "generalize_quasi_identifiers": _gen_qi_table_sql(),
         "suppress_small_classes": f"""
@@ -7596,7 +7621,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
 #: Count of oracle-backed entries — the structured form of the rotation
 #: note's "N entries" claim (two r14 review rounds caught the comment
 #: stale; a constant asserted against len(oracle_sql()) cannot drift).
-_N_ORACLE_BACKED = 198
+_N_ORACLE_BACKED = 199
 
 # Computed HERE (end of module) because it needs oracle_sql(); see the
 # rotation note above _driver_first_order.

@@ -4304,3 +4304,75 @@ def segment_priority_chi2(
             ).alias("cramers_v"),
         )
     )
+
+
+#: Moving-average window width (months, ROWS frame).
+ROLLING_REVENUE_MONTHS = 3
+
+
+def rolling_revenue_by_nation(
+    orders: DataFrame,
+    customer: DataFrame,
+    n_months: int = ROLLING_REVENUE_MONTHS,
+) -> DataFrame:
+    """Per-nation monthly revenue with an ``n_months`` trailing moving
+    average — the smoothing read next to `revenue_growth_by_nation`'s
+    raw MoM deltas (a 3-month MA is what separates a trend break from
+    order-cycle noise), and the repo's bounded-FRAME window exemplar:
+    ``ROWS BETWEEN n−1 PRECEDING AND CURRENT ROW`` over the per-nation
+    month order.
+
+    Exactness: monthly revenue is the exact-decimal money idiom
+    (``SUM(o_totalprice::DECIMAL(18,2))``); the frame SUM stays
+    decimal-exact and divides by the frame's ACTUAL row count (the
+    first n−1 months average over what exists — no NULL-padded warmup
+    rows, no silent divide-by-constant bias), one IEEE division per
+    row, round 4.
+
+    Scale shape: fact → customer key join (AQE broadcasts the dim at
+    small SF; co-partitioned hash join at scale) → ONE
+    map-side-combined exchange to the (nation, month) grid →
+    grid-sized frame window PARTITIONED BY nation (bounded partitions
+    — months per nation, never a global order). Month keys are unique
+    per nation so the frame is deterministic.
+
+    Output: (nation_key, month 'yyyy-MM' string — the fleet month-key
+    convention, chronological sort, cross-engine hash-stable; revenue
+    DECIMAL-exact cast double round 2; ma round 4).
+    """
+    if n_months < 1:
+        raise ValueError(
+            f"rolling_revenue: n_months must be >= 1, got {n_months}"
+        )
+    monthly = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("nation_key"),
+            # 'yyyy-MM' string month (the fleet month-key convention —
+            # sorts chronologically, hashes identically cross-engine)
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "_rev"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("nation_key")
+        .orderBy("month")
+        .rowsBetween(-(n_months - 1), Window.currentRow)
+    )
+    return monthly.select(
+        "nation_key",
+        "month",
+        F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.sum("_rev").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double"),
+            4,
+        ).alias("ma"),
+    )

@@ -901,3 +901,74 @@ def test_gap_profile_hand_fixture(spark):
         for r in temporal.session_gap_profile(ev).collect()
     }
     assert got == {"0s": 1, "<10s": 1, "<1m": 1, "<1h": 1}
+
+
+# ---------------------------------------------------------------
+# rolling_revenue_by_nation: bounded-FRAME moving average
+# ---------------------------------------------------------------
+
+def test_rolling_revenue_hand_fixture(spark):
+    """One nation, four months of revenue 10/20/40/100: the 3-month
+    trailing MA averages over the frame's ACTUAL row count (10, 15,
+    70/3, 160/3) — no NULL warmup, no divide-by-constant bias."""
+    from scholar_stream_spark.operators import relational
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-05", 10.0),
+            (2, 1, "2024-02-05", 20.0),
+            (3, 1, "2024-03-05", 40.0),
+            (4, 1, "2024-04-05", 100.0),
+        ],
+        "o_orderkey long, o_custkey long, d string, o_totalprice double",
+    ).select("o_orderkey", "o_custkey", F.to_date("d").alias("o_orderdate"), "o_totalprice")
+    cust = spark.createDataFrame(
+        [(1, 7)], "c_custkey long, c_nationkey int"
+    )
+    got = {
+        r["month"]: (r["revenue"], r["ma"])
+        for r in relational.rolling_revenue_by_nation(
+            orders, cust
+        ).collect()
+    }
+    assert got == {
+        "2024-01": (10.0, 10.0),
+        "2024-02": (20.0, 15.0),
+        "2024-03": (40.0, round(70 / 3, 4)),
+        "2024-04": (100.0, round(160 / 3, 4)),
+    }
+
+
+def test_rolling_revenue_window_is_per_nation(spark):
+    """The frame never crosses nations: two nations with disjoint
+    months each start their own warmup."""
+    from scholar_stream_spark.operators import relational
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-05", 10.0),
+            (2, 2, "2024-01-05", 30.0),
+            (3, 2, "2024-02-05", 50.0),
+        ],
+        "o_orderkey long, o_custkey long, d string, o_totalprice double",
+    ).select("o_orderkey", "o_custkey", F.to_date("d").alias("o_orderdate"), "o_totalprice")
+    cust = spark.createDataFrame(
+        [(1, 7), (2, 8)], "c_custkey long, c_nationkey int"
+    )
+    got = {
+        (r["nation_key"], r["month"]): r["ma"]
+        for r in relational.rolling_revenue_by_nation(
+            orders, cust
+        ).collect()
+    }
+    assert got == {(7, "2024-01"): 10.0, (8, "2024-01"): 30.0, (8, "2024-02"): 40.0}
+
+
+def test_rolling_revenue_rejects_degenerate(spark, customer):
+    from scholar_stream_spark.operators import relational
+
+    orders = spark.createDataFrame(
+        [], "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    with pytest.raises(ValueError, match="n_months"):
+        relational.rolling_revenue_by_nation(orders, customer, n_months=0)
