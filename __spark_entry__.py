@@ -3918,6 +3918,16 @@ def _gen_qi_table_sql() -> str:
             WITH {_gen_qi_cells_sql()}, levels AS (
                 {_gen_qi_levels_sql()}
             ), pick AS (
+                -- degenerate-criteria parity (r15 ADVICE): when NO
+                -- rung passes, MIN over the empty set is NULL; the
+                -- Spark op raises ValueError there, and without the
+                -- IS NOT NULL guard this CTE would instead emit 1500
+                -- rows of NULL c_nationkey/c_acctbal (every CASE
+                -- branch misses) — silently hash-divergent. The guard
+                -- makes the oracle fail LOUDLY too (zero rows ⇒ a
+                -- row-count red, never a plausible-looking table).
+                -- Unreachable with the shipped ladder: its last rung
+                -- collapses to one class and always passes.
                 SELECT MIN(level) AS _lvl FROM levels
                 WHERE min_class_size >= {k} AND min_l >= {l_}
                   AND _max_t <= {t!r}
@@ -3929,7 +3939,7 @@ def _gen_qi_table_sql() -> str:
                        END AS DOUBLE) AS c_acctbal,
                    c_mktsegment
             FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
-            CROSS JOIN pick
+            CROSS JOIN (SELECT _lvl FROM pick WHERE _lvl IS NOT NULL) pick
     """
 
 

@@ -3361,11 +3361,18 @@ def jaccard_prefix_pairs(
             F.row_number().over(w).alias("_rn"),
             F.count(F.lit(1)).over(wn).alias("_nsh"),
         )
-        # prefix size = |A| - ceil(tau*|A|) + 1
+        # prefix size = |A| - ceil(tau*|A|) + 1. The epsilon makes the
+        # double-arithmetic ceil ONE-SIDED-safe: when tau*|A| is
+        # mathematically an integer m, float rounding can land a hair
+        # ABOVE m and ceil would return m+1, shrinking the prefix by
+        # one shingle and (for some (tau, |A|)) losing a qualifying
+        # pair. Under-rounding only ever ENLARGES the prefix — extra
+        # candidates are re-verified exactly, so completeness is
+        # preserved for every tau, not just the pinned defaults.
         .filter(
             F.col("_rn")
             <= F.col("_nsh")
-            - F.ceil(F.lit(float(threshold)) * F.col("_nsh"))
+            - F.ceil(F.lit(float(threshold)) * F.col("_nsh") - F.lit(1e-9))
             + 1
         )
         .select("doc_id", "shingle")

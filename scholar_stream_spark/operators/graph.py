@@ -86,6 +86,12 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()
+    if n == 0:
+        raise ValueError(
+            "pagerank: empty edge list (no nodes — rank over nothing "
+            "has no reading; a bare ZeroDivisionError from 1/n would "
+            "hide the real problem)"
+        )
     out_w = edges.groupBy("src").agg(
         F.sum(F.col("weight").cast("double")).alias("_wout")
     )
