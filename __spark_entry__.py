@@ -1269,8 +1269,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # damped weighted PageRank over the nation trade graph (which
         # nations are CENTRAL, not just high-volume); rows-only —
-        # float-iterative, numpy-reference-pinned
+        # float-iterative, numpy-reference-pinned. with_residual
+        # surfaces the measured final-round L1 step in the driver
+        # artifact (r15 verdict item 4: the fixed 20-round budget's
+        # convergence is evidence, not assertion)
         "nation_pagerank": lambda s, d: graph.nation_pagerank(
+            _t(s, d, "customer"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "supplier"),
+            with_residual=True,
+        ),
+        # --- combinatorial graph family (r16): exactly-SQL-expressible
+        # network structure over the nation trade graph; the strong
+        # support threshold is integer-exact (cnt*n_lanes >= total) so
+        # the oracle boundary decision is bit-identical ---
+        # per-nation directed degree/strength screen
+        "graph_degree_profile": lambda s, d: graph.trade_degree_profile(
+            _t(s, d, "customer"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "supplier"),
+        ),
+        # two-way-flow share of the above-mean trade lanes (1 row)
+        "graph_reciprocity": lambda s, d: graph.trade_reciprocity(
+            _t(s, d, "customer"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "supplier"),
+        ),
+        # global triangle census + transitivity (degree-ordered
+        # orientation kernel: each triangle enumerated exactly once)
+        "nation_triangles": lambda s, d: graph.trade_triangle_census(
+            _t(s, d, "customer"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "supplier"),
+        ),
+        # per-nation local clustering coefficient (brokers vs blocs)
+        "nation_clustering": lambda s, d: graph.trade_clustering(
+            _t(s, d, "customer"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "supplier"),
+        ),
+        # common-neighbor / Jaccard / Adamic-Adar link prediction over
+        # non-adjacent strong-trade pairs (wedge-bounded pair space)
+        "nation_link_prediction": lambda s, d: graph.trade_link_prediction(
             _t(s, d, "customer"),
             _t(s, d, "orders"),
             _t(s, d, "lineitem"),
@@ -3943,6 +3988,37 @@ def _gen_qi_table_sql() -> str:
     """
 
 
+def _trade_graph_sql() -> str:
+    """Shared CTE chain for the combinatorial graph family: directed
+    shipment-count lanes, the integer-exact above-mean strong set
+    (cnt·n_lanes ≥ total_cnt — no float mean, bit-identical to the
+    Spark side), and the canonical a<b undirected support."""
+    return """
+            lanes AS (
+                SELECT CAST(s_nationkey AS BIGINT) AS src,
+                       CAST(c_nationkey AS BIGINT) AS dst,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2
+            ), nl AS (
+                SELECT src, dst, cnt FROM lanes WHERE src <> dst
+            ), tot AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_lanes,
+                       CAST(SUM(cnt) AS BIGINT) AS total_cnt
+                FROM nl
+            ), strong AS (
+                SELECT src, dst FROM nl, tot
+                WHERE cnt * n_lanes >= total_cnt
+            ), und AS (
+                SELECT DISTINCT LEAST(src, dst) AS a,
+                       GREATEST(src, dst) AS b
+                FROM strong
+            )"""
+
+
 def _ann_topk_sql() -> str:
     cos = _cos_sql("q.q_embedding", "e.embedding")
     return f"""
@@ -5827,6 +5903,128 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                          {relational.ROLLING_REVENUE_MONTHS - 1}
                          PRECEDING AND CURRENT ROW)
         """,
+        "graph_degree_profile": f"""
+            WITH {_trade_graph_sql()},
+            o AS (
+                SELECT src AS nation_key,
+                       CAST(count(*) AS BIGINT) AS out_degree,
+                       CAST(SUM(cnt) AS BIGINT) AS out_shipments
+                FROM nl GROUP BY 1
+            ), i AS (
+                SELECT dst AS nation_key,
+                       CAST(count(*) AS BIGINT) AS in_degree,
+                       CAST(SUM(cnt) AS BIGINT) AS in_shipments
+                FROM nl GROUP BY 1
+            )
+            SELECT nation_key,
+                   COALESCE(out_degree, 0) AS out_degree,
+                   COALESCE(in_degree, 0) AS in_degree,
+                   COALESCE(out_shipments, 0) AS out_shipments,
+                   COALESCE(in_shipments, 0) AS in_shipments
+            FROM o FULL OUTER JOIN i USING (nation_key)
+            ORDER BY nation_key
+        """,
+        "graph_reciprocity": f"""
+            WITH {_trade_graph_sql()},
+            counts AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_strong_lanes,
+                       CAST(SUM(CASE WHEN EXISTS (
+                            SELECT 1 FROM strong r
+                            WHERE r.src = s.dst AND r.dst = s.src
+                       ) THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocated
+                FROM strong s
+            )
+            SELECT n_strong_lanes, n_reciprocated,
+                   round(CAST(n_reciprocated AS DOUBLE)
+                         / n_strong_lanes, 6) AS reciprocity
+            FROM counts
+        """,
+        "nation_triangles": f"""
+            WITH {_trade_graph_sql()},
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e1.b = e2.a
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und)
+                GROUP BY 1
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+                   (SELECT CAST(count(*) AS BIGINT) FROM tri)
+                       AS n_triangles,
+                   CASE WHEN (SELECT SUM(deg * (deg - 1) // 2) FROM deg)
+                             > 0
+                        THEN round(
+                            3.0 * (SELECT count(*) FROM tri)
+                            / (SELECT SUM(deg * (deg - 1) // 2)
+                               FROM deg), 6)
+                   END AS transitivity
+        """,
+        "nation_clustering": f"""
+            WITH {_trade_graph_sql()},
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e1.b = e2.a
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), pn AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+                FROM (SELECT x AS node FROM tri
+                      UNION ALL SELECT y FROM tri
+                      UNION ALL SELECT z FROM tri)
+                GROUP BY 1
+            ), deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS degree
+                FROM (SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und)
+                GROUP BY 1
+            )
+            SELECT deg.node AS nation_key, degree,
+                   COALESCE(pn.n_triangles, 0) AS n_triangles,
+                   CASE WHEN degree > 1 THEN round(
+                       COALESCE(pn.n_triangles, 0)
+                       / (degree * (degree - 1) / 2.0), 6)
+                   END AS clustering
+            FROM deg LEFT JOIN pn USING (node)
+            ORDER BY nation_key
+        """,
+        "nation_link_prediction": f"""
+            WITH {_trade_graph_sql()},
+            adj AS (
+                SELECT a, b FROM und
+                UNION ALL SELECT b, a FROM und
+            ), deg AS (
+                SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+                FROM adj GROUP BY 1
+            ), pairs AS (
+                SELECT n1.b AS na, n2.b AS nb, 1.0 / LN(d.deg) AS aa
+                FROM adj n1
+                JOIN adj n2 ON n1.a = n2.a AND n1.b < n2.b
+                JOIN deg d ON d.node = n1.a
+            ), open_pairs AS (
+                SELECT * FROM pairs p
+                WHERE NOT EXISTS (SELECT 1 FROM und
+                                  WHERE a = p.na AND b = p.nb)
+            ), scored AS (
+                SELECT na AS nation_a, nb AS nation_b,
+                       CAST(count(*) AS BIGINT) AS common_neighbors,
+                       SUM(aa) AS aa_sum
+                FROM open_pairs GROUP BY 1, 2
+            )
+            SELECT nation_a, nation_b, common_neighbors,
+                   round(common_neighbors
+                         / CAST(da.deg + db.deg - common_neighbors
+                                AS DOUBLE), 6) AS jaccard,
+                   round(aa_sum, 6) AS adamic_adar
+            FROM scored
+            JOIN deg da ON da.node = nation_a
+            JOIN deg db ON db.node = nation_b
+            ORDER BY nation_a, nation_b
+        """,
         "generalize_qi_report": _gen_qi_report_sql(),
         "generalize_quasi_identifiers": _gen_qi_table_sql(),
         "suppress_small_classes": f"""
@@ -7631,7 +7829,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
 #: Count of oracle-backed entries — the structured form of the rotation
 #: note's "N entries" claim (two r14 review rounds caught the comment
 #: stale; a constant asserted against len(oracle_sql()) cannot drift).
-_N_ORACLE_BACKED = 199
+_N_ORACLE_BACKED = 204
 
 # Computed HERE (end of module) because it needs oracle_sql(); see the
 # rotation note above _driver_first_order.
