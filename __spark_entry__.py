@@ -1100,14 +1100,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_suite": lambda s, d: relational.window_rank_suite(
             _t(s, d, "events")
         ),
-        # RFM segmentation: rank-exact global quintile scores -> cells
+        # RFM segmentation: rank-exact global quintile scores -> cells.
+        # scale profile is the DEFAULT (r16): the oracle profile's
+        # global quintile windows run over the per-CUSTOMER rollup —
+        # corpus-cardinality through one task at 100 TB; the
+        # ranked_by_range swap is value-identical (pinned) and lives in
+        # profile_pairs for the bench delta
         "rfm_segments": lambda s, d: relational.rfm_segments(
-            _t(s, d, "orders")
+            _t(s, d, "orders"), profile="scale"
         ),
         # two-period value-tier flow matrix (churn/upsell review);
-        # tier 0 = absent that period
+        # tier 0 = absent that period. scale default for the same
+        # reason as rfm_segments (per-customer tier windows)
         "segment_migration": lambda s, d: relational.segment_migration(
-            _t(s, d, "orders")
+            _t(s, d, "orders"), profile="scale"
         ),
         # median/MAD robust outlier screen (rank-exact selections)
         "mad_outliers": lambda s, d: relational.mad_outliers(
@@ -1142,9 +1148,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         # ABC (Pareto) inventory classification — exact-decimal
-        # cumulative-share boundaries
+        # cumulative-share boundaries. scale default (r16): the oracle
+        # profile's cumulative window runs over the per-PART rollup
+        # (dimension-cardinality, grows with SF); prefix_sum_by_range
+        # is value-identical (pinned)
         "pareto_parts": lambda s, d: relational.pareto_parts(
-            _t(s, d, "lineitem")
+            _t(s, d, "lineitem"), profile="scale"
         ),
         # month-over-month revenue trend (exact-decimal sums, lag
         # window over the <=|months| aggregate)

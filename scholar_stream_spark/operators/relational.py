@@ -3816,9 +3816,13 @@ def monthly_revenue_trend(orders: DataFrame) -> DataFrame:
 
     Output: (month, n_orders, revenue, mom_growth round-6).
     """
-    monthly = orders.groupBy(
-        F.date_format("o_orderdate", "yyyy-MM").alias("month")
-    ).agg(
+    # name the month key BEFORE the groupBy: an inline grouping
+    # expression compiles to an anonymous `_groupingexpression`
+    # attribute, which the fleet plan audit's grid-key check cannot
+    # classify — a named column makes the plan self-describing
+    monthly = orders.withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    ).groupBy("month").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.expr(
             "SUM(CAST(o_totalprice AS DECIMAL(18,2)))"
