@@ -1335,6 +1335,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_overlap_pairs": lambda s, d: (
             temporal.session_overlap_pairs(_t(s, d, "events"))
         ),
+        # per-bucket candidate density of the overlap join — the
+        # flash-crowd capacity observation run BEFORE paying the
+        # quadratic pairwise cost (r15 verdict item 6)
+        "session_overlap_density": lambda s, d: (
+            temporal.session_overlap_density(_t(s, d, "events"))
+        ),
         # inter-event gap histogram: the evidence behind the
         # sessionization gap constant (bimodality check)
         "session_gap_profile": lambda s, d: (
@@ -7420,6 +7426,53 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
              AND a.s <= b.e AND b.s <= a.e
             GROUP BY 1, 2
         """,
+        "session_overlap_density": f"""
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ), flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN prev_ts IS NULL
+                              OR date_diff('second', prev_ts, ts)
+                                 > {temporal.SESSION_GAP_SECONDS}
+                            THEN 1 ELSE 0 END AS is_new
+                FROM o
+            ), runs AS (
+                SELECT user_id, ts,
+                       CAST(SUM(is_new) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
+                           AS session_seq
+                FROM flagged
+            ), sess AS (
+                SELECT user_id,
+                       epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+                FROM runs GROUP BY user_id, session_seq
+            ), probes AS (
+                SELECT user_id,
+                       unnest(generate_series(
+                           s // {temporal.OVERLAP_BUCKET_SECONDS * 1_000_000},
+                           e // {temporal.OVERLAP_BUCKET_SECONDS * 1_000_000}
+                       )) AS bkt
+                FROM sess
+            ), per_user AS (
+                SELECT bkt, user_id,
+                       CAST(count(*) AS BIGINT) AS n_u
+                FROM probes GROUP BY 1, 2
+            )
+            SELECT CAST(bkt * {temporal.OVERLAP_BUCKET_SECONDS * 1_000_000}
+                        AS BIGINT) AS bucket_lo_us,
+                   CAST(SUM(n_u) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST((SUM(n_u) * SUM(n_u) - SUM(n_u * n_u)) // 2
+                        AS BIGINT) AS n_candidates
+            FROM per_user
+            GROUP BY bkt
+            ORDER BY bucket_lo_us
+        """,
         "range_join": f"""
             SELECT l.event_id, l.user_id, l.ts,
                    r.event_id AS matched_event_id,
@@ -7838,7 +7891,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
 #: Count of oracle-backed entries — the structured form of the rotation
 #: note's "N entries" claim (two r14 review rounds caught the comment
 #: stale; a constant asserted against len(oracle_sql()) cannot drift).
-_N_ORACLE_BACKED = 204
+_N_ORACLE_BACKED = 205
 
 # Computed HERE (end of module) because it needs oracle_sql(); see the
 # rotation note above _driver_first_order.
