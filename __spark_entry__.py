@@ -102,7 +102,15 @@ Deliberately WITHOUT oracle entries (rows-only check):
   dangling node) and the real trade graph, plus Σpr = 1 and
   partition invariance (``tests/test_r15_ops.py``). The edge-build
   revenue aggregate is the oracle-checked money idiom shared with
-  ``nation_trade_flows``.
+  ``nation_trade_flows``. r16: the registered entry surfaces the
+  measured final-round L1 residual (bounded by 2·dᵀ in pytest).
+- ``nation_kcore`` — iterative INTEGER h-index fixpoint (coreness):
+  convergence is exact (checksum discipline, unlike pagerank's float
+  budget) but the round count is data-dependent, so an SQL oracle
+  would need a recursive CTE. Pinned in pytest against a brute-force
+  peeling reference on the real sf0.001 trade graph + hand fixtures
+  (``tests/test_r16_ops.py``); its input graph is the SAME strong
+  support every r16 oracle-green graph op certifies.
 """
 
 from __future__ import annotations
@@ -1329,6 +1337,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "orders"),
             _t(s, d, "lineitem"),
             _t(s, d, "supplier"),
+        ),
+        # Newman degree assortativity of the strong trade graph
+        # (rich-club vs hub-and-spoke; integer-exact moments)
+        "nation_assortativity": lambda s, d: graph.trade_assortativity(
+            _t(s, d, "customer"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "supplier"),
+        ),
+        # coreness (k-core) of the strong trade graph — integer
+        # h-index fixpoint with EXACT checksum convergence; rows-only
+        # (iterative), peeling-reference-pinned
+        "nation_kcore": lambda s, d: graph.trade_kcore(
+            _t(s, d, "customer"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "supplier"),
+        ),
+        # per-user Goh-Barabasi gap burstiness (bot/automation screen;
+        # exact decimal moments off the sessionize order)
+        "user_burstiness": lambda s, d: temporal.user_burstiness(
+            _t(s, d, "events")
+        ),
+        # contrastive-training hard negatives: top-k most-similar
+        # vectors BELOW the near-dup band (ANCE/DPR mining step)
+        "ann_hard_negatives": lambda s, d: similarity.hard_negatives_topk(
+            _t(s, d, "embeddings")
         ),
         # cross-user co-active session pairs (bucketized interval
         # overlap join -- equi-join on time buckets, exact verify)
@@ -4057,6 +4092,37 @@ FROM r WHERE rank <= {similarity.ANN_TOPK}
 """
 
 
+def _ann_hard_neg_sql() -> str:
+    """`_ann_topk_sql` with the near-dup band excluded BEFORE ranking
+    (hard-negative mining: the most similar thing that is not the same
+    content). The band test compares the same left-to-right dot both
+    engines compute, so the boundary is exact for the same reason the
+    rank order is."""
+    cos = _cos_sql("q.q_embedding", "e.embedding")
+    return f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS q_embedding
+    FROM embeddings WHERE vec_id < {similarity.ANN_NUM_QUERIES}
+),
+c AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cos_raw
+    FROM q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.query_id
+),
+b AS (
+    SELECT * FROM c WHERE cos_raw < {similarity.HARD_NEG_MAX_COS!r}
+),
+r AS (
+    SELECT query_id, neighbor_id, cos_raw,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+    FROM b
+)
+SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim, rank
+FROM r WHERE rank <= {similarity.ANN_TOPK}
+"""
+
+
 def _lang_case_sql() -> str:
     """The pred_lang CASE expression, shared by ``lang_profile`` and
     ``curate_corpus`` oracle texts (mirrors textops.pred_lang_from_hits)."""
@@ -6040,6 +6106,79 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             JOIN deg db ON db.node = nation_b
             ORDER BY nation_a, nation_b
         """,
+        "nation_assortativity": f"""
+            WITH {_trade_graph_sql()},
+            deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und)
+                GROUP BY 1
+            ), stubs AS (
+                SELECT a, b FROM und
+                UNION ALL SELECT b, a FROM und
+            ), jk AS (
+                SELECT da.deg AS j, db.deg AS k
+                FROM stubs
+                JOIN deg da ON da.node = stubs.a
+                JOIN deg db ON db.node = stubs.b
+            ), mo AS (
+                SELECT CAST(count(*) AS BIGINT) AS m2,
+                       CAST(SUM(j * k) AS BIGINT) AS sjk,
+                       CAST(SUM(j) AS BIGINT) AS sj,
+                       CAST(SUM(j * j) AS BIGINT) AS sj2
+                FROM jk
+            ), mom AS (
+                SELECT m2,
+                       CAST(sj AS DOUBLE) / m2 AS mean,
+                       CAST(sjk AS DOUBLE) / m2 AS ejk,
+                       CAST(sj2 AS DOUBLE) / m2 AS ej2
+                FROM mo
+            )
+            SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+                   CASE WHEN ej2 - mean * mean > 0
+                        THEN round((ejk - mean * mean)
+                                   / (ej2 - mean * mean), 6)
+                   END AS assortativity
+            FROM mom
+        """,
+        "user_burstiness": f"""
+            WITH o AS (
+                SELECT user_id,
+                       epoch_us(ts) AS us,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                FROM events
+            ), g AS (
+                SELECT user_id, us - prev AS gap
+                FROM o WHERE prev IS NOT NULL
+            ), a AS (
+                SELECT user_id,
+                       CAST(count(*) AS BIGINT) AS n_gaps,
+                       SUM(CAST(gap AS HUGEINT)) AS s1,
+                       SUM(CAST(gap AS HUGEINT)
+                           * CAST(gap AS HUGEINT)) AS s2
+                FROM g GROUP BY 1
+                HAVING count(*) >= {temporal.BURSTINESS_MIN_GAPS}
+            ), m1 AS (
+                SELECT user_id, n_gaps,
+                       CAST(s1 AS DOUBLE) / n_gaps AS mu,
+                       CAST(s2 AS DOUBLE) / n_gaps AS ex2
+                FROM a
+            ), m2 AS (
+                SELECT user_id, n_gaps, mu,
+                       sqrt(greatest(ex2 - mu * mu, 0.0)) AS sig
+                FROM m1
+            )
+            SELECT user_id, n_gaps,
+                   round(mu, 2) AS mean_gap_us,
+                   round(sig, 2) AS std_gap_us,
+                   CASE WHEN sig + mu > 0
+                        THEN round((sig - mu) / (sig + mu), 6)
+                   END AS burstiness
+            FROM m2 ORDER BY user_id
+        """,
+        "ann_hard_negatives": _ann_hard_neg_sql(),
         "generalize_qi_report": _gen_qi_report_sql(),
         "generalize_quasi_identifiers": _gen_qi_table_sql(),
         "suppress_small_classes": f"""
@@ -7891,7 +8030,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
 #: Count of oracle-backed entries — the structured form of the rotation
 #: note's "N entries" claim (two r14 review rounds caught the comment
 #: stale; a constant asserted against len(oracle_sql()) cannot drift).
-_N_ORACLE_BACKED = 205
+_N_ORACLE_BACKED = 208
 
 # Computed HERE (end of module) because it needs oracle_sql(); see the
 # rotation note above _driver_first_order.

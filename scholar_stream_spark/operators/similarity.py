@@ -101,6 +101,73 @@ def cosine_topk(
     return _rerank_topk(joined, k)
 
 
+#: Hard-negative mining band: candidates at or above this cosine are
+#: treated as positives/near-duplicates (the `dedup_embedding` family's
+#: near-dup grain) and EXCLUDED — a "hard negative" is the most similar
+#: thing that is NOT the same content.
+HARD_NEG_MAX_COS = 0.95
+
+
+def hard_negatives_topk(
+    embeddings: DataFrame,
+    k: int = ANN_TOPK,
+    n_queries: int = ANN_NUM_QUERIES,
+    max_cos: float = HARD_NEG_MAX_COS,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for
+    each query vector, the top-k most-similar corpus vectors whose
+    cosine is BELOW ``max_cos`` — near-duplicates are excluded as
+    positives-in-disguise (training a retriever on its own paraphrases
+    as negatives poisons it; the classic ANCE/DPR mining step, public
+    knowledge), and what remains is exactly the high-similarity
+    non-duplicate band that makes negatives hard.
+
+    Plan shape: identical to `cosine_topk` (broadcast query set ⨯
+    one corpus scan → narrow cosine projection → per-query rank
+    window) with one extra filter BEFORE the window, so the excluded
+    near-dup band never enters the rank shuffle. The band decision
+    compares the same left-to-right 64-term dot both engines compute —
+    boundary-exact cross-engine for the same reason the rank order is.
+
+    Output: (query_id, neighbor_id, cos_sim round 4, rank 1..k).
+    """
+    if not 0.0 < max_cos <= 1.0:
+        raise ValueError(
+            f"hard_negatives: max_cos must be in (0, 1], got {max_cos}"
+        )
+    q = _query_set(embeddings, n_queries)
+    corpus = scale_out(embeddings).select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
+    )
+    joined = corpus.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    )
+    cos = cosine_from_norms(
+        F.col("q_embedding"),
+        F.col("embedding"),
+        F.col("q_norm"),
+        F.col("norm"),
+    )
+    banded = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cos.alias("cos_sim_raw"),
+    ).filter(F.col("cos_sim_raw") < F.lit(float(max_cos)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim_raw"), F.asc("neighbor_id")
+    )
+    return (
+        banded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim_raw", 4).alias("cos_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int = EMBED_DIM):
     rng = random.Random(1337)
     return [

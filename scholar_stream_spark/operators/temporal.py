@@ -756,3 +756,82 @@ def session_gap_profile(events: DataFrame) -> DataFrame:
             ).alias("pct"),
         )
     )
+
+
+#: Minimum gaps per user for a burstiness reading: with one gap the
+#: population std is 0 by construction and B = −1 tells you nothing.
+BURSTINESS_MIN_GAPS = 2
+
+
+def user_burstiness(
+    events: DataFrame, min_gaps: int = BURSTINESS_MIN_GAPS
+) -> DataFrame:
+    """Per-user inter-event burstiness — the Goh–Barabási (EPL 2008)
+    coefficient ``B = (σ − μ)/(σ + μ)`` over each user's consecutive
+    gaps: −1 = perfectly periodic (σ = 0), 0 = Poisson-like (σ ≈ μ),
+    → +1 = bursty trains with long silences. The per-USER companion to
+    `session_gap_profile`'s global histogram: the stream can look
+    bimodal overall while individual users are metronomes (bots) —
+    burstiness near −1 on a high-volume user is the classic automation
+    signal, so this doubles as the abuse screen next to
+    `event_rate_anomalies`.
+
+    Exactness discipline: gaps are integer MICROSECONDS off the exact
+    (user, ts, event_id) order `sessionize` uses; the two moments sum
+    as DECIMAL(38,0) (a day-long gap squared is ~1e24 — past int64,
+    inside dec38 for any plausible per-user history), so Σg and Σg²
+    are exact and ORDER-INDEPENDENT on both engines; μ, σ, B are then
+    a handful of IEEE operations on identical doubles. σ is the
+    POPULATION std (the n-divisor — B describes this user's observed
+    train, not an estimate of a hidden process).
+
+    Scale shape: ONE user-keyed window exchange (sessionize's existing
+    shuffle order) → one map-side-combined per-user aggregate; output
+    is user-cardinality, never event-cardinality. Users with fewer
+    than ``min_gaps`` gaps are excluded (stated: σ of one gap is 0 by
+    construction). B is NULL when σ + μ = 0 (all gaps exactly 0 —
+    simultaneous-burst degenerate, no timescale to describe).
+
+    Output: (user_id, n_gaps, mean_gap_us round 2, std_gap_us round 2,
+    burstiness round 6), user asc.
+    """
+    if min_gaps < 2:
+        raise ValueError(
+            f"user_burstiness: min_gaps must be >= 2, got {min_gaps}"
+        )
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = events.select(
+        "user_id", (ts_us - F.lag(ts_us).over(w)).alias("_gap")
+    ).filter(F.col("_gap").isNotNull())
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(F.col("_gap").cast("decimal(38,0)")).alias("_s1"),
+        F.sum(
+            (
+                F.col("_gap").cast("decimal(19,0)")
+                * F.col("_gap").cast("decimal(19,0)")
+            ).cast("decimal(38,0)")
+        ).alias("_s2"),
+    ).filter(F.col("n_gaps") >= min_gaps)
+    mu = F.col("_s1").cast("double") / F.col("n_gaps")
+    var = F.col("_s2").cast("double") / F.col("n_gaps") - mu * mu
+    # float cancellation can leave var a hair below 0 on
+    # near-constant gaps — clamp before sqrt (σ = 0 is the true value)
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        agg.select(
+            "user_id",
+            "n_gaps",
+            F.round(mu, 2).alias("mean_gap_us"),
+            F.round(sigma, 2).alias("std_gap_us"),
+            F.round(
+                (sigma - mu)
+                / F.when(sigma + mu > 0, sigma + mu),
+                6,
+            ).alias("burstiness"),
+        )
+        .orderBy("user_id")
+    )

@@ -447,3 +447,258 @@ def test_overlap_density_rejects_degenerate(events):
 
     with pytest.raises(ValueError, match="bucket_seconds"):
         temporal.session_overlap_density(events, bucket_seconds=0)
+
+
+# ---------------------------------------------------------------
+# assortativity + k-core (batch 2 graph ops)
+# ---------------------------------------------------------------
+
+def test_assortativity_matches_bruteforce(trade_tabs, ref_graph):
+    *_, und, adj = ref_graph
+    m2 = 4 * len(und)  # both orientations... computed below properly
+    sjk = sum(len(adj[a]) * len(adj[b]) for a, b in und) * 2
+    sj = sum(len(adj[a]) + len(adj[b]) for a, b in und)
+    sj2 = sum(len(adj[a]) ** 2 + len(adj[b]) ** 2 for a, b in und)
+    m2 = 2 * len(und)
+    mean = sj / m2
+    cov = sjk / m2 - mean * mean
+    var = sj2 / m2 - mean * mean
+    row = graph.trade_assortativity(*trade_tabs).collect()[0]
+    assert row["n_edges"] == len(und)
+    want = round(cov / var, 6) if var > 0 else None
+    assert row["assortativity"] == pytest.approx(want, abs=1e-9)
+
+
+def test_assortativity_shape_fixtures(spark):
+    """A star is maximally DISassortative (every edge joins the hub to
+    a leaf: r = −1 on >2 leaves ... actually r is NULL-variance-guarded
+    only on regular graphs); a clique is degree-regular → NULL."""
+    star = _graph_fixture(spark, [(0, i) for i in range(1, 5)])
+    row = graph.trade_assortativity(*star).collect()[0]
+    assert row["n_edges"] == 4
+    assert row["assortativity"] == pytest.approx(-1.0)
+    clique = _graph_fixture(
+        spark, [(a, b) for a, b in combinations(range(4), 2)]
+    )
+    row = graph.trade_assortativity(*clique).collect()[0]
+    assert row["assortativity"] is None  # zero degree variance
+
+
+def _ref_coreness(adj):
+    g = {v: set(ns) for v, ns in adj.items()}
+    core, k = {}, 0
+    while g:
+        k = max(k, min(len(ns) for ns in g.values()))
+        peel = [v for v, ns in g.items() if len(ns) <= k]
+        while peel:
+            v = peel.pop()
+            if v not in g:
+                continue
+            core[v] = k
+            for u in g[v]:
+                g[u].discard(v)
+                if len(g[u]) <= k:
+                    peel.append(u)
+            del g[v]
+    return core
+
+
+def test_kcore_matches_peeling_reference(trade_tabs, ref_graph):
+    *_, und, adj = ref_graph
+    got = {
+        r["nation_key"]: r["coreness"]
+        for r in graph.trade_kcore(*trade_tabs).collect()
+    }
+    assert got == _ref_coreness(adj)
+
+
+def test_kcore_hub_of_leaves_is_periphery(spark):
+    """The op's whole point: a star hub has degree 4 but coreness 1
+    (remove the leaves and it dies); a 4-clique is coreness 3
+    everywhere. Plus a chain-of-cliques mixed fixture."""
+    star = _graph_fixture(spark, [(0, i) for i in range(1, 5)])
+    got = {
+        r["nation_key"]: r["coreness"]
+        for r in graph.trade_kcore(*star).collect()
+    }
+    assert got == {v: 1 for v in range(5)}
+    # clique {0..3} + pendant path 3-4-5: clique cores at 3, path at 1
+    mixed = _graph_fixture(
+        spark,
+        [(a, b) for a, b in combinations(range(4), 2)] + [(3, 4), (4, 5)],
+    )
+    got = {
+        r["nation_key"]: r["coreness"]
+        for r in graph.trade_kcore(*mixed).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1}
+
+
+def test_kcore_rejects_degenerate(trade_tabs):
+    with pytest.raises(ValueError, match="max_iter"):
+        graph.trade_kcore(*trade_tabs, max_iter=0)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        # 1 round cannot reach the fixpoint on a graph whose h-index
+        # sequence needs >1 step (the star: deg seed 4 -> h 1)
+        graph.trade_kcore(*trade_tabs, max_iter=1)
+
+
+# ---------------------------------------------------------------
+# user burstiness
+# ---------------------------------------------------------------
+
+def test_burstiness_matches_bruteforce(events):
+    from scholar_stream_spark.operators import temporal
+
+    rows = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    ).collect()
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r["user_id"], []).append((r["us"], r["event_id"]))
+    ref = {}
+    for u, xs in per.items():
+        xs.sort()
+        gaps = [xs[i + 1][0] - xs[i][0] for i in range(len(xs) - 1)]
+        if len(gaps) < 2:
+            continue
+        n = len(gaps)
+        mu = sum(gaps) / n
+        var = sum(g * g for g in gaps) / n - mu * mu
+        sig = math.sqrt(max(var, 0.0))
+        b = (sig - mu) / (sig + mu) if sig + mu > 0 else None
+        ref[u] = (n, mu, sig, b)
+    got = {
+        r["user_id"]: r
+        for r in temporal.user_burstiness(events).collect()
+    }
+    assert set(got) == set(ref)
+    for u, (n, mu, sig, b) in ref.items():
+        r = got[u]
+        assert r["n_gaps"] == n
+        # round-2 columns: HALF_UP vs python banker's can differ by one
+        # ulp of the grain on exact .xx5 values — compare unrounded
+        assert r["mean_gap_us"] == pytest.approx(mu, abs=0.006)
+        assert r["std_gap_us"] == pytest.approx(sig, abs=0.006)
+        assert r["burstiness"] == pytest.approx(b, abs=1e-5)
+
+
+def test_burstiness_shape_fixtures(spark):
+    """A metronome user pins B = −1 (σ = 0); a bursty train with one
+    long silence lands strictly positive; sub-min-gaps users and the
+    all-simultaneous degenerate are excluded/NULL."""
+    from scholar_stream_spark.operators import temporal
+
+    rows = []
+    # u_metro: exactly every 60 s
+    for i in range(5):
+        rows.append(("u_metro", f"m{i}", f"2024-01-01 10:{i:02d}:00"))
+    # u_burst: 3 events in 2 s, then an hour, then 2 more
+    for i, off in enumerate((0, 1, 2, 3600, 3601)):
+        rows.append(
+            ("u_burst", f"b{i}",
+             f"2024-01-01 {10 + off // 3600}:{(off % 3600) // 60:02d}:{off % 60:02d}")
+        )
+    rows.append(("u_two", "t0", "2024-01-01 10:00:00"))
+    rows.append(("u_two", "t1", "2024-01-01 10:00:01"))
+    # u_zero: three simultaneous events (all gaps 0 -> B NULL)
+    for i in range(3):
+        rows.append(("u_zero", f"z{i}", "2024-01-01 10:00:00"))
+    events = spark.createDataFrame(
+        rows, "user_id string, event_id string, ts_s string"
+    ).select("user_id", "event_id", F.to_timestamp("ts_s").alias("ts"))
+    got = {
+        r["user_id"]: r
+        for r in temporal.user_burstiness(events).collect()
+    }
+    assert set(got) == {"u_metro", "u_burst", "u_zero"}  # u_two: 1 gap
+    assert got["u_metro"]["burstiness"] == pytest.approx(-1.0)
+    assert got["u_metro"]["std_gap_us"] == 0.0
+    # B's finite-size ceiling is (√(n−1)−1)/(√(n−1)+1) ≈ 0.268 at
+    # n=4 gaps (one dominant silence) — this fixture sits essentially
+    # at it
+    assert got["u_burst"]["burstiness"] == pytest.approx(
+        (math.sqrt(3) - 1) / (math.sqrt(3) + 1), abs=0.01
+    )
+    assert got["u_zero"]["burstiness"] is None
+
+
+def test_burstiness_rejects_degenerate(events):
+    from scholar_stream_spark.operators import temporal
+
+    with pytest.raises(ValueError, match="min_gaps"):
+        temporal.user_burstiness(events, min_gaps=1)
+
+
+# ---------------------------------------------------------------
+# ANN hard negatives
+# ---------------------------------------------------------------
+
+def test_hard_negatives_matches_bruteforce(spark):
+    from scholar_stream_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a))
+            * math.sqrt(sum(y * y for y in b))
+        )
+
+    ref = {}
+    for q in [v for v in sorted(vecs) if v < similarity.ANN_NUM_QUERIES]:
+        cands = sorted(
+            ((cos(vecs[q], vecs[n]), n) for n in vecs if n != q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        cands = [
+            (c, n) for c, n in cands if c < similarity.HARD_NEG_MAX_COS
+        ]
+        for rk, (c, n) in enumerate(cands[: similarity.ANN_TOPK], 1):
+            ref[(q, n)] = (c, rk)
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["cos_sim"], r["rank"])
+        for r in similarity.hard_negatives_topk(emb).collect()
+    }
+    assert set(got) == set(ref)
+    for k2, (c, rk) in ref.items():
+        assert got[k2][1] == rk
+        assert got[k2][0] == pytest.approx(c, abs=1e-4)
+
+
+def test_hard_negatives_excludes_near_dup_band(spark):
+    """Plant an exact duplicate of query 0's vector under a new id:
+    cosine 1.0 ≥ the band, so it must NOT appear among q0's negatives
+    — while cosine_topk (no band) ranks it first."""
+    from scholar_stream_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    planted = emb.select("vec_id", "embedding").unionAll(dup)
+    top = {
+        r["rank"]: r["neighbor_id"]
+        for r in similarity.cosine_topk(planted).collect()
+        if r["query_id"] == 0
+    }
+    assert top[1] == 1_000_000  # the dup wins the unbanded ranking
+    hard = [
+        r["neighbor_id"]
+        for r in similarity.hard_negatives_topk(planted).collect()
+        if r["query_id"] == 0
+    ]
+    assert 1_000_000 not in hard
+    assert len(hard) == similarity.ANN_TOPK
+
+
+def test_hard_negatives_rejects_degenerate(spark):
+    from scholar_stream_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    with pytest.raises(ValueError, match="max_cos"):
+        similarity.hard_negatives_topk(emb, max_cos=0.0)
