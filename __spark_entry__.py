@@ -111,6 +111,12 @@ Deliberately WITHOUT oracle entries (rows-only check):
   peeling reference on the real sf0.001 trade graph + hand fixtures
   (``tests/test_r16_ops.py``); its input graph is the SAME strong
   support every r16 oracle-green graph op certifies.
+- ``nation_hits`` — ``nation_pagerank``'s rationale verbatim (20
+  alternating float power-iteration half-steps with per-step L1
+  normalization); numpy-pinned at 2e-6 display grain on the real
+  trade graph, Σhub = Σauthority = 1 invariants, and the same
+  oracle-checked revenue edge build (shared ``_nation_revenue_edges``
+  kernel) as ``nation_pagerank``.
 """
 
 from __future__ import annotations
@@ -1350,6 +1356,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # h-index fixpoint with EXACT checksum convergence; rows-only
         # (iterative), peeling-reference-pinned
         "nation_kcore": lambda s, d: graph.trade_kcore(
+            _t(s, d, "customer"),
+            _t(s, d, "orders"),
+            _t(s, d, "lineitem"),
+            _t(s, d, "supplier"),
+        ),
+        # Kleinberg HITS hubs/authorities over the revenue trade graph
+        # (the directed dual pagerank's single score collapses);
+        # rows-only (float-iterative), numpy-pinned
+        "nation_hits": lambda s, d: graph.nation_hits(
             _t(s, d, "customer"),
             _t(s, d, "orders"),
             _t(s, d, "lineitem"),

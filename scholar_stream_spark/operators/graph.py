@@ -178,6 +178,50 @@ def pagerank(
     return pr.select("node", "pr", F.lit(float(l1)).alias("residual"))
 
 
+def _nation_revenue_edges(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """Revenue-weighted nation trade edge grid (src = supplier nation,
+    dst = customer nation, weight = exact-decimal revenue cast to
+    double) — the star-join edge build shared by `nation_pagerank` and
+    `nation_hits`; the shipment-COUNT twin for the oracle-backed
+    combinatorial family is `trade_edge_counts`."""
+    return (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(
+            F.broadcast(
+                supplier.select("s_suppkey", "s_nationkey")
+            ),
+            lineitem["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("s_nationkey").cast("long").alias("src"),
+            F.col("c_nationkey").cast("long").alias("dst"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1).cast("decimal(18,2)")
+                    - F.col("l_discount").cast("decimal(18,2)")
+                )
+            )
+            .cast("double")
+            .alias("weight")
+        )
+    )
+
+
 def nation_pagerank(
     customer: DataFrame,
     orders: DataFrame,
@@ -210,37 +254,7 @@ def nation_pagerank(
     (round 9 — it sits near 1e-5 at the default budget and rounding
     it to display grain would erase the evidence it exists to carry).
     """
-    rev = (
-        lineitem.join(
-            orders.select("o_orderkey", "o_custkey"),
-            lineitem["l_orderkey"] == orders["o_orderkey"],
-        )
-        .join(
-            F.broadcast(
-                supplier.select("s_suppkey", "s_nationkey")
-            ),
-            lineitem["l_suppkey"] == F.col("s_suppkey"),
-        )
-        .join(
-            customer.select("c_custkey", "c_nationkey"),
-            F.col("o_custkey") == F.col("c_custkey"),
-        )
-        .groupBy(
-            F.col("s_nationkey").cast("long").alias("src"),
-            F.col("c_nationkey").cast("long").alias("dst"),
-        )
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (
-                    F.lit(1).cast("decimal(18,2)")
-                    - F.col("l_discount").cast("decimal(18,2)")
-                )
-            )
-            .cast("double")
-            .alias("weight")
-        )
-    )
+    rev = _nation_revenue_edges(customer, orders, lineitem, supplier)
     pr = pagerank(
         rev, damping=damping, n_iter=n_iter, with_residual=with_residual
     )
@@ -850,3 +864,149 @@ def trade_kcore(
         "the h-index fixpoint is guaranteed finite, so this input "
         "(or a kernel bug) needs looking at, not silent wrong labels"
     )
+
+
+#: HITS round budget — same fixed-budget rationale as PAGERANK_ITER
+#: (float fixpoint, no exact convergence test); hub/authority power
+#: iteration converges at the square of the graph's singular-value
+#: ratio, faster than PageRank's damping rate on these graphs.
+HITS_ITER = 20
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = HITS_ITER,
+    with_residual: bool = False,
+) -> DataFrame:
+    """Weighted HITS (Kleinberg JACM 1999) over a (src, dst, weight)
+    edge list — the directed DUAL reading `pagerank` collapses: a HUB
+    points at good authorities (``h ← Σ w·a(dst)``), an AUTHORITY is
+    pointed at by good hubs (``a ← Σ w·h(src)``); on the trade graph
+    hubs are the great BUYERS' suppliers-side mirror — a nation
+    supplying many strong importers — while authorities are the great
+    importers themselves, two rankings one scalar score cannot carry.
+
+    Semantics: the standard alternating power iteration with L1
+    normalization each half-step (Σh = Σa = 1 — a loop invariant like
+    pagerank's Σpr; L1 keeps every value a share, directly readable),
+    positive weights validated, scores seeded uniform over the
+    relevant side (hubs: nodes with out-edges; authorities: nodes
+    with in-edges — a node with neither role scores 0 on that side,
+    the honest value, not a teleport floor: HITS has no damping).
+
+    Scale shape: the pagerank contract — edge list checkpointed once;
+    each round is TWO equi-joins + two map-side groupBys + two 1-row
+    normalization aggregates; state checkpoints per round so lineage
+    cannot grow. ``with_residual`` appends the measured final-round
+    L1 step over the concatenated (h, a) state — the same
+    evidence-not-assertion discipline as `pagerank`.
+
+    Output: (node, hub, authority) DOUBLE, plus ``residual`` when
+    requested; rows-only (float-iterative), numpy-pinned in pytest.
+    """
+    if n_iter < 1:
+        raise ValueError(f"hits: n_iter must be >= 1, got {n_iter}")
+    edges = edges.localCheckpoint(eager=False)
+    bad = edges.filter(
+        F.col("weight").isNull() | (F.col("weight") <= 0)
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            "hits: edge weights must be positive and non-NULL"
+        )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if nodes.limit(1).count() == 0:
+        raise ValueError("hits: empty edge list")
+    w_edges = edges.select(
+        "src", "dst", F.col("weight").cast("double").alias("_w")
+    ).localCheckpoint(eager=False)
+    hubs_spine = w_edges.select(F.col("src").alias("node")).distinct()
+    n_hubs = hubs_spine.count()
+    h = hubs_spine.select(
+        "node", F.lit(1.0 / n_hubs).alias("h")
+    ).localCheckpoint(eager=False)
+    a = None
+    prev_h = h
+    prev_a = a
+    for it in range(n_iter):
+        if with_residual and it == n_iter - 1:
+            prev_h, prev_a = h, a
+        # authority update: mass flows along edges from hubs
+        a_raw = (
+            w_edges.join(h, w_edges["src"] == h["node"])
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.sum(F.col("_w") * F.col("h")).alias("_a"))
+        )
+        a_tot = a_raw.agg(F.sum("_a")).first()[0]
+        a = a_raw.select(
+            F.col("node2").alias("node"),
+            (F.col("_a") / F.lit(float(a_tot))).alias("a"),
+        ).localCheckpoint(eager=False)
+        # hub update: mass flows against edges from authorities
+        h_raw = (
+            w_edges.join(a, w_edges["dst"] == a["node"])
+            .groupBy(F.col("src").alias("node2"))
+            .agg(F.sum(F.col("_w") * F.col("a")).alias("_h"))
+        )
+        h_tot = h_raw.agg(F.sum("_h")).first()[0]
+        h = h_raw.select(
+            F.col("node2").alias("node"),
+            (F.col("_h") / F.lit(float(h_tot))).alias("h"),
+        ).localCheckpoint(eager=False)
+    out = (
+        nodes.join(h, "node", "left")
+        .join(a, "node", "left")
+        .select(
+            "node",
+            F.coalesce("h", F.lit(0.0)).alias("hub"),
+            F.coalesce("a", F.lit(0.0)).alias("authority"),
+        )
+    )
+    if not with_residual:
+        return out
+    def _l1(cur, prev, col):
+        if prev is None:
+            return None
+        return (
+            cur.join(
+                prev.select("node", F.col(col).alias("_p")), "node"
+            )
+            .agg(F.sum(F.abs(F.col(col) - F.col("_p"))))
+            .first()[0]
+            or 0.0
+        )
+    res_h = _l1(h, prev_h, "h") or 0.0
+    res_a = _l1(a, prev_a, "a") if prev_a is not None else None
+    # first-round prev_a does not exist (a starts undefined) — only
+    # reachable at n_iter=1; report the hub step alone there
+    res = res_h + (res_a or 0.0)
+    return out.select(
+        "node", "hub", "authority", F.lit(float(res)).alias("residual")
+    )
+
+
+def nation_hits(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    n_iter: int = HITS_ITER,
+) -> DataFrame:
+    """HITS over the revenue-weighted nation trade graph (same edge
+    build as `nation_pagerank` — the star-join idiom): hub = a nation
+    whose exports feed the network's big importers, authority = a
+    nation whose imports are fed by the big exporters. Output
+    (nation_key, hub round 6, authority round 6), rows-only
+    (float-iterative), numpy-pinned."""
+    rev = _nation_revenue_edges(customer, orders, lineitem, supplier)
+    out = hits(rev, n_iter=n_iter)
+    return out.select(
+        F.col("node").alias("nation_key"),
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    ).orderBy("nation_key")

@@ -702,3 +702,93 @@ def test_hard_negatives_rejects_degenerate(spark):
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
     with pytest.raises(ValueError, match="max_cos"):
         similarity.hard_negatives_topk(emb, max_cos=0.0)
+
+
+# ---------------------------------------------------------------
+# HITS hubs/authorities
+# ---------------------------------------------------------------
+
+def _numpy_hits(edges, n_iter):
+    import numpy as np
+
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for s, d, w in edges:
+        W[idx[s], idx[d]] += w
+    hub_nodes = sorted({s for s, _, _ in edges})
+    h = np.zeros(n)
+    for v in hub_nodes:
+        h[idx[v]] = 1.0 / len(hub_nodes)
+    a = np.zeros(n)
+    for _ in range(n_iter):
+        a = W.T @ h
+        a = a / a.sum()
+        h = W @ a
+        h = h / h.sum()
+    return {v: (h[idx[v]], a[idx[v]]) for v in nodes}
+
+
+def test_nation_hits_matches_numpy(trade_tabs):
+    edges = [
+        (r["src"], r["dst"], r["weight"])
+        for r in graph._nation_revenue_edges(*trade_tabs).collect()
+    ]
+    want = _numpy_hits(edges, graph.HITS_ITER)
+    got = {
+        r["nation_key"]: (r["hub"], r["authority"])
+        for r in graph.nation_hits(*trade_tabs).collect()
+    }
+    assert set(got) == set(want)
+    for v, (h, a) in want.items():
+        assert got[v][0] == pytest.approx(round(h, 6), abs=2e-6), v
+        assert got[v][1] == pytest.approx(round(a, 6), abs=2e-6), v
+    assert sum(x for x, _ in got.values()) == pytest.approx(1.0, abs=1e-4)
+    assert sum(y for _, y in got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_hits_hub_vs_authority_roles(spark):
+    """Pure-source vs pure-sink separation: on a 2->1 funnel graph the
+    sinks score 0 as hubs, the sources 0 as authorities — HITS has no
+    teleport floor, so a role a node never plays scores exactly 0."""
+    e = [(1, 3, 1.0), (2, 3, 2.0)]
+    df = spark.createDataFrame(e, "src long, dst long, weight double")
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in graph.hits(df, n_iter=5).collect()
+    }
+    assert got[3] == (0.0, 1.0)  # sink: pure authority
+    assert got[1][1] == 0.0 and got[2][1] == 0.0  # sources: no authority
+    assert got[2][0] > got[1][0]  # heavier edge -> stronger hub
+    want = _numpy_hits(e, 5)
+    for v in got:
+        assert got[v][0] == pytest.approx(want[v][0], abs=1e-12)
+        assert got[v][1] == pytest.approx(want[v][1], abs=1e-12)
+
+
+def test_hits_residual_and_degenerates(spark):
+    e = [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 2.0)]
+    df = spark.createDataFrame(e, "src long, dst long, weight double")
+    rows = graph.hits(df, n_iter=6, with_residual=True).collect()
+    res = {r["residual"] for r in rows}
+    assert len(res) == 1
+    want5 = _numpy_hits(e, 5)
+    want6 = _numpy_hits(e, 6)
+    exp = sum(
+        abs(want6[v][0] - want5[v][0]) + abs(want6[v][1] - want5[v][1])
+        for v in want6
+    )
+    assert res.pop() == pytest.approx(exp, abs=1e-12)
+    with pytest.raises(ValueError, match="n_iter"):
+        graph.hits(df, n_iter=0)
+    with pytest.raises(ValueError, match="positive"):
+        graph.hits(
+            spark.createDataFrame(
+                [(1, 2, 0.0)], "src long, dst long, weight double"
+            )
+        )
+    with pytest.raises(ValueError, match="empty"):
+        graph.hits(
+            spark.createDataFrame([], "src long, dst long, weight double")
+        )
