@@ -936,28 +936,41 @@ def hits(
     for it in range(n_iter):
         if with_residual and it == n_iter - 1:
             prev_h, prev_a = h, a
+        # Normalization stays IN-PLAN: the L1 total rides back in as a
+        # broadcast 1-row aggregate (the audit-blessed bounded-BNLJ
+        # shape) instead of a per-half-step driver `.first()` — no
+        # blocking driver round-trips inside the loop. Measured at
+        # sf0.1 the wall is ~2x `nation_pagerank`'s either way
+        # (round-count × STAGE-count bound: HITS runs two shuffle
+        # stages per round where PageRank runs one — the honest price
+        # of the dual ranking, not a plan defect). Same doubles either
+        # way: identical sum, identical IEEE division.
         # authority update: mass flows along edges from hubs
         a_raw = (
             w_edges.join(h, w_edges["src"] == h["node"])
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.sum(F.col("_w") * F.col("h")).alias("_a"))
+            .localCheckpoint(eager=False)  # two consumers below
         )
-        a_tot = a_raw.agg(F.sum("_a")).first()[0]
-        a = a_raw.select(
+        a = a_raw.crossJoin(
+            F.broadcast(a_raw.agg(F.sum("_a").alias("_at")))
+        ).select(
             F.col("node2").alias("node"),
-            (F.col("_a") / F.lit(float(a_tot))).alias("a"),
-        ).localCheckpoint(eager=False)
+            (F.col("_a") / F.col("_at")).alias("a"),
+        )
         # hub update: mass flows against edges from authorities
         h_raw = (
             w_edges.join(a, w_edges["dst"] == a["node"])
             .groupBy(F.col("src").alias("node2"))
             .agg(F.sum(F.col("_w") * F.col("a")).alias("_h"))
+            .localCheckpoint(eager=False)
         )
-        h_tot = h_raw.agg(F.sum("_h")).first()[0]
-        h = h_raw.select(
+        h = h_raw.crossJoin(
+            F.broadcast(h_raw.agg(F.sum("_h").alias("_ht")))
+        ).select(
             F.col("node2").alias("node"),
-            (F.col("_h") / F.lit(float(h_tot))).alias("h"),
-        ).localCheckpoint(eager=False)
+            (F.col("_h") / F.col("_ht")).alias("h"),
+        )
     out = (
         nodes.join(h, "node", "left")
         .join(a, "node", "left")
