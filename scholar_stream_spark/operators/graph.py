@@ -940,11 +940,12 @@ def hits(
         # broadcast 1-row aggregate (the audit-blessed bounded-BNLJ
         # shape) instead of a per-half-step driver `.first()` — no
         # blocking driver round-trips inside the loop. Measured at
-        # sf0.1 the wall is ~2x `nation_pagerank`'s either way
-        # (round-count × STAGE-count bound: HITS runs two shuffle
-        # stages per round where PageRank runs one — the honest price
-        # of the dual ranking, not a plan defect). Same doubles either
-        # way: identical sum, identical IEEE division.
+        # sf0.1 in-block: 11.9 s with the collects → 7.0 s without;
+        # the remaining ~1.5x over `nation_pagerank` is round-count ×
+        # STAGE-count bound (two shuffle stages per round vs
+        # PageRank's one — the honest price of the dual ranking).
+        # Same doubles either way: identical sum, identical IEEE
+        # division.
         # authority update: mass flows along edges from hubs
         a_raw = (
             w_edges.join(h, w_edges["src"] == h["node"])
