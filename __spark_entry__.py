@@ -6023,11 +6023,15 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "graph_reciprocity": f"""
             WITH {_trade_graph_sql()},
             counts AS (
+                -- COALESCE: SUM over zero rows is NULL, but the Spark
+                -- side counts a filtered join (0 on an empty strong
+                -- set) — the degenerate-input parity discipline
                 SELECT CAST(count(*) AS BIGINT) AS n_strong_lanes,
-                       CAST(SUM(CASE WHEN EXISTS (
+                       CAST(COALESCE(SUM(CASE WHEN EXISTS (
                             SELECT 1 FROM strong r
                             WHERE r.src = s.dst AND r.dst = s.src
-                       ) THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocated
+                       ) THEN 1 ELSE 0 END), 0) AS BIGINT)
+                           AS n_reciprocated
                 FROM strong s
             )
             SELECT n_strong_lanes, n_reciprocated,

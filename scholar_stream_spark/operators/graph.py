@@ -320,32 +320,40 @@ def trade_edge_counts(
     )
 
 
-def _strong_support(edge_counts: DataFrame) -> DataFrame:
-    """Undirected SUPPORT graph of the above-mean trade lanes:
-    (a, b) with a < b, an edge iff SOME direction between the pair
-    moved at least the mean per-lane shipment count (self-loops —
-    domestic trade — excluded from both the mean and the graph; a loop
-    is not a network edge and every nation has one, so keeping them
-    would only flatten the threshold).
-
-    The mean test is ``cnt · n_lanes ≥ total_cnt`` — pure integer
-    arithmetic on a broadcast 1-row aggregate (cnt ≤ ~1e12 lineitems ×
-    ~1e3 lanes stays far under the int64 ceiling), so the boundary
-    decision is exact and engine-portable. On a complete business
-    graph an unthresholded support is a clique and every structure
-    metric degenerates to its maximum; above-mean keeps the metrics
-    informative while staying parameter-free.
-    """
+def _strong_directed(edge_counts: DataFrame) -> DataFrame:
+    """Directed ABOVE-MEAN trade lanes: (src, dst) with src ≠ dst and
+    ``cnt · n_lanes ≥ total_cnt`` — pure integer arithmetic on a
+    broadcast 1-row aggregate (cnt ≤ ~1e12 lineitems × ~1e3 lanes
+    stays far under the int64 ceiling), so the boundary decision is
+    exact and engine-portable. Self-loops (domestic trade) are
+    excluded from both the mean and the graph: a loop is not a network
+    edge and every nation has one, so keeping them would only flatten
+    the threshold. The ONE place the strong-edge semantics live —
+    `trade_reciprocity` reads it directed, `_strong_support`
+    canonicalizes it undirected."""
     lanes = edge_counts.filter(F.col("src") != F.col("dst"))
     tot = lanes.agg(
         F.count(F.lit(1)).alias("_n_lanes"),
         F.sum("cnt").alias("_total_cnt"),
     )
-    strong = lanes.join(F.broadcast(tot)).filter(
-        F.col("cnt") * F.col("_n_lanes") >= F.col("_total_cnt")
-    )
     return (
-        strong.select(
+        lanes.join(F.broadcast(tot))
+        .filter(F.col("cnt") * F.col("_n_lanes") >= F.col("_total_cnt"))
+        .select("src", "dst")
+    )
+
+
+def _strong_support(edge_counts: DataFrame) -> DataFrame:
+    """Undirected SUPPORT graph of the above-mean trade lanes:
+    (a, b) with a < b, an edge iff SOME direction between the pair is
+    strong (`_strong_directed`). On a complete business graph an
+    unthresholded support is a clique and every structure metric
+    degenerates to its maximum; above-mean keeps the metrics
+    informative while staying parameter-free.
+    """
+    return (
+        _strong_directed(edge_counts)
+        .select(
             F.least("src", "dst").alias("a"),
             F.greatest("src", "dst").alias("b"),
         )
@@ -416,19 +424,9 @@ def trade_reciprocity(
     Output: 1 row (n_strong_lanes, n_reciprocated, reciprocity
     round 6).
     """
-    lanes = trade_edge_counts(
-        customer, orders, lineitem, supplier
-    ).filter(F.col("src") != F.col("dst"))
-    tot = lanes.agg(
-        F.count(F.lit(1)).alias("_n_lanes"),
-        F.sum("cnt").alias("_total_cnt"),
-    )
-    strong = (
-        lanes.join(F.broadcast(tot))
-        .filter(F.col("cnt") * F.col("_n_lanes") >= F.col("_total_cnt"))
-        .select("src", "dst")
-        .localCheckpoint(eager=False)  # read twice (probe + reverse)
-    )
+    strong = _strong_directed(
+        trade_edge_counts(customer, orders, lineitem, supplier)
+    ).localCheckpoint(eager=False)  # read twice (probe + reverse)
     recip = strong.join(
         strong.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
@@ -484,13 +482,8 @@ def trade_triangle_census(
     und = _strong_support(
         trade_edge_counts(customer, orders, lineitem, supplier)
     ).localCheckpoint(eager=False)
-    tri = _oriented_triangles(und)
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .union(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    )
+    deg = _support_degrees(und).localCheckpoint(eager=False)
+    tri = _oriented_triangles(und, deg)
     counts = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     nodes_wedges = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
@@ -515,16 +508,27 @@ def trade_triangle_census(
     )
 
 
-def _oriented_triangles(und: DataFrame) -> DataFrame:
-    """Enumerate each triangle of the undirected (a < b) edge set
-    EXACTLY once as (x, y, z) via degree-ordered orientation. Shared
-    kernel of the census and the per-node clustering op."""
-    deg = (
+def _support_degrees(und: DataFrame) -> DataFrame:
+    """(node, deg) of the undirected support — the ONE degree
+    computation every structure op shares (census, clustering,
+    assortativity, and the orientation kernel itself; callers
+    localCheckpoint it when several consumers read it)."""
+    return (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
+
+
+def _oriented_triangles(und: DataFrame, deg: DataFrame = None) -> DataFrame:
+    """Enumerate each triangle of the undirected (a < b) edge set
+    EXACTLY once as (x, y, z) via degree-ordered orientation. Shared
+    kernel of the census and the per-node clustering op; pass the
+    caller's `_support_degrees` table to avoid recomputing it in the
+    same plan."""
+    if deg is None:
+        deg = _support_degrees(und)
     # orient: u = lower (deg, id) endpoint, v = higher; carry v's key
     # so the wedge self-join can order u's out-neighbors consistently
     e = (
@@ -582,7 +586,8 @@ def trade_clustering(
     und = _strong_support(
         trade_edge_counts(customer, orders, lineitem, supplier)
     ).localCheckpoint(eager=False)
-    tri = _oriented_triangles(und)
+    deg_nodes = _support_degrees(und).localCheckpoint(eager=False)
+    tri = _oriented_triangles(und, deg_nodes)
     per_node = (
         tri.select(F.col("x").alias("node"))
         .unionAll(tri.select(F.col("y").alias("node")))
@@ -590,12 +595,7 @@ def trade_clustering(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .union(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    )
+    deg = deg_nodes.select("node", F.col("deg").alias("degree"))
     return (
         deg.join(per_node, "node", "left")
         .select(
@@ -737,12 +737,7 @@ def trade_assortativity(
     und = _strong_support(
         trade_edge_counts(customer, orders, lineitem, supplier)
     ).localCheckpoint(eager=False)
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .union(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    )
+    deg = _support_degrees(und)
     stubs = und.select("a", "b").unionAll(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )

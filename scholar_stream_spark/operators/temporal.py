@@ -563,17 +563,26 @@ def session_overlap_pairs(
         .distinct()
     )
     if observation is not None:
-        # in-plan quadratic-cost counters (collected during the same
-        # action that computes the result — no second scan)
+        # in-plan cost counters (collected during the same action that
+        # computes the result — no second scan), measured AFTER the
+        # cross-bucket distinct: n_candidates is the DISTINCT candidate
+        # set the exact verify actually scans (the pre-distinct
+        # per-bucket volume — the equi-join's raw work — is what
+        # `session_overlap_density` reports per bucket; its Σ
+        # upper-bounds this number). COALESCE: a SUM over zero rows is
+        # NULL, and an empty candidate set must read 0, not None.
         cand = cand.observe(
             observation,
             F.count(F.lit(1)).alias("n_candidates"),
-            F.sum(
-                F.when(
-                    (F.col("s_a") <= F.col("e_b"))
-                    & (F.col("s_b") <= F.col("e_a")),
-                    1,
-                ).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("s_a") <= F.col("e_b"))
+                        & (F.col("s_b") <= F.col("e_a")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             ).alias("n_verified"),
         )
     overlaps = cand.filter(

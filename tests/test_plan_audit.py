@@ -14,17 +14,22 @@ scale gate, two rules over all of ``queries()``:
    relation and nested-loop the corpus against it: the audit walks the
    plan tree to the build subtree and fails unless a boundedness marker
    (keys=[] HashAggregate or a Limit) is present.
-3. no UNBOUNDED single-task Window (r13 verdict item 6) — a Window
-   with an EMPTY partition spec serializes its whole input through one
-   task, which is fine exactly when that input is a rollup (months,
-   histogram buckets, dimension grids — every legitimate global window
-   here runs over an aggregate) or Limit-bounded. The audit walks to
-   each global Window's input subtree and fails unless an aggregate /
-   Limit marker is present. Honesty limit (stated): a grouped
-   aggregate on a corpus-cardinality key would pass the marker check —
-   the rule is the tripwire for the WORST shape (a global window
-   directly over scan/join density), the per-op scale profiles carry
-   the finer guarantees.
+3. no UNBOUNDED single-task Window (r13 verdict item 6; made
+   STRUCTURAL in r16 per the r15 verdict) — a Window with an EMPTY
+   partition spec serializes its whole input through one task, which
+   is fine exactly when that input is PROVABLY grid-sized.
+   ``_provably_bounded`` recursively proves the window input's output
+   cardinality: Limit family (global forms only — a LocalLimit is
+   per-partition and proves nothing); aggregates whose grouping keys
+   are empty or all drawn from the DECLARED constant-cardinality name
+   set; semi/anti joins from their probe side; other joins from both
+   sides; explode and leaf scans (incl. checkpoint RDD scans) never.
+   A groupBy on a corpus-cardinality key no longer passes (the r15
+   hole), and neither does an unrelated 1-row aggregate joined in
+   below the window (the rfm-oracle shape) — both pinned red. Ops
+   that need the loose shape for oracle parity register their scale
+   profile as the ``queries()`` default, asserted mechanically in
+   ``test_loose_window_shapes_live_only_in_oracle_profiles``.
 """
 
 from __future__ import annotations
@@ -126,9 +131,11 @@ def _grouping_key_names(jagg) -> list[str]:
     return names
 
 
+#: LocalLimitExec is deliberately ABSENT: a local limit bounds rows
+#: PER PARTITION (k × numPartitions grows with the corpus); every
+#: legitimate bounded plan carries the GlobalLimit above it.
 _LIMIT_CLASSES = (
     "GlobalLimitExec",
-    "LocalLimitExec",
     "CollectLimitExec",
     "TakeOrderedAndProjectExec",
 )

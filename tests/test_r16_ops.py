@@ -391,10 +391,11 @@ def test_overlap_density_matches_bruteforce(events):
 
 
 def test_overlap_density_is_the_joins_per_bucket_work(events):
-    """The profile's Σ n_candidates must equal the overlap join's
-    ACTUAL pre-distinct candidate volume (observed in-plan) — the
-    numbers a capacity planner compares are the same numbers the join
-    pays, minus only the cross-bucket dedup."""
+    """The profile's Σ n_candidates upper-bounds the overlap join's
+    observed DISTINCT candidate set (the observation sits after the
+    cross-bucket dedup — it counts what the exact verify scans; the
+    profile counts the equi-join's raw per-bucket volume, which
+    exceeds it exactly when a session pair shares several buckets)."""
     from pyspark.sql import Observation
 
     from scholar_stream_spark.operators import temporal
@@ -442,6 +443,28 @@ def test_overlap_density_flash_crowd_fixture(spark):
     assert got == [(1, 0), (3, 3)]
 
 
+def test_overlap_observation_zero_not_null_on_empty_candidates(spark):
+    """A stream with no cross-user co-activity must observe
+    n_candidates = n_verified = 0 — a SUM over zero rows is NULL
+    without the coalesce, and a monitor doing arithmetic on the
+    metrics would TypeError on None."""
+    from pyspark.sql import Observation
+
+    from scholar_stream_spark.operators import temporal
+
+    events = spark.createDataFrame(
+        [("u1", "e0", "2024-01-01 10:00:00"),
+         ("u2", "e1", "2024-03-01 10:00:00")],
+        "user_id string, event_id string, ts_s string",
+    ).select("user_id", "event_id", F.to_timestamp("ts_s").alias("ts"))
+    obs = Observation("empty_overlap")
+    out = temporal.session_overlap_pairs(events, observation=obs)
+    assert out.count() == 0
+    m = obs.get
+    assert m["n_candidates"] == 0
+    assert m["n_verified"] == 0  # not None
+
+
 def test_overlap_density_rejects_degenerate(events):
     from scholar_stream_spark.operators import temporal
 
@@ -455,7 +478,6 @@ def test_overlap_density_rejects_degenerate(events):
 
 def test_assortativity_matches_bruteforce(trade_tabs, ref_graph):
     *_, und, adj = ref_graph
-    m2 = 4 * len(und)  # both orientations... computed below properly
     sjk = sum(len(adj[a]) * len(adj[b]) for a, b in und) * 2
     sj = sum(len(adj[a]) + len(adj[b]) for a, b in und)
     sj2 = sum(len(adj[a]) ** 2 + len(adj[b]) ** 2 for a, b in und)
