@@ -111,12 +111,21 @@ Deliberately WITHOUT oracle entries (rows-only check):
   peeling reference on the real sf0.001 trade graph + hand fixtures
   (``tests/test_r16_ops.py``); its input graph is the SAME strong
   support every r16 oracle-green graph op certifies.
-- ``nation_hits`` — ``nation_pagerank``'s rationale verbatim (20
-  alternating float power-iteration half-steps with per-step L1
-  normalization); numpy-pinned at 2e-6 display grain on the real
-  trade graph, Σhub = Σauthority = 1 invariants, and the same
-  oracle-checked revenue edge build (shared ``_nation_revenue_edges``
-  kernel) as ``nation_pagerank``.
+- ``nation_hits`` — ``nation_pagerank``'s rationale verbatim
+  (alternating float power-iteration half-steps with per-step L1
+  normalization; the round budget is 8, tuned in r17 against the
+  MEASURED residual trajectory — ≤ 5e-15 by round 8 on every tested
+  trade graph, display-grain convergence at round 3); numpy-pinned at
+  2e-6 display grain on the real trade graph, Σhub = Σauthority = 1
+  invariants, and the same oracle-checked revenue edge build (shared
+  ``_nation_revenue_edges`` kernel) as ``nation_pagerank``.
+- ``user_kcore`` — ``nation_kcore``'s rationale verbatim (exact
+  integer h-index fixpoint, data-dependent round count ⇒ a SQL
+  oracle would need a recursive CTE), run on the USER co-activity
+  graph; pinned against the brute-force peeling reference on the
+  real sf0.001 co-activity graph (``tests/test_r17_ops.py``), whose
+  edge set is the SAME oracle-green `session_overlap_pairs` join the
+  r17 `user_triangles`/`user_clustering` oracles certify.
 """
 
 from __future__ import annotations
@@ -702,6 +711,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "multimodal_frames": lambda s, d: multimodal.sample_frames(
             multimodal.decode_assets(multimodal.as_assets(_t(s, d, "documents")))
+        ),
+        # perceptual dHash per image asset (r17): 64 comparison bits
+        # over the stubbed luminance plane, packed as 4x16-bit lanes
+        "image_dhash": lambda s, d: multimodal.image_dhash(
+            _t(s, d, "documents")
+        ),
+        # binary-modality near-dup: banded hamming join over the dHash
+        # lanes (simhash_pairs machinery; complete for hamming < 8)
+        "image_neardup_pairs": lambda s, d: multimodal.image_neardup_pairs(
+            _t(s, d, "documents")
+        ),
+        # image dedup clusters: hybrid CC over the dHash pair graph
+        # (the text dedup_clusters lifecycle on the binary modality)
+        "image_neardup_clusters": lambda s, d: (
+            multimodal.image_neardup_clusters(_t(s, d, "documents"))
         ),
         "multimodal_resize": lambda s, d: multimodal.resize_plan(
             multimodal.decode_assets(multimodal.as_assets(_t(s, d, "documents")))
@@ -1369,6 +1393,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "orders"),
             _t(s, d, "lineitem"),
             _t(s, d, "supplier"),
+        ),
+        # --- user co-activity graph (r17): the SAME combinatorial
+        # kernels on a |users|-node non-grid graph (nodes = users, an
+        # edge per co-active pair — the oracle-checked overlap join),
+        # where the degree-ordered orientation bound actually binds ---
+        # global triangle census + transitivity of co-activity (1 row)
+        "user_triangles": lambda s, d: graph.user_triangles(
+            _t(s, d, "events")
+        ),
+        # per-user local clustering on the co-activity graph
+        # (coordinated rings vs incidental overlap)
+        "user_clustering": lambda s, d: graph.user_clustering(
+            _t(s, d, "events")
+        ),
+        # coreness of the co-activity graph — rows-only (iterative
+        # integer fixpoint), peeling-reference-pinned
+        "user_kcore": lambda s, d: graph.user_kcore(
+            _t(s, d, "events")
+        ),
+        # Newman assortativity of co-activity (rich club vs
+        # hub-and-spoke; decimal-exact moments at user cardinality)
+        "user_assortativity": lambda s, d: graph.user_assortativity(
+            _t(s, d, "events")
         ),
         # per-user Goh-Barabasi gap burstiness (bot/automation screen;
         # exact decimal moments off the sessionize order)
@@ -4053,6 +4100,47 @@ def _gen_qi_table_sql() -> str:
     """
 
 
+def _coactivity_graph_sql() -> str:
+    """Shared CTE chain for the user co-activity kernels (r17): gap
+    sessionization (the ``session_overlap_pairs`` oracle's CTEs
+    verbatim), then the canonical a<b undirected co-activity edge set
+    — one edge per user pair with at least one overlapping CLOSED
+    session interval (exact integer-microsecond predicate; the oracle
+    mirrors the Spark side's bucketized join RESULT with a direct
+    interval self-join — different plan, identical set)."""
+    return f"""
+            o AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ), flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN prev_ts IS NULL
+                              OR date_diff('second', prev_ts, ts)
+                                 > {temporal.SESSION_GAP_SECONDS}
+                            THEN 1 ELSE 0 END AS is_new
+                FROM o
+            ), runs AS (
+                SELECT user_id, ts,
+                       CAST(SUM(is_new) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
+                           AS session_seq
+                FROM flagged
+            ), sess AS (
+                SELECT user_id,
+                       epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+                FROM runs GROUP BY user_id, session_seq
+            ), und AS (
+                SELECT DISTINCT sa.user_id AS a, sb.user_id AS b
+                FROM sess sa JOIN sess sb
+                  ON sa.user_id < sb.user_id
+                 AND sa.s <= sb.e AND sb.s <= sa.e
+            )"""
+
+
 def _trade_graph_sql() -> str:
     """Shared CTE chain for the combinatorial graph family: directed
     shipment-count lanes, the integer-exact above-mean strong set
@@ -4562,6 +4650,105 @@ _MM_MS_PER_FRAME = 1000 // multimodal.VIDEO_FPS
 
 def _mm_b(i: int) -> str:
     return multimodal.hexbyte_sql("hx", i)
+
+
+def _mm_dhash_lane_sql(j: int) -> str:
+    """One 16-bit dHash lane as generated integer SQL (r17): the
+    luminance plane is ``ascii`` of the byte-sampled text (the
+    documents are pure ASCII — byte == code point, pinned in pytest),
+    position ``1 + (k*n)//72`` mirroring the UDF's ``blob[(k*n)//72]``
+    exactly; each lane sums 16 adjacent-comparison bits at their
+    ``1 << (i % 16)`` positions — pure integer arithmetic, engine-
+    portable (the `hexbyte_sql` generated-expression idiom)."""
+    cells = multimodal.DHASH_GRID_ROWS * multimodal.DHASH_GRID_COLS
+    per_row = multimodal.DHASH_GRID_COLS - 1
+
+    def luma(k: int) -> str:
+        return f"ascii(substr(text, 1 + (({k} * n) // {cells}), 1))"
+
+    terms = []
+    for i in range(16 * j, 16 * j + 16):
+        r, c = divmod(i, per_row)
+        k = r * multimodal.DHASH_GRID_COLS + c
+        terms.append(
+            f"(CASE WHEN {luma(k)} < {luma(k + 1)} "
+            f"THEN {1 << (i % 16)} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + f" AS INT) AS lane{j}"
+
+
+def _mm_dhash_sig_sql() -> str:
+    """Shared CTE body: the per-image dHash signature table."""
+    lanes = ", ".join(
+        _mm_dhash_lane_sql(j) for j in range(multimodal.DHASH_N_LANES)
+    )
+    return f"""
+img AS (
+    SELECT doc_id AS asset_id, text, length(text) AS n
+    FROM documents WHERE doc_id % 3 = 0
+), sig AS (
+    SELECT asset_id, {lanes} FROM img
+)"""
+
+
+def _mm_dhash_sql() -> str:
+    return f"""
+WITH {_mm_dhash_sig_sql()}
+SELECT asset_id, lane0, lane1, lane2, lane3 FROM sig ORDER BY asset_id
+"""
+
+
+def _mm_neardup_sql() -> str:
+    """Brute-force n² verify at oracle scale (the image subset is
+    hundreds of rows at sf0.01) — different plan from the Spark side's
+    banded join, identical pair set by the pigeonhole completeness
+    proof, which is the point of pinning values not plans."""
+    ham = " + ".join(
+        f"bit_count(xor(a.lane{j}, b.lane{j}))"
+        for j in range(multimodal.DHASH_N_LANES)
+    )
+    return f"""
+WITH {_mm_dhash_sig_sql()}
+SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+       CAST({ham} AS INT) AS hamming
+FROM sig a JOIN sig b ON a.asset_id < b.asset_id
+WHERE {ham} <= {multimodal.DHASH_HAMMING_MAX}
+ORDER BY asset_a, asset_b
+"""
+
+
+def _mm_clusters_sql() -> str:
+    """Image near-dup clusters: brute-force pairs at oracle scale +
+    the `dedup_clusters` recursive-reachability idiom (min reachable
+    node = min of the component on a symmetric edge set)."""
+    ham = " + ".join(
+        f"bit_count(xor(a.lane{j}, b.lane{j}))"
+        for j in range(multimodal.DHASH_N_LANES)
+    )
+    return f"""
+WITH RECURSIVE {_mm_dhash_sig_sql()},
+pairs AS (
+    SELECT a.asset_id AS d1, b.asset_id AS d2
+    FROM sig a JOIN sig b ON a.asset_id < b.asset_id
+    WHERE {ham} <= {multimodal.DHASH_HAMMING_MAX}
+),
+edges AS (
+    SELECT d1 AS s, d2 AS t FROM pairs
+    UNION
+    SELECT d2, d1 FROM pairs
+),
+reach(node, r) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.t, reach.r FROM reach JOIN edges e ON reach.node = e.s
+),
+labeled AS (
+    SELECT node AS asset_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT asset_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labeled ORDER BY asset_id
+"""
 
 
 def _mm_decode_sql() -> str:
@@ -6110,9 +6297,16 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                 WHERE NOT EXISTS (SELECT 1 FROM und
                                   WHERE a = p.na AND b = p.nb)
             ), scored AS (
+                -- canonical-order float sum (r16 ADVICE item 1): fold
+                -- the sorted 1/ln(deg) terms sequentially, mirroring
+                -- the Spark side's aggregate(sort_array(collect_list))
+                -- — same doubles, same order, bit-identical result
                 SELECT na AS nation_a, nb AS nation_b,
                        CAST(count(*) AS BIGINT) AS common_neighbors,
-                       SUM(aa) AS aa_sum
+                       list_reduce(
+                           list_prepend(0.0::DOUBLE,
+                                        list_sort(list(aa))),
+                           (acc, v) -> acc + v) AS aa_sum
                 FROM open_pairs GROUP BY 1, 2
             )
             SELECT nation_a, nation_b, common_neighbors,
@@ -6159,6 +6353,99 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
                                    / (ej2 - mean * mean), 6)
                    END AS assortativity
             FROM mom
+        """,
+        "user_triangles": f"""
+            WITH {_coactivity_graph_sql()},
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e1.b = e2.a
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und)
+                GROUP BY 1
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+                   (SELECT CAST(count(*) AS BIGINT) FROM tri)
+                       AS n_triangles,
+                   CASE WHEN (SELECT SUM(deg * (deg - 1) // 2) FROM deg)
+                             > 0
+                        THEN round(
+                            3.0 * (SELECT count(*) FROM tri)
+                            / (SELECT SUM(deg * (deg - 1) // 2)
+                               FROM deg), 6)
+                   END AS transitivity
+        """,
+        "user_assortativity": f"""
+            WITH {_coactivity_graph_sql()},
+            deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und)
+                GROUP BY 1
+            ), stubs AS (
+                SELECT a, b FROM und
+                UNION ALL SELECT b, a FROM und
+            ), jk AS (
+                SELECT da.deg AS j, db.deg AS k
+                FROM stubs
+                JOIN deg da ON da.node = stubs.a
+                JOIN deg db ON db.node = stubs.b
+            ), mo AS (
+                -- HUGEINT moments, mirroring the Spark side's
+                -- DECIMAL(38,0): exact at user cardinality where
+                -- int64 could clip
+                SELECT CAST(count(*) AS BIGINT) AS m2,
+                       SUM(CAST(j AS HUGEINT) * CAST(k AS HUGEINT))
+                           AS sjk,
+                       SUM(CAST(j AS HUGEINT)) AS sj,
+                       SUM(CAST(j AS HUGEINT) * CAST(j AS HUGEINT))
+                           AS sj2
+                FROM jk
+            ), mom AS (
+                SELECT m2,
+                       CAST(sj AS DOUBLE) / m2 AS mean,
+                       CAST(sjk AS DOUBLE) / m2 AS ejk,
+                       CAST(sj2 AS DOUBLE) / m2 AS ej2
+                FROM mo
+            )
+            SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+                   CASE WHEN ej2 - mean * mean > 0
+                        THEN round((ejk - mean * mean)
+                                   / (ej2 - mean * mean), 6)
+                   END AS assortativity
+            FROM mom
+        """,
+        "user_clustering": f"""
+            WITH {_coactivity_graph_sql()},
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e1.b = e2.a
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), pn AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+                FROM (SELECT x AS node FROM tri
+                      UNION ALL SELECT y FROM tri
+                      UNION ALL SELECT z FROM tri)
+                GROUP BY 1
+            ), deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS degree
+                FROM (SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und)
+                GROUP BY 1
+            )
+            SELECT deg.node AS user_id, degree,
+                   COALESCE(pn.n_triangles, 0) AS n_triangles,
+                   CASE WHEN degree > 1 THEN round(
+                       COALESCE(pn.n_triangles, 0)
+                       / (degree * (degree - 1) / 2.0), 6)
+                   END AS clustering
+            FROM deg LEFT JOIN pn USING (node)
+            ORDER BY user_id
         """,
         "user_burstiness": f"""
             WITH o AS (
@@ -8040,6 +8327,9 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             FROM documents
         """,
         "multimodal_decode": _mm_decode_sql(),
+        "image_dhash": _mm_dhash_sql(),
+        "image_neardup_pairs": _mm_neardup_sql(),
+        "image_neardup_clusters": _mm_clusters_sql(),
         "multimodal_features": _mm_features_sql(),
         "multimodal_frames": _mm_frames_sql(),
         "multimodal_resize": _mm_resize_sql(),
@@ -8049,7 +8339,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
 #: Count of oracle-backed entries — the structured form of the rotation
 #: note's "N entries" claim (two r14 review rounds caught the comment
 #: stale; a constant asserted against len(oracle_sql()) cannot drift).
-_N_ORACLE_BACKED = 208
+_N_ORACLE_BACKED = 214
 
 # Computed HERE (end of module) because it needs oracle_sql(); see the
 # rotation note above _driver_first_order.

@@ -203,6 +203,27 @@ def main() -> None:
 
     queries = entry_mod.queries()
 
+    def _calibrate(reps: int = 3) -> list[float]:
+        """Fixed trivial query (1-row count over the 25-row nation
+        table) timed at the start of every pass — the host-speed
+        yardstick (r16 verdict item 4): identical plan every round, so
+        cross-round shifts in ITS timing measure ambient host drift
+        (clock ramp, background load), letting shared-set deltas be
+        attributed by measurement instead of narrative. Three reps per
+        pass so one scheduler hiccup doesn't poison the lane."""
+        out = []
+        for _ in range(reps):
+            t = time.time()
+            (
+                spark.read.parquet(f"{sf_dir}/nation.parquet")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            out.append(round(time.time() - t, 4))
+        return out
+
     def run_pass() -> tuple[dict[str, float], dict[str, str], float]:
         timings: dict[str, float] = {}
         failures: dict[str, str] = {}
@@ -229,7 +250,11 @@ def main() -> None:
     # IS the run's noise bound.
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     timings, all_failures, pass_walls = {}, {}, []
+    calibration: list[list[float]] = []
     for i in range(n_passes):
+        calib = _calibrate()
+        calibration.append(calib)
+        print(f"  calibration pass {i + 1}: {calib}", file=sys.stderr)
         p_timings, p_failures, p_total = run_pass()
         pass_walls.append(p_total)
         print(f"  pass {i + 1}/{n_passes}: {p_total}s", file=sys.stderr)
@@ -297,6 +322,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "passes": pass_walls,
+        # host-speed yardstick: per-pass timings of a fixed 1-row
+        # nation count (see _calibrate) — normalize cross-round
+        # shared-set deltas against min-of-mins of this lane
+        "calibration": calibration,
         "scale_profile": scale_profile,
         "streaming": streaming,
         "started_at": started_at,  # run identifier: a stale file from a
@@ -336,6 +365,9 @@ def main() -> None:
         "n_flaky": len(flaky),  # nondeterministic breakage is a bug
         # signal — it must reach a tail-truncated capture too
         "passes": pass_walls,
+        "calibration_min_sec": (
+            min(min(c) for c in calibration) if calibration else None
+        ),
         "streaming": {
             "e2e_p50_sec": streaming.get("e2e_p50_sec"),
             "e2e_p95_sec": streaming.get("e2e_p95_sec"),

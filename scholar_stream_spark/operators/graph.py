@@ -82,10 +82,20 @@ def pagerank(
     # fact-table star join) and feeds FOUR consumers below (validation,
     # node spine, out-weights, normalization) — checkpoint it once
     edges = edges.localCheckpoint(eager=False)
-    bad = edges.filter(
-        F.col("weight").isNull() | (F.col("weight") <= 0)
-    ).limit(1).count()
-    if bad:
+    # ONE 1-row aggregate carries weight validation and the distinct
+    # source count (the hits() consolidation, r16 ADVICE item 3): the
+    # dangling test below becomes arithmetic (n_distinct_src < n)
+    # instead of its own driver job — two eager actions total (this
+    # aggregate + the unavoidable node count that sizes 1/n).
+    stats = edges.agg(
+        F.sum(
+            (F.col("weight").isNull() | (F.col("weight") <= 0)).cast(
+                "int"
+            )
+        ).alias("n_bad"),
+        F.countDistinct("src").alias("n_src"),
+    ).first()
+    if stats["n_bad"]:
         raise ValueError(
             "pagerank: edge weights must be positive and non-NULL "
             "(a zero/negative weight has no transition-probability "
@@ -123,10 +133,12 @@ def pagerank(
     dangling_nodes = nodes.join(
         out_w.select(F.col("src").alias("node")), "node", "left_anti"
     ).localCheckpoint(eager=False)
-    # decided ONCE: a dangling-free graph (every node has out-edges —
-    # the common case for flow graphs) skips the per-round mass
-    # aggregate entirely, halving the job count of the loop
-    has_dangling = dangling_nodes.limit(1).count() > 0
+    # decided ONCE (and for free — a node is dangling iff it never
+    # appears as a src, so n_distinct_src < n IS the test): a
+    # dangling-free graph (every node has out-edges — the common case
+    # for flow graphs) skips the per-round mass aggregate entirely,
+    # halving the job count of the loop
+    has_dangling = stats["n_src"] < n
     pr = nodes.select(
         "node", F.lit(1.0 / n).alias("pr")
     ).localCheckpoint(eager=False)
@@ -479,9 +491,23 @@ def trade_triangle_census(
     round 6; transitivity NULL on a wedge-free graph — 0/0 is "no
     evidence", not "zero clustering").
     """
-    und = _strong_support(
-        trade_edge_counts(customer, orders, lineitem, supplier)
-    ).localCheckpoint(eager=False)
+    return triangle_census(
+        _strong_support(
+            trade_edge_counts(customer, orders, lineitem, supplier)
+        )
+    )
+
+
+def triangle_census(und: DataFrame) -> DataFrame:
+    """Generic global triangle census over an undirected (a < b) edge
+    list — node/edge counts, triangle count, transitivity (3·T /
+    #wedges) — the kernel behind `trade_triangle_census` (25-node
+    grid) and `user_triangles` (user-cardinality co-activity graph,
+    where the degree-ordered orientation bound actually earns its
+    keep). Scale shape and output contract per the trade wrapper's
+    docstring; ``und`` must be deduplicated canonical a < b pairs.
+    """
+    und = und.localCheckpoint(eager=False)
     deg = _support_degrees(und).localCheckpoint(eager=False)
     tri = _oriented_triangles(und, deg)
     counts = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
@@ -583,9 +609,22 @@ def trade_clustering(
     NULL for degree-1 nodes: a single partner yields no pair to
     close), key asc.
     """
-    und = _strong_support(
-        trade_edge_counts(customer, orders, lineitem, supplier)
-    ).localCheckpoint(eager=False)
+    return local_clustering(
+        _strong_support(
+            trade_edge_counts(customer, orders, lineitem, supplier)
+        ),
+        key_col="nation_key",
+    )
+
+
+def local_clustering(und: DataFrame, key_col: str = "node") -> DataFrame:
+    """Generic per-node local clustering over an undirected (a < b)
+    edge list (triangles_i / C(deg_i, 2)) — the kernel behind
+    `trade_clustering` and `user_clustering`. Scale shape and output
+    contract per the trade wrapper's docstring; output key column is
+    named ``key_col``, ascending.
+    """
+    und = und.localCheckpoint(eager=False)
     deg_nodes = _support_degrees(und).localCheckpoint(eager=False)
     tri = _oriented_triangles(und, deg_nodes)
     per_node = (
@@ -599,7 +638,7 @@ def trade_clustering(
     return (
         deg.join(per_node, "node", "left")
         .select(
-            F.col("node").alias("nation_key"),
+            F.col("node").alias(key_col),
             "degree",
             F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
             F.round(
@@ -611,7 +650,7 @@ def trade_clustering(
                 6,
             ).alias("clustering"),
         )
-        .orderBy("nation_key")
+        .orderBy(key_col)
     )
 
 
@@ -676,9 +715,23 @@ def trade_link_prediction(
         ["nation_a", "nation_b"],
         "left_anti",
     )
+    # Adamic-Adar is the ONE float column here whose value is a SUM of
+    # several distinct doubles (1/ln deg per common neighbor) — double
+    # addition is order-dependent, and a shuffle-order-dependent sum
+    # compared against an oracle by hash parity can flake at a rounding
+    # boundary (r16 ADVICE item 1). Canonicalize: collect the terms,
+    # sort ascending, fold sequentially — the oracle mirrors with
+    # list_reduce over list_sort, so both engines add the SAME doubles
+    # in the SAME order and the result is bit-identical by IEEE
+    # determinism, the same discipline trade_edge_counts buys with
+    # integer weights.
     scored = open_pairs.groupBy("nation_a", "nation_b").agg(
         F.count(F.lit(1)).cast("long").alias("common_neighbors"),
-        F.sum("_aa").alias("_aa_sum"),
+        F.aggregate(
+            F.sort_array(F.collect_list("_aa")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_aa_sum"),
     )
     return (
         scored.join(
@@ -734,9 +787,21 @@ def trade_assortativity(
     both endpoints of the edge list, ONE global aggregate. Output:
     1 row (n_edges, assortativity round 6).
     """
-    und = _strong_support(
-        trade_edge_counts(customer, orders, lineitem, supplier)
-    ).localCheckpoint(eager=False)
+    return assortativity(
+        _strong_support(
+            trade_edge_counts(customer, orders, lineitem, supplier)
+        )
+    )
+
+
+def assortativity(und: DataFrame) -> DataFrame:
+    """Generic Newman degree assortativity over an undirected (a < b)
+    edge list — the kernel behind `trade_assortativity` and
+    `user_assortativity`. Exact int64 moments over both edge
+    orientations, one global aggregate; contract per the trade
+    wrapper's docstring (NULL at zero degree variance).
+    """
+    und = und.localCheckpoint(eager=False)
     deg = _support_degrees(und)
     stubs = und.select("a", "b").unionAll(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -753,11 +818,19 @@ def trade_assortativity(
             "b",
         )
     )
+    # moments as DECIMAL(38,0), not int64 (the user_burstiness
+    # discipline): on a |users|-node graph Σ(j·k) over 2m stubs can
+    # pass 2^63 (deg ~1e6 squared × 1e12 stubs ≈ 1e24 — inside dec38),
+    # while the 25-nation grid never could; exact either way, and the
+    # final double division is identical in both engines
+    _d = lambda c: c.cast("decimal(19,0)")  # noqa: E731
     m = joined.agg(
         F.count(F.lit(1)).cast("long").alias("_m2"),
-        F.sum(F.col("_j") * F.col("_k")).cast("long").alias("_sjk"),
-        F.sum("_j").cast("long").alias("_sj"),
-        F.sum(F.col("_j") * F.col("_j")).cast("long").alias("_sj2"),
+        F.sum((_d(F.col("_j")) * _d(F.col("_k"))).cast("decimal(38,0)"))
+        .alias("_sjk"),
+        F.sum(_d(F.col("_j")).cast("decimal(38,0)")).alias("_sj"),
+        F.sum((_d(F.col("_j")) * _d(F.col("_j"))).cast("decimal(38,0)"))
+        .alias("_sj2"),
     )
     mean = F.col("_sj").cast("double") / F.col("_m2")
     cov = F.col("_sjk").cast("double") / F.col("_m2") - mean * mean
@@ -808,13 +881,31 @@ def trade_kcore(
     Output: (nation_key, coreness), key asc; rows-only (iterative —
     no SQL oracle), pinned against a brute-force peeling reference.
     """
+    return kcore(
+        _strong_support(
+            trade_edge_counts(customer, orders, lineitem, supplier)
+        ),
+        max_iter=max_iter,
+        key_col="nation_key",
+    )
+
+
+def kcore(
+    und: DataFrame,
+    max_iter: int = KCORE_MAX_ITER,
+    key_col: str = "node",
+) -> DataFrame:
+    """Generic coreness (k-core number) over an undirected (a < b)
+    edge list via the h-index fixpoint — the kernel behind
+    `trade_kcore` and `user_kcore`. Algorithm, exact-integer
+    convergence checksum, loud round-cap, and scale shape per the
+    trade wrapper's docstring; output is (``key_col``, coreness),
+    ascending.
+    """
     if max_iter < 1:
         raise ValueError(
-            f"trade_kcore: max_iter must be >= 1, got {max_iter}"
+            f"kcore: max_iter must be >= 1, got {max_iter}"
         )
-    und = _strong_support(
-        trade_edge_counts(customer, orders, lineitem, supplier)
-    )
     adj = (
         und.select("a", "b")
         .unionAll(
@@ -850,22 +941,34 @@ def trade_kcore(
         new_sum = vals.agg(F.sum("value")).first()[0] or 0
         if new_sum == checksum:
             return vals.select(
-                F.col("node").alias("nation_key"),
+                F.col("node").alias(key_col),
                 F.col("value").alias("coreness"),
-            ).orderBy("nation_key")
+            ).orderBy(key_col)
         checksum = new_sum
     raise RuntimeError(
-        f"trade_kcore: did not converge within {max_iter} rounds — "
+        f"kcore: did not converge within {max_iter} rounds — "
         "the h-index fixpoint is guaranteed finite, so this input "
         "(or a kernel bug) needs looking at, not silent wrong labels"
     )
 
 
 #: HITS round budget — same fixed-budget rationale as PAGERANK_ITER
-#: (float fixpoint, no exact convergence test); hub/authority power
-#: iteration converges at the square of the graph's singular-value
-#: ratio, faster than PageRank's damping rate on these graphs.
-HITS_ITER = 20
+#: (float fixpoint, no exact convergence test), but TUNED against the
+#: measured residual rather than inheriting PageRank's 20 (r16 verdict
+#: item 2): hub/authority power iteration converges at the SQUARE of
+#: the graph's singular-value ratio, and on the near-complete trade
+#: graphs this engine builds the measured trajectory (numpy mirror of
+#: the exact loop, sf0.001/0.01/0.1) hits machine epsilon long before
+#: 8 rounds — residual 1.7e-11 / 1.0e-8 / 1.7e-11 at round 4, ≤ 5e-15
+#: by round 8, and the round-6 DISPLAY values stop changing at round 3
+#: on every tested graph. 8 keeps a ≥4-round margin over display-grain
+#: convergence while halving the fleet's most expensive entry (20
+#: rounds × two shuffle stages was the r16 cost ceiling); the measured
+#: `with_residual` column is the per-graph evidence — a slow-mixing
+#: graph that needs more shows a residual above tolerance, and the
+#: caller raises the budget (`tests/test_r17_ops.py` pins the
+#: trajectory claim on the real sf0.01 graph).
+HITS_ITER = 8
 
 
 def hits(
@@ -894,7 +997,9 @@ def hits(
     normalization aggregates; state checkpoints per round so lineage
     cannot grow. ``with_residual`` appends the measured final-round
     L1 step over the concatenated (h, a) state — the same
-    evidence-not-assertion discipline as `pagerank`.
+    evidence-not-assertion discipline as `pagerank` (NULL at
+    ``n_iter=1``, where no previous authority state exists to
+    difference against).
 
     Output: (node, hub, authority) DOUBLE, plus ``residual`` when
     requested; rows-only (float-iterative), numpy-pinned in pytest.
@@ -902,10 +1007,23 @@ def hits(
     if n_iter < 1:
         raise ValueError(f"hits: n_iter must be >= 1, got {n_iter}")
     edges = edges.localCheckpoint(eager=False)
-    bad = edges.filter(
-        F.col("weight").isNull() | (F.col("weight") <= 0)
-    ).limit(1).count()
-    if bad:
+    # ONE eager action validates and sizes everything the loop needs:
+    # empty-input check (n_edges), weight validation (n_bad), and the
+    # hub-seed denominator (n_hubs) come off a single 1-row aggregate
+    # instead of three separate driver jobs (r16 ADVICE item 3 — per
+    # bench pass and audit sweep those extra jobs were pure overhead).
+    stats = edges.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(
+            (F.col("weight").isNull() | (F.col("weight") <= 0)).cast(
+                "int"
+            )
+        ).alias("n_bad"),
+        F.countDistinct("src").alias("n_hubs"),
+    ).first()
+    if stats["n_edges"] == 0:
+        raise ValueError("hits: empty edge list")
+    if stats["n_bad"]:
         raise ValueError(
             "hits: edge weights must be positive and non-NULL"
         )
@@ -915,13 +1033,11 @@ def hits(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    if nodes.limit(1).count() == 0:
-        raise ValueError("hits: empty edge list")
     w_edges = edges.select(
         "src", "dst", F.col("weight").cast("double").alias("_w")
     ).localCheckpoint(eager=False)
     hubs_spine = w_edges.select(F.col("src").alias("node")).distinct()
-    n_hubs = hubs_spine.count()
+    n_hubs = stats["n_hubs"]
     h = hubs_spine.select(
         "node", F.lit(1.0 / n_hubs).alias("h")
     ).localCheckpoint(eager=False)
@@ -979,8 +1095,6 @@ def hits(
     if not with_residual:
         return out
     def _l1(cur, prev, col):
-        if prev is None:
-            return None
         return (
             cur.join(
                 prev.select("node", F.col(col).alias("_p")), "node"
@@ -989,11 +1103,19 @@ def hits(
             .first()[0]
             or 0.0
         )
-    res_h = _l1(h, prev_h, "h") or 0.0
-    res_a = _l1(a, prev_a, "a") if prev_a is not None else None
-    # first-round prev_a does not exist (a starts undefined) — only
-    # reachable at n_iter=1; report the hub step alone there
-    res = res_h + (res_a or 0.0)
+    if prev_a is None:
+        # n_iter=1: there is no previous authority state to difference
+        # against (a starts undefined), so the L1 step over the full
+        # (h, a) state is UNDEFINED — report NULL, not a silently
+        # halved hub-only number (r16 verdict item 6: a defined output
+        # contract at every reachable signature).
+        return out.select(
+            "node",
+            "hub",
+            "authority",
+            F.lit(None).cast("double").alias("residual"),
+        )
+    res = (_l1(h, prev_h, "h") or 0.0) + (_l1(a, prev_a, "a") or 0.0)
     return out.select(
         "node", "hub", "authority", F.lit(float(res)).alias("residual")
     )
@@ -1019,3 +1141,98 @@ def nation_hits(
         F.round("hub", 6).alias("hub"),
         F.round("authority", 6).alias("authority"),
     ).orderBy("nation_key")
+
+
+# -------------------------------------------------------------------
+# User co-activity graph (r16 verdict item 1): every combinatorial
+# kernel above first shipped against the 25-node nation grid, where
+# the O(m^{3/2}) orientation bound and the wedge-bounded pair space
+# are asserted but never exercised. The session co-activity graph —
+# nodes = users, an edge when two users' sessions overlap in time
+# (the oracle-checked `session_overlap_pairs` join) — has a
+# USER-cardinality node set (1.5k nodes / 142k edges / 1.57M
+# triangles at sf0.1; |users| at 100 TB), so the same kernels run
+# here prove the bounds on a real non-grid graph. No strong-edge
+# threshold: unlike the complete trade grid, co-activity is sparse
+# by nature (overlap is the rare event), so the raw overlap edge set
+# is already informative.
+# -------------------------------------------------------------------
+
+
+def coactivity_support(
+    events: DataFrame,
+    gap_seconds: int = None,
+    bucket_seconds: int = None,
+) -> DataFrame:
+    """Undirected user co-activity edge list (a < b): one edge per
+    user pair with at least one overlapping session — exactly the
+    pair set `temporal.session_overlap_pairs` scores, reduced to its
+    canonical key (the groupBy there already emits user_a < user_b
+    exactly once). Shared edge build for `user_triangles` /
+    `user_clustering` / `user_kcore`; scale shape is the bucketized
+    interval join documented on the pairs op (equi-join on time
+    bucket, never a corpus² range condition).
+    """
+    from scholar_stream_spark.operators import temporal
+
+    kwargs = {}
+    if gap_seconds is not None:
+        kwargs["gap_seconds"] = gap_seconds
+    if bucket_seconds is not None:
+        kwargs["bucket_seconds"] = bucket_seconds
+    return temporal.session_overlap_pairs(events, **kwargs).select(
+        F.col("user_a").alias("a"), F.col("user_b").alias("b")
+    )
+
+
+def user_triangles(events: DataFrame) -> DataFrame:
+    """Global triangle census of the user co-activity graph — how
+    clique-like co-activity is (flash crowds and coordinated account
+    rings close triangles; organically independent users do not).
+    Same 1-row output contract as `trade_triangle_census`; the
+    degree-ordered orientation kernel runs here on a |users|-node
+    graph, where its C(outdeg, 2) wedge bound is the difference
+    between Σ C(deg, 2) raw wedges (29.7M at sf0.1) and the oriented
+    pair space actually joined.
+    """
+    return triangle_census(coactivity_support(events))
+
+
+def user_clustering(events: DataFrame) -> DataFrame:
+    """Per-user local clustering on the co-activity graph: of the
+    pairs of users co-active with u, what fraction are co-active
+    with each other — near 1 inside a coordinated ring or fixed
+    cohort, near 0 for a user whose overlaps are incidental (the
+    broker shape). Output (user_id, degree, n_triangles, clustering
+    round 6 — NULL at degree 1), user asc.
+    """
+    return local_clustering(coactivity_support(events), key_col="user_id")
+
+
+def user_kcore(
+    events: DataFrame, max_iter: int = KCORE_MAX_ITER
+) -> DataFrame:
+    """Coreness of every user in the co-activity graph — the
+    densely-interlocked co-activity nucleus (a user of coreness k
+    stays co-active after removing everyone with fewer than k
+    co-active partners): the robustness reading of `user_clustering`,
+    and on a |users|-node graph the h-index fixpoint runs a real
+    data-dependent depth instead of the grid's 2-3 rounds. Output
+    (user_id, coreness), user asc; rows-only (iterative — no SQL
+    oracle), pinned against the brute-force peeling reference.
+    """
+    return kcore(
+        coactivity_support(events), max_iter=max_iter, key_col="user_id"
+    )
+
+
+def user_assortativity(events: DataFrame) -> DataFrame:
+    """Degree assortativity of the user co-activity graph — do
+    highly-co-active users overlap with each other (a rich club of
+    always-on accounts: coordinated rings score strongly positive) or
+    with the periphery (hub-and-spoke: one always-on account brushing
+    many casual users)? The 1-row mixing summary read next to
+    `user_clustering`'s per-user detail. Output (n_edges,
+    assortativity round 6), NULL on a degree-regular graph.
+    """
+    return assortativity(coactivity_support(events))

@@ -293,3 +293,232 @@ def resize_plan(decoded: DataFrame, max_side: int = RESIZE_MAX_SIDE) -> DataFram
         new_w.alias("target_width"),
         new_h.alias("target_height"),
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup for the binary modality (r16 verdict item 3:
+# text had six dedup granularities, images had zero)
+# ---------------------------------------------------------------------------
+
+#: dHash geometry: an (ROWS x COLS) luminance grid yields ROWS x
+#: (COLS-1) adjacent-pixel comparison bits — the classic 8x9 -> 64-bit
+#: difference hash (public knowledge; the aHash/dHash family per
+#: Krawetz's "kind of like that" writeup and every perceptual-hash
+#: library since).
+DHASH_GRID_ROWS = 8
+DHASH_GRID_COLS = 9
+
+#: Signature layout: 64 bits packed as 4 disjoint 16-bit integer lanes
+#: (bit i lives in lane i//16 at position i%16) — signed-int64-safe in
+#: any engine (a single 64-bit value would put bit 63 in the sign
+#: position) and directly rebandable for the candidate join.
+DHASH_LANE_BITS = 16
+DHASH_N_LANES = 4
+
+#: Candidate-join banding: 8 bands of 8 bits (the hi/lo byte of each
+#: lane). Pigeonhole: a pair within hamming h < 8 shares >= 1 clean
+#: band, so the banded equi-join is COMPLETE for the default threshold
+#: (the `simhash_pairs` machinery, reused shape-for-shape).
+DHASH_BAND_BITS = 8
+DHASH_HAMMING_MAX = 6
+
+
+def _dhash_lanes_py(blob: bytes) -> list[int]:
+    """Shared python dHash kernel (UDF body + pytest reference): the
+    STUB decode maps the blob to an 8x9 luminance plane by
+    nearest-neighbor downsampling the byte stream itself (position
+    ``(k*n)//72`` for cell k — locality-preserving: two blobs differing
+    in a few bytes sample mostly identical planes, which is exactly the
+    property a real pixel decode gives dHash), then each of the 64
+    bits is the classic adjacent-comparison ``grid[r][c] < grid[r][c+1]``.
+    Real deployment swaps ONLY the plane construction for
+    decode+grayscale+resize (the `_fake_decode` contract); the bit and
+    lane layout stay as-is.
+    """
+    n = len(blob)
+    cells = DHASH_GRID_ROWS * DHASH_GRID_COLS
+    grid = [blob[(k * n) // cells] if n else 0 for k in range(cells)]
+    lanes = [0] * DHASH_N_LANES
+    per_row = DHASH_GRID_COLS - 1
+    for r in range(DHASH_GRID_ROWS):
+        for c in range(per_row):
+            if grid[r * DHASH_GRID_COLS + c] < grid[r * DHASH_GRID_COLS + c + 1]:
+                i = r * per_row + c
+                lanes[i // DHASH_LANE_BITS] |= 1 << (i % DHASH_LANE_BITS)
+    return lanes
+
+
+def image_dhash(documents: DataFrame) -> DataFrame:
+    """Perceptual difference-hash per IMAGE asset — the binary-modality
+    near-dup fingerprint (dHash: resize to a tiny luminance grid,
+    compare horizontally adjacent cells; robust to re-encode/resize
+    because only the brightness GRADIENT survives, which is the whole
+    trick). Runs in an Arrow-batched pandas UDF over the content blob
+    — the production shape: pixels only exist after a codec decode,
+    which lives Python-side (`decode_assets` rationale) — with the
+    decode step stubbed deterministically (`_dhash_lanes_py`), so the
+    integer output is oracle-checkable cross-engine.
+
+    Scale shape: one scan of the image subset, blob crosses to Python
+    once as Arrow batches, and the signature that comes back is 4
+    small ints per asset — the 100 TB blob table reduces to a
+    broadcast-size fingerprint table before ANY join happens. No
+    shuffle (inherits the scan partitioning).
+
+    Output: (asset_id, lane0..lane3) INT — bit i of the 64-bit hash at
+    lane i//16, position i%16; asset asc.
+    """
+    assets = as_assets(documents).filter(F.col("media_type") == "image")
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def dhash(content: pd.Series) -> pd.Series:
+        return content.map(lambda b: _dhash_lanes_py(bytes(b)))
+
+    sigs = assets.select(
+        "asset_id", dhash(F.col("content")).alias("_lanes")
+    )
+    return sigs.select(
+        "asset_id",
+        *[
+            F.col("_lanes")[j].alias(f"lane{j}")
+            for j in range(DHASH_N_LANES)
+        ],
+    ).orderBy("asset_id")
+
+
+def image_neardup_pairs(
+    documents: DataFrame, max_hamming: int = DHASH_HAMMING_MAX
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by dHash hamming distance ≤
+    ``max_hamming`` — the binary-modality counterpart of the text
+    family's `simhash_pairs`, closing the modality gap (at LLM-corpus
+    scale image dedup is first-class: re-encoded/resized copies of one
+    image are exact-dup-invisible but dHash-adjacent).
+
+    Scale shape (the `simhash_pairs` machinery shape-for-shape):
+    signatures localCheckpointed (the band self-join reads both sides;
+    without it the blob-decode UDF pipeline would execute twice), each
+    signature explodes to 8 (band, key) probes — the hi/lo bytes of
+    its 4 lanes — candidates equi-join ON (band, key) (never corpus²),
+    multi-band matches collapse via distinct, and the exact hamming
+    verify is 4 JVM-side ``bit_count(xor)`` terms on the candidate set
+    only. COMPLETE for ``max_hamming < 8`` by pigeonhole (validated
+    loudly — a silent incomplete band join would be a wrong-results
+    bug, not a tuning choice).
+
+    Output: (asset_a, asset_b, hamming) with asset_a < asset_b, pair
+    asc.
+    """
+    n_bands = DHASH_N_LANES * DHASH_LANE_BITS // DHASH_BAND_BITS
+    if not 0 <= max_hamming < n_bands:
+        raise ValueError(
+            f"image_neardup_pairs: banded join is complete only for "
+            f"max_hamming in [0, {n_bands - 1}] (pigeonhole over "
+            f"{n_bands} bands), got {max_hamming}"
+        )
+    sigs = image_dhash(documents).localCheckpoint(eager=False)
+    lane_cols = [f"lane{j}" for j in range(DHASH_N_LANES)]
+    band_structs = []
+    for j in range(DHASH_N_LANES):
+        band_structs.append(
+            F.struct(
+                F.lit(2 * j).alias("band"),
+                F.col(f"lane{j}").bitwiseAND(F.lit(255)).alias("key"),
+            )
+        )
+        band_structs.append(
+            F.struct(
+                F.lit(2 * j + 1).alias("band"),
+                F.shiftright(F.col(f"lane{j}"), DHASH_BAND_BITS).alias(
+                    "key"
+                ),
+            )
+        )
+    bands = sigs.select(
+        "asset_id", *lane_cols, F.explode(F.array(*band_structs)).alias("bk")
+    ).select("asset_id", *lane_cols, "bk.band", "bk.key")
+    hamming = sum(
+        F.expr(f"CAST(bit_count(a.lane{j} ^ b.lane{j}) AS INT)")
+        for j in range(DHASH_N_LANES)
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming).orderBy(
+        "asset_a", "asset_b"
+    )
+
+
+def image_neardup_clusters(
+    documents: DataFrame,
+    max_hamming: int = DHASH_HAMMING_MAX,
+    max_driver_edges: int = 1_000_000,
+    profile: str = "oracle",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate IMAGE clusters: connected components over the
+    dHash pair graph, ``cluster_id = min asset_id`` — completing the
+    modality parity with the text pipeline (fingerprint → pairs →
+    clusters → keep-one is `dedup_clusters`' lifecycle, re-run on the
+    binary modality; a re-encoded image family collapses to ONE
+    training example, not k).
+
+    Spark-first shape: delegates to the dedup module's hybrid CC
+    kernels verbatim (`dedup.neardup_clusters` rationale) — pair
+    graphs are RARE by construction, so below ``max_driver_edges`` a
+    driver union-find replaces the distributed loop (the limit(n+1)
+    probe IS the size check, one pipeline execution); above it,
+    min-label propagation (``profile="oracle"``) or large-star/
+    small-star (``"scale"`` — O(log²) rounds on any shape) over a
+    checkpointed symmetric edge list.
+
+    Output: (asset_id, cluster_id, cluster_size) for every image in
+    ≥1 near-dup pair (singletons omitted, matching the pair list).
+    """
+    if profile not in ("oracle", "scale"):
+        raise ValueError(
+            f"image_neardup_clusters: unknown profile {profile!r}"
+        )
+    from scholar_stream_spark.operators import dedup
+
+    pairs = image_neardup_pairs(documents, max_hamming).select(
+        F.col("asset_a").alias("d1"), F.col("asset_b").alias("d2")
+    )
+    edge_plan = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    )
+    probe = edge_plan.limit(max_driver_edges + 1).collect()
+    if len(probe) <= max_driver_edges:
+        out = dedup._clusters_driver_union_find(
+            documents.sparkSession, probe
+        )
+    else:
+        edges = edge_plan.localCheckpoint()
+        labels = dedup.connected_components(
+            edges,
+            kernel="star" if profile == "scale" else "label-prop",
+            max_iter=max_iter,
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("lbl")
+        out = labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("lbl").alias("cluster_id"),
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+        )
+    return out.select(
+        F.col("doc_id").alias("asset_id"), "cluster_id", "cluster_size"
+    ).orderBy("asset_id")

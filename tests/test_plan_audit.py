@@ -21,8 +21,11 @@ scale gate, two rules over all of ``queries()``:
    ``_provably_bounded`` recursively proves the window input's output
    cardinality: Limit family (global forms only — a LocalLimit is
    per-partition and proves nothing); aggregates whose grouping keys
-   are empty or all drawn from the DECLARED constant-cardinality name
-   set; semi/anti joins from their probe side; other joins from both
+   are empty or all drawn from the QUERY-SCOPED declared
+   constant-cardinality set (``_GRID_KEYS_BY_QUERY`` — r16 ADVICE
+   item 2: a global name set trusted any column NAMED like a grid
+   key; the scope is empty for undeclared queries); semi/anti joins
+   from their probe side; other joins from both
    sides; explode and leaf scans (incl. checkpoint RDD scans) never.
    A groupBy on a corpus-cardinality key no longer passes (the r15
    hole), and neither does an unrelated 1-row aggregate joined in
@@ -88,25 +91,25 @@ def unbounded_bnlj_builds(df) -> list[str]:
     return bad
 
 
-#: Grouping columns DECLARED constant-cardinality (r15 verdict item 1:
-#: "any aggregate below the window" was too loose — a groupBy on a
-#: near-unique key does not reduce cardinality, so the aggregate must
-#: PROVE its output is grid-sized via its keys). A name earns a slot
-#: here only with a boundedness argument independent of corpus size:
-_GRID_KEY_NAMES = frozenset({
+#: Grouping columns DECLARED constant-cardinality, SCOPED PER QUERY
+#: (r16 ADVICE item 2: the r16 global name set was a name-trust
+#: allowlist — a future op grouping a corpus-cardinality column merely
+#: NAMED 'bucket' would silently re-open the r15 hole; scoping means a
+#: new query gets ZERO trusted keys until it declares them here with a
+#: boundedness argument independent of corpus size). The mapping is
+#: exactly the queries whose window proof depends on a key (measured:
+#: sweeping the fleet with an empty set flags precisely these four).
+_GRID_KEYS_BY_QUERY: dict[str, frozenset] = {
     # calendar months — bounded by the calendar, not the data
-    # (monthly_revenue_trend names its key so the plan self-describes)
-    "month",
-    # fixed bucket counts baked into module constants
-    # (vocab_growth: VOCAB_GROWTH_BUCKETS)
-    "bucket",
+    "monthly_revenue_trend": frozenset({"month"}),
+    # fixed bucket count baked into VOCAB_GROWTH_BUCKETS
+    "vocab_growth": frozenset({"bucket"}),
     # distinct lines-per-order values — bounded by the max basket
-    # size, not the corpus (order_linecount_histogram)
-    "n_lines",
-    # source-label pair grid (neardup_source_matrix)
-    "source_a",
-    "source_b",
-})
+    # size, not the corpus
+    "order_linecount_histogram": frozenset({"n_lines"}),
+    # source-label pair grid
+    "neardup_source_matrix": frozenset({"source_a", "source_b"}),
+}
 
 _LIMIT_MARKERS = ("GlobalLimit", "CollectLimit", "TakeOrderedAndProject")
 _AGG_CLASSES = (
@@ -141,7 +144,7 @@ _LIMIT_CLASSES = (
 )
 
 
-def _provably_bounded(jnode) -> bool:
+def _provably_bounded(jnode, grid_keys: frozenset = frozenset()) -> bool:
     """Recursive output-cardinality proof for a physical plan subtree:
     True only if the node's OUTPUT is provably grid-sized regardless
     of corpus size. This replaces the r15 "any aggregate anywhere
@@ -151,7 +154,9 @@ def _provably_bounded(jnode) -> bool:
     shape) proved nothing about the window's actual input.
 
     Rules: Limit family → bounded. Aggregate → bounded iff keys are
-    empty (one row) or all in the declared constant-cardinality set.
+    empty (one row) or all in ``grid_keys`` — the QUERY-SCOPED
+    declared constant-cardinality set (empty by default: an unscoped
+    plan trusts no key name).
     Semi/anti/existence join → bounded iff the LEFT (probe) side is
     (output ⊆ left). Other joins → bounded iff BOTH sides are (≤ n·m
     grid rows). Generate (explode) → unbounded (re-expands). Leaf
@@ -166,7 +171,7 @@ def _provably_bounded(jnode) -> bool:
         return True
     if cls in _AGG_CLASSES:
         keys = _grouping_key_names(jnode)
-        return not keys or all(k in _GRID_KEY_NAMES for k in keys)
+        return not keys or all(k in grid_keys for k in keys)
     if cls == "GenerateExec":
         return False
     kids = _children(jnode)
@@ -178,14 +183,18 @@ def _provably_bounded(jnode) -> bool:
         if jt in ("LeftSemi", "LeftAnti") or jt.startswith(
             "ExistenceJoin"
         ):
-            return _provably_bounded(kids[0])
-        return bool(kids) and all(_provably_bounded(k) for k in kids)
+            return _provably_bounded(kids[0], grid_keys)
+        return bool(kids) and all(
+            _provably_bounded(k, grid_keys) for k in kids
+        )
     if not kids:
         return False
-    return all(_provably_bounded(k) for k in kids)
+    return all(_provably_bounded(k, grid_keys) for k in kids)
 
 
-def unbounded_global_windows(df) -> list[str]:
+def unbounded_global_windows(
+    df, grid_keys: frozenset = frozenset()
+) -> list[str]:
     """Input subtree strings of every empty-partition-spec Window in
     ``df``'s physical plan whose input is not PROVABLY grid-sized
     (``_provably_bounded`` — r15 verdict item 1 made structural).
@@ -206,7 +215,7 @@ def unbounded_global_windows(df) -> list[str]:
         if cls in ("WindowExec", "WindowGroupLimitExec"):
             if node.partitionSpec().size() == 0:
                 child = node.child()
-                if not _provably_bounded(child):
+                if not _provably_bounded(child, grid_keys):
                     bad.append(child.toString())
         stack.extend(_children(node))
     return bad
@@ -222,7 +231,9 @@ def test_no_cartesian_or_unbounded_bnlj(name, spark):
         f"{name} plans a BroadcastNestedLoopJoin whose build side is not "
         f"provably bounded:\n" + "\n---\n".join(bad)
     )
-    bad_w = unbounded_global_windows(df)
+    bad_w = unbounded_global_windows(
+        df, _GRID_KEYS_BY_QUERY.get(name, frozenset())
+    )
     assert not bad_w, (
         f"{name} plans a single-task Window whose input is not "
         f"provably a rollup:\n" + "\n---\n".join(bad_w)
@@ -265,7 +276,9 @@ def test_audit_flags_near_unique_key_rollup_fed_global_window(spark):
 def test_audit_accepts_rollup_fed_global_window(spark):
     """Green twin: the rollup-then-window shape the codebase actually
     uses (months / histogram buckets / dimension grids) must pass —
-    but only under a DECLARED grid key name."""
+    but only under a key DECLARED for the query under audit (r16
+    ADVICE item 2: the declaration is now a per-query scope, not a
+    global name-trust set)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -276,9 +289,13 @@ def test_audit_accepts_rollup_fed_global_window(spark):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     df = grid.withColumn("c", F.sum("n").over(Window.orderBy("bucket")))
-    assert unbounded_global_windows(df) == []
+    assert unbounded_global_windows(df, frozenset({"bucket"})) == []
+    # THE r16 ADVICE hole, now red: the SAME rollup audited without a
+    # per-query declaration — a column merely NAMED like someone
+    # else's grid key — is flagged (default scope is empty)
+    assert unbounded_global_windows(df)
     # same rollup under an UNDECLARED name: flagged (the allowance is
-    # the declared set, not "any aggregate") — and an INLINE grouping
+    # the declared scope, not "any aggregate") — and an INLINE grouping
     # expression aliased to a grid name is flagged too: it compiles to
     # an anonymous `_groupingexpression` key, so ops must materialize
     # grid columns before grouping (the monthly_revenue_trend fix)
@@ -289,7 +306,7 @@ def test_audit_accepts_rollup_fed_global_window(spark):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     df_k = grid_k.withColumn("c", F.sum("n").over(Window.orderBy("k")))
-    assert unbounded_global_windows(df_k)
+    assert unbounded_global_windows(df_k, frozenset({"bucket"}))
     inline = (
         spark.range(0, 1000)
         .groupBy((F.col("id") % 10).alias("bucket"))
@@ -298,7 +315,7 @@ def test_audit_accepts_rollup_fed_global_window(spark):
     df_i = inline.withColumn(
         "c", F.sum("n").over(Window.orderBy("bucket"))
     )
-    assert unbounded_global_windows(df_i)
+    assert unbounded_global_windows(df_i, frozenset({"bucket"}))
 
 
 def test_audit_accepts_one_row_aggregate_fed_global_window(spark):
@@ -324,11 +341,12 @@ def test_loose_window_shapes_live_only_in_oracle_profiles(spark):
 
     loose = []
     for name, pair in sorted(entry_mod.profile_pairs().items()):
+        keys = _GRID_KEYS_BY_QUERY.get(name, frozenset())
         oracle_df = pair["oracle"](spark, SF_SMALL)
-        if unbounded_global_windows(oracle_df):
+        if unbounded_global_windows(oracle_df, keys):
             loose.append(name)
             default_df = QUERIES[name](spark, SF_SMALL)
-            assert unbounded_global_windows(default_df) == [], (
+            assert unbounded_global_windows(default_df, keys) == [], (
                 f"{name}: oracle profile plans a non-grid global window "
                 f"and the queries() default does too — register the "
                 f"scale profile as the default"

@@ -1,0 +1,493 @@
+"""Round-17 operators: the combinatorial graph kernels run on the USER
+co-activity graph (non-grid node count — r16 verdict item 1), the
+HITS round-budget tuning evidence (item 2), and the n_iter=1 residual
+output contract (item 6).
+
+Strategy per the r16 file: brute-force python references over the REAL
+sf0.001 tables (sessionize + interval-overlap mirror, itertools
+triangle census, peeling coreness), plan pins (no cartesian in the
+triangle kernel on the user graph either), and measured-evidence pins
+for the tuned HITS budget.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scholar_stream_spark.operators import graph, temporal
+from tests.conftest import SF_SMALL
+
+
+# ---------------------------------------------------------------
+# python reference: sessionize -> overlap -> undirected edge set
+# ---------------------------------------------------------------
+
+def _ref_sessions(rows, gap_seconds=temporal.SESSION_GAP_SECONDS):
+    """Mirror of the gap rule: per user, ordered by (ts, event_id),
+    a new session when the FLOOR-SECOND gap exceeds gap_seconds
+    (unix_timestamp semantics); session bounds keep full µs."""
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"])
+        )
+    out = []  # (user, start_us, end_us)
+    for u, evs in by_user.items():
+        evs.sort()
+        cur = [evs[0][0]]
+        for ts, _ in evs[1:]:
+            if int(ts.timestamp()) - int(cur[-1].timestamp()) > gap_seconds:
+                out.append((u, cur[0], cur[-1]))
+                cur = [ts]
+            else:
+                cur.append(ts)
+        out.append((u, cur[0], cur[-1]))
+    # exact integer µs (float timestamp()*1e6 has sub-µs error at
+    # epoch scale — enough to flip an exact-touch overlap boundary)
+    us = lambda t: int(t.timestamp()) * 1_000_000 + t.microsecond  # noqa: E731
+    return [(u, us(s), us(e)) for u, s, e in out]
+
+
+def _ref_coactivity_und(sessions):
+    und = set()
+    for (ua, sa, ea), (ub, sb, eb) in combinations(sessions, 2):
+        if ua == ub:
+            continue
+        if sa <= eb and sb <= ea:
+            und.add((min(ua, ub), max(ua, ub)))
+    return und
+
+
+def _adj(und):
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def _ref_triangles(und, adj):
+    nodes = sorted(adj)
+    return [
+        t
+        for t in combinations(nodes, 3)
+        if (t[0], t[1]) in und
+        and (t[1], t[2]) in und
+        and (t[0], t[2]) in und
+    ]
+
+
+def _ref_coreness(adj):
+    """Brute-force peeling: repeatedly remove the minimum-degree node;
+    its coreness is the running max of the degree at removal."""
+    g = {v: set(ns) for v, ns in adj.items()}
+    core: dict = {}
+    k = 0
+    while g:
+        v = min(g, key=lambda x: (len(g[x]), x))
+        k = max(k, len(g[v]))
+        core[v] = k
+        for u in g[v]:
+            g[u].discard(v)
+        del g[v]
+    return core
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    return spark.read.parquet(f"{SF_SMALL}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def ref_coact(events_df):
+    rows = [
+        r.asDict()
+        for r in events_df.select("user_id", "ts", "event_id").collect()
+    ]
+    sessions = _ref_sessions(rows)
+    und = _ref_coactivity_und(sessions)
+    return und, _adj(und)
+
+
+# ---------------------------------------------------------------
+# co-activity support edge set
+# ---------------------------------------------------------------
+
+def test_coactivity_support_matches_reference(events_df, ref_coact):
+    und, _ = ref_coact
+    got = {
+        (r["a"], r["b"])
+        for r in graph.coactivity_support(events_df).collect()
+    }
+    assert got == und
+    assert len(und) > 0  # non-degenerate fixture
+
+
+def test_coactivity_support_equals_overlap_pairs_keys(events_df):
+    """The support IS the oracle-green overlap join's key set — the
+    bridge that lets the pairwise op's correctness carry over."""
+    pairs = {
+        (r["user_a"], r["user_b"])
+        for r in temporal.session_overlap_pairs(events_df).collect()
+    }
+    sup = {
+        (r["a"], r["b"])
+        for r in graph.coactivity_support(events_df).collect()
+    }
+    assert sup == pairs
+
+
+# ---------------------------------------------------------------
+# triangles / clustering / k-core on the user graph
+# ---------------------------------------------------------------
+
+def test_user_triangles_matches_bruteforce(events_df, ref_coact):
+    und, adj = ref_coact
+    tri = _ref_triangles(und, adj)
+    wedges = sum(len(ns) * (len(ns) - 1) // 2 for ns in adj.values())
+    row = graph.user_triangles(events_df).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_nodes"] == len(adj)
+    assert r["n_edges"] == len(und)
+    assert r["n_triangles"] == len(tri)
+    if wedges:
+        assert r["transitivity"] == pytest.approx(
+            round(3 * len(tri) / wedges, 6), abs=1e-9
+        )
+    else:
+        assert r["transitivity"] is None
+
+
+def test_user_clustering_matches_bruteforce(events_df, ref_coact):
+    und, adj = ref_coact
+    tri = _ref_triangles(und, adj)
+    per_node: dict = {}
+    for t in tri:
+        for v in t:
+            per_node[v] = per_node.get(v, 0) + 1
+    got = {
+        r["user_id"]: r
+        for r in graph.user_clustering(events_df).collect()
+    }
+    assert set(got) == set(adj)
+    for v, ns in adj.items():
+        d = len(ns)
+        r = got[v]
+        assert r["degree"] == d
+        assert r["n_triangles"] == per_node.get(v, 0)
+        if d > 1:
+            assert r["clustering"] == pytest.approx(
+                round(per_node.get(v, 0) / (d * (d - 1) / 2), 6),
+                abs=1e-9,
+            )
+        else:
+            assert r["clustering"] is None
+
+
+def test_user_kcore_matches_peeling(events_df, ref_coact):
+    _, adj = ref_coact
+    got = {
+        r["user_id"]: r["coreness"]
+        for r in graph.user_kcore(events_df).collect()
+    }
+    assert got == _ref_coreness(adj)
+
+
+def test_user_triangle_plan_has_no_cartesian(events_df):
+    df = graph.user_triangles(events_df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------
+# HITS budget tuning (r16 verdict item 2): evidence, not assertion
+# ---------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def trade_tabs(spark):
+    return tuple(
+        spark.read.parquet(f"{SF_SMALL}/{t}.parquet")
+        for t in ("customer", "orders", "lineitem", "supplier")
+    )
+
+
+def test_hits_budget_residual_evidence(trade_tabs):
+    """The tuned HITS_ITER=8 budget must leave a residual orders of
+    magnitude inside the 2e-6 numpy display pin on the real trade
+    graph (measured trajectory: ≤5e-15 by round 8), and the round-6
+    DISPLAY values must be budget-insensitive — running 4 extra
+    rounds changes nothing at display grain."""
+    edges = graph._nation_revenue_edges(*trade_tabs)
+    rows = graph.hits(
+        edges, n_iter=graph.HITS_ITER, with_residual=True
+    ).collect()
+    res = {r["residual"] for r in rows}
+    assert len(res) == 1
+    assert res.pop() < 1e-6
+    at_budget = {
+        (r["node"], round(r["hub"], 6), round(r["authority"], 6))
+        for r in rows
+    }
+    more = {
+        (r["node"], round(r["hub"], 6), round(r["authority"], 6))
+        for r in graph.hits(edges, n_iter=graph.HITS_ITER + 4).collect()
+    }
+    assert at_budget == more
+
+
+def test_hits_n_iter_1_residual_is_null(spark):
+    """r16 verdict item 6: at n_iter=1 no previous authority state
+    exists, so the (h, a) L1 step is undefined — the contract is an
+    explicit NULL, never a silently halved hub-only number."""
+    df = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    rows = graph.hits(df, n_iter=1, with_residual=True).collect()
+    assert {r["residual"] for r in rows} == {None}
+    # sanity: n_iter=2 produces a real number again
+    rows2 = graph.hits(df, n_iter=2, with_residual=True).collect()
+    res2 = {r["residual"] for r in rows2}
+    assert len(res2) == 1 and res2.pop() is not None
+
+
+def test_adamic_adar_canonical_fold_is_order_invariant(spark):
+    """r16 ADVICE item 1: the Adamic-Adar column now folds its
+    1/ln(deg) terms in SORTED order (aggregate over sort_array), so
+    the double result is bit-identical under any partitioning /
+    shuffle order of the input AND equals a python sequential fold of
+    the sorted terms — the mechanism the oracle's list_reduce mirrors."""
+    import math
+
+    terms = [1.0 / math.log(d) for d in (2, 3, 5, 7, 11, 13, 17, 19, 23)]
+    want = 0.0
+    for v in sorted(terms):
+        want += v
+    fold = F.aggregate(
+        F.sort_array(F.collect_list("x")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ).alias("s")
+    got = set()
+    for parts, order in ((1, False), (9, True)):
+        df = spark.createDataFrame(
+            [(v,) for v in (sorted(terms, reverse=True) if order else terms)],
+            "x double",
+        ).repartition(parts)
+        got.add(df.agg(fold).collect()[0]["s"])
+    assert got == {want}  # bit-identical, not approx
+
+
+# ---------------------------------------------------------------
+# perceptual-hash image near-dup (r16 verdict item 3)
+# ---------------------------------------------------------------
+
+from scholar_stream_spark.operators import multimodal  # noqa: E402
+
+
+def test_image_dhash_matches_python_kernel(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    ref = {
+        r["doc_id"]: multimodal._dhash_lanes_py(r["text"].encode("utf-8"))
+        for r in docs.select("doc_id", "text").collect()
+        if r["doc_id"] % 3 == 0
+    }
+    got = {
+        r["asset_id"]: [r[f"lane{j}"] for j in range(4)]
+        for r in multimodal.image_dhash(docs).collect()
+    }
+    assert got == ref
+    assert len(got) > 0
+    # lanes stay inside 16 bits (the banding arithmetic depends on it)
+    for lanes in got.values():
+        assert all(0 <= v < (1 << 16) for v in lanes)
+
+
+def test_documents_are_ascii_only(spark):
+    """Oracle precondition: the DuckDB mirror reads the luminance byte
+    as ascii(substr(text,...)), which equals the UDF's blob[p] only
+    when byte == code point — i.e. pure-ASCII text. Pin it so a future
+    testdata change fails HERE with a named reason, not as a silent
+    oracle hash mismatch."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    n_bad = docs.filter(
+        F.octet_length(F.col("text")) != F.length(F.col("text"))
+    ).count()
+    assert n_bad == 0
+
+
+def _planted_docs(spark):
+    """Image-typed docs (doc_id % 3 == 0): a base text, a 3-byte edit
+    of it (same length — each changed byte moves at most one sampled
+    grid cell = at most 2 comparison bits, so hamming <= 6), an exact
+    duplicate, and an unrelated text."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "cat naps under a warm stone wall near the old mill race"
+    )
+    edit = list(base)
+    for pos in (10, 50, 90):
+        edit[pos] = "z" if base[pos] != "z" else "q"
+    unrelated = (
+        "completely different content about spark shuffles and "
+        "partition pruning strategies at one hundred terabytes!!"
+    )
+    rows = [
+        (0, base),
+        (3, "".join(edit)),
+        (6, base),  # exact duplicate of 0
+        (9, unrelated),
+        (1, base),  # audio-typed: must NOT appear in the image family
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_image_neardup_planted_fixture(spark):
+    docs = _planted_docs(spark)
+    pairs = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in multimodal.image_neardup_pairs(docs).collect()
+    }
+    # exact duplicate -> hamming 0
+    assert pairs[(0, 6)] == 0
+    # 3-byte same-length edit -> within the default band
+    assert (0, 3) in pairs and 0 < pairs[(0, 3)] <= 6
+    assert pairs[(3, 6)] == pairs[(0, 3)]  # 6 is a copy of 0
+    # the audio-typed doc never enters the image family
+    assert not any(1 in p for p in pairs)
+    # brute-force completeness: banded join found EXACTLY the pairs
+    # the python kernel says are within threshold
+    sigs = {
+        r["doc_id"]: multimodal._dhash_lanes_py(r["text"].encode())
+        for r in docs.collect()
+        if r["doc_id"] % 3 == 0
+    }
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(
+                bin(x ^ y).count("1")
+                for x, y in zip(sigs[a], sigs[b])
+            )
+            if h <= multimodal.DHASH_HAMMING_MAX:
+                want[(a, b)] = h
+    assert pairs == want
+
+
+def test_image_neardup_bruteforce_on_real_docs(spark):
+    """Banded join == brute force on the real sf0.001 image subset
+    (likely empty at this scale — the assertion is the EQUALITY, and
+    the planted fixture above covers the non-empty path)."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    sigs = {
+        r["doc_id"]: multimodal._dhash_lanes_py(r["text"].encode())
+        for r in docs.select("doc_id", "text").collect()
+        if r["doc_id"] % 3 == 0
+    }
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(
+                bin(x ^ y).count("1") for x, y in zip(sigs[a], sigs[b])
+            )
+            if h <= multimodal.DHASH_HAMMING_MAX:
+                want[(a, b)] = h
+    got = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in multimodal.image_neardup_pairs(docs).collect()
+    }
+    assert got == want
+
+
+def test_image_neardup_rejects_incomplete_banding(spark):
+    docs = _planted_docs(spark)
+    with pytest.raises(ValueError, match="complete"):
+        multimodal.image_neardup_pairs(docs, max_hamming=8)
+    with pytest.raises(ValueError, match="complete"):
+        multimodal.image_neardup_pairs(docs, max_hamming=-1)
+
+
+def test_user_assortativity_matches_bruteforce(events_df, ref_coact):
+    und, adj = ref_coact
+    j = []
+    k = []
+    for a, b in und:
+        j += [len(adj[a]), len(adj[b])]
+        k += [len(adj[b]), len(adj[a])]
+    m2 = len(j)
+    mean = sum(j) / m2
+    ejk = sum(x * y for x, y in zip(j, k)) / m2
+    ej2 = sum(x * x for x in j) / m2
+    var = ej2 - mean * mean
+    rows = graph.user_assortativity(events_df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_edges"] == len(und)
+    if var > 0:
+        assert r["assortativity"] == pytest.approx(
+            round((ejk - mean * mean) / var, 6), abs=1e-6
+        )
+    else:
+        assert r["assortativity"] is None
+
+
+def test_image_neardup_clusters_planted(spark):
+    """The planted family {0, 3, 6} (base, 3-byte edit, exact copy)
+    collapses to ONE cluster labeled by its min asset id; singletons
+    (the unrelated image 9) and non-image docs never appear."""
+    docs = _planted_docs(spark)
+    got = {
+        r["asset_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in multimodal.image_neardup_clusters(docs).collect()
+    }
+    assert got == {0: (0, 3), 3: (0, 3), 6: (0, 3)}
+
+
+def test_image_neardup_clusters_bruteforce_on_real_docs(spark):
+    """Union-find over the brute-force pair set == the op, on the real
+    sf0.001 image subset (empty at this scale — the planted fixture
+    carries the non-empty path; the assertion is the equality)."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    sigs = {
+        r["doc_id"]: multimodal._dhash_lanes_py(r["text"].encode())
+        for r in docs.select("doc_id", "text").collect()
+        if r["doc_id"] % 3 == 0
+    }
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(
+                bin(x ^ y).count("1") for x, y in zip(sigs[a], sigs[b])
+            )
+            if h <= multimodal.DHASH_HAMMING_MAX:
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    members: dict = {}
+    for node in parent:
+        members.setdefault(find(node), []).append(node)
+    want = {
+        node: (root, len(nodes))
+        for root, nodes in members.items()
+        for node in nodes
+    }
+    got = {
+        r["asset_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in multimodal.image_neardup_clusters(docs).collect()
+    }
+    assert got == want
