@@ -120,12 +120,15 @@ Deliberately WITHOUT oracle entries (rows-only check):
   invariants, and the same oracle-checked revenue edge build (shared
   ``_nation_revenue_edges`` kernel) as ``nation_pagerank``.
 - ``user_kcore`` — ``nation_kcore``'s rationale verbatim (exact
-  integer h-index fixpoint, data-dependent round count ⇒ a SQL
-  oracle would need a recursive CTE), run on the USER co-activity
-  graph; pinned against the brute-force peeling reference on the
-  real sf0.001 co-activity graph (``tests/test_r17_ops.py``), whose
-  edge set is the SAME oracle-green `session_overlap_pairs` join the
-  r17 `user_triangles`/`user_clustering` oracles certify.
+  integer coreness — iterative fixpoint or driver peel, neither
+  SQL-oracle-shaped), run on the USER co-activity graph; since the
+  r17 hybrid the default path is exact Matula–Beck driver peeling
+  below a 1M-edge probe (the dedup-CC precedent; the distributed
+  h-index loop above it, both-paths-identical pinned); peeling
+  reference on the real sf0.001 co-activity graph
+  (``tests/test_r17_ops.py``), whose edge set is the SAME
+  oracle-green `session_overlap_pairs` join the r17
+  `user_triangles`/`user_clustering` oracles certify.
 """
 
 from __future__ import annotations

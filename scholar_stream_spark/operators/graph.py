@@ -854,6 +854,7 @@ def trade_kcore(
     lineitem: DataFrame,
     supplier: DataFrame,
     max_iter: int = KCORE_MAX_ITER,
+    max_driver_edges: int = 1_000_000,
 ) -> DataFrame:
     """Coreness (k-core number) of every nation in the strong trade
     support graph — the robustness ladder peeling can't fake: a node
@@ -887,25 +888,77 @@ def trade_kcore(
         ),
         max_iter=max_iter,
         key_col="nation_key",
+        max_driver_edges=max_driver_edges,
     )
+
+
+def _kcore_driver_peel(spark, edge_rows, key_col: str) -> DataFrame:
+    """Exact coreness by Matula–Beck peeling over a collected (small)
+    edge list — repeatedly remove the minimum-current-degree node; a
+    node's coreness is the running max of its degree at removal.
+    O((n+m) log n) with a lazy heap; identical values to the h-index
+    fixpoint (both compute the unique k-core number)."""
+    import heapq
+
+    adj: dict = {}
+    for r in edge_rows:
+        a, b = r["a"], r["b"]
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    heap = [(d, v) for v, d in deg.items()]
+    heapq.heapify(heap)
+    removed: set = set()
+    core: dict = {}
+    k = 0
+    while heap:
+        d, v = heapq.heappop(heap)
+        if v in removed or d != deg[v]:
+            continue  # stale heap entry (degree already decremented)
+        k = max(k, d)
+        core[v] = k
+        removed.add(v)
+        for u in adj[v]:
+            if u not in removed:
+                deg[u] -= 1
+                heapq.heappush(heap, (deg[u], u))
+    return spark.createDataFrame(
+        sorted(core.items()), f"{key_col} long, coreness long"
+    ).orderBy(key_col)
 
 
 def kcore(
     und: DataFrame,
     max_iter: int = KCORE_MAX_ITER,
     key_col: str = "node",
+    max_driver_edges: int = 1_000_000,
 ) -> DataFrame:
     """Generic coreness (k-core number) over an undirected (a < b)
-    edge list via the h-index fixpoint — the kernel behind
-    `trade_kcore` and `user_kcore`. Algorithm, exact-integer
-    convergence checksum, loud round-cap, and scale shape per the
-    trade wrapper's docstring; output is (``key_col``, coreness),
-    ascending.
+    edge list — the kernel behind `trade_kcore` and `user_kcore`.
+
+    Hybrid, like the dedup module's CC (`neardup_clusters` rationale,
+    applied after r17 measurement — the distributed fixpoint spent
+    10.8 s on a 142k-edge graph the driver peels in milliseconds,
+    ~2 Spark jobs per round × a data-dependent round count): below
+    ``max_driver_edges`` the edge list is collected ONCE (the
+    limit(n+1) probe IS the size check) and exact Matula–Beck peeling
+    runs on the driver; above it, the distributed h-index fixpoint
+    (algorithm, exact-integer convergence checksum, loud round-cap,
+    and scale shape per the trade wrapper's docstring) — identical
+    values either way, pinned by a test that forces both paths.
+    Output is (``key_col``, coreness), ascending.
     """
     if max_iter < 1:
         raise ValueError(
             f"kcore: max_iter must be >= 1, got {max_iter}"
         )
+    if max_driver_edges > 0:
+        probe = und.limit(max_driver_edges + 1).collect()
+        if len(probe) <= max_driver_edges:
+            return _kcore_driver_peel(
+                und.sparkSession, probe, key_col
+            )
+        und = und.localCheckpoint()  # loop must not re-run the build
     adj = (
         und.select("a", "b")
         .unionAll(
@@ -1210,7 +1263,9 @@ def user_clustering(events: DataFrame) -> DataFrame:
 
 
 def user_kcore(
-    events: DataFrame, max_iter: int = KCORE_MAX_ITER
+    events: DataFrame,
+    max_iter: int = KCORE_MAX_ITER,
+    max_driver_edges: int = 1_000_000,
 ) -> DataFrame:
     """Coreness of every user in the co-activity graph — the
     densely-interlocked co-activity nucleus (a user of coreness k
@@ -1222,7 +1277,10 @@ def user_kcore(
     oracle), pinned against the brute-force peeling reference.
     """
     return kcore(
-        coactivity_support(events), max_iter=max_iter, key_col="user_id"
+        coactivity_support(events),
+        max_iter=max_iter,
+        key_col="user_id",
+        max_driver_edges=max_driver_edges,
     )
 
 

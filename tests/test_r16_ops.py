@@ -561,8 +561,12 @@ def test_kcore_rejects_degenerate(trade_tabs):
         graph.trade_kcore(*trade_tabs, max_iter=0)
     with pytest.raises(RuntimeError, match="did not converge"):
         # 1 round cannot reach the fixpoint on a graph whose h-index
-        # sequence needs >1 step (the star: deg seed 4 -> h 1)
-        graph.trade_kcore(*trade_tabs, max_iter=1)
+        # sequence needs >1 step; max_driver_edges=0 forces the
+        # DISTRIBUTED path (the r17 hybrid would otherwise peel this
+        # grid-sized graph on the driver and never hit the cap)
+        graph.trade_kcore(
+            *trade_tabs, max_iter=1, max_driver_edges=0
+        )
 
 
 # ---------------------------------------------------------------
