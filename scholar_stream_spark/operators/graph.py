@@ -16,9 +16,17 @@ from pyspark.sql import functions as F
 
 #: PageRank defaults: the canonical damping factor and a round budget
 #: sized for small-diameter business graphs (power iteration converges
-#: geometrically at rate ~damping; 20 rounds ⇒ residual ≲ 0.85^20 ≈ 4%
-#: of the initial gap, enough for stable rank ORDER on the graphs this
-#: engine builds — raise it for rank VALUES).
+#: geometrically at rate ≤ damping; 20 rounds ⇒ residual ≲ 0.85^20 ≈ 4%
+#: of the initial gap in the worst case). Unlike HITS_ITER — which the
+#: r17 measurement cut 20 → 8 — this budget SURVIVED the same
+#: measurement: the numpy mirror on the real trade graphs shows the
+#: sparse sf0.001 graph reaching round-6 display convergence only at
+#: round 16 (residual 1.4e-7; maxdev 6.8e-9 vs the 200-round limit),
+#: while the denser sf0.01/0.1 graphs converge by round 2–4 — PageRank
+#: mixes at the damping-bounded rate on sparse graphs where HITS's
+#: squared singular-value ratio stays fast, so 20 keeps a 4-round
+#: margin over the slowest measured case. The `with_residual` column
+#: is the per-graph evidence, as always.
 PAGERANK_DAMPING = 0.85
 PAGERANK_ITER = 20
 
