@@ -730,6 +730,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup_clusters": lambda s, d: (
             multimodal.image_neardup_clusters(_t(s, d, "documents"))
         ),
+        # deduplicated image table: one survivor (min asset id) per
+        # near-dup cluster — the keep_best_per_cluster step for blobs
+        "image_dedup_survivors": lambda s, d: (
+            multimodal.image_dedup_survivors(_t(s, d, "documents"))
+        ),
+        # video near-dup: per-sampled-frame dHash fingerprints and the
+        # frame-set-Jaccard pair join — the third modality's dedup
+        "video_frame_signatures": lambda s, d: (
+            multimodal.video_frame_signatures(_t(s, d, "documents"))
+        ),
+        "video_neardup_pairs": lambda s, d: (
+            multimodal.video_neardup_pairs(_t(s, d, "documents"))
+        ),
         "multimodal_resize": lambda s, d: multimodal.resize_plan(
             multimodal.decode_assets(multimodal.as_assets(_t(s, d, "documents")))
         ),
@@ -4754,6 +4767,143 @@ FROM labeled ORDER BY asset_id
 """
 
 
+def _mm_survivors_sql() -> str:
+    """Deduplicated image table: the clusters CTE chain, then every
+    image NOT a non-representative cluster member (ASCII pin makes
+    length(text) == octet bytes; md5 over the same bytes)."""
+    ham = " + ".join(
+        f"bit_count(xor(a.lane{j}, b.lane{j}))"
+        for j in range(multimodal.DHASH_N_LANES)
+    )
+    return f"""
+WITH RECURSIVE {_mm_dhash_sig_sql()},
+pairs AS (
+    SELECT a.asset_id AS d1, b.asset_id AS d2
+    FROM sig a JOIN sig b ON a.asset_id < b.asset_id
+    WHERE {ham} <= {multimodal.DHASH_HAMMING_MAX}
+),
+edges AS (
+    SELECT d1 AS s, d2 AS t FROM pairs
+    UNION
+    SELECT d2, d1 FROM pairs
+),
+reach(node, r) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.t, reach.r FROM reach JOIN edges e ON reach.node = e.s
+),
+labeled AS (
+    SELECT node AS asset_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT i.asset_id, CAST(i.n AS BIGINT) AS n_bytes,
+       md5(i.text) AS checksum
+FROM img i
+WHERE NOT EXISTS (SELECT 1 FROM labeled l
+                  WHERE l.asset_id = i.asset_id
+                    AND l.cluster_id <> l.asset_id)
+ORDER BY i.asset_id
+"""
+
+
+def _mm_frame_lane_sql(j: int) -> str:
+    """One 16-bit frame-dHash lane as generated integer SQL (r17): the
+    frame's luminance plane samples byte ``min(off + (k*seg)//72,
+    n-1)`` — `_frame_dhash_lanes_py` position-for-position (``least``
+    mirrors the python clamp; substr is 1-based hence the ``1 +``);
+    same adjacent-comparison bit layout as `_mm_dhash_lane_sql`."""
+    cells = multimodal.DHASH_GRID_ROWS * multimodal.DHASH_GRID_COLS
+    per_row = multimodal.DHASH_GRID_COLS - 1
+
+    def luma(k: int) -> str:
+        return (
+            f"ascii(substr(text, 1 + least(off + (({k} * seg) // {cells}),"
+            f" n - 1), 1))"
+        )
+
+    terms = []
+    for i in range(16 * j, 16 * j + 16):
+        r, c = divmod(i, per_row)
+        k = r * multimodal.DHASH_GRID_COLS + c
+        terms.append(
+            f"(CASE WHEN {luma(k)} < {luma(k + 1)} "
+            f"THEN {1 << (i % 16)} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + f" AS INT) AS lane{j}"
+
+
+def _mm_frame_sig_sql() -> str:
+    """Shared CTE body: per-sampled-frame dHash signatures for video
+    assets — the decode stub's frame count (md5 byte 5), `sample_frames`'
+    stride, and each frame's own byte-stream slice as its plane."""
+    k = multimodal.FRAME_SAMPLE_MAX
+    lanes = ", ".join(
+        _mm_frame_lane_sql(j) for j in range(multimodal.DHASH_N_LANES)
+    )
+    return f"""
+vid AS (
+    SELECT doc_id AS asset_id, text, length(text) AS n, md5(text) AS hx
+    FROM documents WHERE doc_id % 3 = 2
+), vfr AS (
+    SELECT asset_id, text, n, 1 + {_mm_b(5)} AS n_frames FROM vid
+), vst AS (
+    SELECT asset_id, text, n, n_frames,
+           greatest(1, CAST(floor(n_frames / {k}.0) AS INT)) AS step
+    FROM vfr
+), vfx AS (
+    SELECT asset_id, text, n, n_frames,
+           unnest(range(0, n_frames, step)) AS frame_idx
+    FROM vst
+), vfo AS (
+    SELECT asset_id, text, n, CAST(frame_idx AS INT) AS frame_idx,
+           (frame_idx * n) // n_frames AS off,
+           ((frame_idx + 1) * n) // n_frames
+             - (frame_idx * n) // n_frames AS seg
+    FROM vfx
+), fsig AS (
+    SELECT asset_id, frame_idx, {lanes} FROM vfo
+)"""
+
+
+def _mm_frame_sig_entry_sql() -> str:
+    return f"""
+WITH {_mm_frame_sig_sql()}
+SELECT asset_id, frame_idx, lane0, lane1, lane2, lane3
+FROM fsig ORDER BY asset_id, frame_idx
+"""
+
+
+def _mm_video_neardup_sql() -> str:
+    """Frame-set Jaccard pairs: distinct signature sets, full-64-bit
+    equi-join intersection, integer cross-multiplied threshold — the
+    Spark plan's exact arithmetic on the oracle engine."""
+    pct = multimodal.VIDEO_JACCARD_MIN_PCT
+    on = " AND ".join(
+        f"a.lane{j} = b.lane{j}" for j in range(multimodal.DHASH_N_LANES)
+    )
+    return f"""
+WITH {_mm_frame_sig_sql()},
+sset AS (
+    SELECT DISTINCT asset_id, lane0, lane1, lane2, lane3 FROM fsig
+), cnt AS (
+    SELECT asset_id, COUNT(*) AS n_sigs FROM sset GROUP BY asset_id
+), ix AS (
+    SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+           COUNT(*) AS n_shared
+    FROM sset a JOIN sset b
+      ON {on} AND a.asset_id < b.asset_id
+    GROUP BY 1, 2
+)
+SELECT asset_a, asset_b, n_shared, ca.n_sigs AS n_a, cb.n_sigs AS n_b,
+       CAST(n_shared AS DOUBLE) / (ca.n_sigs + cb.n_sigs - n_shared)
+         AS jaccard
+FROM ix
+JOIN cnt ca ON ix.asset_a = ca.asset_id
+JOIN cnt cb ON ix.asset_b = cb.asset_id
+WHERE n_shared * 100 >= {pct} * (ca.n_sigs + cb.n_sigs - n_shared)
+ORDER BY asset_a, asset_b
+"""
+
+
 def _mm_decode_sql() -> str:
     """Oracle replica of the deterministic fake decoder (md5-derived)."""
     return f"""
@@ -8333,6 +8483,9 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "image_dhash": _mm_dhash_sql(),
         "image_neardup_pairs": _mm_neardup_sql(),
         "image_neardup_clusters": _mm_clusters_sql(),
+        "image_dedup_survivors": _mm_survivors_sql(),
+        "video_frame_signatures": _mm_frame_sig_entry_sql(),
+        "video_neardup_pairs": _mm_video_neardup_sql(),
         "multimodal_features": _mm_features_sql(),
         "multimodal_frames": _mm_frames_sql(),
         "multimodal_resize": _mm_resize_sql(),
@@ -8342,7 +8495,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
 #: Count of oracle-backed entries — the structured form of the rotation
 #: note's "N entries" claim (two r14 review rounds caught the comment
 #: stale; a constant asserted against len(oracle_sql()) cannot drift).
-_N_ORACLE_BACKED = 214
+_N_ORACLE_BACKED = 217
 
 # Computed HERE (end of module) because it needs oracle_sql(); see the
 # rotation note above _driver_first_order.

@@ -323,6 +323,19 @@ DHASH_BAND_BITS = 8
 DHASH_HAMMING_MAX = 6
 
 
+def _lanes_from_grid(grid: list[int]) -> list[int]:
+    """Pack the 8x9 luminance grid's 64 adjacent-comparison bits
+    (``grid[r][c] < grid[r][c+1]``) into the 4x16-bit lane layout."""
+    lanes = [0] * DHASH_N_LANES
+    per_row = DHASH_GRID_COLS - 1
+    for r in range(DHASH_GRID_ROWS):
+        for c in range(per_row):
+            if grid[r * DHASH_GRID_COLS + c] < grid[r * DHASH_GRID_COLS + c + 1]:
+                i = r * per_row + c
+                lanes[i // DHASH_LANE_BITS] |= 1 << (i % DHASH_LANE_BITS)
+    return lanes
+
+
 def _dhash_lanes_py(blob: bytes) -> list[int]:
     """Shared python dHash kernel (UDF body + pytest reference): the
     STUB decode maps the blob to an 8x9 luminance plane by
@@ -338,14 +351,7 @@ def _dhash_lanes_py(blob: bytes) -> list[int]:
     n = len(blob)
     cells = DHASH_GRID_ROWS * DHASH_GRID_COLS
     grid = [blob[(k * n) // cells] if n else 0 for k in range(cells)]
-    lanes = [0] * DHASH_N_LANES
-    per_row = DHASH_GRID_COLS - 1
-    for r in range(DHASH_GRID_ROWS):
-        for c in range(per_row):
-            if grid[r * DHASH_GRID_COLS + c] < grid[r * DHASH_GRID_COLS + c + 1]:
-                i = r * per_row + c
-                lanes[i // DHASH_LANE_BITS] |= 1 << (i % DHASH_LANE_BITS)
-    return lanes
+    return _lanes_from_grid(grid)
 
 
 def image_dhash(documents: DataFrame) -> DataFrame:
@@ -522,3 +528,216 @@ def image_neardup_clusters(
     return out.select(
         F.col("doc_id").alias("asset_id"), "cluster_id", "cluster_size"
     ).orderBy("asset_id")
+
+
+def image_dedup_survivors(
+    documents: DataFrame, max_hamming: int = DHASH_HAMMING_MAX
+) -> DataFrame:
+    """Deduplicated IMAGE asset table: one survivor per dHash near-dup
+    cluster — the cluster representative is its min asset id (the
+    `image_neardup_clusters` label), every other member is dropped;
+    singletons pass through untouched. This is the binary-modality
+    `keep_best_per_cluster`: the step that turns the cluster REPORT
+    into the training-set INPUT (k re-encodes of one image contribute
+    ONE example).
+
+    Scale shape: blob-free stats projection (the `blob_stats`
+    discipline — content never enters this plan's joins) LEFT-ANTI
+    equi-joined against the non-representative cluster members, which
+    are a pair-graph-sized set, not corpus-sized. Output: (asset_id,
+    n_bytes, checksum), asset asc.
+    """
+    stats = blob_stats(documents).filter(
+        F.col("media_type") == "image"
+    )
+    drop = image_neardup_clusters(documents, max_hamming).filter(
+        F.col("asset_id") != F.col("cluster_id")
+    ).select("asset_id")
+    return (
+        stats.join(drop, "asset_id", "left_anti")
+        .select("asset_id", "n_bytes", "checksum")
+        .orderBy("asset_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# video near-dup: per-frame fingerprints + frame-set Jaccard (the image
+# dHash lifecycle extended to the third modality — a re-encoded or
+# partially-copied video shares frame fingerprints, never blob bytes)
+# ---------------------------------------------------------------------------
+
+#: Minimum frame-set Jaccard (percent) for a video near-dup pair.
+#: Integer percent so the threshold decision is exact cross-engine
+#: (``n_shared * 100 >= pct * union`` — no float boundary).
+VIDEO_JACCARD_MIN_PCT = 50
+
+FRAME_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        *[
+            T.StructField(f"lane{j}", T.IntegerType())
+            for j in range(DHASH_N_LANES)
+        ],
+    ]
+)
+
+
+def _frame_dhash_lanes_py(blob: bytes, off: int, seg: int) -> list[int]:
+    """dHash lanes for ONE frame: cell k samples byte
+    ``min(off + (k*seg)//72, n-1)`` — the frame's slice of the byte
+    stream, nearest-neighbor downsampled (the `_dhash_lanes_py`
+    locality argument per frame; the clamp covers degenerate
+    ``seg == 0`` slices when a stream carries more frames than bytes).
+    Real deployment swaps this plane for the decoded frame's pixels;
+    bit and lane layout stay as-is.
+    """
+    n = len(blob)
+    cells = DHASH_GRID_ROWS * DHASH_GRID_COLS
+    grid = [
+        blob[min(off + (k * seg) // cells, n - 1)] if n else 0
+        for k in range(cells)
+    ]
+    return _lanes_from_grid(grid)
+
+
+def video_frame_signatures(
+    documents: DataFrame, max_frames: int = FRAME_SAMPLE_MAX
+) -> DataFrame:
+    """Per-sampled-frame dHash signature for VIDEO assets — the
+    fingerprint layer of video near-dup (image dedup compares whole
+    blobs; videos near-duplicate at the FRAME grain: a re-encode or a
+    partial copy shares frames, never container bytes — the standard
+    video-dedup shape: fingerprint sampled frames, compare fingerprint
+    SETS).
+
+    Frames follow the decode contract exactly: ``n_frames`` is the
+    `_fake_decode` value (md5 byte 5), the sample stride is
+    `sample_frames`' (``max(1, n_frames // max_frames)``), and frame
+    ``f``'s luminance plane is its OWN slice of the byte stream
+    (``off = f·n // n_frames``, nearest-neighbor downsampled via
+    `_frame_dhash_lanes_py`) — a real decoder reads frame pixels from
+    that region of the stream. With the stub, an edit that changes the
+    digest re-deals the frame grid (real decoders are edit-local; the
+    planted tests construct digest-aligned streams instead).
+
+    Scale shape: ONE ``mapInPandas`` pass — the blob crosses to Python
+    once per Arrow batch and ≤``max_frames`` signature rows of 4 small
+    ints come back; no shuffle (inherits the scan partitioning), no
+    join of content against the frame plan. Output: (asset_id,
+    frame_idx, lane0..3), asset/frame asc.
+    """
+
+    assets = as_assets(documents).filter(F.col("media_type") == "video")
+    cols = [f.name for f in FRAME_SIG_SCHEMA.fields]
+
+    def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(blob)
+                n = len(b)
+                n_frames = 1 + hashlib.md5(b).digest()[5]
+                step = max(1, n_frames // max_frames)
+                for f in range(0, n_frames, step):
+                    off = (f * n) // n_frames
+                    seg = ((f + 1) * n) // n_frames - off
+                    lanes = _frame_dhash_lanes_py(b, off, seg)
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "frame_idx": f,
+                            **{
+                                f"lane{j}": lanes[j]
+                                for j in range(DHASH_N_LANES)
+                            },
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        assets.select("asset_id", "content")
+        .mapInPandas(sigs, FRAME_SIG_SCHEMA)
+        .orderBy("asset_id", "frame_idx")
+    )
+
+
+def video_neardup_pairs(
+    documents: DataFrame,
+    min_jaccard_pct: int = VIDEO_JACCARD_MIN_PCT,
+    max_frames: int = FRAME_SAMPLE_MAX,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs by frame-fingerprint-set Jaccard ≥
+    ``min_jaccard_pct``% — completing near-dup coverage for the third
+    modality (text: six granularities; image: dHash; video: shared
+    sampled-frame fingerprints, which survive re-containering and
+    catch partial copies a whole-blob hash cannot).
+
+    Spark-first shape: the signature table (≤``max_frames`` rows × 6
+    small ints per video — the corpus-sized blob table never enters)
+    is localCheckpointed (the self-join reads both sides; the decode
+    UDF must not run twice), reduced to DISTINCT per-asset signature
+    sets, and candidates come from an equi-join on the full 64-bit
+    signature (all 4 lanes — an inverted-index join, never corpus²).
+    ``n_shared`` is exact set intersection (both sides distinct), the
+    Jaccard gate is integer cross-multiplication (no float boundary),
+    and the reported ``jaccard`` is one IEEE division, deterministic
+    cross-engine. Real corpora have hot fingerprints (black frames —
+    the stop-word analogue); at scale that key skews the join: AQE
+    skew-join handles moderate cases, a frequency stop-list (the
+    `token_topk` discipline) is the designed extension point.
+
+    Output: (asset_a, asset_b, n_shared, n_a, n_b, jaccard) with
+    asset_a < asset_b, pair asc.
+    """
+    if not 0 < min_jaccard_pct <= 100:
+        raise ValueError(
+            f"video_neardup_pairs: min_jaccard_pct must be in (0, 100], "
+            f"got {min_jaccard_pct}"
+        )
+    lane_cols = [f"lane{j}" for j in range(DHASH_N_LANES)]
+    sset = (
+        video_frame_signatures(documents, max_frames)
+        .select("asset_id", *lane_cols)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    counts = sset.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_sigs")
+    )
+    inter = (
+        sset.alias("a")
+        .join(
+            sset.alias("b"),
+            [F.col(f"a.{c}") == F.col(f"b.{c}") for c in lane_cols]
+            + [F.col("a.asset_id") < F.col("b.asset_id")],
+        )
+        .groupBy(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ca = counts.select(
+        F.col("asset_id").alias("asset_a"), F.col("n_sigs").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("asset_id").alias("asset_b"), F.col("n_sigs").alias("n_b")
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    return (
+        inter.join(ca, "asset_a")
+        .join(cb, "asset_b")
+        .filter(
+            F.col("n_shared") * F.lit(100) >= F.lit(min_jaccard_pct) * union
+        )
+        .select(
+            "asset_a",
+            "asset_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (F.col("n_shared").cast("double") / union).alias("jaccard"),
+        )
+        .orderBy("asset_a", "asset_b")
+    )

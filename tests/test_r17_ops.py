@@ -512,3 +512,205 @@ def test_kcore_hybrid_paths_agree(events_df, ref_coact):
     }
     assert driver == want
     assert dist == want
+
+
+def test_image_dedup_survivors_planted(spark):
+    """{0, 3, 6} collapse to survivor 0; the unrelated image 9 and the
+    representative survive; the audio-typed doc 1 is out of scope.
+    Survivor stats must match the blob accounting (bytes + md5)."""
+    import hashlib
+
+    docs = _planted_docs(spark)
+    rows = {
+        r["asset_id"]: (r["n_bytes"], r["checksum"])
+        for r in multimodal.image_dedup_survivors(docs).collect()
+    }
+    assert set(rows) == {0, 9}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for aid, (nb, ck) in rows.items():
+        raw = texts[aid].encode("utf-8")
+        assert nb == len(raw)
+        assert ck == hashlib.md5(raw).hexdigest()
+
+
+def test_image_dedup_survivors_all_pass_when_no_dups(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    n_images = docs.filter(F.col("doc_id") % 3 == 0).count()
+    assert multimodal.image_dedup_survivors(docs).count() == n_images
+
+
+# ---------------------------------------------------------------
+# video near-dup: frame fingerprints + frame-set Jaccard (r17)
+# ---------------------------------------------------------------
+
+def _ref_frame_sigs(text: str):
+    """Python mirror of the frame-signature contract: decode-stub frame
+    count (md5 byte 5), `sample_frames` stride, per-frame byte-slice
+    plane via the shared kernel."""
+    import hashlib
+
+    b = text.encode("utf-8")
+    n = len(b)
+    n_frames = 1 + hashlib.md5(b).digest()[5]
+    step = max(1, n_frames // multimodal.FRAME_SAMPLE_MAX)
+    out = []
+    for f in range(0, n_frames, step):
+        off = (f * n) // n_frames
+        seg = ((f + 1) * n) // n_frames - off
+        out.append(
+            (f, tuple(multimodal._frame_dhash_lanes_py(b, off, seg)))
+        )
+    return out
+
+
+def _ref_video_pairs(texts: dict[int, str], pct: int):
+    """Brute-force frame-set Jaccard over ALL video pairs."""
+    sets = {
+        aid: {lanes for _, lanes in _ref_frame_sigs(t)}
+        for aid, t in texts.items()
+    }
+    pairs = []
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        na, nb = len(sets[a]), len(sets[b])
+        un = na + nb - inter
+        if inter and inter * 100 >= pct * un:
+            pairs.append((a, b, inter, na, nb, inter / un))
+    return pairs
+
+
+def _planted_videos(spark):
+    """Video-typed docs (doc_id % 3 == 2): a base stream, a
+    digest-aligned half-copy (same length AND same md5 byte 5 — found
+    by search — so frame count, stride and offsets all match and the
+    shared suffix yields shared frame signatures; the stub decode
+    re-deals frames on ANY digest change, so alignment must be
+    planted, where a real decoder would give it for free), an exact
+    copy, an unrelated stream, and an image-typed doc that must stay
+    out of scope."""
+    import hashlib
+
+    # Long streams so every sampled frame owns a multi-byte slice even
+    # at the stub's 256-frame maximum (short streams collapse to
+    # single-byte planes and the distinct signature sets degenerate).
+    def scene(tag: str, k: int) -> str:
+        return " ".join(
+            f"{tag} shot {j:03d} of the harbor sequence with panning"
+            for j in range(k)
+        )
+
+    suffix = " " + scene("shared", 24)
+    base = None
+    for s in range(200):
+        cand = scene(f"open{s:03d}", 24) + suffix
+        sigs = {lanes for _, lanes in _ref_frame_sigs(cand)}
+        if len(sigs) >= 4:
+            base = cand
+            break
+    assert base is not None, "no signature-rich base stream found"
+    half_a = base[: len(base) - len(suffix)]
+    target = hashlib.md5(base.encode()).digest()[5]
+    aligned = None
+    for i in range(100_000):
+        prefix = scene(f"a{i:06d}", 24)[: len(half_a)].ljust(
+            len(half_a), "x"
+        )
+        cand = prefix + suffix
+        if hashlib.md5(cand.encode()).digest()[5] != target:
+            continue
+        ref = _ref_video_pairs({2: base, 5: cand}, 25)
+        if ref and 0 < ref[0][2] < max(ref[0][3], ref[0][4]):
+            aligned = cand
+            break
+    assert aligned is not None, "no digest-aligned half-copy found"
+    rows = [
+        (2, base),
+        (5, aligned),
+        (8, base),  # exact duplicate of 2
+        (11, "completely unrelated footage of a server room with racks"),
+        (0, base),  # image-typed: must NOT appear in the video family
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_video_frame_signatures_match_reference_real(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.collect()
+        if r["doc_id"] % 3 == 2
+    }
+    want = {
+        (aid, f): lanes
+        for aid, t in texts.items()
+        for f, lanes in _ref_frame_sigs(t)
+    }
+    got = {
+        (r["asset_id"], r["frame_idx"]): (
+            r["lane0"], r["lane1"], r["lane2"], r["lane3"]
+        )
+        for r in multimodal.video_frame_signatures(docs).collect()
+    }
+    assert got == want
+    # every lane is 16-bit
+    assert all(0 <= v < 65536 for lanes in got.values() for v in lanes)
+
+
+def test_video_neardup_pairs_match_reference_real(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.collect()
+        if r["doc_id"] % 3 == 2
+    }
+    # permissive threshold so the reference compare exercises non-empty
+    # intersections if any exist at sf0.001
+    for pct in (100, 25):
+        want = _ref_video_pairs(texts, pct)
+        got = [
+            (
+                r["asset_a"], r["asset_b"], r["n_shared"],
+                r["n_a"], r["n_b"], r["jaccard"],
+            )
+            for r in multimodal.video_neardup_pairs(
+                docs, min_jaccard_pct=pct
+            ).collect()
+        ]
+        assert got == want
+
+
+def test_video_neardup_planted_fixture(spark):
+    docs = _planted_videos(spark)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect() if r["doc_id"] % 3 == 2}
+    got = [
+        (
+            r["asset_a"], r["asset_b"], r["n_shared"],
+            r["n_a"], r["n_b"], r["jaccard"],
+        )
+        for r in multimodal.video_neardup_pairs(
+            docs, min_jaccard_pct=25
+        ).collect()
+    ]
+    assert got == _ref_video_pairs(texts, 25)
+    by_pair = {(a, b): (ns, na, nb, j) for a, b, ns, na, nb, j in got}
+    # exact copy: identical signature sets, jaccard exactly 1.0
+    ns, na, nb, j = by_pair[(2, 8)]
+    assert ns == na == nb and j == 1.0
+    # digest-aligned half-copy: a real shared-frame intersection that
+    # is NOT the full set (the partial-copy case whole-blob hashing
+    # cannot see)
+    ns, na, nb, j = by_pair[(2, 5)]
+    assert 0 < ns < max(na, nb)
+    assert 0.25 <= j < 1.0
+    # image-typed doc 0 out of scope on both sides
+    assert all(0 not in p for p in by_pair)
+
+
+def test_video_neardup_threshold_validation_and_plan(spark):
+    docs = _planted_videos(spark)
+    for bad in (0, -5, 101):
+        with pytest.raises(ValueError, match="min_jaccard_pct"):
+            multimodal.video_neardup_pairs(docs, min_jaccard_pct=bad)
+    plan = multimodal.video_neardup_pairs(docs)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
