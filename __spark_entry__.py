@@ -743,6 +743,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_neardup_pairs": lambda s, d: (
             multimodal.video_neardup_pairs(_t(s, d, "documents"))
         ),
+        # the capacity read pricing the signature join's quadratic
+        # term before paying it (hot-signature skew is real: one
+        # degenerate signature on 131 sf0.01 videos)
+        "video_sig_density": lambda s, d: (
+            multimodal.video_sig_density(_t(s, d, "documents"))
+        ),
         "multimodal_resize": lambda s, d: multimodal.resize_plan(
             multimodal.decode_assets(multimodal.as_assets(_t(s, d, "documents")))
         ),
@@ -4904,6 +4910,27 @@ ORDER BY asset_a, asset_b
 """
 
 
+def _mm_sig_density_sql() -> str:
+    """1-row capacity read over the frame-signature table: postings,
+    distinct keys, hottest key, and the exact candidate-pair bill the
+    signature join would generate (integer ``//`` matching Spark's
+    ``div``; CASTs because DuckDB SUM widens BIGINT to HUGEINT)."""
+    return f"""
+WITH {_mm_frame_sig_sql()},
+sset AS (
+    SELECT DISTINCT asset_id, lane0, lane1, lane2, lane3 FROM fsig
+), per_sig AS (
+    SELECT lane0, lane1, lane2, lane3, COUNT(*) AS c
+    FROM sset GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(SUM(c) AS BIGINT) AS n_postings,
+       COUNT(*) AS n_keys,
+       CAST(MAX(c) AS BIGINT) AS max_sig_freq,
+       CAST(SUM(c * (c - 1)) // 2 AS BIGINT) AS candidate_pairs
+FROM per_sig
+"""
+
+
 def _mm_decode_sql() -> str:
     """Oracle replica of the deterministic fake decoder (md5-derived)."""
     return f"""
@@ -8486,6 +8513,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "image_dedup_survivors": _mm_survivors_sql(),
         "video_frame_signatures": _mm_frame_sig_entry_sql(),
         "video_neardup_pairs": _mm_video_neardup_sql(),
+        "video_sig_density": _mm_sig_density_sql(),
         "multimodal_features": _mm_features_sql(),
         "multimodal_frames": _mm_frames_sql(),
         "multimodal_resize": _mm_resize_sql(),
@@ -8495,7 +8523,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
 #: Count of oracle-backed entries — the structured form of the rotation
 #: note's "N entries" claim (two r14 review rounds caught the comment
 #: stale; a constant asserted against len(oracle_sql()) cannot drift).
-_N_ORACLE_BACKED = 217
+_N_ORACLE_BACKED = 218
 
 # Computed HERE (end of module) because it needs oracle_sql(); see the
 # rotation note above _driver_first_order.

@@ -662,10 +662,46 @@ def video_frame_signatures(
     )
 
 
+def video_sig_density(
+    documents: DataFrame, max_frames: int = FRAME_SAMPLE_MAX
+) -> DataFrame:
+    """Frame-signature capacity read — the question to ask BEFORE
+    paying the pair join (the `session_overlap_density` /
+    `lsh_band_profile` discipline): how many postings, how many
+    distinct signatures, how hot is the hottest one, and the exact
+    candidate-pair bill (``Σ c·(c-1)/2``) the signature join would
+    generate. Real sf0.01 data answers: one degenerate signature held
+    by 131 videos — the black-frame analogue — so the quadratic term
+    is real, and `video_neardup_pairs`' ``max_sig_freq`` cap is the
+    lever this read prices.
+
+    Scale shape: distinct + one map-side-combined groupBy + a 1-row
+    aggregate; no joins. Output: one row (n_postings, n_keys,
+    max_sig_freq, candidate_pairs).
+    """
+    lane_cols = [f"lane{j}" for j in range(DHASH_N_LANES)]
+    per_sig = (
+        video_frame_signatures(documents, max_frames)
+        .select("asset_id", *lane_cols)
+        .distinct()
+        .groupBy(*lane_cols)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_sig.agg(
+        F.sum("c").alias("n_postings"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_sig_freq"),
+        # integer-exact: c·(c-1) is even, `div` keeps the whole
+        # computation in BIGINT (no float boundary at any scale)
+        F.expr("sum(c * (c - 1)) div 2").alias("candidate_pairs"),
+    )
+
+
 def video_neardup_pairs(
     documents: DataFrame,
     min_jaccard_pct: int = VIDEO_JACCARD_MIN_PCT,
     max_frames: int = FRAME_SAMPLE_MAX,
+    max_sig_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate VIDEO pairs by frame-fingerprint-set Jaccard ≥
     ``min_jaccard_pct``% — completing near-dup coverage for the third
@@ -682,10 +718,20 @@ def video_neardup_pairs(
     ``n_shared`` is exact set intersection (both sides distinct), the
     Jaccard gate is integer cross-multiplication (no float boundary),
     and the reported ``jaccard`` is one IEEE division, deterministic
-    cross-engine. Real corpora have hot fingerprints (black frames —
-    the stop-word analogue); at scale that key skews the join: AQE
-    skew-join handles moderate cases, a frequency stop-list (the
-    `token_topk` discipline) is the designed extension point.
+    cross-engine.
+
+    Real corpora have hot fingerprints (black frames — the stop-word
+    analogue; measured on THIS repo's sf0.01 data by
+    `video_sig_density`: one signature on 131 videos), and the
+    signature join is quadratic in the hottest key. ``max_sig_freq``
+    applies the text family's `_drop_hot_shingles` design: signatures
+    held by more than that many assets are excluded from CANDIDATE
+    GENERATION only, then every surviving candidate pair's
+    intersection is RECOUNTED over ALL signatures (hot included) — so
+    reported scores are exact, and the only semantic change is that
+    pairs sharing *nothing but* hot signatures disappear (documented
+    completeness trade, same as the capped fuzzy-dedup profile; the
+    default ``None`` is the complete/oracle-mirrored path).
 
     Output: (asset_a, asset_b, n_shared, n_a, n_b, jaccard) with
     asset_a < asset_b, pair asc.
@@ -694,6 +740,11 @@ def video_neardup_pairs(
         raise ValueError(
             f"video_neardup_pairs: min_jaccard_pct must be in (0, 100], "
             f"got {min_jaccard_pct}"
+        )
+    if max_sig_freq is not None and max_sig_freq < 1:
+        raise ValueError(
+            f"video_neardup_pairs: max_sig_freq must be >= 1, "
+            f"got {max_sig_freq}"
         )
     lane_cols = [f"lane{j}" for j in range(DHASH_N_LANES)]
     sset = (
@@ -705,19 +756,56 @@ def video_neardup_pairs(
     counts = sset.groupBy("asset_id").agg(
         F.count(F.lit(1)).alias("n_sigs")
     )
-    inter = (
-        sset.alias("a")
-        .join(
-            sset.alias("b"),
-            [F.col(f"a.{c}") == F.col(f"b.{c}") for c in lane_cols]
-            + [F.col("a.asset_id") < F.col("b.asset_id")],
+
+    def _pair_counts(side: DataFrame) -> DataFrame:
+        return (
+            side.alias("a")
+            .join(
+                side.alias("b"),
+                [F.col(f"a.{c}") == F.col(f"b.{c}") for c in lane_cols]
+                + [F.col("a.asset_id") < F.col("b.asset_id")],
+            )
+            .groupBy(
+                F.col("a.asset_id").alias("asset_a"),
+                F.col("b.asset_id").alias("asset_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_shared"))
         )
-        .groupBy(
-            F.col("a.asset_id").alias("asset_a"),
-            F.col("b.asset_id").alias("asset_b"),
+
+    if max_sig_freq is None:
+        inter = _pair_counts(sset)
+    else:
+        # hot set is tiny by construction (only ultra-frequent
+        # signatures); anti-join prunes candidate generation, the
+        # recount below restores exact scores for survivors
+        hot = (
+            sset.groupBy(*lane_cols)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > max_sig_freq)
+            .select(*lane_cols)
         )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
+        cand = (
+            _pair_counts(sset.join(hot, lane_cols, "left_anti"))
+            .select("asset_a", "asset_b")
+            .alias("p")
+        )
+        sa, sb = sset.alias("sa"), sset.alias("sb")
+        inter = (
+            cand.join(sa, F.col("p.asset_a") == F.col("sa.asset_id"))
+            .join(
+                sb,
+                [F.col("p.asset_b") == F.col("sb.asset_id")]
+                + [
+                    F.col(f"sa.{c}") == F.col(f"sb.{c}")
+                    for c in lane_cols
+                ],
+            )
+            .groupBy(
+                F.col("p.asset_a").alias("asset_a"),
+                F.col("p.asset_b").alias("asset_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
     ca = counts.select(
         F.col("asset_id").alias("asset_a"), F.col("n_sigs").alias("n_a")
     )

@@ -714,3 +714,104 @@ def test_video_neardup_threshold_validation_and_plan(spark):
     plan = multimodal.video_neardup_pairs(docs)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------
+# hot-signature cap + capacity read (r17)
+# ---------------------------------------------------------------
+
+def _ref_sig_density(texts: dict[int, str]):
+    from collections import Counter
+
+    freq = Counter()
+    for t in texts.values():
+        for sig in {lanes for _, lanes in _ref_frame_sigs(t)}:
+            freq[sig] += 1
+    return (
+        sum(freq.values()),
+        len(freq),
+        max(freq.values()),
+        sum(c * (c - 1) // 2 for c in freq.values()),
+    )
+
+
+def test_video_sig_density_matches_reference_real(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.collect()
+        if r["doc_id"] % 3 == 2
+    }
+    row = multimodal.video_sig_density(docs).collect()[0]
+    got = (
+        row["n_postings"], row["n_keys"],
+        row["max_sig_freq"], row["candidate_pairs"],
+    )
+    assert got == _ref_sig_density(texts)
+    # the quadratic term must genuinely be priced: candidate_pairs is
+    # the exact sum over key buckets, so any hot key shows up here
+    assert row["candidate_pairs"] >= row["max_sig_freq"] * (
+        row["max_sig_freq"] - 1
+    ) // 2
+
+
+def test_video_neardup_cap_keeps_true_scores(spark):
+    """The capped profile only ever DROPS pairs (those sharing nothing
+    but hot signatures); every reported pair carries the exact
+    uncapped intersection counts."""
+    docs = _planted_videos(spark)
+    uncapped = {
+        (r["asset_a"], r["asset_b"]): (
+            r["n_shared"], r["n_a"], r["n_b"], r["jaccard"]
+        )
+        for r in multimodal.video_neardup_pairs(
+            docs, min_jaccard_pct=25
+        ).collect()
+    }
+    # cap above every signature frequency: identical result
+    loose = {
+        (r["asset_a"], r["asset_b"]): (
+            r["n_shared"], r["n_a"], r["n_b"], r["jaccard"]
+        )
+        for r in multimodal.video_neardup_pairs(
+            docs, min_jaccard_pct=25, max_sig_freq=10_000
+        ).collect()
+    }
+    assert loose == uncapped
+    # cap at 1: the exact-copy family {2, 8} shares every signature
+    # with frequency >= 2, so candidate generation drops it entirely
+    # (hot-only pair) while NOTHING gains or loses score
+    tight = {
+        (r["asset_a"], r["asset_b"]): (
+            r["n_shared"], r["n_a"], r["n_b"], r["jaccard"]
+        )
+        for r in multimodal.video_neardup_pairs(
+            docs, min_jaccard_pct=25, max_sig_freq=1
+        ).collect()
+    }
+    assert set(tight) <= set(uncapped)
+    for pair, vals in tight.items():
+        assert vals == uncapped[pair]
+    assert (2, 8) not in tight
+
+
+def test_video_neardup_cap_real_equivalence_and_validation(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    # a cap above the sf0.001 max signature frequency must be a no-op
+    row = multimodal.video_sig_density(docs).collect()[0]
+    cap = int(row["max_sig_freq"])
+    got_capped = [
+        tuple(r)
+        for r in multimodal.video_neardup_pairs(
+            docs, min_jaccard_pct=25, max_sig_freq=cap
+        ).collect()
+    ]
+    got_full = [
+        tuple(r)
+        for r in multimodal.video_neardup_pairs(
+            docs, min_jaccard_pct=25
+        ).collect()
+    ]
+    assert got_capped == got_full
+    with pytest.raises(ValueError, match="max_sig_freq"):
+        multimodal.video_neardup_pairs(docs, max_sig_freq=0)
