@@ -740,8 +740,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_signatures": lambda s, d: (
             multimodal.video_frame_signatures(_t(s, d, "documents"))
         ),
+        # registered default is the CAPPED scale profile (hot
+        # signatures pruned from candidate generation, scores
+        # recounted exactly) — deterministic, so still oracle-exact;
+        # the complete path is the max_sig_freq=None API default
         "video_neardup_pairs": lambda s, d: (
-            multimodal.video_neardup_pairs(_t(s, d, "documents"))
+            multimodal.video_neardup_pairs(
+                _t(s, d, "documents"),
+                max_sig_freq=multimodal.VIDEO_SIG_FREQ_CAP,
+            )
         ),
         # the capacity read pricing the signature join's quadratic
         # term before paying it (hot-signature skew is real: one
@@ -4879,24 +4886,39 @@ FROM fsig ORDER BY asset_id, frame_idx
 
 
 def _mm_video_neardup_sql() -> str:
-    """Frame-set Jaccard pairs: distinct signature sets, full-64-bit
-    equi-join intersection, integer cross-multiplied threshold — the
-    Spark plan's exact arithmetic on the oracle engine."""
+    """Frame-set Jaccard pairs, CAPPED profile (the registered
+    default): hot signatures (> `VIDEO_SIG_FREQ_CAP` assets) pruned
+    from candidate generation via NOT EXISTS, surviving pairs'
+    intersections recounted over ALL signatures — the Spark plan's
+    exact arithmetic (the cap is deterministic, so the scale profile
+    is itself oracle-checkable; integer cross-multiplied threshold,
+    one IEEE division)."""
     pct = multimodal.VIDEO_JACCARD_MIN_PCT
-    on = " AND ".join(
-        f"a.lane{j} = b.lane{j}" for j in range(multimodal.DHASH_N_LANES)
-    )
+    cap = multimodal.VIDEO_SIG_FREQ_CAP
+    lanes = [f"lane{j}" for j in range(multimodal.DHASH_N_LANES)]
+    on = " AND ".join(f"a.{c} = b.{c}" for c in lanes)
+    hot_match = " AND ".join(f"h.{c} = s.{c}" for c in lanes)
+    sab = " AND ".join(f"sa.{c} = sb.{c}" for c in lanes)
     return f"""
 WITH {_mm_frame_sig_sql()},
 sset AS (
     SELECT DISTINCT asset_id, lane0, lane1, lane2, lane3 FROM fsig
 ), cnt AS (
     SELECT asset_id, COUNT(*) AS n_sigs FROM sset GROUP BY asset_id
+), hot AS (
+    SELECT lane0, lane1, lane2, lane3
+    FROM sset GROUP BY 1, 2, 3, 4 HAVING COUNT(*) > {cap}
+), nh AS (
+    SELECT * FROM sset s
+    WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE {hot_match})
+), cand AS (
+    SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b
+    FROM nh a JOIN nh b ON {on} AND a.asset_id < b.asset_id
 ), ix AS (
-    SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
-           COUNT(*) AS n_shared
-    FROM sset a JOIN sset b
-      ON {on} AND a.asset_id < b.asset_id
+    SELECT c.asset_a, c.asset_b, COUNT(*) AS n_shared
+    FROM cand c
+    JOIN sset sa ON sa.asset_id = c.asset_a
+    JOIN sset sb ON sb.asset_id = c.asset_b AND {sab}
     GROUP BY 1, 2
 )
 SELECT asset_a, asset_b, n_shared, ca.n_sigs AS n_a, cb.n_sigs AS n_b,

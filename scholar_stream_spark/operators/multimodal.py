@@ -571,6 +571,16 @@ def image_dedup_survivors(
 #: (``n_shared * 100 >= pct * union`` — no float boundary).
 VIDEO_JACCARD_MIN_PCT = 50
 
+#: Registered-default hot-signature cap for `video_neardup_pairs`:
+#: signatures held by more assets than this are pruned from candidate
+#: generation (scores recounted exactly; see the function docstring).
+#: 100 clears every genuine signature on the test corpora while
+#: cutting the degenerate black-frame-analogue bucket (131 assets at
+#: sf0.01, ~10x that at sf0.1) whose pairs are quadratic false
+#: positives. The capped semantics are deterministic, so the default
+#: stays fully oracle-checked.
+VIDEO_SIG_FREQ_CAP = 100
+
 FRAME_SIG_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
