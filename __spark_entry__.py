@@ -756,6 +756,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_sig_density": lambda s, d: (
             multimodal.video_sig_density(_t(s, d, "documents"))
         ),
+        # audio near-dup at the 1-second-window grain — the shared
+        # segmented-fingerprint + set-Jaccard machinery on the third
+        # binary modality (capped default, same rationale as video)
+        "audio_window_signatures": lambda s, d: (
+            multimodal.audio_window_signatures(_t(s, d, "documents"))
+        ),
+        "audio_neardup_pairs": lambda s, d: (
+            multimodal.audio_neardup_pairs(
+                _t(s, d, "documents"),
+                max_sig_freq=multimodal.AUDIO_SIG_FREQ_CAP,
+            )
+        ),
+        "audio_sig_density": lambda s, d: (
+            multimodal.audio_sig_density(_t(s, d, "documents"))
+        ),
         "multimodal_resize": lambda s, d: multimodal.resize_plan(
             multimodal.decode_assets(multimodal.as_assets(_t(s, d, "documents")))
         ),
@@ -4885,6 +4900,53 @@ FROM fsig ORDER BY asset_id, frame_idx
 """
 
 
+def _mm_audio_sig_sql() -> str:
+    """Shared CTE body: per-sampled-window dHash signatures for audio
+    assets — the decode stub's whole-second window count
+    (``duration_ms // 1000``), the `sample_frames` stride, each
+    window's own byte-stream slice as its plane (the frame lane SQL
+    reused verbatim — same off/seg/n column contract)."""
+    k = multimodal.AUDIO_WINDOW_MAX
+    ms = multimodal.AUDIO_WINDOW_MS
+    lanes = ", ".join(
+        _mm_frame_lane_sql(j) for j in range(multimodal.DHASH_N_LANES)
+    )
+    return f"""
+aud AS (
+    SELECT doc_id AS asset_id, text, length(text) AS n, md5(text) AS hx
+    FROM documents WHERE doc_id % 3 = 1
+), awr AS (
+    SELECT asset_id, text, n,
+           (1000 + 10 * ({_mm_b(3)} * 256 + {_mm_b(4)})) // {ms}
+             AS n_windows
+    FROM aud
+), awt AS (
+    SELECT asset_id, text, n, n_windows,
+           greatest(1, CAST(floor(n_windows / {k}.0) AS INT)) AS step
+    FROM awr
+), awx AS (
+    SELECT asset_id, text, n, n_windows,
+           unnest(range(0, n_windows, step)) AS window_idx
+    FROM awt
+), awo AS (
+    SELECT asset_id, text, n, CAST(window_idx AS INT) AS window_idx,
+           (window_idx * n) // n_windows AS off,
+           ((window_idx + 1) * n) // n_windows
+             - (window_idx * n) // n_windows AS seg
+    FROM awx
+), asig AS (
+    SELECT asset_id, window_idx, {lanes} FROM awo
+)"""
+
+
+def _mm_audio_sig_entry_sql() -> str:
+    return f"""
+WITH {_mm_audio_sig_sql()}
+SELECT asset_id, window_idx, lane0, lane1, lane2, lane3
+FROM asig ORDER BY asset_id, window_idx
+"""
+
+
 def _mm_video_neardup_sql() -> str:
     """Frame-set Jaccard pairs, CAPPED profile (the registered
     default): hot signatures (> `VIDEO_SIG_FREQ_CAP` assets) pruned
@@ -4893,16 +4955,34 @@ def _mm_video_neardup_sql() -> str:
     exact arithmetic (the cap is deterministic, so the scale profile
     is itself oracle-checkable; integer cross-multiplied threshold,
     one IEEE division)."""
-    pct = multimodal.VIDEO_JACCARD_MIN_PCT
-    cap = multimodal.VIDEO_SIG_FREQ_CAP
+    return _mm_sig_jaccard_sql(
+        _mm_frame_sig_sql(), "fsig",
+        cap=multimodal.VIDEO_SIG_FREQ_CAP,
+        pct=multimodal.VIDEO_JACCARD_MIN_PCT,
+    )
+
+
+def _mm_audio_neardup_sql() -> str:
+    """The capped set-Jaccard pair SQL on the audio window-signature
+    table (same generic builder — Spark side shares the machinery via
+    `_sig_set_jaccard_pairs`, the oracle shares it here)."""
+    return _mm_sig_jaccard_sql(
+        _mm_audio_sig_sql(), "asig",
+        cap=multimodal.AUDIO_SIG_FREQ_CAP,
+        pct=multimodal.VIDEO_JACCARD_MIN_PCT,
+    )
+
+
+def _mm_sig_jaccard_sql(sig_cte: str, sig_table: str, cap: int,
+                        pct: int) -> str:
     lanes = [f"lane{j}" for j in range(multimodal.DHASH_N_LANES)]
     on = " AND ".join(f"a.{c} = b.{c}" for c in lanes)
     hot_match = " AND ".join(f"h.{c} = s.{c}" for c in lanes)
     sab = " AND ".join(f"sa.{c} = sb.{c}" for c in lanes)
     return f"""
-WITH {_mm_frame_sig_sql()},
+WITH {sig_cte},
 sset AS (
-    SELECT DISTINCT asset_id, lane0, lane1, lane2, lane3 FROM fsig
+    SELECT DISTINCT asset_id, lane0, lane1, lane2, lane3 FROM {sig_table}
 ), cnt AS (
     SELECT asset_id, COUNT(*) AS n_sigs FROM sset GROUP BY asset_id
 ), hot AS (
@@ -4933,14 +5013,22 @@ ORDER BY asset_a, asset_b
 
 
 def _mm_sig_density_sql() -> str:
-    """1-row capacity read over the frame-signature table: postings,
-    distinct keys, hottest key, and the exact candidate-pair bill the
-    signature join would generate (integer ``//`` matching Spark's
-    ``div``; CASTs because DuckDB SUM widens BIGINT to HUGEINT)."""
+    return _mm_density_generic_sql(_mm_frame_sig_sql(), "fsig")
+
+
+def _mm_audio_density_sql() -> str:
+    return _mm_density_generic_sql(_mm_audio_sig_sql(), "asig")
+
+
+def _mm_density_generic_sql(sig_cte: str, sig_table: str) -> str:
+    """1-row capacity read over a signature table: postings, distinct
+    keys, hottest key, and the exact candidate-pair bill the signature
+    join would generate (integer ``//`` matching Spark's ``div``;
+    CASTs because DuckDB SUM widens BIGINT to HUGEINT)."""
     return f"""
-WITH {_mm_frame_sig_sql()},
+WITH {sig_cte},
 sset AS (
-    SELECT DISTINCT asset_id, lane0, lane1, lane2, lane3 FROM fsig
+    SELECT DISTINCT asset_id, lane0, lane1, lane2, lane3 FROM {sig_table}
 ), per_sig AS (
     SELECT lane0, lane1, lane2, lane3, COUNT(*) AS c
     FROM sset GROUP BY 1, 2, 3, 4
@@ -8536,6 +8624,9 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "video_frame_signatures": _mm_frame_sig_entry_sql(),
         "video_neardup_pairs": _mm_video_neardup_sql(),
         "video_sig_density": _mm_sig_density_sql(),
+        "audio_window_signatures": _mm_audio_sig_entry_sql(),
+        "audio_neardup_pairs": _mm_audio_neardup_sql(),
+        "audio_sig_density": _mm_audio_density_sql(),
         "multimodal_features": _mm_features_sql(),
         "multimodal_frames": _mm_frames_sql(),
         "multimodal_resize": _mm_resize_sql(),
@@ -8545,7 +8636,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
 #: Count of oracle-backed entries — the structured form of the rotation
 #: note's "N entries" claim (two r14 review rounds caught the comment
 #: stale; a constant asserted against len(oracle_sql()) cannot drift).
-_N_ORACLE_BACKED = 218
+_N_ORACLE_BACKED = 221
 
 # Computed HERE (end of module) because it needs oracle_sql(); see the
 # rotation note above _driver_first_order.

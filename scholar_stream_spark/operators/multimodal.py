@@ -638,8 +638,35 @@ def video_frame_signatures(
     frame_idx, lane0..3), asset/frame asc.
     """
 
-    assets = as_assets(documents).filter(F.col("media_type") == "video")
-    cols = [f.name for f in FRAME_SIG_SCHEMA.fields]
+    return _segment_signatures(
+        documents,
+        media_type="video",
+        idx_name="frame_idx",
+        schema=FRAME_SIG_SCHEMA,
+        n_segments_fn=lambda digest: 1 + digest[5],
+        max_segments=max_frames,
+    )
+
+
+def _segment_signatures(
+    documents: DataFrame,
+    media_type: str,
+    idx_name: str,
+    schema: T.StructType,
+    n_segments_fn,
+    max_segments: int,
+) -> DataFrame:
+    """Shared segmented-fingerprint kernel: one ``mapInPandas`` pass
+    over the modality's blobs; the segment count comes from the decode
+    contract (``n_segments_fn`` over the md5 digest — `_fake_decode`'s
+    value source), the sample stride is `sample_frames`' rule, and
+    each segment fingerprints its OWN byte-stream slice through the
+    dHash lane kernel. Video frames and audio seconds are the same
+    operation at different segment grains."""
+    assets = as_assets(documents).filter(
+        F.col("media_type") == media_type
+    )
+    cols = [f.name for f in schema.fields]
 
     def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -647,16 +674,16 @@ def video_frame_signatures(
             for aid, blob in zip(pdf["asset_id"], pdf["content"]):
                 b = bytes(blob)
                 n = len(b)
-                n_frames = 1 + hashlib.md5(b).digest()[5]
-                step = max(1, n_frames // max_frames)
-                for f in range(0, n_frames, step):
-                    off = (f * n) // n_frames
-                    seg = ((f + 1) * n) // n_frames - off
+                n_segments = n_segments_fn(hashlib.md5(b).digest())
+                step = max(1, n_segments // max_segments)
+                for s in range(0, n_segments, step):
+                    off = (s * n) // n_segments
+                    seg = ((s + 1) * n) // n_segments - off
                     lanes = _frame_dhash_lanes_py(b, off, seg)
                     rows.append(
                         {
                             "asset_id": aid,
-                            "frame_idx": f,
+                            idx_name: s,
                             **{
                                 f"lane{j}": lanes[j]
                                 for j in range(DHASH_N_LANES)
@@ -667,8 +694,8 @@ def video_frame_signatures(
 
     return (
         assets.select("asset_id", "content")
-        .mapInPandas(sigs, FRAME_SIG_SCHEMA)
-        .orderBy("asset_id", "frame_idx")
+        .mapInPandas(sigs, schema)
+        .orderBy("asset_id", idx_name)
     )
 
 
@@ -689,10 +716,16 @@ def video_sig_density(
     aggregate; no joins. Output: one row (n_postings, n_keys,
     max_sig_freq, candidate_pairs).
     """
+    return _sig_density(video_frame_signatures(documents, max_frames))
+
+
+def _sig_density(sigs: DataFrame) -> DataFrame:
+    """Shared capacity read over any (asset_id, lane0..3) signature
+    table: distinct + one map-side-combined groupBy + a 1-row
+    aggregate; no joins."""
     lane_cols = [f"lane{j}" for j in range(DHASH_N_LANES)]
     per_sig = (
-        video_frame_signatures(documents, max_frames)
-        .select("asset_id", *lane_cols)
+        sigs.select("asset_id", *lane_cols)
         .distinct()
         .groupBy(*lane_cols)
         .agg(F.count(F.lit(1)).alias("c"))
@@ -746,20 +779,38 @@ def video_neardup_pairs(
     Output: (asset_a, asset_b, n_shared, n_a, n_b, jaccard) with
     asset_a < asset_b, pair asc.
     """
+    return _sig_set_jaccard_pairs(
+        video_frame_signatures(documents, max_frames),
+        op_name="video_neardup_pairs",
+        min_jaccard_pct=min_jaccard_pct,
+        max_sig_freq=max_sig_freq,
+    )
+
+
+def _sig_set_jaccard_pairs(
+    sigs: DataFrame,
+    op_name: str,
+    min_jaccard_pct: int,
+    max_sig_freq: int | None,
+) -> DataFrame:
+    """Shared set-Jaccard pair join over any (asset_id, lane0..3)
+    signature table — the `video_neardup_pairs` machinery (distinct
+    sets, full-64-bit inverted-index equi-join, integer cross-
+    multiplied gate, optional hot-signature candidate prune with
+    exact recount), reused per modality."""
     if not 0 < min_jaccard_pct <= 100:
         raise ValueError(
-            f"video_neardup_pairs: min_jaccard_pct must be in (0, 100], "
+            f"{op_name}: min_jaccard_pct must be in (0, 100], "
             f"got {min_jaccard_pct}"
         )
     if max_sig_freq is not None and max_sig_freq < 1:
         raise ValueError(
-            f"video_neardup_pairs: max_sig_freq must be >= 1, "
+            f"{op_name}: max_sig_freq must be >= 1, "
             f"got {max_sig_freq}"
         )
     lane_cols = [f"lane{j}" for j in range(DHASH_N_LANES)]
     sset = (
-        video_frame_signatures(documents, max_frames)
-        .select("asset_id", *lane_cols)
+        sigs.select("asset_id", *lane_cols)
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -838,4 +889,102 @@ def video_neardup_pairs(
             (F.col("n_shared").cast("double") / union).alias("jaccard"),
         )
         .orderBy("asset_a", "asset_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio near-dup: per-second window fingerprints (the same segmented-
+# fingerprint kernel at the audio grain — completing the modality
+# triptych: text, image, video, audio all have a near-dup path)
+# ---------------------------------------------------------------------------
+
+#: Audio sampling: 1-second analysis windows, sample ≤8 (the frame
+#: discipline at the audio grain).
+AUDIO_WINDOW_MS = 1000
+AUDIO_WINDOW_MAX = 8
+
+#: Registered-default hot-signature cap for `audio_neardup_pairs`
+#: (the `VIDEO_SIG_FREQ_CAP` rationale; audio exhibits the same
+#: degenerate-signature skew — silence is audio's black frame).
+AUDIO_SIG_FREQ_CAP = 100
+
+AUDIO_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        *[
+            T.StructField(f"lane{j}", T.IntegerType())
+            for j in range(DHASH_N_LANES)
+        ],
+    ]
+)
+
+
+def _audio_n_windows(digest: bytes) -> int:
+    """Decode-contract window count: `_fake_decode`'s audio
+    ``duration_ms`` (1000 + 10·(b3·256 + b4)) in whole seconds."""
+    duration_ms = 1000 + 10 * (digest[3] * 256 + digest[4])
+    return duration_ms // AUDIO_WINDOW_MS
+
+
+def audio_window_signatures(
+    documents: DataFrame, max_windows: int = AUDIO_WINDOW_MAX
+) -> DataFrame:
+    """Per-sampled-window fingerprint for AUDIO assets — the
+    fingerprint layer of audio near-dup. Audio duplicates at the
+    SEGMENT grain like video (a re-encode or a clipped copy shares
+    stretches of signal, never container bytes); the practical shape
+    is the same: fingerprint fixed-length analysis windows (1 s — the
+    spectral-landmark granularity audio fingerprinters use), compare
+    fingerprint SETS. Windows follow the decode contract: the count
+    is `_fake_decode`'s ``duration_ms`` in seconds, the stride is
+    `sample_frames`' rule, and each window fingerprints its own slice
+    of the byte stream (a real pipeline would hash the window's
+    spectrogram — the `_fake_decode` swap point; the lane layout and
+    all plumbing stay as-is).
+
+    Scale shape: identical to `video_frame_signatures` (shared
+    kernel): one ``mapInPandas`` pass, blob crosses once, ≤8 rows of
+    4 small ints come back, no shuffle. Output: (asset_id,
+    window_idx, lane0..3), asset/window asc.
+    """
+    return _segment_signatures(
+        documents,
+        media_type="audio",
+        idx_name="window_idx",
+        schema=AUDIO_SIG_SCHEMA,
+        n_segments_fn=_audio_n_windows,
+        max_segments=max_windows,
+    )
+
+
+def audio_sig_density(
+    documents: DataFrame, max_windows: int = AUDIO_WINDOW_MAX
+) -> DataFrame:
+    """The `video_sig_density` capacity read at the audio grain:
+    postings, distinct keys, hottest-key frequency, and the exact
+    candidate-pair bill of the window-signature join — priced BEFORE
+    paying it. Output: one row (n_postings, n_keys, max_sig_freq,
+    candidate_pairs)."""
+    return _sig_density(audio_window_signatures(documents, max_windows))
+
+
+def audio_neardup_pairs(
+    documents: DataFrame,
+    min_jaccard_pct: int = VIDEO_JACCARD_MIN_PCT,
+    max_windows: int = AUDIO_WINDOW_MAX,
+    max_sig_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs by window-fingerprint-set Jaccard —
+    `video_neardup_pairs` semantics on the audio signature table
+    (shared machinery: distinct sets, inverted-index equi-join,
+    integer-exact gate, optional hot-signature prune with exact
+    recount; silence buckets are audio's black frames). Output:
+    (asset_a, asset_b, n_shared, n_a, n_b, jaccard), pair asc.
+    """
+    return _sig_set_jaccard_pairs(
+        audio_window_signatures(documents, max_windows),
+        op_name="audio_neardup_pairs",
+        min_jaccard_pct=min_jaccard_pct,
+        max_sig_freq=max_sig_freq,
     )

@@ -815,3 +815,129 @@ def test_video_neardup_cap_real_equivalence_and_validation(spark):
     assert got_capped == got_full
     with pytest.raises(ValueError, match="max_sig_freq"):
         multimodal.video_neardup_pairs(docs, max_sig_freq=0)
+
+
+# ---------------------------------------------------------------
+# audio window fingerprints (r17): the shared kernel at the 1 s grain
+# ---------------------------------------------------------------
+
+def _ref_audio_sigs(text: str):
+    import hashlib
+
+    b = text.encode("utf-8")
+    n = len(b)
+    d = hashlib.md5(b).digest()
+    n_windows = (1000 + 10 * (d[3] * 256 + d[4])) // multimodal.AUDIO_WINDOW_MS
+    step = max(1, n_windows // multimodal.AUDIO_WINDOW_MAX)
+    out = []
+    for w in range(0, n_windows, step):
+        off = (w * n) // n_windows
+        seg = ((w + 1) * n) // n_windows - off
+        out.append(
+            (w, tuple(multimodal._frame_dhash_lanes_py(b, off, seg)))
+        )
+    return out
+
+
+def test_audio_window_signatures_match_reference_real(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.collect()
+        if r["doc_id"] % 3 == 1
+    }
+    want = {
+        (aid, w): lanes
+        for aid, t in texts.items()
+        for w, lanes in _ref_audio_sigs(t)
+    }
+    got = {
+        (r["asset_id"], r["window_idx"]): (
+            r["lane0"], r["lane1"], r["lane2"], r["lane3"]
+        )
+        for r in multimodal.audio_window_signatures(docs).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_audio_neardup_and_density_match_reference_real(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.collect()
+        if r["doc_id"] % 3 == 1
+    }
+    # brute-force uncapped pairs at a permissive threshold
+    sets = {
+        aid: {lanes for _, lanes in _ref_audio_sigs(t)}
+        for aid, t in texts.items()
+    }
+    want = []
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        na, nb = len(sets[a]), len(sets[b])
+        un = na + nb - inter
+        if inter and inter * 100 >= 25 * un:
+            want.append((a, b, inter, na, nb, inter / un))
+    got = [
+        tuple(r)
+        for r in multimodal.audio_neardup_pairs(
+            docs, min_jaccard_pct=25
+        ).collect()
+    ]
+    assert got == want
+    # density vs Counter reference
+    from collections import Counter
+
+    freq = Counter()
+    for s in sets.values():
+        for sig in s:
+            freq[sig] += 1
+    row = multimodal.audio_sig_density(docs).collect()[0]
+    assert (
+        row["n_postings"], row["n_keys"],
+        row["max_sig_freq"], row["candidate_pairs"],
+    ) == (
+        sum(freq.values()), len(freq), max(freq.values()),
+        sum(c * (c - 1) // 2 for c in freq.values()),
+    )
+
+
+def test_audio_neardup_exact_copy_and_scope(spark):
+    """Exact-copy audio pair scores jaccard 1.0; video/image-typed
+    docs stay out of scope; the capped registered profile keeps true
+    scores (cap above every frequency == uncapped)."""
+    base = " ".join(
+        f"waveform block {j:03d} of the ambient field recording"
+        for j in range(40)
+    )
+    rows = [
+        (1, base),
+        (4, base),          # exact duplicate of 1
+        (7, "totally different synth line with heavy compression!!"),
+        (2, base),          # video-typed: out of scope
+        (0, base),          # image-typed: out of scope
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["asset_a"], r["asset_b"]): (
+            r["n_shared"], r["n_a"], r["n_b"], r["jaccard"]
+        )
+        for r in multimodal.audio_neardup_pairs(
+            docs, min_jaccard_pct=25
+        ).collect()
+    }
+    assert (1, 4) in got
+    ns, na, nb, j = got[(1, 4)]
+    assert ns == na == nb and j == 1.0
+    assert all(0 not in p and 2 not in p for p in got)
+    capped = {
+        (r["asset_a"], r["asset_b"]): (
+            r["n_shared"], r["n_a"], r["n_b"], r["jaccard"]
+        )
+        for r in multimodal.audio_neardup_pairs(
+            docs, min_jaccard_pct=25, max_sig_freq=10_000
+        ).collect()
+    }
+    assert capped == got
