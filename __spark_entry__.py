@@ -771,6 +771,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_sig_density": lambda s, d: (
             multimodal.audio_sig_density(_t(s, d, "documents"))
         ),
+        # lifecycle closers: the image family's clusters + keep-one
+        # steps at the video/audio grains (capped pair graph — the
+        # oracle-exact scale profile — feeding the hybrid CC)
+        "video_neardup_clusters": lambda s, d: (
+            multimodal.video_neardup_clusters(_t(s, d, "documents"))
+        ),
+        "video_dedup_survivors": lambda s, d: (
+            multimodal.video_dedup_survivors(_t(s, d, "documents"))
+        ),
+        "audio_neardup_clusters": lambda s, d: (
+            multimodal.audio_neardup_clusters(_t(s, d, "documents"))
+        ),
+        "audio_dedup_survivors": lambda s, d: (
+            multimodal.audio_dedup_survivors(_t(s, d, "documents"))
+        ),
         "multimodal_resize": lambda s, d: multimodal.resize_plan(
             multimodal.decode_assets(multimodal.as_assets(_t(s, d, "documents")))
         ),
@@ -4973,14 +4988,16 @@ def _mm_audio_neardup_sql() -> str:
     )
 
 
-def _mm_sig_jaccard_sql(sig_cte: str, sig_table: str, cap: int,
-                        pct: int) -> str:
+def _mm_sig_pairs_body(sig_cte: str, sig_table: str, cap: int,
+                       pct: int) -> str:
+    """CTE-body fragment ending in ``gpairs`` — the capped, gated
+    set-Jaccard pair table; shared by the pair entries, the cluster
+    entries (reachability over gpairs) and the survivor entries."""
     lanes = [f"lane{j}" for j in range(multimodal.DHASH_N_LANES)]
     on = " AND ".join(f"a.{c} = b.{c}" for c in lanes)
     hot_match = " AND ".join(f"h.{c} = s.{c}" for c in lanes)
     sab = " AND ".join(f"sa.{c} = sb.{c}" for c in lanes)
-    return f"""
-WITH {sig_cte},
+    return f"""{sig_cte},
 sset AS (
     SELECT DISTINCT asset_id, lane0, lane1, lane2, lane3 FROM {sig_table}
 ), cnt AS (
@@ -5000,15 +5017,72 @@ sset AS (
     JOIN sset sa ON sa.asset_id = c.asset_a
     JOIN sset sb ON sb.asset_id = c.asset_b AND {sab}
     GROUP BY 1, 2
-)
-SELECT asset_a, asset_b, n_shared, ca.n_sigs AS n_a, cb.n_sigs AS n_b,
-       CAST(n_shared AS DOUBLE) / (ca.n_sigs + cb.n_sigs - n_shared)
-         AS jaccard
-FROM ix
-JOIN cnt ca ON ix.asset_a = ca.asset_id
-JOIN cnt cb ON ix.asset_b = cb.asset_id
-WHERE n_shared * 100 >= {pct} * (ca.n_sigs + cb.n_sigs - n_shared)
-ORDER BY asset_a, asset_b
+), gpairs AS (
+    SELECT asset_a, asset_b, n_shared, ca.n_sigs AS n_a,
+           cb.n_sigs AS n_b,
+           CAST(n_shared AS DOUBLE)
+             / (ca.n_sigs + cb.n_sigs - n_shared) AS jaccard
+    FROM ix
+    JOIN cnt ca ON ix.asset_a = ca.asset_id
+    JOIN cnt cb ON ix.asset_b = cb.asset_id
+    WHERE n_shared * 100 >= {pct} * (ca.n_sigs + cb.n_sigs - n_shared)
+)"""
+
+
+def _mm_sig_jaccard_sql(sig_cte: str, sig_table: str, cap: int,
+                        pct: int) -> str:
+    return f"""
+WITH {_mm_sig_pairs_body(sig_cte, sig_table, cap, pct)}
+SELECT asset_a, asset_b, n_shared, n_a, n_b, jaccard
+FROM gpairs ORDER BY asset_a, asset_b
+"""
+
+
+_MM_REACH_CTES = """
+edges AS (
+    SELECT asset_a AS s, asset_b AS t FROM gpairs
+    UNION
+    SELECT asset_b, asset_a FROM gpairs
+),
+reach(node, r) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.t, reach.r FROM reach JOIN edges e ON reach.node = e.s
+),
+labeled AS (
+    SELECT node AS asset_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+)"""
+
+
+def _mm_sig_clusters_sql(sig_cte: str, sig_table: str, cap: int,
+                         pct: int) -> str:
+    """Connected components over the gated pair graph — the
+    `_mm_clusters_sql` recursive-reachability idiom on the segment
+    modalities."""
+    return f"""
+WITH RECURSIVE {_mm_sig_pairs_body(sig_cte, sig_table, cap, pct)},
+{_MM_REACH_CTES}
+SELECT asset_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labeled ORDER BY asset_id
+"""
+
+
+def _mm_sig_survivors_sql(sig_cte: str, sig_table: str,
+                          base_table: str, cap: int, pct: int) -> str:
+    """Keep-one step: every modality asset NOT a non-representative
+    cluster member (the `_mm_survivors_sql` idiom; the base CTE
+    carries text + byte length under the ASCII pin)."""
+    return f"""
+WITH RECURSIVE {_mm_sig_pairs_body(sig_cte, sig_table, cap, pct)},
+{_MM_REACH_CTES}
+SELECT v.asset_id, CAST(v.n AS BIGINT) AS n_bytes,
+       md5(v.text) AS checksum
+FROM {base_table} v
+WHERE NOT EXISTS (SELECT 1 FROM labeled l
+                  WHERE l.asset_id = v.asset_id
+                    AND l.cluster_id <> l.asset_id)
+ORDER BY v.asset_id
 """
 
 
@@ -8627,6 +8701,26 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
         "audio_window_signatures": _mm_audio_sig_entry_sql(),
         "audio_neardup_pairs": _mm_audio_neardup_sql(),
         "audio_sig_density": _mm_audio_density_sql(),
+        "video_neardup_clusters": _mm_sig_clusters_sql(
+            _mm_frame_sig_sql(), "fsig",
+            cap=multimodal.VIDEO_SIG_FREQ_CAP,
+            pct=multimodal.VIDEO_JACCARD_MIN_PCT,
+        ),
+        "video_dedup_survivors": _mm_sig_survivors_sql(
+            _mm_frame_sig_sql(), "fsig", "vid",
+            cap=multimodal.VIDEO_SIG_FREQ_CAP,
+            pct=multimodal.VIDEO_JACCARD_MIN_PCT,
+        ),
+        "audio_neardup_clusters": _mm_sig_clusters_sql(
+            _mm_audio_sig_sql(), "asig",
+            cap=multimodal.AUDIO_SIG_FREQ_CAP,
+            pct=multimodal.VIDEO_JACCARD_MIN_PCT,
+        ),
+        "audio_dedup_survivors": _mm_sig_survivors_sql(
+            _mm_audio_sig_sql(), "asig", "aud",
+            cap=multimodal.AUDIO_SIG_FREQ_CAP,
+            pct=multimodal.VIDEO_JACCARD_MIN_PCT,
+        ),
         "multimodal_features": _mm_features_sql(),
         "multimodal_frames": _mm_frames_sql(),
         "multimodal_resize": _mm_resize_sql(),
@@ -8636,7 +8730,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
 #: Count of oracle-backed entries — the structured form of the rotation
 #: note's "N entries" claim (two r14 review rounds caught the comment
 #: stale; a constant asserted against len(oracle_sql()) cannot drift).
-_N_ORACLE_BACKED = 221
+_N_ORACLE_BACKED = 225
 
 # Computed HERE (end of module) because it needs oracle_sql(); see the
 # rotation note above _driver_first_order.

@@ -497,9 +497,28 @@ def image_neardup_clusters(
         raise ValueError(
             f"image_neardup_clusters: unknown profile {profile!r}"
         )
+    return _clusters_from_pair_keys(
+        documents.sparkSession,
+        image_neardup_pairs(documents, max_hamming),
+        max_driver_edges=max_driver_edges,
+        profile=profile,
+        max_iter=max_iter,
+    )
+
+
+def _clusters_from_pair_keys(
+    spark,
+    pairs: DataFrame,
+    max_driver_edges: int,
+    profile: str,
+    max_iter: int,
+) -> DataFrame:
+    """Shared hybrid connected-components step over any
+    (asset_a, asset_b) near-dup pair table (the dedup module's CC
+    kernels, the limit(n+1)-probe driver/distributed split)."""
     from scholar_stream_spark.operators import dedup
 
-    pairs = image_neardup_pairs(documents, max_hamming).select(
+    pairs = pairs.select(
         F.col("asset_a").alias("d1"), F.col("asset_b").alias("d2")
     )
     edge_plan = pairs.union(
@@ -507,9 +526,7 @@ def image_neardup_clusters(
     )
     probe = edge_plan.limit(max_driver_edges + 1).collect()
     if len(probe) <= max_driver_edges:
-        out = dedup._clusters_driver_union_find(
-            documents.sparkSession, probe
-        )
+        out = dedup._clusters_driver_union_find(spark, probe)
     else:
         edges = edge_plan.localCheckpoint()
         labels = dedup.connected_components(
@@ -547,10 +564,22 @@ def image_dedup_survivors(
     are a pair-graph-sized set, not corpus-sized. Output: (asset_id,
     n_bytes, checksum), asset asc.
     """
-    stats = blob_stats(documents).filter(
-        F.col("media_type") == "image"
+    return _dedup_survivors(
+        documents, "image", image_neardup_clusters(documents, max_hamming)
     )
-    drop = image_neardup_clusters(documents, max_hamming).filter(
+
+
+def _dedup_survivors(
+    documents: DataFrame, media_type: str, clusters: DataFrame
+) -> DataFrame:
+    """Shared keep-one step for any modality: the blob-free stats
+    projection LEFT-ANTI equi-joined against the non-representative
+    cluster members (a pair-graph-sized set, never corpus-sized;
+    content bytes never enter the join)."""
+    stats = blob_stats(documents).filter(
+        F.col("media_type") == media_type
+    )
+    drop = clusters.filter(
         F.col("asset_id") != F.col("cluster_id")
     ).select("asset_id")
     return (
@@ -987,4 +1016,104 @@ def audio_neardup_pairs(
         op_name="audio_neardup_pairs",
         min_jaccard_pct=min_jaccard_pct,
         max_sig_freq=max_sig_freq,
+    )
+
+
+# ---------------------------------------------------------------------------
+# video/audio lifecycle closers: pairs -> clusters -> keep-one (the image
+# family's remaining two steps, instantiated per segment-grain modality)
+# ---------------------------------------------------------------------------
+
+
+def video_neardup_clusters(
+    documents: DataFrame,
+    min_jaccard_pct: int = VIDEO_JACCARD_MIN_PCT,
+    max_frames: int = FRAME_SAMPLE_MAX,
+    max_sig_freq: int | None = VIDEO_SIG_FREQ_CAP,
+    max_driver_edges: int = 1_000_000,
+    profile: str = "oracle",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate VIDEO clusters: connected components over the
+    frame-set-Jaccard pair graph (`image_neardup_clusters` semantics
+    at the video grain; cluster_id = min asset id). Defaults to the
+    CAPPED pair profile — deterministic, hence oracle-exact — so a
+    re-encode family collapses to one training example without paying
+    the hot-signature quadratic term. Output: (asset_id, cluster_id,
+    cluster_size) for every video in ≥1 pair, asset asc."""
+    if profile not in ("oracle", "scale"):
+        raise ValueError(
+            f"video_neardup_clusters: unknown profile {profile!r}"
+        )
+    return _clusters_from_pair_keys(
+        documents.sparkSession,
+        video_neardup_pairs(
+            documents, min_jaccard_pct, max_frames, max_sig_freq
+        ),
+        max_driver_edges=max_driver_edges,
+        profile=profile,
+        max_iter=max_iter,
+    )
+
+
+def video_dedup_survivors(
+    documents: DataFrame,
+    min_jaccard_pct: int = VIDEO_JACCARD_MIN_PCT,
+    max_frames: int = FRAME_SAMPLE_MAX,
+    max_sig_freq: int | None = VIDEO_SIG_FREQ_CAP,
+) -> DataFrame:
+    """Deduplicated VIDEO asset table — one survivor (min asset id)
+    per frame-Jaccard near-dup cluster, singletons untouched (the
+    `image_dedup_survivors` keep-one step at the video grain, shared
+    anti-join machinery). Output: (asset_id, n_bytes, checksum)."""
+    return _dedup_survivors(
+        documents,
+        "video",
+        video_neardup_clusters(
+            documents, min_jaccard_pct, max_frames, max_sig_freq
+        ),
+    )
+
+
+def audio_neardup_clusters(
+    documents: DataFrame,
+    min_jaccard_pct: int = VIDEO_JACCARD_MIN_PCT,
+    max_windows: int = AUDIO_WINDOW_MAX,
+    max_sig_freq: int | None = AUDIO_SIG_FREQ_CAP,
+    max_driver_edges: int = 1_000_000,
+    profile: str = "oracle",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate AUDIO clusters over the window-set-Jaccard pair
+    graph (capped default — oracle-exact). Output: (asset_id,
+    cluster_id, cluster_size), asset asc."""
+    if profile not in ("oracle", "scale"):
+        raise ValueError(
+            f"audio_neardup_clusters: unknown profile {profile!r}"
+        )
+    return _clusters_from_pair_keys(
+        documents.sparkSession,
+        audio_neardup_pairs(
+            documents, min_jaccard_pct, max_windows, max_sig_freq
+        ),
+        max_driver_edges=max_driver_edges,
+        profile=profile,
+        max_iter=max_iter,
+    )
+
+
+def audio_dedup_survivors(
+    documents: DataFrame,
+    min_jaccard_pct: int = VIDEO_JACCARD_MIN_PCT,
+    max_windows: int = AUDIO_WINDOW_MAX,
+    max_sig_freq: int | None = AUDIO_SIG_FREQ_CAP,
+) -> DataFrame:
+    """Deduplicated AUDIO asset table — the keep-one step at the
+    window grain. Output: (asset_id, n_bytes, checksum)."""
+    return _dedup_survivors(
+        documents,
+        "audio",
+        audio_neardup_clusters(
+            documents, min_jaccard_pct, max_windows, max_sig_freq
+        ),
     )

@@ -941,3 +941,142 @@ def test_audio_neardup_exact_copy_and_scope(spark):
         ).collect()
     }
     assert capped == got
+
+
+# ---------------------------------------------------------------
+# video/audio lifecycle closers: clusters + keep-one (r17)
+# ---------------------------------------------------------------
+
+def _uf_clusters(pairs):
+    """Union-find reference: {node: min-of-component} + sizes."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, *_ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict = {}
+    for n in list(parent):
+        comps.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comps.values():
+        label = min(members)
+        for n in members:
+            out[n] = (label, len(members))
+    return out
+
+
+def _check_modality_lifecycle(
+    spark, docs, texts, ref_pairs, clusters_fn, survivors_fn, pct
+):
+    want = _uf_clusters(ref_pairs)
+    got = {
+        r["asset_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in clusters_fn(docs, min_jaccard_pct=pct).collect()
+    }
+    assert got == want
+    import hashlib
+
+    surv = {
+        r["asset_id"]: (r["n_bytes"], r["checksum"])
+        for r in survivors_fn(docs, min_jaccard_pct=pct).collect()
+    }
+    non_reps = {n for n, (lbl, _) in want.items() if n != lbl}
+    assert set(surv) == set(texts) - non_reps
+    for aid, (nb, ck) in surv.items():
+        raw = texts[aid].encode("utf-8")
+        assert nb == len(raw)
+        assert ck == hashlib.md5(raw).hexdigest()
+
+
+def _ref_capped_pairs(sets, pct, cap):
+    """Capped-profile pair reference: hot signatures out of candidate
+    generation, full-intersection scores, integer gate."""
+    from collections import Counter
+
+    freq = Counter(sig for s in sets.values() for sig in s)
+    hot = {sig for sig, c in freq.items() if c > cap}
+    pairs = []
+    for a, b in combinations(sorted(sets), 2):
+        if not ((sets[a] - hot) & (sets[b] - hot)):
+            continue
+        inter = len(sets[a] & sets[b])
+        na, nb = len(sets[a]), len(sets[b])
+        if inter * 100 >= pct * (na + nb - inter):
+            pairs.append((a, b))
+    return pairs
+
+
+def test_video_lifecycle_matches_reference_real(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.collect()
+        if r["doc_id"] % 3 == 2
+    }
+    sets = {
+        aid: {lanes for _, lanes in _ref_frame_sigs(t)}
+        for aid, t in texts.items()
+    }
+    # the registered cap is ACTIVE even at sf0.001 (hottest video
+    # signature: 136 assets) — the capped reference is the contract
+    assert _ref_sig_density(texts)[2] > multimodal.VIDEO_SIG_FREQ_CAP
+    _check_modality_lifecycle(
+        spark, docs, texts,
+        _ref_capped_pairs(sets, 50, multimodal.VIDEO_SIG_FREQ_CAP),
+        multimodal.video_neardup_clusters,
+        multimodal.video_dedup_survivors,
+        pct=50,
+    )
+
+
+def test_audio_lifecycle_matches_reference_real(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.collect()
+        if r["doc_id"] % 3 == 1
+    }
+    sets = {
+        aid: {lanes for _, lanes in _ref_audio_sigs(t)}
+        for aid, t in texts.items()
+    }
+    _check_modality_lifecycle(
+        spark, docs, texts,
+        _ref_capped_pairs(sets, 50, multimodal.AUDIO_SIG_FREQ_CAP),
+        multimodal.audio_neardup_clusters,
+        multimodal.audio_dedup_survivors,
+        pct=50,
+    )
+
+
+def test_video_lifecycle_planted(spark):
+    """{2, 5, 8} collapse to one cluster at pct=25 (exact copy + the
+    digest-aligned half-copy); survivor set = {2, 11}; the image-typed
+    doc 0 out of scope end to end."""
+    docs = _planted_videos(spark)
+    texts = {
+        r["doc_id"]: r["text"] for r in docs.collect() if r["doc_id"] % 3 == 2
+    }
+    ref_pairs = [(a, b) for a, b, *_ in _ref_video_pairs(texts, 25)]
+    assert (2, 8) in ref_pairs  # fixture sanity
+    _check_modality_lifecycle(
+        spark, docs, texts, ref_pairs,
+        multimodal.video_neardup_clusters,
+        multimodal.video_dedup_survivors,
+        pct=25,
+    )
+    got = {
+        r["asset_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in multimodal.video_neardup_clusters(
+            docs, min_jaccard_pct=25
+        ).collect()
+    }
+    assert got.get(8) == (2, 3) and got.get(5) == (2, 3)
