@@ -786,6 +786,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dedup_survivors": lambda s, d: (
             multimodal.audio_dedup_survivors(_t(s, d, "documents"))
         ),
+        # the per-modality funnel report over the three capped cluster
+        # builds (curation_funnel's binary-modality counterpart)
+        "multimodal_dedup_funnel": lambda s, d: (
+            multimodal.multimodal_dedup_funnel(_t(s, d, "documents"))
+        ),
         "multimodal_resize": lambda s, d: multimodal.resize_plan(
             multimodal.decode_assets(multimodal.as_assets(_t(s, d, "documents")))
         ),
@@ -5115,6 +5120,35 @@ FROM per_sig
 """
 
 
+def _mm_funnel_sql() -> str:
+    """Per-modality funnel: each modality's clusters entry SQL wrapped
+    as a derived table (one cluster evaluation per modality), counts +
+    the exact keep-one identity for n_survivors."""
+    blocks = []
+    for mt, mod, cluster_sql in (
+        ("audio", 1, _mm_sig_clusters_sql(
+            _mm_audio_sig_sql(), "asig",
+            cap=multimodal.AUDIO_SIG_FREQ_CAP,
+            pct=multimodal.VIDEO_JACCARD_MIN_PCT,
+        )),
+        ("image", 0, _mm_clusters_sql()),
+        ("video", 2, _mm_sig_clusters_sql(
+            _mm_frame_sig_sql(), "fsig",
+            cap=multimodal.VIDEO_SIG_FREQ_CAP,
+            pct=multimodal.VIDEO_JACCARD_MIN_PCT,
+        )),
+    ):
+        blocks.append(f"""
+SELECT '{mt}' AS media_type, a.n_assets, c.n_dup_members, c.n_clusters,
+       a.n_assets - c.n_dup_members + c.n_clusters AS n_survivors
+FROM (SELECT COUNT(*) AS n_assets FROM documents
+      WHERE doc_id % 3 = {mod}) a,
+     (SELECT COUNT(*) AS n_dup_members,
+             COUNT(DISTINCT cluster_id) AS n_clusters
+      FROM ({cluster_sql}) t) c""")
+    return "\nUNION ALL\n".join(blocks) + "\nORDER BY media_type\n"
+
+
 def _mm_decode_sql() -> str:
     """Oracle replica of the deterministic fake decoder (md5-derived)."""
     return f"""
@@ -8721,6 +8755,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
             cap=multimodal.AUDIO_SIG_FREQ_CAP,
             pct=multimodal.VIDEO_JACCARD_MIN_PCT,
         ),
+        "multimodal_dedup_funnel": _mm_funnel_sql(),
         "multimodal_features": _mm_features_sql(),
         "multimodal_frames": _mm_frames_sql(),
         "multimodal_resize": _mm_resize_sql(),
@@ -8730,7 +8765,7 @@ def _oracle_sql_dict(stop_list: str, exact_sum) -> dict[str, str]:
 #: Count of oracle-backed entries — the structured form of the rotation
 #: note's "N entries" claim (two r14 review rounds caught the comment
 #: stale; a constant asserted against len(oracle_sql()) cannot drift).
-_N_ORACLE_BACKED = 225
+_N_ORACLE_BACKED = 226
 
 # Computed HERE (end of module) because it needs oracle_sql(); see the
 # rotation note above _driver_first_order.

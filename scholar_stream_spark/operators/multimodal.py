@@ -1117,3 +1117,53 @@ def audio_dedup_survivors(
             documents, min_jaccard_pct, max_windows, max_sig_freq
         ),
     )
+
+
+def multimodal_dedup_funnel(documents: DataFrame) -> DataFrame:
+    """Per-modality dedup funnel — the `curation_funnel` report for
+    the binary modalities: how many assets, how many sit in a near-dup
+    cluster, how many clusters they collapse to, and the surviving
+    training-set size. ``n_survivors`` is derived by the exact
+    identity ``n_assets - (n_dup_members - n_clusters)`` (each cluster
+    keeps exactly one representative), so the funnel costs ONE cluster
+    build per modality instead of re-running the keep-one anti-join —
+    the identity is pinned against the real survivor ops in pytest.
+
+    Scale shape: three independent chains of two 1-row aggregates
+    crossJoined (the audit-blessed bounded-broadcast shape), unioned;
+    the heavy inputs are the capped cluster builds the lifecycle
+    already prices. Output: one row per modality (media_type,
+    n_assets, n_dup_members, n_clusters, n_survivors), modality asc.
+    """
+    stats = blob_stats(documents)
+    chains = [
+        ("audio", audio_neardup_clusters(documents)),
+        ("image", image_neardup_clusters(documents)),
+        ("video", video_neardup_clusters(documents)),
+    ]
+    rows = []
+    for mt, clusters in chains:
+        a = stats.filter(F.col("media_type") == mt).agg(
+            F.count(F.lit(1)).alias("n_assets")
+        )
+        c = clusters.agg(
+            F.count(F.lit(1)).alias("n_dup_members"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        rows.append(
+            a.crossJoin(F.broadcast(c)).select(
+                F.lit(mt).alias("media_type"),
+                "n_assets",
+                "n_dup_members",
+                "n_clusters",
+                (
+                    F.col("n_assets")
+                    - F.col("n_dup_members")
+                    + F.col("n_clusters")
+                ).alias("n_survivors"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return out.orderBy("media_type")

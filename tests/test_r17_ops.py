@@ -1080,3 +1080,45 @@ def test_video_lifecycle_planted(spark):
         ).collect()
     }
     assert got.get(8) == (2, 3) and got.get(5) == (2, 3)
+
+
+def test_multimodal_dedup_funnel_identity_vs_real_ops(spark):
+    """The funnel's derived n_survivors must equal the ACTUAL survivor
+    ops' row counts per modality (the keep-one identity pinned against
+    the real anti-join plans), and the count columns must match the
+    composed cluster ops."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    got = {
+        r["media_type"]: (
+            r["n_assets"], r["n_dup_members"],
+            r["n_clusters"], r["n_survivors"],
+        )
+        for r in multimodal.multimodal_dedup_funnel(docs).collect()
+    }
+    assert set(got) == {"audio", "image", "video"}
+    real = {
+        "audio": (
+            multimodal.audio_neardup_clusters(docs),
+            multimodal.audio_dedup_survivors(docs),
+        ),
+        "image": (
+            multimodal.image_neardup_clusters(docs),
+            multimodal.image_dedup_survivors(docs),
+        ),
+        "video": (
+            multimodal.video_neardup_clusters(docs),
+            multimodal.video_dedup_survivors(docs),
+        ),
+    }
+    n_docs = docs.count()
+    for mt, (clusters, survivors) in real.items():
+        crows = clusters.collect()
+        n_assets, nd, nc, ns = got[mt]
+        assert nd == len(crows)
+        assert nc == len({r["cluster_id"] for r in crows})
+        assert ns == survivors.count()
+        assert n_assets == sum(
+            1 for r in docs.collect()
+            if r["doc_id"] % 3 == {"image": 0, "audio": 1, "video": 2}[mt]
+        )
+    assert sum(v[0] for v in got.values()) == n_docs
