@@ -374,6 +374,17 @@ def image_dhash(documents: DataFrame) -> DataFrame:
     Output: (asset_id, lane0..lane3) INT — bit i of the 64-bit hash at
     lane i//16, position i%16; asset asc.
     """
+    return _image_dhash_sigs(documents).orderBy("asset_id")
+
+
+def _image_dhash_sigs(documents: DataFrame) -> DataFrame:
+    """`image_dhash` without the presentation sort — the internal
+    builder every downstream consumer (band join, clusters, funnel)
+    reads: they all re-shuffle or aggregate immediately, so a global
+    sort exchange (plus its range-sampling job) before them is pure
+    waste (guide §2.4: remove exchanges an `orderBy` adds only for
+    output determinism). The PUBLIC `image_dhash` keeps its declared
+    asset-asc contract."""
     assets = as_assets(documents).filter(F.col("media_type") == "image")
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -389,7 +400,7 @@ def image_dhash(documents: DataFrame) -> DataFrame:
             F.col("_lanes")[j].alias(f"lane{j}")
             for j in range(DHASH_N_LANES)
         ],
-    ).orderBy("asset_id")
+    )
 
 
 def image_neardup_pairs(
@@ -415,6 +426,17 @@ def image_neardup_pairs(
     Output: (asset_a, asset_b, hamming) with asset_a < asset_b, pair
     asc.
     """
+    return _image_neardup_pairs_core(documents, max_hamming).orderBy(
+        "asset_a", "asset_b"
+    )
+
+
+def _image_neardup_pairs_core(
+    documents: DataFrame, max_hamming: int = DHASH_HAMMING_MAX
+) -> DataFrame:
+    """`image_neardup_pairs` without the presentation sort (the
+    `_image_dhash_sigs` rationale — the CC probe/build downstream
+    re-partitions anyway)."""
     n_bands = DHASH_N_LANES * DHASH_LANE_BITS // DHASH_BAND_BITS
     if not 0 <= max_hamming < n_bands:
         raise ValueError(
@@ -422,7 +444,7 @@ def image_neardup_pairs(
             f"max_hamming in [0, {n_bands - 1}] (pigeonhole over "
             f"{n_bands} bands), got {max_hamming}"
         )
-    sigs = image_dhash(documents).localCheckpoint(eager=False)
+    sigs = _image_dhash_sigs(documents).localCheckpoint(eager=False)
     lane_cols = [f"lane{j}" for j in range(DHASH_N_LANES)]
     band_structs = []
     for j in range(DHASH_N_LANES):
@@ -462,9 +484,7 @@ def image_neardup_pairs(
         )
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= max_hamming).orderBy(
-        "asset_a", "asset_b"
-    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
 
 
 def image_neardup_clusters(
@@ -473,6 +493,7 @@ def image_neardup_clusters(
     max_driver_edges: int = 1_000_000,
     profile: str = "oracle",
     max_iter: int = 20,
+    sort: bool = True,
 ) -> DataFrame:
     """Near-duplicate IMAGE clusters: connected components over the
     dHash pair graph, ``cluster_id = min asset_id`` — completing the
@@ -499,10 +520,11 @@ def image_neardup_clusters(
         )
     return _clusters_from_pair_keys(
         documents.sparkSession,
-        image_neardup_pairs(documents, max_hamming),
+        _image_neardup_pairs_core(documents, max_hamming),
         max_driver_edges=max_driver_edges,
         profile=profile,
         max_iter=max_iter,
+        sort=sort,
     )
 
 
@@ -512,6 +534,7 @@ def _clusters_from_pair_keys(
     max_driver_edges: int,
     profile: str,
     max_iter: int,
+    sort: bool = True,
 ) -> DataFrame:
     """Shared hybrid connected-components step over any
     (asset_a, asset_b) near-dup pair table (the dedup module's CC
@@ -542,9 +565,10 @@ def _clusters_from_pair_keys(
             F.col("lbl").alias("cluster_id"),
             F.count(F.lit(1)).over(w).alias("cluster_size"),
         )
-    return out.select(
+    out = out.select(
         F.col("doc_id").alias("asset_id"), "cluster_id", "cluster_size"
-    ).orderBy("asset_id")
+    )
+    return out.orderBy("asset_id") if sort else out
 
 
 def image_dedup_survivors(
@@ -565,7 +589,9 @@ def image_dedup_survivors(
     n_bytes, checksum), asset asc.
     """
     return _dedup_survivors(
-        documents, "image", image_neardup_clusters(documents, max_hamming)
+        documents,
+        "image",
+        image_neardup_clusters(documents, max_hamming, sort=False),
     )
 
 
@@ -677,6 +703,23 @@ def video_frame_signatures(
     )
 
 
+def _video_frame_sigs(
+    documents: DataFrame, max_frames: int = FRAME_SAMPLE_MAX
+) -> DataFrame:
+    """`video_frame_signatures` without the presentation sort (the
+    `_image_dhash_sigs` rationale: every internal consumer distincts /
+    joins / aggregates next)."""
+    return _segment_signatures(
+        documents,
+        media_type="video",
+        idx_name="frame_idx",
+        schema=FRAME_SIG_SCHEMA,
+        n_segments_fn=lambda digest: 1 + digest[5],
+        max_segments=max_frames,
+        sort=False,
+    )
+
+
 def _segment_signatures(
     documents: DataFrame,
     media_type: str,
@@ -684,6 +727,7 @@ def _segment_signatures(
     schema: T.StructType,
     n_segments_fn,
     max_segments: int,
+    sort: bool = True,
 ) -> DataFrame:
     """Shared segmented-fingerprint kernel: one ``mapInPandas`` pass
     over the modality's blobs; the segment count comes from the decode
@@ -721,11 +765,8 @@ def _segment_signatures(
                     )
             yield pd.DataFrame(rows, columns=cols)
 
-    return (
-        assets.select("asset_id", "content")
-        .mapInPandas(sigs, schema)
-        .orderBy("asset_id", idx_name)
-    )
+    out = assets.select("asset_id", "content").mapInPandas(sigs, schema)
+    return out.orderBy("asset_id", idx_name) if sort else out
 
 
 def video_sig_density(
@@ -745,7 +786,7 @@ def video_sig_density(
     aggregate; no joins. Output: one row (n_postings, n_keys,
     max_sig_freq, candidate_pairs).
     """
-    return _sig_density(video_frame_signatures(documents, max_frames))
+    return _sig_density(_video_frame_sigs(documents, max_frames))
 
 
 def _sig_density(sigs: DataFrame) -> DataFrame:
@@ -808,8 +849,21 @@ def video_neardup_pairs(
     Output: (asset_a, asset_b, n_shared, n_a, n_b, jaccard) with
     asset_a < asset_b, pair asc.
     """
+    return _video_neardup_pairs_core(
+        documents, min_jaccard_pct, max_frames, max_sig_freq
+    ).orderBy("asset_a", "asset_b")
+
+
+def _video_neardup_pairs_core(
+    documents: DataFrame,
+    min_jaccard_pct: int = VIDEO_JACCARD_MIN_PCT,
+    max_frames: int = FRAME_SAMPLE_MAX,
+    max_sig_freq: int | None = None,
+) -> DataFrame:
+    """`video_neardup_pairs` without the presentation sort (internal
+    consumers re-partition next)."""
     return _sig_set_jaccard_pairs(
-        video_frame_signatures(documents, max_frames),
+        _video_frame_sigs(documents, max_frames),
         op_name="video_neardup_pairs",
         min_jaccard_pct=min_jaccard_pct,
         max_sig_freq=max_sig_freq,
@@ -826,7 +880,9 @@ def _sig_set_jaccard_pairs(
     signature table — the `video_neardup_pairs` machinery (distinct
     sets, full-64-bit inverted-index equi-join, integer cross-
     multiplied gate, optional hot-signature candidate prune with
-    exact recount), reused per modality."""
+    exact recount), reused per modality. UNSORTED — the public pair
+    ops add their declared pair-asc sort; cluster builds consume the
+    set as-is."""
     if not 0 < min_jaccard_pct <= 100:
         raise ValueError(
             f"{op_name}: min_jaccard_pct must be in (0, 100], "
@@ -917,7 +973,6 @@ def _sig_set_jaccard_pairs(
             "n_b",
             (F.col("n_shared").cast("double") / union).alias("jaccard"),
         )
-        .orderBy("asset_a", "asset_b")
     )
 
 
@@ -987,6 +1042,22 @@ def audio_window_signatures(
     )
 
 
+def _audio_window_sigs(
+    documents: DataFrame, max_windows: int = AUDIO_WINDOW_MAX
+) -> DataFrame:
+    """`audio_window_signatures` without the presentation sort (the
+    `_image_dhash_sigs` rationale)."""
+    return _segment_signatures(
+        documents,
+        media_type="audio",
+        idx_name="window_idx",
+        schema=AUDIO_SIG_SCHEMA,
+        n_segments_fn=_audio_n_windows,
+        max_segments=max_windows,
+        sort=False,
+    )
+
+
 def audio_sig_density(
     documents: DataFrame, max_windows: int = AUDIO_WINDOW_MAX
 ) -> DataFrame:
@@ -995,7 +1066,7 @@ def audio_sig_density(
     candidate-pair bill of the window-signature join — priced BEFORE
     paying it. Output: one row (n_postings, n_keys, max_sig_freq,
     candidate_pairs)."""
-    return _sig_density(audio_window_signatures(documents, max_windows))
+    return _sig_density(_audio_window_sigs(documents, max_windows))
 
 
 def audio_neardup_pairs(
@@ -1011,8 +1082,21 @@ def audio_neardup_pairs(
     recount; silence buckets are audio's black frames). Output:
     (asset_a, asset_b, n_shared, n_a, n_b, jaccard), pair asc.
     """
+    return _audio_neardup_pairs_core(
+        documents, min_jaccard_pct, max_windows, max_sig_freq
+    ).orderBy("asset_a", "asset_b")
+
+
+def _audio_neardup_pairs_core(
+    documents: DataFrame,
+    min_jaccard_pct: int = VIDEO_JACCARD_MIN_PCT,
+    max_windows: int = AUDIO_WINDOW_MAX,
+    max_sig_freq: int | None = None,
+) -> DataFrame:
+    """`audio_neardup_pairs` without the presentation sort (internal
+    consumers re-partition next)."""
     return _sig_set_jaccard_pairs(
-        audio_window_signatures(documents, max_windows),
+        _audio_window_sigs(documents, max_windows),
         op_name="audio_neardup_pairs",
         min_jaccard_pct=min_jaccard_pct,
         max_sig_freq=max_sig_freq,
@@ -1033,6 +1117,7 @@ def video_neardup_clusters(
     max_driver_edges: int = 1_000_000,
     profile: str = "oracle",
     max_iter: int = 20,
+    sort: bool = True,
 ) -> DataFrame:
     """Near-duplicate VIDEO clusters: connected components over the
     frame-set-Jaccard pair graph (`image_neardup_clusters` semantics
@@ -1040,19 +1125,23 @@ def video_neardup_clusters(
     CAPPED pair profile — deterministic, hence oracle-exact — so a
     re-encode family collapses to one training example without paying
     the hot-signature quadratic term. Output: (asset_id, cluster_id,
-    cluster_size) for every video in ≥1 pair, asset asc."""
+    cluster_size) for every video in ≥1 pair, asset asc
+    (``sort=False`` skips the presentation sort for internal
+    consumers that re-partition next — survivors anti-join, funnel
+    aggregate)."""
     if profile not in ("oracle", "scale"):
         raise ValueError(
             f"video_neardup_clusters: unknown profile {profile!r}"
         )
     return _clusters_from_pair_keys(
         documents.sparkSession,
-        video_neardup_pairs(
+        _video_neardup_pairs_core(
             documents, min_jaccard_pct, max_frames, max_sig_freq
         ),
         max_driver_edges=max_driver_edges,
         profile=profile,
         max_iter=max_iter,
+        sort=sort,
     )
 
 
@@ -1070,7 +1159,8 @@ def video_dedup_survivors(
         documents,
         "video",
         video_neardup_clusters(
-            documents, min_jaccard_pct, max_frames, max_sig_freq
+            documents, min_jaccard_pct, max_frames, max_sig_freq,
+            sort=False,
         ),
     )
 
@@ -1083,22 +1173,25 @@ def audio_neardup_clusters(
     max_driver_edges: int = 1_000_000,
     profile: str = "oracle",
     max_iter: int = 20,
+    sort: bool = True,
 ) -> DataFrame:
     """Near-duplicate AUDIO clusters over the window-set-Jaccard pair
     graph (capped default — oracle-exact). Output: (asset_id,
-    cluster_id, cluster_size), asset asc."""
+    cluster_id, cluster_size), asset asc (``sort=False`` for internal
+    consumers, as on the video twin)."""
     if profile not in ("oracle", "scale"):
         raise ValueError(
             f"audio_neardup_clusters: unknown profile {profile!r}"
         )
     return _clusters_from_pair_keys(
         documents.sparkSession,
-        audio_neardup_pairs(
+        _audio_neardup_pairs_core(
             documents, min_jaccard_pct, max_windows, max_sig_freq
         ),
         max_driver_edges=max_driver_edges,
         profile=profile,
         max_iter=max_iter,
+        sort=sort,
     )
 
 
@@ -1114,7 +1207,8 @@ def audio_dedup_survivors(
         documents,
         "audio",
         audio_neardup_clusters(
-            documents, min_jaccard_pct, max_windows, max_sig_freq
+            documents, min_jaccard_pct, max_windows, max_sig_freq,
+            sort=False,
         ),
     )
 
@@ -1132,15 +1226,30 @@ def multimodal_dedup_funnel(documents: DataFrame) -> DataFrame:
     Scale shape: three independent chains of two 1-row aggregates
     crossJoined (the audit-blessed bounded-broadcast shape), unioned;
     the heavy inputs are the capped cluster builds the lifecycle
-    already prices. Output: one row per modality (media_type,
-    n_assets, n_dup_members, n_clusters, n_survivors), modality asc.
+    already prices. The three modality chains share no state and each
+    blocks on its own bounded driver probe (the hybrid-CC size check),
+    so they are submitted CONCURRENTLY from a small thread pool (guide
+    §2.6 overlap-independent-jobs: one chain's straggler tail
+    back-fills with the next chain's tasks; job-description labels are
+    thread-local so the UI stays readable) — the funnel's wall-clock
+    is max(chain) instead of sum(chain), measured 6.97 → ~2.9 s at
+    sf0.1. Output: one row per modality (media_type, n_assets,
+    n_dup_members, n_clusters, n_survivors), modality asc.
     """
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
     stats = blob_stats(documents)
-    chains = [
-        ("audio", audio_neardup_clusters(documents)),
-        ("image", image_neardup_clusters(documents)),
-        ("video", video_neardup_clusters(documents)),
+    builders = [
+        ("audio", audio_neardup_clusters),
+        ("image", image_neardup_clusters),
+        ("video", video_neardup_clusters),
     ]
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        futures = [
+            (mt, pool.submit(fn, documents, sort=False))
+            for mt, fn in builders
+        ]
+        chains = [(mt, fut.result()) for mt, fut in futures]
     rows = []
     for mt, clusters in chains:
         a = stats.filter(F.col("media_type") == mt).agg(
