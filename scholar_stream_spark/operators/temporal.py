@@ -204,10 +204,16 @@ def sessionize(
 
     Output: one row per (user_id, session_seq) with n_events,
     session_start, session_end, duration_seconds. Two shuffles, both on
-    user_id (the window and the final groupBy co-partition).
+    user_id (the window and the final groupBy co-partition); the input
+    is projected to the three columns the rollup reads BEFORE the
+    window exchange (guide §2.3 — without this the shuffle carries
+    every event payload column, e.g. the events table's ``props`` JSON
+    string, only to drop it at the groupBy).
     """
     return (
-        _session_labeled(events, gap_seconds)
+        _session_labeled(
+            events.select("user_id", "ts", "event_id"), gap_seconds
+        )
         .groupBy("user_id", "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -477,10 +483,13 @@ def session_overlap_pairs(
     to its covered ``bucket_seconds``-wide time buckets (the SNM
     ``sequence`` idiom — fan-out = duration/width + 1, bounded), pairs
     equi-join ON BUCKET (never a range/BNLJ condition on the big
-    sides), distinct away the multi-bucket double-counts, and the
-    EXACT overlap predicate + duration verify on the candidate pairs
-    only. Complete: two overlapping intervals share at least the
-    bucket containing the later start. All arithmetic exact integer
+    sides), multi-bucket double-counts removed by keeping each pair
+    only in its CANONICAL shared bucket (the one holding the later
+    start — always in the shared-bucket range, so this is the old
+    8-column candidate ``distinct`` as a join predicate instead of a
+    full extra Exchange), and the EXACT overlap predicate + duration
+    verify on the candidate pairs only. Complete: two overlapping
+    intervals share at least the bucket containing the later start. All arithmetic exact integer
     microseconds (closed intervals, the `session_concurrency`
     convention: instantaneous touching — one ends exactly where the
     other starts — is a 1 µs overlap, not zero).
@@ -546,7 +555,26 @@ def session_overlap_pairs(
         a.join(
             b,
             (F.col("a._bkt") == F.col("b._bkt"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            # canonical-bucket dedup IN the join predicate: a session
+            # pair sharing several buckets would otherwise appear once
+            # per shared bucket, and the old fix — an 8-column
+            # .distinct() over the candidate table, the widest table in
+            # this plan — paid a full Exchange + HashAggregate for it.
+            # Each joined pair's shared-bucket range is the (nonempty)
+            # intersection of the two sessions' bucket ranges, whose
+            # minimum is always the bucket holding the LATER start
+            # (max(lo_a, lo_b) = greatest(_s) div bw), so keeping a
+            # pair only in that one bucket emits exactly one row per
+            # candidate session pair — set-identical to the distinct,
+            # zero extra shuffles (guide §2.4).
+            # integer `div`, matching the probe expansion's
+            # `sequence(_s div bw, _e div bw)` exactly — a float
+            # division here could round across the bucket boundary
+            & (
+                F.col("a._bkt")
+                == F.expr(f"greatest(a._s, b._s) div {bw}")
+            ),
         )
         .select(
             F.col("a.user_id").alias("user_a"),
@@ -558,16 +586,23 @@ def session_overlap_pairs(
             F.col("b._s").alias("s_b"),
             F.col("b._e").alias("e_b"),
         )
-        # a session pair sharing several buckets appears once per
-        # shared bucket — collapse before the verify
-        .distinct()
     )
     if observation is not None:
+        # The canonical-bucket predicate already makes each candidate
+        # unique, so this distinct is a set-level no-op — but the
+        # observed metrics need an aggregate barrier below the
+        # CollectMetrics node: without one, empty-relation propagation
+        # (both sessions in disjoint buckets → empty join) folds the
+        # observed subtree away and `Observation.get` dies on a
+        # missing metrics row (pinned by the zero-candidates test).
+        # Only the observed/diagnostic mode pays it; the default path
+        # keeps the exchange-free shape.
+        cand = cand.distinct()
         # in-plan cost counters (collected during the same action that
         # computes the result — no second scan), measured AFTER the
-        # cross-bucket distinct: n_candidates is the DISTINCT candidate
-        # set the exact verify actually scans (the pre-distinct
-        # per-bucket volume — the equi-join's raw work — is what
+        # canonical-bucket dedup: n_candidates is the DISTINCT candidate
+        # set the exact verify actually scans (the pre-dedup per-bucket
+        # volume — the equi-join's raw work — is what
         # `session_overlap_density` reports per bucket; its Σ
         # upper-bounds this number). COALESCE: a SUM over zero rows is
         # NULL, and an empty candidate set must read 0, not None.
