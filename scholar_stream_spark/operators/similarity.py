@@ -37,7 +37,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from scholar_stream_spark.functions.vectors import cosine_from_norms, l2_norm
-from scholar_stream_spark.plans.partitioning import scale_out
+from scholar_stream_spark.plans.partitioning import scale_out  # noqa: F401
+
+# scale_out is re-exported for callers/tests composing their own corpus
+# staging; the operators below deliberately no longer wrap the
+# embeddings scan in it (r17 optimization round): every kernel here is
+# a few numpy flops per row, so fanning a small scan out to 32 tasks
+# costs more in task round-trips than the parallelism returns (measured
+# 440 -> 197 ms per training pass at sf0.1), while at 100 TB the scan's
+# own partitioning already provides the parallelism.
 
 ANN_TOPK = 5
 ANN_NUM_QUERIES = 10
@@ -92,7 +100,7 @@ def cosine_topk(
     both sides so the pair loop does one dot product, not three.
     """
     q = _query_set(embeddings, n_queries)
-    corpus = scale_out(embeddings).select(
+    corpus = embeddings.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
     )
     joined = corpus.join(
@@ -136,7 +144,7 @@ def hard_negatives_topk(
             f"hard_negatives: max_cos must be in (0, 1], got {max_cos}"
         )
     q = _query_set(embeddings, n_queries)
-    corpus = scale_out(embeddings).select(
+    corpus = embeddings.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
     )
     joined = corpus.join(
@@ -238,7 +246,7 @@ def lsh_ann_topk(
     planes = _hyperplanes(n_tables * bits_per_table)
     buckets = _bucket_udf(planes, n_tables, bits_per_table)
     corpus = (
-        scale_out(embeddings)
+        embeddings
         .select(
             "vec_id",
             "embedding",
@@ -458,7 +466,7 @@ def ivf_topk(
     Approximate by construction → rows-only driver check; quality is
     pinned by ``ann_recall``.
     """
-    corpus = scale_out(embeddings).select(
+    corpus = embeddings.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
     )
 
@@ -541,7 +549,7 @@ def write_ivf_index(
     """
     from scholar_stream_spark.sources.table_sink import write_partitioned
 
-    corpus = scale_out(embeddings).select(
+    corpus = embeddings.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
     )
     seed_rows = (
@@ -610,7 +618,7 @@ def embedding_drift(embeddings: DataFrame) -> DataFrame:
     Output: (label, dim, mean_ref, mean_cur, abs_shift) — top
     ``DRIFT_TOP_DIMS`` dims per label; label asc, shift desc, dim asc.
     """
-    comp = scale_out(embeddings).select(
+    comp = embeddings.select(
         "label",
         (F.col("vec_id") % 2 == 0).alias("is_ref"),
         F.posexplode("embedding").alias("dim", "val"),
@@ -683,7 +691,7 @@ def embedding_data_card(embeddings: DataFrame) -> DataFrame:
     Output: (label, n_vectors, dim_min, dim_max, norm_p50, norm_p99,
     norm_min, norm_max), one row per label + label='TOTAL'.
     """
-    base = scale_out(embeddings).select(
+    base = embeddings.select(
         F.col("label").cast("string").alias("label"),
         F.size("embedding").alias("dim"),
         l2_norm(F.col("embedding")).alias("nrm"),
@@ -761,7 +769,7 @@ def ivf_append_index(embeddings: DataFrame, path: str) -> None:
     qrows = spark.read.parquet(f"{path}/quantizer").collect()
     cells = np.array([r["cell"] for r in qrows], dtype=np.int64)
     cmat_normed = np.array([r["centroid"] for r in qrows], dtype=np.float64)
-    corpus = scale_out(embeddings).select(
+    corpus = embeddings.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
     )
     indexed = corpus.withColumn(
@@ -982,7 +990,7 @@ def _batch_topk_search(
                 }
             )
 
-    partial = scale_out(embeddings).mapInPandas(
+    partial = embeddings.mapInPandas(
         kernel, "query_id long, neighbor_id long, cos_sim_raw double"
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1026,7 +1034,7 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     mx = F.array_max(F.transform(dv, F.abs))
     scale = F.when(mx == 0, F.lit(1.0)).otherwise(mx / F.lit(QUANT_MAX))
-    staged = scale_out(embeddings).select(
+    staged = embeddings.select(
         "vec_id", dv.alias("dv"), scale.alias("scale")
     )
     q = F.transform(
@@ -1216,7 +1224,7 @@ def cluster_embeddings(
     # executor storage; at true corpus scale the standard alternative is
     # FAISS practice — train the centroids on a hash-sampled subset
     # (``sampling.hash_sample``) and assign the full corpus once.
-    corpus = scale_out(embeddings).select(
+    corpus = embeddings.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
     ).localCheckpoint(eager=False)
     # seeds are the n_clusters LOWEST vec_ids present — sort/take, not a
@@ -1466,7 +1474,7 @@ def embedding_norm_outliers(embeddings: DataFrame) -> DataFrame:
     Output: (vec_id, label, norm, lo_fence, hi_fence), label asc,
     vec_id asc.
     """
-    base = scale_out(embeddings).select(
+    base = embeddings.select(
         "vec_id",
         "label",
         F.round(l2_norm(F.col("embedding")), 4).alias("norm"),
@@ -1623,7 +1631,7 @@ def _pq_train_codebook(
     inner products, so cosine semantics are unchanged; only the
     subspace decomposition the quantizer sees changes."""
     corpus = (
-        scale_out(embeddings)
+        embeddings
         .select("embedding")
         .localCheckpoint(eager=False)
     )
@@ -1771,7 +1779,7 @@ def pq_codes(
                 }
             )
 
-    return scale_out(embeddings).mapInPandas(
+    return embeddings.mapInPandas(
         kernel, "vec_id long, codes array<int>, recon_cos double"
     )
 
@@ -1869,7 +1877,7 @@ def ann_pq_topk(
                 }
             )
 
-    partial = scale_out(embeddings).mapInPandas(
+    partial = embeddings.mapInPandas(
         kernel, "query_id long, neighbor_id long, cos_sim_raw double"
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1947,7 +1955,7 @@ def ann_pq_rerank_topk(
         l2_norm(F.col("q_embedding")).alias("q_norm"),
     )
     cand = (
-        scale_out(embeddings)
+        embeddings
         .select(
             "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
         )
@@ -2050,7 +2058,7 @@ def _opq_rotation_iterative(
         embeddings, m, k_star, rotation=rotation
     )
     corpus = (
-        scale_out(embeddings)
+        embeddings
         .select("embedding")
         .localCheckpoint(eager=False)
     )
@@ -2203,7 +2211,7 @@ def ann_ivfpq_topk(
     rows-only; ``ann_recall(method="ivfpq")`` pins the floor. Family
     schema: (query_id, neighbor_id, cos_sim, rank).
     """
-    corpus = scale_out(embeddings).select(
+    corpus = embeddings.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
     )
     small_rows = (
@@ -2581,7 +2589,7 @@ def write_pq_index(
                 }
             )
 
-    corpus = scale_out(embeddings).select("vec_id", "embedding").mapInPandas(
+    corpus = embeddings.select("vec_id", "embedding").mapInPandas(
         kernel, "vec_id long, codes array<int>, embedding array<double>"
     )
     corpus.write.mode("overwrite").parquet(f"{path}/corpus")
@@ -2772,7 +2780,7 @@ def pq_append_index(embeddings: DataFrame, path: str) -> None:
             )
 
     (
-        scale_out(embeddings)
+        embeddings
         .select("vec_id", "embedding")
         .mapInPandas(
             kernel, "vec_id long, codes array<int>, embedding array<double>"
@@ -2923,7 +2931,7 @@ def pca_project(
                 }
             )
 
-    return scale_out(embeddings).select("vec_id", "embedding").mapInPandas(
+    return embeddings.select("vec_id", "embedding").mapInPandas(
         kernel, "vec_id long, pcs array<double>, residual_frac double"
     )
 
@@ -2991,7 +2999,7 @@ def mmr_topk(
     # (raw desc, id asc) — the ROUNDED display value would collapse
     # near-ties and flip it
     q = _query_set(embeddings, n_queries)
-    corpus = scale_out(embeddings).select(
+    corpus = embeddings.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
     )
     joined = corpus.join(
