@@ -1,0 +1,197 @@
+"""Round-17 OPTIMIZATION pins: every optimization that changed an
+operator's internals carries a focused equivalence test here.
+
+- pagerank/hits driver fast path (the `kcore` hybrid precedent): the
+  default driver path and the forced-distributed path must agree on
+  hand graphs (incl. a dangling node) and on the real trade graph at
+  display grain.
+- session_overlap_pairs canonical-bucket dedup: the join-predicate
+  dedup must emit each candidate session pair exactly once even when
+  sessions span MANY buckets (the case the old 8-column ``distinct``
+  existed for).
+- multimodal internal-sort split: the public ops keep their declared
+  ascending order even though the internal chain runs unsorted.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scholar_stream_spark.operators import graph, multimodal, temporal
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def trade_tabs(spark):
+    return tuple(
+        spark.read.parquet(f"{SF_SMALL}/{t}.parquet")
+        for t in ("customer", "orders", "lineitem", "supplier")
+    )
+
+
+# ---------------------------------------------------------------
+# pagerank / hits hybrid: driver path == distributed path
+# ---------------------------------------------------------------
+
+_HAND_EDGES = [
+    # includes a dangling node (4: dst-only) and asymmetric weights
+    (0, 1, 2.0),
+    (0, 2, 1.0),
+    (1, 2, 5.0),
+    (2, 0, 1.0),
+    (2, 3, 1.0),
+    (3, 4, 4.0),
+]
+
+
+def _edges_df(spark):
+    return spark.createDataFrame(
+        _HAND_EDGES, "src long, dst long, weight double"
+    )
+
+
+def test_pagerank_hybrid_paths_agree(spark):
+    """Driver numpy path (default under the edge probe) vs the
+    distributed loop (forced via max_driver_edges=0): same ranks and
+    same residual up to float re-association — the indeterminacy the
+    distributed path itself has across partitionings."""
+    df = _edges_df(spark)
+    drv = {
+        r["node"]: (r["pr"], r["residual"])
+        for r in graph.pagerank(
+            df, n_iter=8, with_residual=True
+        ).collect()
+    }
+    dist = {
+        r["node"]: (r["pr"], r["residual"])
+        for r in graph.pagerank(
+            df, n_iter=8, with_residual=True, max_driver_edges=0
+        ).collect()
+    }
+    assert set(drv) == set(dist)
+    for node, (pr, res) in drv.items():
+        assert dist[node][0] == pytest.approx(pr, abs=1e-12)
+        assert dist[node][1] == pytest.approx(res, abs=1e-12)
+
+
+def test_nation_pagerank_hybrid_display_grain(trade_tabs):
+    """On the real trade graph the two paths must agree exactly at the
+    registered entry's display grain (round 6 + round-9 residual)."""
+    rev = graph._nation_revenue_edges(*trade_tabs)
+    drv = graph.pagerank(rev, with_residual=True)
+    dist = graph.pagerank(rev, with_residual=True, max_driver_edges=0)
+
+    def grain(df):
+        return {
+            r["node"]: (round(r["pr"], 6), round(r["residual"], 9))
+            for r in df.collect()
+        }
+
+    assert grain(drv) == grain(dist)
+
+
+def test_hits_hybrid_paths_agree(spark):
+    df = _edges_df(spark)
+    drv = {
+        r["node"]: (r["hub"], r["authority"], r["residual"])
+        for r in graph.hits(df, n_iter=6, with_residual=True).collect()
+    }
+    dist = {
+        r["node"]: (r["hub"], r["authority"], r["residual"])
+        for r in graph.hits(
+            df, n_iter=6, with_residual=True, max_driver_edges=0
+        ).collect()
+    }
+    assert set(drv) == set(dist)
+    for node, vals in drv.items():
+        for got, want in zip(dist[node], vals):
+            assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_hits_hybrid_n_iter_1_residual_null_both_paths(spark):
+    """The n_iter=1 NULL-residual contract must hold on BOTH paths."""
+    df = _edges_df(spark)
+    for kw in ({}, {"max_driver_edges": 0}):
+        rows = graph.hits(
+            df, n_iter=1, with_residual=True, **kw
+        ).collect()
+        assert all(r["residual"] is None for r in rows)
+
+
+def test_nation_hits_hybrid_display_grain(trade_tabs):
+    rev = graph._nation_revenue_edges(*trade_tabs)
+
+    def grain(df):
+        return {
+            r["node"]: (round(r["hub"], 6), round(r["authority"], 6))
+            for r in df.collect()
+        }
+
+    assert grain(graph.hits(rev)) == grain(
+        graph.hits(rev, max_driver_edges=0)
+    )
+
+
+# ---------------------------------------------------------------
+# session_overlap_pairs: canonical-bucket dedup over many buckets
+# ---------------------------------------------------------------
+
+
+def test_overlap_canonical_bucket_emits_each_pair_once(spark):
+    """Two users whose single sessions span FIVE shared hour buckets
+    (events every 20 min across >4 h stay within the 30-min gap):
+    the old distinct collapsed 5 candidate copies; the canonical-
+    bucket join predicate must emit exactly one, with the exact
+    closed-interval overlap, plus a staggered third user overlapping
+    both."""
+    rows = []
+    # u1: 08:00 .. 12:20, every 20 min; u2: 08:10 .. 12:30
+    for i in range(14):
+        rows.append(("u1", f"a{i:02d}", f"2024-01-01 {8 + (i * 20) // 60:02d}:{(i * 20) % 60:02d}:00"))
+        rows.append(("u2", f"b{i:02d}", f"2024-01-01 {8 + (10 + i * 20) // 60:02d}:{(10 + i * 20) % 60:02d}:00"))
+    # u3: one short session inside hour 10 only
+    rows.append(("u3", "c00", "2024-01-01 10:05:00"))
+    rows.append(("u3", "c01", "2024-01-01 10:15:00"))
+    events = spark.createDataFrame(
+        rows, "user_id string, event_id string, ts_s string"
+    ).select("user_id", "event_id", F.to_timestamp("ts_s").alias("ts"))
+    got = {
+        (r["user_a"], r["user_b"]): (r["n_overlaps"], r["overlap_us"])
+        for r in temporal.session_overlap_pairs(events).collect()
+    }
+    h = 3_600_000_000  # µs per hour
+    m = 60_000_000  # µs per minute
+    # u1: [08:00, 12:20]; u2: [08:10, 12:30]; closed-interval overlap
+    # [08:10, 12:20] = 4h10m + 1µs
+    assert got[("u1", "u2")] == (1, 4 * h + 10 * m + 1)
+    # u3 [10:05, 10:15] sits inside both long sessions
+    assert got[("u1", "u3")] == (1, 10 * m + 1)
+    assert got[("u2", "u3")] == (1, 10 * m + 1)
+    assert len(got) == 3
+
+
+# ---------------------------------------------------------------
+# multimodal: public ops stay sorted after the internal-sort split
+# ---------------------------------------------------------------
+
+
+def test_multimodal_public_ops_stay_sorted(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i} " + "x" * (40 + i)) for i in range(24)],
+        "doc_id long, text string",
+    )
+    dh = multimodal.image_dhash(docs).collect()
+    assert [r["asset_id"] for r in dh] == sorted(
+        r["asset_id"] for r in dh
+    )
+    vs = multimodal.video_frame_signatures(docs).collect()
+    keys = [(r["asset_id"], r["frame_idx"]) for r in vs]
+    assert keys == sorted(keys)
+    au = multimodal.audio_window_signatures(docs).collect()
+    keys = [(r["asset_id"], r["window_idx"]) for r in au]
+    assert keys == sorted(keys)
+    sv = multimodal.video_dedup_survivors(docs).collect()
+    assert [r["asset_id"] for r in sv] == sorted(
+        r["asset_id"] for r in sv
+    )
