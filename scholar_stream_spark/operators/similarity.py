@@ -392,7 +392,7 @@ def _assign_cells(vectors: DataFrame, centroids: DataFrame, n_best: int) -> Data
     )
 
 
-def _refined_centroids(corpus: DataFrame, cells, cmat_normed):
+def _refined_centroids(corpus: DataFrame, cells, cmat_normed, rows=None):
     """One Lloyd refinement as a single corpus pass with map-side
     combine: each Arrow batch assigns its vectors to the nearest seed
     AND emits per-cell partial ``(count, sum-vector)`` — so only
@@ -401,30 +401,50 @@ def _refined_centroids(corpus: DataFrame, cells, cmat_normed):
     pure-DataFrame alternative — posexplode every vector's 64 dims and
     groupBy (cell, pos) — shuffles 64× the corpus.) The combined means
     become the refined quantizer matrix.
+
+    ``rows`` (r17): the ``_train_rows`` probe of the SAME row set as
+    ``corpus`` — the identical partial is computed driver-side (one
+    batch) and folded through the unchanged combine.
     """
 
-    def partials(batches):
-        for pdf in batches:
-            m = np.array(list(pdf["embedding"]), dtype=np.float64)
-            best = np.argmax(m @ cmat_normed.T, axis=1)
-            out_c, out_n, out_s = [], [], []
-            for j in np.unique(best):
-                sel = m[best == j]
-                out_c.append(int(cells[j]))
-                out_n.append(len(sel))
-                out_s.append(sel.sum(axis=0))
-            yield pd.DataFrame({"cell": out_c, "n": out_n, "s": out_s})
+    def _batch_partials(mat: np.ndarray):
+        best = np.argmax(mat @ cmat_normed.T, axis=1)
+        out_c, out_n, out_s = [], [], []
+        for j in np.unique(best):
+            sel = mat[best == j]
+            out_c.append(int(cells[j]))
+            out_n.append(len(sel))
+            out_s.append(sel.sum(axis=0))
+        return out_c, out_n, out_s
 
-    # combine driver-side: the partials are ≤ n_batches × n_cells rows
-    # of (cell, count, 64-dim sum) — collecting them directly is one
-    # stage with zero Exchange; a posexplode+groupBy combine would add
-    # a 64×-partials shuffle and a whole extra stage for rows that fit
-    # in a single numpy call anyway.
-    combined = (
-        corpus.select("embedding")
-        .mapInPandas(partials, "cell long, n long, s array<double>")
-        .collect()
-    )
+    if rows is not None:
+        out_c, out_n, out_s = _batch_partials(
+            np.array([r["embedding"] for r in rows], dtype=np.float64)
+        )
+        combined = [
+            {"cell": c, "n": n, "s": s}
+            for c, n, s in zip(out_c, out_n, out_s)
+        ]
+    else:
+
+        def partials(batches):
+            for pdf in batches:
+                m = np.array(list(pdf["embedding"]), dtype=np.float64)
+                out_c, out_n, out_s = _batch_partials(m)
+                yield pd.DataFrame(
+                    {"cell": out_c, "n": out_n, "s": out_s}
+                )
+
+        # combine driver-side: the partials are ≤ n_batches × n_cells
+        # rows of (cell, count, 64-dim sum) — collecting them directly
+        # is one stage with zero Exchange; a posexplode+groupBy combine
+        # would add a 64×-partials shuffle and a whole extra stage for
+        # rows that fit in a single numpy call anyway.
+        combined = (
+            corpus.select("embedding")
+            .mapInPandas(partials, "cell long, n long, s array<double>")
+            .collect()
+        )
     by_cell: dict[int, np.ndarray] = {}
     counts: dict[int, int] = {}
     for r in combined:
@@ -477,13 +497,19 @@ def ivf_topk(
     # (sort/take, not a `< n_centroids` filter) so a gapped or filtered
     # id space still trains a full quantizer; queries keep the id-based
     # contract (`vec_id < n_queries`, mirrored by the exact oracle).
+    rows = _train_rows(embeddings)
     if small_rows is None:
-        small_rows = (
-            embeddings.select("vec_id", "embedding")
-            .orderBy("vec_id")
-            .limit(max(n_centroids, n_queries))
-            .collect()
-        )
+        if rows is not None:
+            small_rows = sorted(rows, key=lambda r: r["vec_id"])[
+                : max(n_centroids, n_queries)
+            ]
+        else:
+            small_rows = (
+                embeddings.select("vec_id", "embedding")
+                .orderBy("vec_id")
+                .limit(max(n_centroids, n_queries))
+                .collect()
+            )
     seed_rows = small_rows[:n_centroids]
     if len(seed_rows) < n_centroids:
         raise ValueError(
@@ -495,7 +521,7 @@ def ivf_topk(
     seed_norms = np.linalg.norm(seed_mat, axis=1)
     seed_norms[seed_norms == 0] = 1.0
     cells, cmat_normed, _ = _refined_centroids(
-        corpus, seed_cells, seed_mat / seed_norms[:, None]
+        corpus, seed_cells, seed_mat / seed_norms[:, None], rows=rows
     )
 
     # --- index: corpus bucketed by (refined) nearest cell -------------
@@ -552,12 +578,16 @@ def write_ivf_index(
     corpus = embeddings.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
     )
-    seed_rows = (
-        embeddings.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(n_centroids)
-        .collect()
-    )
+    rows = _train_rows(embeddings)
+    if rows is not None:
+        seed_rows = sorted(rows, key=lambda r: r["vec_id"])[:n_centroids]
+    else:
+        seed_rows = (
+            embeddings.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(n_centroids)
+            .collect()
+        )
     if len(seed_rows) < n_centroids:
         raise ValueError(
             f"write_ivf_index: need >= {n_centroids} vectors to train "
@@ -568,7 +598,7 @@ def write_ivf_index(
     seed_norms = np.linalg.norm(seed_mat, axis=1)
     seed_norms[seed_norms == 0] = 1.0
     cells, cmat_normed, _ = _refined_centroids(
-        corpus, seed_cells, seed_mat / seed_norms[:, None]
+        corpus, seed_cells, seed_mat / seed_norms[:, None], rows=rows
     )
     indexed = corpus.withColumn(
         "cell", _argmax_cell_udf(cells, cmat_normed)(F.col("embedding"))
@@ -1217,25 +1247,41 @@ def cluster_embeddings(
         raise ValueError(
             f"train_fraction must be in (0, 1], got {train_fraction}"
         )
-    # localCheckpoint: every Lloyd iteration is one pass over `corpus`,
-    # and without pinning, each pass re-executes the scan AND the
-    # scale_out repartition shuffle (n_iters + 1 times total). Pinning
-    # costs one materialization of (vec_id, embedding, norm) rows in
-    # executor storage; at true corpus scale the standard alternative is
-    # FAISS practice — train the centroids on a hash-sampled subset
-    # (``sampling.hash_sample``) and assign the full corpus once.
+    # Driver-train fast path (r17): with full-corpus training and a
+    # probe-sized corpus, every Lloyd round runs on the driver-held
+    # matrix (identical arithmetic via _refined_centroids' shared
+    # batch partials) — n_iters Spark jobs collapse into one bounded
+    # collect. train_fraction keeps the distributed path: the hash
+    # sample is a Spark expression and must stay the single source of
+    # truth for which rows train.
+    rows = None
+    if train_fraction is None:
+        rows = _train_rows(embeddings)
+    # localCheckpoint: every distributed Lloyd iteration is one pass
+    # over `corpus`, and without pinning, each pass re-executes the
+    # scan (n_iters + 1 times total). Pinning costs one materialization
+    # of (vec_id, embedding, norm) rows in executor storage; at true
+    # corpus scale the standard alternative is FAISS practice — train
+    # the centroids on a hash-sampled subset (``sampling.hash_sample``)
+    # and assign the full corpus once. With driver-side training the
+    # final assignment is the ONLY pass, so the checkpoint is skipped.
     corpus = embeddings.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
-    ).localCheckpoint(eager=False)
+    )
+    if rows is None:
+        corpus = corpus.localCheckpoint(eager=False)
     # seeds are the n_clusters LOWEST vec_ids present — sort/take, not a
     # `vec_id < k` filter, so the contract holds for gapped or non-zero-
     # based id spaces (e.g. a pre-filtered embeddings table)
-    seed_rows = (
-        embeddings.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(n_clusters)
-        .collect()
-    )
+    if rows is not None:
+        seed_rows = sorted(rows, key=lambda r: r["vec_id"])[:n_clusters]
+    else:
+        seed_rows = (
+            embeddings.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(n_clusters)
+            .collect()
+        )
     if len(seed_rows) < n_clusters:
         raise ValueError(
             f"cluster_embeddings: need >= {n_clusters} rows to seed, "
@@ -1279,7 +1325,7 @@ def cluster_embeddings(
             )
     for _ in range(n_iters):
         cells, cmat_normed, _raw = _refined_centroids(
-            train, cells, cmat_normed
+            train, cells, cmat_normed, rows=rows
         )
     if len(cells) == 0:
         # every seed cell emptied during refinement (possible only on a
@@ -1547,9 +1593,42 @@ PQ_CODEBOOK_SIZE = 16
 #: same pass, so this is also the number of corpus scans).
 PQ_TRAIN_ITERS = 4
 
+#: Bounded driver-training probe (r17 optimization; the kcore/pagerank
+#: hybrid precedent): below this row count the iterative trainers run
+#: their IDENTICAL recurrences on a driver-collected copy of the
+#: corpus — one bounded collect (``limit(cap+1)``, ≤ ~50 MB at dim 64)
+#: replaces n_rounds whole Spark jobs whose collected payload was
+#: geometry-sized anyway (guide §1.2: at bench scale each extra round
+#: is pure job-scheduling latency, not data). Above the cap every
+#: trainer keeps its distributed one-pass-per-round shape unchanged —
+#: at 100 TB the probe costs one early-exit CollectLimit scan and the
+#: corpus is still never shuffled.
+ANN_DRIVER_TRAIN_CAP = 100_000
+
+
+def _train_rows(
+    embeddings: DataFrame, cap: int = ANN_DRIVER_TRAIN_CAP
+) -> list | None:
+    """Bounded corpus probe for the driver-side training fast path:
+    the collected ``(vec_id, embedding)`` rows when the corpus holds
+    1..``cap`` rows, else ``None`` (the distributed trainers take over
+    — and the empty corpus keeps the distributed paths' error
+    contracts). Driver state is bounded by construction
+    (``limit(cap + 1)``)."""
+    rows = (
+        embeddings.select("vec_id", "embedding").limit(cap + 1).collect()
+    )
+    if not rows or len(rows) > cap:
+        return None
+    return rows
+
 
 def _pq_seed_codebook(
-    embeddings: DataFrame, m: int, k: int, rotation: np.ndarray | None = None
+    embeddings: DataFrame,
+    m: int,
+    k: int,
+    rotation: np.ndarray | None = None,
+    rows: list | None = None,
 ):
     """Deterministic PQ seeds: the sub-vectors of the ``k`` LOWEST
     vec_ids seed every subspace (sort/take, so gapped id spaces seed
@@ -1557,13 +1636,18 @@ def _pq_seed_codebook(
     as a numpy ``(m, k, dim/m)`` array — driver state of
     ``m·k·(dim/m) = dim·k`` floats (1 KiB here), independent of corpus
     size. ``rotation`` (OPQ): seeds live in the ROTATED space, same as
-    every vector the trained codebook will quantize."""
-    seed_rows = (
-        embeddings.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(k)
-        .collect()
-    )
+    every vector the trained codebook will quantize. ``rows``: the
+    ``_train_rows`` probe — same k-lowest-vec_id seed set without the
+    sort/take job."""
+    if rows is not None:
+        seed_rows = sorted(rows, key=lambda r: r["vec_id"])[:k]
+    else:
+        seed_rows = (
+            embeddings.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(k)
+            .collect()
+        )
     if len(seed_rows) < k:
         raise ValueError(
             f"pq_train: need >= {k} rows to seed the codebooks, "
@@ -1596,6 +1680,30 @@ def _pq_assign(x_sub: np.ndarray, codebook: np.ndarray) -> np.ndarray:
     return codes
 
 
+def _pq_pass_partials(
+    x: np.ndarray,
+    cb: np.ndarray,
+    m: int,
+    k: int,
+    dsub: int,
+    rotation: np.ndarray | None,
+):
+    """One batch's Lloyd partials — (counts (m,k), sums (m,k,dsub)).
+    The SINGLE arithmetic used by both the distributed kernel (per
+    Arrow batch) and the driver fast path (whole probed corpus), so
+    the two paths cannot drift."""
+    if rotation is not None:
+        x = x @ rotation.T
+    xs = x.reshape(len(x), m, dsub)
+    codes = _pq_assign(xs, cb)
+    cnt = np.zeros((m, k), dtype=np.int64)
+    sums = np.zeros((m, k, dsub))
+    for j in range(m):
+        cnt[j] = np.bincount(codes[:, j], minlength=k)
+        np.add.at(sums[j], codes[:, j], xs[:, j, :])
+    return cnt, sums
+
+
 def _pq_train_codebook(
     embeddings: DataFrame,
     m: int = PQ_NUM_SUBSPACES,
@@ -1603,6 +1711,7 @@ def _pq_train_codebook(
     n_iters: int = PQ_TRAIN_ITERS,
     recount: bool = False,
     rotation: np.ndarray | None = None,
+    rows: list | None = None,
 ):
     """Shared PQ trainer: returns ``(codebook (m,k,dsub), counts (m,k))``.
 
@@ -1629,13 +1738,26 @@ def _pq_train_codebook(
     every vector (and the seeds) before the sub-vector split — the OPQ
     pre-rotation (Ge et al. 2013). Orthogonality preserves norms and
     inner products, so cosine semantics are unchanged; only the
-    subspace decomposition the quantizer sees changes."""
-    corpus = (
-        embeddings
-        .select("embedding")
-        .localCheckpoint(eager=False)
-    )
-    codebook = _pq_seed_codebook(embeddings, m, k, rotation=rotation)
+    subspace decomposition the quantizer sees changes.
+
+    ``rows`` (r17): the ``_train_rows`` probe — every Lloyd round runs
+    ``_pq_pass_partials`` on the driver-held matrix instead of paying a
+    Spark job whose collected payload is the same geometry-sized
+    partials. The distributed loop below is byte-identical to before
+    and still serves any corpus above the probe cap."""
+    local_mat = None
+    if rows is not None:
+        local_mat = np.array(
+            [r["embedding"] for r in rows], dtype=np.float64
+        )
+        corpus = None
+    else:
+        corpus = (
+            embeddings
+            .select("embedding")
+            .localCheckpoint(eager=False)
+        )
+    codebook = _pq_seed_codebook(embeddings, m, k, rotation=rotation, rows=rows)
     dsub = codebook.shape[2]
     counts = np.zeros((m, k), dtype=np.int64)
 
@@ -1648,34 +1770,30 @@ def _pq_train_codebook(
         groupBy(subspace, code) fold added a whole shuffle stage per
         Lloyd round for rows one numpy pass absorbs anyway (measured
         3.54 -> ~2 s on pq_train at sf0.1)."""
+        if local_mat is not None:
+            return _pq_pass_partials(local_mat, cb, m, k, dsub, rotation)
 
         def kernel(batches, cb=cb, rot=rotation):
             for pdf in batches:
                 x = np.array(list(pdf["embedding"]), dtype=np.float64)
                 if len(x) == 0:
                     continue
-                if rot is not None:
-                    x = x @ rot.T
-                xs = x.reshape(len(x), m, dsub)
-                codes = _pq_assign(xs, cb)
+                cnt_b, sums_b = _pq_pass_partials(x, cb, m, k, dsub, rot)
                 out = {"subspace": [], "code": [], "cnt": [], "s": []}
                 for j in range(m):
-                    cnt_j = np.bincount(codes[:, j], minlength=k)
-                    sum_j = np.zeros((k, dsub))
-                    np.add.at(sum_j, codes[:, j], xs[:, j, :])
-                    nz = np.flatnonzero(cnt_j)
+                    nz = np.flatnonzero(cnt_b[j])
                     out["subspace"].extend([j] * len(nz))
                     out["code"].extend(nz.tolist())
-                    out["cnt"].extend(cnt_j[nz].tolist())
-                    out["s"].extend(sum_j[nz].tolist())
+                    out["cnt"].extend(cnt_b[j][nz].tolist())
+                    out["s"].extend(sums_b[j][nz].tolist())
                 yield pd.DataFrame(out)
 
-        rows = corpus.mapInPandas(
+        part_rows = corpus.mapInPandas(
             kernel, "subspace int, code int, cnt long, s array<double>"
         ).collect()
         cnt = np.zeros((m, k), dtype=np.int64)
         sums = np.zeros((m, k, dsub))
-        for r in rows:
+        for r in part_rows:
             j, c = r["subspace"], r["code"]
             cnt[j, c] += r["cnt"]
             sums[j, c, :] += np.asarray(r["s"], dtype=np.float64)
@@ -1712,7 +1830,7 @@ def pq_train(
     reconstruction-error improvement over rounds are pytest-pinned.
     """
     codebook, counts = _pq_train_codebook(
-        embeddings, m, k, n_iters, recount=True
+        embeddings, m, k, n_iters, recount=True, rows=_train_rows(embeddings)
     )
     spark = embeddings.sparkSession
     rows = [
@@ -1752,7 +1870,9 @@ def pq_codes(
     ``ann_pq_topk``'s in-kernel encoding is pytest-pinned.
     """
     if codebook is None:
-        codebook, _ = _pq_train_codebook(embeddings, m, k, n_iters)
+        codebook, _ = _pq_train_codebook(
+            embeddings, m, k, n_iters, rows=_train_rows(embeddings)
+        )
     dsub = codebook.shape[2]
     cb = codebook
 
@@ -1792,6 +1912,7 @@ def ann_pq_topk(
     m: int = PQ_NUM_SUBSPACES,
     k_star: int = PQ_CODEBOOK_SIZE,
     rotation: np.ndarray | None = None,
+    rows: list | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) cosine top-k over the PQ-compressed
     corpus — queries stay exact floats, database vectors are scored
@@ -1815,16 +1936,21 @@ def ann_pq_topk(
     quality signal with a pytest floor. Same output schema as every
     other path: (query_id, neighbor_id, cos_sim, rank).
     """
+    if rows is None:
+        rows = _train_rows(embeddings)
     codebook, _ = _pq_train_codebook(
-        embeddings, m, k_star, rotation=rotation
+        embeddings, m, k_star, rotation=rotation, rows=rows
     )
     dsub = codebook.shape[2]
     if q_rows is None:
-        q_rows = (
-            embeddings.filter(F.col("vec_id") < n_queries)
-            .select("vec_id", "embedding")
-            .collect()
-        )
+        if rows is not None:
+            q_rows = [r for r in rows if r["vec_id"] < n_queries]
+        else:
+            q_rows = (
+                embeddings.filter(F.col("vec_id") < n_queries)
+                .select("vec_id", "embedding")
+                .collect()
+            )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     if rotation is not None:
@@ -1931,11 +2057,15 @@ def ann_pq_rerank_topk(
     Rows-only driver check (inherits the trainer); output schema is the
     family's (query_id, neighbor_id, cos_sim, rank).
     """
-    q_rows = (
-        embeddings.filter(F.col("vec_id") < n_queries)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    rows = _train_rows(embeddings)
+    if rows is not None:
+        q_rows = [r for r in rows if r["vec_id"] < n_queries]
+    else:
+        q_rows = (
+            embeddings.filter(F.col("vec_id") < n_queries)
+            .select("vec_id", "embedding")
+            .collect()
+        )
     cand_ids = ann_pq_topk(
         embeddings,
         topk=shortlist,
@@ -1944,6 +2074,7 @@ def ann_pq_rerank_topk(
         m=m,
         k_star=k_star,
         rotation=rotation,
+        rows=rows,
     ).select("query_id", F.col("neighbor_id").alias("vec_id"))
     spark = embeddings.sparkSession
     qdf = spark.createDataFrame(
@@ -1965,7 +2096,11 @@ def ann_pq_rerank_topk(
     return _rerank_topk(cand, topk)
 
 
-def _opq_rotation(embeddings: DataFrame, m: int = PQ_NUM_SUBSPACES):
+def _opq_rotation(
+    embeddings: DataFrame,
+    m: int = PQ_NUM_SUBSPACES,
+    rows: list | None = None,
+):
     """Parametric OPQ rotation (Ge, He, Ke, Sun, "Optimized Product
     Quantization", CVPR 2013, §4 — the closed-form variant FAISS calls
     ``OPQMatrix`` pre-training): rotate into the FULL PCA eigenbasis,
@@ -1985,12 +2120,15 @@ def _opq_rotation(embeddings: DataFrame, m: int = PQ_NUM_SUBSPACES):
     Returns ``R (dim, dim)``: apply as ``x @ R.T``. NO mean shift —
     centering would change cosine semantics (this family serves cosine,
     not L2)."""
-    dim_probe = embeddings.select("embedding").first()
-    dim = len(dim_probe["embedding"])
+    if rows is not None:
+        dim = len(rows[0]["embedding"])
+    else:
+        dim_probe = embeddings.select("embedding").first()
+        dim = len(dim_probe["embedding"])
     if dim % m != 0:
         raise ValueError(f"opq: dim {dim} not divisible by m={m}")
     dsub = dim // m
-    _mean, vals, _total, comps = _pca_basis(embeddings, dim)
+    _mean, vals, _total, comps = _pca_basis(embeddings, dim, rows=rows)
     # greedy product balancing on log-eigenvalues (clip: zero/negative
     # eigenvalues carry no variance to balance). The min-sum greedy is
     # only a balancer for NON-NEGATIVE items — with λ < 1 the raw logs
@@ -2021,11 +2159,38 @@ def _opq_rotation(embeddings: DataFrame, m: int = PQ_NUM_SUBSPACES):
 OPQ_NP_ITERS = 4
 
 
+def _opq_pass_partials(
+    x: np.ndarray,
+    rot: np.ndarray,
+    cb: np.ndarray,
+    m: int,
+    k_star: int,
+    dsub: int,
+    dim: int,
+):
+    """One batch's alternating-minimization partials — (counts,
+    Lloyd sums, Procrustes scatter). Shared by the distributed kernel
+    (per Arrow batch) and the driver fast path (whole probed corpus)."""
+    xr = x @ rot.T
+    xs = xr.reshape(len(x), m, dsub)
+    codes = _pq_assign(xs, cb)
+    cnt = np.zeros((m, k_star), dtype=np.int64)
+    sums = np.zeros((m, k_star, dsub))
+    y = np.empty_like(xs)
+    for j in range(m):
+        y[:, j, :] = cb[j][codes[:, j]]
+        cnt[j] = np.bincount(codes[:, j], minlength=k_star)
+        np.add.at(sums[j], codes[:, j], xs[:, j, :])
+    scatter = x.T @ y.reshape(len(x), dim)
+    return cnt, sums, scatter
+
+
 def _opq_rotation_iterative(
     embeddings: DataFrame,
     m: int = PQ_NUM_SUBSPACES,
     k_star: int = PQ_CODEBOOK_SIZE,
     n_iter: int = OPQ_NP_ITERS,
+    rows: list | None = None,
 ) -> np.ndarray:
     """Non-parametric OPQ rotation (Ge, He, Ke, Sun, "Optimized
     Product Quantization", CVPR 2013, §5 — the alternating
@@ -2050,48 +2215,59 @@ def _opq_rotation_iterative(
     so serving cost is identical to parametric OPQ.
 
     Returns ``R (dim, dim)`` orthogonal; apply as ``x @ R.T``.
+
+    ``rows`` (r17): the ``_train_rows`` probe — each alternating round
+    runs ``_opq_pass_partials`` on the driver-held matrix; the
+    distributed loop (below the same fold) is unchanged for corpora
+    above the cap.
     """
-    rotation = _opq_rotation(embeddings, m)
+    rotation = _opq_rotation(embeddings, m, rows=rows)
     dim = rotation.shape[0]
     dsub = dim // m
     codebook, _ = _pq_train_codebook(
-        embeddings, m, k_star, rotation=rotation
+        embeddings, m, k_star, rotation=rotation, rows=rows
     )
-    corpus = (
-        embeddings
-        .select("embedding")
-        .localCheckpoint(eager=False)
-    )
+    local_mat = None
+    if rows is not None:
+        local_mat = np.array(
+            [r["embedding"] for r in rows], dtype=np.float64
+        )
+        corpus = None
+    else:
+        corpus = (
+            embeddings
+            .select("embedding")
+            .localCheckpoint(eager=False)
+        )
     schema = "kind int, idx int, code int, cnt long, s array<double>"
 
     def _one_pass(rot: np.ndarray, cb: np.ndarray):
+        if local_mat is not None:
+            return _opq_pass_partials(
+                local_mat, rot, cb, m, k_star, dsub, dim
+            )
+
         def kernel(batches, rot=rot, cb=cb):
             for pdf in batches:
                 x = np.array(list(pdf["embedding"]), dtype=np.float64)
                 if len(x) == 0:
                     continue
-                xr = x @ rot.T
-                xs = xr.reshape(len(x), m, dsub)
-                codes = _pq_assign(xs, cb)
+                cnt_b, sums_b, a = _opq_pass_partials(
+                    x, rot, cb, m, k_star, dsub, dim
+                )
                 out = {
                     "kind": [], "idx": [], "code": [],
                     "cnt": [], "s": [],
                 }
-                y = np.empty_like(xs)
                 for j in range(m):
-                    y[:, j, :] = cb[j][codes[:, j]]
-                    cnt_j = np.bincount(codes[:, j], minlength=k_star)
-                    sum_j = np.zeros((k_star, dsub))
-                    np.add.at(sum_j, codes[:, j], xs[:, j, :])
-                    nz = np.flatnonzero(cnt_j)
+                    nz = np.flatnonzero(cnt_b[j])
                     out["kind"].extend([0] * len(nz))
                     out["idx"].extend([j] * len(nz))
                     out["code"].extend(nz.tolist())
-                    out["cnt"].extend(cnt_j[nz].tolist())
-                    out["s"].extend(sum_j[nz].tolist())
+                    out["cnt"].extend(cnt_b[j][nz].tolist())
+                    out["s"].extend(sums_b[j][nz].tolist())
                 # Procrustes scatter partial: A = Σ xᵢ yᵢᵀ (dim×dim),
                 # x ORIGINAL space, y the rotated-space reconstruction
-                a = x.T @ y.reshape(len(x), dim)
                 out["kind"].extend([1] * dim)
                 out["idx"].extend(range(dim))
                 out["code"].extend([0] * dim)
@@ -2164,10 +2340,11 @@ def ann_opq_topk(
     Approximate by construction → rows-only; family schema
     (query_id, neighbor_id, cos_sim, rank).
     """
+    rows = _train_rows(embeddings)
     if mode == "iterative":
-        rotation = _opq_rotation_iterative(embeddings, m, k_star)
+        rotation = _opq_rotation_iterative(embeddings, m, k_star, rows=rows)
     else:
-        rotation = _opq_rotation(embeddings, m)
+        rotation = _opq_rotation(embeddings, m, rows=rows)
     return ann_pq_topk(
         embeddings,
         topk=topk,
@@ -2176,6 +2353,7 @@ def ann_opq_topk(
         m=m,
         k_star=k_star,
         rotation=rotation,
+        rows=rows,
     )
 
 
@@ -2189,6 +2367,7 @@ def ann_ivfpq_topk(
     k_star: int = PQ_CODEBOOK_SIZE,
     shortlist: int = PQ_RERANK_SHORTLIST,
     rotation: np.ndarray | None = None,
+    rows: list | None = None,
 ) -> DataFrame:
     """IVF-PQ with exact refine — the composition FAISS ships as its
     production web-scale index (``IVFx,PQy`` + ``IndexRefine``): the
@@ -2214,12 +2393,19 @@ def ann_ivfpq_topk(
     corpus = embeddings.select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
     )
-    small_rows = (
-        embeddings.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(max(n_centroids, n_queries))
-        .collect()
-    )
+    if rows is None:
+        rows = _train_rows(embeddings)
+    if rows is not None:
+        small_rows = sorted(rows, key=lambda r: r["vec_id"])[
+            : max(n_centroids, n_queries)
+        ]
+    else:
+        small_rows = (
+            embeddings.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(max(n_centroids, n_queries))
+            .collect()
+        )
     seed_rows = small_rows[:n_centroids]
     if len(seed_rows) < n_centroids:
         raise ValueError(
@@ -2233,14 +2419,14 @@ def ann_ivfpq_topk(
     seed_norms = np.linalg.norm(seed_mat, axis=1)
     seed_norms[seed_norms == 0] = 1.0
     cells, cmat_normed, _ = _refined_centroids(
-        corpus, seed_cells, seed_mat / seed_norms[:, None]
+        corpus, seed_cells, seed_mat / seed_norms[:, None], rows=rows
     )
     # the COARSE quantizer always lives in the original space (cell
     # probing is a cosine argmax — rotation-invariant, so rotating it
     # would change nothing); only the fine PQ stage rotates (the FAISS
     # ``OPQ{m},IVF{x},PQ{m}`` factory string's placement)
     codebook, _counts = _pq_train_codebook(
-        embeddings, m, k_star, rotation=rotation
+        embeddings, m, k_star, rotation=rotation, rows=rows
     )
     dsub = codebook.shape[2]
 
@@ -2361,12 +2547,16 @@ def ann_ivfopq_topk(
     a pytest floor. Family schema: (query_id, neighbor_id, cos_sim,
     rank).
     """
-    rotation = _opq_rotation(embeddings, kw.get("m", PQ_NUM_SUBSPACES))
+    rows = _train_rows(embeddings)
+    rotation = _opq_rotation(
+        embeddings, kw.get("m", PQ_NUM_SUBSPACES), rows=rows
+    )
     return ann_ivfpq_topk(
         embeddings,
         topk=topk,
         n_queries=n_queries,
         rotation=rotation,
+        rows=rows,
         **kw,
     )
 
@@ -2561,14 +2751,17 @@ def write_pq_index(
             f"unknown opq_mode {opq_mode!r}: expected 'parametric' "
             "or 'iterative'"
         )
+    train_rows = _train_rows(embeddings)
     if not opq:
         rotation = None
     elif opq_mode == "iterative":
-        rotation = _opq_rotation_iterative(embeddings, m, k_star)
+        rotation = _opq_rotation_iterative(
+            embeddings, m, k_star, rows=train_rows
+        )
     else:
-        rotation = _opq_rotation(embeddings, m)
+        rotation = _opq_rotation(embeddings, m, rows=train_rows)
     codebook, _ = _pq_train_codebook(
-        embeddings, m, k_star, n_iters, rotation=rotation
+        embeddings, m, k_star, n_iters, rotation=rotation, rows=train_rows
     )
     dsub = codebook.shape[2]
     cb = codebook
@@ -2795,7 +2988,7 @@ def pq_append_index(embeddings: DataFrame, path: str) -> None:
 PCA_COMPONENTS = 4
 
 
-def _gram_stats(embeddings: DataFrame):
+def _gram_stats(embeddings: DataFrame, rows: list | None = None):
     """One corpus pass → exact driver-side second-moment stats:
     ``(n, Σx (dim), Σ xxᵀ (dim×dim))``. Each Arrow batch emits ONE
     partial row (count, sum vector, flattened Gram); partials collect
@@ -2803,51 +2996,71 @@ def _gram_stats(embeddings: DataFrame):
     ``_refined_centroids`` shape) and the driver folds them with
     ``math.fsum`` per component — fsum computes the exactly-rounded
     sum, so the fold is ORDER-INDEPENDENT and the stats are identical
-    under any partitioning (pinned by the repartition test)."""
+    under any partitioning (pinned by the repartition test).
+
+    ``rows`` (r17): the ``_train_rows`` probe — the same per-batch
+    partial is computed driver-side from the probed matrix (one batch)
+    and folded through the identical fsum path. When the distributed
+    scan would have been one Arrow batch the arithmetic is
+    bit-identical; otherwise the two paths differ only by float-sum
+    association across batch boundaries — the same indeterminacy the
+    distributed path itself has across partitionings (pinned in
+    ``test_r17_opt.py``)."""
     import math
 
-    def kernel(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.array(list(pdf["embedding"]), dtype=np.float64)
-            yield pd.DataFrame(
-                {
-                    "n": [len(x)],
-                    "s": [x.sum(axis=0).tolist()],
-                    "g": [(x.T @ x).ravel().tolist()],
-                }
-            )
+    if rows is not None:
+        x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        part_rows = [
+            {
+                "n": len(x),
+                "s": x.sum(axis=0).tolist(),
+                "g": (x.T @ x).ravel().tolist(),
+            }
+        ]
+    else:
 
-    rows = (
-        embeddings.select("embedding")
-        .mapInPandas(kernel, "n long, s array<double>, g array<double>")
-        .collect()
-    )
-    if not rows:
+        def kernel(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.array(list(pdf["embedding"]), dtype=np.float64)
+                yield pd.DataFrame(
+                    {
+                        "n": [len(x)],
+                        "s": [x.sum(axis=0).tolist()],
+                        "g": [(x.T @ x).ravel().tolist()],
+                    }
+                )
+
+        part_rows = (
+            embeddings.select("embedding")
+            .mapInPandas(kernel, "n long, s array<double>, g array<double>")
+            .collect()
+        )
+    if not part_rows:
         raise ValueError("pca: empty embeddings table")
-    dim = len(rows[0]["s"])
-    n = sum(r["n"] for r in rows)
+    dim = len(part_rows[0]["s"])
+    n = sum(r["n"] for r in part_rows)
     s = np.array(
-        [math.fsum(r["s"][i] for r in rows) for i in range(dim)]
+        [math.fsum(r["s"][i] for r in part_rows) for i in range(dim)]
     )
     g = np.array(
         [
-            math.fsum(r["g"][i] for r in rows)
+            math.fsum(r["g"][i] for r in part_rows)
             for i in range(dim * dim)
         ]
     ).reshape(dim, dim)
     return n, s, g
 
 
-def _pca_basis(embeddings: DataFrame, k: int):
+def _pca_basis(embeddings: DataFrame, k: int, rows: list | None = None):
     """Top-``k`` eigenpairs of the (biased) covariance, deterministic:
     exact fsum moments, ``eigh`` on the symmetric matrix, eigenvalue-
     descending order with a fixed SIGN convention (each component's
     largest-|coefficient| entry is made positive — eigenvectors are
     only defined up to sign, and without the convention two runs could
     emit mirrored projections)."""
-    n, s, g = _gram_stats(embeddings)
+    n, s, g = _gram_stats(embeddings, rows=rows)
     mean = s / n
     cov = g / n - np.outer(mean, mean)
     vals, vecs = np.linalg.eigh(cov)  # ascending

@@ -15,10 +15,16 @@ operator's internals carries a focused equivalence test here.
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from scholar_stream_spark.operators import graph, multimodal, temporal
+from scholar_stream_spark.operators import (
+    graph,
+    multimodal,
+    similarity,
+    temporal,
+)
 from tests.conftest import SF_SMALL
 
 
@@ -195,3 +201,138 @@ def test_multimodal_public_ops_stay_sorted(spark):
     assert [r["asset_id"] for r in sv] == sorted(
         r["asset_id"] for r in sv
     )
+
+
+# ---------------------------------------------------------------
+# ANN trainer hybrid: bounded-probe driver path == distributed path
+# ---------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_embeddings(spark):
+    """48 deterministic 8-dim vectors over 3 partitions — multi-batch
+    on the distributed path, probe-sized on the driver path."""
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(48, 8)).round(3)
+    return spark.createDataFrame(
+        [(i, [float(v) for v in mat[i]]) for i in range(48)],
+        "vec_id long, embedding array<double>",
+    ).repartition(3)
+
+
+def test_train_rows_probe_is_bounded(tiny_embeddings, spark):
+    rows = similarity._train_rows(tiny_embeddings, cap=100)
+    assert rows is not None and len(rows) == 48
+    assert similarity._train_rows(tiny_embeddings, cap=10) is None
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    assert similarity._train_rows(empty, cap=10) is None
+
+
+def test_pq_trainer_hybrid_paths_agree(tiny_embeddings):
+    rows = similarity._train_rows(tiny_embeddings)
+    cb_drv, cnt_drv = similarity._pq_train_codebook(
+        tiny_embeddings, m=2, k=4, n_iters=3, recount=True, rows=rows
+    )
+    cb_dst, cnt_dst = similarity._pq_train_codebook(
+        tiny_embeddings, m=2, k=4, n_iters=3, recount=True, rows=None
+    )
+    assert (cnt_drv == cnt_dst).all()
+    np.testing.assert_allclose(cb_drv, cb_dst, rtol=0, atol=1e-12)
+
+
+def test_opq_iterative_hybrid_paths_bit_identical_same_batching(
+    tiny_embeddings,
+):
+    """With IDENTICAL batching (one partition = one Arrow batch = the
+    driver path's whole-matrix call) the two paths are bit-identical —
+    the fold of a single partial into zeros is an exact identity.
+
+    (Across DIFFERENT batchings the alternating minimization is
+    float-chaotic — Lloyd argmin boundaries amplify ulp differences —
+    and the distributed path already diverges from ITSELF under
+    repartitioning on adversarial random fixtures: measured 0.94 max
+    component diff between 3- and 5-partition runs of the unchanged
+    distributed code. The driver path sits inside that pre-existing
+    indeterminacy class; on the real corpora every registered query
+    was verified md5-identical at sf0.001/0.01/0.1.)"""
+    one = tiny_embeddings.repartition(1)
+    rows = similarity._train_rows(one)
+    r_drv = similarity._opq_rotation_iterative(
+        one, m=2, k_star=4, n_iter=2, rows=rows
+    )
+    r_dst = similarity._opq_rotation_iterative(
+        one, m=2, k_star=4, n_iter=2, rows=None
+    )
+    assert (r_drv == r_dst).all()
+    np.testing.assert_allclose(
+        r_drv @ r_drv.T, np.eye(8), rtol=0, atol=1e-10
+    )
+
+
+def test_gram_stats_hybrid_exact(tiny_embeddings):
+    """Same-batching ⇒ EXACT equality; across batchings the fsum fold
+    keeps the two paths within float-association distance (the same
+    tolerance the distributed path has to itself under repartition)."""
+    one = tiny_embeddings.repartition(1)
+    n1, s1, g1 = similarity._gram_stats(
+        one, rows=similarity._train_rows(one)
+    )
+    n2, s2, g2 = similarity._gram_stats(one, rows=None)
+    assert n1 == n2
+    assert (s1 == s2).all()
+    assert (g1 == g2).all()
+    # multi-batch distributed vs driver: association-level agreement
+    n3, s3, g3 = similarity._gram_stats(tiny_embeddings, rows=None)
+    assert n3 == n1
+    np.testing.assert_allclose(s3, s1, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(g3, g1, rtol=0, atol=1e-12)
+
+
+def test_cluster_embeddings_hybrid_assignments_identical(
+    tiny_embeddings, monkeypatch
+):
+    """The registered entry path: default (driver-trained) vs forced
+    distributed training — identical cluster ids and round-4 cosines."""
+    drv = {
+        r["vec_id"]: (r["cluster_id"], r["cos_to_centroid"])
+        for r in similarity.cluster_embeddings(
+            tiny_embeddings, n_clusters=4, n_iters=3
+        ).collect()
+    }
+    monkeypatch.setattr(
+        similarity, "_train_rows", lambda df, cap=0: None
+    )
+    dist = {
+        r["vec_id"]: (r["cluster_id"], r["cos_to_centroid"])
+        for r in similarity.cluster_embeddings(
+            tiny_embeddings, n_clusters=4, n_iters=3
+        ).collect()
+    }
+    assert drv == dist
+
+
+def test_ann_pq_topk_hybrid_results_identical(
+    tiny_embeddings, monkeypatch
+):
+    def grain(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+            for r in df.collect()
+        )
+
+    drv = grain(
+        similarity.ann_pq_topk(
+            tiny_embeddings, topk=3, n_queries=4, m=2, k_star=4
+        )
+    )
+    monkeypatch.setattr(
+        similarity, "_train_rows", lambda df, cap=0: None
+    )
+    dist = grain(
+        similarity.ann_pq_topk(
+            tiny_embeddings, topk=3, n_queries=4, m=2, k_star=4
+        )
+    )
+    assert drv == dist
