@@ -608,6 +608,55 @@ def trade_triangle_census(
     )
 
 
+#: Bounded probes for the dense-matmul triangle fast path (r17; the
+#: kcore/pagerank driver-hybrid family). Below BOTH caps the triangle
+#: kernels count on the driver via one exact 0/1-adjacency matmul —
+#: common-neighbor counts are small integers (≤ node cap < 2^53), so
+#: float64 BLAS is EXACT integer arithmetic, and the node cap bounds
+#: the dense matrix at 4096² float64 = 134 MB and the matmul at
+#: ~1.4e11 FLOP (seconds of BLAS). Above either cap the distributed
+#: degree-ordered orientation kernel runs unchanged — that is the
+#: O(m^{3/2}) shape that serves 100 TB.
+TRIANGLE_DRIVER_EDGE_CAP = 1_000_000
+TRIANGLE_DRIVER_NODE_CAP = 4096
+
+
+def _triangle_probe(
+    und: DataFrame,
+    edge_cap: int = TRIANGLE_DRIVER_EDGE_CAP,
+    node_cap: int = TRIANGLE_DRIVER_NODE_CAP,
+):
+    """Driver triangle counts under bounded probes, or ``None``.
+
+    Returns ``(nodes, deg, tri_per_node, n_edges)`` where ``nodes`` is
+    the sorted distinct node list (original values), ``deg`` the
+    edge-row degree per node and ``tri_per_node`` the EXACT triangle
+    count per node (int64) — ``((A·A) ∘ A)·1 / 2`` over the 0/1
+    symmetric adjacency. ``und`` must be the kernels' documented
+    contract: deduplicated canonical ``a < b`` pairs."""
+    rows = und.select("a", "b").limit(edge_cap + 1).collect()
+    if not rows or len(rows) > edge_cap:
+        return None
+    vals_a = [r["a"] for r in rows]
+    vals_b = [r["b"] for r in rows]
+    nodes = sorted(set(vals_a) | set(vals_b))
+    n = len(nodes)
+    if n > node_cap:
+        return None
+    idx = {v: i for i, v in enumerate(nodes)}
+    ai = np.fromiter((idx[v] for v in vals_a), np.int64, len(vals_a))
+    bi = np.fromiter((idx[v] for v in vals_b), np.int64, len(vals_b))
+    deg = np.bincount(np.concatenate([ai, bi]), minlength=n)
+    adj = np.zeros((n, n), dtype=np.float64)
+    adj[ai, bi] = 1.0
+    adj[bi, ai] = 1.0
+    # (A·A) ∘ A row-sum = 2 × triangles at the node; all entries are
+    # integers ≤ n < 2^53 ⇒ float64 matmul is exact
+    tri = ((adj @ adj) * adj).sum(axis=1)
+    tri_per_node = np.rint(tri / 2.0).astype(np.int64)
+    return nodes, deg.astype(np.int64), tri_per_node, len(rows)
+
+
 def triangle_census(und: DataFrame) -> DataFrame:
     """Generic global triangle census over an undirected (a < b) edge
     list — node/edge counts, triangle count, transitivity (3·T /
@@ -616,31 +665,51 @@ def triangle_census(und: DataFrame) -> DataFrame:
     where the degree-ordered orientation bound actually earns its
     keep). Scale shape and output contract per the trade wrapper's
     docstring; ``und`` must be deduplicated canonical a < b pairs.
-    """
-    und = und.localCheckpoint(eager=False)
-    deg = _support_degrees(und).localCheckpoint(eager=False)
-    tri = _oriented_triangles(und, deg)
-    counts = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    nodes_wedges = deg.agg(
-        F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        F.sum(
-            F.col("deg") * (F.col("deg") - F.lit(1)) / F.lit(2)
-        ).cast("long").alias("_wedges"),
-    )
-    ntri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-    return (
-        nodes_wedges.crossJoin(counts)
-        .crossJoin(ntri)
-        .select(
-            "n_nodes",
-            "n_edges",
-            "n_triangles",
-            F.round(
-                F.lit(3) * F.col("n_triangles")
-                / F.when(F.col("_wedges") > 0, F.col("_wedges")),
-                6,
-            ).alias("transitivity"),
+
+    Under the bounded driver probes (``_triangle_probe``) the counts
+    come from one exact driver matmul — identical integers, one edge
+    build instead of the checkpoint + degree join + wedge self-join +
+    closure semi-join pipeline; the final transitivity expression is
+    the SAME Spark select either way."""
+    probe = _triangle_probe(und)
+    if probe is not None:
+        nodes, deg, tri_per_node, n_edges = probe
+        spark = und.sparkSession
+        base = spark.createDataFrame(
+            [
+                (
+                    len(nodes),
+                    n_edges,
+                    int(tri_per_node.sum()) // 3,
+                    int((deg * (deg - 1) // 2).sum()),
+                )
+            ],
+            "n_nodes long, n_edges long, n_triangles long, _wedges long",
         )
+    else:
+        und = und.localCheckpoint(eager=False)
+        deg = _support_degrees(und).localCheckpoint(eager=False)
+        tri = _oriented_triangles(und, deg)
+        counts = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        nodes_wedges = deg.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(
+                F.col("deg") * (F.col("deg") - F.lit(1)) / F.lit(2)
+            ).cast("long").alias("_wedges"),
+        )
+        ntri = tri.agg(
+            F.count(F.lit(1)).cast("long").alias("n_triangles")
+        )
+        base = nodes_wedges.crossJoin(counts).crossJoin(ntri)
+    return base.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        F.round(
+            F.lit(3) * F.col("n_triangles")
+            / F.when(F.col("_wedges") > 0, F.col("_wedges")),
+            6,
+        ).alias("transitivity"),
     )
 
 
@@ -733,7 +802,46 @@ def local_clustering(und: DataFrame, key_col: str = "node") -> DataFrame:
     `trade_clustering` and `user_clustering`. Scale shape and output
     contract per the trade wrapper's docstring; output key column is
     named ``key_col``, ascending.
+
+    Under the bounded driver probes (``_triangle_probe``) the per-node
+    integer counts come from one exact driver matmul — the wedge
+    self-join, closure semi-join and 3·T corner fan-out disappear; the
+    rounding select and ordering are the SAME Spark expressions either
+    way. Above either cap the distributed orientation kernel runs
+    unchanged.
     """
+    probe = _triangle_probe(und)
+    if probe is not None:
+        nodes, deg_arr, tri_per_node, _n_edges = probe
+        spark = und.sparkSession
+        key_type = und.schema["a"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("node", key_type),
+                T.StructField("degree", T.LongType()),
+                T.StructField("n_triangles", T.LongType()),
+            ]
+        )
+        joined = spark.createDataFrame(
+            [
+                (nodes[i], int(deg_arr[i]), int(tri_per_node[i]))
+                for i in range(len(nodes))
+            ],
+            schema,
+        )
+        return joined.select(
+            F.col("node").alias(key_col),
+            "degree",
+            F.col("n_triangles"),
+            F.round(
+                F.col("n_triangles")
+                / F.when(
+                    F.col("degree") > 1,
+                    F.col("degree") * (F.col("degree") - 1) / F.lit(2),
+                ),
+                6,
+            ).alias("clustering"),
+        ).orderBy(key_col)
     und = und.localCheckpoint(eager=False)
     deg_nodes = _support_degrees(und).localCheckpoint(eager=False)
     tri = _oriented_triangles(und, deg_nodes)

@@ -424,77 +424,116 @@ def generalize_qi_report(
         F.sum("_m").cast("long").alias("_g")
     )
     n_total = cells.agg(F.sum("_m").cast("long").alias("_n"))
-    rungs = []
+    # r17 restructure (§2.4, fewer stages for the same math): every
+    # rung's (geo, band) key is a pure expression of the checkpointed
+    # base grid, so a 6-way union of grid-sized selects — `leveled`,
+    # still grid-sized ×6 — feeds ONE aggregate per statistic family
+    # keyed by `level`, instead of 6 rungs × 3 rollups each with its
+    # own subtree (18 aggregates + 6 null-safe joins + 12 broadcast
+    # cross-joins → 3 aggregates + 1 join + 1 six-row meta join).
+    # Identical per-level groups ⇒ identical values; row order was
+    # never declared (no orderBy) and the driver compare is
+    # order-insensitive.
+    lvl_selects = []
     for lvl, (geo, mult) in enumerate(QI_GENERALIZATION_LADDER):
         g, b = _qi_level_keys(geo, mult)
-        # k grid: (geo, segment, band) class sizes -> min + count
-        kstats = (
-            cells.groupBy(g.alias("_gg"), F.col("_seg"), b.alias("_bb"))
-            .agg(F.sum("_m").alias("_sz"))
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_classes"),
-                F.min("_sz").cast("long").alias("min_class_size"),
-            )
-        )
-        # l/t grid: (geo, band) with per-segment cells
-        sc = (
-            cells.groupBy(g.alias("_gg"), b.alias("_bb"), F.col("_seg"))
-            .agg(F.sum("_m").cast("long").alias("_mc"))
-            .localCheckpoint(eager=False)  # feeds l stats + t fold
-        )
-        lstats = (
-            sc.groupBy("_gg", "_bb")
-            .agg(F.count(F.lit(1)).alias("_ld"))
-            .agg(F.min("_ld").cast("long").alias("min_l"))
-        )
-        classes = sc.groupBy("_gg", "_bb").agg(
-            F.sum("_mc").cast("long").alias("_n_c")
-        )
-        s = sc.alias("s")
-        c = classes.alias("c")
-        tstats = (
-            # null-safe on both QI keys (NULL geo/band classes are
-            # real classes — the t_closeness_audit contract)
-            s.join(
-                c,
-                F.col("s._gg").eqNullSafe(F.col("c._gg"))
-                & F.col("s._bb").eqNullSafe(F.col("c._bb")),
-            )
-            .join(F.broadcast(seg_tot), "_seg")
-            .crossJoin(F.broadcast(n_total))
-            .groupBy("s._gg", "s._bb")
-            .agg(
-                F.sum(
-                    F.expr(
-                        "abs(CAST(_mc AS DOUBLE) / CAST(_n_c AS DOUBLE)"
-                        " - CAST(_g AS DOUBLE) / CAST(_n AS DOUBLE))"
-                        " - CAST(_g AS DOUBLE) / CAST(_n AS DOUBLE)"
-                    )
-                ).alias("_tsum")
-            )
-            .select(F.expr("0.5 * (_tsum + 1.0)").alias("_t"))
-            .agg(F.max("_t").alias("_max_t"))
-        )
-        rungs.append(
-            kstats.crossJoin(F.broadcast(lstats))
-            .crossJoin(F.broadcast(tstats))
-            .select(
+        lvl_selects.append(
+            cells.select(
                 F.lit(lvl).cast("int").alias("level"),
-                F.lit(geo).alias("geo_level"),
-                (
-                    F.lit(mult * bal_band).cast("long")
-                    if mult is not None
-                    else F.lit(None).cast("long")
-                ).alias("band_width"),
-                "n_classes",
-                "min_class_size",
-                "min_l",
-                "_max_t",
+                g.alias("_gg"),
+                b.alias("_bb"),
+                F.col("_seg"),
+                F.col("_m"),
             )
         )
-    report = rungs[0]
-    for r in rungs[1:]:
-        report = report.unionByName(r)
+    leveled = lvl_selects[0]
+    for sel in lvl_selects[1:]:
+        leveled = leveled.unionByName(sel)
+    # k grid: (geo, segment, band) class sizes -> per-level min + count
+    kstats = (
+        leveled.groupBy("level", "_gg", "_seg", "_bb")
+        .agg(F.sum("_m").alias("_sz"))
+        .groupBy("level")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("_sz").cast("long").alias("min_class_size"),
+        )
+    )
+    # l/t grid: (geo, band) with per-segment cells
+    sc = (
+        leveled.groupBy("level", "_gg", "_bb", "_seg")
+        .agg(F.sum("_m").cast("long").alias("_mc"))
+        .localCheckpoint(eager=False)  # feeds l stats + t fold
+    )
+    lstats = (
+        sc.groupBy("level", "_gg", "_bb")
+        .agg(F.count(F.lit(1)).alias("_ld"))
+        .groupBy("level")
+        .agg(F.min("_ld").cast("long").alias("min_l"))
+    )
+    classes = sc.groupBy("level", "_gg", "_bb").agg(
+        F.sum("_mc").cast("long").alias("_n_c")
+    )
+    s = sc.alias("s")
+    c = classes.alias("c")
+    tstats = (
+        # null-safe on both QI keys (NULL geo/band classes are
+        # real classes — the t_closeness_audit contract)
+        s.join(
+            c,
+            (F.col("s.level") == F.col("c.level"))
+            & F.col("s._gg").eqNullSafe(F.col("c._gg"))
+            & F.col("s._bb").eqNullSafe(F.col("c._bb")),
+        )
+        .join(F.broadcast(seg_tot), "_seg")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("s.level", "s._gg", "s._bb")
+        .agg(
+            F.sum(
+                F.expr(
+                    "abs(CAST(_mc AS DOUBLE) / CAST(_n_c AS DOUBLE)"
+                    " - CAST(_g AS DOUBLE) / CAST(_n AS DOUBLE))"
+                    " - CAST(_g AS DOUBLE) / CAST(_n AS DOUBLE)"
+                )
+            ).alias("_tsum")
+        )
+        .select(
+            F.col("level"),
+            F.expr("0.5 * (_tsum + 1.0)").alias("_t"),
+        )
+        .groupBy("level")
+        .agg(F.max("_t").alias("_max_t"))
+    )
+    # per-level literals ride a 6-row meta table; LEFT joins + the
+    # n_classes coalesce reproduce the old per-rung global-aggregate
+    # semantics on an empty input (count over nothing = 0, mins NULL)
+    meta = customer.sparkSession.createDataFrame(
+        [
+            (
+                lvl,
+                geo,
+                int(mult * bal_band) if mult is not None else None,
+            )
+            for lvl, (geo, mult) in enumerate(QI_GENERALIZATION_LADDER)
+        ],
+        "level int, geo_level string, band_width long",
+    )
+    report = (
+        meta.join(F.broadcast(kstats), "level", "left")
+        .join(F.broadcast(lstats), "level", "left")
+        .join(F.broadcast(tstats), "level", "left")
+        .select(
+            "level",
+            "geo_level",
+            "band_width",
+            F.coalesce("n_classes", F.lit(0).cast("long")).alias(
+                "n_classes"
+            ),
+            "min_class_size",
+            "min_l",
+            "_max_t",
+        )
+    )
     report = report.select(
         "*",
         (F.col("min_class_size") >= F.lit(k_target)).alias("k_ok"),

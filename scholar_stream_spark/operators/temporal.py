@@ -360,6 +360,111 @@ def session_type_lift(
     )
 
 
+def _sweep_levels_by_range(net: DataFrame, n_parts: int | None = None):
+    """Fused scale-profile sweep (r17, §2.4): from the NET change-point
+    table ``(t, _net)`` emit ``(t, _lvl, _next_t)`` — running level and
+    lead — in ONE range shuffle + one Arrow pass. The offsets collect
+    (``prefix_sum_by_range``'s discipline: DECIMAL(38) partition sums
+    so a wrap is impossible, int accumulation driver-side) ALSO yields
+    each partition's first change point, which is exactly the lead
+    boundary the old path bought with a second range shuffle
+    (``ranked_by_range``) plus a rank+1 self-join — 3 shuffles and 2
+    driver rounds collapsed into 1 + 1. The (t) total order is unique
+    by construction (net deltas are grouped per distinct t).
+
+    The final change point of the LAST non-empty partition gets a NULL
+    ``_next_t`` (nothing after it) — callers filter it, matching the
+    rank+1 inner join's drop."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    spark = net.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = (
+        net.repartitionByRange(n_parts, F.asc("t"))
+        .sortWithinPartitions(F.asc("t"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # stats pass + sweep pass share it
+    )
+    stats = (
+        base.groupBy("_pid")
+        .agg(
+            F.sum(F.col("_net").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.min("t").alias("head"),
+        )
+        .collect()
+    )
+    pids = sorted(r["_pid"] for r in stats)
+    by_pid = {r["_pid"]: r for r in stats}
+    offsets: dict = {}
+    acc = 0
+    for p in pids:  # range partitions are id-ordered
+        offsets[p] = acc
+        acc += int(by_pid[p]["s"])
+        if not -(2**63) <= acc < 2**63:
+            raise ValueError(
+                "_sweep_levels_by_range: cumulative level exceeds "
+                "BIGINT — malformed change-point table"
+            )
+    next_head = {
+        p: (int(by_pid[pids[i + 1]]["head"]) if i + 1 < len(pids) else None)
+        for i, p in enumerate(pids)
+    }
+
+    def kernel(batches):
+        run = None
+        boundary = None
+        pend_t = pend_lvl = None  # last row awaits its lead
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                pid = int(pdf["_pid"].iloc[0])
+                run = offsets[pid]
+                boundary = next_head[pid]
+            t = pdf["t"].to_numpy(np.int64)
+            d = pdf["_net"].to_numpy(np.int64)
+            # guard: int64 cumsum is exact whenever it cannot wrap
+            if abs(run) + len(d) * int(np.abs(d).max()) >= 2**63:
+                raise ValueError(
+                    "_sweep_levels_by_range: level cumsum could "
+                    "exceed int64 — malformed change-point table"
+                )
+            lvl = run + np.cumsum(d)
+            run = int(lvl[-1])
+            out_t = t
+            out_lvl = lvl
+            out_next = np.empty(len(t), dtype=object)
+            out_next[:-1] = t[1:]
+            out_next[-1] = None
+            if pend_t is not None:
+                out_t = np.concatenate([[pend_t], t])
+                out_lvl = np.concatenate([[pend_lvl], lvl])
+                out_next = np.concatenate([[t[0]], out_next])
+            pend_t, pend_lvl = int(t[-1]), int(lvl[-1])
+            yield pd.DataFrame(
+                {
+                    "t": out_t[:-1],
+                    "_lvl": out_lvl[:-1],
+                    "_next_t": out_next[:-1],
+                }
+            )
+        if pend_t is not None:
+            yield pd.DataFrame(
+                {
+                    "t": [pend_t],
+                    "_lvl": [pend_lvl],
+                    "_next_t": [boundary],
+                }
+            )
+
+    return base.mapInPandas(
+        kernel, "t long, _lvl long, _next_t long"
+    )
+
+
 def session_concurrency(
     events: DataFrame,
     gap_seconds: int = SESSION_GAP_SECONDS,
@@ -422,20 +527,12 @@ def session_concurrency(
     )
     net = pts.groupBy("t").agg(F.sum("d").cast("long").alias("_net"))
     if profile == "scale":
-        from scholar_stream_spark.operators.relational import (
-            prefix_sum_by_range,
-            ranked_by_range,
+        # fused sweep: one range shuffle + one Arrow pass for level AND
+        # lead (was prefix_sum_by_range + ranked_by_range + a rank+1
+        # self-join — 3 shuffles); value-identical, pinned
+        iv = _sweep_levels_by_range(net).filter(
+            F.col("_next_t").isNotNull()
         )
-
-        cum = prefix_sum_by_range(
-            net, [F.asc("t")], "_net", cum_col="_lvl"
-        )
-        ranked = ranked_by_range(cum, [], ["t"], rank_col="_rk")
-        nxt = ranked.select(
-            (F.col("_rk") - F.lit(1)).alias("_rk"),
-            F.col("t").alias("_next_t"),
-        )
-        iv = ranked.join(nxt, "_rk")  # the last point has no interval
     else:
         w = Window.orderBy("t")
         iv = net.select(

@@ -204,6 +204,83 @@ def test_multimodal_public_ops_stay_sorted(spark):
 
 
 # ---------------------------------------------------------------
+# triangle kernels: dense-matmul driver path == orientation kernel
+# ---------------------------------------------------------------
+
+
+def _und_df(spark, edges):
+    return spark.createDataFrame(edges, "a long, b long")
+
+
+_TRI_EDGES = [
+    # two triangles sharing edge (1,2), a pendant (5), an isolated
+    # edge (6,7)
+    (1, 2),
+    (1, 3),
+    (2, 3),
+    (1, 4),
+    (2, 4),
+    (4, 5),
+    (6, 7),
+]
+
+
+def test_triangle_census_hybrid_paths_identical(spark, monkeypatch):
+    und = _und_df(spark, _TRI_EDGES)
+    drv = graph.triangle_census(und).collect()
+    monkeypatch.setattr(
+        graph, "_triangle_probe", lambda u, **kw: None
+    )
+    dist = graph.triangle_census(und).collect()
+    assert [tuple(r) for r in drv] == [tuple(r) for r in dist]
+    assert drv[0]["n_triangles"] == 2
+
+
+def test_local_clustering_hybrid_paths_identical(spark, monkeypatch):
+    und = _und_df(spark, _TRI_EDGES)
+    drv = [tuple(r) for r in graph.local_clustering(und).collect()]
+    monkeypatch.setattr(
+        graph, "_triangle_probe", lambda u, **kw: None
+    )
+    dist = [tuple(r) for r in graph.local_clustering(und).collect()]
+    assert drv == dist
+    by_node = {t[0]: t for t in drv}
+    # node 1: deg 3, triangles 2 (123, 124) -> 2 / C(3,2)
+    assert by_node[1][1:] == (3, 2, round(2 / 3, 6))
+    # node 5: degree-1 -> NULL clustering
+    assert by_node[5][1:] == (1, 0, None)
+
+
+def test_triangle_probe_caps(spark):
+    und = _und_df(spark, _TRI_EDGES)
+    assert graph._triangle_probe(und, edge_cap=3) is None
+    assert graph._triangle_probe(und, node_cap=3) is None
+    empty = _und_df(spark, [])
+    assert graph._triangle_probe(empty) is None
+    probe = graph._triangle_probe(und)
+    assert probe is not None and probe[3] == len(_TRI_EDGES)
+
+
+def test_user_graph_kernels_match_distributed_at_sf_small(
+    spark, monkeypatch
+):
+    """The oracle-backed user co-activity entries: driver matmul vs
+    the distributed orientation kernel on REAL data (sf0.001)."""
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    drv_c = [tuple(r) for r in graph.user_clustering(ev).collect()]
+    drv_t = [tuple(r) for r in graph.user_triangles(ev).collect()]
+    monkeypatch.setattr(
+        graph, "_triangle_probe", lambda u, **kw: None
+    )
+    assert drv_c == [
+        tuple(r) for r in graph.user_clustering(ev).collect()
+    ]
+    assert drv_t == [
+        tuple(r) for r in graph.user_triangles(ev).collect()
+    ]
+
+
+# ---------------------------------------------------------------
 # ANN trainer hybrid: bounded-probe driver path == distributed path
 # ---------------------------------------------------------------
 
