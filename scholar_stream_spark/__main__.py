@@ -39,6 +39,7 @@ import tempfile
 import uuid
 
 from scholar_stream_spark.sources.rest import MAX_PER_PAGE
+from scholar_stream_spark.plans.partitioning import driver_rows_df
 
 DEFAULT_BATCH_SIZE = 50
 
@@ -197,7 +198,7 @@ def _read_raw_or_empty(spark, path: str):
             code in cond or code in str(exc)
             for code in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
         ):
-            return spark.createDataFrame(
+            return driver_rows_df(spark,
                 [], "payload string, metadata string"
             )
         raise

@@ -43,7 +43,10 @@ from scholar_stream_spark.functions.hashing import (
     hex48_spark_sql,
 )
 from scholar_stream_spark.functions.text import normalize_text, word_shingles
-from scholar_stream_spark.plans.partitioning import scale_out
+from scholar_stream_spark.plans.partitioning import (
+    driver_rows_df,
+    scale_out,
+)
 
 SHINGLE_N = 5
 JACCARD_THRESHOLD = 0.8
@@ -781,7 +784,7 @@ def write_neardup_index_params(
     """Persist the hash-space parameters the index was built with, so a
     probe in a DIFFERENT space (e.g. xxhash64 vs md5) fails loudly
     instead of silently matching nothing and admitting every dup."""
-    spark.createDataFrame(
+    driver_rows_df(spark,
         [(int(n), hash_profile, -1 if cap is None else int(cap))],
         "n int, hash_profile string, max_doc_freq long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
@@ -831,7 +834,7 @@ def compact_neardup_index(
     writing over a live index a probe is reading is the caller's race.
     """
     excl = (
-        spark.createDataFrame(
+        driver_rows_df(spark,
             [(int(i),) for i in exclude_doc_ids], "doc_id long"
         )
         if exclude_doc_ids is not None
@@ -1666,7 +1669,7 @@ def _clusters_driver_union_find(spark, edge_rows) -> DataFrame:
         for root, nodes in members.items()
         for node in nodes
     ]
-    return spark.createDataFrame(
+    return driver_rows_df(spark,
         rows, "doc_id long, cluster_id long, cluster_size long"
     )
 
@@ -2383,7 +2386,7 @@ def _write_fingerprint_layout(
     build_fingerprint_bloom(stored, n_bits, n_hashes).coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/bloom")
-    spark.createDataFrame(
+    driver_rows_df(spark,
         [(int(n_bits), int(n_hashes))], "n_bits long, n_hashes int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 

@@ -16,6 +16,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from scholar_stream_spark.plans.partitioning import driver_rows_df
 
 #: PageRank defaults: the canonical damping factor and a round budget
 #: sized for small-diameter business graphs (power iteration converges
@@ -297,7 +298,7 @@ def _pagerank_driver(
         ]
     else:
         rows = [(v, float(pr[i])) for v, i in idx.items()]
-    return spark.createDataFrame(rows, T.StructType(fields))
+    return driver_rows_df(spark, rows, T.StructType(fields))
 
 
 def _nation_revenue_edges(
@@ -675,7 +676,7 @@ def triangle_census(und: DataFrame) -> DataFrame:
     if probe is not None:
         nodes, deg, tri_per_node, n_edges = probe
         spark = und.sparkSession
-        base = spark.createDataFrame(
+        base = driver_rows_df(spark,
             [
                 (
                     len(nodes),
@@ -822,7 +823,7 @@ def local_clustering(und: DataFrame, key_col: str = "node") -> DataFrame:
                 T.StructField("n_triangles", T.LongType()),
             ]
         )
-        joined = spark.createDataFrame(
+        joined = driver_rows_df(spark,
             [
                 (nodes[i], int(deg_arr[i]), int(tri_per_node[i]))
                 for i in range(len(nodes))
@@ -1140,7 +1141,7 @@ def _kcore_driver_peel(spark, edge_rows, key_col: str) -> DataFrame:
             if u not in removed:
                 deg[u] -= 1
                 heapq.heappush(heap, (deg[u], u))
-    return spark.createDataFrame(
+    return driver_rows_df(spark,
         sorted(core.items()), f"{key_col} long, coreness long"
     ).orderBy(key_col)
 
@@ -1458,7 +1459,7 @@ def _hits_driver(
         rows = [
             (v, float(h[i]), float(a[i])) for v, i in idx.items()
         ]
-        return spark.createDataFrame(rows, T.StructType(fields))
+        return driver_rows_df(spark, rows, T.StructType(fields))
     fields.append(T.StructField("residual", T.DoubleType()))
     if prev_a is None:
         # n_iter=1: no previous authority state — NULL residual (the
@@ -1471,7 +1472,7 @@ def _hits_driver(
     rows = [
         (v, float(h[i]), float(a[i]), res) for v, i in idx.items()
     ]
-    return spark.createDataFrame(rows, T.StructType(fields))
+    return driver_rows_df(spark, rows, T.StructType(fields))
 
 
 def nation_hits(

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from scholar_stream_spark.functions.text import PRIVILEGED_ROLES, mask_email
+from scholar_stream_spark.plans.partitioning import driver_rows_df
 
 #: Role taxonomy carried over from the reference (sql/02_rbac_policies.sql).
 KNOWN_ROLES = ("ACCOUNTADMIN", "R_INGEST", "R_TRANSFORM", "R_ANALYST")
@@ -507,7 +508,7 @@ def generalize_qi_report(
     # per-level literals ride a 6-row meta table; LEFT joins + the
     # n_classes coalesce reproduce the old per-rung global-aggregate
     # semantics on an empty input (count over nothing = 0, mins NULL)
-    meta = customer.sparkSession.createDataFrame(
+    meta = driver_rows_df(customer.sparkSession,
         [
             (
                 lvl,

@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from scholar_stream_spark.functions.hashing import hex48_spark_sql
-from scholar_stream_spark.plans.partitioning import scale_out
+from scholar_stream_spark.plans.partitioning import (
+    driver_rows_df,
+    scale_out,
+)
 
 #: Default split ranges over the 100 hash buckets: [0,90) train,
 #: [90,95) val, [95,100) test.
@@ -316,7 +319,7 @@ def mixture_report(
         F.sum("nt").cast("long").alias("n_tokens"),
     )
     tot = per.agg(F.sum("n_tokens").cast("double").alias("_tt"))
-    wdf = documents.sparkSession.createDataFrame(
+    wdf = driver_rows_df(documents.sparkSession,
         [(k, float(v)) for k, v in sorted(weights.items())],
         "stratum string, _tgt double",
     )

@@ -37,7 +37,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from scholar_stream_spark.functions.vectors import cosine_from_norms, l2_norm
-from scholar_stream_spark.plans.partitioning import scale_out  # noqa: F401
+from scholar_stream_spark.plans.partitioning import (
+    driver_rows_df,
+    scale_out,
+)  # noqa: F401
 
 # scale_out is re-exported for callers/tests composing their own corpus
 # staging; the operators below deliberately no longer wrap the
@@ -547,7 +550,7 @@ def ivf_topk(
         for i, r in enumerate(q_rows)
         for c in order[i]
     ]
-    q_cells = embeddings.sparkSession.createDataFrame(
+    q_cells = driver_rows_df(embeddings.sparkSession,
         probe_rows,
         "query_id long, q_embedding array<double>, q_norm double, cell long",
     )
@@ -606,7 +609,7 @@ def write_ivf_index(
     write_partitioned(
         indexed, f"{path}/vectors", ["cell"], sort_cols=["vec_id"]
     )
-    quantizer = embeddings.sparkSession.createDataFrame(
+    quantizer = driver_rows_df(embeddings.sparkSession,
         [
             (int(c), [float(x) for x in cmat_normed[i]])
             for i, c in enumerate(cells)
@@ -837,7 +840,7 @@ def compact_ivf_index(
         "basePath", f"{index_path}/vectors"
     ).parquet(f"{index_path}/vectors")
     if exclude_vec_ids is not None:
-        ids = spark.createDataFrame(
+        ids = driver_rows_df(spark,
             [(int(i),) for i in exclude_vec_ids], "vec_id long"
         )
         vectors = vectors.join(F.broadcast(ids), "vec_id", "left_anti")
@@ -885,7 +888,7 @@ def ivf_probe_index(
         for i, (qid, emb) in enumerate(queries)
         for c in order[i]
     ]
-    q_cells = spark.createDataFrame(
+    q_cells = driver_rows_df(spark,
         probe_rows,
         "query_id long, q_embedding array<double>, q_norm double, cell long",
     )
@@ -1843,7 +1846,7 @@ def pq_train(
         for j in range(m)
         for c in range(k)
     ]
-    return spark.createDataFrame(
+    return driver_rows_df(spark,
         rows, "subspace int, code int, cell_count long, centroid array<double>"
     ).orderBy("subspace", "code")
 
@@ -2077,7 +2080,7 @@ def ann_pq_rerank_topk(
         rows=rows,
     ).select("query_id", F.col("neighbor_id").alias("vec_id"))
     spark = embeddings.sparkSession
-    qdf = spark.createDataFrame(
+    qdf = driver_rows_df(spark,
         [(int(r["vec_id"]), [float(v) for v in r["embedding"]]) for r in q_rows],
         "query_id long, q_embedding array<double>",
     ).select(
@@ -2448,7 +2451,7 @@ def ann_ivfpq_topk(
         for c in order[i]
     ]
     spark = embeddings.sparkSession
-    q_cells = spark.createDataFrame(probe_rows, "query_id long, cell long")
+    q_cells = driver_rows_df(spark, probe_rows, "query_id long, cell long")
 
     # --- ADC over the probed candidates -------------------------------
     nq = len(q_ids)
@@ -2509,7 +2512,7 @@ def ann_ivfpq_topk(
     )
 
     # --- exact refine over the shortlist -------------------------------
-    qdf = spark.createDataFrame(
+    qdf = driver_rows_df(spark,
         [
             (int(r["vec_id"]), [float(v) for v in r["embedding"]])
             for r in q_rows
@@ -2624,7 +2627,7 @@ def hybrid_search_rrf(
     lex = bm25_search(documents, topk=depth).select(
         "query", F.col("doc_id"), F.col("rank")
     )
-    qmap = documents.sparkSession.createDataFrame(
+    qmap = driver_rows_df(documents.sparkSession,
         [(qid, i) for i, (qid, _) in enumerate(BM25_QUERIES)],
         "query string, qidx long",
     )
@@ -2792,11 +2795,11 @@ def write_pq_index(
         for j in range(m)
         for c in range(k_star)
     ]
-    spark.createDataFrame(
+    driver_rows_df(spark,
         rows, "subspace int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
     if rotation is not None:
-        spark.createDataFrame(
+        driver_rows_df(spark,
             [
                 (i, [float(v) for v in rotation[i]])
                 for i in range(rotation.shape[0])
@@ -2913,7 +2916,7 @@ def pq_probe_index(
         .filter(F.col("r") <= shortlist)
         .select("query_id", F.col("neighbor_id").alias("vec_id"))
     )
-    qdf = spark.createDataFrame(
+    qdf = driver_rows_df(spark,
         [
             (int(r["vec_id"]), [float(v) for v in r["embedding"]])
             for r in q_rows
@@ -3099,7 +3102,7 @@ def pca_components(
         )
         for i in range(len(vals))
     ]
-    return spark.createDataFrame(
+    return driver_rows_df(spark,
         rows,
         "component int, eigenvalue double, explained_var double,"
         " vector array<double>",

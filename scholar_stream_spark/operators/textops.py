@@ -15,7 +15,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from scholar_stream_spark.plans.partitioning import scale_out
+from scholar_stream_spark.plans.partitioning import (
+    driver_rows_df,
+    scale_out,
+)
 from scholar_stream_spark.functions.hashing import hex48_spark_sql
 from scholar_stream_spark.functions.text import normalize_text
 
@@ -938,7 +941,7 @@ def bpe_train(documents: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFra
             ).alias("syms"),
             "f",
         ).localCheckpoint()
-    return spark.createDataFrame(
+    return driver_rows_df(spark,
         merges, schema="merge_rank long, a string, b string, pair_count long"
     )
 
@@ -1214,8 +1217,8 @@ def heavy_hitters(documents: DataFrame, k: int = HH_K) -> DataFrame:
     total = sum(r["n_part"] for r in summary if r["token"] is None)
     cand_tokens = sorted({r["token"] for r in summary if r["token"] is not None})
     if not cand_tokens or total == 0:
-        return spark.createDataFrame([], "token string, tf long, freq double")
-    cands = spark.createDataFrame([(t,) for t in cand_tokens], "token string")
+        return driver_rows_df(spark, [], "token string, tf long, freq double")
+    cands = driver_rows_df(spark, [(t,) for t in cand_tokens], "token string")
     threshold = total / float(k)
     return (
         toks.join(F.broadcast(cands), "token")
@@ -1818,7 +1821,7 @@ def bpe_train_batched(
             ).alias("syms"),
             "f",
         ).localCheckpoint()
-    return spark.createDataFrame(
+    return driver_rows_df(spark,
         merges, schema="merge_rank long, a string, b string, pair_count long"
     )
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from scholar_stream_spark.plans.partitioning import driver_rows_df
 
 
 def write_partitioned(
@@ -84,7 +85,7 @@ def table_file_stats(spark, path: str) -> "DataFrame":
     n = len(sizes)
     total = sum(sizes)
     n_small = sum(1 for s in sizes if s < SMALL_FILE_BYTES)
-    return spark.createDataFrame(
+    return driver_rows_df(spark,
         [(
             n,
             total,

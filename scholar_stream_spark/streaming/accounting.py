@@ -28,6 +28,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQueryListener
+from scholar_stream_spark.plans.partitioning import driver_rows_df
 
 METRICS_SCHEMA = (
     "batch_id string, batch_seq long, n_input long, n_landed long, "
@@ -113,14 +114,14 @@ class IngestAccounting:
             )
             for b in self.batches
         ]
-        return spark.createDataFrame(rows, METRICS_SCHEMA)
+        return driver_rows_df(spark, rows, METRICS_SCHEMA)
 
 
 def append_metrics(
     spark: SparkSession, metrics_path: str, m: BatchMetrics
 ) -> None:
     """Append one batch's metrics row to the durable metrics table."""
-    spark.createDataFrame(
+    driver_rows_df(spark,
         [
             (
                 m.batch_id,
@@ -187,4 +188,4 @@ class ProgressListener(StreamingQueryListener):
         pass
 
     def to_df(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame(self.progress, self.PROGRESS_SCHEMA)
+        return driver_rows_df(spark, self.progress, self.PROGRESS_SCHEMA)

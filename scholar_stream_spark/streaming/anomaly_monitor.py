@@ -36,6 +36,7 @@ from scholar_stream_spark.operators.relational import (
     RATE_Z_THRESHOLD,
     rate_anomalies_from_hourly,
 )
+from scholar_stream_spark.plans.partitioning import driver_rows_df
 
 _COUNTS_SCHEMA = "event_type string, hour timestamp, n_events long"
 _EMPTY_ERRORS = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
@@ -53,7 +54,7 @@ def read_hourly_counts(
     except AnalysisException as exc:
         cond = getattr(exc, "getCondition", lambda: None)() or ""
         if any(code in cond or code in str(exc) for code in _EMPTY_ERRORS):
-            return spark.createDataFrame([], _COUNTS_SCHEMA)
+            return driver_rows_df(spark, [], _COUNTS_SCHEMA)
         raise
     if exclude_batch is not None:
         df = df.filter(F.col("batch") != exclude_batch)

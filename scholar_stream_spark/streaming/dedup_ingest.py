@@ -41,6 +41,7 @@ from scholar_stream_spark.operators.dedup import (
     incremental_dedup,
     incremental_dedup_bloom,
 )
+from scholar_stream_spark.plans.partitioning import driver_rows_df
 
 _INDEX_SCHEMA = "fingerprint string"
 _BLOOM_SCHEMA = "word int, bits long"
@@ -83,7 +84,7 @@ def read_index(
     except AnalysisException as exc:
         cond = getattr(exc, "getCondition", lambda: None)() or ""
         if any(code in cond or code in str(exc) for code in _EMPTY_INDEX_ERRORS):
-            return spark.createDataFrame([], _INDEX_SCHEMA)
+            return driver_rows_df(spark, [], _INDEX_SCHEMA)
         raise
     if exclude_batch is not None:
         idx = idx.filter(F.col("batch") != exclude_batch)
@@ -107,7 +108,7 @@ def read_bloom(
     except AnalysisException as exc:
         cond = getattr(exc, "getCondition", lambda: None)() or ""
         if any(code in cond or code in str(exc) for code in _EMPTY_INDEX_ERRORS):
-            return spark.createDataFrame([], _BLOOM_SCHEMA)
+            return driver_rows_df(spark, [], _BLOOM_SCHEMA)
         raise
     if exclude_batch is not None:
         df = df.filter(F.col("batch") != exclude_batch)
@@ -270,7 +271,7 @@ def _read_or_empty(
     except AnalysisException as exc:
         cond = getattr(exc, "getCondition", lambda: None)() or ""
         if any(code in cond or code in str(exc) for code in _EMPTY_INDEX_ERRORS):
-            return spark.createDataFrame([], schema)
+            return driver_rows_df(spark, [], schema)
         raise
     if exclude_batch is not None:
         df = df.filter(F.col("batch") != exclude_batch)
@@ -394,7 +395,7 @@ def neardup_ingest_batch(
         else:
             kept_ids.add(node)
     all_rejects = sorted(corpus_rejects | set(in_rejects))
-    rejects = spark.createDataFrame(
+    rejects = driver_rows_df(spark,
         [(int(x),) for x in all_rejects], "doc_id long"
     )
     # one computation feeding three writes (same discipline as

@@ -413,3 +413,36 @@ def test_ann_pq_topk_hybrid_results_identical(
         )
     )
     assert drv == dist
+
+
+# ---------------------------------------------------------------
+# driver_rows_df: one-slice driver tables (the coalesce(1) write fix)
+# ---------------------------------------------------------------
+
+
+def test_driver_rows_df_value_and_slice_contract(spark):
+    """A driver-held row list must land value-identical to plain
+    ``createDataFrame`` but WITHOUT the defaultParallelism fan-out: a
+    32-slice tiny table pays 32 Python-worker round-trips in any
+    single-task consumer (a 256-row ``coalesce(1)`` codebook write
+    measured 4.4 s vs 0.31 s at one slice)."""
+    from scholar_stream_spark.plans.partitioning import driver_rows_df
+
+    rows = [(i, f"s{i}", [float(i), float(i + 1)]) for i in range(257)]
+    schema = "id long, name string, vec array<double>"
+    got = driver_rows_df(spark, rows, schema)
+    ref = spark.createDataFrame(rows, schema)
+    assert got.schema == ref.schema
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+    # tiny table -> exactly one slice; scaling kicks in per 64k rows
+    assert got.rdd.getNumPartitions() == 1
+    assert driver_rows_df(
+        spark, rows, schema, rows_per_slice=100
+    ).rdd.getNumPartitions() == 3
+    # empty list with both schema forms stays legal (streaming early
+    # returns build empty frames through the same helper)
+    empty = driver_rows_df(spark, [], schema)
+    assert empty.count() == 0
+    assert empty.schema == ref.schema
