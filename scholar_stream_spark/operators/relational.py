@@ -3132,33 +3132,52 @@ def rfm_segments(orders: DataFrame, profile: str = "oracle") -> DataFrame:
         )
     )
     if profile == "scale":
-        # three independent total orders -> three parallel range-rank
-        # passes over the (small relative to the fact table) per-cust
-        # aggregate, re-joined on the shared key; descending metrics
-        # rank on the NEGATED column (integer/exact types, no ties)
+        # three independent total orders -> ONE metric-tagged range-rank
+        # pass (r17 opt): each metric's rows ride the union under a tag
+        # key, ranked_by_range ranks WITHIN the tag (its key_cols
+        # machinery), and one per-customer rollup pivots the three
+        # scores back — 1 range Exchange + 1 offsets collect instead of
+        # 3+3, and the three custkey hash joins collapse into the
+        # rollup. Descending metrics rank on the NEGATED column; every
+        # sort key is exact (long / DECIMAL widened losslessly to
+        # DECIMAL(38,2)), so per-metric order — and therefore every
+        # integer rank — is bit-identical to the three-pass form
+        # (pinned value-identical in pytest).
         per_cust = per_cust.localCheckpoint(eager=False)
-
-        def _score(metric_col, asc: bool, name: str):
-            src = per_cust.select(
+        k38 = "decimal(38,2)"
+        tagged = None
+        for mid, (metric_col, asc) in enumerate(
+            [("recency_days", True), ("frequency", False), ("monetary", False)]
+        ):
+            key = F.col(metric_col) if asc else -F.col(metric_col)
+            sel = per_cust.select(
+                F.lit(mid).alias("_m"),
                 "o_custkey",
-                (F.col(metric_col) if asc else -F.col(metric_col)).alias(
-                    "_k"
-                ),
+                key.cast(k38).alias("_k"),
+                # monetary rides its own metric's rows so the rollup
+                # needs NO join back to per_cust
+                (
+                    F.col("monetary")
+                    if metric_col == "monetary"
+                    else F.lit(None).cast("decimal(18,2)")
+                ).alias("_money"),
             )
-            return ranked_by_range(
-                src, [], ["_k", "o_custkey"], rank_col="rk", n_col="n"
-            ).select(
-                "o_custkey",
-                F.expr(f"CAST(5 - ((rk - 1) * 5) DIV n AS INT)").alias(
-                    name
-                ),
-            )
+            tagged = sel if tagged is None else tagged.unionByName(sel)
+        ranked = ranked_by_range(
+            tagged, ["_m"], ["_k", "o_custkey"], rank_col="rk", n_col="n"
+        )
+        score = F.expr("CAST(5 - ((rk - 1) * 5) DIV n AS INT)")
 
-        scored = (
-            per_cust.select("o_custkey", "monetary")
-            .join(_score("recency_days", True, "r_score"), "o_custkey")
-            .join(_score("frequency", False, "f_score"), "o_custkey")
-            .join(_score("monetary", False, "m_score"), "o_custkey")
+        def _pick(mid: int, name: str):
+            return F.max(F.when(F.col("_m") == mid, score)).alias(name)
+
+        scored = ranked.groupBy("o_custkey").agg(
+            _pick(0, "r_score"),
+            _pick(1, "f_score"),
+            _pick(2, "m_score"),
+            F.max(F.when(F.col("_m") == 2, F.col("_money"))).alias(
+                "monetary"
+            ),
         )
         return scored.groupBy("r_score", "f_score", "m_score").agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
@@ -3991,20 +4010,59 @@ def segment_migration(
             F.expr("CAST(5 - ((rk - 1) * 5) DIV n AS INT)").alias(name),
         )
 
-    def _tier_scale(rev_col: str, name: str) -> DataFrame:
-        present = per_cust.filter(F.col(rev_col).isNotNull()).select(
-            "o_custkey", (-F.col(rev_col)).alias("_k")
+    if profile == "scale":
+        # both period rankings in ONE period-tagged range-rank pass
+        # (the fused rfm_segments shape, r17 opt): present-in-period
+        # slices union under a tag, ranked_by_range ranks within the
+        # tag, and the per-customer rollup pivots the two tiers back —
+        # 1 range Exchange + 1 offsets collect instead of 2+2, no
+        # custkey joins. A customer present in ONE period simply has
+        # no row under the other tag -> NULL tier -> the same
+        # coalesce-to-0 the LEFT joins produced. rev2 rides the
+        # period-2 rows (absent-in-p2 => NULL, as before). Every
+        # customer has >= 1 order so the union covers per_cust
+        # exactly; per-period order keys are unchanged, so every
+        # integer rank is bit-identical (pinned in pytest).
+        per_cust = per_cust.localCheckpoint(eager=False)
+        tagged = None
+        for mid, rev_col in enumerate(["rev1", "rev2"], start=1):
+            sel = per_cust.filter(F.col(rev_col).isNotNull()).select(
+                F.lit(mid).alias("_m"),
+                "o_custkey",
+                (-F.col(rev_col)).alias("_k"),
+                (
+                    F.col("rev2")
+                    if rev_col == "rev2"
+                    else F.lit(None).cast("decimal(18,2)")
+                ).alias("_rev2"),
+            )
+            tagged = sel if tagged is None else tagged.unionByName(sel)
+        ranked = ranked_by_range(
+            tagged, ["_m"], ["_k", "o_custkey"], rank_col="rk", n_col="n"
         )
-        return ranked_by_range(
-            present, [], ["_k", "o_custkey"], rank_col="rk", n_col="n"
-        ).select(
-            "o_custkey",
-            F.expr("CAST(5 - ((rk - 1) * 5) DIV n AS INT)").alias(name),
+        tier_expr = F.expr("CAST(5 - ((rk - 1) * 5) DIV n AS INT)")
+        joined = ranked.groupBy("o_custkey").agg(
+            F.coalesce(
+                F.max(F.when(F.col("_m") == 1, tier_expr)), F.lit(0)
+            )
+            .cast("int")
+            .alias("p1_tier"),
+            F.coalesce(
+                F.max(F.when(F.col("_m") == 2, tier_expr)), F.lit(0)
+            )
+            .cast("int")
+            .alias("p2_tier"),
+            F.max(F.when(F.col("_m") == 2, F.col("_rev2"))).alias("rev2"),
+        )
+        return joined.groupBy("p1_tier", "p2_tier").agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.expr(
+                "CAST(COALESCE(SUM(rev2), CAST(0 AS DECIMAL(18,2))) "
+                "AS DOUBLE)"
+            ).alias("revenue_p2"),
         )
 
-    tier = _tier_scale if profile == "scale" else _tier_oracle
-    if profile == "scale":
-        per_cust = per_cust.localCheckpoint(eager=False)
+    tier = _tier_oracle
     joined = (
         per_cust.join(tier("rev1", "_t1"), "o_custkey", "left")
         .join(tier("rev2", "_t2"), "o_custkey", "left")
