@@ -3288,8 +3288,9 @@ def part_pair_affinity(
     exchange); pairs explode from that array with the nested
     ``transform`` — ≤ |order|²/2 rows per order, and TPC-H-ish orders
     hold ≤ 7 parts, so the pair stream is ~21× orders AT MOST, never
-    a parts×parts self-join; per-part basket counts ride the SAME
-    distinct (order, part) table; the final top-K is
+    a parts×parts self-join; per-part basket counts explode from the
+    SAME basket sets (each set holds a part once, so the exploded
+    count IS the distinct (order, part) count); the final top-K is
     ``orderBy … LIMIT`` — TakeOrderedAndProject, distributed, never a
     global single-task sort. Lift = ``co·N / (cnt_a·cnt_b)`` — one
     IEEE division of exact-integer products.
@@ -3300,15 +3301,16 @@ def part_pair_affinity(
     Output: (part_a, part_b, co_count, cnt_a, cnt_b, lift round-6),
     top-K by (co_count desc, part_a, part_b).
     """
-    # the distinct (order, part) table feeds THREE consumers (baskets,
-    # per-part counts, the order total) — pin once
-    op = (
-        lineitem.select("l_orderkey", "l_partkey")
-        .distinct()
+    # ONE order-keyed exchange builds the basket table and every other
+    # input derives from it (r17 opt, §2.4): the old shape pinned the
+    # distinct (order, part) table and re-aggregated it three ways —
+    # the basket collect_set already dedups parts within an order, so
+    # the distinct's fact-sized exchange was pure overhead, and the
+    # checkpointed table shrinks |lineitem| → |orders| rows.
+    baskets = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
         .localCheckpoint(eager=False)
-    )
-    baskets = op.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
     pairs = (
         baskets.select(
@@ -3324,11 +3326,17 @@ def part_pair_affinity(
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("long").alias("co_count"))
     )
-    singles = op.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    # per-part basket counts: each basket's set holds a part at most
+    # once, so exploding the sets and counting IS the distinct
+    # (order, part) count; the order total is just the basket count
+    # (one tiny aggregate instead of a two-level count_distinct)
+    singles = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    n_df = op.agg(
-        F.count_distinct("l_orderkey").cast("long").alias("n_orders")
+    n_df = baskets.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
     )
     return (
         pairs.join(

@@ -861,6 +861,10 @@ def dsir_sample(
         _dsir_bucket_rows(corpus, key_col, n_buckets)
         .groupBy(key_col, "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # pinned: feeds the bucket LM AND the per-doc scoring — without
+        # the pin each consumer re-runs the corpus explode (r17 opt;
+        # the before plan held 48 Exchanges of duplicated subtrees)
+        .localCheckpoint(eager=False)
     )
     crp_counts = crp.groupBy("bucket").agg(
         F.sum("tf").cast("long").alias("cc")
@@ -872,6 +876,8 @@ def dsir_sample(
             F.coalesce("tc", F.lit(0)).alias("tc"),
             F.coalesce("cc", F.lit(0)).alias("cc"),
         )
+        # |buckets| rows, two consumers (totals + weights)
+        .localCheckpoint(eager=False)
     )
     totals = lm.agg(
         F.sum("tc").alias("nt"), F.sum("cc").alias("nc")
@@ -895,6 +901,8 @@ def dsir_sample(
             F.sum("tf").cast("long").alias("n_ngrams"),
             F.sum(F.col("tf") * F.col("lw_q")).alias("lr_q"),
         )
+        # doc-sized, two consumers (the centering mean + the keep rule)
+        .localCheckpoint(eager=False)
     )
     # corpus-wide per-gram mean LLR from the SAME scored table — exact
     # integer sums, so the centering scalar is engine-identical; the

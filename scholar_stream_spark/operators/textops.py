@@ -859,6 +859,113 @@ def bpe_merge_pairs(documents: DataFrame, top_n: int = BPE_TOP_N) -> DataFrame:
 #: tests and the bench while exercising the exact per-round machinery.
 BPE_TRAIN_MERGES = 8
 
+#: Driver fast-path bound for the BPE trainers (the kcore/pagerank/ANN
+#: hybrid discipline): a vocabulary (distinct words) at or under this
+#: many rows trains on the driver — the merge loop is vocab-sized by
+#: construction, and each distributed round otherwise costs two Spark
+#: jobs of pure scheduling latency. ~100k words × ~100 B of symbol
+#: strings ≈ 10 MB of driver state, bounded by the probe itself.
+BPE_DRIVER_VOCAB_CAP = 100_000
+
+
+def _bpe_fold_word(syms, pairs):
+    """The trainers' left-fold merge, on the driver: append each
+    symbol, or fuse the accumulator tail when (tail, s) equals a merge
+    pair — FIRST matching pair in batch order wins, exactly the
+    ``F.when`` chain the distributed fold builds."""
+    out: list[str] = []
+    for s in syms:
+        fused = False
+        if out:
+            tail = out[-1]
+            for a, b, ab in pairs:
+                if tail == a and s == b:
+                    out[-1] = ab
+                    fused = True
+                    break
+        if not fused:
+            out.append(s)
+    return out
+
+
+def _bpe_pair_counts(vocab):
+    """Frequency-weighted adjacent-pair counts over a driver-held
+    (syms, f) vocabulary — integer-exact, the same statistic the
+    distributed aggregate computes."""
+    counts: dict = {}
+    for syms, f in vocab:
+        for i in range(len(syms) - 1):
+            k = (syms[i], syms[i + 1])
+            counts[k] = counts.get(k, 0) + f
+    return counts
+
+
+def _bpe_driver_train(vocab_rows, n_merges):
+    """Classic (one merge per round) BPE on a driver-held vocabulary.
+    Identical recurrence to the distributed loop: argmax by
+    (count desc, a asc, b asc) — Python's str compare is code-point
+    order, which equals Spark's binary UTF8 string order — stop when
+    no pair counts ≥ 2, the same left-fold rewrite per round."""
+    vocab = [(list(r["syms"]), int(r["f"])) for r in vocab_rows]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts = _bpe_pair_counts(vocab)
+        if not counts:
+            break
+        (a, b), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < 2:
+            break
+        merges.append((rank, a, b, int(n)))
+        pairs = [(a, b, a + b)]
+        vocab = [(_bpe_fold_word(syms, pairs), f) for syms, f in vocab]
+    return merges
+
+
+def _bpe_driver_train_batched(vocab_rows, n_merges, batch):
+    """Batched BPE (`bpe_train_batched`'s algorithm) on a driver-held
+    vocabulary: same candidate order, the same strict non-interaction
+    admission, the same batched fold — merge-for-merge identical to
+    the distributed loop."""
+    vocab = [(list(r["syms"]), int(r["f"])) for r in vocab_rows]
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < n_merges:
+        room = n_merges - len(merges)
+        want = min(batch, room)
+        counts = _bpe_pair_counts(vocab)
+        top = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[: want * BPE_BATCH_HEADROOM]
+        cands = [(a, b, n) for (a, b), n in top if n >= 2]
+        if not cands:
+            break
+        used_syms: set = set()
+        used_products: set = set()
+        selected: list = []
+        for a, b, n in cands:
+            ab = a + b
+            blocked = used_syms | used_products
+            if (
+                a in blocked
+                or b in blocked
+                or ab in used_syms
+                or ab in used_products
+            ):
+                continue
+            selected.append((a, b, n))
+            used_syms.update((a, b))
+            used_products.add(ab)
+            if len(selected) == want:
+                break
+        if not selected:
+            selected = [cands[0]]
+        for a, b, n in selected:
+            merges.append((len(merges) + 1, a, b, int(n)))
+        pairs = [(a, b, a + b) for a, b, _n in selected]
+        vocab = [(_bpe_fold_word(syms, pairs), f) for syms, f in vocab]
+    return merges
+
 
 def bpe_train(documents: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFrame:
     """Iterative BPE tokenizer training (Sennrich et al. 2016): run
@@ -901,6 +1008,20 @@ def bpe_train(documents: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFra
         .select(F.expr("split(word, '')").alias("syms"), "f")
         .localCheckpoint()
     )
+    # Hybrid driver fast path (r17 opt — the kcore/pagerank/ANN
+    # precedent): the merge loop runs on the VOCAB-sized table, and a
+    # vocabulary under the cap trains on the driver with the identical
+    # integer recurrence — replacing 2 Spark jobs per round with one
+    # bounded probe collect. The probe IS the size check
+    # (limit(cap+1) bounds driver memory by construction); above the
+    # cap the distributed loop below is unchanged.
+    probe = vocab.limit(BPE_DRIVER_VOCAB_CAP + 1).collect()
+    if len(probe) <= BPE_DRIVER_VOCAB_CAP:
+        return driver_rows_df(
+            spark,
+            _bpe_driver_train(probe, n_merges),
+            schema="merge_rank long, a string, b string, pair_count long",
+        )
     adjacent = F.explode(
         F.expr(
             "transform(sequence(1, size(syms) - 1),"
@@ -1743,6 +1864,15 @@ def bpe_train_batched(
         .select(F.expr("split(word, '')").alias("syms"), "f")
         .localCheckpoint()
     )
+    # Hybrid driver fast path — same probe discipline as `bpe_train`;
+    # the batched admission and fold are merge-for-merge identical.
+    probe = vocab.limit(BPE_DRIVER_VOCAB_CAP + 1).collect()
+    if len(probe) <= BPE_DRIVER_VOCAB_CAP:
+        return driver_rows_df(
+            spark,
+            _bpe_driver_train_batched(probe, n_merges, batch),
+            schema="merge_rank long, a string, b string, pair_count long",
+        )
     adjacent = F.explode(
         F.expr(
             "transform(sequence(1, size(syms) - 1),"

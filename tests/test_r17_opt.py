@@ -446,3 +446,46 @@ def test_driver_rows_df_value_and_slice_contract(spark):
     empty = driver_rows_df(spark, [], schema)
     assert empty.count() == 0
     assert empty.schema == ref.schema
+
+
+# ---------------------------------------------------------------
+# BPE trainers: driver fast path vs distributed loop (r17 opt #17)
+# ---------------------------------------------------------------
+
+
+def _bpe_docs(spark):
+    rows = [
+        ("the merger merged mergers",),
+        ("low lower lowest lowly",),
+        ("new newer newest news",),
+        ("wide wider widest widely row",),
+        ("the the the lowly news row",),
+    ]
+    return spark.createDataFrame(rows, "text string")
+
+
+def test_bpe_train_hybrid_paths_identical(spark, monkeypatch):
+    """The driver trainer must reproduce the distributed loop
+    merge-for-merge: same argmax total order (count desc, a asc,
+    b asc), same left-fold rewrite, same stop condition."""
+    from scholar_stream_spark.operators import textops
+
+    docs = _bpe_docs(spark)
+    fast = textops.bpe_train(docs, n_merges=6).collect()
+    monkeypatch.setattr(textops, "BPE_DRIVER_VOCAB_CAP", 0)
+    slow = textops.bpe_train(docs, n_merges=6).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+    assert len(fast) > 0
+
+
+def test_bpe_train_batched_hybrid_paths_identical(spark, monkeypatch):
+    """Batched variant: same candidate cut, same strict
+    non-interaction admission, same batched first-match fold."""
+    from scholar_stream_spark.operators import textops
+
+    docs = _bpe_docs(spark)
+    fast = textops.bpe_train_batched(docs, n_merges=6, batch=3).collect()
+    monkeypatch.setattr(textops, "BPE_DRIVER_VOCAB_CAP", 0)
+    slow = textops.bpe_train_batched(docs, n_merges=6, batch=3).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+    assert len(fast) > 0
