@@ -349,14 +349,22 @@ def pretraining_pipeline(
     curated = curate_corpus(documents, langs=tuple(curate_langs))
     flagged = decontaminate(documents).select("doc_id")
     clean = curated.join(F.broadcast(flagged), "doc_id", "left_anti")
-    base = clean.select("doc_id", "n_doc_tokens").join(
-        documents.select("doc_id", F.col("lang").alias("stratum")),
-        "doc_id",
-    ).select(
-        "doc_id",
-        "stratum",
-        F.col("n_doc_tokens").alias("n_tokens"),
-        sample_bucket("doc_id").alias("bucket"),
+    base = (
+        clean.select("doc_id", "n_doc_tokens")
+        .join(
+            documents.select("doc_id", F.col("lang").alias("stratum")),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "stratum",
+            F.col("n_doc_tokens").alias("n_tokens"),
+            sample_bucket("doc_id").alias("bucket"),
+        )
+        # pinned: mixture_select reads base twice (per-stratum totals +
+        # the threshold join) and each read would otherwise re-run the
+        # ENTIRE curate + decontaminate composition (r17 opt)
+        .localCheckpoint(eager=False)
     )
     return mixture_select(base, weights)
 

@@ -1651,10 +1651,12 @@ def remove_dup_paragraphs(
     )
 
 
-def _clusters_driver_union_find(spark, edge_rows) -> DataFrame:
-    """Union-find over a collected (small) edge list — exact same
-    output contract as the distributed loop: (doc_id, min-member
-    cluster_id, cluster_size)."""
+def _uf_component_members(edge_rows) -> dict:
+    """Union-find over a collected (small) (d1, d2) edge list →
+    {min-member root: [member nodes]} — the shared driver CC core.
+    Every union parents the larger root under the smaller, so each
+    component's final root is its minimum node id: identical labels to
+    the distributed min-label/star kernels (pinned)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -1675,6 +1677,14 @@ def _clusters_driver_union_find(spark, edge_rows) -> DataFrame:
     members: dict[int, list[int]] = {}
     for node in parent:
         members.setdefault(find(node), []).append(node)
+    return members
+
+
+def _clusters_driver_union_find(spark, edge_rows) -> DataFrame:
+    """Union-find over a collected (small) edge list — exact same
+    output contract as the distributed loop: (doc_id, min-member
+    cluster_id, cluster_size)."""
+    members = _uf_component_members(edge_rows)
     rows = [
         (node, root, len(nodes))
         for root, nodes in members.items()
@@ -2994,6 +3004,11 @@ def snm_candidate_pairs(
     ).select("name_a", "name_b", "lev", "parts_a", "parts_b")
 
 
+#: Driver union-find bound for the SNM match graph (the
+#: `neardup_clusters` hybrid threshold — same contract).
+SNM_MAX_DRIVER_EDGES = 1_000_000
+
+
 def _snm_validate(window: int, max_dist: int) -> None:
     # sequence(rk+1, rk+window) would silently generate a DESCENDING
     # range for window < 1 (Spark's sequence reverses) — refuse loudly
@@ -3116,16 +3131,35 @@ def _snm_members(
         F.col("rk_a").cast("long").alias("d1"),
         F.col("rk_b").cast("long").alias("d2"),
     )
-    edges = pairs.union(
+    edge_plan = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).localCheckpoint(eager=False)
-    # ALWAYS the large/small-star kernel, both profiles: SNM edit-
-    # distance chains are exactly the long-diameter shape label-prop
-    # is not built for (a chain of >max_iter names one edit apart
-    # would return silently UNCONVERGED labels, splitting one entity
-    # — a review finding); star converges in O(log²) rounds on any
-    # diameter, so the profile switch governs only the spine ranking.
-    comp = connected_components(edges, kernel="star")
+    )
+    # Hybrid, the `neardup_clusters` discipline (r17 opt): the
+    # lev-gated match graph is rare by construction (≤ |spine|·window
+    # candidates, few survive the gate), so below the threshold a
+    # driver union-find replaces the multi-round distributed kernel —
+    # identical min-member labels, and the probe collect IS the one
+    # execution of the pair pipeline. A long edit-distance chain is no
+    # hazard to union-find (exact at any diameter).
+    probe = edge_plan.limit(SNM_MAX_DRIVER_EDGES + 1).collect()
+    if len(probe) <= SNM_MAX_DRIVER_EDGES:
+        spark = part.sparkSession
+        rows = [
+            (node, root)
+            for root, nodes in _uf_component_members(probe).items()
+            for node in nodes
+        ]
+        comp = driver_rows_df(spark, rows, "node long, lbl long")
+    else:
+        edges = edge_plan.localCheckpoint(eager=False)
+        # ALWAYS the large/small-star kernel, both profiles: SNM edit-
+        # distance chains are exactly the long-diameter shape
+        # label-prop is not built for (a chain of >max_iter names one
+        # edit apart would return silently UNCONVERGED labels,
+        # splitting one entity — a review finding); star converges in
+        # O(log²) rounds on any diameter, so the profile switch
+        # governs only the spine ranking.
+        comp = connected_components(edges, kernel="star")
     return comp.join(
         ranked.select(
             F.col("rk").cast("long").alias("node"),

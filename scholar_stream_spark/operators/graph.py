@@ -635,11 +635,14 @@ def _triangle_probe(
     count per node (int64) — ``((A·A) ∘ A)·1 / 2`` over the 0/1
     symmetric adjacency. ``und`` must be the kernels' documented
     contract: deduplicated canonical ``a < b`` pairs."""
-    rows = und.select("a", "b").limit(edge_cap + 1).collect()
-    if not rows or len(rows) > edge_cap:
+    # Arrow collect (r17 opt): a 142k-edge probe costs ~1 s as py4j
+    # Row deserialization and ~50 ms as an Arrow batch — same bounded
+    # limit, same values (.tolist() yields plain Python scalars).
+    pdf = und.select("a", "b").limit(edge_cap + 1).toPandas()
+    if len(pdf) == 0 or len(pdf) > edge_cap:
         return None
-    vals_a = [r["a"] for r in rows]
-    vals_b = [r["b"] for r in rows]
+    vals_a = pdf["a"].tolist()
+    vals_b = pdf["b"].tolist()
     nodes = sorted(set(vals_a) | set(vals_b))
     n = len(nodes)
     if n > node_cap:
@@ -655,7 +658,7 @@ def _triangle_probe(
     # integers ≤ n < 2^53 ⇒ float64 matmul is exact
     tri = ((adj @ adj) * adj).sum(axis=1)
     tri_per_node = np.rint(tri / 2.0).astype(np.int64)
-    return nodes, deg.astype(np.int64), tri_per_node, len(rows)
+    return nodes, deg.astype(np.int64), tri_per_node, len(pdf)
 
 
 def triangle_census(und: DataFrame) -> DataFrame:
@@ -1112,16 +1115,18 @@ def trade_kcore(
 
 
 def _kcore_driver_peel(spark, edge_rows, key_col: str) -> DataFrame:
-    """Exact coreness by Matula–Beck peeling over a collected (small)
-    edge list — repeatedly remove the minimum-current-degree node; a
+    """Exact coreness by Matula–Beck peeling over a collected (small,
+    Arrow-probed pandas) edge list — repeatedly remove the
+    minimum-current-degree node; a
     node's coreness is the running max of its degree at removal.
     O((n+m) log n) with a lazy heap; identical values to the h-index
     fixpoint (both compute the unique k-core number)."""
     import heapq
 
     adj: dict = {}
-    for r in edge_rows:
-        a, b = r["a"], r["b"]
+    for a, b in zip(
+        edge_rows["a"].tolist(), edge_rows["b"].tolist()
+    ):
         adj.setdefault(a, set()).add(b)
         adj.setdefault(b, set()).add(a)
     deg = {v: len(ns) for v, ns in adj.items()}
@@ -1172,7 +1177,10 @@ def kcore(
             f"kcore: max_iter must be >= 1, got {max_iter}"
         )
     if max_driver_edges > 0:
-        probe = und.limit(max_driver_edges + 1).collect()
+        # Arrow probe (r17 opt — the `_triangle_probe` rationale)
+        probe = und.select("a", "b").limit(
+            max_driver_edges + 1
+        ).toPandas()
         if len(probe) <= max_driver_edges:
             return _kcore_driver_peel(
                 und.sparkSession, probe, key_col

@@ -489,3 +489,21 @@ def test_bpe_train_batched_hybrid_paths_identical(spark, monkeypatch):
     slow = textops.bpe_train_batched(docs, n_merges=6, batch=3).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
     assert len(fast) > 0
+
+
+def test_snm_members_hybrid_paths_identical(spark, monkeypatch):
+    """SNM clusters/survivor map: the driver union-find must emit the
+    same min-member component labels as the distributed star kernel."""
+    from scholar_stream_spark.operators import dedup
+
+    rows = [(f"name{i:03d}",) for i in range(40) for _ in range(2)]
+    # an edit-distance chain: name000 ~ name001 ~ ... (lev 1 apart)
+    part = spark.createDataFrame(rows, "p_name string")
+    fast = dedup.snm_entity_clusters(part).collect()
+    fast_map = dedup.snm_survivor_map(part).collect()
+    monkeypatch.setattr(dedup, "SNM_MAX_DRIVER_EDGES", 0)
+    slow = dedup.snm_entity_clusters(part).collect()
+    slow_map = dedup.snm_survivor_map(part).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+    assert sorted(map(tuple, fast_map)) == sorted(map(tuple, slow_map))
+    assert len(fast) > 0
