@@ -2386,7 +2386,10 @@ def incremental_dedup_bloom(
     """
     flagged = _bloom_flagged(
         _batch_firsts(new_docs), bloom, n_bits, n_hashes
-    )
+        # pinned: the clean and suspect branches both read the flagged
+        # batch — each would otherwise re-run the batch-firsts window
+        # + the bloom probe (r17 opt); batch-sized by construction
+    ).localCheckpoint(eager=False)
     clean = flagged.filter(~F.col("maybe")).select("doc_id", "fingerprint")
     suspect = flagged.filter(F.col("maybe")).select("doc_id", "fingerprint")
     return clean.unionByName(_index_anti(suspect, seen_index))
@@ -2774,7 +2777,12 @@ def dedup_threshold_sweep(
     cumulative by construction (jaccard ≥ threshold).
     """
     th = sorted(float(t) for t in thresholds)
-    pairs = ngram_jaccard_pairs(documents, n, min(th), max_doc_freq)
+    # pinned: the n_pairs and n_docs rollups both read the pair table,
+    # and each would otherwise re-run the whole shingle pipeline
+    # (r17 opt — the plan held the jaccard subtree twice)
+    pairs = ngram_jaccard_pairs(
+        documents, n, min(th), max_doc_freq
+    ).localCheckpoint(eager=False)
     axis = documents.sparkSession.range(1).select(
         F.explode(F.array(*[F.lit(t) for t in th])).alias("threshold")
     )

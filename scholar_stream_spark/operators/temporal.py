@@ -309,8 +309,13 @@ def session_type_lift(
     type_a < type_b.
     """
     labeled = _session_labeled(events, gap_seconds)
-    sess = labeled.groupBy("user_id", "session_seq").agg(
-        F.array_sort(F.collect_set("event_type")).alias("types")
+    sess = (
+        labeled.groupBy("user_id", "session_seq")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        # pinned: total/singles/pairs all read the session set table —
+        # each would otherwise re-run the sessionize window + the
+        # session-keyed collect_set exchange (r17 opt)
+        .localCheckpoint(eager=False)
     )
     total = sess.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
     singles = (

@@ -404,8 +404,14 @@ def perplexity_buckets(documents: DataFrame) -> DataFrame:
 
     Output: (doc_id, lang, ppl, bucket) — bucket ∈ head|middle|tail.
     """
-    scored = unigram_logprob(documents).join(
-        documents.select("doc_id", "lang"), "doc_id"
+    scored = (
+        unigram_logprob(documents)
+        .join(documents.select("doc_id", "lang"), "doc_id")
+        # pinned: the threshold histogram AND the final bucket join
+        # both read the scored table — without the pin each consumer
+        # re-runs the whole LM scoring pass (r17 opt: the plan held
+        # the unigram_logprob subtree twice, 46 Exchanges)
+        .localCheckpoint(eager=False)
     )
     hist = scored.groupBy("lang", "ppl").agg(F.count(F.lit(1)).alias("c"))
     w_cum = Window.partitionBy("lang").orderBy("ppl").rowsBetween(
