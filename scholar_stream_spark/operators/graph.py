@@ -11,6 +11,8 @@ lineage re-executes all prior rounds per action.
 
 from __future__ import annotations
 
+import decimal as _dec
+
 import numpy as np
 
 from pyspark.sql import DataFrame, Window
@@ -1016,13 +1018,74 @@ def trade_assortativity(
     )
 
 
+def _assort_probe(und: DataFrame, edge_cap: int = TRIANGLE_DRIVER_EDGE_CAP):
+    """Exact assortativity moments under a bounded edge probe, or
+    ``None``. Returns ``(m2, sjk, sj, sj2)`` as plain Python ints —
+    the SAME both-orientation stub moments the distributed aggregate
+    sums (Σ1, Σj·k, Σj, Σj² over stubs): per edge both orientations
+    contribute, so m2 = 2·|E|, sjk = 2·Σ_E deg_a·deg_b, and the j
+    moments fold both endpoints. Python ints are arbitrary-precision,
+    so exactness needs no width argument at all (the distributed path
+    carries the same values as DECIMAL(38,0))."""
+    pdf = und.select("a", "b").limit(edge_cap + 1).toPandas()
+    if len(pdf) == 0 or len(pdf) > edge_cap:
+        return None
+    vals_a = pdf["a"].tolist()
+    vals_b = pdf["b"].tolist()
+    idx = {}
+    for v in vals_a:
+        idx.setdefault(v, len(idx))
+    for v in vals_b:
+        idx.setdefault(v, len(idx))
+    ai = np.fromiter((idx[v] for v in vals_a), np.int64, len(vals_a))
+    bi = np.fromiter((idx[v] for v in vals_b), np.int64, len(vals_b))
+    deg = np.bincount(np.concatenate([ai, bi]), minlength=len(idx))
+    # int64 is provably wide enough under the cap (deg ≤ 2m ≤ 2^21,
+    # so Σ_E deg·deg ≤ 2^21·2^21·2^20 = 2^62 and Σ deg³ ≤ 2^62), but
+    # the returned moments go through int() anyway — exact by
+    # construction, same discipline as the triangle matmul.
+    m2 = 2 * len(pdf)
+    sjk = 2 * int(np.sum(deg[ai] * deg[bi], dtype=np.int64))
+    sj = int(np.sum(deg * deg, dtype=np.int64))
+    sj2 = int(np.sum(deg * deg * deg, dtype=np.int64))
+    return m2, sjk, sj, sj2
+
+
 def assortativity(und: DataFrame) -> DataFrame:
     """Generic Newman degree assortativity over an undirected (a < b)
     edge list — the kernel behind `trade_assortativity` and
     `user_assortativity`. Exact int64 moments over both edge
     orientations, one global aggregate; contract per the trade
     wrapper's docstring (NULL at zero degree variance).
+
+    Under the bounded edge probe (``_assort_probe``) the four moments
+    come from one driver pass — identical integers (exact in both
+    engines), and the final r expression is the SAME Spark select
+    either way, so the doubles are bit-identical by construction.
     """
+    probe = _assort_probe(und)
+    if probe is not None:
+        m2, sjk, sj, sj2 = probe
+        m = driver_rows_df(
+            und.sparkSession,
+            [(m2, _dec.Decimal(sjk), _dec.Decimal(sj), _dec.Decimal(sj2))],
+            "_m2 long, _sjk decimal(38,0), _sj decimal(38,0), "
+            "_sj2 decimal(38,0)",
+        )
+    else:
+        m = _assort_moments_distributed(und)
+    mean = F.col("_sj").cast("double") / F.col("_m2")
+    cov = F.col("_sjk").cast("double") / F.col("_m2") - mean * mean
+    var = F.col("_sj2").cast("double") / F.col("_m2") - mean * mean
+    return m.select(
+        (F.col("_m2") / F.lit(2)).cast("long").alias("n_edges"),
+        F.round(cov / F.when(var > 0, var), 6).alias("assortativity"),
+    )
+
+
+def _assort_moments_distributed(und: DataFrame) -> DataFrame:
+    """The 1-row both-orientation stub moments as a distributed plan —
+    the above-cap path (and the probe's equivalence reference)."""
     und = und.localCheckpoint(eager=False)
     deg = _support_degrees(und)
     stubs = und.select("a", "b").unionAll(
@@ -1046,20 +1109,13 @@ def assortativity(und: DataFrame) -> DataFrame:
     # while the 25-nation grid never could; exact either way, and the
     # final double division is identical in both engines
     _d = lambda c: c.cast("decimal(19,0)")  # noqa: E731
-    m = joined.agg(
+    return joined.agg(
         F.count(F.lit(1)).cast("long").alias("_m2"),
         F.sum((_d(F.col("_j")) * _d(F.col("_k"))).cast("decimal(38,0)"))
         .alias("_sjk"),
         F.sum(_d(F.col("_j")).cast("decimal(38,0)")).alias("_sj"),
         F.sum((_d(F.col("_j")) * _d(F.col("_j"))).cast("decimal(38,0)"))
         .alias("_sj2"),
-    )
-    mean = F.col("_sj").cast("double") / F.col("_m2")
-    cov = F.col("_sjk").cast("double") / F.col("_m2") - mean * mean
-    var = F.col("_sj2").cast("double") / F.col("_m2") - mean * mean
-    return m.select(
-        (F.col("_m2") / F.lit(2)).cast("long").alias("n_edges"),
-        F.round(cov / F.when(var > 0, var), 6).alias("assortativity"),
     )
 
 

@@ -251,6 +251,34 @@ def test_local_clustering_hybrid_paths_identical(spark, monkeypatch):
     assert by_node[5][1:] == (1, 0, None)
 
 
+def test_assortativity_hybrid_paths_identical(spark, monkeypatch):
+    und = _und_df(spark, _TRI_EDGES)
+    drv = [tuple(r) for r in graph.assortativity(und).collect()]
+    monkeypatch.setattr(graph, "_assort_probe", lambda u, **kw: None)
+    dist = [tuple(r) for r in graph.assortativity(und).collect()]
+    assert drv == dist
+    assert drv[0][0] == len(_TRI_EDGES)
+
+
+def test_assortativity_probe_shapes_and_caps(spark):
+    # a star is perfectly disassortative; a triangle is degree-regular
+    # (zero variance -> NULL) — both through the driver probe path
+    star = _und_df(spark, [(1, 2), (1, 3), (1, 4)])
+    assert graph.assortativity(star).collect()[0]["assortativity"] == -1.0
+    tri = _und_df(spark, [(1, 2), (2, 3), (1, 3)])
+    assert graph.assortativity(tri).collect()[0]["assortativity"] is None
+    # probe discipline: over-cap and empty both decline (None)
+    und = _und_df(spark, _TRI_EDGES)
+    assert graph._assort_probe(und, edge_cap=3) is None
+    assert graph._assort_probe(_und_df(spark, [])) is None
+    # moments match the distributed aggregate's definition on a path
+    # graph 1-2-3: degs (1,2,1); stubs m2=4, sjk=2*(2+2)=... exact:
+    m2, sjk, sj, sj2 = graph._assort_probe(
+        _und_df(spark, [(1, 2), (2, 3)])
+    )
+    assert (m2, sjk, sj, sj2) == (4, 8, 6, 10)
+
+
 def test_triangle_probe_caps(spark):
     und = _und_df(spark, _TRI_EDGES)
     assert graph._triangle_probe(und, edge_cap=3) is None
