@@ -1514,20 +1514,6 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
     )
 
 
-def _ngram_units_sql(n: int) -> str:
-    """SQL expression: the word ``n``-grams of ``ws`` as
-    struct(n, g, start) rows (0-based start), empty when the doc is
-    shorter than ``n`` tokens. Shared shape between the 2/3/5-gram
-    branches of ``gopher_repetition``."""
-    return (
-        f"CASE WHEN size(ws) >= {n} THEN "
-        f"transform(sequence(0, size(ws) - {n}), "
-        f"i -> struct({n} AS n, array_join(slice(ws, i + 1, {n}), ' ') AS g,"
-        f" i AS start)) "
-        f"ELSE CAST(array() AS array<struct<n:int,g:string,start:int>>) END"
-    )
-
-
 def gopher_repetition(documents: DataFrame) -> DataFrame:
     """Gopher/Dolma WITHIN-document repetition fractions (Rae et al.
     2021 A1.1 "repetition" rules — the filter family that catches
@@ -1547,14 +1533,19 @@ def gopher_repetition(documents: DataFrame) -> DataFrame:
       by at least one duplicated word 5-gram (position-coverage union,
       so overlapping duplicate windows never double-count).
 
-    Scale shape: ONE explode of per-doc units (lines tagged n=1, word
-    n-grams for n ∈ {2,3,5}) → one map-side-combined
-    (doc_id, n, gram) count → one per-doc regroup → one doc_id join
-    back to the (narrow) doc row for denominators and the in-row
-    5-gram coverage fold. Everything is keyed by doc_id or
-    (doc_id, gram): corpus-linear, no pairwise anything, and the unit
-    count per doc is ~4× its token count (the same budget the shingle
-    pipeline already pays).
+    Scale shape (r18, guide §4.2 — "pre-counted emission"): the five
+    repetition rules are all WITHIN-document statistics, so nothing
+    here ever needed a shuffle — the old shape (explode per-doc units
+    → (doc_id, n, gram) count exchange → per-doc regroup exchange →
+    doc_id join back) paid two corpus-keyed exchanges and a join to
+    count duplicates that never leave their own row. Now ONE
+    ``mapInPandas`` pass over the Spark-split (lines, ws) arrays
+    computes the exact integer numerators and denominators per doc
+    (Counter passes — native-code dict counting per §4.2), and the
+    final fractions stay the SAME Spark expressions over those exact
+    ints, so the IEEE arithmetic is unchanged. Zero exchanges, zero
+    joins, corpus-linear; tokenization stays in the JVM (`split` /
+    `trim`) so the Python side only ever counts.
 
     Output: (doc_id, dup_line_frac, dup_line_char_frac,
     top_2gram_char_frac, top_3gram_char_frac, dup_5gram_char_frac).
@@ -1564,73 +1555,97 @@ def gopher_repetition(documents: DataFrame) -> DataFrame:
         F.split(F.col("text"), "\n").alias("lines"),
         F.split(F.trim(F.col("text")), r"\s+").alias("ws"),
     )
-    line_units = F.expr(
-        "transform(sequence(0, size(lines) - 1), "
-        "i -> struct(1 AS n, lines[i] AS g, i AS start))"
+    id_type = documents.schema["doc_id"].dataType.simpleString()
+
+    def kernel(batches):
+        from collections import Counter  # noqa: PLC0415
+
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "char_sum": [],
+                "line_chars": [],
+                "n_lines": [],
+                "n_ws": [],
+                "dup_lines": [],
+                "dup_line_chars": [],
+                "top2_chars": [],
+                "top3_chars": [],
+                "dup5_chars": [],
+            }
+            for lines, ws in zip(pdf["lines"], pdf["ws"]):
+                # NULL text → NULL split arrays: the old plan produced
+                # no units (coalesce-0 numerators) and NULL denominators
+                if lines is None or ws is None:
+                    out["char_sum"].append(None)
+                    out["line_chars"].append(None)
+                    out["n_lines"].append(None)
+                    out["n_ws"].append(None)
+                    out["dup_lines"].append(0)
+                    out["dup_line_chars"].append(0)
+                    out["top2_chars"].append(0)
+                    out["top3_chars"].append(0)
+                    out["dup5_chars"].append(0)
+                    continue
+                lines = list(lines)
+                ws = list(ws)
+                # len() and Spark length() both count code points
+                out["char_sum"].append(sum(len(w) for w in ws))
+                out["line_chars"].append(sum(len(l) for l in lines))
+                out["n_lines"].append(len(lines))
+                out["n_ws"].append(len(ws))
+                lc = Counter(lines)
+                out["dup_lines"].append(
+                    sum(c for c in lc.values() if c >= 2)
+                )
+                out["dup_line_chars"].append(
+                    sum(c * len(g) for g, c in lc.items() if c >= 2)
+                )
+                # top n-gram coverage: max over cnt × joined-gram chars
+                # (token chars + n−1 separator spaces — exactly
+                # length(array_join(..., ' ')), tokens can't contain
+                # the split whitespace)
+                for n, key in ((2, "top2_chars"), (3, "top3_chars")):
+                    gc = Counter(zip(*(ws[i:] for i in range(n)))) \
+                        if len(ws) >= n else Counter()
+                    out[key].append(
+                        max(
+                            (
+                                c * (sum(len(t) for t in g) + n - 1)
+                                for g, c in gc.items()
+                            ),
+                            default=0,
+                        )
+                    )
+                # duplicated-5-gram position-coverage union
+                if len(ws) >= 5:
+                    pos: dict = {}
+                    for s, g in enumerate(
+                        zip(*(ws[i:] for i in range(5)))
+                    ):
+                        pos.setdefault(g, []).append(s)
+                    covered: set = set()
+                    for starts in pos.values():
+                        if len(starts) >= 2:
+                            for s in starts:
+                                covered.update(range(s, s + 5))
+                    out["dup5_chars"].append(
+                        sum(len(ws[p]) for p in covered)
+                    )
+                else:
+                    out["dup5_chars"].append(0)
+            yield pd.DataFrame(out)
+
+    joined = base.mapInPandas(
+        kernel,
+        f"doc_id {id_type}, char_sum long, line_chars long, "
+        "n_lines long, n_ws long, dup_lines long, dup_line_chars long, "
+        "top2_chars long, top3_chars long, dup5_chars long",
     )
-    units = base.select(
-        "doc_id",
-        F.explode(
-            F.concat(
-                line_units,
-                F.expr(_ngram_units_sql(2)),
-                F.expr(_ngram_units_sql(3)),
-                F.expr(_ngram_units_sql(5)),
-            )
-        ).alias("u"),
-    ).select("doc_id", "u.n", "u.g", "u.start")
-    counts = units.groupBy("doc_id", "n", "g").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        # positions are only consumed by the 5-gram coverage union;
-        # collect_list skips nulls, so lines and 2/3-grams (~3/4 of
-        # the unit stream) buffer and shuffle NO start values
-        F.collect_list(
-            F.when(F.col("n") == 5, F.col("start"))
-        ).alias("starts"),
-    )
-    is_dup_line = (F.col("n") == 1) & (F.col("cnt") >= 2)
-    per_doc = counts.groupBy("doc_id").agg(
-        F.sum(F.when(is_dup_line, F.col("cnt"))).alias("dup_lines"),
-        F.sum(
-            F.when(is_dup_line, F.col("cnt") * F.length("g"))
-        ).alias("dup_line_chars"),
-        F.max(
-            F.when(F.col("n") == 2, F.col("cnt") * F.length("g"))
-        ).alias("top2_chars"),
-        F.max(
-            F.when(F.col("n") == 3, F.col("cnt") * F.length("g"))
-        ).alias("top3_chars"),
-        F.flatten(
-            F.collect_list(
-                F.when((F.col("n") == 5) & (F.col("cnt") >= 2), F.col("starts"))
-            )
-        ).alias("dup5_starts"),
-    )
-    char_sum = F.expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))")
-    joined = base.join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        "lines",
-        "ws",
-        char_sum.alias("char_sum"),
-        F.expr(
-            "aggregate(lines, 0L, (acc, l) -> acc + length(l))"
-        ).alias("line_chars"),
-        F.coalesce("dup_lines", F.lit(0)).alias("dup_lines"),
-        F.coalesce("dup_line_chars", F.lit(0)).alias("dup_line_chars"),
-        F.coalesce("top2_chars", F.lit(0)).alias("top2_chars"),
-        F.coalesce("top3_chars", F.lit(0)).alias("top3_chars"),
-        F.coalesce(
-            "dup5_starts", F.expr("CAST(array() AS array<int>)")
-        ).alias("dup5_starts"),
-    )
-    # in-row position-coverage union for the duplicated 5-grams: token
-    # index -> covered if any duplicated window [s, s+4] contains it
-    dup5_chars = F.expr(
-        "aggregate(array_distinct(flatten(transform(dup5_starts, "
-        "s -> sequence(s, s + 4)))), 0L, "
-        "(acc, p) -> acc + length(element_at(ws, p + 1)))"
-    )
-    norm_chars = F.col("char_sum") + F.size("ws") - 1
+    dup5_chars = F.col("dup5_chars")
+    norm_chars = F.col("char_sum") + F.col("n_ws") - 1
     # least(1.0): count × len over-counts OVERLAPPING occurrences of a
     # self-overlapping gram ("go go go ..."), which would push a
     # "fraction" past 1; the threshold-filter semantics only need the
@@ -1643,7 +1658,7 @@ def gopher_repetition(documents: DataFrame) -> DataFrame:
     )
     return joined.select(
         "doc_id",
-        frac(F.col("dup_lines"), F.size("lines")).alias("dup_line_frac"),
+        frac(F.col("dup_lines"), F.col("n_lines")).alias("dup_line_frac"),
         frac(F.col("dup_line_chars"), F.col("line_chars")).alias(
             "dup_line_char_frac"
         ),

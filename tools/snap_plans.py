@@ -36,7 +36,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r17",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r18"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name=f"snap-plans-{suffix}")
