@@ -97,38 +97,12 @@ def pagerank(
     # fact-table star join) and feeds FOUR consumers below (validation,
     # node spine, out-weights, normalization) — checkpoint it once
     edges = edges.localCheckpoint(eager=False)
-    # ONE 1-row aggregate carries weight validation and the distinct
-    # source count (the hits() consolidation, r16 ADVICE item 3): the
-    # dangling test below becomes arithmetic (n_distinct_src < n)
-    # instead of its own driver job — two eager actions total (this
-    # aggregate + the unavoidable node count that sizes 1/n).
-    stats = edges.agg(
-        F.sum(
-            (F.col("weight").isNull() | (F.col("weight") <= 0)).cast(
-                "int"
-            )
-        ).alias("n_bad"),
-        F.countDistinct("src").alias("n_src"),
-    ).first()
-    if stats["n_bad"]:
-        raise ValueError(
-            "pagerank: edge weights must be positive and non-NULL "
-            "(a zero/negative weight has no transition-probability "
-            "reading)"
-        )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n = nodes.count()
-    if n == 0:
-        raise ValueError(
-            "pagerank: empty edge list (no nodes — rank over nothing "
-            "has no reading; a bare ZeroDivisionError from 1/n would "
-            "hide the real problem)"
-        )
     out_w = edges.groupBy("src").agg(
         F.sum(F.col("weight").cast("double")).alias("_wout")
     )
@@ -143,12 +117,6 @@ def pagerank(
         )
         .localCheckpoint(eager=False)  # iteration must not re-normalize
     )
-    # decided ONCE (and for free — a node is dangling iff it never
-    # appears as a src, so n_distinct_src < n IS the test): a
-    # dangling-free graph (every node has out-edges — the common case
-    # for flow graphs) skips the per-round mass aggregate entirely,
-    # halving the job count of the loop
-    has_dangling = stats["n_src"] < n
     # hybrid (r17 optimization round — the `kcore` driver-peel
     # precedent, applied after measurement: the distributed loop costs
     # ~0.2 s of stage latency PER ROUND on a grid-sized graph, ~4 s of
@@ -162,19 +130,92 @@ def pagerank(
     # path itself already has across partitionings — pinned identical
     # at display grain both-paths in pytest, and vs the numpy
     # reference at 1e-9 as before).
+    #
+    # r18 (guide §1.2/§2.6 — the fleet is scheduling-floor-bound, so
+    # CONSTRUCTION Spark jobs are the cost): below the cap, weight
+    # validation, the node set, n and the dangling test all derive
+    # EXACTLY from the raw edge probe itself (row-local comparisons and
+    # set cardinalities — no float arithmetic), so the old four
+    # sequential driver actions (stats aggregate, node count, norm
+    # probe, node collect) collapse into TWO independent probes
+    # submitted concurrently (one wall-clock round trip; the normalized
+    # ``_p`` doubles still come from the SAME Spark plan as before —
+    # driver-side re-summation of _wout could re-associate the float
+    # sum, so it stays in-engine). Above the cap the full-scan
+    # validation aggregate and node count run as before.
     if max_driver_edges > 0:
-        probe = norm.limit(max_driver_edges + 1).collect()
-        if len(probe) <= max_driver_edges:
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_edges = pool.submit(
+                edges.limit(max_driver_edges + 1).collect
+            )
+            f_norm = pool.submit(
+                norm.limit(max_driver_edges + 1).collect
+            )
+            eprobe = f_edges.result()
+            nprobe = f_norm.result()
+        if len(eprobe) <= max_driver_edges:
+            if any(
+                r["weight"] is None or r["weight"] <= 0 for r in eprobe
+            ):
+                raise ValueError(
+                    "pagerank: edge weights must be positive and "
+                    "non-NULL (a zero/negative weight has no "
+                    "transition-probability reading)"
+                )
+            node_set = {r["src"] for r in eprobe} | {
+                r["dst"] for r in eprobe
+            }
+            n = len(node_set)
+            if n == 0:
+                raise ValueError(
+                    "pagerank: empty edge list (no nodes — rank over "
+                    "nothing has no reading; a bare ZeroDivisionError "
+                    "from 1/n would hide the real problem)"
+                )
+            has_dangling = len({r["src"] for r in eprobe}) < n
             return _pagerank_driver(
                 edges.sparkSession,
-                probe,
-                [r["node"] for r in nodes.collect()],
+                nprobe,
+                list(node_set),
                 nodes.schema["node"].dataType,
                 damping,
                 n_iter,
                 has_dangling=has_dangling,
                 with_residual=with_residual,
             )
+    # distributed path: ONE 1-row aggregate carries weight validation
+    # and the distinct source count (the hits() consolidation, r16
+    # ADVICE item 3): the dangling test below becomes arithmetic
+    # (n_distinct_src < n) instead of its own driver job.
+    stats = edges.agg(
+        F.sum(
+            (F.col("weight").isNull() | (F.col("weight") <= 0)).cast(
+                "int"
+            )
+        ).alias("n_bad"),
+        F.countDistinct("src").alias("n_src"),
+    ).first()
+    if stats["n_bad"]:
+        raise ValueError(
+            "pagerank: edge weights must be positive and non-NULL "
+            "(a zero/negative weight has no transition-probability "
+            "reading)"
+        )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError(
+            "pagerank: empty edge list (no nodes — rank over nothing "
+            "has no reading; a bare ZeroDivisionError from 1/n would "
+            "hide the real problem)"
+        )
+    # decided ONCE (and for free — a node is dangling iff it never
+    # appears as a src, so n_distinct_src < n IS the test): a
+    # dangling-free graph (every node has out-edges — the common case
+    # for flow graphs) skips the per-round mass aggregate entirely,
+    # halving the job count of the loop
+    has_dangling = stats["n_src"] < n
     # dangling spine: nodes with no out-edges (their rank mass
     # teleports uniformly each round)
     dangling_nodes = nodes.join(
@@ -1344,11 +1385,54 @@ def hits(
     if n_iter < 1:
         raise ValueError(f"hits: n_iter must be >= 1, got {n_iter}")
     edges = edges.localCheckpoint(eager=False)
-    # ONE eager action validates and sizes everything the loop needs:
-    # empty-input check (n_edges), weight validation (n_bad), and the
-    # hub-seed denominator (n_hubs) come off a single 1-row aggregate
-    # instead of three separate driver jobs (r16 ADVICE item 3 — per
-    # bench pass and audit sweep those extra jobs were pure overhead).
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    w_edges = edges.select(
+        "src", "dst", F.col("weight").cast("double").alias("_w")
+    ).localCheckpoint(eager=False)
+    # hybrid (r17 optimization round — `pagerank`'s driver fast path,
+    # same rationale and bounded-probe contract): under the edge
+    # probe, the alternating half-steps run as numpy passes on the
+    # collected weighted edge list; identical recurrence, pinned
+    # both-paths at display grain in pytest.
+    #
+    # r18 (guide §1.2 — construction jobs ARE the bench cost): below
+    # the cap, the empty/weight validation, the hub count and the node
+    # set all derive EXACTLY from the probe rows (``_w`` is the
+    # per-row double cast — no aggregation, so the checks are
+    # row-local and exact), collapsing the old three driver actions
+    # (stats aggregate, node collect, probe) into ONE. Above the cap
+    # the full-scan stats aggregate runs as before.
+    if max_driver_edges > 0:
+        probe = w_edges.limit(max_driver_edges + 1).collect()
+        if len(probe) <= max_driver_edges:
+            if not probe:
+                raise ValueError("hits: empty edge list")
+            if any(r["_w"] is None or r["_w"] <= 0 for r in probe):
+                raise ValueError(
+                    "hits: edge weights must be positive and non-NULL"
+                )
+            node_set = {r["src"] for r in probe} | {
+                r["dst"] for r in probe
+            }
+            return _hits_driver(
+                edges.sparkSession,
+                probe,
+                list(node_set),
+                nodes.schema["node"].dataType,
+                len({r["src"] for r in probe}),
+                n_iter,
+                with_residual=with_residual,
+            )
+    # distributed path: ONE eager action validates and sizes
+    # everything the loop needs: empty-input check (n_edges), weight
+    # validation (n_bad), and the hub-seed denominator (n_hubs) come
+    # off a single 1-row aggregate instead of three separate driver
+    # jobs (r16 ADVICE item 3).
     stats = edges.agg(
         F.count(F.lit(1)).alias("n_edges"),
         F.sum(
@@ -1364,32 +1448,6 @@ def hits(
         raise ValueError(
             "hits: edge weights must be positive and non-NULL"
         )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    w_edges = edges.select(
-        "src", "dst", F.col("weight").cast("double").alias("_w")
-    ).localCheckpoint(eager=False)
-    # hybrid (r17 optimization round — `pagerank`'s driver fast path,
-    # same rationale and bounded-probe contract): under the edge
-    # probe, the alternating half-steps run as numpy passes on the
-    # collected weighted edge list; identical recurrence, pinned
-    # both-paths at display grain in pytest.
-    if max_driver_edges > 0:
-        probe = w_edges.limit(max_driver_edges + 1).collect()
-        if len(probe) <= max_driver_edges:
-            return _hits_driver(
-                edges.sparkSession,
-                probe,
-                [r["node"] for r in nodes.collect()],
-                nodes.schema["node"].dataType,
-                stats["n_hubs"],
-                n_iter,
-                with_residual=with_residual,
-            )
     hubs_spine = w_edges.select(F.col("src").alias("node")).distinct()
     n_hubs = stats["n_hubs"]
     h = hubs_spine.select(
