@@ -365,6 +365,163 @@ def _qi_level_keys(geo: str, mult):
     return g, b
 
 
+def _qi_report_stats_distributed(cells):
+    """The above-cap ladder rollups (r17 level-keyed one-pass shape,
+    §2.4): every rung's (geo, band) key is a pure expression of the
+    checkpointed base grid, so a 6-way union of grid-sized selects —
+    `leveled`, still grid-sized ×6 — feeds ONE aggregate per statistic
+    family keyed by `level` (the k grid reuses the l/t grid's
+    (level, geo, band, segment) cells: same groups, one aggregate
+    fewer). Returns (kstats, lstats, tstats) DataFrames."""
+    from pyspark.sql import functions as F
+
+    seg_tot = cells.groupBy("_seg").agg(
+        F.sum("_m").cast("long").alias("_g")
+    )
+    n_total = cells.agg(F.sum("_m").cast("long").alias("_n"))
+    lvl_selects = []
+    for lvl, (geo, mult) in enumerate(QI_GENERALIZATION_LADDER):
+        g, b = _qi_level_keys(geo, mult)
+        lvl_selects.append(
+            cells.select(
+                F.lit(lvl).cast("int").alias("level"),
+                g.alias("_gg"),
+                b.alias("_bb"),
+                F.col("_seg"),
+                F.col("_m"),
+            )
+        )
+    leveled = lvl_selects[0]
+    for sel in lvl_selects[1:]:
+        leveled = leveled.unionByName(sel)
+    # l/t grid: (geo, band) with per-segment cells — ALSO the k grid
+    # ((geo, segment, band) classes are the same groups, key-reordered)
+    sc = (
+        leveled.groupBy("level", "_gg", "_bb", "_seg")
+        .agg(F.sum("_m").cast("long").alias("_mc"))
+        .localCheckpoint(eager=False)  # feeds k + l stats + t fold
+    )
+    kstats = sc.groupBy("level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("_mc").cast("long").alias("min_class_size"),
+    )
+    lstats = (
+        sc.groupBy("level", "_gg", "_bb")
+        .agg(F.count(F.lit(1)).alias("_ld"))
+        .groupBy("level")
+        .agg(F.min("_ld").cast("long").alias("min_l"))
+    )
+    classes = sc.groupBy("level", "_gg", "_bb").agg(
+        F.sum("_mc").cast("long").alias("_n_c")
+    )
+    s = sc.alias("s")
+    c = classes.alias("c")
+    tstats = (
+        # null-safe on both QI keys (NULL geo/band classes are
+        # real classes — the t_closeness_audit contract)
+        s.join(
+            c,
+            (F.col("s.level") == F.col("c.level"))
+            & F.col("s._gg").eqNullSafe(F.col("c._gg"))
+            & F.col("s._bb").eqNullSafe(F.col("c._bb")),
+        )
+        .join(F.broadcast(seg_tot), "_seg")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("s.level", "s._gg", "s._bb")
+        .agg(
+            F.sum(
+                F.expr(
+                    "abs(CAST(_mc AS DOUBLE) / CAST(_n_c AS DOUBLE)"
+                    " - CAST(_g AS DOUBLE) / CAST(_n AS DOUBLE))"
+                    " - CAST(_g AS DOUBLE) / CAST(_n AS DOUBLE)"
+                )
+            ).alias("_tsum")
+        )
+        .select(
+            F.col("level"),
+            F.expr("0.5 * (_tsum + 1.0)").alias("_t"),
+        )
+        .groupBy("level")
+        .agg(F.max("_t").alias("_max_t"))
+    )
+    return kstats, lstats, tstats
+
+
+#: Bounded probe for the ladder report's driver fast path (r18 — the
+#: graph/ANN/BPE hybrid applied to the QI grid): the `_qi_cells` table
+#: is grid-cardinality by construction (|geos| × |segments| × |bands|),
+#: so on any real table it is thousands of rows; the limit(cap+1)
+#: probe IS the size check, and above the cap the distributed rollups
+#: run unchanged.
+QI_REPORT_DRIVER_CAP = 100_000
+
+
+def _qi_report_stats_driver(pdf):
+    """Per-level ladder statistics computed on a probe-collected cells
+    grid: EXACT integer k/l statistics (dict regroups mirror the Spark
+    groupBys — NULL keys group as ``None``), and the t fold as the
+    IDENTICAL per-term IEEE double arithmetic (|mc/n_c − g/n| − g/n,
+    then 0.5·(Σ+1)). The Σ over a class's ≤|segments| terms is a plain
+    left fold in sorted-segment order — float addition order inside a
+    class is the same indeterminacy class the distributed SUM already
+    has across partitionings (the pagerank-driver discipline); the
+    round-6 display grain stays in the caller's Spark select.
+
+    Returns ``(krows, lrows, trows)`` matching the distributed
+    kstats / lstats / tstats schemas; empty lists on an empty grid
+    (the meta LEFT joins then reproduce the empty-input contract)."""
+    import math  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    def _key(col):
+        return [None if pd.isna(v) else int(v) for v in col]
+
+    nats = _key(pdf["_nat"])
+    regs = _key(pdf["_reg"])
+    bands = _key(pdf["_band1"])
+    segs = list(pdf["_seg"])
+    ms = [int(v) for v in pdf["_m"]]
+    n_total = sum(ms)
+    seg_tot: dict = {}
+    for s, m in zip(segs, ms):
+        seg_tot[s] = seg_tot.get(s, 0) + m
+    krows, lrows, trows = [], [], []
+    if not ms:
+        return krows, lrows, trows
+    for lvl, (geo, mult) in enumerate(QI_GENERALIZATION_LADDER):
+        cls: dict = {}  # (g, b) -> {seg: mc}
+        for nat, reg, b1, s, m in zip(nats, regs, bands, segs, ms):
+            if geo == "nation":
+                g = nat
+            elif geo == "region":
+                g = reg
+            else:
+                g = -1
+            if mult is None:
+                b = 0
+            elif b1 is None:
+                b = None
+            else:
+                b = math.floor(b1 / float(mult))
+            segmap = cls.setdefault((g, b), {})
+            segmap[s] = segmap.get(s, 0) + m
+        sizes = [mc for segmap in cls.values() for mc in segmap.values()]
+        krows.append((lvl, len(sizes), min(sizes)))
+        lrows.append((lvl, min(len(segmap) for segmap in cls.values())))
+        max_t = None
+        for segmap in cls.values():
+            n_c = sum(segmap.values())
+            tsum = 0.0
+            for s in sorted(segmap):
+                gn = seg_tot[s] / n_total
+                tsum += abs(segmap[s] / n_c - gn) - gn
+            t = 0.5 * (tsum + 1.0)
+            max_t = t if max_t is None or t > max_t else max_t
+        trows.append((lvl, max_t))
+    return krows, lrows, trows
+
+
 def generalize_qi_report(
     customer: DataFrame,
     nation: DataFrame,
@@ -421,90 +578,27 @@ def generalize_qi_report(
             f"generalize_qi: bal_band must be > 0, got {bal_band}"
         )
     cells = _qi_cells(customer, nation, bal_band)
-    seg_tot = cells.groupBy("_seg").agg(
-        F.sum("_m").cast("long").alias("_g")
-    )
-    n_total = cells.agg(F.sum("_m").cast("long").alias("_n"))
-    # r17 restructure (§2.4, fewer stages for the same math): every
-    # rung's (geo, band) key is a pure expression of the checkpointed
-    # base grid, so a 6-way union of grid-sized selects — `leveled`,
-    # still grid-sized ×6 — feeds ONE aggregate per statistic family
-    # keyed by `level`, instead of 6 rungs × 3 rollups each with its
-    # own subtree (18 aggregates + 6 null-safe joins + 12 broadcast
-    # cross-joins → 3 aggregates + 1 join + 1 six-row meta join).
-    # Identical per-level groups ⇒ identical values; row order was
-    # never declared (no orderBy) and the driver compare is
-    # order-insensitive.
-    lvl_selects = []
-    for lvl, (geo, mult) in enumerate(QI_GENERALIZATION_LADDER):
-        g, b = _qi_level_keys(geo, mult)
-        lvl_selects.append(
-            cells.select(
-                F.lit(lvl).cast("int").alias("level"),
-                g.alias("_gg"),
-                b.alias("_bb"),
-                F.col("_seg"),
-                F.col("_m"),
-            )
+    # r18 driver fast path (guide §1.2 — the report cost 25 Spark jobs
+    # of pure grid-sized stage latency): the cells grid is
+    # grid-cardinality by construction, so under the bounded probe ALL
+    # per-level statistics come from one collect — exact integer k/l
+    # regroups, the t fold as the identical per-term IEEE arithmetic
+    # (`_qi_report_stats_driver`); the meta join + verdict select below
+    # are the SAME Spark expressions either way. Above the cap the
+    # distributed rollups (r17 level-keyed one-pass shape) run
+    # unchanged.
+    probe = cells.limit(QI_REPORT_DRIVER_CAP + 1).toPandas()
+    if len(probe) <= QI_REPORT_DRIVER_CAP:
+        spark = customer.sparkSession
+        krows, lrows, trows = _qi_report_stats_driver(probe)
+        kstats = driver_rows_df(
+            spark, krows,
+            "level int, n_classes long, min_class_size long",
         )
-    leveled = lvl_selects[0]
-    for sel in lvl_selects[1:]:
-        leveled = leveled.unionByName(sel)
-    # k grid: (geo, segment, band) class sizes -> per-level min + count
-    kstats = (
-        leveled.groupBy("level", "_gg", "_seg", "_bb")
-        .agg(F.sum("_m").alias("_sz"))
-        .groupBy("level")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_classes"),
-            F.min("_sz").cast("long").alias("min_class_size"),
-        )
-    )
-    # l/t grid: (geo, band) with per-segment cells
-    sc = (
-        leveled.groupBy("level", "_gg", "_bb", "_seg")
-        .agg(F.sum("_m").cast("long").alias("_mc"))
-        .localCheckpoint(eager=False)  # feeds l stats + t fold
-    )
-    lstats = (
-        sc.groupBy("level", "_gg", "_bb")
-        .agg(F.count(F.lit(1)).alias("_ld"))
-        .groupBy("level")
-        .agg(F.min("_ld").cast("long").alias("min_l"))
-    )
-    classes = sc.groupBy("level", "_gg", "_bb").agg(
-        F.sum("_mc").cast("long").alias("_n_c")
-    )
-    s = sc.alias("s")
-    c = classes.alias("c")
-    tstats = (
-        # null-safe on both QI keys (NULL geo/band classes are
-        # real classes — the t_closeness_audit contract)
-        s.join(
-            c,
-            (F.col("s.level") == F.col("c.level"))
-            & F.col("s._gg").eqNullSafe(F.col("c._gg"))
-            & F.col("s._bb").eqNullSafe(F.col("c._bb")),
-        )
-        .join(F.broadcast(seg_tot), "_seg")
-        .crossJoin(F.broadcast(n_total))
-        .groupBy("s.level", "s._gg", "s._bb")
-        .agg(
-            F.sum(
-                F.expr(
-                    "abs(CAST(_mc AS DOUBLE) / CAST(_n_c AS DOUBLE)"
-                    " - CAST(_g AS DOUBLE) / CAST(_n AS DOUBLE))"
-                    " - CAST(_g AS DOUBLE) / CAST(_n AS DOUBLE)"
-                )
-            ).alias("_tsum")
-        )
-        .select(
-            F.col("level"),
-            F.expr("0.5 * (_tsum + 1.0)").alias("_t"),
-        )
-        .groupBy("level")
-        .agg(F.max("_t").alias("_max_t"))
-    )
+        lstats = driver_rows_df(spark, lrows, "level int, min_l long")
+        tstats = driver_rows_df(spark, trows, "level int, _max_t double")
+    else:
+        kstats, lstats, tstats = _qi_report_stats_distributed(cells)
     # per-level literals ride a 6-row meta table; LEFT joins + the
     # n_classes coalesce reproduce the old per-rung global-aggregate
     # semantics on an empty input (count over nothing = 0, mins NULL)
