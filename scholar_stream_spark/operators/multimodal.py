@@ -42,6 +42,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -336,6 +337,46 @@ def _lanes_from_grid(grid: list[int]) -> list[int]:
     return lanes
 
 
+def _lanes_from_grids_np(grids):
+    """Vectorized `_lanes_from_grid` over an (m, 72) grid matrix —
+    bit i (= r·8 + c, row-major) is ``grid[r, c] < grid[r, c+1]``,
+    packed into 4 × 16-bit lanes exactly like the per-grid reference
+    (same byte comparisons, same bit positions — integer-exact, pinned
+    against `_lanes_from_grid` in pytest). One boolean compare + one
+    weight matmul per batch instead of a 64-step Python loop per
+    asset (r18, guide §4.2)."""
+    m = len(grids)
+    g = grids.reshape(m, DHASH_GRID_ROWS, DHASH_GRID_COLS)
+    bits = g[:, :, :-1] < g[:, :, 1:]
+    w = 1 << np.arange(DHASH_LANE_BITS, dtype=np.int64)
+    lanes = bits.reshape(m, DHASH_N_LANES, DHASH_LANE_BITS) @ w
+    return lanes.astype(np.int32)
+
+
+def _dhash_grids_np(blobs):
+    """Vectorized `_dhash_lanes_py` plane construction for a batch of
+    blobs: grid cell k of blob b samples byte ``(k·len(b)) // 72``
+    (zeros for an empty blob) — the SAME nearest-neighbor byte
+    sampling, gathered through one concatenated buffer instead of a
+    per-cell Python loop. Real deployment swaps this plane for
+    decode+grayscale+resize (the `_fake_decode` contract), exactly as
+    documented on the scalar reference."""
+    cells = DHASH_GRID_ROWS * DHASH_GRID_COLS
+    m = len(blobs)
+    n = np.fromiter((len(b) for b in blobs), np.int64, m)
+    starts = np.zeros(m, np.int64)
+    if m:
+        np.cumsum(n[:-1], out=starts[1:])
+    buf = np.frombuffer(b"".join(blobs), np.uint8)
+    k = np.arange(cells, dtype=np.int64)
+    grid = np.zeros((m, cells), np.uint8)
+    nz = n > 0
+    if nz.any():
+        idx = (n[nz, None] * k[None, :]) // cells + starts[nz, None]
+        grid[nz] = buf[idx]
+    return grid
+
+
 def _dhash_lanes_py(blob: bytes) -> list[int]:
     """Shared python dHash kernel (UDF body + pytest reference): the
     STUB decode maps the blob to an 8x9 luminance plane by
@@ -389,7 +430,12 @@ def _image_dhash_sigs(documents: DataFrame) -> DataFrame:
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def dhash(content: pd.Series) -> pd.Series:
-        return content.map(lambda b: _dhash_lanes_py(bytes(b)))
+        # vectorized batch kernel (r18 §4.2): same bytes, same
+        # comparisons, one numpy pass per Arrow batch — pinned
+        # integer-identical to the `_dhash_lanes_py` reference
+        blobs = [bytes(b) for b in content]
+        lanes = _lanes_from_grids_np(_dhash_grids_np(blobs))
+        return pd.Series(lanes.tolist())
 
     sigs = assets.select(
         "asset_id", dhash(F.col("content")).alias("_lanes")
@@ -742,28 +788,63 @@ def _segment_signatures(
     cols = [f.name for f in schema.fields]
 
     def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Vectorized across segments AND assets (r18, guide §4.2 — the
+        # old per-segment Python loop rebuilt a 72-cell grid per frame;
+        # funnel/survivor chains run this kernel on every action): the
+        # md5-driven segment plan stays per-asset (the decode
+        # contract), but every segment's byte sampling
+        # ``min(off + (k·seg)//72, n−1)`` and the bit/lane packing run
+        # as one numpy gather + compare + matmul per Arrow batch —
+        # integer-identical to `_frame_dhash_lanes_py` (pinned).
+        cells = DHASH_GRID_ROWS * DHASH_GRID_COLS
+        k = np.arange(cells, dtype=np.int64)
         for pdf in batches:
-            rows = []
-            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
-                b = bytes(blob)
+            blobs = [bytes(b) for b in pdf["content"]]
+            aids = pdf["asset_id"].to_numpy()
+            seg_rows = []  # (asset_pos, s, off, seg, n)
+            for i, b in enumerate(blobs):
                 n = len(b)
                 n_segments = n_segments_fn(hashlib.md5(b).digest())
                 step = max(1, n_segments // max_segments)
-                for s in range(0, n_segments, step):
-                    off = (s * n) // n_segments
-                    seg = ((s + 1) * n) // n_segments - off
-                    lanes = _frame_dhash_lanes_py(b, off, seg)
-                    rows.append(
-                        {
-                            "asset_id": aid,
-                            idx_name: s,
-                            **{
-                                f"lane{j}": lanes[j]
-                                for j in range(DHASH_N_LANES)
-                            },
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=cols)
+                s = np.arange(0, n_segments, step, dtype=np.int64)
+                off = (s * n) // n_segments
+                seg = ((s + 1) * n) // n_segments - off
+                seg_rows.append((i, s, off, seg, n))
+            m_total = sum(len(r[1]) for r in seg_rows)
+            apos = np.empty(m_total, np.int64)
+            sval = np.empty(m_total, np.int64)
+            offv = np.empty(m_total, np.int64)
+            segv = np.empty(m_total, np.int64)
+            p = 0
+            for i, s, off, seg, n in seg_rows:
+                q = p + len(s)
+                apos[p:q] = i
+                sval[p:q] = s
+                offv[p:q] = off
+                segv[p:q] = seg
+                p = q
+            n_arr = np.fromiter(
+                (len(b) for b in blobs), np.int64, len(blobs)
+            )
+            starts = np.zeros(len(blobs), np.int64)
+            if len(blobs):
+                np.cumsum(n_arr[:-1], out=starts[1:])
+            buf = np.frombuffer(b"".join(blobs), np.uint8)
+            grid = np.zeros((m_total, cells), np.uint8)
+            row_n = n_arr[apos]
+            nz = row_n > 0
+            if nz.any():
+                idx = offv[nz, None] + (segv[nz, None] * k[None, :]) // cells
+                np.minimum(idx, (row_n[nz] - 1)[:, None], out=idx)
+                grid[nz] = buf[idx + starts[apos[nz], None]]
+            lanes = _lanes_from_grids_np(grid)
+            out = {
+                "asset_id": aids[apos],
+                idx_name: sval,
+            }
+            for j in range(DHASH_N_LANES):
+                out[f"lane{j}"] = lanes[:, j]
+            yield pd.DataFrame(out, columns=cols)
 
     out = assets.select("asset_id", "content").mapInPandas(sigs, schema)
     return out.orderBy("asset_id", idx_name) if sort else out

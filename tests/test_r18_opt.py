@@ -114,3 +114,54 @@ def test_pagerank_probe_validation_contract(spark):
         graph.hits(bad)
     with pytest.raises(ValueError, match="positive and non-NULL"):
         graph.hits(bad, max_driver_edges=0)
+
+
+def test_vectorized_dhash_lanes_match_scalar_reference():
+    """r18 §4.2: the batched numpy lane kernels must be integer-
+    identical to the scalar references on adversarial blobs (empty,
+    1-byte, shorter/longer than the 72-cell grid, random)."""
+    import hashlib
+    import random
+
+    import numpy as np
+
+    from scholar_stream_spark.operators import multimodal as mm
+
+    rng = random.Random(18)
+    blobs = [
+        b"",
+        b"x",
+        bytes(rng.randrange(256) for _ in range(5)),
+        bytes(rng.randrange(256) for _ in range(71)),
+        bytes(rng.randrange(256) for _ in range(72)),
+        bytes(rng.randrange(256) for _ in range(73)),
+        bytes(rng.randrange(256) for _ in range(1000)),
+        bytes(rng.randrange(256) for _ in range(4096)),
+    ]
+    got = mm._lanes_from_grids_np(mm._dhash_grids_np(blobs))
+    for i, b in enumerate(blobs):
+        assert list(got[i]) == mm._dhash_lanes_py(b), i
+
+    # segment variant: same offsets/lengths the kernel derives
+    for b in blobs:
+        n = len(b)
+        n_segments = 1 + hashlib.md5(b).digest()[5]
+        step = max(1, n_segments // 8)
+        segs = list(range(0, n_segments, step))
+        offs = [(s * n) // n_segments for s in segs]
+        lens = [((s + 1) * n) // n_segments - o
+                for s, o in zip(segs, offs)]
+        cells = mm.DHASH_GRID_ROWS * mm.DHASH_GRID_COLS
+        k = np.arange(cells, dtype=np.int64)
+        grid = np.zeros((len(segs), cells), np.uint8)
+        if n:
+            buf = np.frombuffer(b, np.uint8)
+            o = np.array(offs, np.int64)[:, None]
+            sg = np.array(lens, np.int64)[:, None]
+            idx = np.minimum(o + (sg * k[None, :]) // cells, n - 1)
+            grid[:] = buf[idx]
+        got_seg = mm._lanes_from_grids_np(grid)
+        for j, (o_, s_) in enumerate(zip(offs, lens)):
+            assert list(got_seg[j]) == mm._frame_dhash_lanes_py(
+                b, o_, s_
+            ), (len(b), j)
