@@ -103,7 +103,14 @@ def cosine_topk(
     both sides so the pair loop does one dot product, not three.
     """
     q = _query_set(embeddings, n_queries)
-    corpus = embeddings.select(
+    # scale_out restored for the exact rank-window consumers (r18, the
+    # r17 verdict's watch item): unlike the light train/assign kernels
+    # the r17 fan-out removal targeted, these multiply every corpus row
+    # by |queries| interpreted 64-term cosine folds before the rank
+    # window — measured 0.74 -> 0.45 s (hard negatives, isolated
+    # best-of-5 at sf0.1) at native single-partition vs spread; at
+    # 100 TB the scan is already wide and scale_out is a no-op.
+    corpus = scale_out(embeddings).select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
     )
     joined = corpus.join(
@@ -147,7 +154,14 @@ def hard_negatives_topk(
             f"hard_negatives: max_cos must be in (0, 1], got {max_cos}"
         )
     q = _query_set(embeddings, n_queries)
-    corpus = embeddings.select(
+    # scale_out restored for the exact rank-window consumers (r18, the
+    # r17 verdict's watch item): unlike the light train/assign kernels
+    # the r17 fan-out removal targeted, these multiply every corpus row
+    # by |queries| interpreted 64-term cosine folds before the rank
+    # window — measured 0.74 -> 0.45 s (hard negatives, isolated
+    # best-of-5 at sf0.1) at native single-partition vs spread; at
+    # 100 TB the scan is already wide and scale_out is a no-op.
+    corpus = scale_out(embeddings).select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
     )
     joined = corpus.join(
@@ -3215,7 +3229,14 @@ def mmr_topk(
     # (raw desc, id asc) — the ROUNDED display value would collapse
     # near-ties and flip it
     q = _query_set(embeddings, n_queries)
-    corpus = embeddings.select(
+    # scale_out restored for the exact rank-window consumers (r18, the
+    # r17 verdict's watch item): unlike the light train/assign kernels
+    # the r17 fan-out removal targeted, these multiply every corpus row
+    # by |queries| interpreted 64-term cosine folds before the rank
+    # window — measured 0.74 -> 0.45 s (hard negatives, isolated
+    # best-of-5 at sf0.1) at native single-partition vs spread; at
+    # 100 TB the scan is already wide and scale_out is a no-op.
+    corpus = scale_out(embeddings).select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
     )
     joined = corpus.join(
