@@ -689,14 +689,38 @@ def quality_classifier(
 
     Output: (doc_id, n_ngrams, logit, score, label).
     """
+    import hashlib  # noqa: PLC0415
+
     from scholar_stream_spark.operators.sampling import (  # noqa: PLC0415
         _dsir_bucket_rows,
     )
 
     grams = _dsir_bucket_rows(documents, key_col, n_buckets)
     half = (QC_WEIGHT_SPAN - 1) // 2
-    hash_txt = hex48_spark_sql(f"concat('{QC_WEIGHT_SALT}', bucket)")
-    w_q = F.expr(f"{hash_txt} % {QC_WEIGHT_SPAN} - {half}")
+    # r18 (guide §2.3 per-task work): the weight is a pure function of
+    # the bucket id, but the old expression recomputed
+    # md5('qw:' ‖ bucket) PER GRAM OCCURRENCE — corpus-linear hashing
+    # for a |buckets|-sized table. Precompute the 4096 values once at
+    # plan build (python md5 of the identical ASCII string ≡ Spark's
+    # md5(concat(...)) — the same conv(substr(md5,1,12),16,10) % span
+    # arithmetic, so every weight is bit-identical; pinned in pytest),
+    # and index a constant-folded array literal per gram instead.
+    weights = [
+        int(
+            hashlib.md5(
+                f"{QC_WEIGHT_SALT}{b}".encode()
+            ).hexdigest()[:12],
+            16,
+        )
+        % QC_WEIGHT_SPAN
+        - half
+        for b in range(n_buckets)
+    ]
+    # ONE SQL-parsed array literal: a python-side F.lit/F.array over
+    # 4096 values costs 4096 py4j round trips (~3.5 s of construction,
+    # measured) — the expr string is one call and constant-folds
+    w_tab = F.expr(f"array({','.join(map(str, weights))})")
+    w_q = F.element_at(w_tab, F.col("bucket").cast("int") + 1)
     scored = grams.select(key_col, w_q.alias("w_q")).groupBy(key_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_ngrams"),
         F.sum("w_q").alias("logit_q"),

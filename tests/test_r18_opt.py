@@ -165,3 +165,31 @@ def test_vectorized_dhash_lanes_match_scalar_reference():
             assert list(got_seg[j]) == mm._frame_dhash_lanes_py(
                 b, o_, s_
             ), (len(b), j)
+
+
+def test_quality_classifier_weight_table_matches_salt_hash(spark):
+    """r18: the precomputed weight-array literal must equal the old
+    per-gram md5 derivation for every bucket id."""
+    import hashlib
+
+    from scholar_stream_spark.functions.hashing import hex48_spark_sql
+    from scholar_stream_spark.operators import textops
+
+    n, span = textops.QC_BUCKETS, textops.QC_WEIGHT_SPAN
+    half = (span - 1) // 2
+    py = [
+        int(hashlib.md5(
+            f"{textops.QC_WEIGHT_SALT}{b}".encode()
+        ).hexdigest()[:12], 16) % span - half
+        for b in range(n)
+    ]
+    hash_txt = hex48_spark_sql(
+        f"concat('{textops.QC_WEIGHT_SALT}', bucket)"
+    )
+    got = {
+        r["bucket"]: r["w"]
+        for r in spark.range(n).selectExpr("CAST(id AS BIGINT) bucket")
+        .selectExpr("bucket", f"{hash_txt} % {span} - {half} AS w")
+        .collect()
+    }
+    assert got == {b: py[b] for b in range(n)}
